@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loader for the driver-generated star schema (see /root/repo/TESTDATA.md).
+  *
+  * Tables: region nation customer supplier part orders lineitem events
+  * documents embeddings — one parquet each under `dir`.
+  *
+  * At 100 TB these would be partitioned parquet/Delta directories; all query
+  * code below only depends on `spark.read.parquet(path)` returning the
+  * declared schema, so swapping in a partitioned catalog table is a one-line
+  * change here and nowhere else.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+  def events: DataFrame     = t("events")
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}
+
+/** A named bundle of queries plus (where SQL-expressible) a DuckDB oracle.
+  *
+  * Contract (driver-checked): for every key in `oracle` there is a key in
+  * `queries` whose DataFrame result matches the oracle SQL run by DuckDB on
+  * the same parquet tables — same column names, same values. Determinism
+  * rules used throughout:
+  *   - every query ends in a total ORDER BY (unique tiebreaker columns);
+  *   - no raw double arithmetic crosses an aggregation: doubles are cast to
+  *     exact DECIMAL before sum/avg so Spark's parallel aggregation order
+  *     cannot change low bits vs DuckDB's serial sum;
+  *   - final decimal outputs are cast to an explicit DECIMAL(38, s) on both
+  *     sides so the two engines' precision-inference rules can't diverge.
+  */
+trait QueryPack {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracle: Map[String, String]
+}

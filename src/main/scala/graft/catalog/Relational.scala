@@ -1,0 +1,449 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.{QueryPack, Tables}
+
+/** Shared exact-arithmetic helpers for oracle-matched queries.
+  *
+  * Doubles are never summed directly: Spark aggregates in partition order,
+  * DuckDB serially, and IEEE addition is not associative. Casting to DECIMAL
+  * first makes the sum exact and engine-independent; the final cast to
+  * DECIMAL(38, s) pins the output type against each engine's own
+  * precision-inference rules.
+  */
+object Q {
+  /** money-ish column as exact decimal(18,2) */
+  def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** small rate column (discount/tax) as exact decimal(8,2) */
+  def rate(c: Column): Column = c.cast(DecimalType(8, 2))
+  def asDec(c: Column, s: Int): Column = c.cast(DecimalType(38, s))
+  /** SQL text for the same casts, DuckDB side */
+  def sqlDec2(c: String) = s"CAST($c AS DECIMAL(18,2))"
+  def sqlRate(c: String) = s"CAST($c AS DECIMAL(8,2))"
+}
+
+/** §2.B relational operators: aggregation, joins, windows, sort/limit, set
+  * ops — each expressed as a declarative DataFrame plan (Catalyst handles
+  * pushdown/pruning/join strategy; AQE re-plans at runtime).
+  *
+  * Scale notes (100 TB design):
+  *  - joins to region/nation/customer/supplier/part are broadcast (dims are
+  *    tiny relative to the fact tables even at SF100k); `broadcast()` hints
+  *    are explicit where the dim side is guaranteed small.
+  *  - fact-fact joins (lineitem ⋈ orders) shuffle on the join key — at scale
+  *    both sides should be bucketed by orderkey, which makes this a
+  *    shuffle-free sort-merge join; nothing in the plan prevents that.
+  *  - aggregations are partial (map-side combine) by construction.
+  */
+object Relational extends QueryPack {
+  import Q._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregation ------------------------------------------------------
+    "q1_pricing_summary" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          asDec(sum(dec2($"l_quantity")), 2).as("sum_qty"),
+          asDec(sum(dec2($"l_extendedprice")), 2).as("sum_base_price"),
+          asDec(sum(dec2($"l_extendedprice") * (rate(lit(1)) - rate($"l_discount"))), 4).as("sum_disc_price"),
+          asDec(sum(dec2($"l_extendedprice") * (rate(lit(1)) - rate($"l_discount")) * (rate(lit(1)) + rate($"l_tax"))), 6).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    "q2_priority_distinct" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).orders
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+             countDistinct($"o_custkey").as("n_cust"),
+             asDec(sum(dec2($"o_totalprice")), 2).as("sum_price"))
+        .orderBy($"o_orderpriority")
+    },
+    "q3_shipping_topk" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val cust = t.customer.filter($"c_mktsegment" === "BUILDING")
+      t.lineitem
+        .join(t.orders, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .filter($"o_orderdate" < lit("1998-03-15").cast("timestamp") &&
+                $"l_shipdate" > lit("1998-03-15").cast("timestamp"))
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(asDec(sum(dec2($"l_extendedprice") * (rate(lit(1)) - rate($"l_discount"))), 4).as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    },
+    "q4_having" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).orders
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+        .filter($"n_orders" >= 15)
+        .orderBy($"o_custkey")
+    },
+    "q5_nation_revenue" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.lineitem
+        .join(t.orders, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+        .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t.region), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name" === "ASIA" && $"o_orderdate" >= lit("1996-01-01").cast("timestamp"))
+        .groupBy($"n_name")
+        .agg(asDec(sum(dec2($"l_extendedprice") * (rate(lit(1)) - rate($"l_discount"))), 4).as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy($"revenue".desc, $"n_name")
+    },
+    "a1_rollup" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      broadcast(t.nation).join(t.region, $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+    },
+    "a2_cube" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(asDec(sum(dec2($"l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+    "a3_minmax_avg" -> { (s, dir) =>
+      import s.implicits._
+      // avg computed as exact-decimal sum / count, both engines divide the
+      // same two numbers → identical IEEE result.
+      Tables(s, dir).lineitem
+        .groupBy($"l_returnflag")
+        .agg(min($"l_quantity").as("min_qty"),
+             max($"l_quantity").as("max_qty"),
+             (asDec(sum(dec2($"l_quantity")), 2).cast("double") / count(lit(1))).as("avg_qty"),
+             count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+    // approx_count_distinct is a sketch (HLL++); no cross-engine oracle —
+    // driver records rows-only. Kept because SURVEY §2.B lists it.
+    "a4_approx_distinct" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+             countDistinct($"l_partkey").as("exact_parts"))
+    },
+
+    // ---- joins -------------------------------------------------------------
+    "j1_inner" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.orders.join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"o_totalprice", $"c_name", $"c_mktsegment")
+        .orderBy($"o_orderkey")
+        .limit(100)
+    },
+    "j2_left_count" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.customer.join(t.orders, $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey", $"c_name")
+        .agg(count($"o_orderkey").as("n_orders"))
+        .orderBy($"c_custkey")
+    },
+    "j3_semi" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val urgent = t.orders.filter($"o_orderpriority" === "1-URGENT")
+      t.customer.join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+    "j4_anti" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.customer.join(t.orders, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+    "j5_full_outer" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val supAgg = t.supplier.groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n_suppliers"))
+      t.nation.join(supAgg, $"n_nationkey" === $"s_nationkey", "full")
+        .select($"n_name", $"n_nationkey", $"n_suppliers")
+        .orderBy($"n_nationkey".asc_nulls_first, $"n_name".asc_nulls_first)
+    },
+    "j6_cross" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val prios = t.orders.select($"o_orderpriority").distinct()
+      t.region.crossJoin(prios)
+        .select($"r_name", $"o_orderpriority")
+        .orderBy($"r_name", $"o_orderpriority")
+    },
+    "j7_right" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.supplier.join(t.nation, $"s_nationkey" === $"n_nationkey", "right")
+        .groupBy($"n_nationkey", $"n_name")
+        .agg(count($"s_suppkey").as("n_suppliers"))
+        .orderBy($"n_nationkey")
+    },
+
+    // ---- windows -----------------------------------------------------------
+    "w1_row_number_topk" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables(s, dir).orders
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+        .orderBy($"o_custkey", $"rn")
+    },
+    "w2_running_sum" -> { (s, dir) =>
+      import s.implicits._
+      // (l_orderkey, l_linenumber) is not unique in the synthetic lineitem:
+      // pre-aggregate to a unique key so the running sum is total-order
+      // deterministic in any engine.
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir).lineitem
+        .filter($"l_suppkey" <= 3)
+        .groupBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .agg(sum(dec2($"l_quantity")).as("qty"))
+        .withColumn("running_qty", asDec(sum($"qty").over(w), 2))
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_shipdate", $"running_qty")
+        .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
+    },
+    "w3_lag_lead" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables(s, dir).orders
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+                lag($"o_totalprice", 1).over(w).as("prev_price"),
+                lead($"o_totalprice", 1).over(w).as("next_price"))
+        .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+    },
+    "w4_rank_dense" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc)
+      Tables(s, dir).part
+        .select($"p_brand", $"p_partkey", $"p_retailprice",
+                rank().over(w).cast("long").as("rnk"),
+                dense_rank().over(w).cast("long").as("drnk"))
+        .orderBy($"p_brand", $"p_partkey")
+    },
+    "w5_ntile" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.orderBy($"c_acctbal".desc, $"c_custkey")
+      Tables(s, dir).customer
+        .select($"c_custkey", $"c_acctbal", ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy($"c_custkey")
+    },
+    "w6_range_frame" -> { (s, dir) =>
+      import s.implicits._
+      // sliding 3-row sum of quantity per supplier (exact decimal), over a
+      // pre-aggregated unique key (see w2 note on lineitem key collisions)
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .rowsBetween(-2, 0)
+      Tables(s, dir).lineitem
+        .filter($"l_suppkey" <= 2)
+        .groupBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .agg(sum(dec2($"l_quantity")).as("qty"))
+        .withColumn("qty_3row", asDec(sum($"qty").over(w), 2))
+        .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"qty_3row")
+    },
+
+    // ---- sort / limit ------------------------------------------------------
+    "s1_topk" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+        .limit(50)
+    },
+    "s2_multikey_sort" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).part
+        .select($"p_brand", $"p_size", $"p_partkey")
+        .orderBy($"p_brand".asc, $"p_size".desc, $"p_partkey".asc)
+        .limit(100)
+    },
+
+    // ---- set operations ----------------------------------------------------
+    "u1_union_all" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val a = t.orders.filter($"o_orderstatus" === "F").select($"o_custkey")
+      val b = t.orders.filter($"o_orderstatus" === "O").select($"o_custkey")
+      a.unionAll(b).groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+        .orderBy($"o_custkey")
+    },
+    "u2_intersect" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val a = t.orders.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+      val b = t.orders.filter($"o_orderpriority" === "5-LOW").select($"o_custkey")
+      a.intersect(b).orderBy($"o_custkey")
+    },
+    "u3_except" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.customer.select($"c_custkey")
+        .except(t.orders.select($"o_custkey".as("c_custkey")))
+        .orderBy($"c_custkey")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2))) * (CAST(1 AS DECIMAL(8,2)) + CAST(l_tax AS DECIMAL(8,2)))) AS DECIMAL(38,6)) AS sum_charge,
+             COUNT(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q2_priority_distinct" -> """
+      SELECT o_orderpriority, COUNT(*) AS n_orders, COUNT(DISTINCT o_custkey) AS n_cust,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q3_shipping_topk" -> """
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DECIMAL(38,4)) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q4_having" -> """
+      SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+      GROUP BY o_custkey HAVING COUNT(*) >= 15 ORDER BY o_custkey""",
+    "q5_nation_revenue" -> """
+      SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DECIMAL(38,4)) AS revenue,
+             COUNT(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "a1_rollup" -> """
+      SELECT r_name, n_name, COUNT(*) AS n
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+    "a2_cube" -> """
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "a3_minmax_avg" -> """
+      SELECT l_returnflag, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / COUNT(*) AS avg_qty,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "j1_inner" -> """
+      SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey LIMIT 100""",
+    "j2_left_count" -> """
+      SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_name ORDER BY c_custkey""",
+    "j3_semi" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey""",
+    "j4_anti" -> """
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""",
+    "j5_full_outer" -> """
+      SELECT n_name, n_nationkey, n_suppliers FROM nation
+      FULL OUTER JOIN (SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) s
+      ON n_nationkey = s_nationkey
+      ORDER BY n_nationkey ASC NULLS FIRST, n_name ASC NULLS FIRST""",
+    "j6_cross" -> """
+      SELECT r_name, o_orderpriority
+      FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+      ORDER BY r_name, o_orderpriority""",
+    "j7_right" -> """
+      SELECT n_nationkey, n_name, COUNT(s_suppkey) AS n_suppliers
+      FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_nationkey, n_name ORDER BY n_nationkey""",
+    "w1_row_number_topk" -> """
+      SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+      WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "w2_running_sum" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+             CAST(SUM(qty) OVER (
+               PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_qty
+      FROM (SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+            FROM lineitem WHERE l_suppkey <= 3 GROUP BY 1,2,3,4) g
+      ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""",
+    "w3_lag_lead" -> """
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+             LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+      FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""",
+    "w4_rank_dense" -> """
+      SELECT p_brand, p_partkey, p_retailprice,
+             RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk,
+             DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drnk
+      FROM part ORDER BY p_brand, p_partkey""",
+    "w5_ntile" -> """
+      SELECT c_custkey, c_acctbal,
+             NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
+      FROM customer ORDER BY c_custkey""",
+    "w6_range_frame" -> """
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             CAST(SUM(qty) OVER (
+               PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS qty_3row
+      FROM (SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+            FROM lineitem WHERE l_suppkey <= 2 GROUP BY 1,2,3,4) g
+      ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""",
+    "s1_topk" -> """
+      SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 50""",
+    "s2_multikey_sort" -> """
+      SELECT p_brand, p_size, p_partkey FROM part
+      ORDER BY p_brand ASC, p_size DESC, p_partkey ASC LIMIT 100""",
+    "u1_union_all" -> """
+      SELECT o_custkey, COUNT(*) AS n FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') u
+      GROUP BY o_custkey ORDER BY o_custkey""",
+    "u2_intersect" -> """
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+      ORDER BY o_custkey""",
+    "u3_except" -> """
+      SELECT c_custkey FROM customer
+      EXCEPT
+      SELECT o_custkey AS c_custkey FROM orders
+      ORDER BY c_custkey"""
+  )
+}

@@ -1,0 +1,232 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+
+/** Reference-core primitive semantics (SURVEY.md §2.A) pinned as oracle
+  * queries over the driver's testdata tables.
+  *
+  * The reference's filter rules are SKIP rules: a row matching any rule is
+  * dropped (OR'd, first match wins — dynamic.py:57-82 in the reference). So
+  * each fN_* query keeps `NOT (predicate)`. The tN_* queries pin each
+  * transform type's value semantics (dynamic.py:84-195) on real columns.
+  * These queries pin semantics; the actual spec-driven engine that compiles
+  * mapping JSON to a single filter+select plan lives in graft.compile /
+  * graft.engine and is unit/golden-tested.
+  */
+object Semantics extends QueryPack {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1 equals: skip if field == value
+    "f1_equals_skip" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter(!($"lang" === "en"))
+        .select($"doc_id", $"lang", $"source")
+        .orderBy($"doc_id")
+    },
+    // F2 not_equals: skip if field != value  → keeps only field == value
+    "f2_not_equals_skip" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter(!($"lang" =!= "en"))
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    },
+    // F3 in: skip if field ∈ values
+    "f3_in_skip" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter(!$"lang".isin("de", "fr"))
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    },
+    // F4 not_in: LITERAL polarity (quirk Q1) — skip if field ∉ values,
+    // i.e. keep only rows whose value IS in the list.
+    "f4_not_in_skip" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter($"lang".isin("en", "es"))
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    },
+    // F5 is_empty: skip if falsy ("" or NULL)
+    "f5_is_empty_skip" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter(!($"text".isNull || $"text" === ""))
+        .select($"doc_id", $"n_chars")
+        .orderBy($"doc_id")
+    },
+    // F7 contains: skip if value != "" && value ∈ str(field)
+    "f7_contains_skip" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter(!$"text".contains("spark"))
+        .select($"doc_id", $"lang")
+        .orderBy($"doc_id")
+    },
+    // Rules are OR'd: skip if (lang == 'zh') OR (source == 'src1')
+    "f8_rules_ored" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .filter(!(($"lang" === "zh") || ($"source" === "src1")))
+        .select($"doc_id", $"lang", $"source")
+        .orderBy($"doc_id")
+    },
+
+    // T1 direct + T2 constant: projection with copied and literal columns
+    "t1_direct_constant" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .select($"doc_id", $"lang".as("language"), lit("graft").as("engine"),
+                lit(1L).as("version"))
+        .orderBy($"doc_id")
+    },
+    // T3 date_format: reparse/reformat a datetime to a new pattern
+    "t3_date_format" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).orders
+        .select($"o_orderkey",
+                date_format($"o_orderdate", "yyyy-MM-dd").as("d_iso"),
+                date_format($"o_orderdate", "dd/MM/yyyy").as("d_eu"))
+        .orderBy($"o_orderkey")
+        .limit(500)
+    },
+    // T4 lookup with _default fallback
+    "t4_lookup" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).region
+        .select($"r_regionkey", $"r_name",
+                when($"r_name" === "ASIA", "AS")
+                  .when($"r_name" === "EUROPE", "EU")
+                  .when($"r_name" === "AMERICA", "AM")
+                  .otherwise("OTHER").as("code"))
+        .orderBy($"r_regionkey")
+    },
+    // T5 suffix + T6 prefix (empty source → null in the engine; here the
+    // column is never empty so the pure concat semantics are pinned)
+    "t5_t6_affixes" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).customer
+        .select($"c_custkey",
+                concat($"c_name", lit("-USD")).as("suffixed"),
+                concat(lit("cust:"), $"c_name").as("prefixed"))
+        .orderBy($"c_custkey")
+    },
+    // T7 formula: arithmetic over row fields (exact decimal per-row)
+    "t7_formula" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .select($"l_orderkey", $"l_linenumber",
+                Q.asDec(Q.dec2($"l_quantity") * Q.dec2($"l_extendedprice"), 4).as("total"),
+                Q.asDec(Q.dec2($"l_extendedprice") * (Q.rate(lit(1)) - Q.rate($"l_discount")), 4).as("discounted"))
+        // (l_orderkey, l_linenumber) is not unique in the synthetic data;
+        // ordering by every output column makes the sort total.
+        .orderBy($"l_orderkey", $"l_linenumber", $"total", $"discounted")
+        .limit(1000)
+    },
+    // T8 conditional: first matching if/then wins, else arm, no match → null
+    "t8_conditional" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).orders
+        .select($"o_orderkey",
+                when($"o_totalprice" >= 300000.0, "large")
+                  .when($"o_totalprice" >= 100000.0, "medium")
+                  .otherwise("small").as("size_class"),
+                when($"o_orderstatus" === "F", "final").as("maybe_final"))
+        .orderBy($"o_orderkey")
+    },
+    // H5 lenient float parse: strip commas, unparsable → 0.0
+    "h5_lenient_float" -> { (s, dir) =>
+      import s.implicits._
+      // build string fixtures from part: "1,234.56"-style and garbage
+      Tables(s, dir).part
+        .select($"p_partkey",
+                concat(lit("1,"), format_string("%03.0f", $"p_size".cast("double"))).as("raw"))
+        .select($"p_partkey", $"raw",
+                coalesce(regexp_replace($"raw", ",", "").cast("double"), lit(0.0)).as("parsed"))
+        .orderBy($"p_partkey")
+    },
+    // H8 currency detection from leading symbol
+    "h8_currency_detect" -> { (s, dir) =>
+      import s.implicits._
+      val sym = element_at(array(lit("€"), lit("$"), lit("£"), lit("")),
+                           (pmod($"p_partkey", lit(4)) + 1).cast("int"))
+      Tables(s, dir).part
+        .select($"p_partkey", concat(sym, lit("10.00")).as("price_str"))
+        .select($"p_partkey", $"price_str",
+                when(substring($"price_str", 1, 1) === "€", "EUR")
+                  .when(substring($"price_str", 1, 1) === "$", "USD")
+                  .when(substring($"price_str", 1, 1) === "£", "GBP")
+                  .otherwise("EUR").as("currency"))
+        .orderBy($"p_partkey")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "f1_equals_skip" -> """
+      SELECT doc_id, lang, source FROM documents
+      WHERE NOT (lang = 'en') ORDER BY doc_id""",
+    "f2_not_equals_skip" -> """
+      SELECT doc_id, lang FROM documents
+      WHERE NOT (lang <> 'en') ORDER BY doc_id""",
+    "f3_in_skip" -> """
+      SELECT doc_id, lang FROM documents
+      WHERE NOT (lang IN ('de','fr')) ORDER BY doc_id""",
+    "f4_not_in_skip" -> """
+      SELECT doc_id, lang FROM documents
+      WHERE lang IN ('en','es') ORDER BY doc_id""",
+    "f5_is_empty_skip" -> """
+      SELECT doc_id, n_chars FROM documents
+      WHERE NOT (text IS NULL OR text = '') ORDER BY doc_id""",
+    "f7_contains_skip" -> """
+      SELECT doc_id, lang FROM documents
+      WHERE NOT (text LIKE '%spark%') ORDER BY doc_id""",
+    "f8_rules_ored" -> """
+      SELECT doc_id, lang, source FROM documents
+      WHERE NOT (lang = 'zh' OR source = 'src1') ORDER BY doc_id""",
+    "t1_direct_constant" -> """
+      SELECT doc_id, lang AS language, 'graft' AS engine, CAST(1 AS BIGINT) AS version
+      FROM documents ORDER BY doc_id""",
+    "t3_date_format" -> """
+      SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS d_iso,
+             strftime(o_orderdate, '%d/%m/%Y') AS d_eu
+      FROM orders ORDER BY o_orderkey LIMIT 500""",
+    "t4_lookup" -> """
+      SELECT r_regionkey, r_name,
+             CASE r_name WHEN 'ASIA' THEN 'AS' WHEN 'EUROPE' THEN 'EU'
+                         WHEN 'AMERICA' THEN 'AM' ELSE 'OTHER' END AS code
+      FROM region ORDER BY r_regionkey""",
+    "t5_t6_affixes" -> """
+      SELECT c_custkey, c_name || '-USD' AS suffixed, 'cust:' || c_name AS prefixed
+      FROM customer ORDER BY c_custkey""",
+    "t7_formula" -> """
+      SELECT l_orderkey, l_linenumber,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)) AS total,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2))) AS DECIMAL(38,4)) AS discounted
+      FROM lineitem ORDER BY l_orderkey, l_linenumber, total, discounted LIMIT 1000""",
+    "t8_conditional" -> """
+      SELECT o_orderkey,
+             CASE WHEN o_totalprice >= 300000.0 THEN 'large'
+                  WHEN o_totalprice >= 100000.0 THEN 'medium'
+                  ELSE 'small' END AS size_class,
+             CASE WHEN o_orderstatus = 'F' THEN 'final' END AS maybe_final
+      FROM orders ORDER BY o_orderkey""",
+    "h5_lenient_float" -> """
+      SELECT p_partkey, raw, COALESCE(TRY_CAST(replace(raw, ',', '') AS DOUBLE), 0.0) AS parsed
+      FROM (SELECT p_partkey, '1,' || printf('%03.0f', CAST(p_size AS DOUBLE)) AS raw FROM part) t
+      ORDER BY p_partkey""",
+    "h8_currency_detect" -> """
+      SELECT p_partkey, price_str,
+             CASE WHEN substr(price_str, 1, 1) = '€' THEN 'EUR'
+                  WHEN substr(price_str, 1, 1) = '$' THEN 'USD'
+                  WHEN substr(price_str, 1, 1) = '£' THEN 'GBP'
+                  ELSE 'EUR' END AS currency
+      FROM (SELECT p_partkey,
+                   (['€','$','£',''])[(p_partkey % 4) + 1] || '10.00' AS price_str
+            FROM part) t
+      ORDER BY p_partkey"""
+  )
+}
