@@ -1,0 +1,126 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.spec.ETLMapping
+import graft.compile.TransformCompiler
+
+/** One row-level error (reference RowError, dynamic.py:14-21; row_data is
+  * reconstructable by line number and intentionally not duplicated). */
+final case class RowError(
+    line_number: Long,
+    field: String,
+    error_message: String,
+    source_value: String)
+
+/** Run summary (reference TransformResult, dynamic.py:24-40):
+  *  - successCount: rows transformed with no field errors
+  *  - skippedCount: rows dropped by filter rules (plus ALL rows when the
+  *    mapping has zero field_mappings — empty dict is falsy,
+  *    dynamic.py:309-318)
+  *  - errorCount: number of field errors, not errored rows
+  */
+final case class TransformResult(
+    successCount: Long,
+    skippedCount: Long,
+    errorCount: Long,
+    errors: Seq[RowError],
+    written: Boolean)
+
+/** The dynamic-mapping engine: mapping JSON compiles once to a single
+  * filter+project plan (scan → filter(!skip) → select(T* columns + error
+  * array)); Catalyst pushes the filter into the scan and codegens the
+  * projection — the per-row Python interpretation of the reference
+  * (dynamic.py:239-348) becomes one shuffle-free stage.
+  */
+object Runner {
+  private val LINE = "__line_number"
+  private val SKIP = "__skip"
+  private val ERRS = "__errors"
+  private val ERR_TYPE = "array<struct<field:string,error_message:string,source_value:string>>"
+
+  /** Annotated plan: all input rows, plus skip flag, destination values and
+    * error array. Lazy — callers pick the action. */
+  def plan(df: DataFrame, m: ETLMapping): DataFrame = {
+    val schema = df.columns.toSet - LINE
+    val cm = TransformCompiler.compile(m, schema)
+    val lineCol = if (df.columns.contains(LINE)) col(LINE) else lit(-1L).as(LINE)
+    val skip = cm.skip
+    // field values & errors are only meaningful on non-skipped rows
+    val valueCols = cm.fields.map { case (d, c) => when(!skip, c).as(d) }
+    val errCol = when(skip, array().cast(ERR_TYPE)).otherwise(cm.errors.cast(ERR_TYPE)).as(ERRS)
+    df.select(lineCol.cast("long").as(LINE) +: skip.as(SKIP) +: errCol +: valueCols: _*)
+  }
+
+  def destFields(m: ETLMapping): Seq[String] =
+    TransformCompiler.compile(m, Set.empty).destOrder
+
+  private final case class Counts(skipped: Long, clean: Long, errs: Long, total: Long)
+
+  private def summarize(planned: DataFrame, m: ETLMapping,
+                        collectErrors: Boolean): (TransformResult, Counts) = {
+    val emptyMapping = m.fieldMappings.isEmpty
+    val agg = planned.agg(
+      coalesce(sum(when(col(SKIP), 1L).otherwise(0L)), lit(0L)).as("skipped"),
+      coalesce(sum(when(!col(SKIP) && size(col(ERRS)) === 0, 1L).otherwise(0L)), lit(0L)).as("clean"),
+      coalesce(sum(when(!col(SKIP), size(col(ERRS)).cast("long")).otherwise(0L)), lit(0L)).as("errs"),
+      count(lit(1)).as("total")
+    ).head()
+    val c = Counts(agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
+    val errors: Seq[RowError] =
+      if (collectErrors && c.errs > 0) {
+        import planned.sparkSession.implicits._
+        planned.filter(!col(SKIP) && size(col(ERRS)) > 0)
+          .select(col(LINE), explode(col(ERRS)).as("e"))
+          .select(col(LINE).as("line_number"), col("e.field"),
+                  col("e.error_message"), col("e.source_value"))
+          .as[RowError].collect().toSeq
+      } else Nil
+    val result =
+      if (emptyMapping) TransformResult(0L, c.total, 0L, Nil, written = false)
+      else TransformResult(c.clean, c.skipped, c.errs, errors, written = false)
+    (result, c)
+  }
+
+  /** Dry-run (reference validate_file, dynamic.py:259-265). */
+  def validate(df: DataFrame, m: ETLMapping): TransformResult =
+    summarize(plan(df, m), m, collectErrors = true)._1
+
+  /** Transform + conditional write (reference transform_file,
+    * dynamic.py:267-278, 334-343): output written only when there are
+    * surviving rows AND (no errors OR !failOnError); errored rows are still
+    * written when the gate allows (quirk Q4).
+    *
+    * The two-phase gate needs error counts before writing — `cache()` here;
+    * at 100 TB swap for `observe()` metrics + quarantine-path rewrite.
+    */
+  def convert(df: DataFrame, m: ETLMapping, outFile: String,
+              failOnError: Boolean = true): TransformResult = {
+    val planned = plan(df, m).cache()
+    try {
+      val (result, counts) = summarize(planned, m, collectErrors = true)
+      val fields = TransformCompiler.compile(m, df.columns.toSet - LINE).destOrder
+      // reference gate: `results` non-empty (any non-skipped row producing a
+      // non-empty dict) and no errors unless failOnError is off
+      val anyRows = fields.nonEmpty && (counts.total - counts.skipped) > 0
+      val shouldWrite = anyRows && (result.errorCount == 0 || !failOnError)
+      if (shouldWrite) {
+        val kept = planned.filter(!col(SKIP))
+        CsvSink.writeSingleFile(kept.select(fields.map(col): _*), fields, outFile)
+        result.copy(written = true)
+      } else result
+    } finally planned.unpersist()
+  }
+
+  /** Typed error dataset for downstream analysis (explode of the error
+    * column — reference errors list). */
+  def errorDataset(df: DataFrame, m: ETLMapping): Dataset[RowError] = {
+    import df.sparkSession.implicits._
+    val planned = plan(df, m)
+    planned.filter(!col(SKIP) && size(col(ERRS)) > 0)
+      .select(col(LINE), explode(col(ERRS)).as("e"))
+      .select(col(LINE).as("line_number"), col("e.field"),
+              col("e.error_message"), col("e.source_value"))
+      .as[RowError]
+  }
+}

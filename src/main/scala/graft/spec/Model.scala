@@ -1,0 +1,71 @@
+package graft.spec
+
+/** Declarative schema/mapping model, JSON-interoperable with the reference's
+  * config files (`data/config/{sources,destinations,mappings}.json`).
+  *
+  * Mirrors /root/reference/src/converter_dashboard/models.py:10-171 —
+  * `ColumnType` (models.py:10-17), `ColumnSpec` (:32-64), `FileSpec`
+  * (:67-102), `FieldMapping`/`TransformType` (:20-29, 105-135),
+  * `FilterRule` + `ETLMapping` (:138-171). Field names in JSON are the
+  * reference's snake_case keys.
+  */
+sealed abstract class ColumnType(val name: String)
+object ColumnType {
+  case object StringT   extends ColumnType("string")
+  case object IntegerT  extends ColumnType("integer")
+  case object FloatT    extends ColumnType("float")
+  case object DateT     extends ColumnType("date")
+  case object DatetimeT extends ColumnType("datetime")
+  case object BooleanT  extends ColumnType("boolean")
+  case object MoneyT    extends ColumnType("money")
+  val all: Seq[ColumnType] = Seq(StringT, IntegerT, FloatT, DateT, DatetimeT, BooleanT, MoneyT)
+  def of(s: String): ColumnType = all.find(_.name == s).getOrElse(StringT)
+}
+
+final case class ColumnSpec(
+    name: String,
+    colType: ColumnType = ColumnType.StringT,
+    sourceName: Option[String] = None,
+    maxLength: Option[Int] = None,
+    required: Boolean = false,
+    default: Option[Any] = None,
+    dateFormat: Option[String] = None)
+
+final case class FileSpec(
+    id: String,
+    name: String,
+    description: String = "",
+    defaultDirectory: String = "",
+    columns: Seq[ColumnSpec] = Nil,
+    delimiter: String = ",",
+    encoding: String = "utf-8",
+    hasHeader: Boolean = true)
+
+/** One skip rule; a row matching ANY rule is dropped (rules are OR'd —
+  * reference dynamic.py:57-82). `value` for scalar ops, `values` for set
+  * ops. The literal skip-if-match polarity (incl. `not_in`, quirk Q1 in
+  * SURVEY.md §2) is preserved. */
+final case class FilterRule(
+    field: String,
+    operator: String,
+    value: Option[String] = None,
+    values: Seq[String] = Nil)
+
+/** One destination field: `transformType` ∈ {direct, constant, date_format,
+  * lookup, suffix, prefix, formula, conditional}; unknown types fall back to
+  * direct (reference dynamic.py:185). `config` carries the raw JSON object
+  * (for `lookup` the config IS the lookup table). */
+final case class FieldMapping(
+    destinationField: String,
+    sourceField: Option[String] = None,
+    transformType: String = "direct",
+    config: Map[String, Any] = Map.empty)
+
+final case class ETLMapping(
+    id: String,
+    name: String,
+    sourceId: String,
+    destinationId: String,
+    description: String = "",
+    fieldMappings: Seq[FieldMapping] = Nil,
+    filterRules: Seq[FilterRule] = Nil)
