@@ -11,7 +11,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     catalog.Relational,
-    catalog.Semantics
+    catalog.Semantics,
+    catalog.Text,
+    catalog.Events
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

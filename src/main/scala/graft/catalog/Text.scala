@@ -1,0 +1,182 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline surface (token counting, quality scoring, language-ID heuristic,
+  * document fingerprinting). North-star mandate; no reference citation
+  * (the reference has no text analytics — SURVEY.md §2.B).
+  *
+  * Determinism rules for the DuckDB oracle:
+  *  - only integer arithmetic crosses aggregations (counts, polynomial
+  *    hashes); doubles appear solely as single-division ratios of exact
+  *    integers, which is one IEEE op → bitwise identical across engines;
+  *  - the polynomial rolling hash folds serially over the string in BOTH
+  *    engines (Spark `aggregate`, DuckDB `list_reduce`), so values match
+  *    exactly: h = fold(chars, 0, (a, c) => (a*31 + c) mod 2147483647).
+  *
+  * Scale notes (100 TB): every query is embarrassingly parallel per-document
+  * (scan → project, no shuffle) except the final small groupBy/orderBy;
+  * whole-stage codegen covers the tokenize/hash expressions; nothing
+  * collects to the driver.
+  */
+object Text extends QueryPack {
+
+  /** normalized token array: lowercase, strip non [a-z ], split on runs of
+    * spaces. Same pipeline as the DuckDB oracle text. */
+  private val wsExpr =
+    "split(trim(regexp_replace(lower(text), '[^a-z ]', '')), ' +')"
+  private val wsSql =
+    "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z ]', '', 'g')), ' +')"
+
+  /** serial polynomial hash of string expression `s` (Java-hashCode-style,
+    * mod 2^31-1), Spark side. */
+  private def polyHash(s: String): String =
+    s"aggregate(transform(sequence(1, length($s)), i -> ascii(substring($s, i, 1))), " +
+      s"cast(0 as bigint), (a, x) -> (a*31 + x) % 2147483647)"
+  /** same hash, DuckDB side (list_reduce has no init → prepend the zero). */
+  private def polyHashSql(s: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length($s)+1), i -> unicode($s[i]))), " +
+      s"(a, x) -> (a*31 + x) % 2147483647)"
+
+  private val stopwords = Seq("the", "a", "data", "value", "row")
+  private def inList(v: String, xs: Seq[String]) =
+    s"$v IN (${xs.map(w => s"'$w'").mkString(", ")})"
+
+  /** language marker words (shared-vocab corpus ⇒ this is a deterministic
+    * heuristic, scored against the gold `lang` label as an agreement matrix,
+    * not expected to be accurate). Tiebreak order: en, de, es, fr, zh. */
+  private val markers = Seq(
+    "en" -> Seq("the", "order", "group", "window"),
+    "de" -> Seq("hash", "customer", "big"),
+    "es" -> Seq("slow", "agg", "merge"),
+    "fr" -> Seq("scan", "data", "batch"),
+    "zh" -> Seq("join", "small", "column"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // x1: token counting (whitespace tokenizer + distinct + mean length)
+    "x1_token_stats" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .withColumn("ws", expr(wsExpr))
+        .select(
+          $"doc_id",
+          expr("size(ws)").cast("long").as("n_tokens"),
+          expr("size(array_distinct(ws))").cast("long").as("n_distinct"),
+          expr("aggregate(transform(ws, t -> length(t)), 0, (a, x) -> a + x)")
+            .cast("long").as("sum_token_len"),
+          (expr("cast(aggregate(transform(ws, t -> length(t)), 0, (a, x) -> a + x) as double)") /
+            expr("greatest(size(ws), 1)")).as("avg_token_len"))
+        .orderBy($"doc_id")
+    },
+    // x2: quality scoring: punctuation / digit / stopword ratios + a fixed
+    // linear score (each ratio is one exact-int division; the score is a
+    // fixed-order double expression → engine-identical)
+    "x2_quality_score" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .withColumn("ws", expr(wsExpr))
+        .withColumn("n_tokens", expr("greatest(size(ws), 1)"))
+        .withColumn("punct_cnt",
+          expr("length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))"))
+        .withColumn("digit_cnt",
+          expr("length(text) - length(regexp_replace(text, '[0-9]', ''))"))
+        .withColumn("stop_cnt",
+          expr(s"size(filter(ws, t -> ${inList("t", stopwords)}))"))
+        .select(
+          $"doc_id",
+          $"n_tokens".cast("long").as("n_tokens"),
+          $"punct_cnt".cast("long").as("punct_cnt"),
+          $"digit_cnt".cast("long").as("digit_cnt"),
+          $"stop_cnt".cast("long").as("stop_cnt"),
+          (expr("cast(stop_cnt as double)") / $"n_tokens").as("stop_ratio"),
+          (expr("cast(punct_cnt as double)") / expr("greatest(length(text), 1)")).as("punct_ratio"),
+          (lit(1.0) - (expr("cast(punct_cnt as double)") / expr("greatest(length(text), 1)")) * 2.0 -
+            (expr("cast(digit_cnt as double)") / expr("greatest(length(text), 1)"))).as("quality_score"))
+        .orderBy($"doc_id")
+    },
+    // x3: language-ID heuristic (marker-word scores, argmax with fixed
+    // tiebreak) → agreement matrix against the gold label
+    "x3_lang_id" -> { (s, dir) =>
+      import s.implicits._
+      val scored = Tables(s, dir).documents
+        .withColumn("ws", expr(wsExpr))
+      val withScores = markers.foldLeft(scored) { case (df, (l, ws)) =>
+        df.withColumn(s"s_$l", expr(s"size(filter(ws, t -> ${inList("t", ws)}))"))
+      }
+      withScores
+        .withColumn("predicted", expr(
+          """CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+            |     WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+            |     WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+            |     WHEN s_fr >= s_zh THEN 'fr'
+            |     ELSE 'zh' END""".stripMargin))
+        .groupBy($"lang", $"predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"lang", $"predicted")
+    },
+    // x4: document fingerprint — min polynomial hash over all char-8-grams
+    // of the normalized text (winnowing-style rolling-hash fingerprint)
+    "x4_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .withColumn("nt", expr("trim(regexp_replace(lower(text), '[^a-z ]', ''))"))
+        .select(
+          $"doc_id",
+          expr(
+            "array_min(transform(sequence(1, greatest(length(nt) - 7, 1)), " +
+              s"p -> ${polyHash("substring(nt, p, 8)")}))").as("fingerprint"))
+        .orderBy($"doc_id")
+    }
+  )
+
+  private val caseSql =
+    """CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+      |     WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+      |     WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+      |     WHEN s_fr >= s_zh THEN 'fr'
+      |     ELSE 'zh' END""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "x1_token_stats" -> s"""
+      SELECT doc_id,
+             len(ws)::BIGINT AS n_tokens,
+             len(list_distinct(ws))::BIGINT AS n_distinct,
+             list_reduce(list_prepend(0, list_transform(ws, t -> length(t))), (a, x) -> a + x)::BIGINT AS sum_token_len,
+             list_reduce(list_prepend(0, list_transform(ws, t -> length(t))), (a, x) -> a + x)::DOUBLE
+               / greatest(len(ws), 1) AS avg_token_len
+      FROM (SELECT doc_id, $wsSql AS ws FROM documents) t
+      ORDER BY doc_id""",
+    "x2_quality_score" -> s"""
+      SELECT doc_id, n_tokens::BIGINT AS n_tokens, punct_cnt::BIGINT AS punct_cnt,
+             digit_cnt::BIGINT AS digit_cnt, stop_cnt::BIGINT AS stop_cnt,
+             stop_cnt::DOUBLE / n_tokens AS stop_ratio,
+             punct_cnt::DOUBLE / greatest(length(text), 1) AS punct_ratio,
+             1.0 - (punct_cnt::DOUBLE / greatest(length(text), 1)) * 2.0
+                 - (digit_cnt::DOUBLE / greatest(length(text), 1)) AS quality_score
+      FROM (
+        SELECT doc_id, text,
+               greatest(len(ws), 1) AS n_tokens,
+               length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct_cnt,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_cnt,
+               len(list_filter(ws, t -> ${inList("t", stopwords)})) AS stop_cnt
+        FROM (SELECT doc_id, text, $wsSql AS ws FROM documents) t0) t
+      ORDER BY doc_id""",
+    "x3_lang_id" -> s"""
+      SELECT lang, $caseSql AS predicted, COUNT(*) AS n
+      FROM (
+        SELECT lang,
+               ${markers.map { case (l, ws) =>
+                  s"len(list_filter(ws, t -> ${inList("t", ws)})) AS s_$l" }.mkString(", ")}
+        FROM (SELECT lang, $wsSql AS ws FROM documents) t0) t
+      GROUP BY lang, predicted ORDER BY lang, predicted""",
+    "x4_fingerprint" -> s"""
+      SELECT doc_id,
+             list_min(list_transform(range(1, greatest(length(nt) - 7, 1) + 1),
+               p -> ${polyHashSql("substr(nt, p, 8)")})) AS fingerprint
+      FROM (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS nt FROM documents) t
+      ORDER BY doc_id"""
+  )
+}
