@@ -13,7 +13,9 @@ object SparkEntry {
     catalog.Relational,
     catalog.Semantics,
     catalog.Text,
-    catalog.Events
+    catalog.Events,
+    catalog.Dedup,
+    catalog.Similarity
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,209 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+
+/** Deduplication operators over the `documents` / `embeddings` tables — the
+  * training-data-pipeline surface (north-star mandate; the reference has no
+  * dedup — SURVEY.md §2.B). Five families:
+  *
+  *   d1 exact dedup        — hash-groupBy on a content digest
+  *   d2 MinHash + LSH      — shingle → 16 minhashes → 4 bands → bucket join
+  *   d3 SimHash            — 32-bit frequency-weighted token simhash
+  *   d4 n-gram Jaccard     — candidate pairs via shared shingle, exact Jaccard
+  *   d5 embedding cosine   — near-dup pairs within coarse blocks (label)
+  *
+  * Determinism rules (see Tx): all hashes are integer folds identical on both
+  * engines; cosine is a serial left-fold of doubles in identical op order, so
+  * even its low bits match DuckDB.
+  *
+  * Scale notes (100 TB):
+  *  - d1 shuffles a 16-byte digest + doc_id, never the document body;
+  *  - d2/d4 signature/shingle computation is per-row (scan → project, no
+  *    shuffle); the only shuffle is the band-bucket / shingle equi-join whose
+  *    width is (band_hash, doc_id) — candidate pairs, not full texts. Skewed
+  *    buckets (a shingle shared by millions of docs) would be salted or
+  *    frequency-capped upstream (drop shingles with df > threshold — the
+  *    standard "stop-shingle" cut);
+  *  - d3 is pure per-row projection; pairing would join on 16-bit signature
+  *    halves (pigeonhole: hamming ≤ k ⇒ some half matches for k < 2 blocks);
+  *  - d5 blocks on a coarse quantizer (here the given `label`; in production
+  *    a k-means cell id) so the quadratic rerank is per-block, and per-vector
+  *    norms are precomputed before the join.
+  */
+object Dedup extends QueryPack {
+  import Tx._
+  import graft.functions.TextKernels
+  import TextKernels.{AB, NBands, RowsPerBand}
+
+  // ---- DuckDB-side SQL generators (Spark side uses the compiled kernels in
+  // graft.functions.TextKernels — identical arithmetic, see its scaladoc) ---
+
+  private val shingleHashesSql =
+    s"list_transform(${shinglesSql(4)}, s -> ${polyHashSql("s")})"
+
+  /** 16-slot minhash signature from base-hash array `hs` (empty → P). */
+  private def sigSql(hs: String): String =
+    "[" + AB.map { case (a, b) =>
+      s"coalesce(list_min(list_transform($hs, x -> ($a * x + $b) % $P)), $P)"
+    }.mkString(", ") + "]"
+
+  /** band hashes: fold RowsPerBand signature slots per band (1-based slots). */
+  private def bandsSql(sig: String): String =
+    "[" + (0 until NBands).map { b =>
+      (0 until RowsPerBand).foldLeft("0::BIGINT") { (acc, j) =>
+        s"(($acc * 1000003 + $sig[${b * RowsPerBand + j + 1}]) % $P)"
+      }
+    }.mkString(", ") + "]"
+
+  /** 32-bit simhash over per-token hashes `hs` (frequency-weighted: all
+    * tokens, not distinct). Bit j set iff sum over tokens of ±1 (sign of
+    * hash bit j) is > 0. */
+  private def simhashSql(hs: String): String =
+    (0 until 32).map { j =>
+      s"(case when list_reduce(list_prepend(0::BIGINT, $hs), " +
+        s"(a, x) -> a + ((((x // ${1L << j}) % 2) * 2) - 1)) > 0 then ${1L << j} else 0 end)"
+    }.mkString("(", " + ", ")")
+
+  private def dotSql(va: String, vb: String): String =
+    s"list_reduce(list_prepend(0::DOUBLE, list_transform(range(1, len($va)+1), i -> $va[i] * $vb[i])), " +
+      s"(a, x) -> a + x)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // d1: exact dedup — group by content digest of normalized text, keep the
+    // lowest doc_id as canonical (deterministic; dropDuplicates keeps an
+    // arbitrary row). At scale only (digest, doc_id) shuffles.
+    "d1_exact_dedup" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .withColumn("digest", md5(expr("trim(regexp_replace(lower(text), '[^a-z ]', ''))")))
+        .groupBy($"digest")
+        .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy($"keeper_doc_id")
+    },
+    // d2: MinHash+LSH near-dup candidates — 16 minhashes, 4 bands × 4 rows;
+    // pairs sharing any band bucket, with estimated Jaccard = matching
+    // signature slots / 16 (kept when est ≥ 0.5).
+    "d2_minhash_lsh" -> { (s, dir) =>
+      import s.implicits._
+      val sig = Tables(s, dir).documents
+        .withColumn("sig", TextKernels.minhashUdf($"text"))
+        .withColumn("bands", TextKernels.bandsUdf($"sig"))
+        .select($"doc_id", $"sig", $"bands")
+      val buckets = sig
+        .select($"doc_id", $"sig", posexplode($"bands").as(Seq("band_idx", "band_hash")))
+      val pairs = buckets.as("a").join(buckets.as("b"),
+          $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+                $"a.sig".as("sig_a"), $"b.sig".as("sig_b"))
+        .distinct()
+      pairs
+        .withColumn("est_jaccard",
+          expr("cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) as double)") / 16.0)
+        .filter($"est_jaccard" >= 0.5)
+        .select($"d1", $"d2", $"est_jaccard")
+        .orderBy($"d1", $"d2")
+    },
+    // d3: per-doc 32-bit simhash signature (frequency-weighted tokens).
+    // Near-dup pairing at scale joins on 16-bit signature halves.
+    "d3_simhash" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .select($"doc_id", TextKernels.simhashUdf($"text").as("simhash"))
+        .orderBy($"doc_id")
+    },
+    // d4: exact n-gram Jaccard near-dup pairs — candidates share ≥1 distinct
+    // 4-token shingle (equi-join on shingle), then exact |∩|/|∪| ≥ 0.5.
+    "d4_ngram_jaccard" -> { (s, dir) =>
+      import s.implicits._
+      val sh = Tables(s, dir).documents
+        .select($"doc_id", TextKernels.shinglesUdf($"text").as("shingles"))
+      val ex = sh.select($"doc_id", explode($"shingles").as("s"))
+      val cand = ex.as("a").join(ex.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")).distinct()
+      cand
+        .join(sh.as("s1"), $"d1" === $"s1.doc_id")
+        .join(sh.as("s2"), $"d2" === $"s2.doc_id")
+        .withColumn("n_inter", expr("size(array_intersect(s1.shingles, s2.shingles))").cast("long"))
+        .withColumn("n_union", expr("size(array_union(s1.shingles, s2.shingles))").cast("long"))
+        .withColumn("jaccard", expr("cast(n_inter as double)") / $"n_union")
+        .filter($"jaccard" >= 0.5)
+        .select($"d1", $"d2", $"n_inter", $"n_union", $"jaccard")
+        .orderBy($"d1", $"d2")
+    },
+    // d5: embedding-cosine near-dup pairs within coarse blocks (label as the
+    // quantizer cell). Norms are precomputed per vector before the join.
+    "d5_embedding_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+        .withColumn("v", TextKernels.toDoubleVecUdf($"embedding"))
+        .withColumn("norm2", TextKernels.dotUdf($"v", $"v"))
+        .select($"vec_id", $"label", $"v", $"norm2")
+      e.as("a").join(e.as("b"),
+          $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+        .withColumn("cos",
+          TextKernels.dotUdf($"a.v", $"b.v") / (sqrt($"a.norm2") * sqrt($"b.norm2")))
+        .filter($"cos" >= 0.4)
+        .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"),
+                $"a.label".as("label"), $"cos")
+        .orderBy($"v1", $"v2")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d1_exact_dedup" -> """
+      SELECT md5(trim(regexp_replace(lower(text), '[^a-z ]', '', 'g'))) AS digest,
+             MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY digest ORDER BY keeper_doc_id""",
+    "d2_minhash_lsh" -> s"""
+      WITH sig AS (
+        SELECT doc_id, ${sigSql("hs")} AS sig
+        FROM (SELECT doc_id, $shingleHashesSql AS hs
+              FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0) t1),
+      bk AS (
+        SELECT doc_id, sig, b.band_idx, bands[b.band_idx + 1] AS band_hash
+        FROM (SELECT doc_id, sig, ${bandsSql("sig")} AS bands FROM sig) t
+        CROSS JOIN (SELECT unnest(range(0, $NBands)) AS band_idx) b),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sig AS sig_a, b.sig AS sig_b
+        FROM bk a JOIN bk b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+      SELECT d1, d2, est_jaccard FROM (
+        SELECT d1, d2,
+               len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i]))::DOUBLE / 16.0 AS est_jaccard
+        FROM pairs) t
+      WHERE est_jaccard >= 0.5 ORDER BY d1, d2""",
+    "d3_simhash" -> s"""
+      SELECT doc_id, (${simhashSql("hs")})::BIGINT AS simhash
+      FROM (SELECT doc_id, list_transform(ws, t -> ${polyHashSql("t")}) AS hs
+            FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0) t1
+      ORDER BY doc_id""",
+    "d4_ngram_jaccard" -> s"""
+      WITH sh AS (
+        SELECT doc_id, ${shinglesSql(4)} AS shingles
+        FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0),
+      ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+               FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id)
+      SELECT d1, d2, n_inter, n_union, jaccard FROM (
+        SELECT d1, d2,
+               len(list_intersect(s1.shingles, s2.shingles))::BIGINT AS n_inter,
+               len(list_distinct(s1.shingles || s2.shingles))::BIGINT AS n_union,
+               len(list_intersect(s1.shingles, s2.shingles))::DOUBLE
+                 / len(list_distinct(s1.shingles || s2.shingles)) AS jaccard
+        FROM cand JOIN sh s1 ON d1 = s1.doc_id JOIN sh s2 ON d2 = s2.doc_id) t
+      WHERE jaccard >= 0.5 ORDER BY d1, d2""",
+    "d5_embedding_neardup" -> s"""
+      WITH e AS (
+        SELECT vec_id, label, v, ${dotSql("v", "v")} AS norm2
+        FROM (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings) t)
+      SELECT v1, v2, label, cos FROM (
+        SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,
+               ${dotSql("a.v", "b.v")} / (sqrt(a.norm2) * sqrt(b.norm2)) AS cos
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t
+      WHERE cos >= 0.4 ORDER BY v1, v2"""
+  )
+}

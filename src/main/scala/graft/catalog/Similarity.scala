@@ -1,0 +1,153 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryPack, Tables}
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (north-star mandate; no reference citation — SURVEY.md §2.B).
+  *
+  *   v1 brute-force cosine top-k — the exact baseline: broadcast the (small)
+  *      query set against the full corpus, window top-k per query.
+  *   v2 random-hyperplane LSH ANN — the scale path: 16-bit signatures from
+  *      sign(v · h_j) for 16 fixed pseudo-random ±1 hyperplanes, banded into
+  *      4 × 4-bit buckets; candidates share ≥1 bucket with the query, then
+  *      exact-cosine rerank top-k within candidates.
+  *
+  * Determinism: hyperplane components are ±1 derived from integer bit
+  * arithmetic (bit 16 of a fixed linear mix of element index i and plane j),
+  * identical on both engines; every double is a serial left-fold in identical
+  * op order (see Tx scaladoc), so signatures and cosines match DuckDB
+  * bitwise, and top-k ties break on neighbor id.
+  *
+  * Scale notes (100 TB):
+  *  - v1 is a broadcast nested-loop by construction (queries ≪ corpus): the
+  *    corpus is scanned once, partition-parallel, nothing shuffles but the
+  *    per-partition top-k (the window on q_id is a k-row-per-query shuffle
+  *    after AQE; with a custom TypedImperativeAggregate it would be a
+  *    partial top-k heap — planned escalation if bench demands);
+  *  - v2 signatures are per-row projection (shuffle-free); the bucket join
+  *    shuffles only (band, sig, id, vec) for bucket-matching rows. In a real
+  *    deployment signatures are precomputed and bucket-bucketed (DISTRIBUTE
+  *    BY band_hash) so queries touch only their buckets — IVF-style.
+  */
+object Similarity extends QueryPack {
+  import graft.functions.TextKernels
+
+  // Spark side computes with the compiled kernels in TextKernels (identical
+  // arithmetic — see its scaladoc); these generators emit the DuckDB oracle.
+  private def dotSql(va: String, vb: String): String =
+    s"list_reduce(list_prepend(0::DOUBLE, list_transform(range(1, len($va)+1), i -> $va[i] * $vb[i])), " +
+      s"(a, x) -> a + x)"
+
+  /** ±1 hyperplane component for element i (1-based) of plane j: bit 16 of a
+    * fixed linear integer mix — identical arithmetic on both engines. */
+  private def signSql(i: String, j: Int): String =
+    s"((((($i * 2654435761 + ${j.toLong * 998244353L}) // 65536) % 2) * 2 - 1)::DOUBLE)"
+
+  /** 16-bit signature of double-array `v`: bit j = [v · h_j > 0]. */
+  private def sigSql(v: String): String =
+    (0 until 16).map { j =>
+      s"(case when list_reduce(list_prepend(0::DOUBLE, list_transform(range(1, len($v)+1), " +
+        s"i -> $v[i] * ${signSql("i", j)})), " +
+        s"(a, x) -> a + x) > 0 then ${1L << j} else 0 end)"
+    }.mkString("(", " + ", ")")
+
+  /** 4-bit band values of a 16-bit signature. */
+  private def bandsExpr(sig: String): String =
+    "array(" + (0 until 4).map(b => s"($sig div ${1L << (4 * b)}) % 16").mkString(", ") + ")"
+  private def bandsSql(sig: String): String =
+    "[" + (0 until 4).map(b => s"($sig // ${1L << (4 * b)}) % 16").mkString(", ") + "]"
+
+  private val K = 10
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // v1: exact brute-force cosine top-k for query set vec_id < 10
+    "v1_brute_topk" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+        .withColumn("v", TextKernels.toDoubleVecUdf($"embedding"))
+        .withColumn("norm2", TextKernels.dotUdf($"v", $"v"))
+        .select($"vec_id", $"v", $"norm2")
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
+      val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+        .withColumn("cos", TextKernels.dotUdf($"qv", $"v") / (sqrt($"qn") * sqrt($"norm2")))
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= K)
+        .select($"q_id", $"rank".cast("long").as("rank"),
+                $"vec_id".as("neighbor_id"), $"cos")
+        .orderBy($"q_id", $"rank")
+    },
+    // v2: LSH-bucketed ANN — candidates share ≥1 of 4 signature bands with
+    // the query, exact-cosine rerank top-k within candidates
+    "v2_lsh_ann" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+        .withColumn("v", TextKernels.toDoubleVecUdf($"embedding"))
+        .withColumn("norm2", TextKernels.dotUdf($"v", $"v"))
+        .withColumn("sig", TextKernels.lshSigUdf($"v"))
+        .select($"vec_id", $"v", $"norm2", $"sig")
+      val buckets = e.select($"vec_id", $"v", $"norm2",
+        posexplode(expr(bandsExpr("sig"))).as(Seq("band_idx", "band_val")))
+      val qb = buckets.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"),
+                $"band_idx", $"band_val")
+      val cand = buckets.join(broadcast(qb), Seq("band_idx", "band_val"))
+        .filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"qv", $"qn", $"vec_id", $"v", $"norm2")
+        .distinct()
+      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+      cand
+        .withColumn("cos", TextKernels.dotUdf($"qv", $"v") / (sqrt($"qn") * sqrt($"norm2")))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= K)
+        .select($"q_id", $"rank".cast("long").as("rank"),
+                $"vec_id".as("neighbor_id"), $"cos")
+        .orderBy($"q_id", $"rank")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "v1_brute_topk" -> s"""
+      WITH e AS (
+        SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings) t),
+      scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               ${dotSql("q.v", "c.v")} / (sqrt(q.norm2) * sqrt(c.norm2)) AS cos
+        FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+      SELECT q_id, rank, neighbor_id, cos FROM (
+        SELECT q_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored) t
+      WHERE rank <= $K ORDER BY q_id, rank""",
+    "v2_lsh_ann" -> s"""
+      WITH e AS (
+        SELECT vec_id, v, norm2, ${sigSql("v")} AS sig
+        FROM (SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
+              FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                    FROM embeddings) t0) t1),
+      bk AS (
+        SELECT vec_id, v, norm2, b.band_idx, bands[b.band_idx + 1] AS band_val
+        FROM (SELECT vec_id, v, norm2, ${bandsSql("sig")} AS bands FROM e) t
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS band_idx) b),
+      cand AS (
+        SELECT DISTINCT q.vec_id AS q_id, q.v AS qv, q.norm2 AS qn,
+                        c.vec_id AS vec_id, c.v AS v, c.norm2 AS norm2
+        FROM bk q JOIN bk c
+          ON q.vec_id < 10 AND q.band_idx = c.band_idx AND q.band_val = c.band_val
+         AND c.vec_id <> q.vec_id)
+      SELECT q_id, rank, neighbor_id, cos FROM (
+        SELECT q_id, vec_id AS neighbor_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        FROM (SELECT q_id, vec_id,
+                     ${dotSql("qv", "v")} / (sqrt(qn) * sqrt(norm2)) AS cos
+              FROM cand) t0) t1
+      WHERE rank <= $K ORDER BY q_id, rank"""
+  )
+}

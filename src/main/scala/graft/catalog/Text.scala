@@ -24,22 +24,7 @@ import graft.{QueryPack, Tables}
   */
 object Text extends QueryPack {
 
-  /** normalized token array: lowercase, strip non [a-z ], split on runs of
-    * spaces. Same pipeline as the DuckDB oracle text. */
-  private val wsExpr =
-    "split(trim(regexp_replace(lower(text), '[^a-z ]', '')), ' +')"
-  private val wsSql =
-    "regexp_split_to_array(trim(regexp_replace(lower(text), '[^a-z ]', '', 'g')), ' +')"
-
-  /** serial polynomial hash of string expression `s` (Java-hashCode-style,
-    * mod 2^31-1), Spark side. */
-  private def polyHash(s: String): String =
-    s"aggregate(transform(sequence(1, length($s)), i -> ascii(substring($s, i, 1))), " +
-      s"cast(0 as bigint), (a, x) -> (a*31 + x) % 2147483647)"
-  /** same hash, DuckDB side (list_reduce has no init → prepend the zero). */
-  private def polyHashSql(s: String): String =
-    s"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length($s)+1), i -> unicode($s[i]))), " +
-      s"(a, x) -> (a*31 + x) % 2147483647)"
+  import Tx.{wsExpr, wsSql, polyHash, polyHashSql}
 
   private val stopwords = Seq("the", "a", "data", "value", "row")
   private def inList(v: String, xs: Seq[String]) =
@@ -56,19 +41,20 @@ object Text extends QueryPack {
     "zh" -> Seq("join", "small", "column"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // x1: token counting (whitespace tokenizer + distinct + mean length)
+    // x1: token counting (whitespace tokenizer + distinct + mean length) —
+    // one compiled tokenize pass per row (see TextKernels scaladoc for why
+    // not inline HOF lambdas)
     "x1_token_stats" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir).documents
-        .withColumn("ws", expr(wsExpr))
+        .withColumn("st", graft.functions.TextKernels.tokenStatsUdf($"text"))
         .select(
           $"doc_id",
-          expr("size(ws)").cast("long").as("n_tokens"),
-          expr("size(array_distinct(ws))").cast("long").as("n_distinct"),
-          expr("aggregate(transform(ws, t -> length(t)), 0, (a, x) -> a + x)")
-            .cast("long").as("sum_token_len"),
-          (expr("cast(aggregate(transform(ws, t -> length(t)), 0, (a, x) -> a + x) as double)") /
-            expr("greatest(size(ws), 1)")).as("avg_token_len"))
+          $"st.n_tokens".as("n_tokens"),
+          $"st.n_distinct".as("n_distinct"),
+          $"st.sum_token_len".as("sum_token_len"),
+          ($"st.sum_token_len".cast("double") /
+            greatest($"st.n_tokens", lit(1L))).as("avg_token_len"))
         .orderBy($"doc_id")
     },
     // x2: quality scoring: punctuation / digit / stopword ratios + a fixed
@@ -77,42 +63,26 @@ object Text extends QueryPack {
     "x2_quality_score" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir).documents
-        .withColumn("ws", expr(wsExpr))
-        .withColumn("n_tokens", expr("greatest(size(ws), 1)"))
-        .withColumn("punct_cnt",
-          expr("length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))"))
-        .withColumn("digit_cnt",
-          expr("length(text) - length(regexp_replace(text, '[0-9]', ''))"))
-        .withColumn("stop_cnt",
-          expr(s"size(filter(ws, t -> ${inList("t", stopwords)}))"))
+        .withColumn("qc", graft.functions.TextKernels.qualityCountsUdf(stopwords.toSet)($"text"))
+        .withColumn("tl", greatest(length($"text"), lit(1)))
         .select(
           $"doc_id",
-          $"n_tokens".cast("long").as("n_tokens"),
-          $"punct_cnt".cast("long").as("punct_cnt"),
-          $"digit_cnt".cast("long").as("digit_cnt"),
-          $"stop_cnt".cast("long").as("stop_cnt"),
-          (expr("cast(stop_cnt as double)") / $"n_tokens").as("stop_ratio"),
-          (expr("cast(punct_cnt as double)") / expr("greatest(length(text), 1)")).as("punct_ratio"),
-          (lit(1.0) - (expr("cast(punct_cnt as double)") / expr("greatest(length(text), 1)")) * 2.0 -
-            (expr("cast(digit_cnt as double)") / expr("greatest(length(text), 1)"))).as("quality_score"))
+          $"qc.n_tokens".as("n_tokens"),
+          $"qc.punct_cnt".as("punct_cnt"),
+          $"qc.digit_cnt".as("digit_cnt"),
+          $"qc.stop_cnt".as("stop_cnt"),
+          ($"qc.stop_cnt".cast("double") / $"qc.n_tokens").as("stop_ratio"),
+          ($"qc.punct_cnt".cast("double") / $"tl").as("punct_ratio"),
+          (lit(1.0) - ($"qc.punct_cnt".cast("double") / $"tl") * 2.0 -
+            ($"qc.digit_cnt".cast("double") / $"tl")).as("quality_score"))
         .orderBy($"doc_id")
     },
     // x3: language-ID heuristic (marker-word scores, argmax with fixed
     // tiebreak) → agreement matrix against the gold label
     "x3_lang_id" -> { (s, dir) =>
       import s.implicits._
-      val scored = Tables(s, dir).documents
-        .withColumn("ws", expr(wsExpr))
-      val withScores = markers.foldLeft(scored) { case (df, (l, ws)) =>
-        df.withColumn(s"s_$l", expr(s"size(filter(ws, t -> ${inList("t", ws)}))"))
-      }
-      withScores
-        .withColumn("predicted", expr(
-          """CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
-            |     WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
-            |     WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
-            |     WHEN s_fr >= s_zh THEN 'fr'
-            |     ELSE 'zh' END""".stripMargin))
+      Tables(s, dir).documents
+        .withColumn("predicted", graft.functions.TextKernels.predictLangUdf(markers)($"text"))
         .groupBy($"lang", $"predicted")
         .agg(count(lit(1)).as("n"))
         .orderBy($"lang", $"predicted")
@@ -122,12 +92,8 @@ object Text extends QueryPack {
     "x4_fingerprint" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir).documents
-        .withColumn("nt", expr("trim(regexp_replace(lower(text), '[^a-z ]', ''))"))
-        .select(
-          $"doc_id",
-          expr(
-            "array_min(transform(sequence(1, greatest(length(nt) - 7, 1)), " +
-              s"p -> ${polyHash("substring(nt, p, 8)")}))").as("fingerprint"))
+        .select($"doc_id",
+          graft.functions.TextKernels.minFingerprintUdf($"text").as("fingerprint"))
         .orderBy($"doc_id")
     }
   )
