@@ -1,0 +1,98 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+
+/** Proves the streaming operators compute the SAME results as their batch
+  * twins (the oracle-pinned graft.catalog.Events plans) on identical input,
+  * and that watermarks actually drop late data — the two properties that make
+  * "same logical plan, streaming runner" trustworthy. */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ev(id: Long, minute: Int, user: Long = 1, typ: String = "click",
+                 second: Int = 0): Ev =
+    Ev(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$second%02d"), user, typ,
+       1.5, s"""{"k": $id}""")
+
+  /** run a streaming transform over a MemoryStream fed with `batches`,
+    * complete/append per `mode`, return collected rows as a set of strings. */
+  private def runStream(batches: Seq[Seq[Ev]], mode: OutputMode)
+                       (f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Set[String] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val name = s"es_out_${System.nanoTime()}"
+    val q = f(mem.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name).collect().map(_.mkString("|")).toSet
+  }
+
+  private val inOrder: Seq[Ev] = Seq(
+    ev(1, 1), ev(2, 5), ev(3, 12, user = 2), ev(4, 14),
+    ev(5, 25, typ = "view"), ev(6, 55))
+
+  test("tumblingCounts (streaming, complete) == batch on same input") {
+    val got = runStream(Seq(inOrder.take(3), inOrder.drop(3)), OutputMode.Complete())(
+      EventStreams.tumblingCounts(_))
+    val want = EventStreams.tumblingCounts(inOrder.toDF())
+      .collect().map(_.mkString("|")).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("slidingCounts (streaming, complete) == batch on same input") {
+    val got = runStream(Seq(inOrder), OutputMode.Complete())(EventStreams.slidingCounts(_))
+    val want = EventStreams.slidingCounts(inOrder.toDF())
+      .collect().map(_.mkString("|")).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("sessionize closes a session after the gap (append mode emits it)") {
+    // user 1: events at 10:01 and 10:05 (one session), then 11:30 (new
+    // session) pushes the watermark far past the first session's close.
+    val got = runStream(
+      Seq(Seq(ev(1, 1), ev(2, 5)), Seq(Ev(9, Timestamp.valueOf("2024-01-01 11:30:00"), 1, "click", 1.5, "{}"))),
+      OutputMode.Append())(EventStreams.sessionize(_))
+    // first session: 10:01..(10:05+30min gap) = start 10:01:00, end 10:35:00
+    val first = got.find(_.startsWith("1|"))
+    assert(first.isDefined, s"no closed session emitted: $got")
+    assert(first.get == s"1|${Timestamp.valueOf("2024-01-01 10:01:00").getTime * 1000}|" +
+      s"${Timestamp.valueOf("2024-01-01 10:35:00").getTime * 1000}|2")
+  }
+
+  test("watermark drops late data in append-mode tumbling aggregation") {
+    // batch 1 advances event time to 11:00 (watermark 10 min → 10:50);
+    // batch 2 adds a LATE event at 10:02 — its 10:00 window is already
+    // finalized, so the late event must NOT appear in the output counts.
+    val onTime = Seq(ev(1, 1), Ev(2, Timestamp.valueOf("2024-01-01 11:00:00"), 1, "click", 1.5, "{}"))
+    val late = Seq(ev(99, 2)) // 10:02, behind the 10:50 watermark
+    val got = runStream(Seq(onTime, late, Seq(Ev(3, Timestamp.valueOf("2024-01-01 12:00:00"), 1, "click", 1.5, "{}"))),
+      OutputMode.Append())(EventStreams.tumblingCounts(_, watermark = "10 minutes"))
+    // the 10:00 window must report n=1 (only event_id 1), never n=2
+    val w1000 = got.filter(_.startsWith(s"${Timestamp.valueOf("2024-01-01 10:00:00").getTime / 1000}|"))
+    assert(w1000.exists(_.contains("|1|")), s"10:00 window missing or wrong: $got")
+    assert(!w1000.exists(_.contains("|2|")), s"late event was counted: $got")
+  }
+
+  test("dedupEvents drops within-watermark duplicate event_ids") {
+    val got = runStream(
+      Seq(Seq(ev(1, 1), ev(1, 1), ev(2, 5)), Seq(ev(2, 5), ev(3, 8))),
+      OutputMode.Append())(EventStreams.dedupEvents(_))
+    assert(got.size == 3, s"expected 3 unique events, got: $got")
+  }
+
+  test("parseProps extracts k identically in batch") {
+    val out = EventStreams.parseProps(inOrder.toDF()).select($"event_id", $"k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 6L -> 6L))
+  }
+}
