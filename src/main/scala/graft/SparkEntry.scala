@@ -15,7 +15,8 @@ object SparkEntry {
     catalog.Text,
     catalog.Events,
     catalog.Dedup,
-    catalog.Similarity
+    catalog.Similarity,
+    catalog.Multimodal
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

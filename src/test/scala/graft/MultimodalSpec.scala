@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Media
+
+/** The multimodal plumbing is real even though the codec is stubbed: typed
+  * schema, batch shape, determinism, payload slicing, and (critically at
+  * 100 TB) payload column pruning for metadata-only plans. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Tables(spark, TestSpark.sf).documents
+  private def media = Media.mediaFromDocuments(docs)
+
+  test("mediaFromDocuments: typed schema with binary payload + meta struct") {
+    val sch = media.schema
+    assert(sch("payload").dataType.typeName == "binary")
+    assert(sch("meta").dataType.typeName == "struct")
+    assert(media.count() == docs.count())
+  }
+
+  test("featureExtract: deterministic 16-dim embedding, histogram sums to ~1") {
+    val a = Media.featureExtract(media, batchSize = 7).collect().sortBy(_.media_id)
+    val b = Media.featureExtract(media, batchSize = 64).collect().sortBy(_.media_id)
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.embedding.toSeq == y.embedding.toSeq, s"batch size changed result for ${x.media_id}")
+    }
+    a.foreach { f =>
+      assert(f.embedding.length == 16)
+      assert(math.abs(f.embedding.map(_.toDouble).sum - 1.0) < 1e-3)
+    }
+  }
+
+  test("resize: metadata-only change, payload untouched") {
+    val r = Media.resize(media, 224, 224).collect().sortBy(_.media_id)
+    val o = media.collect().sortBy(_.media_id)
+    r.zip(o).foreach { case (x, y) =>
+      assert(x.meta.width == 224 && x.meta.height == 224)
+      assert(x.meta.n_frames == y.meta.n_frames)
+      assert(java.util.Arrays.equals(x.payload, y.payload))
+    }
+  }
+
+  test("frameSample every=1 reconstructs the original payload") {
+    val frames = Media.frameSample(media, every = 1).collect()
+      .groupBy(_.media_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
+    val videos = media.filter(_.kind == "video").collect()
+    assert(videos.nonEmpty && frames.nonEmpty)
+    videos.foreach { v =>
+      val fs = frames(v.media_id)
+      // sampled frames cover the payload prefix up to n_frames × 1024 bytes
+      val covered = math.min(v.meta.n_frames.toLong * 1024, v.payload.length.toLong).toInt
+      val rebuilt = fs.flatMap(_.frame_bytes.toSeq).toArray
+      assert(java.util.Arrays.equals(rebuilt, java.util.Arrays.copyOfRange(v.payload, 0, covered)))
+      fs.foreach(f => assert(f.frame_len > 0 && f.byte_offset == f.frame_idx.toLong * 1024))
+    }
+  }
+
+  test("metadata-only plan prunes the payload column from the parquet scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    media.write.mode("overwrite").parquet(dir)
+    val plan = spark.read.parquet(dir).select($"media_id", $"meta.width")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("payload"), s"payload not pruned:\n$plan")
+  }
+}
