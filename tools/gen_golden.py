@@ -130,6 +130,40 @@ run("kitchen", KITCHEN, KITCHEN_MAPPING, False)
 run("kitchen_gate", KITCHEN, KITCHEN_MAPPING, True)
 run("filters", KITCHEN, FILTER_MAPPING, False)
 
+# ---- hardcoded-pipeline goldens (EP1: cli.py path) -------------------------
+from converter.pipeline import ETLPipeline  # noqa: E402
+from converter.extractors.revolut_stocks import RevolutStocksExtractor  # noqa: E402
+from converter.extractors.revolut_crypto import RevolutCryptoExtractor  # noqa: E402
+from converter.transformers.revolut_stocks import RevolutStocksTransformer  # noqa: E402
+from converter.transformers.revolut_crypto import RevolutCryptoTransformer  # noqa: E402
+from converter.loaders.csv_loader import GhostfolioCsvLoader  # noqa: E402
+
+# extra rows exercising H1 prefix-fallback, H3 endswith-guard/GBX, H8 default
+STOCKS_HC = STOCKS + """BAD,XYZ.L,SELL - STOP LOSS,1,GBX 100,100,GBX
+2024-04-01T00:00:00,SAP,BUY - SOMETHING,2,"EUR 1,000.50",2001.00,EUR
+2024-04-02T00:00:00,FOO,INTEREST,1,USD 1.00,1.00,CHF
+"""
+CRYPTO_HC = CRYPTO + """pepe,buy,1000,,€5.00,€0.05,"Apr 1, 2024, 2:30:00 PM"
+BTC,SELL,"0.5",$30000,$15000,$7.5,bogus-date
+"""
+
+
+def run_hardcoded(name, csv_text, extractor, transformer):
+    src = FIX / f"{name}.csv"
+    src.write_text(csv_text)
+    out = GOLD / f"{name}.out.csv"
+    if out.exists():
+        out.unlink()
+    n = ETLPipeline(extractor, transformer, GhostfolioCsvLoader()).run(src, out)
+    (GOLD / f"{name}.result.json").write_text(json.dumps({"loaded_count": n}))
+    print(name, "loaded", n)
+
+
+run_hardcoded("stocks_hardcoded", STOCKS_HC,
+              RevolutStocksExtractor(), RevolutStocksTransformer())
+run_hardcoded("crypto_hardcoded", CRYPTO_HC,
+              RevolutCryptoExtractor(), RevolutCryptoTransformer())
+
 # ---- number formatting goldens ---------------------------------------------
 vals = [0.0, -0.0, 1.0, -1.0, 0.5, 1.5, 123.0, 1855.0, 0.1, 0.00000001,
         1e-5, 1.23e-5, 9999999.0, 1e7, 12345678.9, 1e15, 1e16, 1.5e16,
