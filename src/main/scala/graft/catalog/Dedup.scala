@@ -138,13 +138,13 @@ object Dedup extends QueryPack {
     "d5_embedding_neardup" -> { (s, dir) =>
       import s.implicits._
       val e = Tables(s, dir).embeddings
-        .withColumn("v", TextKernels.toDoubleVecUdf($"embedding"))
-        .withColumn("norm2", TextKernels.dotUdf($"v", $"v"))
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
         .select($"vec_id", $"label", $"v", $"norm2")
       e.as("a").join(e.as("b"),
           $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
         .withColumn("cos",
-          TextKernels.dotUdf($"a.v", $"b.v") / (sqrt($"a.norm2") * sqrt($"b.norm2")))
+          graft.functions.VectorExprs.cosine($"a.v", $"b.v", $"a.norm2", $"b.norm2"))
         .filter($"cos" >= 0.4)
         .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"),
                 $"a.label".as("label"), $"cos")

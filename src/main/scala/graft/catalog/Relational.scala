@@ -116,6 +116,16 @@ object Relational extends QueryPack {
         .agg(asDec(sum(dec2($"l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     },
+    "a5_grouping_sets" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).orders
+        .groupingSets(
+          Seq(Seq($"o_orderstatus", $"o_orderpriority"), Seq($"o_orderstatus"), Seq()),
+          $"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             asDec(sum(dec2($"o_totalprice")), 2).as("sum_price"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    },
     "a3_minmax_avg" -> { (s, dir) =>
       import s.implicits._
       // avg computed as exact-decimal sum / count, both engines divide the
@@ -351,6 +361,12 @@ object Relational extends QueryPack {
              COUNT(*) AS n
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "a5_grouping_sets" -> """
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     "a3_minmax_avg" -> """
       SELECT l_returnflag, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
              CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / COUNT(*) AS avg_qty,

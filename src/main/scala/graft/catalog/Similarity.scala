@@ -67,13 +67,13 @@ object Similarity extends QueryPack {
     "v1_brute_topk" -> { (s, dir) =>
       import s.implicits._
       val e = Tables(s, dir).embeddings
-        .withColumn("v", TextKernels.toDoubleVecUdf($"embedding"))
-        .withColumn("norm2", TextKernels.dotUdf($"v", $"v"))
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
         .select($"vec_id", $"v", $"norm2")
       val q = e.filter($"vec_id" < 10)
         .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
       val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
-        .withColumn("cos", TextKernels.dotUdf($"qv", $"v") / (sqrt($"qn") * sqrt($"norm2")))
+        .withColumn("cos", graft.functions.VectorExprs.cosine($"qv", $"v", $"qn", $"norm2"))
       val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
       scored
         .withColumn("rank", row_number().over(w))
@@ -87,8 +87,8 @@ object Similarity extends QueryPack {
     "v2_lsh_ann" -> { (s, dir) =>
       import s.implicits._
       val e = Tables(s, dir).embeddings
-        .withColumn("v", TextKernels.toDoubleVecUdf($"embedding"))
-        .withColumn("norm2", TextKernels.dotUdf($"v", $"v"))
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
         .withColumn("sig", TextKernels.lshSigUdf($"v"))
         .select($"vec_id", $"v", $"norm2", $"sig")
       val buckets = e.select($"vec_id", $"v", $"norm2",
@@ -102,7 +102,7 @@ object Similarity extends QueryPack {
         .distinct()
       val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
       cand
-        .withColumn("cos", TextKernels.dotUdf($"qv", $"v") / (sqrt($"qn") * sqrt($"norm2")))
+        .withColumn("cos", graft.functions.VectorExprs.cosine($"qv", $"v", $"qn", $"norm2"))
         .withColumn("rank", row_number().over(w))
         .filter($"rank" <= K)
         .select($"q_id", $"rank".cast("long").as("rank"),
