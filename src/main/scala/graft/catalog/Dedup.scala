@@ -114,21 +114,24 @@ object Dedup extends QueryPack {
         .select($"doc_id", TextKernels.simhashUdf($"text").as("simhash"))
         .orderBy($"doc_id")
     },
-    // d4: exact n-gram Jaccard near-dup pairs — candidates share ≥1 distinct
-    // 4-token shingle (equi-join on shingle), then exact |∩|/|∪| ≥ 0.5.
+    // d4: exact n-gram Jaccard near-dup pairs over HASHED distinct 4-token
+    // shingles. One exploded self-join computes |∩| directly as the per-pair
+    // match count (shingles are distinct per doc), so no pair ever re-joins
+    // its full shingle array: |∪| = n1 + n2 − |∩|. The join key is an 8-byte
+    // hash, not the shingle string — at 100 TB that is the difference
+    // between shuffling text and shuffling longs.
     "d4_ngram_jaccard" -> { (s, dir) =>
       import s.implicits._
       val sh = Tables(s, dir).documents
-        .select($"doc_id", TextKernels.shinglesUdf($"text").as("shingles"))
-      val ex = sh.select($"doc_id", explode($"shingles").as("s"))
-      val cand = ex.as("a").join(ex.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")).distinct()
-      cand
-        .join(sh.as("s1"), $"d1" === $"s1.doc_id")
-        .join(sh.as("s2"), $"d2" === $"s2.doc_id")
-        .withColumn("n_inter", expr("size(array_intersect(s1.shingles, s2.shingles))").cast("long"))
-        .withColumn("n_union", expr("size(array_union(s1.shingles, s2.shingles))").cast("long"))
-        .withColumn("jaccard", expr("cast(n_inter as double)") / $"n_union")
+        .select($"doc_id", TextKernels.shingleHashesUdf($"text").as("hs"))
+        .select($"doc_id", size($"hs").cast("long").as("n_sh"), $"hs")
+      val ex = sh.select($"doc_id", $"n_sh", explode($"hs").as("h"))
+      ex.as("a").join(ex.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+                 $"a.n_sh".as("n1"), $"b.n_sh".as("n2"))
+        .agg(count(lit(1)).as("n_inter"))
+        .withColumn("n_union", $"n1" + $"n2" - $"n_inter")
+        .withColumn("jaccard", $"n_inter".cast("double") / $"n_union")
         .filter($"jaccard" >= 0.5)
         .select($"d1", $"d2", $"n_inter", $"n_union", $"jaccard")
         .orderBy($"d1", $"d2")
@@ -182,18 +185,18 @@ object Dedup extends QueryPack {
       ORDER BY doc_id""",
     "d4_ngram_jaccard" -> s"""
       WITH sh AS (
-        SELECT doc_id, ${shinglesSql(4)} AS shingles
-        FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0),
-      ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-      cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-               FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id)
+        SELECT doc_id, len(hs)::BIGINT AS n_sh, hs
+        FROM (SELECT doc_id, $shingleHashesSql AS hs
+              FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0) t1),
+      ex AS (SELECT doc_id, n_sh, unnest(hs) AS h FROM sh)
       SELECT d1, d2, n_inter, n_union, jaccard FROM (
-        SELECT d1, d2,
-               len(list_intersect(s1.shingles, s2.shingles))::BIGINT AS n_inter,
-               len(list_distinct(s1.shingles || s2.shingles))::BIGINT AS n_union,
-               len(list_intersect(s1.shingles, s2.shingles))::DOUBLE
-                 / len(list_distinct(s1.shingles || s2.shingles)) AS jaccard
-        FROM cand JOIN sh s1 ON d1 = s1.doc_id JOIN sh s2 ON d2 = s2.doc_id) t
+        SELECT d1, d2, n_inter, n1 + n2 - n_inter AS n_union,
+               n_inter::DOUBLE / (n1 + n2 - n_inter) AS jaccard
+        FROM (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_sh AS n1, b.n_sh AS n2,
+                 COUNT(*)::BIGINT AS n_inter
+          FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY d1, d2, n1, n2) t) t2
       WHERE jaccard >= 0.5 ORDER BY d1, d2""",
     "d5_embedding_neardup" -> s"""
       WITH e AS (
