@@ -16,7 +16,8 @@ object SparkEntry {
     catalog.Events,
     catalog.Dedup,
     catalog.Similarity,
-    catalog.Multimodal
+    catalog.Multimodal,
+    catalog.Temporal
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,88 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryPack, Tables}
+
+/** Temporal join operators over the `events` table — as-of join and range
+  * join, the two operators a time-series workload needs that Spark has no
+  * single primitive for (north-star scale surface; no reference citation).
+  * Both are implemented with the SCALABLE composition, not a naive
+  * inequality join, and pinned against DuckDB's native ASOF / inequality
+  * joins:
+  *
+  *   r1 as-of join  — one union + one per-key window sort instead of a
+  *      per-row backward scan: tag both streams, sort by (user, time,
+  *      right-before-left), carry the last right-side time forward with
+  *      `last(..., ignoreNulls)`. One shuffle on user_id, O(n log n) per
+  *      key, no quadratic candidate set.
+  *   r2 range join  — banded bucket equi-join: both sides bucket to the
+  *      10-minute grid; each left row probes its own and the next bucket
+  *      (window length = band width ⇒ exactly 2 bands), then an exact
+  *      filter. The shuffle key is (user_id, bucket) — never a cross
+  *      product — and skew stays bounded by band population.
+  *
+  * Determinism: all time arithmetic is integer micros; counts are exact.
+  */
+object Temporal extends QueryPack {
+
+  private val Gap = 600000000L // 10 minutes in micros
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // r1: for each click, the most recent error at-or-before it per user
+    "r1_asof_join" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .filter($"event_type".isin("click", "error"))
+        .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("us"))
+      // right side (error) sorts BEFORE left at equal time: ts <= semantics
+      val tagged = ev.withColumn("prio", when($"event_type" === "error", 0).otherwise(1))
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"prio", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("asof_error_us",
+          last(when($"event_type" === "error", $"us"), ignoreNulls = true).over(w))
+        .filter($"event_type" === "click" && $"asof_error_us".isNotNull)
+        .select($"event_id".as("click_id"), $"user_id",
+                $"us".as("click_us"), $"asof_error_us")
+        .orderBy($"click_id")
+    },
+    // r2: per error event, clicks of the same user in [ts, ts + 10 min)
+    "r2_range_join" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("us"))
+      val errors = ev.filter($"event_type" === "error")
+        .withColumn("b", explode(array(expr(s"us div $Gap"), expr(s"us div $Gap") + 1)))
+        .select($"event_id".as("err_id"), $"user_id", $"us".as("err_us"), $"b")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"us".as("click_us"), expr(s"us div $Gap").as("b"))
+      errors.join(clicks, Seq("user_id", "b"))
+        .filter($"click_us" >= $"err_us" && $"click_us" < $"err_us" + Gap)
+        .groupBy($"err_id", $"user_id", $"err_us")
+        .agg(count(lit(1)).as("n_clicks"), min($"click_us").as("first_click_us"))
+        .orderBy($"err_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "r1_asof_join" -> """
+      SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS click_us,
+             epoch_us(e.ts) AS asof_error_us
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        ON c.user_id = e.user_id AND e.ts <= c.ts
+      ORDER BY click_id""",
+    "r2_range_join" -> """
+      SELECT e.event_id AS err_id, e.user_id, epoch_us(e.ts) AS err_us,
+             COUNT(*) AS n_clicks, MIN(epoch_us(c.ts)) AS first_click_us
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = e.user_id
+       AND epoch_us(c.ts) >= epoch_us(e.ts)
+       AND epoch_us(c.ts) < epoch_us(e.ts) + 600000000
+      GROUP BY err_id, e.user_id, err_us
+      ORDER BY err_id"""
+  )
+}
