@@ -116,6 +116,22 @@ object Relational extends QueryPack {
         .agg(asDec(sum(dec2($"l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     },
+    // j8: the skew-mitigation pattern — fact side salted deterministically,
+    // dim side replicated per salt, so one hot key spreads over S reducers.
+    // Result must equal the plain equi-join (the oracle runs the plain join).
+    "j8_skew_salted_join" -> { (s, dir) =>
+      import s.implicits._
+      val S = 8
+      val t = Tables(s, dir)
+      val li = t.lineitem.select($"l_orderkey", $"l_linenumber", $"l_quantity")
+        .withColumn("salt", pmod($"l_linenumber", lit(S)))
+      val ord = t.orders.select($"o_orderkey", $"o_orderpriority")
+        .withColumn("salt", explode(array((0 until S).map(lit(_)): _*)))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), asDec(sum(dec2($"l_quantity")), 2).as("sum_qty"))
+        .orderBy($"o_orderpriority")
+    },
     "a5_grouping_sets" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir).orders
@@ -361,6 +377,11 @@ object Relational extends QueryPack {
              COUNT(*) AS n
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "j8_skew_salted_join" -> """
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "a5_grouping_sets" -> """
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price

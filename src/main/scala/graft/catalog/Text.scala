@@ -26,14 +26,14 @@ object Text extends QueryPack {
 
   import Tx.{wsExpr, wsSql, polyHash, polyHashSql}
 
-  private val stopwords = Seq("the", "a", "data", "value", "row")
+  private[graft] val stopwords = Seq("the", "a", "data", "value", "row")
   private def inList(v: String, xs: Seq[String]) =
     s"$v IN (${xs.map(w => s"'$w'").mkString(", ")})"
 
   /** language marker words (shared-vocab corpus ⇒ this is a deterministic
     * heuristic, scored against the gold `lang` label as an agreement matrix,
     * not expected to be accurate). Tiebreak order: en, de, es, fr, zh. */
-  private val markers = Seq(
+  private[graft] val markers = Seq(
     "en" -> Seq("the", "order", "group", "window"),
     "de" -> Seq("hash", "customer", "big"),
     "es" -> Seq("slow", "agg", "merge"),

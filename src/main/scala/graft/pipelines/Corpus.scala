@@ -1,0 +1,87 @@
+package graft.pipelines
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.catalog.Text
+import graft.functions.TextKernels
+
+/** End-to-end training-corpus curation — the composition a 100 TB
+  * pretraining-data pipeline runs nightly, built entirely from this
+  * library's verified operators:
+  *
+  *   1. language filter   (x3 kernel: marker-word language ID)
+  *   2. quality filter    (x2 kernel: punct/digit/stopword linear score)
+  *   3. exact dedup       (d1: md5-digest groupBy, keep lowest doc_id)
+  *   4. near dedup        (d2: MinHash + LSH bands; greedy drop of the
+  *                         higher doc_id per matched pair)
+  *   5. enrich            (x1 token stats carried on the survivors)
+  *
+  * Shuffle budget at scale: one digest groupBy (step 3), one band-bucket
+  * join + one semi-join (step 4). Steps 1-2-5 are pure per-row projection.
+  * The greedy pair-drop is the standard first-pass policy (transitive
+  * closure, when required, runs as iterative connected components over the
+  * SAME candidate-pair frame — documented, not needed for the demo corpus).
+  */
+object Corpus {
+
+  final case class Stage(name: String, rows: Long)
+
+  /** Curate `documents(doc_id, text, …)`; returns the survivors enriched
+    * with prediction/quality/token columns, plus per-stage row counts. */
+  def curate(docs: DataFrame,
+             keepLangs: Set[String] = Set("en", "de"),
+             minQuality: Double = 0.8,
+             estJaccard: Double = 0.5): (DataFrame, Seq[Stage]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val n0 = docs.count()
+
+    // 1-2: per-row scoring, one pass
+    val scored = docs
+      .withColumn("lang_pred", TextKernels.predictLangUdf(Text.markers)($"text"))
+      .withColumn("qc", TextKernels.qualityCountsUdf(Text.stopwords.toSet)($"text"))
+      .withColumn("tl", greatest(length($"text"), lit(1)))
+      .withColumn("quality_score",
+        lit(1.0) - ($"qc.punct_cnt".cast("double") / $"tl") * 2.0 -
+          ($"qc.digit_cnt".cast("double") / $"tl"))
+      .drop("qc", "tl")
+    val langKept = scored.filter($"lang_pred".isin(keepLangs.toSeq: _*)).cache()
+    val n1 = langKept.count()
+    val qualKept = langKept.filter($"quality_score" >= minQuality).cache()
+    val n2 = qualKept.count()
+
+    // 3: exact dedup on content digest (deterministic keeper)
+    val keepers = qualKept
+      .withColumn("digest", md5(expr("trim(regexp_replace(lower(text), '[^a-z ]', ''))")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"digest").orderBy($"doc_id")))
+      .filter($"rn" === 1).drop("digest", "rn").cache()
+    val n3 = keepers.count()
+
+    // 4: MinHash+LSH near-dedup — drop the higher doc_id of each candidate
+    // pair whose estimated Jaccard clears the threshold
+    val sig = keepers.select($"doc_id",
+        TextKernels.minhashUdf($"text").as("sig"))
+      .withColumn("bands", TextKernels.bandsUdf($"sig"))
+    val buckets = sig.select($"doc_id", $"sig",
+      posexplode($"bands").as(Seq("band_idx", "band_hash")))
+    val dropIds = buckets.as("a").join(buckets.as("b"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+              $"a.sig".as("sig_a"), $"b.sig".as("sig_b")).distinct()
+      .withColumn("est",
+        expr("cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) as double)") / 16.0)
+      .filter($"est" >= estJaccard)
+      .select($"d2".as("doc_id")).distinct()
+    val curated = keepers.join(dropIds, Seq("doc_id"), "left_anti")
+      .withColumn("st", TextKernels.tokenStatsUdf($"text"))
+      .withColumn("n_tokens", $"st.n_tokens").drop("st")
+      .cache()
+    val n4 = curated.count()
+
+    (curated, Seq(Stage("input", n0), Stage("lang", n1), Stage("quality", n2),
+                  Stage("exact_dedup", n3), Stage("near_dedup", n4)))
+  }
+}
