@@ -17,7 +17,8 @@ object SparkEntry {
     catalog.Dedup,
     catalog.Similarity,
     catalog.Multimodal,
-    catalog.Temporal
+    catalog.Temporal,
+    catalog.Analytics
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
