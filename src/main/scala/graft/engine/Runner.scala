@@ -112,6 +112,61 @@ object Runner {
     } finally planned.unpersist()
   }
 
+  /** Scale-mode convert: ONE pass instead of cache + count + write. The
+    * plan streams straight to a directory sink (no single-file coalesce, no
+    * caching of the whole input) while `observe()` accumulates the gate
+    * metrics on the same pass; if the fail-on-error gate then trips, the
+    * output directory is deleted (cheap metadata op) — the quarantine-commit
+    * pattern for inputs that don't fit in cache at 100 TB.
+    *
+    * Returns the same counters as `convert` (without per-row error detail —
+    * at scale errors go to `errorDataset` jobs, not driver lists). */
+  def convertAtScale(df: DataFrame, m: ETLMapping, outDir: String,
+                     failOnError: Boolean = true): TransformResult = {
+    val fields = TransformCompiler.compile(m, df.columns.toSet - LINE).destOrder
+    val observed = plan(df, m)
+      .observe("etl_gate",
+        coalesce(sum(when(col(SKIP), 1L).otherwise(0L)), lit(0L)).as("skipped"),
+        coalesce(sum(when(!col(SKIP) && size(col(ERRS)) === 0, 1L).otherwise(0L)), lit(0L)).as("clean"),
+        coalesce(sum(when(!col(SKIP), size(col(ERRS)).cast("long")).otherwise(0L)), lit(0L)).as("errs"),
+        count(lit(1)).as("total"))
+    val kept = observed.filter(!col(SKIP)).select(fields.map(col): _*)
+    // observed metrics surface on the EXECUTED QueryExecution (the write's),
+    // delivered async via the listener bus — capture and await them
+    val spark = df.sparkSession
+    val captured = new java.util.concurrent.atomic.AtomicReference[Option[org.apache.spark.sql.Row]](None)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.get("etl_gate").foreach(r => captured.compareAndSet(None, Some(r)))
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val metrics = try {
+      CsvSink.write(kept, fields, outDir)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (captured.get().isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      captured.get().getOrElse(sys.error("etl_gate metrics not delivered within 30s"))
+    } finally spark.listenerManager.unregister(listener)
+    val (skipped, clean, errs, total) =
+      (metrics.getLong(0), metrics.getLong(1), metrics.getLong(2), metrics.getLong(3))
+    val anyRows = fields.nonEmpty && (total - skipped) > 0
+    val keep = anyRows && (errs == 0 || !failOnError)
+    if (!keep) {
+      // gate tripped (or nothing to write): retract the output
+      val p = java.nio.file.Paths.get(outDir)
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
+    if (m.fieldMappings.isEmpty) TransformResult(0L, total, 0L, Nil, written = false)
+    else TransformResult(clean, skipped, errs, Nil, written = keep)
+  }
+
   /** Typed error dataset for downstream analysis (explode of the error
     * column — reference errors list). */
   def errorDataset(df: DataFrame, m: ETLMapping): Dataset[RowError] = {
