@@ -116,18 +116,31 @@ object Relational extends QueryPack {
         .agg(asDec(sum(dec2($"l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     },
-    // j8: the skew-mitigation pattern — fact side salted deterministically,
-    // dim side replicated per salt, so one hot key spreads over S reducers.
+    // j8: the skew-mitigation pattern, hot/cold split — only HOT keys are
+    // salted (fact side) and replicated (dim side); cold keys take the plain
+    // join. Salting the whole dim side would multiply the shuffle S× — the
+    // 10× stress run showed exactly that cliff (16s vs ~1s). AQE's skew
+    // join automates this for SMJ; the manual pattern remains necessary
+    // when the hot set is known and the join must stay pre-partitioned.
     // Result must equal the plain equi-join (the oracle runs the plain join).
     "j8_skew_salted_join" -> { (s, dir) =>
       import s.implicits._
       val S = 8
       val t = Tables(s, dir)
       val li = t.lineitem.select($"l_orderkey", $"l_linenumber", $"l_quantity")
-        .withColumn("salt", pmod($"l_linenumber", lit(S)))
       val ord = t.orders.select($"o_orderkey", $"o_orderpriority")
-        .withColumn("salt", explode(array((0 until S).map(lit(_)): _*)))
-      li.join(ord, li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+      val hotLi = $"l_orderkey" % 1000 === 0   // stand-in for a stats-derived hot set
+      val hotOrd = $"o_orderkey" % 1000 === 0
+      val cold = li.filter(!hotLi)
+        .join(ord.filter(!hotOrd), $"l_orderkey" === $"o_orderkey")
+        .select($"o_orderpriority", $"l_quantity")
+      val liH = li.filter(hotLi).withColumn("l_salt", pmod($"l_linenumber", lit(S)))
+      val ordH = ord.filter(hotOrd)
+        .withColumn("o_salt", explode(array((0 until S).map(lit(_)): _*)))
+      val hot = liH.join(ordH,
+          $"l_orderkey" === $"o_orderkey" && $"l_salt" === $"o_salt")
+        .select($"o_orderpriority", $"l_quantity")
+      cold.unionByName(hot)
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n"), asDec(sum(dec2($"l_quantity")), 2).as("sum_qty"))
         .orderBy($"o_orderpriority")
@@ -272,6 +285,20 @@ object Relational extends QueryPack {
         .select($"c_custkey", $"c_acctbal", ntile(4).over(w).cast("long").as("quartile"))
         .orderBy($"c_custkey")
     },
+    // w7: first_value / last_value / nth_value over an explicit full frame
+    "w7_first_last_nth" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, dir).orders
+        .filter($"o_orderkey" <= 2000)
+        .select($"o_orderpriority", $"o_orderkey",
+                first($"o_orderkey").over(w).as("first_key"),
+                last($"o_orderkey").over(w).as("last_key"),
+                nth_value($"o_orderkey", 3).over(w).as("third_key"))
+        .orderBy($"o_orderpriority", $"o_orderkey")
+    },
     "w6_range_frame" -> { (s, dir) =>
       import s.implicits._
       // sliding 3-row sum of quantity per supplier (exact decimal), over a
@@ -319,6 +346,21 @@ object Relational extends QueryPack {
       val a = t.orders.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
       val b = t.orders.filter($"o_orderpriority" === "5-LOW").select($"o_custkey")
       a.intersect(b).orderBy($"o_custkey")
+    },
+    // bag semantics: duplicates preserved up to min/difference of counts
+    "u4_intersect_all" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val a = t.orders.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+      val b = t.orders.filter($"o_orderpriority" === "5-LOW").select($"o_custkey")
+      a.intersectAll(b).orderBy($"o_custkey")
+    },
+    "u5_except_all" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val a = t.orders.filter($"o_totalprice" > 100000.0).select($"o_custkey")
+      val b = t.orders.filter($"o_orderstatus" === "F").select($"o_custkey")
+      a.exceptAll(b).orderBy($"o_custkey")
     },
     "u3_except" -> { (s, dir) =>
       import s.implicits._
@@ -451,6 +493,15 @@ object Relational extends QueryPack {
       SELECT c_custkey, c_acctbal,
              NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
       FROM customer ORDER BY c_custkey""",
+    "w7_first_last_nth" -> """
+      SELECT o_orderpriority, o_orderkey,
+             FIRST_VALUE(o_orderkey) OVER w AS first_key,
+             LAST_VALUE(o_orderkey) OVER w AS last_key,
+             NTH_VALUE(o_orderkey, 3) OVER w AS third_key
+      FROM orders WHERE o_orderkey <= 2000
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_orderpriority, o_orderkey""",
     "w6_range_frame" -> """
       SELECT l_suppkey, l_orderkey, l_linenumber,
              CAST(SUM(qty) OVER (
@@ -472,6 +523,16 @@ object Relational extends QueryPack {
         UNION ALL
         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') u
       GROUP BY o_custkey ORDER BY o_custkey""",
+    "u4_intersect_all" -> """
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT ALL
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+      ORDER BY o_custkey""",
+    "u5_except_all" -> """
+      SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      ORDER BY o_custkey""",
     "u2_intersect" -> """
       SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
       INTERSECT
