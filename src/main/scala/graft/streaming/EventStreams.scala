@@ -70,4 +70,25 @@ object EventStreams {
     * exactly-once downstream). State holds only ids within the watermark. */
   def dedupEvents(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: each click matched to same-user errors in
+    * the preceding 10 minutes. Both sides are watermarked so join state is
+    * evicted once the watermark passes the interval bound — state is
+    * O(active interval), not O(stream). Works identically on batch frames
+    * (the spec pins streaming == batch). */
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame,
+                     watermark: String = "30 minutes"): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val e = errors.select(col("event_id").as("error_id"),
+      col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", watermark)
+    c.join(e, expr(
+        """c_user = e_user AND
+          |e_ts >= c_ts - interval 10 minutes AND e_ts <= c_ts""".stripMargin))
+      .select(col("click_id"), col("c_user").as("user_id"),
+              unix_micros(col("c_ts")).as("click_us"),
+              col("error_id"), unix_micros(col("e_ts")).as("error_us"))
+  }
 }

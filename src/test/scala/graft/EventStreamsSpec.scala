@@ -90,6 +90,27 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.size == 3, s"expected 3 unique events, got: $got")
   }
 
+  test("stream-stream interval join == batch join on same input") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(ev(1, 10), ev(2, 30), ev(3, 50, user = 2))
+    val errors = Seq(ev(11, 5, typ = "error"), ev(12, 28, typ = "error"),
+                     ev(13, 45, typ = "error", user = 2), ev(14, 20, typ = "error", user = 3))
+    val memC = MemoryStream[Ev]
+    val memE = MemoryStream[Ev]
+    val name = s"ssj_${System.nanoTime()}"
+    val q = EventStreams.clickErrorJoin(memC.toDF(), memE.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      memC.addData(clicks.take(2)); memE.addData(errors.take(2)); q.processAllAvailable()
+      memC.addData(clicks.drop(2)); memE.addData(errors.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).collect().map(_.mkString("|")).toSet
+    val want = EventStreams.clickErrorJoin(clicks.toDF(), errors.toDF())
+      .collect().map(_.mkString("|")).toSet
+    assert(got == want && got.nonEmpty, s"got=$got want=$want")
+  }
+
   test("parseProps extracts k identically in batch") {
     val out = EventStreams.parseProps(inOrder.toDF()).select($"event_id", $"k")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
