@@ -124,8 +124,11 @@ object Runner {
   def convertAtScale(df: DataFrame, m: ETLMapping, outDir: String,
                      failOnError: Boolean = true): TransformResult = {
     val fields = TransformCompiler.compile(m, df.columns.toSet - LINE).destOrder
+    // unique per call: concurrent converts in one session must not
+    // cross-capture each other's observed metrics
+    val gateName = s"etl_gate_${java.util.UUID.randomUUID().toString.take(8)}"
     val observed = plan(df, m)
-      .observe("etl_gate",
+      .observe(gateName,
         coalesce(sum(when(col(SKIP), 1L).otherwise(0L)), lit(0L)).as("skipped"),
         coalesce(sum(when(!col(SKIP) && size(col(ERRS)) === 0, 1L).otherwise(0L)), lit(0L)).as("clean"),
         coalesce(sum(when(!col(SKIP), size(col(ERRS)).cast("long")).otherwise(0L)), lit(0L)).as("errs"),
@@ -139,7 +142,7 @@ object Runner {
       override def onSuccess(funcName: String,
                              qe: org.apache.spark.sql.execution.QueryExecution,
                              durationNs: Long): Unit =
-        qe.observedMetrics.get("etl_gate").foreach(r => captured.compareAndSet(None, Some(r)))
+        qe.observedMetrics.get(gateName).foreach(r => captured.compareAndSet(None, Some(r)))
       override def onFailure(funcName: String,
                              qe: org.apache.spark.sql.execution.QueryExecution,
                              exception: Exception): Unit = ()
@@ -149,7 +152,7 @@ object Runner {
       CsvSink.write(kept, fields, outDir)
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       while (captured.get().isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
-      captured.get().getOrElse(sys.error("etl_gate metrics not delivered within 30s"))
+      captured.get().getOrElse(sys.error(s"$gateName metrics not delivered within 30s"))
     } finally spark.listenerManager.unregister(listener)
     val (skipped, clean, errs, total) =
       (metrics.getLong(0), metrics.getLong(1), metrics.getLong(2), metrics.getLong(3))

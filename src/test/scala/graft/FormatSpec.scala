@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.charset.Charset
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{CsvSink, CsvSource}
+import graft.spec.FileSpec
+
+/** Source/sink format coverage beyond the reference's hardcoded UTF-8+comma
+  * (SURVEY §1.3.6: we honor the spec's delimiter/encoding): semicolon
+  * delimiter, Latin-1 encoding, JSON lines round-trip. */
+class FormatSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("CsvSource honors spec delimiter and encoding (';' + ISO-8859-1)") {
+    val f = Files.createTempDirectory("fmt").resolve("latin.csv")
+    val content = "name;ville\nRené;Orléans\nZoé;Nîmes\n"
+    Files.write(f, content.getBytes(Charset.forName("ISO-8859-1")))
+    val df = CsvSource.read(spark, f.toString,
+      FileSpec("l", "l", delimiter = ";", encoding = "ISO-8859-1"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(df.columns.toSeq == Seq("name", "ville"))
+    assert(rows == Seq(("René", "Orléans"), ("Zoé", "Nîmes")))
+  }
+
+  test("CsvSink writes spec delimiter; round-trips through CsvSource") {
+    val out = Files.createTempDirectory("fmt").resolve("out.csv").toString
+    val df = Seq(("a", "1;5", "x"), ("b", "2", "y")).toDF("k", "v", "w")
+    CsvSink.writeSingleFile(df, Seq("k", "v", "w"), out, delimiter = ";")
+    val txt = Files.readString(java.nio.file.Paths.get(out))
+    assert(txt.startsWith("k;v;w"))
+    assert(txt.contains("\"1;5\""), s"embedded delimiter not quoted:\n$txt")
+    val back = CsvSource.read(spark, out, FileSpec("o", "o", delimiter = ";"))
+    assert(back.collect().map(_.mkString("|")).sorted.toSeq ==
+      Seq("a|1;5|x", "b|2|y"))
+  }
+
+  test("JSON lines round-trip preserves events rows") {
+    val src = Tables(spark, TestSpark.sf).events
+      .select($"event_id", $"user_id", $"event_type", $"value", $"props")
+      .orderBy($"event_id").limit(200)
+    val dir = Files.createTempDirectory("fmt").resolve("ev_json").toString
+    src.write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir)
+      .select($"event_id", $"user_id", $"event_type", $"value", $"props")
+    assert(back.collect().map(_.mkString("|")).sorted.toSeq ==
+      src.collect().map(_.mkString("|")).sorted.toSeq)
+  }
+}
