@@ -18,7 +18,8 @@ object SparkEntry {
     catalog.Similarity,
     catalog.Multimodal,
     catalog.Temporal,
-    catalog.Analytics
+    catalog.Analytics,
+    catalog.Strings
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
