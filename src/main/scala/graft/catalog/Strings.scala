@@ -52,18 +52,27 @@ object Strings extends QueryPack {
                   .cast("long").as("n_words"))
         .orderBy($"p_partkey")
     },
-    // q7: the engine through plain SQL — register views, run ANSI SQL
+    // q7: the engine through plain SQL — register views, run ANSI SQL.
+    // View names are unique per call and dropped after analysis (spark.sql
+    // resolves eagerly) so the shared session catalog is never left dirty
+    // and concurrent callers with different dirs can't cross-read.
     "q7_sql_interface" -> { (s, dir) =>
       val t = Tables(s, dir)
-      t.orders.createOrReplaceTempView("v_orders")
-      t.customer.createOrReplaceTempView("v_customer")
-      s.sql("""
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val (vo, vc) = (s"v_orders_$tag", s"v_customer_$tag")
+      t.orders.createOrReplaceTempView(vo)
+      t.customer.createOrReplaceTempView(vc)
+      try s.sql(s"""
         SELECT c_mktsegment, COUNT(*) AS n,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
-        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        FROM $vo JOIN $vc ON o_custkey = c_custkey
         WHERE o_orderstatus <> 'F'
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment""")
+      finally {
+        s.catalog.dropTempView(vo)
+        s.catalog.dropTempView(vc)
+      }
     }
   )
 
