@@ -285,6 +285,27 @@ object Relational extends QueryPack {
         .select($"c_custkey", $"c_acctbal", ntile(4).over(w).cast("long").as("quartile"))
         .orderBy($"c_custkey")
     },
+    // w8: percent_rank / cume_dist (rank-normalized window statistics)
+    "w8_percent_cume" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice", $"o_orderkey")
+      Tables(s, dir).orders
+        .filter($"o_orderkey" <= 2000)
+        .select($"o_orderpriority", $"o_orderkey",
+                percent_rank().over(w).as("pr"),
+                cume_dist().over(w).as("cd"))
+        .orderBy($"o_orderpriority", $"o_orderkey")
+    },
+    // t9: date_trunc / extract calendar arithmetic
+    "t9_date_parts" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).orders
+        .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("month"),
+                 year($"o_orderdate").as("y"),
+                 quarter($"o_orderdate").as("q"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"month")
+    },
     // w7: first_value / last_value / nth_value over an explicit full frame
     "w7_first_last_nth" -> { (s, dir) =>
       import s.implicits._
@@ -493,6 +514,19 @@ object Relational extends QueryPack {
       SELECT c_custkey, c_acctbal,
              NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
       FROM customer ORDER BY c_custkey""",
+    "w8_percent_cume" -> """
+      SELECT o_orderpriority, o_orderkey,
+             PERCENT_RANK() OVER w AS pr,
+             CUME_DIST() OVER w AS cd
+      FROM orders WHERE o_orderkey <= 2000
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_orderpriority, o_orderkey""",
+    "t9_date_parts" -> """
+      SELECT date_trunc('month', o_orderdate)::DATE AS month,
+             EXTRACT(year FROM o_orderdate)::INT AS y,
+             EXTRACT(quarter FROM o_orderdate)::INT AS q,
+             COUNT(*) AS n
+      FROM orders GROUP BY month, y, q ORDER BY month""",
     "w7_first_last_nth" -> """
       SELECT o_orderpriority, o_orderkey,
              FIRST_VALUE(o_orderkey) OVER w AS first_key,
