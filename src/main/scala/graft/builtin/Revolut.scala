@@ -122,8 +122,11 @@ object Revolut {
   }
 
   /** Full stocks plan over a raw all-string CSV frame with the Revolut
-    * export header. Output: the 9 Ghostfolio columns as formatted strings. */
-  def stocksPlan(raw: DataFrame, accountName: String = "Revolut Stocks"): DataFrame = {
+    * export header. Output: the 9 Ghostfolio columns as formatted strings,
+    * plus any `keep` columns carried through (e.g. file provenance for the
+    * glob-mode writer). */
+  def stocksPlan(raw: DataFrame, accountName: String = "Revolut Stocks",
+                 keep: Seq[String] = Nil): DataFrame = {
     // S3 extractor trim + Currency default (extractors/revolut_stocks.py:20-27)
     def f(name: String) = trim(coalesce(col(name), lit("")))
     val currency = when(f("Currency") === "", "USD").otherwise(f("Currency"))
@@ -135,7 +138,7 @@ object Revolut {
       .filter(!typeUpper.isin(StocksSkipTypes: _*) && f("Ticker") =!= "")
       .withColumn("__gftype", mapStocksType(typeUpper))
       .filter(col("__gftype").isNotNull)
-      .select(
+      .select(Seq(
         parseDateStocks(f("Date")).as("date"),
         mapStocksSymbol(f("Ticker"), col("__ccy")).as("symbol"),
         col("__gftype").as("type"),
@@ -144,7 +147,28 @@ object Revolut {
         money8(lit(0.0)).as("fee"),
         col("__ccy").as("currency"),
         lit(accountName).as("account"),
-        lit("").as("dataSource"))
+        lit("").as("dataSource")) ++ keep.map(col): _*)
+  }
+
+  /** S2 scale mode: ONE Spark job over a whole directory of export CSVs,
+    * per-file provenance via input_file_name, one output directory per
+    * source file (partitionBy) — replaces the driver-side per-file loop at
+    * scale (SURVEY.md §2.A S2/O2). Returns rows written per source stem. */
+  def processStocksGlob(spark: org.apache.spark.sql.SparkSession,
+                        inGlob: String, outDir: String,
+                        accountName: String = "Revolut Stocks"): Map[String, Long] = {
+    val raw = graft.engine.CsvSource.read(spark, inGlob, graft.spec.FileSpec("g", "g"))
+      .withColumn("src_file",
+        regexp_extract(input_file_name(), "([^/]+)\\.csv", 1))
+    val planned = stocksPlan(raw, accountName, keep = Seq("src_file"))
+    planned.write
+      .partitionBy("src_file")
+      .option("header", value = true)
+      .option("escape", "\"").option("emptyValue", "").option("nullValue", "")
+      .mode("overwrite")
+      .csv(outDir)
+    planned.groupBy("src_file").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
   // ---- crypto pipeline (revolut_crypto.py) ------------------------------

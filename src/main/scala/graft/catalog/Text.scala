@@ -87,6 +87,20 @@ object Text extends QueryPack {
         .agg(count(lit(1)).as("n"))
         .orderBy($"lang", $"predicted")
     },
+    // x6: BPE-ish pretokenizer counts — the GPT-2-style split (contraction
+    // suffixes, space-prefixed letter/digit runs, punctuation runs, space
+    // runs) restricted to RE2-compatible syntax (no lookahead) so the
+    // oracle regex is literally identical
+    "x6_bpe_tokens" -> { (s, dir) =>
+      import s.implicits._
+      val pat = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+      Tables(s, dir).documents
+        .withColumn("toks", regexp_extract_all(lower($"text"), lit(pat), lit(0)))
+        .select($"doc_id",
+                size($"toks").cast("long").as("n_bpe"),
+                expr("size(array_distinct(toks))").cast("long").as("n_bpe_distinct"))
+        .orderBy($"doc_id")
+    },
     // x4: document fingerprint — min polynomial hash over all char-8-grams
     // of the normalized text (winnowing-style rolling-hash fingerprint)
     "x4_fingerprint" -> { (s, dir) =>
@@ -138,6 +152,15 @@ object Text extends QueryPack {
                   s"len(list_filter(ws, t -> ${inList("t", ws)})) AS s_$l" }.mkString(", ")}
         FROM (SELECT lang, $wsSql AS ws FROM documents) t0) t
       GROUP BY lang, predicted ORDER BY lang, predicted""",
+    "x6_bpe_tokens" -> """
+      SELECT doc_id,
+             len(toks)::BIGINT AS n_bpe,
+             len(list_distinct(toks))::BIGINT AS n_bpe_distinct
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text),
+                     '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +') AS toks
+            FROM documents) t
+      ORDER BY doc_id""",
     "x4_fingerprint" -> s"""
       SELECT doc_id,
              list_min(list_transform(range(1, greatest(length(nt) - 7, 1) + 1),
