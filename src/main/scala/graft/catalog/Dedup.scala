@@ -66,9 +66,6 @@ object Dedup extends QueryPack {
         s"(a, x) -> a + ((((x // ${1L << j}) % 2) * 2) - 1)) > 0 then ${1L << j} else 0 end)"
     }.mkString("(", " + ", ")")
 
-  private def dotSql(va: String, vb: String): String =
-    s"list_reduce(list_prepend(0::DOUBLE, list_transform(range(1, len($va)+1), i -> $va[i] * $vb[i])), " +
-      s"(a, x) -> a + x)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // d1: exact dedup — group by content digest of normalized text, keep the

@@ -34,12 +34,10 @@ import graft.{QueryPack, Tables}
   */
 object Similarity extends QueryPack {
   import graft.functions.TextKernels
+  import Tx.dotSql
 
   // Spark side computes with the compiled kernels in TextKernels (identical
   // arithmetic — see its scaladoc); these generators emit the DuckDB oracle.
-  private def dotSql(va: String, vb: String): String =
-    s"list_reduce(list_prepend(0::DOUBLE, list_transform(range(1, len($va)+1), i -> $va[i] * $vb[i])), " +
-      s"(a, x) -> a + x)"
 
   /** ±1 hyperplane component for element i (1-based) of plane j: bit 16 of a
     * fixed linear integer mix — identical arithmetic on both engines. */

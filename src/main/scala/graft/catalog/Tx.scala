@@ -22,6 +22,12 @@ object Tx {
     s"aggregate(transform(sequence(1, length($s)), i -> ascii(substring($s, i, 1))), " +
       s"cast(0 as bigint), (a, x) -> (a*31 + x) % $P)"
 
+  /** serial left-fold dot product, DuckDB side (Spark side: VectorExprs.dot
+    * / TextKernels.dotd — identical IEEE op order). */
+  def dotSql(va: String, vb: String): String =
+    s"list_reduce(list_prepend(0::DOUBLE, list_transform(range(1, len($va)+1), i -> $va[i] * $vb[i])), " +
+      s"(a, x) -> a + x)"
+
   /** same hash, DuckDB side (list_reduce has no init → prepend the zero). */
   def polyHashSql(s: String): String =
     s"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length($s)+1), i -> unicode($s[i]))), " +
