@@ -106,10 +106,72 @@ object Similarity extends QueryPack {
         .select($"q_id", $"rank".cast("long").as("rank"),
                 $"vec_id".as("neighbor_id"), $"cos")
         .orderBy($"q_id", $"rank")
-    }
+    },
+    "v3_ivf_ann" -> ivfQuery
   )
 
+  /** v3: IVF ANN — coarse quantizer cells are the first 8 vectors (a
+    * deterministic stand-in for k-means centroids); every vector is assigned
+    * to its nearest cell (broadcast argmax, cosine desc / cell asc
+    * tiebreak), queries probe their 2 nearest cells, and the exact-cosine
+    * rerank runs only inside the probed cells. Scale shape: assignment is a
+    * per-row broadcast pass (no shuffle); the search join keys on cell id,
+    * so each query touches 2/8 of the corpus — the inverted-file property. */
+  private lazy val ivfQuery: (SparkSession, String) => DataFrame = { (s, dir) =>
+    import s.implicits._
+    val e = Tables(s, dir).embeddings
+      .withColumn("v", $"embedding".cast("array<double>"))
+      .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
+      .select($"vec_id", $"v", $"norm2")
+    val seeds = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("cell"), $"v".as("cv"), $"norm2".as("cnorm2"))
+    val wCell = Window.partitionBy($"vec_id").orderBy($"cell_cos".desc, $"cell")
+    val assigned = e.crossJoin(broadcast(seeds))
+      .withColumn("cell_cos",
+        graft.functions.VectorExprs.cosine($"v", $"cv", $"norm2", $"cnorm2"))
+      .withColumn("crank", row_number().over(wCell))
+    val data = assigned.filter($"crank" === 1)
+      .select($"cell", $"vec_id", $"v", $"norm2")
+    val probes = assigned.filter($"crank" <= 2 && $"vec_id" < 10)
+      .select($"cell", $"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
+    val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    data.join(broadcast(probes), Seq("cell"))
+      .filter($"vec_id" =!= $"q_id")
+      .withColumn("cos",
+        graft.functions.VectorExprs.cosine($"qv", $"v", $"qn", $"norm2"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter($"rank" <= K)
+      .select($"q_id", $"rank".cast("long").as("rank"),
+              $"vec_id".as("neighbor_id"), $"cos")
+      .orderBy($"q_id", $"rank")
+  }
+
   val oracle: Map[String, String] = Map(
+    "v3_ivf_ann" -> s"""
+      WITH e AS (
+        SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings) t),
+      seeds AS (
+        SELECT vec_id AS cell, v AS cv, norm2 AS cnorm2 FROM e WHERE vec_id < 8),
+      assigned AS (
+        SELECT e.vec_id, e.v, e.norm2, s.cell,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 ${dotSql("e.v", "s.cv")} / (sqrt(e.norm2) * sqrt(s.cnorm2)) DESC,
+                 s.cell) AS crank
+        FROM e CROSS JOIN seeds s),
+      data AS (
+        SELECT cell, vec_id, v, norm2 FROM assigned WHERE crank = 1),
+      probes AS (
+        SELECT cell, vec_id AS q_id, v AS qv, norm2 AS qn
+        FROM assigned WHERE crank <= 2 AND vec_id < 10)
+      SELECT q_id, rank, neighbor_id, cos FROM (
+        SELECT q_id, vec_id AS neighbor_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        FROM (SELECT p.q_id, d.vec_id,
+                     ${dotSql("p.qv", "d.v")} / (sqrt(p.qn) * sqrt(d.norm2)) AS cos
+              FROM data d JOIN probes p ON d.cell = p.cell AND d.vec_id <> p.q_id) t0) t1
+      WHERE rank <= $K ORDER BY q_id, rank""",
     "v1_brute_topk" -> s"""
       WITH e AS (
         SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
