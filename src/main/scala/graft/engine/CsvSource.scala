@@ -58,6 +58,33 @@ object CsvSource {
         colNames.map(n => coalesce(col(s"__parsed.`$n`"), lit("")).as(n)): _*)
   }
 
+  /** Record-ordinal provenance path: the reference's "line numbers" are
+    * really `enumerate(DictReader, start=2)` — RECORD ordinals, which
+    * diverge from physical file lines when a quoted field embeds a newline
+    * (dynamic.py:302; pinned by the `multiline` golden). This reader parses
+    * with multiLine=true (whole-file, unsplittable — compat path only; such
+    * CSVs cannot split at scale anyway) and numbers records in file order. */
+  def readRecordsWithOrdinals(spark: SparkSession, path: String, spec: FileSpec): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val base = spark.read
+      .option("header", spec.hasHeader)
+      .option("sep", spec.delimiter)
+      .option("encoding", spec.encoding)
+      .option("multiLine", value = true)
+      .option("inferSchema", value = false)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+    val withOrd = base.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq((i + 2) +: r.toSeq)
+    }
+    val schema = StructType(StructField("__line_number", LongType, nullable = false) +:
+      base.schema.fields.toSeq)
+    val df = spark.createDataFrame(withOrd, schema)
+    df.select(col("__line_number") +:
+      base.columns.toSeq.map(c => coalesce(col(s"`$c`"), lit("")).as(c)): _*)
+  }
+
   private[engine] def parseHeader(header: String, delimiter: String): Seq[String] = {
     // minimal RFC-4180 header split (quotes + doubled quotes)
     val out = Seq.newBuilder[String]

@@ -17,8 +17,11 @@ class EtlParitySpec extends AnyFunSuite {
   private def readGold(name: String): String =
     Files.readString(Paths.get(s"$res/golden/$name"))
 
+  // "multiline" exercises record-ordinal line numbers (embedded newline in
+  // a quoted field) via the multiLine reader; the rest use the fast
+  // physical-line reader (equivalent when 1 record = 1 line).
   private val cases = Seq("stocks_dynamic", "crypto_dynamic", "kitchen",
-                          "kitchen_gate", "filters")
+                          "kitchen_gate", "filters", "multiline")
 
   // fixture file name differs for the *_gate twin (same input)
   private def fixtureOf(name: String): String =
@@ -32,7 +35,10 @@ class EtlParitySpec extends AnyFunSuite {
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         mapper.readTree(readGold(s"$name.result.json"))
       }
-      val df = CsvSource.readWithLineNumbers(spark, fixtureOf(name), FileSpec("t", "t"))
+      val df =
+        if (name == "multiline")
+          CsvSource.readRecordsWithOrdinals(spark, fixtureOf(name), FileSpec("t", "t"))
+        else CsvSource.readWithLineNumbers(spark, fixtureOf(name), FileSpec("t", "t"))
       val out = Files.createTempDirectory("etl").resolve(s"$name.csv").toString
       val result = Runner.convert(df, mapping, out, failOnError)
 

@@ -130,6 +130,21 @@ run("kitchen", KITCHEN, KITCHEN_MAPPING, False)
 run("kitchen_gate", KITCHEN, KITCHEN_MAPPING, True)
 run("filters", KITCHEN, FILTER_MAPPING, False)
 
+# embedded newline inside a quoted field: DictReader yields 3 records;
+# line_number is the RECORD ordinal + 1 (enumerate(reader, start=2)),
+# NOT the physical file line — gamma sits on physical line 5, reports 4.
+MULTILINE = 'name,qty,d\nalpha,1,"li\nne"\nbeta,,x\ngamma,3,bad-date\n'
+MULTILINE_MAPPING = {
+    "id": "ml", "name": "ml", "source_id": "s", "destination_id": "d",
+    "field_mappings": [
+        {"destination_field": "n", "source_field": "name", "transform_type": "direct", "transform_config": {}},
+        {"destination_field": "dd", "source_field": "d", "transform_type": "date_format",
+         "transform_config": {"input_format": "%Y-%m-%d", "output_format": "%d/%m/%Y"}},
+    ],
+    "filter_rules": [{"field": "qty", "operator": "is_empty"}],
+}
+run("multiline", MULTILINE, MULTILINE_MAPPING, False)
+
 # ---- hardcoded-pipeline goldens (EP1: cli.py path) -------------------------
 from converter.pipeline import ETLPipeline  # noqa: E402
 from converter.extractors.revolut_stocks import RevolutStocksExtractor  # noqa: E402
