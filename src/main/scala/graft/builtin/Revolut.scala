@@ -190,8 +190,10 @@ object Revolut {
     coalesce(mapped, concat(symbolUpper, lit("-USD")))
   }
 
-  /** Full crypto plan over a raw all-string CSV frame. */
-  def cryptoPlan(raw: DataFrame, accountName: String = "Revolut Crypto"): DataFrame = {
+  /** Full crypto plan over a raw all-string CSV frame (`keep` as in
+    * stocksPlan). */
+  def cryptoPlan(raw: DataFrame, accountName: String = "Revolut Crypto",
+                 keep: Seq[String] = Nil): DataFrame = {
     def f(name: String) = trim(coalesce(col(name), lit("")))
     val typeUpper = upper(f("Type"))
     raw
@@ -199,7 +201,7 @@ object Revolut {
       .withColumn("__gftype",
         when(typeUpper === "BUY", "BUY").when(typeUpper === "SELL", "SELL"))
       .filter(col("__gftype").isNotNull && f("Symbol") =!= "")
-      .select(
+      .select(Seq(
         parseDateCrypto(f("Date")).as("date"),
         mapCryptoSymbol(upper(f("Symbol"))).as("symbol"),
         col("__gftype").as("type"),
@@ -208,7 +210,25 @@ object Revolut {
         money8(parseMoney(f("Fees"))).as("fee"),
         detectCurrency(f("Price"), f("Value")).as("currency"),
         lit(accountName).as("account"),
-        lit("YAHOO").as("dataSource"))
+        lit("YAHOO").as("dataSource")) ++ keep.map(col): _*)
+  }
+
+  /** S2 scale mode for crypto exports (see processStocksGlob). */
+  def processCryptoGlob(spark: org.apache.spark.sql.SparkSession,
+                        inGlob: String, outDir: String,
+                        accountName: String = "Revolut Crypto"): Map[String, Long] = {
+    val raw = graft.engine.CsvSource.read(spark, inGlob, graft.spec.FileSpec("g", "g"))
+      .withColumn("src_file",
+        regexp_extract(input_file_name(), "([^/]+)\\.csv", 1))
+    val planned = cryptoPlan(raw, accountName, keep = Seq("src_file"))
+    planned.write
+      .partitionBy("src_file")
+      .option("header", value = true)
+      .option("escape", "\"").option("emptyValue", "").option("nullValue", "")
+      .mode("overwrite")
+      .csv(outDir)
+    planned.groupBy("src_file").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
   /** K1 — write one Ghostfolio CSV per input (csv_loader.py:11-23) and

@@ -34,4 +34,14 @@ class GlobProcessSpec extends AnyFunSuite {
       .collect().map(_.mkString("|")).sorted.toSeq
     assert(part == ref && part.nonEmpty)
   }
+
+  test("processCryptoGlob matches per-file counts") {
+    val in = Files.createTempDirectory("glob_cin")
+    val fixture = Files.readString(Paths.get("src/test/resources/fixtures/crypto_hardcoded.csv"))
+    Files.writeString(in.resolve("a.csv"), fixture)
+    Files.writeString(in.resolve("b.csv"), fixture)
+    val out = Files.createTempDirectory("glob_cout").resolve("gf").toString
+    val counts = Revolut.processCryptoGlob(spark, s"$in/*.csv", out)
+    assert(counts == Map("a" -> 6L, "b" -> 6L), s"counts: $counts")
+  }
 }
