@@ -148,8 +148,12 @@ object Runner {
                              exception: Exception): Unit = ()
     }
     spark.listenerManager.register(listener)
+    // stage-then-commit: the job writes to a staging dir; only a passing
+    // gate publishes it (atomic directory move), so readers can never
+    // observe a torn or gate-failed output at outDir
+    val staging = outDir + ".__staging__"
     val metrics = try {
-      CsvSink.write(kept, fields, outDir)
+      CsvSink.write(kept, fields, staging)
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       while (captured.get().isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
       captured.get().getOrElse(sys.error(s"$gateName metrics not delivered within 30s"))
@@ -158,14 +162,19 @@ object Runner {
       (metrics.getLong(0), metrics.getLong(1), metrics.getLong(2), metrics.getLong(3))
     val anyRows = fields.nonEmpty && (total - skipped) > 0
     val keep = anyRows && (errs == 0 || !failOnError)
-    if (!keep) {
-      // gate tripped (or nothing to write): retract the output
-      val p = java.nio.file.Paths.get(outDir)
+    def rmTree(dir: String): Unit = {
+      val p = java.nio.file.Paths.get(dir)
       if (java.nio.file.Files.exists(p)) {
         java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
           .forEach(f => java.nio.file.Files.deleteIfExists(f))
       }
     }
+    if (keep) {
+      rmTree(outDir)
+      java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+        java.nio.file.Paths.get(outDir),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else rmTree(staging)
     if (m.fieldMappings.isEmpty) TransformResult(0L, total, 0L, Nil, written = false)
     else TransformResult(clean, skipped, errs, Nil, written = keep)
   }
