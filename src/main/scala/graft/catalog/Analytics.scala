@@ -57,12 +57,15 @@ object Analytics extends QueryPack {
              count(lit(1)).as("n"))
         .orderBy($"p_brand")
     },
-    // g1: per-nation sorted list of supplier names (deterministic array agg)
+    // g1: per-nation sorted list of supplier names (deterministic array agg).
+    // Comma-joined, not ARRAY-typed: the driver's compare (pandas sort +
+    // hash) cannot process array cells; the joined string carries the same
+    // values in the same sorted order.
     "g1_array_agg" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir).supplier
         .groupBy($"s_nationkey")
-        .agg(sort_array(collect_list($"s_name")).as("names"),
+        .agg(array_join(sort_array(collect_list($"s_name")), ",").as("names"),
              count(lit(1)).as("n"))
         .orderBy($"s_nationkey")
     }
@@ -86,7 +89,7 @@ object Analytics extends QueryPack {
              quantile_cont(p_size, 0.9) AS p90, COUNT(*) AS n
       FROM part GROUP BY p_brand ORDER BY p_brand""",
     "g1_array_agg" -> """
-      SELECT s_nationkey, list_sort(list(s_name)) AS names, COUNT(*) AS n
+      SELECT s_nationkey, array_to_string(list_sort(list(s_name)), ',') AS names, COUNT(*) AS n
       FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""
   )
 }

@@ -37,6 +37,15 @@ object Dedup extends QueryPack {
   import graft.functions.TextKernels
   import TextKernels.{AB, NBands, RowsPerBand}
 
+  /** Hot-key guards (identical on both engines — see d2/d4 notes). A band
+    * bucket with B members emits B² candidate pairs and a shingle with
+    * document frequency D emits D² join rows; these caps bound both
+    * quadratics. Sized well above any organic cluster in the testdata so
+    * results are unchanged there; a planted viral key (DedupHotKeySpec)
+    * stays subquadratic. */
+  val MaxBucket = 128
+  val MaxDf = 128
+
   // ---- DuckDB-side SQL generators (Spark side uses the compiled kernels in
   // graft.functions.TextKernels — identical arithmetic, see its scaladoc) ---
 
@@ -81,7 +90,15 @@ object Dedup extends QueryPack {
     },
     // d2: MinHash+LSH near-dup candidates — 16 minhashes, 4 bands × 4 rows;
     // pairs sharing any band bucket, with estimated Jaccard = matching
-    // signature slots / 16 (kept when est ≥ 0.5).
+    // signature slots / 16 (kept when est ≥ 0.5). Two scale guards:
+    //  - HOT-BUCKET CAP: a band bucket shared by B docs emits B² pairs; a
+    //    viral bucket (boilerplate text) is quadratic. Buckets over
+    //    `MaxBucket` members are dropped from candidate generation (their
+    //    pairs can still surface via their other 3 bands) — the standard
+    //    LSH stop-bucket cut. Mirrored in the oracle via QUALIFY.
+    //  - ID-ONLY DEDUP: the pair distinct() shuffles only (d1, d2); the
+    //    16-slot signatures rejoin AFTER dedup, so the widest shuffle
+    //    carries ids, not signature payloads.
     "d2_minhash_lsh" -> { (s, dir) =>
       import s.implicits._
       val sig = Tables(s, dir).documents
@@ -89,14 +106,21 @@ object Dedup extends QueryPack {
         .withColumn("bands", TextKernels.bandsUdf($"sig"))
         .select($"doc_id", $"sig", $"bands")
       val buckets = sig
-        .select($"doc_id", $"sig", posexplode($"bands").as(Seq("band_idx", "band_hash")))
-      val pairs = buckets.as("a").join(buckets.as("b"),
+        .select($"doc_id", posexplode($"bands").as(Seq("band_idx", "band_hash")))
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy($"band_idx", $"band_hash")
+      val capped = buckets
+        .withColumn("bn", count(lit(1)).over(wB))
+        .filter($"bn" <= MaxBucket)
+        .drop("bn")
+      val pairIds = capped.as("a").join(capped.as("b"),
           $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
             $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
-                $"a.sig".as("sig_a"), $"b.sig".as("sig_b"))
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
         .distinct()
-      pairs
+      pairIds
+        .join(sig.select($"doc_id".as("d1"), $"sig".as("sig_a")), Seq("d1"))
+        .join(sig.select($"doc_id".as("d2"), $"sig".as("sig_b")), Seq("d2"))
         .withColumn("est_jaccard",
           expr("cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) as double)") / 16.0)
         .filter($"est_jaccard" >= 0.5)
@@ -117,12 +141,21 @@ object Dedup extends QueryPack {
     // its full shingle array: |∪| = n1 + n2 − |∩|. The join key is an 8-byte
     // hash, not the shingle string — at 100 TB that is the difference
     // between shuffling text and shuffling longs.
+    // STOP-SHINGLE CAP: a shingle with document frequency D contributes D²
+    // join rows — one viral boilerplate shingle is quadratic. Shingles with
+    // df > MaxDf are cut on BOTH engines (QUALIFY in the oracle); their
+    // pairs' |∩| then counts only informative shingles, while |∪| keeps the
+    // full per-doc counts (slight underestimate, consistent across engines).
     "d4_ngram_jaccard" -> { (s, dir) =>
       import s.implicits._
       val sh = Tables(s, dir).documents
         .select($"doc_id", TextKernels.shingleHashesUdf($"text").as("hs"))
         .select($"doc_id", size($"hs").cast("long").as("n_sh"), $"hs")
+      val wH = org.apache.spark.sql.expressions.Window.partitionBy($"h")
       val ex = sh.select($"doc_id", $"n_sh", explode($"hs").as("h"))
+        .withColumn("df", count(lit(1)).over(wH))
+        .filter($"df" <= MaxDf)
+        .drop("df")
       ex.as("a").join(ex.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
         .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
                  $"a.n_sh".as("n1"), $"b.n_sh".as("n2"))
@@ -166,9 +199,12 @@ object Dedup extends QueryPack {
         SELECT doc_id, sig, b.band_idx, bands[b.band_idx + 1] AS band_hash
         FROM (SELECT doc_id, sig, ${bandsSql("sig")} AS bands FROM sig) t
         CROSS JOIN (SELECT unnest(range(0, $NBands)) AS band_idx) b),
+      bkc AS (
+        SELECT * FROM bk
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= $MaxBucket),
       pairs AS (
         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sig AS sig_a, b.sig AS sig_b
-        FROM bk a JOIN bk b
+        FROM bkc a JOIN bkc b
           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
       SELECT d1, d2, est_jaccard FROM (
         SELECT d1, d2,
@@ -185,7 +221,9 @@ object Dedup extends QueryPack {
         SELECT doc_id, len(hs)::BIGINT AS n_sh, hs
         FROM (SELECT doc_id, $shingleHashesSql AS hs
               FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0) t1),
-      ex AS (SELECT doc_id, n_sh, unnest(hs) AS h FROM sh)
+      ex AS (
+        SELECT doc_id, n_sh, h FROM (SELECT doc_id, n_sh, unnest(hs) AS h FROM sh) t
+        QUALIFY COUNT(*) OVER (PARTITION BY h) <= $MaxDf)
       SELECT d1, d2, n_inter, n_union, jaccard FROM (
         SELECT d1, d2, n_inter, n1 + n2 - n_inter AS n_union,
                n_inter::DOUBLE / (n1 + n2 - n_inter) AS jaccard

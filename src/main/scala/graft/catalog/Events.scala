@@ -45,7 +45,7 @@ object Events extends QueryPack {
       import s.implicits._
       Tables(s, dir).events
         .groupBy(window($"ts", "10 minutes"), $"event_type")
-        .agg(count(lit(1)).as("n"), asDec(sum(dec2($"value")), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"), asDbl(sum(dec2($"value")), 2).as("sum_value"))
         .select(unix_timestamp($"window.start").as("w_start"),
                 $"event_type", $"n", $"sum_value")
         .orderBy($"w_start", $"event_type")
@@ -80,15 +80,18 @@ object Events extends QueryPack {
     },
     // e5: watermark-style late-data accounting: an event is "late" if it is
     // >10 minutes behind the max event time seen earlier in arrival order
-    // (event_id = arrival order) — the batch shadow of withWatermark drop
+    // (event_id = arrival order) — the batch shadow of withWatermark drop.
+    // The prefix-max runs as ScaleOps.prefixMax (bucketed two-pass), NOT an
+    // unpartitioned Window.orderBy — round-1's version sorted the whole
+    // table into one partition.
     "e5_late_data" -> { (s, dir) =>
       import s.implicits._
-      val arrival = Window.orderBy($"event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables(s, dir).events
-        .withColumn("us", unix_micros($"ts"))
+      val withPrefix = ScaleOps.prefixMax(
+        Tables(s, dir).events.withColumn("us", unix_micros($"ts")),
+        orderCol = "event_id", valueCol = "us", outCol = "prev_max_us")
+      withPrefix
         .withColumn("late",
-          when($"us" < max($"us").over(arrival) - 600000000L, 1).otherwise(0))
+          when($"us" < $"prev_max_us" - 600000000L, 1).otherwise(0))
         .groupBy($"event_type")
         .agg(sum($"late").as("n_late"), count(lit(1)).as("n_total"))
         .orderBy($"event_type")
@@ -98,13 +101,13 @@ object Events extends QueryPack {
   val oracle: Map[String, String] = Map(
     "e1_json_kstats" -> """
       SELECT event_type, COUNT(*) AS n,
-             SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+             SUM(k)::BIGINT AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
       FROM (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events) t
       GROUP BY event_type ORDER BY event_type""",
     "e2_tumbling_counts" -> """
       SELECT (floor(epoch(ts) / 600) * 600)::BIGINT AS w_start, event_type,
              COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
       FROM events GROUP BY w_start, event_type ORDER BY w_start, event_type""",
     "e3_sliding_counts" -> """
       SELECT ws AS w_start, COUNT(*) AS n FROM (
@@ -117,8 +120,8 @@ object Events extends QueryPack {
              MAX(us) - MIN(us) AS dur_us
       FROM (
         SELECT user_id, us,
-               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+               (SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sess_id
         FROM (
           SELECT user_id, event_id, us,
                  CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
@@ -128,7 +131,7 @@ object Events extends QueryPack {
           FROM (SELECT user_id, event_id, epoch_us(ts) AS us FROM events) t0) t1) t2
       GROUP BY user_id, sess_id ORDER BY user_id, sess_id""",
     "e5_late_data" -> """
-      SELECT event_type, SUM(late) AS n_late, COUNT(*) AS n_total FROM (
+      SELECT event_type, SUM(late)::BIGINT AS n_late, COUNT(*) AS n_total FROM (
         SELECT event_type,
                CASE WHEN us < MAX(us) OVER (ORDER BY event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 600000000

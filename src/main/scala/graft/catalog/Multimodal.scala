@@ -38,11 +38,16 @@ object Multimodal extends QueryPack {
                 md5($"frame_bytes").as("frame_digest"))
         .orderBy($"media_id", $"frame_idx")
     },
-    // m3: decode-stub + feature extraction (no SQL twin → rows-only check)
+    // m3: decode-stub + feature extraction (no SQL twin → rows-only check).
+    // The embedding vector is emitted comma-joined: the driver's rows-only
+    // check still sorts the frame in pandas, which cannot process array
+    // cells; the joined string is deterministic (histogram of fixed bytes).
     "m3_media_features" -> { (s, dir) =>
       import s.implicits._
       Media.featureExtract(Media.mediaFromDocuments(Tables(s, dir).documents))
         .toDF()
+        .select($"media_id", $"kind",
+                array_join(transform($"embedding", _.cast("string")), ",").as("embedding"))
         .orderBy($"media_id")
     }
   )

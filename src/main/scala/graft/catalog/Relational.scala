@@ -20,6 +20,14 @@ object Q {
   /** small rate column (discount/tax) as exact decimal(8,2) */
   def rate(c: Column): Column = c.cast(DecimalType(8, 2))
   def asDec(c: Column, s: Int): Column = c.cast(DecimalType(38, s))
+  /** Exact-decimal arithmetic rendered as DOUBLE at the query boundary.
+    * The driver hashes results through pandas, where DuckDB DECIMAL becomes
+    * float64 while Spark parquet keeps java.math.BigDecimal — value-identical
+    * cells then hash-differ on trailing zeros (`138014.00` vs `138014.0`).
+    * Emitting DOUBLE on BOTH sides (identical exact decimal → identical IEEE
+    * double) makes the representation stable; the arithmetic underneath
+    * stays exact. Pair with `CAST(... AS DOUBLE)` in the oracle SQL. */
+  def asDbl(c: Column, s: Int): Column = c.cast(DecimalType(38, s)).cast("double")
   /** SQL text for the same casts, DuckDB side */
   def sqlDec2(c: String) = s"CAST($c AS DECIMAL(18,2))"
   def sqlRate(c: String) = s"CAST($c AS DECIMAL(8,2))"
@@ -49,10 +57,10 @@ object Relational extends QueryPack {
         .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          asDec(sum(dec2($"l_quantity")), 2).as("sum_qty"),
-          asDec(sum(dec2($"l_extendedprice")), 2).as("sum_base_price"),
-          asDec(sum(dec2($"l_extendedprice") * (rate(lit(1)) - rate($"l_discount"))), 4).as("sum_disc_price"),
-          asDec(sum(dec2($"l_extendedprice") * (rate(lit(1)) - rate($"l_discount")) * (rate(lit(1)) + rate($"l_tax"))), 6).as("sum_charge"),
+          asDbl(sum(dec2($"l_quantity")), 2).as("sum_qty"),
+          asDbl(sum(dec2($"l_extendedprice")), 2).as("sum_base_price"),
+          asDbl(sum(dec2($"l_extendedprice") * (rate(lit(1)) - rate($"l_discount"))), 4).as("sum_disc_price"),
+          asDbl(sum(dec2($"l_extendedprice") * (rate(lit(1)) - rate($"l_discount")) * (rate(lit(1)) + rate($"l_tax"))), 6).as("sum_charge"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     },
@@ -62,7 +70,7 @@ object Relational extends QueryPack {
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n_orders"),
              countDistinct($"o_custkey").as("n_cust"),
-             asDec(sum(dec2($"o_totalprice")), 2).as("sum_price"))
+             asDbl(sum(dec2($"o_totalprice")), 2).as("sum_price"))
         .orderBy($"o_orderpriority")
     },
     "q3_shipping_topk" -> { (s, dir) =>
@@ -75,7 +83,7 @@ object Relational extends QueryPack {
         .filter($"o_orderdate" < lit("1998-03-15").cast("timestamp") &&
                 $"l_shipdate" > lit("1998-03-15").cast("timestamp"))
         .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-        .agg(asDec(sum(dec2($"l_extendedprice") * (rate(lit(1)) - rate($"l_discount"))), 4).as("revenue"))
+        .agg(asDbl(sum(dec2($"l_extendedprice") * (rate(lit(1)) - rate($"l_discount"))), 4).as("revenue"))
         .orderBy($"revenue".desc, $"l_orderkey")
         .limit(10)
     },
@@ -97,7 +105,7 @@ object Relational extends QueryPack {
         .join(broadcast(t.region), $"n_regionkey" === $"r_regionkey")
         .filter($"r_name" === "ASIA" && $"o_orderdate" >= lit("1996-01-01").cast("timestamp"))
         .groupBy($"n_name")
-        .agg(asDec(sum(dec2($"l_extendedprice") * (rate(lit(1)) - rate($"l_discount"))), 4).as("revenue"),
+        .agg(asDbl(sum(dec2($"l_extendedprice") * (rate(lit(1)) - rate($"l_discount"))), 4).as("revenue"),
              count(lit(1)).as("n_items"))
         .orderBy($"revenue".desc, $"n_name")
     },
@@ -113,7 +121,7 @@ object Relational extends QueryPack {
       import s.implicits._
       Tables(s, dir).lineitem
         .cube($"l_returnflag", $"l_linestatus")
-        .agg(asDec(sum(dec2($"l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(asDbl(sum(dec2($"l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     },
     // j8: the skew-mitigation pattern, hot/cold split — only HOT keys are
@@ -142,7 +150,7 @@ object Relational extends QueryPack {
         .select($"o_orderpriority", $"l_quantity")
       cold.unionByName(hot)
         .groupBy($"o_orderpriority")
-        .agg(count(lit(1)).as("n"), asDec(sum(dec2($"l_quantity")), 2).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), asDbl(sum(dec2($"l_quantity")), 2).as("sum_qty"))
         .orderBy($"o_orderpriority")
     },
     "a5_grouping_sets" -> { (s, dir) =>
@@ -152,7 +160,7 @@ object Relational extends QueryPack {
           Seq(Seq($"o_orderstatus", $"o_orderpriority"), Seq($"o_orderstatus"), Seq()),
           $"o_orderstatus", $"o_orderpriority")
         .agg(count(lit(1)).as("n"),
-             asDec(sum(dec2($"o_totalprice")), 2).as("sum_price"))
+             asDbl(sum(dec2($"o_totalprice")), 2).as("sum_price"))
         .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
     },
     "a3_minmax_avg" -> { (s, dir) =>
@@ -167,13 +175,18 @@ object Relational extends QueryPack {
              count(lit(1)).as("n"))
         .orderBy($"l_returnflag")
     },
-    // approx_count_distinct is a sketch (HLL++); no cross-engine oracle —
-    // driver records rows-only. Kept because SURVEY §2.B lists it.
+    // approx_count_distinct is a sketch (HLL++); the sketch value itself has
+    // no cross-engine twin, so the checkable contract is: the exact count
+    // (both engines compute it) plus a boolean asserting the sketch landed
+    // within its documented error envelope (HLL++ rsd default 5%).
     "a4_approx_distinct" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir).lineitem
         .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
              countDistinct($"l_partkey").as("exact_parts"))
+        .select($"exact_parts",
+                (abs($"approx_parts".cast("double") - $"exact_parts".cast("double")) <=
+                  $"exact_parts".cast("double") * 0.05).as("within_5pct"))
     },
 
     // ---- joins -------------------------------------------------------------
@@ -256,7 +269,7 @@ object Relational extends QueryPack {
         .filter($"l_suppkey" <= 3)
         .groupBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
         .agg(sum(dec2($"l_quantity")).as("qty"))
-        .withColumn("running_qty", asDec(sum($"qty").over(w), 2))
+        .withColumn("running_qty", asDbl(sum($"qty").over(w), 2))
         .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_shipdate", $"running_qty")
         .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
     },
@@ -278,11 +291,16 @@ object Relational extends QueryPack {
                 dense_rank().over(w).cast("long").as("drnk"))
         .orderBy($"p_brand", $"p_partkey")
     },
+    // w5: global NTILE without the global sort — round-1's version was an
+    // unpartitioned Window.orderBy (whole table in one partition). The
+    // two-pass bucketed rank (ScaleOps.globalNtile) reproduces SQL NTILE
+    // semantics exactly; the oracle still runs DuckDB's native NTILE.
     "w5_ntile" -> { (s, dir) =>
       import s.implicits._
-      val w = Window.orderBy($"c_acctbal".desc, $"c_custkey")
-      Tables(s, dir).customer
-        .select($"c_custkey", $"c_acctbal", ntile(4).over(w).cast("long").as("quartile"))
+      ScaleOps.globalNtile(Tables(s, dir).customer, 4,
+          orderVal = $"c_acctbal", tiebreak = $"c_custkey",
+          desc = true, outCol = "quartile")
+        .select($"c_custkey", $"c_acctbal", $"quartile")
         .orderBy($"c_custkey")
     },
     // w8: percent_rank / cume_dist (rank-normalized window statistics)
@@ -296,11 +314,14 @@ object Relational extends QueryPack {
                 cume_dist().over(w).as("cd"))
         .orderBy($"o_orderpriority", $"o_orderkey")
     },
-    // t9: date_trunc / extract calendar arithmetic
+    // t9: date_trunc / extract calendar arithmetic. The month is emitted as
+    // an ISO string: DATE columns convert asymmetrically through the
+    // driver's pandas path (datetime64 vs datetime.date objects), strings
+    // don't.
     "t9_date_parts" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir).orders
-        .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("month"),
+        .groupBy(date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("month"),
                  year($"o_orderdate").as("y"),
                  quarter($"o_orderdate").as("q"))
         .agg(count(lit(1)).as("n"))
@@ -331,7 +352,7 @@ object Relational extends QueryPack {
         .filter($"l_suppkey" <= 2)
         .groupBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
         .agg(sum(dec2($"l_quantity")).as("qty"))
-        .withColumn("qty_3row", asDec(sum($"qty").over(w), 2))
+        .withColumn("qty_3row", asDbl(sum($"qty").over(w), 2))
         .orderBy($"l_suppkey", $"l_shipdate", $"l_orderkey", $"l_linenumber")
         .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"qty_3row")
     },
@@ -395,20 +416,20 @@ object Relational extends QueryPack {
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2))) * (CAST(1 AS DECIMAL(8,2)) + CAST(l_tax AS DECIMAL(8,2)))) AS DECIMAL(38,6)) AS sum_charge,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2))) * (CAST(1 AS DECIMAL(8,2)) + CAST(l_tax AS DECIMAL(8,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
              COUNT(*) AS count_order
       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
     "q2_priority_distinct" -> """
       SELECT o_orderpriority, COUNT(*) AS n_orders, COUNT(DISTINCT o_custkey) AS n_cust,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q3_shipping_topk" -> """
       SELECT l_orderkey, o_orderdate, o_orderpriority,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DECIMAL(38,4)) AS revenue
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            JOIN customer ON o_custkey = c_custkey
       WHERE c_mktsegment = 'BUILDING'
@@ -421,7 +442,7 @@ object Relational extends QueryPack {
       GROUP BY o_custkey HAVING COUNT(*) >= 15 ORDER BY o_custkey""",
     "q5_nation_revenue" -> """
       SELECT n_name,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DECIMAL(38,4)) AS revenue,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
              COUNT(*) AS n_items
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            JOIN customer ON o_custkey = c_custkey
@@ -436,21 +457,24 @@ object Relational extends QueryPack {
       ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
     "a2_cube" -> """
       SELECT l_returnflag, l_linestatus,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
              COUNT(*) AS n
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "j8_skew_salted_join" -> """
       SELECT o_orderpriority, COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "a5_grouping_sets" -> """
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "a4_approx_distinct" -> """
+      SELECT COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS within_5pct
+      FROM lineitem""",
     "a3_minmax_avg" -> """
       SELECT l_returnflag, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
              CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / COUNT(*) AS avg_qty,
@@ -493,9 +517,9 @@ object Relational extends QueryPack {
       WHERE rn <= 3 ORDER BY o_custkey, rn""",
     "w2_running_sum" -> """
       SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
-             CAST(SUM(qty) OVER (
+             CAST(CAST(SUM(qty) OVER (
                PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_qty
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS DOUBLE) AS running_qty
       FROM (SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
                    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
             FROM lineitem WHERE l_suppkey <= 3 GROUP BY 1,2,3,4) g
@@ -522,7 +546,7 @@ object Relational extends QueryPack {
       WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
       ORDER BY o_orderpriority, o_orderkey""",
     "t9_date_parts" -> """
-      SELECT date_trunc('month', o_orderdate)::DATE AS month,
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
              EXTRACT(year FROM o_orderdate)::INT AS y,
              EXTRACT(quarter FROM o_orderdate)::INT AS q,
              COUNT(*) AS n
@@ -538,9 +562,9 @@ object Relational extends QueryPack {
       ORDER BY o_orderpriority, o_orderkey""",
     "w6_range_frame" -> """
       SELECT l_suppkey, l_orderkey, l_linenumber,
-             CAST(SUM(qty) OVER (
+             CAST(CAST(SUM(qty) OVER (
                PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS qty_3row
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS DOUBLE) AS qty_3row
       FROM (SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
                    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
             FROM lineitem WHERE l_suppkey <= 2 GROUP BY 1,2,3,4) g

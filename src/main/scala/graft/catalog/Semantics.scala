@@ -120,8 +120,8 @@ object Semantics extends QueryPack {
       import s.implicits._
       Tables(s, dir).lineitem
         .select($"l_orderkey", $"l_linenumber",
-                Q.asDec(Q.dec2($"l_quantity") * Q.dec2($"l_extendedprice"), 4).as("total"),
-                Q.asDec(Q.dec2($"l_extendedprice") * (Q.rate(lit(1)) - Q.rate($"l_discount")), 4).as("discounted"))
+                Q.asDbl(Q.dec2($"l_quantity") * Q.dec2($"l_extendedprice"), 4).as("total"),
+                Q.asDbl(Q.dec2($"l_extendedprice") * (Q.rate(lit(1)) - Q.rate($"l_discount")), 4).as("discounted"))
         // (l_orderkey, l_linenumber) is not unique in the synthetic data;
         // ordering by every output column makes the sort total.
         .orderBy($"l_orderkey", $"l_linenumber", $"total", $"discounted")
@@ -204,8 +204,8 @@ object Semantics extends QueryPack {
       FROM customer ORDER BY c_custkey""",
     "t7_formula" -> """
       SELECT l_orderkey, l_linenumber,
-             CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)) AS total,
-             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2))) AS DECIMAL(38,4)) AS discounted
+             CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)) AS DOUBLE) AS total,
+             CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2))) AS DECIMAL(38,4)) AS DOUBLE) AS discounted
       FROM lineitem ORDER BY l_orderkey, l_linenumber, total, discounted LIMIT 1000""",
     "t8_conditional" -> """
       SELECT o_orderkey,

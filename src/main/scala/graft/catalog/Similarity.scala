@@ -81,7 +81,13 @@ object Similarity extends QueryPack {
         .orderBy($"q_id", $"rank")
     },
     // v2: LSH-bucketed ANN — candidates share ≥1 of 4 signature bands with
-    // the query, exact-cosine rerank top-k within candidates
+    // the query, exact-cosine rerank top-k within candidates.
+    // The candidate DEDUP shuffles only (q_id, vec_id) id pairs — round-1's
+    // version distinct()'d rows carrying both full vectors, which made the
+    // dedup shuffle the dominant byte-mover at scale. Vectors rejoin AFTER
+    // the dedup: the query side re-broadcasts, the corpus side equi-joins on
+    // vec_id (each corpus vector crosses the wire once per candidate set,
+    // not once per band collision).
     "v2_lsh_ann" -> { (s, dir) =>
       import s.implicits._
       val e = Tables(s, dir).embeddings
@@ -89,15 +95,19 @@ object Similarity extends QueryPack {
         .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
         .withColumn("sig", TextKernels.lshSigUdf($"v"))
         .select($"vec_id", $"v", $"norm2", $"sig")
-      val buckets = e.select($"vec_id", $"v", $"norm2",
+      val buckets = e.select($"vec_id",
         posexplode(expr(bandsExpr("sig"))).as(Seq("band_idx", "band_val")))
       val qb = buckets.filter($"vec_id" < 10)
-        .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"),
-                $"band_idx", $"band_val")
-      val cand = buckets.join(broadcast(qb), Seq("band_idx", "band_val"))
+        .select($"vec_id".as("q_id"), $"band_idx", $"band_val")
+      val candIds = buckets.join(broadcast(qb), Seq("band_idx", "band_val"))
         .filter($"vec_id" =!= $"q_id")
-        .select($"q_id", $"qv", $"qn", $"vec_id", $"v", $"norm2")
+        .select($"q_id", $"vec_id")
         .distinct()
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
+      val cand = candIds
+        .join(e.select($"vec_id", $"v", $"norm2"), Seq("vec_id"))
+        .join(broadcast(q), Seq("q_id"))
       val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
       cand
         .withColumn("cos", graft.functions.VectorExprs.cosine($"qv", $"v", $"qn", $"norm2"))

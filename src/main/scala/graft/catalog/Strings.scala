@@ -42,12 +42,15 @@ object Strings extends QueryPack {
                 $"dist".cast("long").as("dist"))
         .orderBy($"k1", $"k2")
     },
-    // x5: all alphabetic words per part name via regexp_extract_all
+    // x5: all alphabetic words per part name via regexp_extract_all.
+    // The match list is emitted comma-joined, not as ARRAY: the driver's
+    // compare (pandas sort + hash) cannot process array cells, and a
+    // delimiter-joined string pins the same values deterministically.
     "x5_regexp_extract" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir).part
         .select($"p_partkey",
-                expr("regexp_extract_all(p_name, '[a-z]+', 0)").as("words"),
+                array_join(expr("regexp_extract_all(p_name, '[a-z]+', 0)"), ",").as("words"),
                 expr("size(regexp_extract_all(p_name, '[a-z]+', 0))")
                   .cast("long").as("n_words"))
         .orderBy($"p_partkey")
@@ -64,7 +67,7 @@ object Strings extends QueryPack {
       t.customer.createOrReplaceTempView(vc)
       try s.sql(s"""
         SELECT c_mktsegment, COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
         FROM $vo JOIN $vc ON o_custkey = c_custkey
         WHERE o_orderstatus <> 'F'
         GROUP BY c_mktsegment
@@ -87,12 +90,12 @@ object Strings extends QueryPack {
       WHERE levenshtein(a.p_name, b.p_name) <= 1
       ORDER BY k1, k2""",
     "x5_regexp_extract" -> """
-      SELECT p_partkey, regexp_extract_all(p_name, '[a-z]+') AS words,
+      SELECT p_partkey, array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',') AS words,
              len(regexp_extract_all(p_name, '[a-z]+'))::BIGINT AS n_words
       FROM part ORDER BY p_partkey""",
     "q7_sql_interface" -> """
       SELECT c_mktsegment, COUNT(*) AS n,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
       FROM orders JOIN customer ON o_custkey = c_custkey
       WHERE o_orderstatus <> 'F'
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""

@@ -1,28 +1,48 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's correctness gate.
+"""Local twin of the driver's correctness gate — STRICT, driver-parity.
 
-Reads the Verify.scala output dir (per-query parquet + oracle_sql.json),
-runs each oracle SQL in DuckDB against the same testdata parquet tables,
-and compares: column names (sorted), row counts, and values.
+Round-1 lesson: the driver compares through pandas. The DuckDB side goes
+through `.df()`, where DECIMAL becomes float64 and SUM(BIGINT) becomes
+float64-via-DECIMAL(38,0); the Spark side is parquet read into pandas, where
+DECIMAL stays `decimal.Decimal` (dtype object). The driver then sorts with
+`sort_values` (crashes on array cells) and hashes stringified values. A twin
+that compares *values* loosely (`OK_VALUES_TYPE_DIFF` == pass) let 16 red
+entries ship. This twin therefore replicates the driver's conversion path and
+fails on ANY dtype or string-repr difference:
+
+  - oracle side:  duckdb .df()           (DECIMAL -> float64, like the driver)
+  - spark side:   pyarrow -> to_pandas() (DECIMAL -> decimal.Decimal objects)
+  - sort:         sort_values(by=all columns)  -> ERR on array cells (driver ERRs too)
+  - compare:      pandas dtypes must be identical, then astype(str) frames
+                  must be identical cell-for-cell.
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 """
 import json, sys, glob, os
 import duckdb
+import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def norm(v):
-    # normalize a cell for comparison
-    if isinstance(v, float):
-        return repr(v)
-    return str(v)
+
+def load_spark(files):
+    return pq.ParquetDataset(files).read().to_pandas()
+
+
+def canon(df):
+    """Driver-shaped canonicalization: columns sorted by name, rows sorted by
+    all columns (raises on unsortable cells, e.g. numpy arrays), then every
+    cell stringified."""
+    cols = sorted(df.columns)
+    out = df[cols].sort_values(by=cols, ignore_index=True)
+    return out, out.astype(str)
+
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        # driver testdata = single files; Spark-written (StressGen) = dirs
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
             p = f"{p}/*.parquet"
@@ -31,55 +51,73 @@ def main(sf_dir, out_dir):
     results = {}
     for name in sorted(oracle):
         sql = oracle[name]
-        pq_dir = f"{out_dir}/{name}"
-        files = glob.glob(f"{pq_dir}/*.parquet")
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             results[name] = "NO_SPARK_OUTPUT"
             continue
         try:
-            want = con.execute(sql).fetch_arrow_table()
+            want = con.execute(sql).df()          # DECIMAL -> float64 here
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {e}"
             continue
-        got = con.execute(
-            f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
-        wcols, gcols = sorted(want.column_names), sorted(got.column_names)
-        if wcols != gcols:
-            results[name] = f"COLS_MISMATCH want={wcols} got={gcols}"
+        try:
+            got = load_spark(files)
+        except Exception as e:
+            results[name] = f"SPARK_READ_ERROR: {e}"
             continue
-        if want.num_rows != got.num_rows:
-            results[name] = f"ROWS_MISMATCH want={want.num_rows} got={got.num_rows}"
+        wcols, gcols = sorted(want.columns), sorted(got.columns)
+        if list(wcols) != list(gcols):
+            results[name] = f"COLS_MISMATCH want={list(wcols)} got={list(gcols)}"
             continue
-        w = want.select(wcols).to_pylist()
-        g = got.select(gcols).to_pylist()
+        if len(want) != len(got):
+            results[name] = f"ROWS_MISMATCH want={len(want)} got={len(got)}"
+            continue
+        try:
+            want_s, want_str = canon(want)
+            got_s, got_str = canon(got)
+        except Exception as e:
+            # the driver's sort crashes the same way (array cells etc.)
+            results[name] = f"ERR_SORT ({type(e).__name__}: {e})"
+            continue
+        dt = {c: (str(want_s[c].dtype), str(got_s[c].dtype))
+              for c in wcols if str(want_s[c].dtype) != str(got_s[c].dtype)}
+        if dt:
+            results[name] = f"DTYPE_MISMATCH {dt}"
+            continue
         bad = None
-        for i, (rw, rg) in enumerate(zip(w, g)):
-            for c in wcols:
-                if norm(rw[c]) != norm(rg[c]):
-                    bad = (i, c, rw[c], rg[c])
-                    break
-            if bad:
+        for c in wcols:
+            wv, gv = want_str[c].tolist(), got_str[c].tolist()
+            if wv != gv:
+                i = next(i for i, (a, b) in enumerate(zip(wv, gv)) if a != b)
+                bad = f"VALUE_MISMATCH row={i} col={c} want={want_s[c].iloc[i]!r} got={got_s[c].iloc[i]!r}"
                 break
-        if bad:
-            i, c, a, b = bad
-            results[name] = f"VALUE_MISMATCH row={i} col={c} want={a!r} got={b!r}"
-        else:
-            # also check schema types loosely
-            wt = {f.name: str(f.type) for f in want.schema}
-            gt = {f.name: str(f.type) for f in got.schema}
-            tdiff = {c: (wt[c], gt[c]) for c in wcols if wt[c] != gt[c]}
-            results[name] = "OK" if not tdiff else f"OK_VALUES_TYPE_DIFF {tdiff}"
-    n_ok = sum(1 for v in results.values() if v.startswith("OK"))
+        results[name] = bad if bad else "OK"
+    n_ok = sum(1 for v in results.values() if v == "OK")
     for k, v in results.items():
-        mark = "PASS" if v.startswith("OK") else "FAIL"
+        mark = "PASS" if v == "OK" else "FAIL"
         print(f"{mark} {k}: {v}")
-    # queries with no oracle
-    spark_only = [os.path.basename(d) for d in glob.glob(f"{out_dir}/*")
-                  if os.path.isdir(d) and os.path.basename(d) not in oracle]
+    # queries with no oracle: the driver still loads + sorts them (rows-only);
+    # an array column crashes that path, so run the same canon here.
+    spark_only = sorted(os.path.basename(d) for d in glob.glob(f"{out_dir}/*")
+                        if os.path.isdir(d) and os.path.basename(d) not in oracle)
+    rows_only_bad = []
+    for name in spark_only:
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        try:
+            df = load_spark(files)
+            canon(df)
+            if len(df) == 0:
+                rows_only_bad.append(f"{name}: EMPTY")
+        except Exception as e:
+            rows_only_bad.append(f"{name}: ERR_SORT ({type(e).__name__})")
     if spark_only:
-        print(f"rows-only (no oracle): {sorted(spark_only)}")
-    print(f"== {n_ok}/{len(results)} oracle-matched")
-    return 0 if n_ok == len(results) else 1
+        print(f"rows-only (no oracle): {spark_only}")
+    for b in rows_only_bad:
+        print(f"FAIL rows-only {b}")
+    print(f"== {n_ok}/{len(results)} oracle-matched, "
+          f"{len(spark_only) - len(rows_only_bad)}/{len(spark_only)} rows-only loadable")
+    return 0 if (n_ok == len(results) and not rows_only_bad) else 1
+
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1], sys.argv[2]))
