@@ -27,10 +27,27 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def r3(v: Double): String = f"$v%.3f"
+    def line(kv: Seq[(String, String)]): String = {
+      val qs = kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Full-name per-query times → a file (the driver's stdout tail capture is
+    // ~2 KB; round 2's 2.9 KB line got front-truncated → parsed:null).
+    val full = line(results.map { case (k, v) => k -> r3(v) })
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        "BENCH_LOCAL.json")), full + "\n")
+    catch { case _: Throwable => () }
+    // Stdout line uses each query's leading id token (q1, t5_t6→t5, …) —
+    // unique across the catalog and short enough to survive the tail window.
+    val shortKeys = results.map { case (k, v) => k.takeWhile(_ != '_') -> v }
+    val stdoutKv =
+      if (shortKeys.map(_._1).distinct.size == shortKeys.size)
+        shortKeys.map { case (k, v) => k -> r3(v) }
+      else results.map { case (k, v) => k -> r3(v) }
+    println(line(stdoutKv))
     spark.stop()
   }
 }

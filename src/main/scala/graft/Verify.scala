@@ -20,6 +20,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // drop any stale output from a previous run so the compare can't
+        // silently grade an old result
+        val d = Paths.get(s"$outDir/$name")
+        if (Files.exists(d))
+          Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

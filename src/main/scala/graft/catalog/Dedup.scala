@@ -12,7 +12,7 @@ import graft.{QueryPack, Tables}
   *   d2 MinHash + LSH      — shingle → 16 minhashes → 4 bands → bucket join
   *   d3 SimHash            — 32-bit frequency-weighted token simhash
   *   d4 n-gram Jaccard     — candidate pairs via shared shingle, exact Jaccard
-  *   d5 embedding cosine   — near-dup pairs within coarse blocks (label)
+  *   d5 embedding cosine   — near-dup pairs within k-means quantizer cells
   *
   * Determinism rules (see Tx): all hashes are integer folds identical on both
   * engines; cosine is a serial left-fold of doubles in identical op order, so
@@ -28,9 +28,10 @@ import graft.{QueryPack, Tables}
   *    standard "stop-shingle" cut);
   *  - d3 is pure per-row projection; pairing would join on 16-bit signature
   *    halves (pigeonhole: hamming ≤ k ⇒ some half matches for k < 2 blocks);
-  *  - d5 blocks on a coarse quantizer (here the given `label`; in production
-  *    a k-means cell id) so the quadratic rerank is per-block, and per-vector
-  *    norms are precomputed before the join.
+  *  - d5 blocks on ENGINE-COMPUTED k-means cells (Quantizer: integer-exact
+  *    Lloyd updates, shuffle-free literal-centroid assignment) so the
+  *    quadratic rerank is per-block, and per-vector norms are precomputed
+  *    before the join.
   */
 object Dedup extends QueryPack {
   import Tx._
@@ -166,21 +167,25 @@ object Dedup extends QueryPack {
         .select($"d1", $"d2", $"n_inter", $"n_union", $"jaccard")
         .orderBy($"d1", $"d2")
     },
-    // d5: embedding-cosine near-dup pairs within coarse blocks (label as the
-    // quantizer cell). Norms are precomputed per vector before the join.
+    // d5: embedding-cosine near-dup pairs within coarse blocks. Blocking
+    // cells come from the ENGINE-COMPUTED spherical k-means quantizer
+    // (Quantizer: integer-exact Lloyd updates, literal-centroid assignment
+    // — no shuffle in the assign pass). Norms precomputed before the join.
     "d5_embedding_neardup" -> { (s, dir) =>
       import s.implicits._
       val e = Tables(s, dir).embeddings
         .withColumn("v", $"embedding".cast("array<double>"))
         .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
-        .select($"vec_id", $"label", $"v", $"norm2")
-      e.as("a").join(e.as("b"),
-          $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+        .select($"vec_id", $"v", $"norm2")
+      val cents = Quantizer.centroidsFor(e, dir, k = 8, iters = 2, dim = 64)
+      val cells = Quantizer.assign(e, cents)
+      cells.as("a").join(cells.as("b"),
+          $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
         .withColumn("cos",
           graft.functions.VectorExprs.cosine($"a.v", $"b.v", $"a.norm2", $"b.norm2"))
         .filter($"cos" >= 0.4)
         .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"),
-                $"a.label".as("label"), $"cos")
+                $"a.cell".cast("long").as("cell"), $"cos")
         .orderBy($"v1", $"v2")
     }
   )
@@ -235,13 +240,15 @@ object Dedup extends QueryPack {
       WHERE jaccard >= 0.5 ORDER BY d1, d2""",
     "d5_embedding_neardup" -> s"""
       WITH e AS (
-        SELECT vec_id, label, v, ${dotSql("v", "v")} AS norm2
-        FROM (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
-              FROM embeddings) t)
-      SELECT v1, v2, label, cos FROM (
-        SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,
+        SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings) t),
+      ${Quantizer.centroidsSql(k = 8, iters = 2, dim = 64)}
+      ${Quantizer.cellsSql}
+      SELECT v1, v2, cell, cos FROM (
+        SELECT a.vec_id AS v1, b.vec_id AS v2, a.cell::BIGINT AS cell,
                ${dotSql("a.v", "b.v")} / (sqrt(a.norm2) * sqrt(b.norm2)) AS cos
-        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) t
+        FROM kcells a JOIN kcells b ON a.cell = b.cell AND a.vec_id < b.vec_id) t
       WHERE cos >= 0.4 ORDER BY v1, v2"""
   )
 }

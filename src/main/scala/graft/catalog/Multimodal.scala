@@ -9,8 +9,8 @@ import graft.multimodal.Media
   * The payload/metadata derivations are deterministic functions of
   * documents(doc_id, text), so DuckDB can recompute them in SQL — that pins
   * the TYPED Dataset pipeline (case-class encoders, mapPartitions batches)
-  * against an independent engine. m3 (feature extraction) has no SQL twin
-  * (byte-histogram over blob) → rows-only check + MultimodalSpec.
+  * against an independent engine — including m3's byte-histogram features,
+  * recovered as exact integer counts on both sides.
   */
 object Multimodal extends QueryPack {
 
@@ -38,21 +38,40 @@ object Multimodal extends QueryPack {
                 md5($"frame_bytes").as("frame_digest"))
         .orderBy($"media_id", $"frame_idx")
     },
-    // m3: decode-stub + feature extraction (no SQL twin → rows-only check).
-    // The embedding vector is emitted comma-joined: the driver's rows-only
-    // check still sorts the frame in pandas, which cannot process array
-    // cells; the joined string is deterministic (histogram of fixed bytes).
+    // m3: decode-stub + feature extraction through the typed mapPartitions
+    // batch path. The normalized float32 embedding is projected back to the
+    // EXACT integer byte-histogram (round(x_i * n_bytes) is exact while
+    // hist_i, n_bytes < 2^24 / bin-count), which DuckDB recomputes with
+    // per-bin character-class counts — documents text is ASCII, so
+    // codepoint counts == byte counts.
     "m3_media_features" -> { (s, dir) =>
       import s.implicits._
-      Media.featureExtract(Media.mediaFromDocuments(Tables(s, dir).documents))
-        .toDF()
+      val media = Media.mediaFromDocuments(Tables(s, dir).documents)
+      val sizes = media.toDF()
+        .select($"media_id", octet_length($"payload").cast("double").as("n_bytes"))
+      Media.featureExtract(media).toDF()
+        .join(sizes, Seq("media_id"))
         .select($"media_id", $"kind",
-                array_join(transform($"embedding", _.cast("string")), ",").as("embedding"))
+                array_join(transform($"embedding",
+                  x => round(x.cast("double") * $"n_bytes")
+                    .cast("long").cast("string")), ",").as("hist"))
         .orderBy($"media_id")
     }
   )
 
+  /** 16 histogram bins as regex character-class counts: bin b = #chars in
+    * [16b, 16b+15]. ASCII input ⇒ identical to the Spark side's byte bins. */
+  private val histBins: String = (0 until 16).map { b =>
+    val lo = f"${b * 16}%02x"; val hi = f"${b * 16 + 15}%02x"
+    s"(length(text) - length(regexp_replace(text, '[\\x$lo-\\x$hi]', '', 'g')))::BIGINT"
+  }.mkString(", ")
+
   val oracle: Map[String, String] = Map(
+    "m3_media_features" -> s"""
+      SELECT doc_id AS media_id,
+             (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+             array_to_string([$histBins], ',') AS hist
+      FROM documents ORDER BY media_id""",
     "m1_media_catalog" -> """
       SELECT doc_id AS media_id,
              (['image','audio','video'])[(doc_id % 3) + 1] AS kind,

@@ -1,0 +1,164 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
+import Tx.dotSql
+
+/** In-engine spherical k-means coarse quantizer for the ANN / near-dup
+  * blocking paths (replaces round-1's `label` / first-k-seed stand-ins —
+  * north-star mandate, no reference citation).
+  *
+  * Determinism across engines AND across parallelism: float sums are
+  * order-sensitive, so Lloyd's update runs on INTEGER-quantized components
+  * — q_i = round(v_i * 2^24) — whose per-cell sums are exact under any
+  * shuffle order. Centroid means convert back to doubles as
+  * (exact int)/(exact int), one IEEE division, bitwise identical in Spark,
+  * the JVM driver, and DuckDB; the assignment cosine is the shared
+  * serial-fold dot product (Tx.dotSql / VectorExprs), so argmax cells match
+  * bitwise. Ties break on cell asc via lexicographic min of (-cos, cell).
+  *
+  * Scale shape (100 TB) — the MLlib-KMeans loop structure:
+  *  - centroids are k×dim driver state (tiny), inlined as LITERALS into the
+  *    assignment expression: assignment is a pure per-row projection — no
+  *    join, no window, NO shuffle;
+  *  - each update is one map-side-combined integer aggregate shuffling k
+  *    rows of (dim longs);
+  *  - iterations are a small fixed count (T=2 here);
+  *  - an emptied cell simply drops out (mirrored on both engines).
+  */
+object Quantizer {
+
+  /** 2^24 — float32-origin components scale into exact-in-double integers. */
+  final val Scale = 16777216.0
+
+  /** cell id + mean vector + its squared norm (serial-fold). */
+  final case class Centroid(cell: Int, cv: Array[Double], cn2: Double)
+
+  /** Adds `q` (integer-quantized copy of `v`) — input must have
+    * (vec_id, v: array<double>, norm2). */
+  def withQ(e: DataFrame): DataFrame =
+    e.withColumn("q", expr(s"transform(v, x -> cast(round(x * $Scale) as bigint))"))
+
+  /** Memoized centroids for the embeddings table under `dir` — the trained
+    * quantizer is deterministic model state, so queries sharing (dir, k,
+    * iters, dim) (d5, v3) train once per session. */
+  private val trained =
+    new scala.collection.concurrent.TrieMap[(String, Int, Int, Int), Seq[Centroid]]
+
+  def centroidsFor(e: DataFrame, dir: String, k: Int, iters: Int, dim: Int): Seq[Centroid] =
+    trained.getOrElseUpdate((dir, k, iters, dim), centroids(withQ(e), k, iters, dim))
+
+  private def serialDot(a: Array[Double], b: Array[Double]): Double = {
+    // identical op order to Tx.dotSql / VectorExprs.dot: left fold of a+x_i
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc = acc + a(i) * b(i); i += 1 }
+    acc
+  }
+
+  private def centroid(cell: Int, n: Long, sums: Array[Long]): Centroid = {
+    val denom = n.toDouble * Scale
+    val cv = sums.map(_.toDouble / denom)
+    Centroid(cell, cv, serialDot(cv, cv))
+  }
+
+  /** Per-row cosine against a literal centroid. */
+  private def cosTo(c: Centroid): Column =
+    VectorExprs.cosine(col("v"), typedLit(c.cv), col("norm2"), lit(c.cn2))
+
+  /** All cells sorted nearest-first for the current row: array of
+    * (neg = -cos, cell) structs, ascending — lexicographic struct order
+    * gives (cos desc, cell asc). A pure projection, no shuffle. */
+  def sortedCells(cents: Seq[Centroid]): Column =
+    array_sort(array(cents.map(c =>
+      struct((-cosTo(c)).as("neg"), lit(c.cell).as("cell"))): _*))
+
+  /** Nearest-cell assignment as a pure projection over literal centroids
+    * (array_min of (-cos, cell) structs — no per-row sort). */
+  def assign(e: DataFrame, cents: Seq[Centroid]): DataFrame = {
+    val scored = array(cents.map(c =>
+      struct((-cosTo(c)).as("neg"), lit(c.cell).as("cell"))): _*)
+    e.withColumn("cell", array_min(scored).getField("cell"))
+  }
+
+  /** Final centroids after `iters` Lloyd updates from the first-k init
+    * (init centroid = its seed's quantized vector, mean of a 1-row cell).
+    * The quantized input is cached across the 1+`iters` passes (the MLlib
+    * KMeans pattern) and released before returning. */
+  def centroids(eq0: DataFrame, k: Int, iters: Int, dim: Int): Seq[Centroid] = {
+    val eq = eq0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try centroidsOn(eq, k, iters, dim)
+    finally eq.unpersist(blocking = false)
+  }
+
+  private def centroidsOn(eq: DataFrame, k: Int, iters: Int, dim: Int): Seq[Centroid] = {
+    val init = eq.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cell"), col("q"))
+      .collect()
+      .map(r => centroid(r.getInt(0), 1L, r.getSeq[Long](1).toArray))
+      .sortBy(_.cell).toSeq
+    (1 to iters).foldLeft(init) { (cents, _) =>
+      val sums = (0 until dim).map(i => sum(element_at(col("q"), i + 1)).as(s"s$i"))
+      assign(eq, cents)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+        .map { r =>
+          centroid(r.getInt(0), r.getLong(1),
+            (0 until dim).map(i => r.getLong(2 + i)).toArray)
+        }
+        .sortBy(_.cell).toSeq
+    }
+  }
+
+  // ---- DuckDB twin: generated CTE chain over an existing `e(vec_id, v,
+  // norm2)` relation; final centroid CTE is named `kmc`. ----
+
+  private def cosSql(v: String, cv: String, n2: String, cn2: String): String =
+    s"${dotSql(v, cv)} / (sqrt($n2) * sqrt($cn2))"
+
+  /** CTE fragment: `kq` (quantized vectors), per-iteration assign/update
+    * CTEs, final centroids `kmc(cell, cv, cnorm2)`. */
+  def centroidsSql(k: Int, iters: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""kq AS (
+      SELECT vec_id, v, norm2,
+             list_transform(v, x -> CAST(round(x * $Scale) AS BIGINT)) AS q
+      FROM e),
+    kd0 AS (
+      SELECT cell, cv, ${dotSql("cv", "cv")} AS cnorm2 FROM (
+        SELECT vec_id AS cell,
+               list_transform(q, x -> x::DOUBLE / (1::BIGINT::DOUBLE * $Scale)) AS cv
+        FROM kq WHERE vec_id < $k) z)"""
+    for (t <- 1 to iters) {
+      val prev = s"kd${t - 1}"
+      val sums = (0 until dim).map(i => s"sum(q[${i + 1}])::BIGINT").mkString(", ")
+      sb ++= s""",
+    ka$t AS (
+      SELECT vec_id, q, cell FROM (
+        SELECT t.vec_id, t.q, c.cell,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 ${cosSql("t.v", "c.cv", "t.norm2", "c.cnorm2")} DESC, c.cell) AS crank
+        FROM kq t CROSS JOIN $prev c) z WHERE crank = 1),
+    kc$t AS (SELECT cell, count(*)::BIGINT AS n, [$sums] AS sq
+      FROM ka$t GROUP BY cell),
+    kd$t AS (
+      SELECT cell, cv, ${dotSql("cv", "cv")} AS cnorm2 FROM (
+        SELECT cell, list_transform(sq, x -> x::DOUBLE / (n::DOUBLE * $Scale)) AS cv
+        FROM kc$t) w)"""
+    }
+    sb ++= s""",
+    kmc AS (SELECT cell, cv, cnorm2 FROM kd$iters)"""
+    sb.toString
+  }
+
+  /** CTE fragment for the final assignment over `kmc`:
+    * `kcells(vec_id, v, norm2, cell)`. */
+  def cellsSql: String = s""",
+    kcells AS (
+      SELECT vec_id, v, norm2, cell FROM (
+        SELECT t.vec_id, t.v, t.norm2, c.cell,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 ${cosSql("t.v", "c.cv", "t.norm2", "c.cnorm2")} DESC, c.cell) AS crank
+        FROM kq t CROSS JOIN kmc c) z WHERE crank = 1)"""
+}

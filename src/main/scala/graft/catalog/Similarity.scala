@@ -120,30 +120,28 @@ object Similarity extends QueryPack {
     "v3_ivf_ann" -> ivfQuery
   )
 
-  /** v3: IVF ANN — coarse quantizer cells are the first 8 vectors (a
-    * deterministic stand-in for k-means centroids); every vector is assigned
-    * to its nearest cell (broadcast argmax, cosine desc / cell asc
-    * tiebreak), queries probe their 2 nearest cells, and the exact-cosine
-    * rerank runs only inside the probed cells. Scale shape: assignment is a
-    * per-row broadcast pass (no shuffle); the search join keys on cell id,
-    * so each query touches 2/8 of the corpus — the inverted-file property. */
+  /** v3: IVF ANN — coarse quantizer cells come from the ENGINE-COMPUTED
+    * spherical k-means (Quantizer: integer-exact Lloyd updates, centroids
+    * as driver state). Every vector is assigned to its nearest cell and
+    * queries probe their 2 nearest cells — both pure per-row projections
+    * over LITERAL centroids (no join, no window, no shuffle); the
+    * exact-cosine rerank runs only inside the probed cells. The search join
+    * keys on cell id, so each query touches ~2/8 of the corpus — the
+    * inverted-file property. */
   private lazy val ivfQuery: (SparkSession, String) => DataFrame = { (s, dir) =>
     import s.implicits._
     val e = Tables(s, dir).embeddings
       .withColumn("v", $"embedding".cast("array<double>"))
       .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
       .select($"vec_id", $"v", $"norm2")
-    val seeds = e.filter($"vec_id" < 8)
-      .select($"vec_id".as("cell"), $"v".as("cv"), $"norm2".as("cnorm2"))
-    val wCell = Window.partitionBy($"vec_id").orderBy($"cell_cos".desc, $"cell")
-    val assigned = e.crossJoin(broadcast(seeds))
-      .withColumn("cell_cos",
-        graft.functions.VectorExprs.cosine($"v", $"cv", $"norm2", $"cnorm2"))
-      .withColumn("crank", row_number().over(wCell))
-    val data = assigned.filter($"crank" === 1)
+    val cents = Quantizer.centroidsFor(e, dir, k = 8, iters = 2, dim = 64)
+    val sorted = Quantizer.sortedCells(cents)
+    val data = Quantizer.assign(e, cents)
       .select($"cell", $"vec_id", $"v", $"norm2")
-    val probes = assigned.filter($"crank" <= 2 && $"vec_id" < 10)
-      .select($"cell", $"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"),
+              explode(slice(sorted, 1, 2)).as("pr"))
+      .select($"pr.cell".as("cell"), $"q_id", $"qv", $"qn")
     val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
     data.join(broadcast(probes), Seq("cell"))
       .filter($"vec_id" =!= $"q_id")
@@ -162,14 +160,13 @@ object Similarity extends QueryPack {
         SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
         FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
               FROM embeddings) t),
-      seeds AS (
-        SELECT vec_id AS cell, v AS cv, norm2 AS cnorm2 FROM e WHERE vec_id < 8),
+      ${Quantizer.centroidsSql(k = 8, iters = 2, dim = 64)},
       assigned AS (
-        SELECT e.vec_id, e.v, e.norm2, s.cell,
-               row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                 ${dotSql("e.v", "s.cv")} / (sqrt(e.norm2) * sqrt(s.cnorm2)) DESC,
-                 s.cell) AS crank
-        FROM e CROSS JOIN seeds s),
+        SELECT t.vec_id, t.v, t.norm2, c.cell,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 ${dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) DESC,
+                 c.cell) AS crank
+        FROM kq t CROSS JOIN kmc c),
       data AS (
         SELECT cell, vec_id, v, norm2 FROM assigned WHERE crank = 1),
       probes AS (

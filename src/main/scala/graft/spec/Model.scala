@@ -49,7 +49,11 @@ final case class FilterRule(
     field: String,
     operator: String,
     value: Option[String] = None,
-    values: Seq[String] = Nil)
+    values: Seq[String] = Nil,
+    /** Raw parsed JSON object — the reference stores rules as pass-through
+      * dicts (models.py:149 `filter_rules: list[dict]`), so saving must
+      * reproduce the original keys/order, not a typed projection. */
+    raw: Map[String, Any] = Map.empty)
 
 /** One destination field: `transformType` ∈ {direct, constant, date_format,
   * lookup, suffix, prefix, formula, conditional}; unknown types fall back to

@@ -1,6 +1,7 @@
 package graft.spec
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.collection.immutable.VectorMap
 import scala.jdk.CollectionConverters._
 import java.nio.file.{Files, Paths}
 
@@ -19,7 +20,7 @@ object SpecStore {
     else if (n.isNumber) n.asDouble
     else if (n.isBoolean) n.asBoolean
     else if (n.isArray) n.elements.asScala.map(anyOf).toList
-    else n.properties.asScala.map(e => e.getKey -> anyOf(e.getValue)).toMap
+    else VectorMap.from(n.properties.iterator.asScala.map(e => e.getKey -> anyOf(e.getValue)))
 
   private def optText(n: JsonNode, k: String): Option[String] =
     Option(n.get(k)).filterNot(_.isNull).map(_.asText)
@@ -53,7 +54,8 @@ object SpecStore {
     field = text(n, "field"),
     operator = text(n, "operator"),
     value = optText(n, "value"),
-    values = arr(n, "values").map(_.asText))
+    values = arr(n, "values").map(_.asText),
+    raw = anyOf(n).asInstanceOf[Map[String, Any]])
 
   def fieldMapping(n: JsonNode): FieldMapping = FieldMapping(
     destinationField = text(n, "destination_field"),
@@ -73,12 +75,50 @@ object SpecStore {
 
   private def readKeyed[T](path: String, f: JsonNode => T): Map[String, T] = {
     val root = mapper.readTree(Files.readString(Paths.get(path)))
-    root.properties.asScala.map(e => e.getKey -> f(e.getValue)).toMap
+    VectorMap.from(root.properties.iterator.asScala.map(e => e.getKey -> f(e.getValue)))
   }
 
-  def loadFileSpecs(path: String): Map[String, FileSpec] = readKeyed(path, fileSpec)
-  def loadMappings(path: String): Map[String, ETLMapping] = readKeyed(path, etlMapping)
+  def loadFileSpecs(path: String): Map[String, FileSpec] =
+    if (Files.exists(Paths.get(path))) readKeyed(path, fileSpec) else VectorMap.empty
+  def loadMappings(path: String): Map[String, ETLMapping] =
+    if (Files.exists(Paths.get(path))) readKeyed(path, etlMapping) else VectorMap.empty
 
   def parseMapping(json: String): ETLMapping = etlMapping(mapper.readTree(json))
   def parseFileSpec(json: String): FileSpec = fileSpec(mapper.readTree(json))
+
+  // ---- write side (models.py:174-267 save_*/delete_*): read-modify-write
+  // the keyed JSON file, byte-compatible with json.dump(..., indent=2) ----
+
+  def saveFileSpecs(path: String, specs: collection.Map[String, FileSpec]): Unit =
+    Files.writeString(Paths.get(path), SpecJson.dumpFileSpecs(specs))
+
+  def saveMappings(path: String, ms: collection.Map[String, ETLMapping]): Unit =
+    Files.writeString(Paths.get(path), SpecJson.dumpMappings(ms))
+
+  /** CPython dict upsert: an existing key keeps its position, a new key
+    * appends. (VectorMap's `+` moves an updated key to the end, so replace
+    * in place explicitly.) */
+  private def upsertOrdered[T](m: Map[String, T], k: String, v: T): Map[String, T] =
+    if (m.contains(k)) VectorMap.from(m.map { case (k0, v0) => k0 -> (if (k0 == k) v else v0) })
+    else m + (k -> v)
+
+  /** save_source/save_destination twin. */
+  def upsertFileSpec(path: String, spec: FileSpec): Unit =
+    saveFileSpecs(path, upsertOrdered(loadFileSpecs(path), spec.id, spec))
+
+  /** delete_source/delete_destination twin; false when the id is absent. */
+  def deleteFileSpec(path: String, id: String): Boolean = {
+    val specs = loadFileSpecs(path)
+    if (!specs.contains(id)) false
+    else { saveFileSpecs(path, specs - id); true }
+  }
+
+  def upsertMapping(path: String, m: ETLMapping): Unit =
+    saveMappings(path, upsertOrdered(loadMappings(path), m.id, m))
+
+  def deleteMapping(path: String, id: String): Boolean = {
+    val ms = loadMappings(path)
+    if (!ms.contains(id)) false
+    else { saveMappings(path, ms - id); true }
+  }
 }
