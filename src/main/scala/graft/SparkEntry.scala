@@ -14,6 +14,7 @@ object SparkEntry {
     catalog.Semantics,
     catalog.Text,
     catalog.Events,
+    catalog.Streams,
     catalog.Dedup,
     catalog.Similarity,
     catalog.Multimodal,

@@ -1,0 +1,168 @@
+package graft.catalog
+
+import java.util.UUID
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types.LongType
+import graft.QueryPack
+import graft.streaming.{EventStreams, RunningCounts, StatefulSessions}
+
+/** REAL Structured-Streaming executions under the driver's correctness gate
+  * (round-2 verdict item 10: the stateful paths were spec-only).
+  *
+  * Each entry runs an actual streaming query — file source over the events
+  * parquet, Trigger.AvailableNow, memory sink — to completion, then returns
+  * the sink table as the checked DataFrame. The DuckDB oracle states the
+  * batch-equivalent semantics, so the gate pins micro-batch execution (state
+  * stores, watermarks, sink modes) against an independent engine:
+  *
+  *   e6 tumbling counts, COMPLETE mode — the final trigger's table is the
+  *      full aggregation, bitwise equal to the batch twin (e2's oracle);
+  *   e7 transformWithState running counts, APPEND mode — each batch emits
+  *      per-user cumulative counts; counts are monotone, so max() per user
+  *      is the final total under ANY micro-batch split (RocksDB state);
+  *   e8 flatMapGroupsWithState sessions, APPEND mode — sessions closed by a
+  *      successor event plus sessions flushed by the event-time timeout
+  *      once the final watermark (max ts − 30 min) passes last + gap;
+  *   e9 stream-stream interval join, APPEND mode — inner-join matches emit
+  *      exactly once regardless of batching.
+  *
+  * Scale notes: these run the same state-sharded plans EventStreams
+  * documents; the memory sink is the test harness, not the deployment sink
+  * (production writes partitioned parquet per trigger).
+  */
+object Streams extends QueryPack {
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Streaming twin of Tables.events (nanos-as-long + micros conversion). */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    // the file source wants a directory/glob, and TESTDATA ships one file
+    // per table: glob it so basePath resolves to the table directory
+    val st = s.readStream.schema(raw.schema).parquet(s"$dir/events.parquet*")
+    st.schema("ts").dataType match {
+      case LongType => st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => st
+    }
+  }
+
+  /** Run a streaming frame to completion (AvailableNow) into a memory sink;
+    * returns the sink table. Query names are unique per call.
+    *
+    * Stateful operators keep one state-store instance per shuffle partition
+    * per operator (×2 for a stream-stream join): at this harness's data
+    * volume the per-instance overhead dominates, so the streaming run uses
+    * fewer partitions than the batch session (at 100 TB this dial goes the
+    * other way — size partitions to state volume). */
+  private def runToTable(df: DataFrame, mode: OutputMode,
+                         partitions: Int = 4): DataFrame = {
+    val s = df.sparkSession
+    val name = "st_" + UUID.randomUUID().toString.replace("-", "").take(12)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", partitions)
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table(name)
+  }
+
+  private def withRocksDb[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.getOption(ProviderKey)
+    s.conf.set(ProviderKey, RocksDb)
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(ProviderKey, v)
+      case None => s.conf.unset(ProviderKey)
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e6_stream_tumbling" -> { (s, dir) =>
+      import s.implicits._
+      runToTable(EventStreams.tumblingCounts(eventsStream(s, dir)),
+          OutputMode.Complete())
+        .select($"w_start", $"event_type", $"n",
+                $"sum_value".cast("decimal(38,2)").cast("double").as("sum_value"))
+        .orderBy($"w_start", $"event_type")
+    },
+    "e7_stream_running_counts" -> { (s, dir) =>
+      import s.implicits._
+      withRocksDb(s) {
+        runToTable(RunningCounts.perUser(eventsStream(s, dir)).toDF(),
+            OutputMode.Append())
+          .groupBy($"user_id")
+          .agg(max($"n_events").as("n_events"))
+          .orderBy($"user_id")
+      }
+    },
+    "e8_stream_sessions" -> { (s, dir) =>
+      import s.implicits._
+      runToTable(StatefulSessions.sessionize(eventsStream(s, dir)).toDF(),
+          OutputMode.Append())
+        .orderBy($"user_id", $"start_us")
+    },
+    "e9_stream_interval_join" -> { (s, dir) =>
+      import s.implicits._
+      val clicks = eventsStream(s, dir).filter($"event_type" === "click")
+      val errors = eventsStream(s, dir).filter($"event_type" === "error")
+      runToTable(EventStreams.clickErrorJoin(clicks, errors),
+          OutputMode.Append())
+        .orderBy($"click_id", $"error_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    // identical to e2's batch oracle — COMPLETE mode's last trigger IS the
+    // full aggregation
+    "e6_stream_tumbling" -> """
+      SELECT (floor(epoch(ts) / 600) * 600)::BIGINT AS w_start, event_type,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+      FROM events GROUP BY w_start, event_type ORDER BY w_start, event_type""",
+    "e7_stream_running_counts" -> """
+      SELECT user_id, COUNT(*)::BIGINT AS n_events
+      FROM events GROUP BY user_id ORDER BY user_id""",
+    // batch sessionization (e4's recurrence), emitted if closed by a
+    // successor session OR flushed by the final watermark: the stream ends
+    // with watermark = max(ts) - 30 min, and a session's timeout fires at
+    // (last + gap); both in whole milliseconds as Spark registers timers
+    "e8_stream_sessions" -> """
+      WITH sess AS (
+        SELECT user_id, sess_id, COUNT(*) AS n_events,
+               MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
+               MAX(sess_id) OVER (PARTITION BY user_id) AS last_sess
+        FROM (
+          SELECT user_id, us,
+                 (SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sess_id
+          FROM (
+            SELECT user_id, event_id, us,
+                   CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+                        THEN 1
+                        WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM (SELECT user_id, event_id, epoch_us(ts) AS us FROM events) t0) t1) t2
+        GROUP BY user_id, sess_id),
+      wm AS (SELECT (max(epoch_us(ts)) // 1000) - 1800000 AS wm_ms FROM events)
+      SELECT user_id, start_us, end_us, n_events
+      FROM sess, wm
+      WHERE sess_id < last_sess OR (end_us // 1000) <= wm_ms
+      ORDER BY user_id, start_us""",
+    "e9_stream_interval_join" -> """
+      SELECT c.event_id AS click_id, c.user_id AS user_id,
+             epoch_us(c.ts) AS click_us,
+             e.event_id AS error_id, epoch_us(e.ts) AS error_us
+      FROM events c JOIN events e
+        ON c.event_type = 'click' AND e.event_type = 'error'
+       AND c.user_id = e.user_id
+       AND e.ts >= c.ts - INTERVAL 10 MINUTE AND e.ts <= c.ts
+      ORDER BY click_id, error_id"""
+  )
+}

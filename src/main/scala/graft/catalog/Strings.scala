@@ -8,10 +8,11 @@ import graft.{QueryPack, Tables}
   * (SURVEY.md §2.B text surface).
   *
   *   d6 edit-distance near-dup — the remaining dedup family: Levenshtein
-  *      over candidate pairs BLOCKED by a cheap key (p_name's last token),
-  *      never all-pairs. At 100 TB the block key is the shuffle key and
-  *      per-block population bounds the quadratic cost (same shape as
-  *      d5's label blocking).
+  *      over candidates from a q-gram (trigram) inverted index + count
+  *      filter, run on DISTINCT values, never all-pairs and never the raw
+  *      key space. At 100 TB distinct values scale sublinearly in rows, so
+  *      the quadratic candidate step runs on the small side and the
+  *      key-level answer is produced by a final expansion join.
   *   x5 regexp extraction — regexp_extract_all over the part names.
   *   q7 SQL interface — the same engine surface through spark.sql over
   *      registered views: a user can run plain ANSI SQL against the tables.
@@ -19,24 +20,41 @@ import graft.{QueryPack, Tables}
 object Strings extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // d6: Levenshtein ≤ 1 pairs of part names sharing the same last token,
-    // over a bounded key slice. Spark side uses the THRESHOLD-banded
-    // levenshtein (O(k·n) per pair, early-exit) — the oracle recomputes the
-    // full distance. The last-token block is deliberately simple; a
-    // production run swaps it for a q-gram inverted index + count filter
-    // (dist ≤ k ⇒ ≥ |s|-2-3k shared trigrams), which keeps candidate sets
-    // sparse when the block key alone is weak — the 10× stress run showed
-    // this vocabulary's 8 block values going quadratic without it.
+    // d6: Levenshtein ≤ 1 pairs over the FULL part table (round-1's bounded
+    // key slice and last-token block are gone). Three stages:
+    //   1. distinct names (the value space is ≪ the key space);
+    //   2. q-gram inverted index + count filter on distinct names:
+    //      candidates share a trigram, |len diff| ≤ 1, and ≥ max(len)-5
+    //      shared distinct trigrams (ed ≤ k destroys ≤ k·q grams — the
+    //      Gravano q-gram bound), then the THRESHOLD-banded levenshtein
+    //      (O(k·n), early-exit) confirms; the oracle recomputes the full
+    //      distance;
+    //   3. expansion: the tiny symmetric name-pair set (plus identity
+    //      pairs for exact copies) broadcast-joins back to keys, k1 < k2.
     "d6_edit_distance" -> { (s, dir) =>
       import s.implicits._
-      val p = Tables(s, dir).part
-        .filter($"p_partkey" < 2000)
-        .select($"p_partkey", $"p_name",
-                element_at(split($"p_name", " "), -1).as("blk"))
-      p.as("a").join(p.as("b"),
-          $"a.blk" === $"b.blk" && $"a.p_partkey" < $"b.p_partkey")
-        .withColumn("dist", levenshtein($"a.p_name", $"b.p_name", 1))
+      val p = Tables(s, dir).part.select($"p_partkey", $"p_name")
+      val names = p.select($"p_name".as("n")).distinct()
+        .withColumn("len", length($"n"))
+      val grams = names.select($"n", $"len", explode(expr(
+          "if(length(n) < 3, array(), " +
+          "array_distinct(transform(sequence(1, length(n) - 2), i -> substring(n, i, 3))))")).as("g"))
+      val cand = grams.as("a").join(grams.as("b"),
+          $"a.g" === $"b.g" && $"a.n" < $"b.n" &&
+            abs($"a.len" - $"b.len") <= 1)
+        .groupBy($"a.n".as("n1"), $"b.n".as("n2"),
+                 $"a.len".as("l1"), $"b.len".as("l2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter($"n_shared" >= greatest($"l1", $"l2") - 5)
+      val pairs = cand
+        .withColumn("dist", levenshtein($"n1", $"n2", 1))
         .filter($"dist" >= 0 && $"dist" <= 1)
+        .select($"n1", $"n2", $"dist")
+      val sym = pairs
+        .union(pairs.select($"n2".as("n1"), $"n1".as("n2"), $"dist"))
+        .union(names.select($"n".as("n1"), $"n".as("n2"), lit(0).as("dist")))
+      p.as("a").join(broadcast(sym), $"a.p_name" === $"n1")
+        .join(p.as("b"), $"n2" === $"b.p_name" && $"a.p_partkey" < $"b.p_partkey")
         .select($"a.p_partkey".as("k1"), $"b.p_partkey".as("k2"),
                 $"a.p_name".as("n1"), $"b.p_name".as("n2"),
                 $"dist".cast("long").as("dist"))
@@ -81,13 +99,28 @@ object Strings extends QueryPack {
 
   val oracle: Map[String, String] = Map(
     "d6_edit_distance" -> """
+      WITH names AS (SELECT DISTINCT p_name AS n, length(p_name) AS len FROM part),
+      grams AS (
+        SELECT n, len, unnest(list_distinct(list_transform(
+          range(1, greatest(length(n) - 2, 0) + 1), i -> substr(n, i, 3)))) AS g
+        FROM names),
+      cand AS (
+        SELECT a.n AS n1, b.n AS n2, a.len AS l1, b.len AS l2, count(*) AS n_shared
+        FROM grams a JOIN grams b
+          ON a.g = b.g AND a.n < b.n AND abs(a.len - b.len) <= 1
+        GROUP BY 1, 2, 3, 4),
+      pairs AS (
+        SELECT n1, n2, levenshtein(n1, n2) AS dist
+        FROM cand
+        WHERE n_shared >= greatest(l1, l2) - 5 AND levenshtein(n1, n2) <= 1),
+      sym AS (
+        SELECT n1, n2, dist FROM pairs
+        UNION ALL SELECT n2 AS n1, n1 AS n2, dist FROM pairs
+        UNION ALL SELECT n AS n1, n AS n2, 0 AS dist FROM names)
       SELECT a.p_partkey AS k1, b.p_partkey AS k2,
-             a.p_name AS n1, b.p_name AS n2,
-             levenshtein(a.p_name, b.p_name)::BIGINT AS dist
-      FROM (SELECT p_partkey, p_name, string_split(p_name, ' ')[-1] AS blk FROM part WHERE p_partkey < 2000) a
-      JOIN (SELECT p_partkey, p_name, string_split(p_name, ' ')[-1] AS blk FROM part WHERE p_partkey < 2000) b
-        ON a.blk = b.blk AND a.p_partkey < b.p_partkey
-      WHERE levenshtein(a.p_name, b.p_name) <= 1
+             a.p_name AS n1, b.p_name AS n2, s.dist::BIGINT AS dist
+      FROM part a JOIN sym s ON a.p_name = s.n1
+      JOIN part b ON s.n2 = b.p_name AND a.p_partkey < b.p_partkey
       ORDER BY k1, k2""",
     "x5_regexp_extract" -> """
       SELECT p_partkey, array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',') AS words,

@@ -50,7 +50,11 @@ object StatefulSessions {
           state.remove()
           Iterator.single(SessionOut(user, s.start_us, s.last_us + gapUs, s.n_events))
         } else {
-          val times = rows.map(r => r._2.getTime * 1000L).toArray.sorted
+          // full microsecond precision: getTime is ms-truncated, the
+          // sub-second part lives in getNanos
+          val times = rows.map { r =>
+            r._2.getTime / 1000 * 1000000L + r._2.getNanos / 1000
+          }.toArray.sorted
           var open = state.getOption
           val closed = Iterator.newBuilder[SessionOut]
           times.foreach { us =>
