@@ -1,0 +1,265 @@
+package graft.http
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import scala.collection.immutable.VectorMap
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
+import graft.engine.{Api, RowEdit, RowError, TransformResult}
+import graft.spec.{ETLMapping, FileSpec, SpecJson, SpecStore, Templates}
+
+/** Thin JSON-over-HTTP shim over the engine — the reference dashboard's API
+  * surface (app.py) without the HTML rendering. Closes the EP2/EP3 loop
+  * end-to-end: list specs → preview+validate → edit a row → revalidate →
+  * convert — every payload mirrors the reference's `jsonify` shapes.
+  *
+  * Spec/mapping CRUD persists through SpecStore (byte-compatible with the
+  * reference's JSON store); processing runs on Spark through Api/Runner.
+  * JDK HttpServer, no framework — the server is a harness around the
+  * engine, not part of the data path (at scale conversions run as Spark
+  * jobs; this shim is the control plane).
+  *
+  * Routes (reference lines in app.py):
+  *   GET  /api/sources | /api/destinations | /api/mappings     (:454-486)
+  *   GET  /api/{sources|destinations}/{id}/columns             (:460-480)
+  *   POST /api/{sources|destinations}  (body = spec JSON; creates the
+  *        input directory + template like :243-252)
+  *   POST /api/{sources|destinations|mappings}/{id}/delete     (:272-282)
+  *   POST /api/mappings                 (body = mapping JSON, :346-364)
+  *   GET  /api/preview/{source}/{file}[?mapping_id=]           (:515-575)
+  *   POST /api/preview/{source}/{file}/update                  (:577-623)
+  *   POST /api/preview/{source}/{file}/convert                 (:625-677)
+  *   POST /api/process/{source}         (all files, :161-231)
+  */
+final class Dashboard(spark: SparkSession, configDir: String,
+                      inputDir: String, outputDir: String, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.createContext("/", (ex: HttpExchange) => handle(ex))
+
+  def boundPort: Int = server.getAddress.getPort
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+
+  private def sourcesPath = s"$configDir/sources.json"
+  private def destinationsPath = s"$configDir/destinations.json"
+  private def mappingsPath = s"$configDir/mappings.json"
+
+  // ---- plumbing ----
+
+  private def respond(ex: HttpExchange, status: Int, payload: Any): Unit = {
+    val body = SpecJson.dumps(payload).getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, body.length)
+    ex.getResponseBody.write(body)
+    ex.close()
+  }
+
+  private def err(ex: HttpExchange, status: Int, message: String): Unit =
+    respond(ex, status, VectorMap("error" -> message))
+
+  private def readBody(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).map(_.split("&").toSeq
+      .map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap)
+      .getOrElse(Map.empty)
+
+  private def handle(ex: HttpExchange): Unit =
+    try route(ex)
+    catch { case e: Exception => err(ex, 500, s"Internal error: ${e.getMessage}") }
+
+  private def route(ex: HttpExchange): Unit = {
+    val segs = ex.getRequestURI.getPath.stripPrefix("/").split("/").toList
+    val post = ex.getRequestMethod == "POST"
+    segs match {
+      case "api" :: "sources" :: rest => specRoutes(ex, post, sourcesPath, rest,
+        createDir = true)
+      case "api" :: "destinations" :: rest => specRoutes(ex, post, destinationsPath,
+        rest, createDir = false)
+      case "api" :: "mappings" :: Nil if !post =>
+        respond(ex, 200, SpecStore.loadMappings(mappingsPath)
+          .map { case (k, v) => k -> SpecJson.etlMappingDict(v) })
+      case "api" :: "mappings" :: Nil =>
+        val m = SpecStore.parseMapping(readBody(ex))
+        SpecStore.upsertMapping(mappingsPath, m)
+        respond(ex, 200, VectorMap("success" -> true, "id" -> m.id))
+      case "api" :: "mappings" :: id :: "delete" :: Nil if post =>
+        respond(ex, 200, VectorMap("success" -> SpecStore.deleteMapping(mappingsPath, id)))
+      case "api" :: "preview" :: sourceId :: filename :: Nil if !post =>
+        preview(ex, sourceId, filename)
+      case "api" :: "preview" :: sourceId :: filename :: "update" :: Nil if post =>
+        update(ex, sourceId, filename)
+      case "api" :: "preview" :: sourceId :: filename :: "convert" :: Nil if post =>
+        convert(ex, sourceId, filename)
+      case "api" :: "process" :: sourceId :: Nil if post =>
+        process(ex, sourceId)
+      case _ => err(ex, 404, "Not found")
+    }
+  }
+
+  // ---- spec CRUD (sources + destinations share shape) ----
+
+  private def specRoutes(ex: HttpExchange, post: Boolean, path: String,
+                         rest: List[String], createDir: Boolean): Unit = rest match {
+    case Nil if !post =>
+      respond(ex, 200, SpecStore.loadFileSpecs(path)
+        .map { case (k, v) => k -> SpecJson.fileSpecDict(v) })
+    case Nil =>
+      val spec = SpecStore.parseFileSpec(readBody(ex))
+      SpecStore.upsertFileSpec(path, spec)
+      if (createDir) Templates.createSpecDirectoryAndTemplate(spec, inputDir)
+      respond(ex, 200, VectorMap("success" -> true, "id" -> spec.id))
+    case id :: "columns" :: Nil if !post =>
+      SpecStore.loadFileSpecs(path).get(id) match {
+        case None => err(ex, 404, "Source not found")
+        case Some(s) => respond(ex, 200, s.columns.map(SpecJson.columnSpecDict).toList)
+      }
+    case id :: "delete" :: Nil if post =>
+      respond(ex, 200, VectorMap("success" -> SpecStore.deleteFileSpec(path, id)))
+    case _ => err(ex, 404, "Not found")
+  }
+
+  // ---- preview / edit / convert / process ----
+
+  private def withSourceFile(ex: HttpExchange, sourceId: String, filename: String)
+                            (body: (FileSpec, String) => Unit): Unit =
+    SpecStore.loadFileSpecs(sourcesPath).get(sourceId) match {
+      case None => err(ex, 404, "Source not found")
+      case Some(source) =>
+        val p = Paths.get(inputDir, source.defaultDirectory, filename)
+        if (!Files.exists(p)) err(ex, 404, "File not found")
+        else body(source, p.toString)
+    }
+
+  private def errorDicts(errors: Seq[RowError]): List[VectorMap[String, Any]] =
+    errors.map(e => VectorMap[String, Any](
+      "field" -> e.field, "message" -> e.error_message,
+      "value" -> e.source_value)).toList
+
+  private def preview(ex: HttpExchange, sourceId: String, filename: String): Unit =
+    withSourceFile(ex, sourceId, filename) { (source, path) =>
+      val mapping = queryParams(ex).get("mapping_id")
+        .flatMap(SpecStore.loadMappings(mappingsPath).get)
+      val p = Api.preview(spark, path, source, mapping, n = Int.MaxValue)
+      val columns = source.columns.map(_.name).toList
+      val rows = p.rows.map(r => VectorMap[String, Any]("_line" -> r.line) ++
+        columns.map(c => c -> r.cells.getOrElse(c, ""))).toList
+      val validation = p.result.map(r => VectorMap[String, Any](
+        "success_count" -> r.successCount, "skipped_count" -> r.skippedCount,
+        "error_count" -> r.errorCount, "logs" -> Nil))
+      respond(ex, 200, VectorMap[String, Any](
+        "columns" -> columns,
+        "rows" -> rows,
+        "total" -> rows.length.toLong,
+        "errors_by_line" -> p.errorsByLine.toList.sortBy(_._1)
+          .map { case (line, es) => line.toString -> errorDicts(es) }
+          .to(VectorMap),
+        "validation" -> validation.orNull))
+    }
+
+  private def update(ex: HttpExchange, sourceId: String, filename: String): Unit =
+    withSourceFile(ex, sourceId, filename) { (_, path) =>
+      val data = SpecStore.parseAny(readBody(ex)).asInstanceOf[Map[String, Any]]
+      (data.get("line"), data.get("row")) match {
+        case (Some(line: Long), Some(row: Map[_, _])) =>
+          RowEdit.updateRow(path, line.toInt,
+            row.asInstanceOf[Map[String, Any]].map { case (k, v) =>
+              k -> String.valueOf(v) }) match {
+            case Right(_) => respond(ex, 200, VectorMap(
+              "success" -> true, "message" -> s"Row $line updated"))
+            case Left(m) => err(ex, 500, m)
+          }
+        case _ => err(ex, 400, "Missing line number or row data")
+      }
+    }
+
+  private def withMappingDest(ex: HttpExchange, mappingId: Option[String])
+                             (body: (ETLMapping, FileSpec) => Unit): Unit =
+    mappingId.flatMap(SpecStore.loadMappings(mappingsPath).get) match {
+      case None => err(ex, if (mappingId.isEmpty) 400 else 404,
+        if (mappingId.isEmpty) "Missing mapping_id" else "Mapping not found")
+      case Some(m) =>
+        SpecStore.loadFileSpecs(destinationsPath).get(m.destinationId) match {
+          case None => err(ex, 404, "Destination not found")
+          case Some(d) => body(m, d)
+        }
+    }
+
+  private def convertOne(source: FileSpec, path: String, mapping: ETLMapping,
+                         destination: FileSpec): (TransformResult, String) = {
+    val stem = Paths.get(path).getFileName.toString.stripSuffix(".csv")
+    val outDir = Paths.get(outputDir, destination.defaultDirectory)
+    Files.createDirectories(outDir)
+    val outFile = outDir.resolve(s"${stem}_${destination.id}.csv")
+    (Api.convert(spark, path, source, mapping, outFile.toString,
+      failOnError = true), outFile.getFileName.toString)
+  }
+
+  private def convert(ex: HttpExchange, sourceId: String, filename: String): Unit =
+    withSourceFile(ex, sourceId, filename) { (source, path) =>
+      val data = SpecStore.parseAny(readBody(ex)).asInstanceOf[Map[String, Any]]
+      val mappingId = data.get("mapping_id").map(String.valueOf)
+      withMappingDest(ex, mappingId) { (mapping, destination) =>
+        val (result, outName) = convertOne(source, path, mapping, destination)
+        if (result.errorCount > 0)
+          respond(ex, 400, VectorMap[String, Any](
+            "success" -> false,
+            "message" -> s"Conversion failed with ${result.errorCount} errors",
+            "errors" -> result.errors.take(20).map(e => VectorMap[String, Any](
+              "line" -> e.line_number, "field" -> e.field,
+              "message" -> e.error_message)).toList,
+            "logs" -> Nil))
+        else
+          respond(ex, 200, VectorMap[String, Any](
+            "success" -> true,
+            "message" -> s"Successfully converted ${result.successCount} records",
+            "output_file" -> outName,
+            "logs" -> Nil))
+      }
+    }
+
+  /** app.py:161-231 — run every *.csv in the source directory through the
+    * mapping; aggregate counts and per-file error context. */
+  private def process(ex: HttpExchange, sourceId: String): Unit = {
+    val data = SpecStore.parseAny(readBody(ex)).asInstanceOf[Map[String, Any]]
+    val mappingId = data.get("mapping_id").map(String.valueOf)
+    withMappingDest(ex, mappingId) { (mapping, destination) =>
+      SpecStore.loadFileSpecs(sourcesPath).get(mapping.sourceId) match {
+        case None => err(ex, 404, "Invalid source or destination in mapping")
+        case Some(source) =>
+          val dir = Paths.get(inputDir, source.defaultDirectory)
+          val files =
+            if (Files.isDirectory(dir))
+              Files.list(dir).iterator.asScala
+                .filter(_.getFileName.toString.endsWith(".csv"))
+                .toSeq.sortBy(_.toString)
+            else Nil
+          var (success, skipped, errors) = (0L, 0L, 0L)
+          val allErrors = List.newBuilder[VectorMap[String, Any]]
+          files.foreach { f =>
+            val (r, _) = convertOne(source, f.toString, mapping, destination)
+            success += r.successCount; skipped += r.skippedCount
+            errors += r.errorCount
+            r.errors.foreach { e =>
+              allErrors += VectorMap[String, Any](
+                "file" -> f.getFileName.toString, "line" -> e.line_number,
+                "field" -> e.field, "message" -> e.error_message,
+                "value" -> e.source_value)
+            }
+          }
+          val errList = allErrors.result()
+          respond(ex, 200, VectorMap[String, Any](
+            "mapping_name" -> mapping.name,
+            "success_count" -> success,
+            "skipped_count" -> skipped,
+            "error_count" -> errors,
+            "errors" -> errList.take(50),
+            "has_more_errors" -> (errList.length > 50)))
+      }
+    }
+  }
+}

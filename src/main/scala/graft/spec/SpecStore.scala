@@ -85,6 +85,8 @@ object SpecStore {
 
   def parseMapping(json: String): ETLMapping = etlMapping(mapper.readTree(json))
   def parseFileSpec(json: String): FileSpec = fileSpec(mapper.readTree(json))
+  /** Generic JSON → plain Scala tree (VectorMap/List/primitives). */
+  def parseAny(json: String): Any = anyOf(mapper.readTree(json))
 
   // ---- write side (models.py:174-267 save_*/delete_*): read-modify-write
   // the keyed JSON file, byte-compatible with json.dump(..., indent=2) ----

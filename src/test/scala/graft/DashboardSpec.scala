@@ -1,0 +1,171 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.http.Dashboard
+import graft.spec.{SpecJson, SpecStore}
+
+/** End-to-end EP2/EP3 over HTTP: list specs → preview+validate → edit a
+  * row → revalidate → convert → process, against a scratch copy of the
+  * reference's config store. */
+class DashboardSpec extends AnyFunSuite {
+
+  private val cfgSrc = "/root/reference/data/config"
+
+  private lazy val env: (Dashboard, Path, Path, Path) = {
+    val cfg = Files.createTempDirectory("dash-cfg")
+    val in = Files.createTempDirectory("dash-in")
+    val out = Files.createTempDirectory("dash-out")
+    Seq("sources.json", "destinations.json", "mappings.json").foreach(f =>
+      Files.copy(Paths.get(cfgSrc, f), cfg.resolve(f)))
+    val stocksDir = in.resolve("revolut_stocks")
+    Files.createDirectories(stocksDir)
+    // literal skip polarity (Q1): BUY/SELL are not_in the skip list → the
+    // rule matches → SKIPPED; DEPOSIT is in the list → kept and converted
+    val csv =
+      "Date,Ticker,Type,Quantity,Price per share,Total Amount,Currency\r\n" +
+      "2024-01-15T10:30:00,AAPL,BUY,10,185.5,1855.0,USD\r\n" +
+      "2024-01-16T11:00:00,MSFT,SELL,5,390.0,1950.0,USD\r\n" +
+      "2024-01-17T09:00:00,CASH,DEPOSIT,1,100.0,100.0,USD\r\n"
+    Files.write(stocksDir.resolve("a.csv"), csv.getBytes(StandardCharsets.UTF_8))
+    Files.write(stocksDir.resolve("b.csv"), csv.getBytes(StandardCharsets.UTF_8))
+    val d = new Dashboard(TestSpark.spark, cfg.toString, in.toString, out.toString)
+    d.start()
+    (d, cfg, in, out)
+  }
+  private def base = s"http://127.0.0.1:${env._1.boundPort}"
+  private val client = HttpClient.newHttpClient()
+
+  private def get(path: String): (Int, String) = {
+    val r = client.send(HttpRequest.newBuilder(URI.create(s"$base$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+  private def post(path: String, body: String): (Int, String) = {
+    val r = client.send(HttpRequest.newBuilder(URI.create(s"$base$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+  private def asMap(s: String): Map[String, Any] =
+    SpecStore.parseAny(s).asInstanceOf[Map[String, Any]]
+
+  test("GET spec listings mirror the reference jsonify payloads") {
+    val (code, body) = get("/api/sources")
+    assert(code == 200)
+    // same serializer as the store → byte-identical to the config file
+    assert(body == Files.readString(env._2.resolve("sources.json")))
+    val (c2, cols) = get("/api/sources/revolut_stocks/columns")
+    assert(c2 == 200)
+    val parsed = SpecStore.parseAny(cols).asInstanceOf[List[Map[String, Any]]]
+    assert(parsed.map(_("name")) == List("Date", "Ticker", "Type", "Quantity",
+      "Price per share", "Total Amount", "Currency"))
+    assert(get("/api/sources/nope/columns")._1 == 404)
+    assert(get("/api/mappings")._1 == 200)
+  }
+
+  test("POST a source creates the store entry, directory and template") {
+    val spec = SpecStore.loadFileSpecs(env._2.resolve("sources.json").toString)("test_source")
+    val json = SpecJson.dumps(SpecJson.fileSpecDict(
+      spec.copy(id = "dash_new", defaultDirectory = "dash_new")))
+    val (code, body) = post("/api/sources", json)
+    assert(code == 200 && asMap(body)("success") == true)
+    assert(SpecStore.loadFileSpecs(env._2.resolve("sources.json").toString)
+      .contains("dash_new"))
+    assert(Files.exists(env._3.resolve("dash_new").resolve("_template_dash_new.csv")))
+    assert(asMap(post("/api/sources/dash_new/delete", "")._2)("success") == true)
+    assert(asMap(post("/api/sources/dash_new/delete", "")._2)("success") == false)
+  }
+
+  test("preview returns rows with _line and validation when mapping_id given") {
+    val (code, body) = get(
+      "/api/preview/revolut_stocks/a.csv?mapping_id=revolut_stocks_to_ghostfolio")
+    assert(code == 200)
+    val p = asMap(body)
+    assert(p("total") == 3L)
+    val rows = p("rows").asInstanceOf[List[Map[String, Any]]]
+    assert(rows.head("_line") == 2L && rows.head("Ticker") == "AAPL")
+    // executed-reference parity: BUY/SELL skipped by the literal not_in
+    // polarity (Q1); DEPOSIT kept but its type lookup misses → 1 error
+    val v = p("validation").asInstanceOf[Map[String, Any]]
+    assert(v("success_count") == 0L && v("skipped_count") == 2L
+      && v("error_count") == 1L)
+    val ebl = p("errors_by_line").asInstanceOf[Map[String, Any]]
+    val e4 = ebl("4").asInstanceOf[List[Map[String, Any]]]
+    assert(e4.head("field") == "type" && e4.head("value") == "DEPOSIT")
+  }
+
+  test("row update edits the file and the next preview sees it") {
+    val (code, body) = post("/api/preview/revolut_stocks/b.csv/update",
+      """{"line": 3, "row": {"Ticker": "NVDA"}}""")
+    assert(code == 200 && asMap(body)("success") == true)
+    val p = asMap(get("/api/preview/revolut_stocks/b.csv")._2)
+    val rows = p("rows").asInstanceOf[List[Map[String, Any]]]
+    assert(rows(1)("Ticker") == "NVDA" && rows(1)("_line") == 3L)
+    assert(post("/api/preview/revolut_stocks/b.csv/update", "{}")._1 == 400)
+  }
+
+  test("convert gates on errors (400 + payload) like the reference") {
+    val (code, body) = post("/api/preview/revolut_stocks/a.csv/convert",
+      """{"mapping_id": "revolut_stocks_to_ghostfolio"}""")
+    assert(code == 400)
+    val p = asMap(body)
+    assert(p("success") == false)
+    val es = p("errors").asInstanceOf[List[Map[String, Any]]]
+    assert(es.head("line") == 4L && es.head("field") == "type")
+    assert(post("/api/preview/revolut_stocks/a.csv/convert", "{}")._1 == 400)
+    assert(post("/api/preview/revolut_stocks/a.csv/convert",
+      """{"mapping_id": "nope"}""")._1 == 404)
+  }
+
+  test("mapping created over HTTP converts cleanly end-to-end") {
+    val mapping = """{
+      "id": "dash_direct", "name": "Dash Direct",
+      "source_id": "revolut_stocks", "destination_id": "ghostfolio",
+      "description": "", "filter_rules": [],
+      "field_mappings": [
+        {"destination_field": "date", "source_field": "Date",
+         "transform_type": "direct", "transform_config": {}},
+        {"destination_field": "symbol", "source_field": "Ticker",
+         "transform_type": "direct", "transform_config": {}},
+        {"destination_field": "type", "source_field": null,
+         "transform_type": "constant", "transform_config": {"value": "BUY"}},
+        {"destination_field": "quantity", "source_field": "Quantity",
+         "transform_type": "direct", "transform_config": {}},
+        {"destination_field": "unitPrice", "source_field": "Price per share",
+         "transform_type": "direct", "transform_config": {}},
+        {"destination_field": "currency", "source_field": "Currency",
+         "transform_type": "direct", "transform_config": {}}
+      ]}"""
+    assert(asMap(post("/api/mappings", mapping)._2)("success") == true)
+    val (code, body) = post("/api/preview/revolut_stocks/a.csv/convert",
+      """{"mapping_id": "dash_direct"}""")
+    assert(code == 200)
+    val p = asMap(body)
+    assert(p("success") == true && p("output_file") == "a_ghostfolio.csv")
+    assert(p("message") == "Successfully converted 3 records")
+    val outFile = env._4.resolve("ghostfolio").resolve("a_ghostfolio.csv")
+    assert(Files.exists(outFile))
+    val lines = Files.readAllLines(outFile)
+    assert(lines.get(0) == "date,symbol,type,quantity,unitPrice,currency")
+    assert(lines.get(1) == "2024-01-15T10:30:00,AAPL,BUY,10,185.5,USD")
+    assert(asMap(post("/api/mappings/dash_direct/delete", "")._2)("success") == true)
+  }
+
+  test("process aggregates every csv in the source directory") {
+    val (code, body) = post("/api/process/revolut_stocks",
+      """{"mapping_id": "revolut_stocks_to_ghostfolio"}""")
+    assert(code == 200)
+    val p = asMap(body)
+    assert(p("mapping_name") == "Revolut Stocks → Ghostfolio")
+    // 2 files × (2 BUY/SELL skipped by Q1 polarity, 1 DEPOSIT lookup error)
+    assert(p("success_count") == 0L && p("skipped_count") == 4L
+      && p("error_count") == 2L)
+    val es = p("errors").asInstanceOf[List[Map[String, Any]]]
+    assert(es.map(_("file")).toSet == Set("a.csv", "b.csv"))
+    assert(p("has_more_errors") == false)
+  }
+}
