@@ -14,6 +14,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 83 queries share one JVM: without GC the ContextCleaner never
+      // releases finished broadcasts/caches, execution memory shrinks and
+      // later sorts spill — keep the cleaner ticking
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: exercise scan→shuffle→sort→window codegen paths once, untimed
