@@ -13,6 +13,7 @@ import graft.{QueryPack, Tables}
   *   d3 SimHash            — 32-bit frequency-weighted token simhash
   *   d4 n-gram Jaccard     — candidate pairs via shared shingle, exact Jaccard
   *   d5 embedding cosine   — near-dup pairs within k-means quantizer cells
+  *   d7 dup clusters       — connected components over exact+near edges
   *
   * Determinism rules (see Tx): all hashes are integer folds identical on both
   * engines; cosine is a serial left-fold of doubles in identical op order, so
@@ -77,6 +78,39 @@ object Dedup extends QueryPack {
     }.mkString("(", " + ", ")")
 
 
+  /** d2's pair pipeline, reused by d7's cluster builder:
+    * (d1, d2, est_jaccard) with est ≥ 0.5, unordered. */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = Tables(s, dir).documents
+      .withColumn("sig", TextKernels.minhashUdf($"text"))
+      .withColumn("bands", TextKernels.bandsUdf($"sig"))
+      .select($"doc_id", $"sig", $"bands")
+    val buckets = sig
+      .select($"doc_id", posexplode($"bands").as(Seq("band_idx", "band_hash")))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy($"band_idx", $"band_hash")
+    val capped = buckets
+      .withColumn("bn", count(lit(1)).over(wB))
+      .filter($"bn" <= MaxBucket)
+      .drop("bn")
+    val pairIds = capped.as("a").join(capped.as("b"),
+        $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+      .distinct()
+    pairIds
+      .join(sig.select($"doc_id".as("d1"), $"sig".as("sig_a")), Seq("d1"))
+      .join(sig.select($"doc_id".as("d2"), $"sig".as("sig_b")), Seq("d2"))
+      .withColumn("est_jaccard",
+        expr("cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) as double)") / 16.0)
+      .filter($"est_jaccard" >= 0.5)
+      .select($"d1", $"d2", $"est_jaccard")
+  }
+
+  /** The same normalized-content digest d1 groups on. */
+  private val digestExpr = "md5(trim(regexp_replace(lower(text), '[^a-z ]', '')))"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // d1: exact dedup — group by content digest of normalized text, keep the
     // lowest doc_id as canonical (deterministic; dropDuplicates keeps an
@@ -101,32 +135,7 @@ object Dedup extends QueryPack {
     //    16-slot signatures rejoin AFTER dedup, so the widest shuffle
     //    carries ids, not signature payloads.
     "d2_minhash_lsh" -> { (s, dir) =>
-      import s.implicits._
-      val sig = Tables(s, dir).documents
-        .withColumn("sig", TextKernels.minhashUdf($"text"))
-        .withColumn("bands", TextKernels.bandsUdf($"sig"))
-        .select($"doc_id", $"sig", $"bands")
-      val buckets = sig
-        .select($"doc_id", posexplode($"bands").as(Seq("band_idx", "band_hash")))
-      val wB = org.apache.spark.sql.expressions.Window
-        .partitionBy($"band_idx", $"band_hash")
-      val capped = buckets
-        .withColumn("bn", count(lit(1)).over(wB))
-        .filter($"bn" <= MaxBucket)
-        .drop("bn")
-      val pairIds = capped.as("a").join(capped.as("b"),
-          $"a.band_idx" === $"b.band_idx" && $"a.band_hash" === $"b.band_hash" &&
-            $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
-        .distinct()
-      pairIds
-        .join(sig.select($"doc_id".as("d1"), $"sig".as("sig_a")), Seq("d1"))
-        .join(sig.select($"doc_id".as("d2"), $"sig".as("sig_b")), Seq("d2"))
-        .withColumn("est_jaccard",
-          expr("cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) as double)") / 16.0)
-        .filter($"est_jaccard" >= 0.5)
-        .select($"d1", $"d2", $"est_jaccard")
-        .orderBy($"d1", $"d2")
+      minhashPairs(s, dir).orderBy("d1", "d2")
     },
     // d3: per-doc 32-bit simhash signature (frequency-weighted tokens).
     // Near-dup pairing at scale joins on 16-bit signature halves.
@@ -187,6 +196,47 @@ object Dedup extends QueryPack {
         .select($"a.vec_id".as("v1"), $"b.vec_id".as("v2"),
                 $"a.cell".cast("long").as("cell"), $"cos")
         .orderBy($"v1", $"v2")
+    },
+    // d7: duplicate-CLUSTER assignment — connected components over the
+    // union of exact-digest star edges (doc ↔ its digest keeper) and
+    // minhash near-dup pairs, by min-label propagation to fixpoint. The
+    // driver loop runs one hash-join + min-aggregate per round and checks
+    // a single convergence COUNT (the GraphX/Pregel shape — rounds ≤ graph
+    // diameter, labels localCheckpoint'ed so lineage stays flat). The min
+    // label is order-independent, so the fixpoint is deterministic under
+    // any parallelism — DuckDB recomputes it as reachability min over a
+    // recursive CTE.
+    "d7_dup_clusters" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val digests = docs.select($"doc_id", expr(digestExpr).as("digest"))
+      val keepers = digests.groupBy($"digest").agg(min($"doc_id").as("keeper"))
+      val exactEdges = digests.join(keepers, "digest")
+        .filter($"doc_id" =!= $"keeper")
+        .select($"keeper".as("d1"), $"doc_id".as("d2"))
+      val edges = exactEdges.union(minhashPairs(s, dir).select($"d1", $"d2"))
+      val sym = edges.union(edges.select($"d2".as("d1"), $"d1".as("d2"))).distinct()
+        .localCheckpoint()
+      var labels = docs.select($"doc_id", $"doc_id".as("cluster")).localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 50) {
+        val nb = sym
+          .join(labels.select($"doc_id".as("src"), $"cluster".as("c")), $"d1" === $"src")
+          .select($"d2".as("doc_id"), $"c".as("cluster"))
+        val next = labels.union(nb)
+          .groupBy($"doc_id").agg(min($"cluster").as("cluster"))
+          .localCheckpoint()
+        changed = next.select($"doc_id", $"cluster".as("n"))
+          .join(labels, "doc_id").filter($"n" < $"cluster").count()
+        labels = next
+        rounds += 1
+      }
+      val wC = org.apache.spark.sql.expressions.Window.partitionBy($"cluster")
+      labels
+        .withColumn("n_members", count(lit(1)).over(wC))
+        .select($"doc_id", $"cluster", $"n_members")
+        .orderBy($"doc_id")
     }
   )
 
@@ -249,6 +299,46 @@ object Dedup extends QueryPack {
         SELECT a.vec_id AS v1, b.vec_id AS v2, a.cell::BIGINT AS cell,
                ${dotSql("a.v", "b.v")} / (sqrt(a.norm2) * sqrt(b.norm2)) AS cos
         FROM kcells a JOIN kcells b ON a.cell = b.cell AND a.vec_id < b.vec_id) t
-      WHERE cos >= 0.4 ORDER BY v1, v2"""
+      WHERE cos >= 0.4 ORDER BY v1, v2""",
+    "d7_dup_clusters" -> s"""
+      WITH RECURSIVE sig AS (
+        SELECT doc_id, ${sigSql("hs")} AS sig
+        FROM (SELECT doc_id, $shingleHashesSql AS hs
+              FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0) t1),
+      bk AS (
+        SELECT doc_id, sig, b.band_idx, bands[b.band_idx + 1] AS band_hash
+        FROM (SELECT doc_id, sig, ${bandsSql("sig")} AS bands FROM sig) t
+        CROSS JOIN (SELECT unnest(range(0, $NBands)) AS band_idx) b),
+      bkc AS (
+        SELECT * FROM bk
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= $MaxBucket),
+      near AS (
+        SELECT d1, d2 FROM (
+          SELECT d1, d2,
+                 len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i]))::DOUBLE / 16.0 AS est
+          FROM (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                       a.sig AS sig_a, b.sig AS sig_b
+                FROM bkc a JOIN bkc b
+                  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id) p) q
+        WHERE est >= 0.5),
+      dig AS (
+        SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z ]', '', 'g'))) AS digest
+        FROM documents),
+      keep AS (SELECT digest, min(doc_id) AS keeper FROM dig GROUP BY digest),
+      exact AS (
+        SELECT k.keeper AS d1, d.doc_id AS d2
+        FROM dig d JOIN keep k USING (digest) WHERE d.doc_id <> k.keeper),
+      edges AS (
+        SELECT d1, d2 FROM near UNION SELECT d2, d1 FROM near
+        UNION SELECT d1, d2 FROM exact UNION SELECT d2, d1 FROM exact),
+      reach(v, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.d2, reach.r FROM edges e JOIN reach ON e.d1 = reach.v),
+      lab AS (SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v)
+      SELECT doc_id, cluster,
+             COUNT(*) OVER (PARTITION BY cluster) AS n_members
+      FROM lab ORDER BY doc_id"""
   )
 }
