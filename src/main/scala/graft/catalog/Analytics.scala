@@ -24,6 +24,11 @@ import graft.{QueryPack, Tables}
 object Analytics extends QueryPack {
 
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val P = 2147483647L
+  /** per-event-type sampling rates in percent (g2). */
+  private val SampleRates = Seq(
+    "view" -> 5L, "click" -> 20L, "error" -> 50L,
+    "purchase" -> 100L, "signup" -> 10L)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // p1: per-user event-type counts pivoted to columns (explicit values)
@@ -57,6 +62,38 @@ object Analytics extends QueryPack {
              count(lit(1)).as("n"))
         .orderBy($"p_brand")
     },
+    // g2: deterministic stratified sampling — per-stratum rates over a
+    // multiplicative integer hash of the row id. No rand(): the sample is a
+    // pure row-local predicate, reproducible on any engine/parallelism and
+    // stable across reruns (the property a training pipeline needs for
+    // resumable corpus construction). Overflow-safe: (id % P) * 48271 < 2^63.
+    "g2_stratified_sample" -> { (s, dir) =>
+      import s.implicits._
+      val rate = element_at(
+        map(SampleRates.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+        $"event_type")
+      Tables(s, dir).events
+        .withColumn("bucket", (($"event_id" % P) * 48271L + 11L) % P % 100L)
+        .filter($"bucket" < rate)
+        .select($"event_id", $"event_type", $"bucket")
+        .orderBy($"event_id")
+    },
+    // g3: train/val/test corpus split by hash bucket (80/10/10) with
+    // per-split document and byte counts — the split is a deterministic
+    // function of doc_id alone, so adding documents never reshuffles
+    // existing assignments.
+    "g3_corpus_split" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .withColumn("bucket", (($"doc_id" % P) * 48271L + 7L) % P % 100L)
+        .withColumn("split",
+          when($"bucket" < 80, "train").when($"bucket" < 90, "val")
+            .otherwise("test"))
+        .groupBy($"split")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(octet_length($"text").cast("long")).as("n_bytes"))
+        .orderBy($"split")
+    },
     // g1: per-nation sorted list of supplier names (deterministic array agg).
     // Comma-joined, not ARRAY-typed: the driver's compare (pandas sort +
     // hash) cannot process array cells; the joined string carries the same
@@ -74,7 +111,26 @@ object Analytics extends QueryPack {
   private val pivotCols = EventTypes.map(t =>
     s"""COALESCE(COUNT(*) FILTER (event_type = '$t'), 0)::BIGINT AS "$t"""").mkString(", ")
 
+  private val rateCase = "CASE event_type " + SampleRates.map {
+    case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ") + " END"
+
   val oracle: Map[String, String] = Map(
+    "g2_stratified_sample" -> s"""
+      SELECT event_id, event_type, bucket FROM (
+        SELECT event_id, event_type,
+               ((event_id % $P) * 48271 + 11) % $P % 100 AS bucket
+        FROM events) t
+      WHERE bucket < $rateCase
+      ORDER BY event_id""",
+    "g3_corpus_split" -> s"""
+      SELECT split, COUNT(*) AS n_docs,
+             SUM(octet_length(encode(text)))::BIGINT AS n_bytes
+      FROM (
+        SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split, text
+        FROM (SELECT ((doc_id % $P) * 48271 + 7) % $P % 100 AS b, text
+              FROM documents) t0) t1
+      GROUP BY split ORDER BY split""",
     "p1_pivot" -> s"""
       SELECT user_id, $pivotCols
       FROM events GROUP BY user_id ORDER BY user_id""",

@@ -95,6 +95,30 @@ object Events extends QueryPack {
         .groupBy($"event_type")
         .agg(sum($"late").as("n_late"), count(lit(1)).as("n_total"))
         .orderBy($"event_type")
+    },
+    // e10: ordered funnel — users who viewed, then clicked at-or-after
+    // their first view, then purchased at-or-after that click. Each stage
+    // is one keyed aggregate joined to the previous stage's per-user
+    // anchor time: three shuffles on user_id, no windows, no sequence
+    // explosion — the shape that survives 100 TB event logs (and the
+    // stage-k join is semi-join-sized: only users still in the funnel).
+    "e10_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"us").as("v_us"))
+      val c = ev.filter($"event_type" === "click")
+        .join(v, "user_id").filter($"us" >= $"v_us")
+        .groupBy($"user_id").agg(min($"us").as("c_us"))
+      val p = ev.filter($"event_type" === "purchase")
+        .join(c, "user_id").filter($"us" >= $"c_us")
+        .groupBy($"user_id").agg(min($"us").as("p_us"))
+      v.select(lit("1_view").as("stage"), $"user_id")
+        .union(c.select(lit("2_click"), $"user_id"))
+        .union(p.select(lit("3_purchase"), $"user_id"))
+        .groupBy($"stage").agg(count(lit(1)).as("n_users"))
+        .orderBy($"stage")
     }
   )
 
@@ -130,6 +154,23 @@ object Events extends QueryPack {
                       THEN 1 ELSE 0 END AS new_sess
           FROM (SELECT user_id, event_id, epoch_us(ts) AS us FROM events) t0) t1) t2
       GROUP BY user_id, sess_id ORDER BY user_id, sess_id""",
+    "e10_funnel" -> """
+      WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      v AS (SELECT user_id, min(us) AS v_us FROM ev
+            WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT ev.user_id, min(ev.us) AS c_us
+            FROM ev JOIN v ON ev.user_id = v.user_id
+            WHERE ev.event_type = 'click' AND ev.us >= v.v_us
+            GROUP BY ev.user_id),
+      p AS (SELECT ev.user_id, min(ev.us) AS p_us
+            FROM ev JOIN c ON ev.user_id = c.user_id
+            WHERE ev.event_type = 'purchase' AND ev.us >= c.c_us
+            GROUP BY ev.user_id)
+      SELECT stage, COUNT(*) AS n_users FROM (
+        SELECT '1_view' AS stage, user_id FROM v
+        UNION ALL SELECT '2_click', user_id FROM c
+        UNION ALL SELECT '3_purchase', user_id FROM p) t
+      GROUP BY stage ORDER BY stage""",
     "e5_late_data" -> """
       SELECT event_type, SUM(late)::BIGINT AS n_late, COUNT(*) AS n_total FROM (
         SELECT event_type,

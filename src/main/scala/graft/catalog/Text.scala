@@ -109,6 +109,31 @@ object Text extends QueryPack {
         .select($"doc_id",
           graft.functions.TextKernels.minFingerprintUdf($"text").as("fingerprint"))
         .orderBy($"doc_id")
+    },
+    // x7: per-document top-3 terms by tf-idf. The score is the exact
+    // integer floor(tf * N * 1e6 / df) — no logarithm, so ranking is
+    // bitwise identical across engines (libm log low bits differ between
+    // runtimes). Corpus size N is tiny driver state (one count), df is one
+    // distinct-aggregate on the exploded token stream; at 100 TB both are
+    // the standard shuffle-on-term shape with map-side combine.
+    "x7_tfidf_topk" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val n = docs.count()
+      val toks = docs
+        .select($"doc_id", explode(expr(wsExpr)).as("tok"))
+        .filter(length($"tok") > 0)
+      val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val df = toks.select($"doc_id", $"tok").distinct()
+        .groupBy($"tok").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"score".desc, $"tok")
+      tf.join(df, "tok")
+        .withColumn("score", expr(s"(tf * ${n}L * 1000000L) div df"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 3)
+        .select($"doc_id", $"rank", $"tok", $"score")
+        .orderBy($"doc_id", $"rank")
     }
   )
 
@@ -120,6 +145,22 @@ object Text extends QueryPack {
       |     ELSE 'zh' END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "x7_tfidf_topk" -> s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(ws) AS tok
+        FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0),
+      toks2 AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks2 GROUP BY doc_id, tok),
+      df AS (SELECT tok, COUNT(*) AS df
+             FROM (SELECT DISTINCT doc_id, tok FROM toks2) d GROUP BY tok),
+      n AS (SELECT COUNT(*) AS n FROM documents)
+      SELECT doc_id, rank, tok, score FROM (
+        SELECT tf.doc_id, tf.tok,
+               ((tf.tf * n.n * 1000000) // df.df)::BIGINT AS score,
+               row_number() OVER (PARTITION BY tf.doc_id
+                 ORDER BY ((tf.tf * n.n * 1000000) // df.df) DESC, tf.tok)::BIGINT AS rank
+        FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n) t
+      WHERE rank <= 3 ORDER BY doc_id, rank""",
     "x1_token_stats" -> s"""
       SELECT doc_id,
              len(ws)::BIGINT AS n_tokens,
