@@ -186,7 +186,7 @@ object Dedup extends QueryPack {
         .withColumn("v", $"embedding".cast("array<double>"))
         .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
         .select($"vec_id", $"v", $"norm2")
-      val cents = Quantizer.centroidsFor(e, dir, k = 8, iters = 2, dim = 64)
+      val cents = Quantizer.centroidsFor(e, dir, iters = 2, dim = 64)
       val cells = Quantizer.assign(e, cents)
       cells.as("a").join(cells.as("b"),
           $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
@@ -293,7 +293,7 @@ object Dedup extends QueryPack {
         SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
         FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
               FROM embeddings) t),
-      ${Quantizer.centroidsSql(k = 8, iters = 2, dim = 64)}
+      ${Quantizer.centroidsSql(iters = 2, dim = 64)}
       ${Quantizer.cellsSql}
       SELECT v1, v2, cell, cos FROM (
         SELECT a.vec_id AS v1, b.vec_id AS v2, a.cell::BIGINT AS cell,

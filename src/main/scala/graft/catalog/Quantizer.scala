@@ -40,14 +40,24 @@ object Quantizer {
   def withQ(e: DataFrame): DataFrame =
     e.withColumn("q", expr(s"transform(v, x -> cast(round(x * $Scale) as bigint))"))
 
-  /** Memoized centroids for the embeddings table under `dir` — the trained
-    * quantizer is deterministic model state, so queries sharing (dir, k,
-    * iters, dim) (d5, v3) train once per session. */
-  private val trained =
-    new scala.collection.concurrent.TrieMap[(String, Int, Int, Int), Seq[Centroid]]
+  /** Target mean cell population: cells scale with the table so the
+    * within-cell quadratic rerank stays O(N · CellTarget), not O(N²/k) —
+    * the 10× soak showed fixed k=8 going 6× superlinear. */
+  final val CellTarget = 625L
 
-  def centroidsFor(e: DataFrame, dir: String, k: Int, iters: Int, dim: Int): Seq[Centroid] =
-    trained.getOrElseUpdate((dir, k, iters, dim), centroids(withQ(e), k, iters, dim))
+  /** k = max(8, N / CellTarget), identically derived in the SQL twin. */
+  def kFor(n: Long): Int = math.max(8L, n / CellTarget).toInt
+
+  /** Memoized centroids for the embeddings table under `dir` — the trained
+    * quantizer is deterministic model state, so queries sharing
+    * (dir, iters, dim) (d5, v3) train once per session. k adapts to the
+    * table size via kFor. */
+  private val trained =
+    new scala.collection.concurrent.TrieMap[(String, Int, Int), Seq[Centroid]]
+
+  def centroidsFor(e: DataFrame, dir: String, iters: Int, dim: Int): Seq[Centroid] =
+    trained.getOrElseUpdate((dir, iters, dim),
+      centroids(withQ(e), kFor(e.count()), iters, dim))
 
   private def serialDot(a: Array[Double], b: Array[Double]): Double = {
     // identical op order to Tx.dotSql / VectorExprs.dot: left fold of a+x_i
@@ -66,6 +76,13 @@ object Quantizer {
   private def cosTo(c: Centroid): Column =
     VectorExprs.cosine(col("v"), typedLit(c.cv), col("norm2"), lit(c.cn2))
 
+  /** Above this k, the literal-centroid expression (k × dim constants in
+    * one codegen'd projection) gets too large to compile well; assignment
+    * switches to a broadcast-join + per-key window (the classic IVF
+    * assignment shape — still no data-sized shuffle key, the window groups
+    * are k rows per vector). */
+  final val LiteralMax = 16
+
   /** All cells sorted nearest-first for the current row: array of
     * (neg = -cos, cell) structs, ascending — lexicographic struct order
     * gives (cos desc, cell asc). A pure projection, no shuffle. */
@@ -73,13 +90,41 @@ object Quantizer {
     array_sort(array(cents.map(c =>
       struct((-cosTo(c)).as("neg"), lit(c.cell).as("cell"))): _*))
 
-  /** Nearest-cell assignment as a pure projection over literal centroids
-    * (array_min of (-cos, cell) structs — no per-row sort). */
-  def assign(e: DataFrame, cents: Seq[Centroid]): DataFrame = {
-    val scored = array(cents.map(c =>
-      struct((-cosTo(c)).as("neg"), lit(c.cell).as("cell"))): _*)
-    e.withColumn("cell", array_min(scored).getField("cell"))
+  private def centsDf(e: DataFrame, cents: Seq[Centroid]): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    cents.map(c => (c.cell, c.cv.toSeq, c.cn2)).toDF("cell", "cv", "cnorm2")
   }
+
+  /** `nProbe` nearest cells per row (cos desc, cell asc): input columns +
+    * `cell`, one row per probed cell. */
+  def probe(e: DataFrame, cents: Seq[Centroid], nProbe: Int): DataFrame = {
+    val keep = e.columns.map(col) :+ col("cell")
+    if (cents.size <= LiteralMax)
+      e.withColumn("_pr", explode(slice(sortedCells(cents), 1, nProbe)))
+        .withColumn("cell", col("_pr.cell"))
+        .select(keep: _*)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("_ccos").desc, col("cell"))
+      e.crossJoin(broadcast(centsDf(e, cents)))
+        .withColumn("_ccos",
+          VectorExprs.cosine(col("v"), col("cv"), col("norm2"), col("cnorm2")))
+        .withColumn("_crank", row_number().over(w))
+        .filter(col("_crank") <= nProbe)
+        .select(keep: _*)
+    }
+  }
+
+  /** Nearest-cell assignment: literal-expression projection for small k
+    * (array_min of (-cos, cell) structs, zero shuffle), broadcast-join +
+    * window argmin for large k. */
+  def assign(e: DataFrame, cents: Seq[Centroid]): DataFrame =
+    if (cents.size <= LiteralMax) {
+      val scored = array(cents.map(c =>
+        struct((-cosTo(c)).as("neg"), lit(c.cell).as("cell"))): _*)
+      e.withColumn("cell", array_min(scored).getField("cell"))
+    } else probe(e, cents, 1)
 
   /** Final centroids after `iters` Lloyd updates from the first-k init
     * (init centroid = its seed's quantized vector, mean of a 1-row cell).
@@ -118,18 +163,20 @@ object Quantizer {
     s"${dotSql(v, cv)} / (sqrt($n2) * sqrt($cn2))"
 
   /** CTE fragment: `kq` (quantized vectors), per-iteration assign/update
-    * CTEs, final centroids `kmc(cell, cv, cnorm2)`. */
-  def centroidsSql(k: Int, iters: Int, dim: Int): String = {
+    * CTEs, final centroids `kmc(cell, cv, cnorm2)`. k is derived from the
+    * table size exactly like the Spark side's kFor. */
+  def centroidsSql(iters: Int, dim: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""kq AS (
       SELECT vec_id, v, norm2,
              list_transform(v, x -> CAST(round(x * $Scale) AS BIGINT)) AS q
       FROM e),
+    kk AS (SELECT greatest(8, COUNT(*) // $CellTarget) AS k FROM e),
     kd0 AS (
       SELECT cell, cv, ${dotSql("cv", "cv")} AS cnorm2 FROM (
         SELECT vec_id AS cell,
                list_transform(q, x -> x::DOUBLE / (1::BIGINT::DOUBLE * $Scale)) AS cv
-        FROM kq WHERE vec_id < $k) z)"""
+        FROM kq WHERE vec_id < (SELECT k FROM kk)) z)"""
     for (t <- 1 to iters) {
       val prev = s"kd${t - 1}"
       val sums = (0 until dim).map(i => s"sum(q[${i + 1}])::BIGINT").mkString(", ")

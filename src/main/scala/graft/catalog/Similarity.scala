@@ -134,14 +134,11 @@ object Similarity extends QueryPack {
       .withColumn("v", $"embedding".cast("array<double>"))
       .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
       .select($"vec_id", $"v", $"norm2")
-    val cents = Quantizer.centroidsFor(e, dir, k = 8, iters = 2, dim = 64)
-    val sorted = Quantizer.sortedCells(cents)
+    val cents = Quantizer.centroidsFor(e, dir, iters = 2, dim = 64)
     val data = Quantizer.assign(e, cents)
       .select($"cell", $"vec_id", $"v", $"norm2")
-    val probes = e.filter($"vec_id" < 10)
-      .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"),
-              explode(slice(sorted, 1, 2)).as("pr"))
-      .select($"pr.cell".as("cell"), $"q_id", $"qv", $"qn")
+    val probes = Quantizer.probe(e.filter($"vec_id" < 10), cents, nProbe = 2)
+      .select($"cell", $"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
     val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
     data.join(broadcast(probes), Seq("cell"))
       .filter($"vec_id" =!= $"q_id")
@@ -160,7 +157,7 @@ object Similarity extends QueryPack {
         SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
         FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
               FROM embeddings) t),
-      ${Quantizer.centroidsSql(k = 8, iters = 2, dim = 64)},
+      ${Quantizer.centroidsSql(iters = 2, dim = 64)},
       assigned AS (
         SELECT t.vec_id, t.v, t.norm2, c.cell,
                row_number() OVER (PARTITION BY t.vec_id ORDER BY
