@@ -410,10 +410,78 @@ object Relational extends QueryPack {
       t.customer.select($"c_custkey")
         .except(t.orders.select($"o_custkey".as("c_custkey")))
         .orderBy($"c_custkey")
+    },
+    // u6: CDC merge/upsert — apply a changes table (updates + inserts) to a
+    // base snapshot via one keyed FULL OUTER JOIN, emitting the next
+    // snapshot plus the per-row op. This is the engine-level core of
+    // MERGE INTO: at 100 TB both sides shuffle once on the key (or not at
+    // all with co-bucketed snapshots) and the result writes partitioned.
+    // The change set here is derived deterministically from the base.
+    "u6_merge_upsert" -> { (s, dir) =>
+      import s.implicits._
+      val base = Tables(s, dir).customer
+        .select($"c_custkey", $"c_name", $"c_acctbal", $"c_mktsegment")
+      val upd = base.filter($"c_custkey" % 10 === 0)
+        .select($"c_custkey".as("u_key"), $"c_name".as("u_name"),
+                ($"c_acctbal" + 100.0).as("u_bal"), $"c_mktsegment".as("u_seg"))
+        .union(base.filter($"c_custkey" % 100 === 0)
+          .select(($"c_custkey" + 1000000L).as("u_key"),
+                  concat(lit("NEW#"), $"c_name").as("u_name"),
+                  lit(0.0).as("u_bal"), $"c_mktsegment".as("u_seg")))
+      base.join(upd, $"c_custkey" === $"u_key", "full_outer")
+        .select(coalesce($"c_custkey", $"u_key").as("c_custkey"),
+                coalesce($"u_name", $"c_name").as("c_name"),
+                coalesce($"u_bal", $"c_acctbal").as("c_acctbal"),
+                coalesce($"u_seg", $"c_mktsegment").as("c_mktsegment"),
+                when($"u_key".isNull, "kept")
+                  .when($"c_custkey".isNull, "inserted")
+                  .otherwise("updated").as("op"))
+        .orderBy($"c_custkey")
+    },
+    // a6: incremental aggregate maintenance — yesterday's materialized
+    // partial aggregates merge with today's delta WITHOUT recomputing the
+    // prior partition; exact-decimal partials are associative, so the
+    // merged result is bitwise equal to the full recompute (which is what
+    // the oracle runs). The incremental-view-maintenance shape: state is
+    // (sum, count) per group, merge is a re-aggregation of k+delta rows.
+    "a6_incremental_agg" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables(s, dir).lineitem
+      def partial(parity: Int) = li.filter($"l_orderkey" % 2 === parity)
+        .groupBy($"l_returnflag")
+        .agg(sum(dec2($"l_quantity")).as("sq"), count(lit(1)).as("n"))
+      partial(0).union(partial(1))
+        .groupBy($"l_returnflag")
+        .agg(asDbl(sum($"sq"), 2).as("sum_qty"), sum($"n").as("n"))
+        .orderBy($"l_returnflag")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "u6_merge_upsert" -> """
+      WITH base AS (
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+      upd AS (
+        SELECT c_custkey AS u_key, c_name AS u_name,
+               c_acctbal + 100.0 AS u_bal, c_mktsegment AS u_seg
+        FROM base WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEW#' || c_name, 0.0, c_mktsegment
+        FROM base WHERE c_custkey % 100 = 0)
+      SELECT COALESCE(b.c_custkey, u.u_key) AS c_custkey,
+             COALESCE(u.u_name, b.c_name) AS c_name,
+             COALESCE(u.u_bal, b.c_acctbal) AS c_acctbal,
+             COALESCE(u.u_seg, b.c_mktsegment) AS c_mktsegment,
+             CASE WHEN u.u_key IS NULL THEN 'kept'
+                  WHEN b.c_custkey IS NULL THEN 'inserted'
+                  ELSE 'updated' END AS op
+      FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.u_key
+      ORDER BY c_custkey""",
+    "a6_incremental_agg" -> """
+      SELECT l_returnflag,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q1_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
              CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
