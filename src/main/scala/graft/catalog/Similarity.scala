@@ -61,7 +61,12 @@ object Similarity extends QueryPack {
   private val K = 10
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // v1: exact brute-force cosine top-k for query set vec_id < 10
+    // v1: exact brute-force cosine top-k for query set vec_id < 10.
+    // Top-k runs as a CUSTOM TYPED AGGREGATOR (functions/TopK.scala), not a
+    // window: each partition keeps a k-element buffer (map-side partial
+    // agg), the shuffle carries k rows per (query, partition) instead of
+    // every scored candidate — at 100 TB that is the difference between
+    // shuffling the corpus and shuffling k·p rows.
     "v1_brute_topk" -> { (s, dir) =>
       import s.implicits._
       val e = Tables(s, dir).embeddings
@@ -70,14 +75,13 @@ object Similarity extends QueryPack {
         .select($"vec_id", $"v", $"norm2")
       val q = e.filter($"vec_id" < 10)
         .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
-      val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+      e.join(broadcast(q), $"vec_id" =!= $"q_id")
         .withColumn("cos", graft.functions.VectorExprs.cosine($"qv", $"v", $"qn", $"norm2"))
-      val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-      scored
-        .withColumn("rank", row_number().over(w))
-        .filter($"rank" <= K)
-        .select($"q_id", $"rank".cast("long").as("rank"),
-                $"vec_id".as("neighbor_id"), $"cos")
+        .groupBy($"q_id")
+        .agg(graft.functions.TopK.topK10($"cos", $"vec_id").as("top"))
+        .select($"q_id", posexplode($"top").as(Seq("idx", "nb")))
+        .select($"q_id", ($"idx" + 1).cast("long").as("rank"),
+                $"nb.vec_id".as("neighbor_id"), $"nb.cos".as("cos"))
         .orderBy($"q_id", $"rank")
     },
     // v2: LSH-bucketed ANN — candidates share ≥1 of 4 signature bands with

@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One scored candidate: cosine + neighbor id. */
+final case class ScoredNeighbor(cos: Double, vec_id: Long)
+
+/** Bounded top-k aggregate (cos desc, vec_id asc) as a typed Aggregator —
+  * the scale shape for brute-force ANN: each partition keeps a k-element
+  * buffer (map-side partial aggregation), the shuffle carries k rows per
+  * (group, partition) instead of every candidate, and the merge is
+  * order-independent because the trim comparator is a total order. This
+  * replaces the row_number window in v1, whose shuffle carried ALL
+  * candidates per query.
+  */
+final class TopKByCos(k: Int)
+    extends Aggregator[ScoredNeighbor, Seq[ScoredNeighbor], Seq[ScoredNeighbor]] {
+
+  private def trim(xs: Seq[ScoredNeighbor]): Seq[ScoredNeighbor] =
+    xs.sortBy(x => (-x.cos, x.vec_id)).take(k)
+
+  override def zero: Seq[ScoredNeighbor] = Nil
+  override def reduce(b: Seq[ScoredNeighbor], a: ScoredNeighbor): Seq[ScoredNeighbor] =
+    trim(b :+ a)
+  override def merge(b1: Seq[ScoredNeighbor], b2: Seq[ScoredNeighbor]): Seq[ScoredNeighbor] =
+    trim(b1 ++ b2)
+  override def finish(b: Seq[ScoredNeighbor]): Seq[ScoredNeighbor] = trim(b)
+
+  override def bufferEncoder: Encoder[Seq[ScoredNeighbor]] =
+    ExpressionEncoder[Seq[ScoredNeighbor]]()
+  override def outputEncoder: Encoder[Seq[ScoredNeighbor]] =
+    ExpressionEncoder[Seq[ScoredNeighbor]]()
+}
+
+object TopK {
+  /** udaf column function: call as `topK10($"cos", $"vec_id")`. */
+  lazy val topK10 = org.apache.spark.sql.functions.udaf(new TopKByCos(10))
+}
