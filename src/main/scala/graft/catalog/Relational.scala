@@ -189,6 +189,23 @@ object Relational extends QueryPack {
                   $"exact_parts".cast("double") * 0.05).as("within_5pct"))
     },
 
+    // a7: sketch-based percentile with a checkable envelope (a4's pattern):
+    // the driver compares the EXACT per-group median (identical on both
+    // engines) plus a boolean asserting the approx_percentile sketch landed
+    // within 5% of it — the sketch itself is engine-specific, its accuracy
+    // contract is what gets pinned.
+    "a7_approx_percentile" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .groupBy($"l_returnflag")
+        .agg(expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+             expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_p50"))
+        .select($"l_returnflag", $"exact_p50",
+                (abs($"approx_p50" - $"exact_p50") <= $"exact_p50" * 0.05)
+                  .as("within_5pct"))
+        .orderBy($"l_returnflag")
+    },
+
     // ---- joins -------------------------------------------------------------
     "j1_inner" -> { (s, dir) =>
       import s.implicits._
@@ -543,6 +560,10 @@ object Relational extends QueryPack {
     "a4_approx_distinct" -> """
       SELECT COUNT(DISTINCT l_partkey) AS exact_parts, TRUE AS within_5pct
       FROM lineitem""",
+    "a7_approx_percentile" -> """
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+             TRUE AS within_5pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "a3_minmax_avg" -> """
       SELECT l_returnflag, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
              CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / COUNT(*) AS avg_qty,

@@ -115,6 +115,17 @@ object Streams extends QueryPack {
       runToTable(EventStreams.clickErrorJoin(clicks, errors),
           OutputMode.Append())
         .orderBy($"click_id", $"error_id")
+    },
+    // e11: the NATIVE session_window operator in APPEND mode — a session
+    // emits once the watermark passes its end (last + gap). The stream
+    // ends with watermark = max(ts) − 30 min, so the oracle is the batch
+    // sessionization restricted to sessions whose end cleared that final
+    // watermark (same millisecond arithmetic Spark's state store uses).
+    "e11_stream_session_window" -> { (s, dir) =>
+      import s.implicits._
+      runToTable(EventStreams.sessionize(eventsStream(s, dir)),
+          OutputMode.Append())
+        .orderBy($"user_id", $"start_us")
     }
   )
 
@@ -154,6 +165,26 @@ object Streams extends QueryPack {
       SELECT user_id, start_us, end_us, n_events
       FROM sess, wm
       WHERE sess_id < last_sess OR (end_us // 1000) <= wm_ms
+      ORDER BY user_id, start_us""",
+    "e11_stream_session_window" -> """
+      WITH sess AS (
+        SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
+               COUNT(*) AS n_events
+        FROM (
+          SELECT user_id, us,
+                 (SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS sess_id
+          FROM (
+            SELECT user_id, event_id, us,
+                   CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+                        THEN 1
+                        WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM (SELECT user_id, event_id, epoch_us(ts) AS us FROM events) t0) t1) t2
+        GROUP BY user_id, sess_id),
+      wm AS (SELECT (max(epoch_us(ts)) // 1000) - 1800000 AS wm_ms FROM events)
+      SELECT user_id, start_us, end_us, n_events
+      FROM sess, wm WHERE (end_us // 1000) <= wm_ms
       ORDER BY user_id, start_us""",
     "e9_stream_interval_join" -> """
       SELECT c.event_id AS click_id, c.user_id AS user_id,
