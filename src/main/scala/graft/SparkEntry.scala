@@ -20,7 +20,8 @@ object SparkEntry {
     catalog.Multimodal,
     catalog.Temporal,
     catalog.Analytics,
-    catalog.Strings
+    catalog.Strings,
+    catalog.CorpusGate
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -51,17 +51,17 @@ object Dedup extends QueryPack {
   // ---- DuckDB-side SQL generators (Spark side uses the compiled kernels in
   // graft.functions.TextKernels — identical arithmetic, see its scaladoc) ---
 
-  private val shingleHashesSql =
+  private[catalog] val shingleHashesSql =
     s"list_transform(${shinglesSql(4)}, s -> ${polyHashSql("s")})"
 
   /** 16-slot minhash signature from base-hash array `hs` (empty → P). */
-  private def sigSql(hs: String): String =
+  private[catalog] def sigSql(hs: String): String =
     "[" + AB.map { case (a, b) =>
       s"coalesce(list_min(list_transform($hs, x -> ($a * x + $b) % $P)), $P)"
     }.mkString(", ") + "]"
 
   /** band hashes: fold RowsPerBand signature slots per band (1-based slots). */
-  private def bandsSql(sig: String): String =
+  private[catalog] def bandsSql(sig: String): String =
     "[" + (0 until NBands).map { b =>
       (0 until RowsPerBand).foldLeft("0::BIGINT") { (acc, j) =>
         s"(($acc * 1000003 + $sig[${b * RowsPerBand + j + 1}]) % $P)"

@@ -27,7 +27,7 @@ object Text extends QueryPack {
   import Tx.{wsExpr, wsSql, polyHash, polyHashSql}
 
   private[graft] val stopwords = Seq("the", "a", "data", "value", "row")
-  private def inList(v: String, xs: Seq[String]) =
+  private[catalog] def inList(v: String, xs: Seq[String]) =
     s"$v IN (${xs.map(w => s"'$w'").mkString(", ")})"
 
   /** language marker words (shared-vocab corpus ⇒ this is a deterministic
@@ -137,7 +137,7 @@ object Text extends QueryPack {
     }
   )
 
-  private val caseSql =
+  private[catalog] val caseSql =
     """CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
       |     WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
       |     WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
