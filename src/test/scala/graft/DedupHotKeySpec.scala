@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The hot-key guards in Dedup (MaxBucket / MaxDf): planted viral keys —
+  * one band bucket / one shingle shared by hundreds of documents — must be
+  * cut from candidate generation (the B² quadratic), while ordinary
+  * near-dup pairs keep surfacing. */
+class DedupHotKeySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def writeDocs(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("hotkey").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d2: a viral band bucket (150 identical docs) is cut; small groups pair") {
+    val viral = (0L until 150L).map(i => i -> "the viral boilerplate every crawler copy has seen")
+    val pair = Seq(200L -> "a genuinely unique document body with its own words here",
+                   201L -> "a genuinely unique document body with its own words here")
+    val dir = writeDocs(viral ++ pair)
+    val out = SparkEntry.queries("d2_minhash_lsh")(spark, dir).collect()
+    // every bucket of the viral group has 150 > MaxBucket members → no pairs
+    assert(!out.exists(_.getLong(0) < 150), "viral bucket leaked candidate pairs")
+    // the 2-copy group pairs normally (identical signatures, est = 1.0)
+    assert(out.exists(r => r.getLong(0) == 200L && r.getLong(1) == 201L))
+  }
+
+  test("d4: a viral shingle (df=300) is cut; clean duplicate pair survives") {
+    val viral = (0L until 300L).map { i =>
+      i -> s"common viral boilerplate prefix u${i}a u${i}b u${i}c u${i}d u${i}e"
+    }
+    val pair = Seq(1000L -> "totally distinct pair text one two three four five six",
+                   1001L -> "totally distinct pair text one two three four five six")
+    val dir = writeDocs(viral ++ pair)
+    val out = SparkEntry.queries("d4_ngram_jaccard")(spark, dir).collect()
+    // the shared viral shingle has df 300 > MaxDf → cut; the docs' other
+    // shingles are unique → the 300 viral docs produce NO pairs
+    assert(!out.exists(_.getLong(0) < 300), "viral shingle leaked pairs")
+    // the duplicate pair's shingles all have df=2 → full-strength match
+    val p = out.filter(r => r.getLong(0) == 1000L && r.getLong(1) == 1001L)
+    assert(p.length == 1 && p.head.getAs[Double]("jaccard") >= 0.99)
+  }
+}
