@@ -89,6 +89,14 @@ final class Dashboard(spark: SparkSession, configDir: String,
         respond(ex, 200, VectorMap("success" -> true, "id" -> m.id))
       case "api" :: "mappings" :: id :: "delete" :: Nil if post =>
         respond(ex, 200, VectorMap("success" -> SpecStore.deleteMapping(mappingsPath, id)))
+      case "api" :: "mappings" :: id :: "save" :: Nil if post =>
+        saveMappingFromEditor(ex, id)
+      case "upload" :: sourceId :: Nil if post =>
+        upload(ex, sourceId)
+      case "download" :: rest if rest.nonEmpty && !post =>
+        download(ex, rest.mkString("/"))
+      case "delete" :: fileType :: rest if rest.nonEmpty && post =>
+        deleteFile(ex, fileType, rest.mkString("/"))
       case "api" :: "preview" :: sourceId :: filename :: Nil if !post =>
         preview(ex, sourceId, filename)
       case "api" :: "preview" :: sourceId :: filename :: "update" :: Nil if post =>
@@ -121,6 +129,64 @@ final class Dashboard(spark: SparkSession, configDir: String,
     case id :: "delete" :: Nil if post =>
       respond(ex, 200, VectorMap("success" -> SpecStore.deleteFileSpec(path, id)))
     case _ => err(ex, 404, "Not found")
+  }
+
+  /** app.py:424-448 — visual-editor save: replace field_mappings and
+    * filter_rules of an EXISTING mapping, 404 otherwise. */
+  private def saveMappingFromEditor(ex: HttpExchange, id: String): Unit =
+    SpecStore.loadMappings(mappingsPath).get(id) match {
+      case None => err(ex, 404, "Mapping not found")
+      case Some(existing) =>
+        // parseMapping tolerates the partial payload (missing ids default)
+        val body = SpecStore.parseMapping(readBody(ex))
+        SpecStore.upsertMapping(mappingsPath, existing.copy(
+          fieldMappings = body.fieldMappings, filterRules = body.filterRules))
+        respond(ex, 200, VectorMap("success" -> true, "message" -> "Mapping saved"))
+    }
+
+  // ---- files (app.py:103-158) ----
+
+  /** The reference uploads multipart form files; this JSON shim takes the
+    * raw CSV body with `?filename=`. Only *.csv is accepted, like the
+    * reference. */
+  private def upload(ex: HttpExchange, sourceId: String): Unit =
+    SpecStore.loadFileSpecs(sourcesPath).get(sourceId) match {
+      case None => err(ex, 404, s"Source '$sourceId' not found")
+      case Some(source) =>
+        queryParams(ex).get("filename") match {
+          case Some(f) if f.endsWith(".csv") && !f.contains("/") && !f.contains("..") =>
+            val dir = Paths.get(inputDir, source.defaultDirectory)
+            Files.createDirectories(dir)
+            Files.write(dir.resolve(f), ex.getRequestBody.readAllBytes())
+            respond(ex, 200, VectorMap("success" -> true, "filename" -> f))
+          case _ => err(ex, 400, "Only CSV files are allowed")
+        }
+    }
+
+  private def safeResolve(base: String, rel: String) = {
+    val p = Paths.get(base).toAbsolutePath.normalize
+      .resolve(rel).normalize
+    if (p.startsWith(Paths.get(base).toAbsolutePath.normalize)) Some(p) else None
+  }
+
+  private def download(ex: HttpExchange, rel: String): Unit =
+    safeResolve(outputDir, rel).filter(Files.exists(_)) match {
+      case None => err(ex, 404, "File not found")
+      case Some(p) =>
+        val bytes = Files.readAllBytes(p)
+        ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+    }
+
+  private def deleteFile(ex: HttpExchange, fileType: String, rel: String): Unit = {
+    val base = if (fileType == "input") inputDir else outputDir
+    safeResolve(base, rel).filter(Files.exists(_)) match {
+      case None => err(ex, 404, "File not found")
+      case Some(p) => Files.delete(p)
+        respond(ex, 200, VectorMap("success" -> true))
+    }
   }
 
   // ---- preview / edit / convert / process ----

@@ -155,6 +155,44 @@ class DashboardSpec extends AnyFunSuite {
     assert(asMap(post("/api/mappings/dash_direct/delete", "")._2)("success") == true)
   }
 
+  test("upload/download/delete file routes and visual-editor save") {
+    // upload (raw-body variant of the reference's multipart route)
+    val csv = "Date,Ticker,Type,Quantity,Price per share,Total Amount,Currency\r\n" +
+      "2024-02-01T10:00:00,NVDA,BUY,1,700.0,700.0,USD\r\n"
+    val up = client.send(HttpRequest.newBuilder(
+        URI.create(s"$base/upload/revolut_stocks?filename=up.csv"))
+      .POST(HttpRequest.BodyPublishers.ofString(csv)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(up.statusCode() == 200)
+    assert(Files.exists(env._3.resolve("revolut_stocks").resolve("up.csv")))
+    assert(post("/upload/revolut_stocks?filename=evil.txt", csv)._1 == 400)
+    assert(post("/upload/nope?filename=x.csv", csv)._1 == 404)
+    // download from the output dir
+    val outDir = env._4.resolve("ghostfolio")
+    Files.createDirectories(outDir)
+    Files.write(outDir.resolve("dl.csv"), "a,b\r\n1,2\r\n".getBytes)
+    val (dc, dbody) = get("/download/ghostfolio/dl.csv")
+    assert(dc == 200 && dbody == "a,b\r\n1,2\r\n")
+    assert(get("/download/ghostfolio/../../../etc/passwd")._1 == 404)
+    // delete input + output files
+    assert(post("/delete/input/revolut_stocks/up.csv", "")._1 == 200)
+    assert(!Files.exists(env._3.resolve("revolut_stocks").resolve("up.csv")))
+    assert(post("/delete/output/ghostfolio/dl.csv", "")._1 == 200)
+    assert(post("/delete/output/ghostfolio/dl.csv", "")._1 == 404)
+    // visual-editor save replaces field_mappings/filter_rules in place
+    val save = post("/api/mappings/revolut_crypto_to_ghostfolio/save",
+      """{"field_mappings": [{"destination_field": "date", "source_field": "Date",
+          "transform_type": "direct", "transform_config": {}}],
+         "filter_rules": []}""")
+    assert(save._1 == 200 && asMap(save._2)("success") == true)
+    val saved = SpecStore.loadMappings(env._2.resolve("mappings.json").toString)(
+      "revolut_crypto_to_ghostfolio")
+    assert(saved.fieldMappings.map(_.destinationField) == Seq("date"))
+    assert(saved.filterRules.isEmpty)
+    assert(saved.name.nonEmpty) // untouched metadata preserved
+    assert(post("/api/mappings/nope/save", "{}")._1 == 404)
+  }
+
   test("process aggregates every csv in the source directory") {
     val (code, body) = post("/api/process/revolut_stocks",
       """{"mapping_id": "revolut_stocks_to_ghostfolio"}""")
