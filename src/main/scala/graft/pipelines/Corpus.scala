@@ -80,6 +80,10 @@ object Corpus {
       .withColumn("n_tokens", $"st.n_tokens").drop("st")
       .cache()
     val n4 = curated.count()
+    // curated is materialized above; release the intermediate stage caches
+    langKept.unpersist(blocking = false)
+    qualKept.unpersist(blocking = false)
+    keepers.unpersist(blocking = false)
 
     (curated, Seq(Stage("input", n0), Stage("lang", n1), Stage("quality", n2),
                   Stage("exact_dedup", n3), Stage("near_dedup", n4)))
