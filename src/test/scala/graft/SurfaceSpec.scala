@@ -35,6 +35,23 @@ class SurfaceSpec extends AnyFunSuite {
     assert(RowEdit.updateRow("/no/such/file.csv", 2, Map()).isLeft)
   }
 
+  test("D2 row update fuzz corpus: 20 random cases match Python csv bytes") {
+    val fuzzDir = "src/test/resources/golden/rowedit_fuzz"
+    val cases = SpecStore.parseAny(str(s"$fuzzDir/cases.json"))
+      .asInstanceOf[List[Map[String, Any]]]
+    cases.foreach { c =>
+      val i = c("case").asInstanceOf[Long]
+      val line = c("line").asInstanceOf[Long].toInt
+      val upd = c("update").asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> String.valueOf(v) }
+      val work = Files.createTempFile(f"fz$i%02d", ".csv")
+      Files.write(work, bytes(f"$fuzzDir/case$i%02d_input.csv"))
+      assert(RowEdit.updateRow(work.toString, line, upd).isRight, s"case $i")
+      assert(new String(Files.readAllBytes(work), StandardCharsets.UTF_8)
+        === str(f"$fuzzDir/case$i%02d_expected.csv"), s"case $i")
+    }
+  }
+
   test("template CSV generation matches reference bytes for every shipped spec") {
     val specs = SpecStore.loadFileSpecs(s"$cfgDir/sources.json") ++
       SpecStore.loadFileSpecs(s"$cfgDir/destinations.json")
