@@ -32,7 +32,10 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the default locale, which would
+    // emit decimal COMMAS on some JVMs and corrupt the JSON line
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def line(kv: Seq[(String, String)]): String = {
       val qs = kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""

@@ -29,9 +29,12 @@ object Verify {
         // drop any stale output from a previous run so the compare can't
         // silently grade an old result
         val d = Paths.get(s"$outDir/$name")
-        if (Files.exists(d))
-          Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+        if (Files.exists(d)) {
+          val walk = Files.walk(d)
+          try walk.sorted(java.util.Comparator.reverseOrder())
             .forEach(p => Files.deleteIfExists(p))
+          finally walk.close()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

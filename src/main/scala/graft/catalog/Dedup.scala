@@ -220,7 +220,10 @@ object Dedup extends QueryPack {
       var labels = docs.select($"doc_id", $"doc_id".as("cluster")).localCheckpoint()
       var changed = 1L
       var rounds = 0
-      while (changed > 0 && rounds < 50) {
+      // no round cap: min-labels decrease monotonically, so convergence is
+      // guaranteed within the graph diameter — a cap could exit early on a
+      // long chain and diverge from the oracle's exact fixpoint
+      while (changed > 0) {
         val nb = sym
           .join(labels.select($"doc_id".as("src"), $"cluster".as("c")), $"d1" === $"src")
           .select($"d2".as("doc_id"), $"c".as("cluster"))

@@ -18,6 +18,12 @@ import Tx.dotSql
   * serial-fold dot product (Tx.dotSql / VectorExprs), so argmax cells match
   * bitwise. Ties break on cell asc via lexicographic min of (-cos, cell).
   *
+  * Precondition: vectors (and therefore seeds) are non-zero — a zero seed
+  * would make its cosine NaN, and NaN ordering differs between the literal
+  * (array_min: NaN last) and join (ORDER BY DESC: NaN first) assignment
+  * paths. The embeddings table satisfies this; a production ingest should
+  * drop zero-norm vectors before training.
+  *
   * Scale shape (100 TB) — the MLlib-KMeans loop structure:
   *  - centroids are k×dim driver state (tiny), inlined as LITERALS into the
   *    assignment expression: assignment is a pure per-row projection — no

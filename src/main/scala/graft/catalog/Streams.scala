@@ -24,7 +24,9 @@ import graft.streaming.{EventStreams, RunningCounts, StatefulSessions}
   *      is the final total under ANY micro-batch split (RocksDB state);
   *   e8 flatMapGroupsWithState sessions, APPEND mode — sessions closed by a
   *      successor event plus sessions flushed by the event-time timeout
-  *      once the final watermark (max ts − 30 min) passes last + gap;
+  *      once the final watermark (max ts − 30 min) advances STRICTLY past
+  *      last + gap (GroupState timeouts fire on '<', unlike session_window
+  *      eviction's '<=' in e11);
   *   e9 stream-stream interval join, APPEND mode — inner-join matches emit
   *      exactly once regardless of batching.
   *
@@ -164,7 +166,7 @@ object Streams extends QueryPack {
       wm AS (SELECT (max(epoch_us(ts)) // 1000) - 1800000 AS wm_ms FROM events)
       SELECT user_id, start_us, end_us, n_events
       FROM sess, wm
-      WHERE sess_id < last_sess OR (end_us // 1000) <= wm_ms
+      WHERE sess_id < last_sess OR (end_us // 1000) < wm_ms
       ORDER BY user_id, start_us""",
     "e11_stream_session_window" -> """
       WITH sess AS (

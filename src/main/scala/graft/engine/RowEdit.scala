@@ -66,8 +66,12 @@ object RowEdit {
     else s
 
   def renderRecords(recs: Seq[Seq[String]], delimiter: Char = ','): String =
-    recs.map(_.map(renderCell(_, delimiter)).mkString(delimiter.toString))
-      .map(_ + "\r\n").mkString
+    recs.map { rec =>
+      // Python csv quotes a LONE empty field ('""') so the record is not a
+      // blank line the next reader would skip
+      if (rec.sizeIs == 1 && rec.head.isEmpty) "\"\""
+      else rec.map(renderCell(_, delimiter)).mkString(delimiter.toString)
+    }.map(_ + "\r\n").mkString
 
   /** app.py:577-623: update record `lineNumber` (start=2) with the given
     * column→value map; unmentioned columns keep their values. Returns

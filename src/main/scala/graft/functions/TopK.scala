@@ -22,8 +22,14 @@ final class TopKByCos(k: Int)
     xs.sortBy(x => (-x.cos, x.vec_id)).take(k)
 
   override def zero: Seq[ScoredNeighbor] = Nil
-  override def reduce(b: Seq[ScoredNeighbor], a: ScoredNeighbor): Seq[ScoredNeighbor] =
-    trim(b :+ a)
+  /** Amortized O(1) per row: append until the buffer reaches 2k, then
+    * compact to k — each compaction pays for the k appends before it.
+    * Intermediate buffers are supersets of the final top-k, so the result
+    * is independent of arrival order. */
+  override def reduce(b: Seq[ScoredNeighbor], a: ScoredNeighbor): Seq[ScoredNeighbor] = {
+    val appended = b :+ a
+    if (appended.sizeIs > 2 * k) trim(appended) else appended
+  }
   override def merge(b1: Seq[ScoredNeighbor], b2: Seq[ScoredNeighbor]): Seq[ScoredNeighbor] =
     trim(b1 ++ b2)
   override def finish(b: Seq[ScoredNeighbor]): Seq[ScoredNeighbor] = trim(b)

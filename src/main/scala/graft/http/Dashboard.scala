@@ -231,10 +231,13 @@ final class Dashboard(spark: SparkSession, configDir: String,
     withSourceFile(ex, sourceId, filename) { (_, path) =>
       val data = SpecStore.parseAny(readBody(ex)).asInstanceOf[Map[String, Any]]
       (data.get("line"), data.get("row")) match {
-        case (Some(line: Long), Some(row: Map[_, _])) =>
+        // the reference 400s on falsy values: line 0 or an empty row dict
+        case (Some(line: Long), Some(row: Map[_, _]))
+            if line != 0 && row.nonEmpty =>
           RowEdit.updateRow(path, line.toInt,
             row.asInstanceOf[Map[String, Any]].map { case (k, v) =>
-              k -> String.valueOf(v) }) match {
+              // JSON null -> empty cell (DictWriter writes None as '')
+              k -> (if (v == null) "" else String.valueOf(v)) }) match {
             case Right(_) => respond(ex, 200, VectorMap(
               "success" -> true, "message" -> s"Row $line updated"))
             case Left(m) => err(ex, 500, m)
@@ -299,11 +302,13 @@ final class Dashboard(spark: SparkSession, configDir: String,
         case Some(source) =>
           val dir = Paths.get(inputDir, source.defaultDirectory)
           val files =
-            if (Files.isDirectory(dir))
-              Files.list(dir).iterator.asScala
+            if (Files.isDirectory(dir)) {
+              val stream = Files.list(dir)
+              try stream.iterator.asScala
                 .filter(_.getFileName.toString.endsWith(".csv"))
                 .toSeq.sortBy(_.toString)
-            else Nil
+              finally stream.close()
+            } else Nil
           var (success, skipped, errors) = (0L, 0L, 0L)
           val allErrors = List.newBuilder[VectorMap[String, Any]]
           files.foreach { f =>
@@ -318,12 +323,16 @@ final class Dashboard(spark: SparkSession, configDir: String,
             }
           }
           val errList = allErrors.result()
+          // divergence note: the reference also carries per-error row_data
+          // (the raw row dict) and per-file log lines; RowError keeps
+          // neither (rows are reconstructable by line number)
           respond(ex, 200, VectorMap[String, Any](
             "mapping_name" -> mapping.name,
             "success_count" -> success,
             "skipped_count" -> skipped,
             "error_count" -> errors,
             "errors" -> errList.take(50),
+            "logs" -> Nil,
             "has_more_errors" -> (errList.length > 50)))
       }
     }

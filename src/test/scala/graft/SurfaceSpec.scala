@@ -35,6 +35,14 @@ class SurfaceSpec extends AnyFunSuite {
     assert(RowEdit.updateRow("/no/such/file.csv", 2, Map()).isLeft)
   }
 
+  test("D2 lone empty field is quoted so the record survives the next read") {
+    val work = Files.createTempFile("lonecol", ".csv")
+    Files.write(work, bytes(s"$goldenDir/lonecol_input.csv"))
+    assert(RowEdit.updateRow(work.toString, 2, Map("OnlyCol" -> "")).isRight)
+    assert(new String(Files.readAllBytes(work), StandardCharsets.UTF_8)
+      === str(s"$goldenDir/lonecol_expected.csv"))
+  }
+
   test("D2 row update fuzz corpus: 20 random cases match Python csv bytes") {
     val fuzzDir = "src/test/resources/golden/rowedit_fuzz"
     val cases = SpecStore.parseAny(str(s"$fuzzDir/cases.json"))
