@@ -38,6 +38,18 @@ object Multimodal extends QueryPack {
                 md5($"frame_bytes").as("frame_digest"))
         .orderBy($"media_id", $"frame_idx")
     },
+    // m4: metadata resize through the typed map path — target dims update,
+    // payload passes through untouched (the pixel resample is part of the
+    // stubbed codec), proven by the unchanged digest.
+    "m4_resize" -> { (s, dir) =>
+      import s.implicits._
+      Media.resize(Media.mediaFromDocuments(Tables(s, dir).documents), 256, 144)
+        .toDF()
+        .select($"media_id", $"kind",
+                $"meta.width".as("width"), $"meta.height".as("height"),
+                md5($"payload").as("digest"))
+        .orderBy($"media_id")
+    },
     // m3: decode-stub + feature extraction through the typed mapPartitions
     // batch path. The normalized float32 embedding is projected back to the
     // EXACT integer byte-histogram (round(x_i * n_bytes) is exact while
@@ -67,6 +79,12 @@ object Multimodal extends QueryPack {
   }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "m4_resize" -> """
+      SELECT doc_id AS media_id,
+             (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+             256::INT AS width, 144::INT AS height,
+             md5(text) AS digest
+      FROM documents ORDER BY media_id""",
     "m3_media_features" -> s"""
       SELECT doc_id AS media_id,
              (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
