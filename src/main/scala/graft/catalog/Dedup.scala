@@ -219,7 +219,6 @@ object Dedup extends QueryPack {
         .localCheckpoint()
       var labels = docs.select($"doc_id", $"doc_id".as("cluster")).localCheckpoint()
       var changed = 1L
-      var rounds = 0
       // no round cap: min-labels decrease monotonically, so convergence is
       // guaranteed within the graph diameter — a cap could exit early on a
       // long chain and diverge from the oracle's exact fixpoint
@@ -233,7 +232,6 @@ object Dedup extends QueryPack {
         changed = next.select($"doc_id", $"cluster".as("n"))
           .join(labels, "doc_id").filter($"n" < $"cluster").count()
         labels = next
-        rounds += 1
       }
       val wC = org.apache.spark.sql.expressions.Window.partitionBy($"cluster")
       labels

@@ -34,6 +34,11 @@ final case class TransformResult(
   * (dynamic.py:239-348) becomes one shuffle-free stage.
   */
 object Runner {
+  /** Upper bound on per-row error DETAIL collected to the driver (counts
+    * stay exact). Far above any interactive file; a 100 TB adversarial
+    * input cannot OOM the driver through the compat path. */
+  val MaxCollectedErrors = 100000
+
   private val LINE = "__line_number"
   private val SKIP = "__skip"
   private val ERRS = "__errors"
@@ -70,10 +75,17 @@ object Runner {
     val errors: Seq[RowError] =
       if (collectErrors && c.errs > 0) {
         import planned.sparkSession.implicits._
+        // driver-side error detail is BOUNDED: adversarial input with an
+        // error on every row must not OOM the driver (errorCount still
+        // reports the true total; past the cap, per-row detail comes from
+        // errorDataset/convertAtScale). Deterministic prefix: lowest line
+        // numbers first, not first-collected partitions.
         planned.filter(!col(SKIP) && size(col(ERRS)) > 0)
           .select(col(LINE), explode(col(ERRS)).as("e"))
           .select(col(LINE).as("line_number"), col("e.field"),
                   col("e.error_message"), col("e.source_value"))
+          .orderBy(col("line_number"), col("field"), col("error_message"))
+          .limit(MaxCollectedErrors)
           .as[RowError].collect().toSeq
       } else Nil
     val result =
