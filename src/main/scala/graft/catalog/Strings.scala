@@ -73,6 +73,32 @@ object Strings extends QueryPack {
                   .cast("long").as("n_words"))
         .orderBy($"p_partkey")
     },
+    // q8: correlated subqueries through the SQL interface — EXISTS and a
+    // correlated scalar subquery, which Catalyst decorrelates into
+    // semi/aggregate joins (RewriteCorrelatedScalarSubquery /
+    // RewritePredicateSubquery). Pins the decorrelation rules, not just
+    // the join operators they produce.
+    "q8_correlated_subquery" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val (vo, vc) = (s"v8_orders_$tag", s"v8_customer_$tag")
+      t.orders.createOrReplaceTempView(vo)
+      t.customer.createOrReplaceTempView(vc)
+      try s.sql(s"""
+        SELECT c_custkey, c_name,
+               (SELECT COUNT(*) FROM $vo o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0
+               ) AS n_big
+        FROM $vc c
+        WHERE EXISTS (SELECT 1 FROM $vo o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+        ORDER BY c_custkey""")
+      finally {
+        s.catalog.dropTempView(vo)
+        s.catalog.dropTempView(vc)
+      }
+    },
     // q7: the engine through plain SQL — register views, run ANSI SQL.
     // View names are unique per call and dropped after analysis (spark.sql
     // resolves eagerly) so the shared session catalog is never left dirty
@@ -126,6 +152,16 @@ object Strings extends QueryPack {
       SELECT p_partkey, array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',') AS words,
              len(regexp_extract_all(p_name, '[a-z]+'))::BIGINT AS n_words
       FROM part ORDER BY p_partkey""",
+    "q8_correlated_subquery" -> """
+      SELECT c_custkey, c_name,
+             (SELECT COUNT(*) FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0
+             ) AS n_big
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'F')
+      ORDER BY c_custkey""",
     "q7_sql_interface" -> """
       SELECT c_mktsegment, COUNT(*) AS n,
              CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue

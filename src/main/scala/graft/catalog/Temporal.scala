@@ -48,6 +48,24 @@ object Temporal extends QueryPack {
                 $"us".as("click_us"), $"asof_error_us")
         .orderBy($"click_id")
     },
+    // r3: LEFT as-of — like r1 but clicks with no prior error survive with
+    // a null as-of time (DuckDB: ASOF LEFT JOIN)
+    "r3_asof_left" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .filter($"event_type".isin("click", "error"))
+        .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("us"))
+      val tagged = ev.withColumn("prio", when($"event_type" === "error", 0).otherwise(1))
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"prio", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("asof_error_us",
+          last(when($"event_type" === "error", $"us"), ignoreNulls = true).over(w))
+        .filter($"event_type" === "click")
+        .select($"event_id".as("click_id"), $"user_id",
+                $"us".as("click_us"), $"asof_error_us")
+        .orderBy($"click_id")
+    },
     // r2: per error event, clicks of the same user in [ts, ts + 10 min)
     "r2_range_join" -> { (s, dir) =>
       import s.implicits._
@@ -72,6 +90,13 @@ object Temporal extends QueryPack {
              epoch_us(e.ts) AS asof_error_us
       FROM (SELECT * FROM events WHERE event_type = 'click') c
       ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        ON c.user_id = e.user_id AND e.ts <= c.ts
+      ORDER BY click_id""",
+    "r3_asof_left" -> """
+      SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS click_us,
+             epoch_us(e.ts) AS asof_error_us
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
         ON c.user_id = e.user_id AND e.ts <= c.ts
       ORDER BY click_id""",
     "r2_range_join" -> """
