@@ -428,6 +428,19 @@ object Relational extends QueryPack {
         .except(t.orders.select($"o_custkey".as("c_custkey")))
         .orderBy($"c_custkey")
     },
+    // u7: schema-evolution union — two frames with different column order
+    // and a missing column merge BY NAME, the absent column null-filled
+    // (the append pattern when a table gains columns over time)
+    "u7_union_by_name" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val a = t.orders.filter($"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val b = t.orders.filter($"o_orderstatus" === "O")
+        .select($"o_custkey", $"o_orderkey")
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy($"o_orderkey")
+    },
     // u6: CDC merge/upsert — apply a changes table (updates + inserts) to a
     // base snapshot via one keyed FULL OUTER JOIN, emitting the next
     // snapshot plus the per-row op. This is the engine-level core of
@@ -475,6 +488,14 @@ object Relational extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "u7_union_by_name" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL BY NAME
+        SELECT o_custkey, o_orderkey
+        FROM orders WHERE o_orderstatus = 'O') t
+      ORDER BY o_orderkey""",
     "u6_merge_upsert" -> """
       WITH base AS (
         SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
