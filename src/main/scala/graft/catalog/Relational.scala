@@ -331,6 +331,22 @@ object Relational extends QueryPack {
                 cume_dist().over(w).as("cd"))
         .orderBy($"o_orderpriority", $"o_orderkey")
     },
+    // w9: share-of-total (ratio-to-report). Deliberately NOT the textbook
+    // `sum() OVER ()` — an empty-partition window funnels the whole table
+    // into one task (the anti-pattern PlanAuditSpec bans). The scale form:
+    // aggregate the total to one row and broadcast it back.
+    "w9_share_of_total" -> { (s, dir) =>
+      import s.implicits._
+      val per = Tables(s, dir).orders
+        .groupBy($"o_orderpriority")
+        .agg(sum(dec2($"o_totalprice")).as("rev"))
+      val tot = per.agg(sum($"rev").as("tot"))
+      per.crossJoin(broadcast(tot))
+        .select($"o_orderpriority",
+                asDbl($"rev", 2).as("revenue"),
+                (asDbl($"rev", 2) / asDbl($"tot", 2)).as("share"))
+        .orderBy($"o_orderpriority")
+    },
     // t9: date_trunc / extract calendar arithmetic. The month is emitted as
     // an ISO string: DATE columns convert asymmetrically through the
     // driver's pandas path (datetime64 vs datetime.date objects), strings
@@ -648,6 +664,16 @@ object Relational extends QueryPack {
       SELECT c_custkey, c_acctbal,
              NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
       FROM customer ORDER BY c_custkey""",
+    "w9_share_of_total" -> """
+      WITH per AS (
+        SELECT o_orderpriority, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY o_orderpriority),
+      tot AS (SELECT SUM(rev) AS tot FROM per)
+      SELECT o_orderpriority,
+             CAST(CAST(rev AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
+             CAST(CAST(rev AS DECIMAL(38,2)) AS DOUBLE) /
+               CAST(CAST(tot AS DECIMAL(38,2)) AS DOUBLE) AS share
+      FROM per, tot ORDER BY o_orderpriority""",
     "w8_percent_cume" -> """
       SELECT o_orderpriority, o_orderkey,
              PERCENT_RANK() OVER w AS pr,
