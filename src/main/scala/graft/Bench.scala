@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-run benchmark: times every SparkEntry query at the env-given SF and
   * prints ONE JSON line. A short untimed warmup (tiny-SF flagship query)
@@ -26,10 +26,23 @@ object Bench {
       SparkEntry.queries.get("w1_row_number_topk")
         .foreach(_(spark, "/root/testdata/sf0.001").count())
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // BENCH_r03 lesson: one timed pass is a noisy sample — a transient load
+    // moment (GC, state-store teardown from a neighboring streaming run)
+    // fabricated a 9× "regression" that a clean rerun didn't reproduce. Two
+    // guards: (a) each query is timed `Reps` times and the MIN is reported
+    // (min is the right estimator for plan cost — noise only ever adds);
+    // (b) streaming entries run LAST, so their micro-batch harness teardown
+    // can't sit inside any batch query's timing window.
+    val Reps = 2
+    def timeOnce(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val (streamQ, batchQ) = SparkEntry.queries.toSeq.sortBy(_._1)
+      .partition(_._1.contains("_stream"))
+    val results = (batchQ ++ streamQ).map { case (name, fn) =>
+      name -> (1 to Reps).map(_ => timeOnce(fn)).min
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Locale.ROOT: the f-interpolator uses the default locale, which would

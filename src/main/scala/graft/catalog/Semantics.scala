@@ -59,6 +59,20 @@ object Semantics extends QueryPack {
         .select($"doc_id", $"n_chars")
         .orderBy($"doc_id")
     },
+    // F6 is_not_empty: skip if truthy (non-NULL, non-"") → keeps only falsy
+    // rows. documents has no empty cells, so the fixture column plants both
+    // falsy shapes ('' and NULL) on disjoint doc_id residues.
+    "f6_is_not_empty_skip" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .withColumn("maybe",
+          when(pmod($"doc_id", lit(7)) === 0, lit(""))
+            .when(pmod($"doc_id", lit(11)) === 0, lit(null).cast("string"))
+            .otherwise($"source"))
+        .filter(!($"maybe".isNotNull && $"maybe" =!= ""))
+        .select($"doc_id", $"maybe")
+        .orderBy($"doc_id")
+    },
     // F7 contains: skip if value != "" && value ∈ str(field)
     "f7_contains_skip" -> { (s, dir) =>
       import s.implicits._
@@ -181,6 +195,13 @@ object Semantics extends QueryPack {
     "f5_is_empty_skip" -> """
       SELECT doc_id, n_chars FROM documents
       WHERE NOT (text IS NULL OR text = '') ORDER BY doc_id""",
+    "f6_is_not_empty_skip" -> """
+      SELECT doc_id, maybe FROM (
+        SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN ''
+                            WHEN doc_id % 11 = 0 THEN NULL
+                            ELSE source END AS maybe
+        FROM documents) t
+      WHERE NOT (maybe IS NOT NULL AND maybe <> '') ORDER BY doc_id""",
     "f7_contains_skip" -> """
       SELECT doc_id, lang FROM documents
       WHERE NOT (text LIKE '%spark%') ORDER BY doc_id""",
