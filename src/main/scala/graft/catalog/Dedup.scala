@@ -14,6 +14,7 @@ import graft.{QueryPack, Tables}
   *   d4 n-gram Jaccard     — candidate pairs via shared shingle, exact Jaccard
   *   d5 embedding cosine   — near-dup pairs within k-means quantizer cells
   *   d7 dup clusters       — connected components over exact+near edges
+  *   d8 SimHash pairs      — hamming ≤ 3 via 4 × 8-bit pigeonhole blocks
   *
   * Determinism rules (see Tx): all hashes are integer folds identical on both
   * engines; cosine is a serial left-fold of doubles in identical op order, so
@@ -27,8 +28,8 @@ import graft.{QueryPack, Tables}
   *    buckets (a shingle shared by millions of docs) would be salted or
   *    frequency-capped upstream (drop shingles with df > threshold — the
   *    standard "stop-shingle" cut);
-  *  - d3 is pure per-row projection; pairing would join on 16-bit signature
-  *    halves (pigeonhole: hamming ≤ k ⇒ some half matches for k < 2 blocks);
+  *  - d3 is pure per-row projection; d8 pairs signatures by pigeonhole
+  *    blocking (hamming ≤ k ⇒ some block of k+1 disjoint blocks matches);
   *  - d5 blocks on ENGINE-COMPUTED k-means cells (Quantizer: integer-exact
   *    Lloyd updates, shuffle-free literal-centroid assignment) so the
   *    quadratic rerank is per-block, and per-vector norms are precomputed
@@ -110,6 +111,54 @@ object Dedup extends QueryPack {
 
   /** The same normalized-content digest d1 groups on. */
   private val digestExpr = "md5(trim(regexp_replace(lower(text), '[^a-z ]', '')))"
+
+  /** Connected components by min-label propagation WITH pointer jumping:
+    * each round runs (a) one edge relax — every node takes the min of its
+    * own and its neighbors' labels (one hash-join + min-aggregate) — and
+    * (b) one pointer jump — every node then takes its label's label
+    * (labels are node ids, so a self-join; labels only decrease and every
+    * label is itself a labeled node, so the lookup never misses). The relax
+    * alone needs diameter rounds — O(n) driver-loop Spark jobs on a
+    * pathological near-dup CHAIN — while the jump doubles the distance the
+    * min has traveled, bounding rounds by O(log n) (pointer-doubling /
+    * hash-to-min shape; Dedup7LogRoundsSpec pins ≤ ⌈log₂ n⌉ + 2 on a
+    * planted chain). Both steps are monotone min-folds, so the fixpoint is
+    * the per-component min label — identical to plain propagation and to
+    * the oracle's recursive-CTE reachability min. Labels are
+    * localCheckpoint'ed each round to keep lineage flat; convergence is a
+    * single COUNT of strictly-decreased labels.
+    *
+    * Returns (labels(doc_id, cluster), rounds). */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame): (DataFrame, Int) = {
+    val s = edges.sparkSession
+    import s.implicits._
+    val sym = edges.union(edges.select($"d2".as("d1"), $"d1".as("d2"))).distinct()
+      .localCheckpoint()
+    var labels = nodes.select($"doc_id", $"doc_id".as("cluster")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      val nb = sym
+        .join(labels.select($"doc_id".as("src"), $"cluster".as("c")), $"d1" === $"src")
+        .select($"d2".as("doc_id"), $"c".as("cluster"))
+      // checkpoint before the self-join: keeps lineage flat AND the jump
+      // then joins two scans of one materialized RDD (Catalyst's Union
+      // constraint rewrite also chokes on the unioned self-join lineage)
+      val relaxed = labels.union(nb)
+        .groupBy($"doc_id").agg(min($"cluster").as("cluster"))
+        .localCheckpoint()
+      val next = relaxed.as("x")
+        .join(relaxed.select($"doc_id".as("lid"), $"cluster".as("lc")).as("y"),
+          $"x.cluster" === $"lid")
+        .select($"x.doc_id".as("doc_id"), least($"x.cluster", $"lc").as("cluster"))
+        .localCheckpoint()
+      changed = next.select($"doc_id", $"cluster".as("n"))
+        .join(labels, "doc_id").filter($"n" < $"cluster").count()
+      labels = next
+      rounds += 1
+    }
+    (labels, rounds)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // d1: exact dedup — group by content digest of normalized text, keep the
@@ -197,14 +246,50 @@ object Dedup extends QueryPack {
                 $"a.cell".cast("long").as("cell"), $"cos")
         .orderBy($"v1", $"v2")
     },
+    // d8: SimHash near-dup PAIRS — hamming ≤ 3 over the d3 signature.
+    // Pigeonhole blocking: 3 differing bits across 4 disjoint 8-bit blocks
+    // leave at least one block identical, so the candidate equi-join on
+    // (block_idx, block_val) reaches every qualifying pair; the exact
+    // popcount(xor) then filters. Same hot-block cap as d2/d4 (a block
+    // value shared by B docs emits B² candidates; viral values are cut on
+    // both engines via QUALIFY). The candidate distinct carries only
+    // (id, id, sig, sig) — two longs beyond the ids, unlike d2's 16-slot
+    // signatures, so no post-dedup rejoin is needed. At 100 TB the
+    // signature would widen to 64 bits (4 × 16-bit blocks) so block values
+    // stay selective; the plan shape is unchanged.
+    "d8_simhash_pairs" -> { (s, dir) =>
+      import s.implicits._
+      val sh = Tables(s, dir).documents
+        .select($"doc_id", TextKernels.simhashUdf($"text").as("simhash"))
+      val blocks = sh.select($"doc_id", $"simhash",
+        posexplode(array(
+          expr("simhash % 256"),
+          expr("(simhash div 256) % 256"),
+          expr("(simhash div 65536) % 256"),
+          expr("(simhash div 16777216) % 256"))).as(Seq("block_idx", "block_val")))
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy($"block_idx", $"block_val")
+      val capped = blocks
+        .withColumn("bn", count(lit(1)).over(wB))
+        .filter($"bn" <= MaxBucket)
+        .drop("bn")
+      capped.as("a").join(capped.as("b"),
+          $"a.block_idx" === $"b.block_idx" && $"a.block_val" === $"b.block_val" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+                $"a.simhash".as("s1"), $"b.simhash".as("s2"))
+        .distinct()
+        .withColumn("hamming", expr("cast(bit_count(s1 ^ s2) as bigint)"))
+        .filter($"hamming" <= 3)
+        .select($"d1", $"d2", $"hamming")
+        .orderBy($"d1", $"d2")
+    },
     // d7: duplicate-CLUSTER assignment — connected components over the
     // union of exact-digest star edges (doc ↔ its digest keeper) and
-    // minhash near-dup pairs, by min-label propagation to fixpoint. The
-    // driver loop runs one hash-join + min-aggregate per round and checks
-    // a single convergence COUNT (the GraphX/Pregel shape — rounds ≤ graph
-    // diameter, labels localCheckpoint'ed so lineage stays flat). The min
-    // label is order-independent, so the fixpoint is deterministic under
-    // any parallelism — DuckDB recomputes it as reachability min over a
+    // minhash near-dup pairs, by min-label propagation + pointer jumping
+    // to fixpoint (connectedComponents below). The min label is
+    // order-independent, so the fixpoint is deterministic under any
+    // parallelism — DuckDB recomputes it as reachability min over a
     // recursive CTE.
     "d7_dup_clusters" -> { (s, dir) =>
       import s.implicits._
@@ -215,24 +300,8 @@ object Dedup extends QueryPack {
         .filter($"doc_id" =!= $"keeper")
         .select($"keeper".as("d1"), $"doc_id".as("d2"))
       val edges = exactEdges.union(minhashPairs(s, dir).select($"d1", $"d2"))
-      val sym = edges.union(edges.select($"d2".as("d1"), $"d1".as("d2"))).distinct()
-        .localCheckpoint()
-      var labels = docs.select($"doc_id", $"doc_id".as("cluster")).localCheckpoint()
-      var changed = 1L
-      // no round cap: min-labels decrease monotonically, so convergence is
-      // guaranteed within the graph diameter — a cap could exit early on a
-      // long chain and diverge from the oracle's exact fixpoint
-      while (changed > 0) {
-        val nb = sym
-          .join(labels.select($"doc_id".as("src"), $"cluster".as("c")), $"d1" === $"src")
-          .select($"d2".as("doc_id"), $"c".as("cluster"))
-        val next = labels.union(nb)
-          .groupBy($"doc_id").agg(min($"cluster").as("cluster"))
-          .localCheckpoint()
-        changed = next.select($"doc_id", $"cluster".as("n"))
-          .join(labels, "doc_id").filter($"n" < $"cluster").count()
-        labels = next
-      }
+      val labels = connectedComponents(
+        edges, docs.select($"doc_id"))._1
       val wC = org.apache.spark.sql.expressions.Window.partitionBy($"cluster")
       labels
         .withColumn("n_members", count(lit(1)).over(wC))
@@ -301,6 +370,27 @@ object Dedup extends QueryPack {
                ${dotSql("a.v", "b.v")} / (sqrt(a.norm2) * sqrt(b.norm2)) AS cos
         FROM kcells a JOIN kcells b ON a.cell = b.cell AND a.vec_id < b.vec_id) t
       WHERE cos >= 0.4 ORDER BY v1, v2""",
+    "d8_simhash_pairs" -> s"""
+      WITH sh AS (
+        SELECT doc_id, (${simhashSql("hs")})::BIGINT AS simhash
+        FROM (SELECT doc_id, list_transform(ws, t -> ${polyHashSql("t")}) AS hs
+              FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0) t1),
+      bl AS (
+        SELECT doc_id, simhash, b.block_idx,
+               ((simhash // ([1,256,65536,16777216])[b.block_idx + 1]) % 256) AS block_val
+        FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS block_idx) b),
+      blc AS (
+        SELECT * FROM bl
+        QUALIFY COUNT(*) OVER (PARTITION BY block_idx, block_val) <= $MaxBucket),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+               a.simhash AS s1, b.simhash AS s2
+        FROM blc a JOIN blc b
+          ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+         AND a.doc_id < b.doc_id)
+      SELECT d1, d2, hamming FROM (
+        SELECT d1, d2, bit_count(xor(s1, s2))::BIGINT AS hamming FROM pairs) t
+      WHERE hamming <= 3 ORDER BY d1, d2""",
     "d7_dup_clusters" -> s"""
       WITH RECURSIVE sig AS (
         SELECT doc_id, ${sigSql("hs")} AS sig

@@ -30,6 +30,21 @@ class DedupHotKeySpec extends AnyFunSuite {
     assert(out.exists(r => r.getLong(0) == 200L && r.getLong(1) == 201L))
   }
 
+  test("d8: a viral simhash block (150 identical signatures) is cut; pair survives") {
+    val viral = (0L until 150L).map(i => i -> "the viral boilerplate every crawler copy has seen")
+    val pair = Seq(200L -> "a genuinely unique document body with its own words here",
+                   201L -> "a genuinely unique document body with its own words here")
+    val dir = writeDocs(viral ++ pair)
+    val out = SparkEntry.queries("d8_simhash_pairs")(spark, dir).collect()
+    // identical texts → identical simhash → every 8-bit block bucket has
+    // 150 > MaxBucket members → cut from candidate generation
+    assert(!out.exists(r => r.getLong(0) < 150 && r.getLong(1) < 150),
+      "viral simhash block leaked candidate pairs")
+    // the 2-copy group pairs normally (hamming 0)
+    assert(out.exists(r => r.getLong(0) == 200L && r.getLong(1) == 201L &&
+      r.getLong(2) == 0L))
+  }
+
   test("d4: a viral shingle (df=300) is cut; clean duplicate pair survives") {
     val viral = (0L until 300L).map { i =>
       i -> s"common viral boilerplate prefix u${i}a u${i}b u${i}c u${i}d u${i}e"
