@@ -6,26 +6,31 @@ import graft.{QueryPack, Tables}
 import graft.multimodal.Media
 
 /** Oracle-pinned views of the multimodal operators (graft.multimodal.Media).
-  * The payload/metadata derivations are deterministic functions of
-  * documents(doc_id, text), so DuckDB can recompute them in SQL — that pins
-  * the TYPED Dataset pipeline (case-class encoders, mapPartitions batches)
-  * against an independent engine — including m3's byte-histogram features,
-  * recovered as exact integer counts on both sides.
+  *
+  * Image payloads are REAL PNGs of a closed-form 16×16-tile pixel pattern
+  * (Media.tileRgb — a pure function of media_id), so DuckDB can recompute
+  * every DECODED property (dims, Σ(r+g+b) checksum, byte histogram) from
+  * the formula without a codec, while the Spark side must actually run
+  * generate → PNG-encode → `javax.imageio` decode (→ resample → re-encode →
+  * decode for m4) to produce the same integers. A green row therefore pins
+  * the whole codec loop, not just metadata plumbing. Audio/video payloads
+  * stay UTF-8 text bytes (stub decode), pinned via md5/character-class
+  * counts as before. Tile dims divide both W (64 + id%16·16) and
+  * H (48 + id%9·16), so a full image is (W/16)·(H/16) exact tile repeats;
+  * m4's nearest-neighbor map x → (x·W)/256 is mirrored with integer
+  * division on residue counts.
   */
 object Multimodal extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // m1: media catalog — typed ingest, metadata flatten, payload digest
+    // m1: media catalog — typed ingest + batched decode: image dims and
+    // digest (pixel checksum) come from DECODING the PNG payload.
     "m1_media_catalog" -> { (s, dir) =>
       import s.implicits._
-      Media.mediaFromDocuments(Tables(s, dir).documents)
+      Media.catalogStats(Media.mediaFromDocuments(Tables(s, dir).documents))
         .toDF()
-        .select($"media_id", $"kind",
-                octet_length($"payload").cast("long").as("n_bytes"),
-                md5($"payload").as("digest"),
-                $"meta.width".as("width"), $"meta.height".as("height"),
-                $"meta.sample_rate_hz".as("sample_rate_hz"),
-                $"meta.n_frames".as("n_frames"))
+        .select($"media_id", $"kind", $"n_bytes", $"digest",
+                $"width", $"height", $"sample_rate_hz", $"n_frames")
         .orderBy($"media_id")
     },
     // m2: frame sampling over video payloads (typed flatMap path)
@@ -38,34 +43,32 @@ object Multimodal extends QueryPack {
                 md5($"frame_bytes").as("frame_digest"))
         .orderBy($"media_id", $"frame_idx")
     },
-    // m4: metadata resize through the typed map path — target dims update,
-    // payload passes through untouched (the pixel resample is part of the
-    // stubbed codec), proven by the unchanged digest.
+    // m4: REAL resize — image payloads are decoded, nearest-neighbor
+    // resampled to 256×144, re-encoded; the output digest is the checksum
+    // of the RESIZED pixels (recovered by a second decode), which differs
+    // from the input payload's. Audio/video rows pass through.
     "m4_resize" -> { (s, dir) =>
       import s.implicits._
-      Media.resize(Media.mediaFromDocuments(Tables(s, dir).documents), 256, 144)
+      Media.catalogStats(
+          Media.resize(Media.mediaFromDocuments(Tables(s, dir).documents), 256, 144))
         .toDF()
-        .select($"media_id", $"kind",
-                $"meta.width".as("width"), $"meta.height".as("height"),
-                md5($"payload").as("digest"))
+        .select($"media_id", $"kind", $"width", $"height", $"digest")
         .orderBy($"media_id")
     },
-    // m3: decode-stub + feature extraction through the typed mapPartitions
-    // batch path. The normalized float32 embedding is projected back to the
-    // EXACT integer byte-histogram (round(x_i * n_bytes) is exact while
-    // hist_i, n_bytes < 2^24 / bin-count), which DuckDB recomputes with
-    // per-bin character-class counts — documents text is ASCII, so
-    // codepoint counts == byte counts.
+    // m3: decode + feature extraction through the typed mapPartitions batch
+    // path. The normalized float32 embedding is projected back to the EXACT
+    // integer byte-histogram of the DECODED content (round(x_i · n_bytes)
+    // is exact while hist_i, n_bytes < 2^24 / bin-count): raw RGB bytes for
+    // images (recomputed from the tile formula in SQL), payload text bytes
+    // for the stub kinds (per-bin character-class counts — ASCII, so
+    // codepoint counts == byte counts).
     "m3_media_features" -> { (s, dir) =>
       import s.implicits._
-      val media = Media.mediaFromDocuments(Tables(s, dir).documents)
-      val sizes = media.toDF()
-        .select($"media_id", octet_length($"payload").cast("double").as("n_bytes"))
-      Media.featureExtract(media).toDF()
-        .join(sizes, Seq("media_id"))
+      Media.featureExtract(Media.mediaFromDocuments(Tables(s, dir).documents))
+        .toDF()
         .select($"media_id", $"kind",
                 array_join(transform($"embedding",
-                  x => round(x.cast("double") * $"n_bytes")
+                  x => round(x.cast("double") * $"n_bytes".cast("double"))
                     .cast("long").cast("string")), ",").as("hist"))
         .orderBy($"media_id")
     }
@@ -78,28 +81,92 @@ object Multimodal extends QueryPack {
     s"(length(text) - length(regexp_replace(text, '[\\x$lo-\\x$hi]', '', 'g')))::BIGINT"
   }.mkString(", ")
 
+  /** Shared oracle CTEs: image dims + the 16×16 tile with its channel sums. */
+  private val imgCtes = """
+      imgs AS (
+        SELECT doc_id, 64 + (doc_id % 16) * 16 AS w, 48 + (doc_id % 9) * 16 AS h
+        FROM documents WHERE doc_id % 3 = 0),
+      tile AS (
+        SELECT a.tx, b.ty FROM (SELECT unnest(range(0, 16)) AS tx) a
+        CROSS JOIN (SELECT unnest(range(0, 16)) AS ty) b)"""
+
+  /** Σ of the three channel formulas at tile coordinate (tx, ty). */
+  private def rgbSum(id: String, tx: String, ty: String): String =
+    s"((($id * 31 + 7 * $tx + 13 * $ty) % 256)" +
+      s" + (($id * 17 + 11 * $tx + 3 * $ty) % 256)" +
+      s" + (($id * 29 + 5 * $tx + 2 * $ty) % 256))"
+
   val oracle: Map[String, String] = Map(
-    "m4_resize" -> """
-      SELECT doc_id AS media_id,
-             (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
-             256::INT AS width, 144::INT AS height,
-             md5(text) AS digest
-      FROM documents ORDER BY media_id""",
+    "m1_media_catalog" -> s"""
+      WITH $imgCtes,
+      chk AS (
+        SELECT i.doc_id, (i.w // 16) * (i.h // 16)
+               * SUM(${rgbSum("i.doc_id", "t.tx", "t.ty")}) AS checksum
+        FROM imgs i CROSS JOIN tile t GROUP BY i.doc_id, i.w, i.h)
+      SELECT d.doc_id AS media_id,
+             (['image','audio','video'])[(d.doc_id % 3) + 1] AS kind,
+             CASE WHEN d.doc_id % 3 = 0 THEN (i.w * i.h * 3)::BIGINT
+                  ELSE octet_length(encode(d.text))::BIGINT END AS n_bytes,
+             CASE WHEN d.doc_id % 3 = 0 THEN chk.checksum::VARCHAR
+                  ELSE md5(d.text) END AS digest,
+             (64 + (d.doc_id % 16) * 16)::INT AS width,
+             (48 + (d.doc_id % 9) * 16)::INT AS height,
+             (8000 + (d.doc_id % 5) * 8000)::INT AS sample_rate_hz,
+             (8 + (d.doc_id % 24))::INT AS n_frames
+      FROM documents d
+      LEFT JOIN imgs i ON i.doc_id = d.doc_id
+      LEFT JOIN chk ON chk.doc_id = d.doc_id
+      ORDER BY media_id""",
+    "m4_resize" -> s"""
+      WITH $imgCtes,
+      cntx AS (
+        SELECT i.doc_id, ((r.x * i.w) // 256) % 16 AS tx, COUNT(*) AS cx
+        FROM imgs i CROSS JOIN (SELECT unnest(range(0, 256)) AS x) r
+        GROUP BY 1, 2),
+      cnty AS (
+        SELECT i.doc_id, ((r.y * i.h) // 144) % 16 AS ty, COUNT(*) AS cy
+        FROM imgs i CROSS JOIN (SELECT unnest(range(0, 144)) AS y) r
+        GROUP BY 1, 2),
+      rchk AS (
+        SELECT x.doc_id,
+               SUM(${rgbSum("x.doc_id", "x.tx", "y.ty")} * x.cx * y.cy) AS checksum
+        FROM cntx x JOIN cnty y ON x.doc_id = y.doc_id
+        GROUP BY x.doc_id)
+      SELECT d.doc_id AS media_id,
+             (['image','audio','video'])[(d.doc_id % 3) + 1] AS kind,
+             CASE WHEN d.doc_id % 3 = 0 THEN 256
+                  ELSE 64 + (d.doc_id % 16) * 16 END::INT AS width,
+             CASE WHEN d.doc_id % 3 = 0 THEN 144
+                  ELSE 48 + (d.doc_id % 9) * 16 END::INT AS height,
+             CASE WHEN d.doc_id % 3 = 0 THEN rchk.checksum::VARCHAR
+                  ELSE md5(d.text) END AS digest
+      FROM documents d
+      LEFT JOIN rchk ON rchk.doc_id = d.doc_id
+      ORDER BY media_id""",
     "m3_media_features" -> s"""
-      SELECT doc_id AS media_id,
-             (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
-             array_to_string([$histBins], ',') AS hist
-      FROM documents ORDER BY media_id""",
-    "m1_media_catalog" -> """
-      SELECT doc_id AS media_id,
-             (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
-             octet_length(encode(text))::BIGINT AS n_bytes,
-             md5(text) AS digest,
-             (64 + (doc_id % 16) * 16)::INT AS width,
-             (48 + (doc_id % 9) * 16)::INT AS height,
-             (8000 + (doc_id % 5) * 8000)::INT AS sample_rate_hz,
-             (8 + (doc_id % 24))::INT AS n_frames
-      FROM documents ORDER BY media_id""",
+      WITH $imgCtes,
+      vals AS (
+        SELECT i.doc_id,
+               unnest([((i.doc_id * 31 + 7 * t.tx + 13 * t.ty) % 256),
+                       ((i.doc_id * 17 + 11 * t.tx + 3 * t.ty) % 256),
+                       ((i.doc_id * 29 + 5 * t.tx + 2 * t.ty) % 256)]) AS v
+        FROM imgs i CROSS JOIN tile t),
+      vc AS (SELECT doc_id, v // 16 AS bin, COUNT(*) AS c FROM vals GROUP BY 1, 2),
+      ih AS (
+        SELECT i.doc_id,
+               string_agg((COALESCE(vc.c, 0) * (i.w // 16) * (i.h // 16))::VARCHAR,
+                          ',' ORDER BY b.bin) AS hist
+        FROM imgs i
+        CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) b
+        LEFT JOIN vc ON vc.doc_id = i.doc_id AND vc.bin = b.bin
+        GROUP BY i.doc_id)
+      SELECT d.doc_id AS media_id,
+             (['image','audio','video'])[(d.doc_id % 3) + 1] AS kind,
+             CASE WHEN d.doc_id % 3 = 0 THEN ih.hist
+                  ELSE array_to_string([$histBins], ',') END AS hist
+      FROM documents d
+      LEFT JOIN ih ON ih.doc_id = d.doc_id
+      ORDER BY media_id""",
     "m2_frame_sample" -> """
       SELECT media_id, frame_idx::BIGINT AS frame_idx,
              (frame_idx * 1024)::BIGINT AS byte_offset,

@@ -1,6 +1,10 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Typed media metadata carried alongside the opaque payload. */
@@ -16,8 +20,16 @@ final case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte],
 final case class MediaFrame(media_id: Long, frame_idx: Int, byte_offset: Long,
                             frame_len: Int, frame_bytes: Array[Byte])
 
-/** Deterministic fake "embedding" from the decode stub. */
-final case class MediaFeatures(media_id: Long, kind: String, embedding: Array[Float])
+/** Decoded-content embedding: 16-bin byte histogram over the DECODED bytes
+  * (raw RGB for images), normalized by `n_bytes` = decoded length. */
+final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                               embedding: Array[Float])
+
+/** Per-row decoded catalog stats: dims/digest come from actually decoding
+  * the payload (images), not from trusting the metadata. */
+final case class MediaStats(media_id: Long, kind: String, width: Int, height: Int,
+                            sample_rate_hz: Int, n_frames: Int, n_bytes: Long,
+                            digest: String)
 
 /** Multimodal-column operators (north-star mandate — SURVEY.md §2.B; no
   * reference citation: the reference is CSV-only).
@@ -25,33 +37,159 @@ final case class MediaFeatures(media_id: Long, kind: String, embedding: Array[Fl
   * Images/audio/video are opaque `binary` columns with typed metadata.
   * Decode / feature-extract / resize / frame-sample run as BATCHED
   * per-partition operators (`mapPartitions` + `grouped(batchSize)`) — the
-  * JVM analog of arrow-batch Pandas UDFs: a real deployment hands each batch
-  * to a codec library. The codec itself is STUBBED (this container has no
-  * image/audio libs): `decodeStub` is a deterministic fake, clearly marked.
-  * Everything around it — schema, encoders, batch shape, laziness,
-  * partitioning — is real and tested (MultimodalSpec).
+  * JVM analog of arrow-batch Pandas UDFs: each batch boundary is where a
+  * codec library would receive one buffer block.
+  *
+  * The IMAGE codec is REAL: payloads are PNG bytes (deterministic 16×16-tile
+  * pattern, a pure function of media_id — `synthPng`), decoded with the
+  * in-JDK `javax.imageio`, and `resize` is an actual nearest-neighbor pixel
+  * resample whose re-encoded payload differs from the input. Because the
+  * pixel pattern is closed-form, a SQL engine can recompute decoded
+  * checksums/histograms without any codec — that is how the m-pack oracles
+  * pin the full generate → encode → decode → resample loop. Audio/video
+  * decoding remains a pass-through STUB (no such codec ships in the JDK);
+  * their payloads stay UTF-8 text bytes.
   *
   * Scale notes (100 TB):
   *  - all operators are per-row/per-partition (no shuffle); parallelism
-  *    comes from input splits;
+  *    comes from input splits. Locally the single-split testdata files
+  *    would serialize the codec-bound stages onto one task, so
+  *    `mediaFromDocuments` spreads ONLY when the input has fewer splits
+  *    than the cluster has slots (a real 100 TB input never triggers it);
   *  - frameSample explodes rows but never copies the full payload per frame
-  *    (each frame slices its own byte range);
+  *    (each frame slices its own byte range), and non-video rows are
+  *    filtered by COLUMN before any payload is materialized so the filter
+  *    pushes below the payload projection;
   *  - metadata-only plans never deserialize `payload` (column pruning);
   *  - batches bound peak memory per task: batchSize × max payload size.
   */
 object Media {
 
-  /** Deterministic synthetic media table derived from `documents` (payload =
-    * UTF-8 bytes of the text; kind/dims from doc_id). Stands in for a real
-    * ingest of binary files; derivations are mirrored by the m-pack oracle. */
+  // ImageIO's default scratch space is a temp FILE per encode/decode; keep
+  // codec work purely in-memory on every executor that loads this object
+  ImageIO.setUseCache(false)
+
+  // ---- deterministic synthetic image: 16×16 tile pattern ------------------
+
+  /** Channel values for tile coordinate (tx, ty) of image `id` — the
+    * closed form the m-pack oracles recompute in SQL. */
+  def tileRgb(id: Long, tx: Int, ty: Int): (Int, Int, Int) = (
+    ((id * 31 + 7 * tx + 13 * ty) % 256).toInt,
+    ((id * 17 + 11 * tx + 3 * ty) % 256).toInt,
+    ((id * 29 + 5 * tx + 2 * ty) % 256).toInt)
+
+  /** Deterministic PNG payload for image `id` (dims from the same doc_id
+    * formulas as MediaMeta; both divisible by 16, so every tile repeats a
+    * whole number of times). */
+  def synthPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = tileRgb(id, x & 15, y & 15)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  private def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(1 << 14)
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode — in-JDK PNG codec. */
+  def decodeImage(payload: Array[Byte]): BufferedImage =
+    ImageIO.read(new ByteArrayInputStream(payload))
+
+  /** Decoded byte content: raw RGB triplets for images (PNG is lossless
+    * 8-bit RGB, so `getRGB` recovers the exact generated channels);
+    * AUDIO/VIDEO decode is still a pass-through stub (no JDK codec). */
+  def decodeBytes(payload: Array[Byte], kind: String): Array[Byte] =
+    if (kind != "image") payload
+    else {
+      val img = decodeImage(payload)
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Byte](w * h * 3)
+      var i = 0; var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          out(i) = (p >> 16).toByte; out(i + 1) = (p >> 8).toByte; out(i + 2) = p.toByte
+          i += 3; x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+  /** Σ(r+g+b) over all decoded pixels — the integer fingerprint the SQL
+    * twin recomputes from the tile formula. */
+  def imageChecksum(img: BufferedImage): Long = {
+    var sum = 0L; var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
+  /** REAL pixel resample: nearest-neighbor (src = x·W/tw, y·H/th in integer
+    * arithmetic — the mapping the oracle mirrors), re-encoded as PNG. */
+  def resizeImage(payload: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+    val src = decodeImage(payload)
+    val w = src.getWidth; val h = src.getHeight
+    val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < th) {
+      val sy = y * h / th
+      var x = 0
+      while (x < tw) {
+        out.setRGB(x, y, src.getRGB(x * w / tw, sy))
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(out)
+  }
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map(b => f"$b%02x").mkString
+
+  // ---- operators ----------------------------------------------------------
+
+  /** Deterministic synthetic media table derived from `documents`: image
+    * rows carry a REAL PNG payload (tile pattern above), audio/video rows
+    * carry UTF-8 text bytes; kind/dims from doc_id, mirrored by the m-pack
+    * oracles. The CaseWhen evaluates the PNG encoder only on image rows. */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(
+    val slots = spark.sparkContext.defaultParallelism
+    // codec-bound stages starve on fewer input splits than executor slots
+    // (the local testdata is one parquet split); a genuinely large input
+    // has splits >= slots and never pays this shuffle
+    val spread = if (docs.rdd.getNumPartitions < slots) docs.repartition(slots) else docs
+    val pngUdf = udf { (id: Long) =>
+      synthPng(id, (64 + (id % 16) * 16).toInt, (48 + (id % 9) * 16).toInt)
+    }
+    spread.select(
         $"doc_id".as("media_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (pmod($"doc_id", lit(3)) + 1).cast("int")).as("kind"),
-        encode($"text", "UTF-8").as("payload"),
+        when(pmod($"doc_id", lit(3)) === 0, pngUdf($"doc_id"))
+          .otherwise(encode($"text", "UTF-8")).as("payload"),
         struct(
           (lit(64) + pmod($"doc_id", lit(16)) * 16).cast("int").as("width"),
           (lit(48) + pmod($"doc_id", lit(9)) * 16).cast("int").as("height"),
@@ -60,13 +198,33 @@ object Media {
       .as[MediaRecord]
   }
 
-  /** STUB — a real build calls an image/audio codec here (not present in
-    * this container). Deterministic identity stand-in so downstream shapes
-    * are exercised end-to-end. */
-  def decodeStub(payload: Array[Byte], kind: String): Array[Byte] = payload
+  /** Batched per-row decode → catalog stats. For images, width/height/
+    * n_bytes/digest all come from the DECODED pixels (dims recovered by the
+    * codec, digest = Σ(r+g+b)); for audio/video (stub decode) n_bytes is
+    * the payload length and digest its md5. */
+  def catalogStats(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaStats] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          if (r.kind == "image") {
+            val img = decodeImage(r.payload)
+            MediaStats(r.media_id, r.kind, img.getWidth, img.getHeight,
+              r.meta.sample_rate_hz, r.meta.n_frames,
+              3L * img.getWidth * img.getHeight, imageChecksum(img).toString)
+          } else
+            MediaStats(r.media_id, r.kind, r.meta.width, r.meta.height,
+              r.meta.sample_rate_hz, r.meta.n_frames,
+              r.payload.length.toLong, md5Hex(r.payload))
+        }
+      }
+    }
+  }
 
-  /** Decode (stub) + feature-extract in explicit batches: the fake embedding
-    * is a 16-bin normalized byte histogram — deterministic, codec-free. */
+  /** Decode + feature-extract in explicit batches: the embedding is a
+    * 16-bin normalized byte histogram over the DECODED content — raw RGB
+    * bytes for images, payload bytes for the stub kinds. */
   def featureExtract(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = ds.sparkSession
     import spark.implicits._
@@ -74,33 +232,41 @@ object Media {
       it.grouped(batchSize).flatMap { batch =>
         // batch boundary = where a codec would receive one arrow batch
         batch.iterator.map { r =>
-          val decoded = decodeStub(r.payload, r.kind)
+          val decoded = decodeBytes(r.payload, r.kind)
           val hist = new Array[Long](16)
           var i = 0
           while (i < decoded.length) { hist((decoded(i) & 0xff) >> 4) += 1; i += 1 }
           val n = math.max(decoded.length, 1).toFloat
-          MediaFeatures(r.media_id, r.kind, hist.map(_ / n))
+          MediaFeatures(r.media_id, r.kind, decoded.length.toLong, hist.map(_ / n))
         }
       }
     }
   }
 
-  /** Metadata resize: updates target dims; the pixel resample itself is part
-    * of the stubbed codec (payload passes through). */
+  /** Resize: image rows get a REAL nearest-neighbor pixel resample (payload
+    * bytes change; meta updated to the target dims); audio/video rows pass
+    * through untouched — a time-base resample needs the stubbed codecs. */
   def resize(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.map(r => r.copy(meta = r.meta.copy(width = w, height = h)))
+    ds.map { r =>
+      if (r.kind == "image")
+        r.copy(payload = resizeImage(r.payload, w, h),
+               meta = r.meta.copy(width = w, height = h))
+      else r
+    }
   }
 
   /** Sample every `every`-th frame of video payloads: 1024-byte frame
     * windows, slicing (never copying the whole payload per frame). Non-video
-    * rows are filtered BEFORE any payload work. */
+    * rows are filtered by COLUMN before any payload work, so Catalyst pushes
+    * the predicate below the payload projection and image rows never pay
+    * the PNG encoder. */
   def frameSample(ds: Dataset[MediaRecord], every: Int = 4,
                   frameBytes: Int = 1024): Dataset[MediaFrame] = {
     val spark = ds.sparkSession
     import spark.implicits._
-    ds.filter(_.kind == "video").flatMap { r =>
+    ds.filter(col("kind") === lit("video")).as[MediaRecord].flatMap { r =>
       (0 until r.meta.n_frames by every).iterator.flatMap { idx =>
         val off = idx.toLong * frameBytes
         val len = math.max(math.min(r.payload.length - off, frameBytes.toLong), 0L).toInt

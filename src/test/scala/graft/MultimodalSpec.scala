@@ -33,13 +33,32 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("resize: metadata-only change, payload untouched") {
+  test("resize: image payloads are really resampled; audio/video pass through") {
     val r = Media.resize(media, 224, 224).collect().sortBy(_.media_id)
     val o = media.collect().sortBy(_.media_id)
     r.zip(o).foreach { case (x, y) =>
-      assert(x.meta.width == 224 && x.meta.height == 224)
-      assert(x.meta.n_frames == y.meta.n_frames)
-      assert(java.util.Arrays.equals(x.payload, y.payload))
+      if (x.kind == "image") {
+        assert(x.meta.width == 224 && x.meta.height == 224)
+        assert(!java.util.Arrays.equals(x.payload, y.payload),
+          s"resize left payload bytes unchanged for ${x.media_id}")
+        val img = Media.decodeImage(x.payload)
+        assert(img.getWidth == 224 && img.getHeight == 224)
+      } else {
+        assert(x.meta == y.meta)
+        assert(java.util.Arrays.equals(x.payload, y.payload))
+      }
+    }
+  }
+
+  test("PNG round-trip: decode recovers the exact generated tile pattern") {
+    val png = Media.synthPng(42L, 96, 64)
+    val img = Media.decodeImage(png)
+    assert(img.getWidth == 96 && img.getHeight == 64)
+    for (y <- 0 until 64; x <- 0 until 96) {
+      val p = img.getRGB(x, y)
+      val (r, g, b) = Media.tileRgb(42L, x & 15, y & 15)
+      assert(((p >> 16) & 0xff) == r && ((p >> 8) & 0xff) == g && (p & 0xff) == b,
+        s"pixel ($x,$y) mismatch")
     }
   }
 
