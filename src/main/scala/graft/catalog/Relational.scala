@@ -153,6 +153,23 @@ object Relational extends QueryPack {
         .agg(count(lit(1)).as("n"), asDbl(sum(dec2($"l_quantity")), 2).as("sum_qty"))
         .orderBy($"o_orderpriority")
     },
+    // j9: the AQE twin of j8 — no manual salt. The join is written plainly
+    // and runtime skew handling is delegated to AQE's OptimizeSkewedJoin,
+    // which splits oversized shuffle partitions and replicates the matching
+    // side's rows — the automated version of j8's hot/cold split, right
+    // whenever the hot set isn't known up front. AqeSkewJoinSpec plants
+    // real skew with lowered thresholds and asserts the split fires;
+    // result semantics are unchanged, so the oracle is the plain join.
+    "j9_skew_aqe_join" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.lineitem.select($"l_orderkey", $"l_quantity")
+        .join(t.orders.select($"o_orderkey", $"o_orderpriority"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), asDbl(sum(dec2($"l_quantity")), 2).as("sum_qty"))
+        .orderBy($"o_orderpriority")
+    },
     "a5_grouping_sets" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir).orders
@@ -584,6 +601,11 @@ object Relational extends QueryPack {
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "j8_skew_salted_join" -> """
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "j9_skew_aqe_join" -> """
       SELECT o_orderpriority, COUNT(*) AS n,
              CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
