@@ -60,6 +60,15 @@ object Similarity extends QueryPack {
 
   private val K = 10
 
+  /** Exploded (vec_id, band_idx, band_val) bucket table over a frame that
+    * carries a `sig` column — the relation a deployment PERSISTS
+    * `bucketBy(band_idx, band_val)` at ingest so the v2 query path joins
+    * bucket-to-bucket with no corpus-side Exchange (BucketingSpec pins
+    * that plan shape). */
+  private[graft] def bandBuckets(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      posexplode(expr(bandsExpr("sig"))).as(Seq("band_idx", "band_val")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // v1: exact brute-force cosine top-k for query set vec_id < 10.
     // Top-k runs as a CUSTOM TYPED AGGREGATOR (functions/TopK.scala), not a
@@ -99,8 +108,7 @@ object Similarity extends QueryPack {
         .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
         .withColumn("sig", TextKernels.lshSigUdf($"v"))
         .select($"vec_id", $"v", $"norm2", $"sig")
-      val buckets = e.select($"vec_id",
-        posexplode(expr(bandsExpr("sig"))).as(Seq("band_idx", "band_val")))
+      val buckets = bandBuckets(e)
       val qb = buckets.filter($"vec_id" < 10)
         .select($"vec_id".as("q_id"), $"band_idx", $"band_val")
       val candIds = buckets.join(broadcast(qb), Seq("band_idx", "band_val"))

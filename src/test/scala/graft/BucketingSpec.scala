@@ -39,4 +39,42 @@ class BucketingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
   }
+
+  test("v2 deployment shape: persisted band buckets join with no corpus-side exchange") {
+    import org.apache.spark.sql.functions._
+    val wh = Files.createTempDirectory("graft_whv2").toString
+    val e = Tables(spark, TestSpark.sf).embeddings
+      .withColumn("v", $"embedding".cast("array<double>"))
+      .withColumn("sig", graft.functions.TextKernels.lshSigUdf($"v"))
+      .select($"vec_id", $"sig")
+    val buckets = catalog.Similarity.bandBuckets(e)
+
+    // ingest-time: signatures exploded to band buckets, persisted
+    // bucketBy(band) — the one-time shuffle every later query amortizes
+    buckets.write.bucketBy(8, "band_idx", "band_val")
+      .sortBy("band_idx", "band_val")
+      .option("path", s"$wh/corpus_bands")
+      .mode("overwrite").format("parquet").saveAsTable("corpus_bands")
+
+    val qb = buckets.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"band_idx", $"band_val")
+    val joined = spark.table("corpus_bands").hint("merge")
+      .join(qb, Seq("band_idx", "band_val"))
+      .filter($"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id")
+
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"corpus scan not bucketed:\n$plan")
+    // exactly ONE hash exchange — the (tiny) query side repartitioning into
+    // the corpus's bucket layout; the corpus itself is read in place
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nExchanges == 1, s"expected only the query-side exchange, got $nExchanges:\n$plan")
+
+    // same candidate set as the unbucketed v2 candidate join
+    val want = buckets.as("c").join(qb, Seq("band_idx", "band_val"))
+      .filter($"vec_id" =!= $"q_id").select($"q_id", $"vec_id").distinct().count()
+    assert(joined.distinct().count() == want)
+    spark.sql("DROP TABLE IF EXISTS corpus_bands")
+  }
 }
