@@ -75,6 +75,29 @@ object Streams extends QueryPack {
     s.table(name)
   }
 
+  /** Run a streaming frame to completion into the DEPLOYMENT sink: a
+    * checkpointed, PARTITIONED parquet directory (exactly-once via the file
+    * sink's _spark_metadata manifest — reading the path back only sees
+    * committed files, so a re-run after a mid-stream kill cannot surface
+    * duplicates; StreamFileSourceSpec's restart case proves it). Returns
+    * the read-back frame. */
+  private def runToParquet(df: DataFrame, partitionCols: Seq[String],
+                           partitions: Int = 4): DataFrame = {
+    val s = df.sparkSession
+    val work = java.nio.file.Files.createTempDirectory("graft_e12")
+    val out = work.resolve("out").toString
+    val ckpt = work.resolve("ckpt").toString
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", partitions)
+    try {
+      val q = df.writeStream.format("parquet").partitionBy(partitionCols: _*)
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.parquet(out)
+  }
+
   private def withRocksDb[T](s: SparkSession)(body: => T): T = {
     val prev = s.conf.getOption(ProviderKey)
     s.conf.set(ProviderKey, RocksDb)
@@ -117,6 +140,21 @@ object Streams extends QueryPack {
       runToTable(EventStreams.clickErrorJoin(clicks, errors),
           OutputMode.Append())
         .orderBy($"click_id", $"error_id")
+    },
+    // e12: the PRODUCTION sink shape — same tumbling aggregation as e6 but
+    // APPEND mode into a partitioned (by event_type), checkpointed parquet
+    // sink, read back through the sink's manifest. Watermark 0s: with the
+    // source drained, the final watermark is max(ts), and append emits
+    // exactly the windows whose end cleared it — the oracle restates that
+    // cutoff in the same millisecond arithmetic the state store uses.
+    "e12_stream_parquet_sink" -> { (s, dir) =>
+      import s.implicits._
+      runToParquet(
+          EventStreams.tumblingCounts(eventsStream(s, dir), watermark = "0 seconds"),
+          Seq("event_type"))
+        .select($"w_start", $"event_type", $"n",
+                $"sum_value".cast("decimal(38,2)").cast("double").as("sum_value"))
+        .orderBy($"w_start", $"event_type")
     },
     // e11: the NATIVE session_window operator in APPEND mode — a session
     // emits once the watermark passes its end (last + gap). The stream
@@ -168,6 +206,19 @@ object Streams extends QueryPack {
       FROM sess, wm
       WHERE sess_id < last_sess OR (end_us // 1000) < wm_ms
       ORDER BY user_id, start_us""",
+    // e6's aggregation restricted to windows whose END cleared the final
+    // watermark (max ts, delay 0), in whole milliseconds as Spark's state
+    // eviction compares
+    "e12_stream_parquet_sink" -> """
+      WITH agg AS (
+        SELECT (floor(epoch(ts) / 600) * 600)::BIGINT AS w_start, event_type,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+        FROM events GROUP BY w_start, event_type),
+      wm AS (SELECT (max(epoch_us(ts)) // 1000) AS wm_ms FROM events)
+      SELECT w_start, event_type, n, sum_value
+      FROM agg, wm WHERE (w_start + 600) * 1000 <= wm_ms
+      ORDER BY w_start, event_type""",
     "e11_stream_session_window" -> """
       WITH sess AS (
         SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,

@@ -55,4 +55,75 @@ class StreamFileSourceSpec extends AnyFunSuite {
     assert(got.size >= (want.size * 95) / 100,
       s"too few windows closed: ${got.size} of ${want.size}")
   }
+
+  test("kill + resume from checkpoint is exactly-once into the parquet sink") {
+    val path = s"${TestSpark.sf}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(path)
+
+    // stage the source as FOUR TIME-RANGED files (increasing mtimes) so
+    // maxFilesPerTrigger=1 forces four micro-batches that arrive in event-
+    // time order — a random split would let batch 1's watermark jump to the
+    // global max and correctly drop everything later as late data
+    val ingestDir = Files.createTempDirectory("graft_ingest4")
+    val cuts = raw.stat.approxQuantile("ts", Array(0.25, 0.5, 0.75), 0.0)
+    val bounds = (Long.MinValue +: cuts.map(_.toLong)) :+ Long.MaxValue
+    bounds.sliding(2).zipWithIndex.foreach { case (pair, i) =>
+      val (lo, hi) = (pair(0), pair(1))
+      val tmp = Files.createTempDirectory(s"graft_chunk$i")
+      raw.filter(raw("ts") > lo && raw("ts") <= hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val src = new java.io.File(tmp.toString).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .get.toPath
+      val dst = ingestDir.resolve(f"events_$i%03d.parquet")
+      Files.copy(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+
+    val work = Files.createTempDirectory("graft_restart")
+    val outDir = work.resolve("out").toString
+    val ckpt = work.resolve("ckpt").toString
+
+    def start() = {
+      val streamEvents = spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1").parquet(ingestDir.toString)
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      EventStreams.tumblingCounts(streamEvents, watermark = "0 seconds")
+        .writeStream.format("parquet").partitionBy("event_type")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+
+    // first run: kill after the first batch commits, mid-stream
+    val q1 = start()
+    var waited = 0
+    while (q1.recentProgress.isEmpty && waited < 60000) { Thread.sleep(100); waited += 100 }
+    q1.stop()
+    q1.awaitTermination(60000)
+
+    // resume from the same checkpoint to completion
+    val q2 = start()
+    q2.awaitTermination(120000)
+
+    // the sink manifest must hide any files from the killed attempt: every
+    // (window, event_type) key appears exactly once and the emitted rows
+    // equal the single-run streaming result
+    val got = spark.read.parquet(outDir)
+      .select("w_start", "event_type", "n", "sum_value").collect()
+    val keys = got.map(r => (r.getLong(0), r.getString(1)))
+    assert(keys.nonEmpty, "no output after resume")
+    assert(keys.distinct.length == keys.length,
+      s"duplicate window keys after restart: ${keys.diff(keys.distinct).take(5).toSeq}")
+    val want = EventStreams.tumblingCounts(Tables(spark, TestSpark.sf).events)
+      .collect().map(_.mkString("|")).toSet
+    val gotSet = got.map(_.mkString("|")).toSet
+    assert(gotSet.subsetOf(want), s"rows not in batch twin: ${gotSet -- want}")
+    assert(gotSet.size >= (want.size * 95) / 100,
+      s"too few windows closed: ${gotSet.size} of ${want.size}")
+  }
 }
