@@ -156,6 +156,28 @@ object Streams extends QueryPack {
                 $"sum_value".cast("decimal(38,2)").cast("double").as("sum_value"))
         .orderBy($"w_start", $"event_type")
     },
+    // e13: watermark-bounded streaming dedup — the at-least-once-source →
+    // exactly-once-downstream operator. The ingest directory is staged with
+    // TWO copies of the events file (every event arrives twice);
+    // dropDuplicatesWithinWatermark("event_id") must emit each id exactly
+    // once, so the oracle is simply the source table. State holds only ids
+    // within the watermark — at 100 TB/day this is the difference between
+    // a bounded dedup store and an unbounded one.
+    "e13_stream_dedup" -> { (s, dir) =>
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      val raw = s.read.parquet(src.toString)
+      val ingest = java.nio.file.Files.createTempDirectory("graft_e13")
+      java.nio.file.Files.copy(src, ingest.resolve("events_a.parquet"))
+      java.nio.file.Files.copy(src, ingest.resolve("events_b.parquet"))
+      val st = s.readStream.schema(raw.schema).parquet(ingest.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      runToTable(EventStreams.dedupEvents(st), OutputMode.Append())
+        .select($"event_id", $"user_id", $"event_type",
+                unix_micros($"ts").as("us"))
+        .orderBy($"event_id")
+    },
     // e11: the NATIVE session_window operator in APPEND mode — a session
     // emits once the watermark passes its end (last + gap). The stream
     // ends with watermark = max(ts) − 30 min, so the oracle is the batch
@@ -219,6 +241,10 @@ object Streams extends QueryPack {
       SELECT w_start, event_type, n, sum_value
       FROM agg, wm WHERE (w_start + 600) * 1000 <= wm_ms
       ORDER BY w_start, event_type""",
+    // the doubled source collapses back to the source table itself
+    "e13_stream_dedup" -> """
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+      FROM events ORDER BY event_id""",
     "e11_stream_session_window" -> """
       WITH sess AS (
         SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
