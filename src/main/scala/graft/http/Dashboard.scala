@@ -60,6 +60,14 @@ final class Dashboard(spark: SparkSession, configDir: String,
   private def err(ex: HttpExchange, status: Int, message: String): Unit =
     respond(ex, status, VectorMap("error" -> message))
 
+  private def html(ex: HttpExchange, markup: String, status: Int = 200): Unit = {
+    val body = markup.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+    ex.sendResponseHeaders(status, body.length)
+    ex.getResponseBody.write(body)
+    ex.close()
+  }
+
   private def readBody(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
 
@@ -105,6 +113,37 @@ final class Dashboard(spark: SparkSession, configDir: String,
         convert(ex, sourceId, filename)
       case "api" :: "process" :: sourceId :: Nil if post =>
         process(ex, sourceId)
+      // ---- server-rendered pages (reference app.py:53-101, :237-448,
+      // :492-513; original markup in Pages.scala, state from SpecStore) ----
+      case ("" :: Nil | Nil) if !post =>
+        val sources = SpecStore.loadFileSpecs(sourcesPath)
+        val dests = SpecStore.loadFileSpecs(destinationsPath)
+        def csvs(baseDir: String, specs: Map[String, FileSpec]) =
+          specs.toSeq.map { case (id, sp) =>
+            val d = Paths.get(baseDir, sp.defaultDirectory)
+            id -> (if (Files.isDirectory(d)) {
+              val stream = Files.list(d)
+              try stream.iterator.asScala.map(_.getFileName.toString)
+                .filter(_.endsWith(".csv")).toSeq.sorted
+              finally stream.close()
+            } else Seq.empty[String])
+          }.toMap
+        html(ex, Pages.index(sources, dests, SpecStore.loadMappings(mappingsPath),
+          csvs(inputDir, sources), csvs(outputDir, dests)))
+      case "sources" :: Nil if !post =>
+        html(ex, Pages.specList("source", SpecStore.loadFileSpecs(sourcesPath)))
+      case "destinations" :: Nil if !post =>
+        html(ex, Pages.specList("destination", SpecStore.loadFileSpecs(destinationsPath)))
+      case "mappings" :: Nil if !post =>
+        html(ex, Pages.mappingList(SpecStore.loadMappings(mappingsPath)))
+      case "mappings" :: id :: "visual" :: Nil if !post =>
+        SpecStore.loadMappings(mappingsPath).get(id) match {
+          case None => err(ex, 404, "Mapping not found")
+          case Some(m) => html(ex, Pages.visualEditor(m,
+            SpecStore.loadFileSpecs(sourcesPath).get(m.sourceId)))
+        }
+      case "preview" :: sourceId :: filename :: Nil if !post =>
+        html(ex, Pages.preview(sourceId, filename))
       case _ => err(ex, 404, "Not found")
     }
   }

@@ -67,6 +67,31 @@ class DashboardSpec extends AnyFunSuite {
     assert(get("/api/mappings")._1 == 200)
   }
 
+  test("server-rendered pages: index, spec lists, mapping list, visual editor") {
+    val (c0, home) = get("/")
+    assert(c0 == 200)
+    assert(home.contains("<h1>Dashboard</h1>"))
+    assert(home.contains("revolut_stocks"), "index must list the sources")
+    assert(home.contains("a.csv") && home.contains("b.csv"),
+      "index must list each source's input files")
+    val (c1, srcPage) = get("/sources")
+    assert(c1 == 200 && srcPage.contains("revolut_stocks"))
+    assert(get("/destinations")._1 == 200)
+    val (c2, maps) = get("/mappings")
+    assert(c2 == 200 && maps.contains("visual editor"))
+    // visual editor for the first shipped mapping
+    val firstId = SpecStore.loadMappings(env._2.resolve("mappings.json").toString)
+      .keys.toSeq.sorted.head
+    val (c3, vis) = get(s"/mappings/$firstId/visual")
+    assert(c3 == 200)
+    assert(vis.contains("Field mappings") && vis.contains("Source columns"))
+    assert(vis.contains(s"/api/mappings/$firstId/save"),
+      "visual page must point at the save endpoint")
+    assert(get("/mappings/nope/visual")._1 == 404)
+    val (c4, prev) = get("/preview/revolut_stocks/a.csv")
+    assert(c4 == 200 && prev.contains("/api/preview/revolut_stocks/a.csv"))
+  }
+
   test("POST a source creates the store entry, directory and template") {
     val spec = SpecStore.loadFileSpecs(env._2.resolve("sources.json").toString)("test_source")
     val json = SpecJson.dumps(SpecJson.fileSpecDict(
