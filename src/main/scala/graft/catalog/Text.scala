@@ -41,6 +41,39 @@ object Text extends QueryPack {
     "zh" -> Seq("join", "small", "column"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // x8: Gopher-style repetition signals per document — fraction of word
+    // positions covered by the single most frequent bigram, and the
+    // duplicate-word fraction. High values flag boilerplate/spam for
+    // curation filters. One compiled pass per row; the only doubles are
+    // single divisions of exact integers (bitwise identical cross-engine).
+    "x8_repetition" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .withColumn("rc", graft.functions.TextKernels.repetitionUdf($"text"))
+        .select($"doc_id", $"rc.n_words".as("n_words"),
+                $"rc.top_bigram_n".as("top_bigram_n"),
+                ($"rc.top_bigram_n".cast("double") /
+                  greatest($"rc.n_words" - 1, lit(1L))).as("frac_top_bigram"),
+                (($"rc.n_words" - $"rc.n_distinct").cast("double") /
+                  $"rc.n_words").as("frac_dup_words"))
+        .orderBy($"doc_id")
+    },
+    // x9: benchmark DECONTAMINATION — flag corpus documents sharing any
+    // 4-token shingle with the held-out eval set (doc_id % 97, standing in
+    // for a benchmark suite). The eval shingle set is tiny and BROADCAST,
+    // so the corpus never shuffles — the scan stays embarrassingly
+    // parallel, which is what makes decontamination tractable at 100 TB.
+    "x9_decontam" -> { (s, dir) =>
+      import s.implicits._
+      val sh = Tables(s, dir).documents
+        .select($"doc_id",
+          explode(graft.functions.TextKernels.shingleHashesUdf($"text")).as("h"))
+      val evalSet = sh.filter(pmod($"doc_id", lit(97)) === 0).select($"h").distinct()
+      sh.filter(pmod($"doc_id", lit(97)) =!= 0)
+        .join(broadcast(evalSet), Seq("h"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy($"doc_id")
+    },
     // x1: token counting (whitespace tokenizer + distinct + mean length) —
     // one compiled tokenize pass per row (see TextKernels scaladoc for why
     // not inline HOF lambdas)
@@ -145,6 +178,34 @@ object Text extends QueryPack {
       |     ELSE 'zh' END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "x8_repetition" -> s"""
+      WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+      base AS (
+        SELECT doc_id, len(ws)::BIGINT AS n_words,
+               len(list_distinct(ws))::BIGINT AS n_distinct,
+               list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bgs
+        FROM w),
+      mx AS (
+        SELECT doc_id, MAX(c)::BIGINT AS top_bigram_n
+        FROM (SELECT doc_id, b, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(bgs) AS b FROM base) t GROUP BY 1, 2) t2
+        GROUP BY doc_id)
+      SELECT b.doc_id, b.n_words,
+             COALESCE(m.top_bigram_n, 0)::BIGINT AS top_bigram_n,
+             COALESCE(m.top_bigram_n, 0)::DOUBLE / greatest(b.n_words - 1, 1) AS frac_top_bigram,
+             (b.n_words - b.n_distinct)::DOUBLE / b.n_words AS frac_dup_words
+      FROM base b LEFT JOIN mx m ON m.doc_id = b.doc_id
+      ORDER BY b.doc_id""",
+    "x9_decontam" -> s"""
+      WITH sh AS (
+        SELECT doc_id, unnest(hs) AS h
+        FROM (SELECT doc_id, ${Dedup.shingleHashesSql} AS hs
+              FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0) t1),
+      ev AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0)
+      SELECT doc_id, COUNT(*)::BIGINT AS n_shared
+      FROM sh JOIN ev USING (h)
+      WHERE doc_id % 97 <> 0
+      GROUP BY doc_id ORDER BY doc_id""",
     "x7_tfidf_topk" -> s"""
       WITH toks AS (
         SELECT doc_id, unnest(ws) AS tok

@@ -9,6 +9,9 @@ final case class TokenStats(n_tokens: Long, n_distinct: Long, sum_token_len: Lon
 /** x2 quality-count components. */
 final case class QualityCounts(n_tokens: Long, punct_cnt: Long, digit_cnt: Long, stop_cnt: Long)
 
+/** x8 repetition-signal components. */
+final case class RepetitionCounts(n_words: Long, n_distinct: Long, top_bigram_n: Long)
+
 /** Compiled kernels for the per-row dedup / similarity signature math.
   *
   * These implement EXACTLY the arithmetic documented in graft.catalog.Tx
@@ -213,6 +216,24 @@ object TextKernels extends Serializable {
     }
     c: Column => f(c)
   }
+
+  /** text → (n_words, n_distinct, max bigram frequency) in one pass — the
+    * integer components of the Gopher-style repetition signals (fraction in
+    * the top word bigram, duplicate-word fraction). */
+  val repetitionUdf: Column => Column =
+    { val f = udf { (t: String) =>
+        val ws = tokenize(t)
+        val bg = new scala.collection.mutable.HashMap[String, Long]()
+        var i = 0
+        while (i < ws.length - 1) {
+          val k = ws(i) + " " + ws(i + 1)
+          bg.update(k, bg.getOrElse(k, 0L) + 1)
+          i += 1
+        }
+        RepetitionCounts(ws.length, ws.distinct.length,
+          if (bg.isEmpty) 0L else bg.values.max)
+      }
+      c: Column => f(c) }
 
   /** text → predicted language: marker-word counts; label l wins if its
     * score >= max of all LATER labels' scores (fixed tiebreak order, same
