@@ -65,6 +65,20 @@ object Quantizer {
     trained.getOrElseUpdate((dir, iters, dim),
       centroids(withQ(e), kFor(e.count()), iters, dim))
 
+  /** Centroids trained on the DETERMINISTIC SAMPLE vec_id % mod == 0 — the
+    * 100 TB shape: Lloyd's passes touch 1/mod of the table (k still sized
+    * for the FULL population, seeds = the first k sample members, ids
+    * 0, mod, …, (k−1)·mod), and only the final assignment reads everything.
+    * The SQL twin (`centroidsSql(…, sampleMod)`) mirrors the same filter,
+    * so the trained model stays bitwise-matched. */
+  def centroidsSampledFor(e: DataFrame, dir: String, iters: Int, dim: Int,
+                          mod: Int): Seq[Centroid] =
+    trained.getOrElseUpdate((s"$dir#m$mod", iters, dim), {
+      val k = kFor(e.count())
+      val train = withQ(e.filter(pmod(col("vec_id"), lit(mod)) === 0))
+      centroids(train, k, iters, dim, seedBound = k.toLong * mod)
+    })
+
   private def serialDot(a: Array[Double], b: Array[Double]): Double = {
     // identical op order to Tx.dotSql / VectorExprs.dot: left fold of a+x_i
     var acc = 0.0; var i = 0
@@ -136,14 +150,16 @@ object Quantizer {
     * (init centroid = its seed's quantized vector, mean of a 1-row cell).
     * The quantized input is cached across the 1+`iters` passes (the MLlib
     * KMeans pattern) and released before returning. */
-  def centroids(eq0: DataFrame, k: Int, iters: Int, dim: Int): Seq[Centroid] = {
+  def centroids(eq0: DataFrame, k: Int, iters: Int, dim: Int,
+                seedBound: Long = -1L): Seq[Centroid] = {
     val eq = eq0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try centroidsOn(eq, k, iters, dim)
+    try centroidsOn(eq, k, iters, dim, if (seedBound < 0) k.toLong else seedBound)
     finally eq.unpersist(blocking = false)
   }
 
-  private def centroidsOn(eq: DataFrame, k: Int, iters: Int, dim: Int): Seq[Centroid] = {
-    val init = eq.filter(col("vec_id") < k)
+  private def centroidsOn(eq: DataFrame, k: Int, iters: Int, dim: Int,
+                          seedBound: Long): Seq[Centroid] = {
+    val init = eq.filter(col("vec_id") < seedBound)
       .select(col("vec_id").cast("int").as("cell"), col("q"))
       .collect()
       .map(r => centroid(r.getInt(0), 1L, r.getSeq[Long](1).toArray))
@@ -171,7 +187,12 @@ object Quantizer {
   /** CTE fragment: `kq` (quantized vectors), per-iteration assign/update
     * CTEs, final centroids `kmc(cell, cv, cnorm2)`. k is derived from the
     * table size exactly like the Spark side's kFor. */
-  def centroidsSql(iters: Int, dim: Int): String = {
+  def centroidsSql(iters: Int, dim: Int, sampleMod: Int = 1): String = {
+    // mod == 1 keeps the unsampled SQL byte-identical (d5/v3 oracles)
+    val trainFilter = if (sampleMod > 1) s" WHERE t.vec_id % $sampleMod = 0" else ""
+    val seedBound =
+      if (sampleMod > 1) s"(SELECT k FROM kk) * $sampleMod" else "(SELECT k FROM kk)"
+    val seedFilter = if (sampleMod > 1) s"vec_id % $sampleMod = 0 AND " else ""
     val sb = new StringBuilder
     sb ++= s"""kq AS (
       SELECT vec_id, v, norm2,
@@ -182,7 +203,7 @@ object Quantizer {
       SELECT cell, cv, ${dotSql("cv", "cv")} AS cnorm2 FROM (
         SELECT vec_id AS cell,
                list_transform(q, x -> x::DOUBLE / (1::BIGINT::DOUBLE * $Scale)) AS cv
-        FROM kq WHERE vec_id < (SELECT k FROM kk)) z)"""
+        FROM kq WHERE ${seedFilter}vec_id < $seedBound) z)"""
     for (t <- 1 to iters) {
       val prev = s"kd${t - 1}"
       val sums = (0 until dim).map(i => s"sum(q[${i + 1}])::BIGINT").mkString(", ")
@@ -192,7 +213,7 @@ object Quantizer {
         SELECT t.vec_id, t.q, c.cell,
                row_number() OVER (PARTITION BY t.vec_id ORDER BY
                  ${cosSql("t.v", "c.cv", "t.norm2", "c.cnorm2")} DESC, c.cell) AS crank
-        FROM kq t CROSS JOIN $prev c) z WHERE crank = 1),
+        FROM kq t CROSS JOIN $prev c$trainFilter) z WHERE crank = 1),
     kc$t AS (SELECT cell, count(*)::BIGINT AS n, [$sums] AS sq
       FROM ka$t GROUP BY cell),
     kd$t AS (

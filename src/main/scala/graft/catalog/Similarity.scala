@@ -129,7 +129,14 @@ object Similarity extends QueryPack {
                 $"vec_id".as("neighbor_id"), $"cos")
         .orderBy($"q_id", $"rank")
     },
-    "v3_ivf_ann" -> ivfQuery
+    "v3_ivf_ann" -> ivfQuery(sampleMod = 1),
+    // v4: v3's IVF with the quantizer trained on the DETERMINISTIC 1/4
+    // SAMPLE (vec_id % 4 == 0) — Lloyd's passes scan a quarter of the
+    // table, only the final assignment reads everything. At 100 TB the
+    // training sample is what makes in-engine quantizer training feasible;
+    // the oracle re-trains on the same sample, so the model (and therefore
+    // every cell and neighbor) still matches bitwise.
+    "v4_ivf_sampled" -> ivfQuery(sampleMod = 4)
   )
 
   /** v3: IVF ANN — coarse quantizer cells come from the ENGINE-COMPUTED
@@ -140,13 +147,15 @@ object Similarity extends QueryPack {
     * exact-cosine rerank runs only inside the probed cells. The search join
     * keys on cell id, so each query touches ~2/8 of the corpus — the
     * inverted-file property. */
-  private lazy val ivfQuery: (SparkSession, String) => DataFrame = { (s, dir) =>
+  private def ivfQuery(sampleMod: Int): (SparkSession, String) => DataFrame = { (s, dir) =>
     import s.implicits._
     val e = Tables(s, dir).embeddings
       .withColumn("v", $"embedding".cast("array<double>"))
       .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
       .select($"vec_id", $"v", $"norm2")
-    val cents = Quantizer.centroidsFor(e, dir, iters = 2, dim = 64)
+    val cents =
+      if (sampleMod == 1) Quantizer.centroidsFor(e, dir, iters = 2, dim = 64)
+      else Quantizer.centroidsSampledFor(e, dir, iters = 2, dim = 64, mod = sampleMod)
     val data = Quantizer.assign(e, cents)
       .select($"cell", $"vec_id", $"v", $"norm2")
     val probes = Quantizer.probe(e.filter($"vec_id" < 10), cents, nProbe = 2)
@@ -163,13 +172,14 @@ object Similarity extends QueryPack {
       .orderBy($"q_id", $"rank")
   }
 
-  val oracle: Map[String, String] = Map(
-    "v3_ivf_ann" -> s"""
+  /** v3/v4 oracle: identical IVF SQL, differing only in the quantizer
+    * training CTEs' sample filter. */
+  private def ivfSql(sampleMod: Int): String = s"""
       WITH e AS (
         SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
         FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
               FROM embeddings) t),
-      ${Quantizer.centroidsSql(iters = 2, dim = 64)},
+      ${Quantizer.centroidsSql(iters = 2, dim = 64, sampleMod = sampleMod)},
       assigned AS (
         SELECT t.vec_id, t.v, t.norm2, c.cell,
                row_number() OVER (PARTITION BY t.vec_id ORDER BY
@@ -187,7 +197,11 @@ object Similarity extends QueryPack {
         FROM (SELECT p.q_id, d.vec_id,
                      ${dotSql("p.qv", "d.v")} / (sqrt(p.qn) * sqrt(d.norm2)) AS cos
               FROM data d JOIN probes p ON d.cell = p.cell AND d.vec_id <> p.q_id) t0) t1
-      WHERE rank <= $K ORDER BY q_id, rank""",
+      WHERE rank <= $K ORDER BY q_id, rank"""
+
+  val oracle: Map[String, String] = Map(
+    "v3_ivf_ann" -> ivfSql(sampleMod = 1),
+    "v4_ivf_sampled" -> ivfSql(sampleMod = 4),
     "v1_brute_topk" -> s"""
       WITH e AS (
         SELECT vec_id, v, ${dotSql("v", "v")} AS norm2

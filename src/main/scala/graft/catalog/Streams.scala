@@ -169,10 +169,30 @@ object Streams extends QueryPack {
       val src = java.nio.file.Paths.get(s"$dir/events.parquet")
       val raw = s.read.parquet(src.toString)
       val ingest = java.nio.file.Files.createTempDirectory("graft_e13")
-      java.nio.file.Files.copy(src, ingest.resolve("events_a.parquet"))
-      java.nio.file.Files.copy(src, ingest.resolve("events_b.parquet"))
-      val st = s.readStream.schema(raw.schema).parquet(ingest.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // the driver testdata ships one file per table; regenerated table
+      // sets (StressGen) are directories of part files — stage either
+      def stage(tag: String): Unit =
+        if (java.nio.file.Files.isRegularFile(src))
+          java.nio.file.Files.copy(src, ingest.resolve(s"events_$tag.parquet"))
+        else {
+          val ls = java.nio.file.Files.list(src)
+          try {
+            val it = ls.iterator()
+            while (it.hasNext) {
+              val p = it.next()
+              if (p.getFileName.toString.endsWith(".parquet"))
+                java.nio.file.Files.copy(p, ingest.resolve(s"${tag}_${p.getFileName}"))
+            }
+          } finally ls.close()
+        }
+      stage("a"); stage("b")
+      val st0 = s.readStream.schema(raw.schema).parquet(ingest.toString)
+      // nanos-as-long only when the file stores raw nanos (driver testdata);
+      // regenerated tables already carry a TIMESTAMP column
+      val st = raw.schema("ts").dataType match {
+        case LongType => st0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => st0
+      }
       runToTable(EventStreams.dedupEvents(st), OutputMode.Append())
         .select($"event_id", $"user_id", $"event_type",
                 unix_micros($"ts").as("us"))
