@@ -284,6 +284,25 @@ object Dedup extends QueryPack {
         .select($"d1", $"d2", $"hamming")
         .orderBy($"d1", $"d2")
     },
+    // d9: PAIR-OUTPUT COMPACTION — the deployment shape for near-dedup at
+    // scale. d2/d4/d8 emit O(pairs) rows, quadratic in duplicate-group
+    // size; what a 100 TB curation job actually materializes is one row
+    // per document: its canonical representative rep = min(doc_id) over
+    // itself and its direct near-duplicates (one-hop, not transitive —
+    // d7 is the transitive version). Output is O(N) regardless of how
+    // viral the duplicate groups are.
+    "d9_dedup_reps" -> { (s, dir) =>
+      import s.implicits._
+      val pairs = minhashPairs(s, dir).select($"d1", $"d2")
+      val sym = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
+      val minNb = sym.groupBy($"d1".as("doc_id")).agg(min($"d2").as("min_nb"))
+      Tables(s, dir).documents.select($"doc_id")
+        .join(minNb, Seq("doc_id"), "left")
+        .select($"doc_id",
+                least($"doc_id", coalesce($"min_nb", $"doc_id")).as("rep"))
+        .withColumn("is_canonical", ($"rep" === $"doc_id").cast("boolean"))
+        .orderBy($"doc_id")
+    },
     // d7: duplicate-CLUSTER assignment — connected components over the
     // union of exact-digest star edges (doc ↔ its digest keeper) and
     // minhash near-dup pairs, by min-label propagation + pointer jumping
@@ -391,6 +410,35 @@ object Dedup extends QueryPack {
       SELECT d1, d2, hamming FROM (
         SELECT d1, d2, bit_count(xor(s1, s2))::BIGINT AS hamming FROM pairs) t
       WHERE hamming <= 3 ORDER BY d1, d2""",
+    "d9_dedup_reps" -> s"""
+      WITH sig AS (
+        SELECT doc_id, ${sigSql("hs")} AS sig
+        FROM (SELECT doc_id, $shingleHashesSql AS hs
+              FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0) t1),
+      bk AS (
+        SELECT doc_id, sig, b.band_idx, bands[b.band_idx + 1] AS band_hash
+        FROM (SELECT doc_id, sig, ${bandsSql("sig")} AS bands FROM sig) t
+        CROSS JOIN (SELECT unnest(range(0, $NBands)) AS band_idx) b),
+      bkc AS (
+        SELECT * FROM bk
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= $MaxBucket),
+      near AS (
+        SELECT d1, d2 FROM (
+          SELECT d1, d2,
+                 len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i]))::DOUBLE / 16.0 AS est
+          FROM (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                       a.sig AS sig_a, b.sig AS sig_b
+                FROM bkc a JOIN bkc b
+                  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id) p) q
+        WHERE est >= 0.5),
+      sym AS (SELECT d1, d2 FROM near UNION ALL SELECT d2, d1 FROM near),
+      mn AS (SELECT d1 AS doc_id, MIN(d2) AS min_nb FROM sym GROUP BY d1)
+      SELECT d.doc_id,
+             least(d.doc_id, COALESCE(m.min_nb, d.doc_id)) AS rep,
+             (least(d.doc_id, COALESCE(m.min_nb, d.doc_id)) = d.doc_id) AS is_canonical
+      FROM documents d LEFT JOIN mn m ON m.doc_id = d.doc_id
+      ORDER BY d.doc_id""",
     "d7_dup_clusters" -> s"""
       WITH RECURSIVE sig AS (
         SELECT doc_id, ${sigSql("hs")} AS sig
