@@ -13,9 +13,13 @@ import graft.multimodal.Media
   * the formula without a codec, while the Spark side must actually run
   * generate → PNG-encode → `javax.imageio` decode (→ resample → re-encode →
   * decode for m4) to produce the same integers. A green row therefore pins
-  * the whole codec loop, not just metadata plumbing. Audio/video payloads
-  * stay UTF-8 text bytes (stub decode), pinned via md5/character-class
-  * counts as before. Tile dims divide both W (64 + id%16·16) and
+  * the whole codec loop, not just metadata plumbing. AUDIO payloads are
+  * real WAVs of a closed-form PCM16 series (u_i = (id·31 + i·7) mod 2^16),
+  * decoded with `javax.sound.sampled` — checksums and PCM-byte histograms
+  * recomputed in SQL from the formula (little-endian two's complement:
+  * byte0 = u mod 256, byte1 = (u div 256 + 128) mod 256). Only VIDEO
+  * payloads stay UTF-8 text bytes (stub decode), pinned via
+  * md5/character-class counts. Tile dims divide both W (64 + id%16·16) and
   * H (48 + id%9·16), so a full image is (W/16)·(H/16) exact tile repeats;
   * m4's nearest-neighbor map x → (x·W)/256 is mirrored with integer
   * division on residue counts.
@@ -90,6 +94,19 @@ object Multimodal extends QueryPack {
         SELECT a.tx, b.ty FROM (SELECT unnest(range(0, 16)) AS tx) a
         CROSS JOIN (SELECT unnest(range(0, 16)) AS ty) b)"""
 
+  /** Shared audio CTEs: per-doc sample counts, the closed-form unsigned
+    * 16-bit sample series u_i = (id·31 + i·7) mod 2^16, and its sum — the
+    * checksum the Spark side recovers by DECODING the WAV payload
+    * (stored PCM value = u − 32768, two's-complement little-endian). */
+  private val audCtes = """
+      auds AS (
+        SELECT doc_id, 400 + (doc_id % 7) * 200 AS n
+        FROM documents WHERE doc_id % 3 = 1),
+      au AS (
+        SELECT doc_id, (doc_id * 31 + i * 7) % 65536 AS u
+        FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM auds) t),
+      achk AS (SELECT doc_id, SUM(u)::BIGINT AS checksum FROM au GROUP BY doc_id)"""
+
   /** Σ of the three channel formulas at tile coordinate (tx, ty). */
   private def rgbSum(id: String, tx: String, ty: String): String =
     s"((($id * 31 + 7 * $tx + 13 * $ty) % 256)" +
@@ -99,6 +116,7 @@ object Multimodal extends QueryPack {
   val oracle: Map[String, String] = Map(
     "m1_media_catalog" -> s"""
       WITH $imgCtes,
+      $audCtes,
       chk AS (
         SELECT i.doc_id, (i.w // 16) * (i.h // 16)
                * SUM(${rgbSum("i.doc_id", "t.tx", "t.ty")}) AS checksum
@@ -106,8 +124,10 @@ object Multimodal extends QueryPack {
       SELECT d.doc_id AS media_id,
              (['image','audio','video'])[(d.doc_id % 3) + 1] AS kind,
              CASE WHEN d.doc_id % 3 = 0 THEN (i.w * i.h * 3)::BIGINT
+                  WHEN d.doc_id % 3 = 1 THEN (a.n * 2)::BIGINT
                   ELSE octet_length(encode(d.text))::BIGINT END AS n_bytes,
              CASE WHEN d.doc_id % 3 = 0 THEN chk.checksum::VARCHAR
+                  WHEN d.doc_id % 3 = 1 THEN achk.checksum::VARCHAR
                   ELSE md5(d.text) END AS digest,
              (64 + (d.doc_id % 16) * 16)::INT AS width,
              (48 + (d.doc_id % 9) * 16)::INT AS height,
@@ -116,9 +136,12 @@ object Multimodal extends QueryPack {
       FROM documents d
       LEFT JOIN imgs i ON i.doc_id = d.doc_id
       LEFT JOIN chk ON chk.doc_id = d.doc_id
+      LEFT JOIN auds a ON a.doc_id = d.doc_id
+      LEFT JOIN achk ON achk.doc_id = d.doc_id
       ORDER BY media_id""",
     "m4_resize" -> s"""
       WITH $imgCtes,
+      $audCtes,
       cntx AS (
         SELECT i.doc_id, ((r.x * i.w) // 256) % 16 AS tx, COUNT(*) AS cx
         FROM imgs i CROSS JOIN (SELECT unnest(range(0, 256)) AS x) r
@@ -139,12 +162,25 @@ object Multimodal extends QueryPack {
              CASE WHEN d.doc_id % 3 = 0 THEN 144
                   ELSE 48 + (d.doc_id % 9) * 16 END::INT AS height,
              CASE WHEN d.doc_id % 3 = 0 THEN rchk.checksum::VARCHAR
+                  WHEN d.doc_id % 3 = 1 THEN achk.checksum::VARCHAR
                   ELSE md5(d.text) END AS digest
       FROM documents d
       LEFT JOIN rchk ON rchk.doc_id = d.doc_id
+      LEFT JOIN achk ON achk.doc_id = d.doc_id
       ORDER BY media_id""",
     "m3_media_features" -> s"""
       WITH $imgCtes,
+      $audCtes,
+      avals AS (
+        SELECT doc_id, unnest([u % 256, ((u // 256) + 128) % 256]) AS v FROM au),
+      avc AS (SELECT doc_id, v // 16 AS bin, COUNT(*) AS c FROM avals GROUP BY 1, 2),
+      ah AS (
+        SELECT a.doc_id,
+               string_agg(COALESCE(avc.c, 0)::VARCHAR, ',' ORDER BY b.bin) AS hist
+        FROM auds a
+        CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) b
+        LEFT JOIN avc ON avc.doc_id = a.doc_id AND avc.bin = b.bin
+        GROUP BY a.doc_id),
       vals AS (
         SELECT i.doc_id,
                unnest([((i.doc_id * 31 + 7 * t.tx + 13 * t.ty) % 256),
@@ -163,9 +199,11 @@ object Multimodal extends QueryPack {
       SELECT d.doc_id AS media_id,
              (['image','audio','video'])[(d.doc_id % 3) + 1] AS kind,
              CASE WHEN d.doc_id % 3 = 0 THEN ih.hist
+                  WHEN d.doc_id % 3 = 1 THEN ah.hist
                   ELSE array_to_string([$histBins], ',') END AS hist
       FROM documents d
       LEFT JOIN ih ON ih.doc_id = d.doc_id
+      LEFT JOIN ah ON ah.doc_id = d.doc_id
       ORDER BY media_id""",
     "m2_frame_sample" -> """
       SELECT media_id, frame_idx::BIGINT AS frame_idx,

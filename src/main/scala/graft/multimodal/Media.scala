@@ -3,6 +3,7 @@ package graft.multimodal
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -46,9 +47,12 @@ final case class MediaStats(media_id: Long, kind: String, width: Int, height: In
   * resample whose re-encoded payload differs from the input. Because the
   * pixel pattern is closed-form, a SQL engine can recompute decoded
   * checksums/histograms without any codec — that is how the m-pack oracles
-  * pin the full generate → encode → decode → resample loop. Audio/video
-  * decoding remains a pass-through STUB (no such codec ships in the JDK);
-  * their payloads stay UTF-8 text bytes.
+  * pin the full generate → encode → decode → resample loop. The AUDIO
+  * codec is REAL as well: payloads are WAV bytes (closed-form PCM16 tone,
+  * `synthWav`), decoded with the in-JDK `javax.sound.sampled` reader, the
+  * sample rate recovered from the decoded header. Only VIDEO decode
+  * remains a pass-through stub (the JDK ships no video codec); video
+  * payloads stay UTF-8 text bytes.
   *
   * Scale notes (100 TB):
   *  - all operators are per-row/per-partition (no shuffle); parallelism
@@ -107,10 +111,12 @@ object Media {
     ImageIO.read(new ByteArrayInputStream(payload))
 
   /** Decoded byte content: raw RGB triplets for images (PNG is lossless
-    * 8-bit RGB, so `getRGB` recovers the exact generated channels);
-    * AUDIO/VIDEO decode is still a pass-through stub (no JDK codec). */
+    * 8-bit RGB, so `getRGB` recovers the exact generated channels), raw
+    * PCM bytes for audio (WAV is lossless PCM); VIDEO decode remains a
+    * pass-through stub (the JDK ships no video codec). */
   def decodeBytes(payload: Array[Byte], kind: String): Array[Byte] =
-    if (kind != "image") payload
+    if (kind == "audio") decodeWav(payload).pcm
+    else if (kind != "image") payload
     else {
       val img = decodeImage(payload)
       val w = img.getWidth; val h = img.getHeight
@@ -163,6 +169,60 @@ object Media {
     encodePng(out)
   }
 
+  // ---- deterministic synthetic audio: closed-form PCM16 mono WAV ---------
+
+  /** Unsigned 16-bit sample value at index i of audio `id` — the closed
+    * form the m-pack oracles recompute (stored PCM value = u − 32768,
+    * two's-complement little-endian). */
+  def audioU16(id: Long, i: Int): Int = ((id * 31 + i.toLong * 7) % 65536).toInt
+
+  /** Sample count for audio `id` (kept audible-length-ish but small). */
+  def audioLen(id: Long): Int = (400 + (id % 7) * 200).toInt
+
+  /** Deterministic WAV payload: PCM 16-bit signed little-endian mono at the
+    * meta sample rate, encoded with the in-JDK `javax.sound.sampled` WAV
+    * writer. */
+  def synthWav(id: Long, rateHz: Int): Array[Byte] = {
+    val n = audioLen(id)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = audioU16(id, i) - 32768
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(rateHz.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream(n * 2 + 64)
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decoded WAV: recovered sample rate, frame count, and raw PCM bytes. */
+  final case class DecodedAudio(sampleRateHz: Int, nSamples: Int, pcm: Array[Byte])
+
+  /** REAL decode — in-JDK WAV codec. */
+  def decodeWav(payload: Array[Byte]): DecodedAudio = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    val fmt = ais.getFormat
+    val pcm = ais.readAllBytes()
+    DecodedAudio(fmt.getSampleRate.toInt, pcm.length / fmt.getFrameSize, pcm)
+  }
+
+  /** Σ of unsigned 16-bit sample values over the decoded PCM — the integer
+    * fingerprint the SQL twin recomputes from the closed form. */
+  def audioChecksum(pcm: Array[Byte]): Long = {
+    var sum = 0L
+    var i = 0
+    while (i + 1 < pcm.length) {
+      val s = (pcm(i) & 0xff) | (pcm(i + 1).toInt << 8)
+      sum += s + 32768
+      i += 2
+    }
+    sum
+  }
+
   private def md5Hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map(b => f"$b%02x").mkString
@@ -184,11 +244,13 @@ object Media {
     val pngUdf = udf { (id: Long) =>
       synthPng(id, (64 + (id % 16) * 16).toInt, (48 + (id % 9) * 16).toInt)
     }
+    val wavUdf = udf { (id: Long) => synthWav(id, (8000 + (id % 5) * 8000).toInt) }
     spread.select(
         $"doc_id".as("media_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (pmod($"doc_id", lit(3)) + 1).cast("int")).as("kind"),
         when(pmod($"doc_id", lit(3)) === 0, pngUdf($"doc_id"))
+          .when(pmod($"doc_id", lit(3)) === 1, wavUdf($"doc_id"))
           .otherwise(encode($"text", "UTF-8")).as("payload"),
         struct(
           (lit(64) + pmod($"doc_id", lit(16)) * 16).cast("int").as("width"),
@@ -213,6 +275,12 @@ object Media {
             MediaStats(r.media_id, r.kind, img.getWidth, img.getHeight,
               r.meta.sample_rate_hz, r.meta.n_frames,
               3L * img.getWidth * img.getHeight, imageChecksum(img).toString)
+          } else if (r.kind == "audio") {
+            // rate comes from the DECODED header, not the metadata
+            val au = decodeWav(r.payload)
+            MediaStats(r.media_id, r.kind, r.meta.width, r.meta.height,
+              au.sampleRateHz, r.meta.n_frames,
+              au.pcm.length.toLong, audioChecksum(au.pcm).toString)
           } else
             MediaStats(r.media_id, r.kind, r.meta.width, r.meta.height,
               r.meta.sample_rate_hz, r.meta.n_frames,

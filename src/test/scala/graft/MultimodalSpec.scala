@@ -50,6 +50,18 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WAV round-trip: decode recovers rate and the exact PCM sample series") {
+    val rate = 16000
+    val wav = Media.synthWav(43L, rate)
+    val au = Media.decodeWav(wav)
+    assert(au.sampleRateHz == rate)
+    assert(au.nSamples == Media.audioLen(43L))
+    for (i <- 0 until au.nSamples) {
+      val s = (au.pcm(2 * i) & 0xff) | (au.pcm(2 * i + 1).toInt << 8)
+      assert(s + 32768 == Media.audioU16(43L, i), s"sample $i mismatch")
+    }
+  }
+
   test("PNG round-trip: decode recovers the exact generated tile pattern") {
     val png = Media.synthPng(42L, 96, 64)
     val img = Media.decodeImage(png)
