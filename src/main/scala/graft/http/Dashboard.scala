@@ -348,23 +348,33 @@ final class Dashboard(spark: SparkSession, configDir: String,
                 .toSeq.sortBy(_.toString)
               finally stream.close()
             } else Nil
+          val columns = source.columns.map(_.name)
           var (success, skipped, errors) = (0L, 0L, 0L)
           val allErrors = List.newBuilder[VectorMap[String, Any]]
           files.foreach { f =>
             val (r, _) = convertOne(source, f.toString, mapping, destination)
             success += r.successCount; skipped += r.skippedCount
             errors += r.errorCount
+            // reference app.py:209 carries the raw row dict per error;
+            // RowError stores only the line number, so errored files get
+            // one re-read to rebuild line → cells (header order)
+            val rowsByLine: Map[Long, Map[String, String]] =
+              if (r.errors.isEmpty) Map.empty
+              else Api.preview(spark, f.toString, source, None, n = Int.MaxValue)
+                .rows.map(pr => pr.line -> pr.cells).toMap
             r.errors.foreach { e =>
+              val cells = rowsByLine.getOrElse(e.line_number, Map.empty)
               allErrors += VectorMap[String, Any](
                 "file" -> f.getFileName.toString, "line" -> e.line_number,
                 "field" -> e.field, "message" -> e.error_message,
-                "value" -> e.source_value)
+                "value" -> e.source_value,
+                "row_data" -> columns.map(c => c -> cells.getOrElse(c, ""))
+                  .to(VectorMap))
             }
           }
           val errList = allErrors.result()
-          // divergence note: the reference also carries per-error row_data
-          // (the raw row dict) and per-file log lines; RowError keeps
-          // neither (rows are reconstructable by line number)
+          // divergence note: the reference also carries per-file log lines;
+          // this engine keeps counts + errors only
           respond(ex, 200, VectorMap[String, Any](
             "mapping_name" -> mapping.name,
             "success_count" -> success,

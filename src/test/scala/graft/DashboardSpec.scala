@@ -230,5 +230,11 @@ class DashboardSpec extends AnyFunSuite {
     val es = p("errors").asInstanceOf[List[Map[String, Any]]]
     assert(es.map(_("file")).toSet == Set("a.csv", "b.csv"))
     assert(p("has_more_errors") == false)
+    // reference parity: each error carries the raw input row dict
+    es.foreach { e =>
+      val rd = e("row_data").asInstanceOf[Map[String, Any]]
+      assert(rd("Type") == "DEPOSIT" && rd("Ticker") == "CASH",
+        s"row_data must be the errored line's cells, got $rd")
+    }
   }
 }
