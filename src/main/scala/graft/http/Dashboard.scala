@@ -136,6 +136,19 @@ final class Dashboard(spark: SparkSession, configDir: String,
         html(ex, Pages.specList("destination", SpecStore.loadFileSpecs(destinationsPath)))
       case "mappings" :: Nil if !post =>
         html(ex, Pages.mappingList(SpecStore.loadMappings(mappingsPath)))
+      // new/edit forms (reference app.py:243-270, :291-318, :346-390)
+      case "sources" :: "new" :: Nil =>
+        specForm(ex, post, sourcesPath, "source", None, createDir = true)
+      case "sources" :: id :: "edit" :: Nil =>
+        specForm(ex, post, sourcesPath, "source", Some(id), createDir = true)
+      case "destinations" :: "new" :: Nil =>
+        specForm(ex, post, destinationsPath, "destination", None, createDir = false)
+      case "destinations" :: id :: "edit" :: Nil =>
+        specForm(ex, post, destinationsPath, "destination", Some(id), createDir = false)
+      case "mappings" :: "new" :: Nil =>
+        mappingForm(ex, post, None)
+      case "mappings" :: id :: "edit" :: Nil =>
+        mappingForm(ex, post, Some(id))
       case "mappings" :: id :: "visual" :: Nil if !post =>
         SpecStore.loadMappings(mappingsPath).get(id) match {
           case None => err(ex, 404, "Mapping not found")
@@ -147,6 +160,77 @@ final class Dashboard(spark: SparkSession, configDir: String,
       case _ => err(ex, 404, "Not found")
     }
   }
+
+  // ---- HTML form CRUD ----
+
+  private def formParams(body: String): Map[String, String] =
+    body.split("&").toSeq.map(_.split("=", 2)).collect {
+      case Array(k, v) =>
+        java.net.URLDecoder.decode(k, StandardCharsets.UTF_8) ->
+          java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+    }.toMap
+
+  private def redirect(ex: HttpExchange, target: String): Unit = {
+    ex.getResponseHeaders.set("Location", target)
+    ex.sendResponseHeaders(302, -1)
+    ex.close()
+  }
+
+  private val specSkeleton =
+    """{
+      |  "id": "my_source",
+      |  "name": "My Source",
+      |  "description": "",
+      |  "default_directory": "my_source",
+      |  "columns": []
+      |}""".stripMargin
+
+  private def specForm(ex: HttpExchange, post: Boolean, path: String,
+                       specType: String, idOpt: Option[String],
+                       createDir: Boolean): Unit =
+    if (!post) {
+      (idOpt, idOpt.flatMap(SpecStore.loadFileSpecs(path).get)) match {
+        case (Some(_), None) => err(ex, 404, s"${specType.capitalize} not found")
+        case (_, found) =>
+          val json = found.map(s => SpecJson.dumps(SpecJson.fileSpecDict(s)))
+            .getOrElse(specSkeleton)
+          html(ex, Pages.editorForm(
+            idOpt.map(i => s"Edit $specType $i").getOrElse(s"New $specType"),
+            "spec", json))
+      }
+    } else {
+      val spec = SpecStore.parseFileSpec(
+        formParams(readBody(ex)).getOrElse("spec", ""))
+      SpecStore.upsertFileSpec(path, spec)
+      if (createDir) Templates.createSpecDirectoryAndTemplate(spec, inputDir)
+      redirect(ex, s"/${specType}s")
+    }
+
+  private def mappingForm(ex: HttpExchange, post: Boolean,
+                          idOpt: Option[String]): Unit =
+    if (!post) {
+      (idOpt, idOpt.flatMap(SpecStore.loadMappings(mappingsPath).get)) match {
+        case (Some(_), None) => err(ex, 404, "Mapping not found")
+        case (_, found) =>
+          val json = found.map(m => SpecJson.dumps(SpecJson.etlMappingDict(m)))
+            .getOrElse("""{
+              |  "id": "my_mapping",
+              |  "name": "My Mapping",
+              |  "source_id": "",
+              |  "destination_id": "",
+              |  "field_mappings": [],
+              |  "filter_rules": []
+              |}""".stripMargin)
+          html(ex, Pages.editorForm(
+            idOpt.map(i => s"Edit mapping $i").getOrElse("New mapping"),
+            "mapping", json))
+      }
+    } else {
+      val m = SpecStore.parseMapping(
+        formParams(readBody(ex)).getOrElse("mapping", ""))
+      SpecStore.upsertMapping(mappingsPath, m)
+      redirect(ex, "/mappings")
+    }
 
   // ---- spec CRUD (sources + destinations share shape) ----
 

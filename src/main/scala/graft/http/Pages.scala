@@ -111,6 +111,15 @@ object Pages {
          |<p>edits save via <code>POST /api/mappings/${esc(mapping.id)}/save</code></p>""".stripMargin)
   }
 
+  /** New/edit form for a spec or mapping: one JSON editor posting back to
+    * the same URL (re-expression of the reference's multi-field edit.html —
+    * the payload IS the store schema, so the form edits it directly). */
+  def editorForm(title: String, fieldName: String, json: String): String =
+    page(title,
+      s"""<form method="post">
+         |<textarea name="$fieldName" rows="24" cols="100">${esc(json)}</textarea>
+         |<br><button type="submit">Save</button></form>""".stripMargin)
+
   /** Preview page shell: the grid itself loads from the JSON preview API
     * (same split as the reference's preview.html + /api/preview). */
   def preview(sourceId: String, filename: String): String =

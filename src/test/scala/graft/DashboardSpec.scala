@@ -92,6 +92,26 @@ class DashboardSpec extends AnyFunSuite {
     assert(c4 == 200 && prev.contains("/api/preview/revolut_stocks/a.csv"))
   }
 
+  test("HTML form CRUD: new/edit pages render and a form POST persists") {
+    // new-source page renders the JSON editor
+    val (c0, form) = get("/sources/new")
+    assert(c0 == 200 && form.contains("<textarea name=\"spec\""))
+    // edit page is prefilled with the stored spec
+    val (c1, edit) = get("/sources/revolut_stocks/edit")
+    assert(c1 == 200 && edit.contains("revolut_stocks"))
+    assert(get("/sources/nope/edit")._1 == 404)
+    // form POST (urlencoded) creates the spec and redirects to the list
+    val spec = """{"id": "form_src", "name": "Form Source", "description": "",
+                  "default_directory": "form_src", "columns": []}"""
+    val enc = java.net.URLEncoder.encode(spec, StandardCharsets.UTF_8)
+    val (c2, _) = post("/sources/new", s"spec=$enc")
+    assert(c2 == 302 || c2 == 200)
+    assert(SpecStore.loadFileSpecs(env._2.resolve("sources.json").toString)
+      .contains("form_src"), "form POST must persist through SpecStore")
+    val (_, listPage) = get("/sources")
+    assert(listPage.contains("form_src"))
+  }
+
   test("POST a source creates the store entry, directory and template") {
     val spec = SpecStore.loadFileSpecs(env._2.resolve("sources.json").toString)("test_source")
     val json = SpecJson.dumps(SpecJson.fileSpecDict(
