@@ -17,9 +17,9 @@ final case class MediaMeta(width: Int, height: Int, sample_rate_hz: Int, n_frame
 final case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte],
                              meta: MediaMeta)
 
-/** One sampled frame of a video payload. */
-final case class MediaFrame(media_id: Long, frame_idx: Int, byte_offset: Long,
-                            frame_len: Int, frame_bytes: Array[Byte])
+/** One sampled, DECODED frame of a video payload. */
+final case class MediaFrame(media_id: Long, frame_idx: Int, width: Int,
+                            height: Int, checksum: Long)
 
 /** Decoded-content embedding: 16-bin byte histogram over the DECODED bytes
   * (raw RGB for images), normalized by `n_bytes` = decoded length. */
@@ -50,9 +50,11 @@ final case class MediaStats(media_id: Long, kind: String, width: Int, height: In
   * pin the full generate → encode → decode → resample loop. The AUDIO
   * codec is REAL as well: payloads are WAV bytes (closed-form PCM16 tone,
   * `synthWav`), decoded with the in-JDK `javax.sound.sampled` reader, the
-  * sample rate recovered from the decoded header. Only VIDEO decode
-  * remains a pass-through stub (the JDK ships no video codec); video
-  * payloads stay UTF-8 text bytes.
+  * sample rate recovered from the decoded header. VIDEO payloads are a
+  * length-prefixed PNG-frame container (the MJPEG shape — `synthVideo`):
+  * frame extraction is a seek+slice that decodes only sampled frames, and
+  * full decode concatenates per-frame RGB. All three modalities therefore
+  * run genuine codecs end-to-end.
   *
   * Scale notes (100 TB):
   *  - all operators are per-row/per-partition (no shuffle); parallelism
@@ -110,29 +112,32 @@ object Media {
   def decodeImage(payload: Array[Byte]): BufferedImage =
     ImageIO.read(new ByteArrayInputStream(payload))
 
-  /** Decoded byte content: raw RGB triplets for images (PNG is lossless
-    * 8-bit RGB, so `getRGB` recovers the exact generated channels), raw
-    * PCM bytes for audio (WAV is lossless PCM); VIDEO decode remains a
-    * pass-through stub (the JDK ships no video codec). */
-  def decodeBytes(payload: Array[Byte], kind: String): Array[Byte] =
-    if (kind == "audio") decodeWav(payload).pcm
-    else if (kind != "image") payload
-    else {
-      val img = decodeImage(payload)
-      val w = img.getWidth; val h = img.getHeight
-      val out = new Array[Byte](w * h * 3)
-      var i = 0; var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val p = img.getRGB(x, y)
-          out(i) = (p >> 16).toByte; out(i + 1) = (p >> 8).toByte; out(i + 2) = p.toByte
-          i += 3; x += 1
-        }
-        y += 1
+  /** Raw RGB triplets of a decoded image (PNG is lossless 8-bit RGB, so
+    * `getRGB` recovers the exact generated channels). */
+  private def rgbOf(img: BufferedImage): Array[Byte] = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Byte](w * h * 3)
+    var i = 0; var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        out(i) = (p >> 16).toByte; out(i + 1) = (p >> 8).toByte; out(i + 2) = p.toByte
+        i += 3; x += 1
       }
-      out
+      y += 1
     }
+    out
+  }
+
+  /** Decoded byte content per modality: raw RGB for images, raw PCM for
+    * audio (WAV is lossless), concatenated per-frame RGB for video. */
+  def decodeBytes(payload: Array[Byte], kind: String): Array[Byte] = kind match {
+    case "image" => rgbOf(decodeImage(payload))
+    case "audio" => decodeWav(payload).pcm
+    case "video" => decodeVideo(payload).rgb
+    case _ => payload
+  }
 
   /** Σ(r+g+b) over all decoded pixels — the integer fingerprint the SQL
     * twin recomputes from the tile formula. */
@@ -223,6 +228,74 @@ object Media {
     sum
   }
 
+  // ---- deterministic synthetic video: length-prefixed PNG frame container -
+
+  /** Container magic: "GFV0" + int32 frame count, then per frame
+    * int32 length + PNG bytes — the MJPEG shape (a video as a sequence of
+    * independently-decodable stills), so frame extraction is a seek +
+    * slice and only SAMPLED frames pay the image codec. */
+  private val VideoMagic = Array[Byte]('G', 'F', 'V', '0')
+
+  /** Frame dims (divisible by 16 → exactly 4 tile repeats per frame). */
+  final val FrameW = 32
+  final val FrameH = 32
+
+  /** Frame f of video `id` is the tile-pattern PNG of derived id
+    * id·131 + f — the closed form the m2 oracle recomputes. */
+  def frameId(id: Long, f: Int): Long = id * 131 + f
+
+  def synthVideo(id: Long, nFrames: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(1 << 15)
+    val out = new java.io.DataOutputStream(bos)
+    out.write(VideoMagic)
+    out.writeInt(nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val png = synthPng(frameId(id, f), FrameW, FrameH)
+      out.writeInt(png.length)
+      out.write(png)
+      f += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** (frame_idx, png bytes) for every `every`-th frame — pure container
+    * parsing, skipping (not decoding) unsampled frames. */
+  def videoFrameSlices(payload: Array[Byte], every: Int): Iterator[(Int, Array[Byte])] = {
+    val in = new java.io.DataInputStream(new ByteArrayInputStream(payload))
+    in.skipBytes(VideoMagic.length)
+    val n = in.readInt()
+    var pos = VideoMagic.length + 4
+    (0 until n).iterator.flatMap { f =>
+      val len = {
+        val b = java.nio.ByteBuffer.wrap(payload, pos, 4); b.getInt
+      }
+      val start = pos + 4
+      pos = start + len
+      if (f % every == 0)
+        Some(f -> java.util.Arrays.copyOfRange(payload, start, start + len))
+      else None
+    }
+  }
+
+  /** Decoded video content: every frame decoded, RGB bytes concatenated in
+    * frame order, checksum = Σ per-frame pixel checksums. */
+  final case class DecodedVideo(nFrames: Int, checksum: Long, rgb: Array[Byte])
+
+  def decodeVideo(payload: Array[Byte]): DecodedVideo = {
+    val bos = new ByteArrayOutputStream(1 << 15)
+    var checksum = 0L
+    var n = 0
+    videoFrameSlices(payload, every = 1).foreach { case (_, png) =>
+      val img = decodeImage(png)
+      checksum += imageChecksum(img)
+      bos.write(rgbOf(img))
+      n += 1
+    }
+    DecodedVideo(n, checksum, bos.toByteArray)
+  }
+
   private def md5Hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map(b => f"$b%02x").mkString
@@ -245,13 +318,14 @@ object Media {
       synthPng(id, (64 + (id % 16) * 16).toInt, (48 + (id % 9) * 16).toInt)
     }
     val wavUdf = udf { (id: Long) => synthWav(id, (8000 + (id % 5) * 8000).toInt) }
+    val vidUdf = udf { (id: Long) => synthVideo(id, (8 + (id % 24)).toInt) }
     spread.select(
         $"doc_id".as("media_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (pmod($"doc_id", lit(3)) + 1).cast("int")).as("kind"),
         when(pmod($"doc_id", lit(3)) === 0, pngUdf($"doc_id"))
           .when(pmod($"doc_id", lit(3)) === 1, wavUdf($"doc_id"))
-          .otherwise(encode($"text", "UTF-8")).as("payload"),
+          .otherwise(vidUdf($"doc_id")).as("payload"),
         struct(
           (lit(64) + pmod($"doc_id", lit(16)) * 16).cast("int").as("width"),
           (lit(48) + pmod($"doc_id", lit(9)) * 16).cast("int").as("height"),
@@ -281,6 +355,13 @@ object Media {
             MediaStats(r.media_id, r.kind, r.meta.width, r.meta.height,
               au.sampleRateHz, r.meta.n_frames,
               au.pcm.length.toLong, audioChecksum(au.pcm).toString)
+          } else if (r.kind == "video") {
+            // every frame decoded; meta dims kept (display dims — the
+            // 32×32 frame dims surface through frameSample/m2)
+            val vid = decodeVideo(r.payload)
+            MediaStats(r.media_id, r.kind, r.meta.width, r.meta.height,
+              r.meta.sample_rate_hz, vid.nFrames,
+              vid.rgb.length.toLong, vid.checksum.toString)
           } else
             MediaStats(r.media_id, r.kind, r.meta.width, r.meta.height,
               r.meta.sample_rate_hz, r.meta.n_frames,
@@ -325,23 +406,18 @@ object Media {
     }
   }
 
-  /** Sample every `every`-th frame of video payloads: 1024-byte frame
-    * windows, slicing (never copying the whole payload per frame). Non-video
-    * rows are filtered by COLUMN before any payload work, so Catalyst pushes
-    * the predicate below the payload projection and image rows never pay
-    * the PNG encoder. */
-  def frameSample(ds: Dataset[MediaRecord], every: Int = 4,
-                  frameBytes: Int = 1024): Dataset[MediaFrame] = {
+  /** Sample every `every`-th frame of video payloads and DECODE only the
+    * sampled frames: the container parse skips unsampled frames without
+    * touching the image codec. Non-video rows are filtered by COLUMN
+    * before any payload work, so Catalyst pushes the predicate below the
+    * payload projection and image/audio rows never pay their encoders. */
+  def frameSample(ds: Dataset[MediaRecord], every: Int = 4): Dataset[MediaFrame] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.filter(col("kind") === lit("video")).as[MediaRecord].flatMap { r =>
-      (0 until r.meta.n_frames by every).iterator.flatMap { idx =>
-        val off = idx.toLong * frameBytes
-        val len = math.max(math.min(r.payload.length - off, frameBytes.toLong), 0L).toInt
-        if (len > 0)
-          Some(MediaFrame(r.media_id, idx, off,
-            len, java.util.Arrays.copyOfRange(r.payload, off.toInt, off.toInt + len)))
-        else None
+      videoFrameSlices(r.payload, every).map { case (f, png) =>
+        val img = decodeImage(png)
+        MediaFrame(r.media_id, f, img.getWidth, img.getHeight, imageChecksum(img))
       }
     }
   }

@@ -74,18 +74,40 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("frameSample every=1 reconstructs the original payload") {
-    val frames = Media.frameSample(media, every = 1).collect()
+  test("video container round-trip: sliced frames decode to the tile formula") {
+    val payload = Media.synthVideo(44L, nFrames = 9)
+    val full = Media.decodeVideo(payload)
+    assert(full.nFrames == 9)
+    // every=2 samples frames 0,2,4,6,8 without decoding the rest
+    val sampled = Media.videoFrameSlices(payload, every = 2).toSeq
+    assert(sampled.map(_._1) == Seq(0, 2, 4, 6, 8))
+    sampled.foreach { case (f, png) =>
+      val img = Media.decodeImage(png)
+      assert(img.getWidth == Media.FrameW && img.getHeight == Media.FrameH)
+      val p = img.getRGB(5, 7)
+      val (r, g, b) = Media.tileRgb(Media.frameId(44L, f), 5, 7)
+      assert(((p >> 16) & 0xff) == r && ((p >> 8) & 0xff) == g && (p & 0xff) == b)
+    }
+    // whole-clip checksum = Σ per-frame checksums
+    val expect = (0 until 9).map { f =>
+      Media.imageChecksum(Media.decodeImage(
+        Media.videoFrameSlices(payload, 1).toSeq(f)._2))
+    }.sum
+    assert(full.checksum == expect)
+  }
+
+  test("frameSample decodes sampled frames of every video row") {
+    val frames = Media.frameSample(media, every = 4).collect()
       .groupBy(_.media_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
     val videos = media.filter(_.kind == "video").collect()
     assert(videos.nonEmpty && frames.nonEmpty)
     videos.foreach { v =>
       val fs = frames(v.media_id)
-      // sampled frames cover the payload prefix up to n_frames × 1024 bytes
-      val covered = math.min(v.meta.n_frames.toLong * 1024, v.payload.length.toLong).toInt
-      val rebuilt = fs.flatMap(_.frame_bytes.toSeq).toArray
-      assert(java.util.Arrays.equals(rebuilt, java.util.Arrays.copyOfRange(v.payload, 0, covered)))
-      fs.foreach(f => assert(f.frame_len > 0 && f.byte_offset == f.frame_idx.toLong * 1024))
+      assert(fs.map(_.frame_idx).toSeq == (0 until v.meta.n_frames by 4).toSeq)
+      fs.foreach { f =>
+        assert(f.width == Media.FrameW && f.height == Media.FrameH)
+        assert(f.checksum > 0)
+      }
     }
   }
 
