@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.apache.spark.sql.types.LongType
-import graft.QueryPack
+import graft.{QueryPack, Tables}
 import graft.streaming.{EventStreams, RunningCounts, StatefulSessions}
 
 /** REAL Structured-Streaming executions under the driver's correctness gate
@@ -156,6 +156,23 @@ object Streams extends QueryPack {
                 $"sum_value".cast("decimal(38,2)").cast("double").as("sum_value"))
         .orderBy($"w_start", $"event_type")
     },
+    // e14: STREAM-STATIC join — the enrichment shape (stream × broadcast
+    // dim). The static side is read once and broadcast into every
+    // micro-batch; the join itself is STATELESS (no watermark, no state
+    // store) — only the downstream aggregation keeps state. At 100 TB/day
+    // this is how dimension enrichment stays shuffle-free on the stream.
+    "e14_stream_static_join" -> { (s, dir) =>
+      import s.implicits._
+      val nation = Tables(s, dir).nation
+        .select($"n_nationkey".cast("long").as("n_nationkey"), $"n_name")
+      val st = eventsStream(s, dir)
+        .withColumn("n_nationkey", pmod($"user_id", lit(25)))
+      runToTable(
+          st.join(broadcast(nation), Seq("n_nationkey"))
+            .groupBy($"n_name").agg(count(lit(1)).as("n")),
+          OutputMode.Complete())
+        .orderBy($"n_name")
+    },
     // e13: watermark-bounded streaming dedup — the at-least-once-source →
     // exactly-once-downstream operator. The ingest directory is staged with
     // TWO copies of the events file (every event arrives twice);
@@ -261,6 +278,10 @@ object Streams extends QueryPack {
       SELECT w_start, event_type, n, sum_value
       FROM agg, wm WHERE (w_start + 600) * 1000 <= wm_ms
       ORDER BY w_start, event_type""",
+    "e14_stream_static_join" -> """
+      SELECT n_name, COUNT(*) AS n
+      FROM events e JOIN nation ON (e.user_id % 25) = n_nationkey
+      GROUP BY n_name ORDER BY n_name""",
     // the doubled source collapses back to the source table itself
     "e13_stream_dedup" -> """
       SELECT event_id, user_id, event_type, epoch_us(ts) AS us
