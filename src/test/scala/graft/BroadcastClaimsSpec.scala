@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan guardrails for documented broadcast claims: these queries' scale
+  * stories depend on the SMALL side broadcasting so the corpus-sized side
+  * never shuffles for the join — a silent regression to a shuffle join
+  * would keep results green while killing the 100 TB plan. */
+class BroadcastClaimsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, TestSpark.sf).queryExecution.executedPlan.toString
+
+  test("x9: the eval shingle set broadcasts; the corpus scan never shuffles for the join") {
+    assert(plan("x9_decontam").contains("BroadcastHashJoin"))
+  }
+
+  test("v1: the query set broadcasts against the single corpus scan") {
+    val p = plan("v1_brute_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"v1 must broadcast the query side:\n$p")
+  }
+
+  test("w9: share-of-total is a broadcast ratio, not a global window") {
+    val p = plan("w9_share_of_total")
+    assert(p.contains("Broadcast"), s"w9 must broadcast the total:\n$p")
+    assert(!p.contains("Window"), s"w9 must not use a window:\n$p")
+  }
+}
