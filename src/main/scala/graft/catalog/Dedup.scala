@@ -15,6 +15,8 @@ import graft.{QueryPack, Tables}
   *   d5 embedding cosine   — near-dup pairs within k-means quantizer cells
   *   d7 dup clusters       — connected components over exact+near edges
   *   d8 SimHash pairs      — hamming ≤ 3 via 4 × 8-bit pigeonhole blocks
+  *   d9 dedup reps         — O(N) per-doc canonical representative
+  *   d10 SimHash64 pairs   — d8 at scale: 62-bit sig, 4 × 16-bit blocks
   *
   * Determinism rules (see Tx): all hashes are integer folds identical on both
   * engines; cosine is a serial left-fold of doubles in identical op order, so
@@ -78,6 +80,20 @@ object Dedup extends QueryPack {
         s"(a, x) -> a + ((((x // ${1L << j}) % 2) * 2) - 1)) > 0 then ${1L << j} else 0 end)"
     }.mkString("(", " + ", ")")
 
+
+  /** second hash stream, DuckDB side (multiplier 37 — TextKernels.polyHash2). */
+  private def polyHash2Sql(s: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length($s)+1), i -> unicode($s[i]))), " +
+      s"(a, x) -> (a*37 + x) % $P)"
+
+  /** 62-bit simhash, DuckDB side: bits 0..30 from hs1, 31..61 from hs2. */
+  private def simhash62Sql(hs1: String, hs2: String): String = {
+    def bits(hs: String, base: Int): String = (0 until 31).map { j =>
+      s"(case when list_reduce(list_prepend(0::BIGINT, $hs), " +
+        s"(a, x) -> a + ((((x // ${1L << j}) % 2) * 2) - 1)) > 0 then ${1L << (base + j)} else 0 end)"
+    }.mkString(" + ")
+    s"(${bits(hs1, 0)} + ${bits(hs2, 31)})"
+  }
 
   /** d2's pair pipeline, reused by d7's cluster builder:
     * (d1, d2, est_jaccard) with est ≥ 0.5, unordered. */
@@ -284,6 +300,38 @@ object Dedup extends QueryPack {
         .select($"d1", $"d2", $"hamming")
         .orderBy($"d1", $"d2")
     },
+    // d10: d8's SCALE variant — the 62-bit signature (two independent hash
+    // streams) splits into 4 blocks of ~16 bits, so block values stay
+    // selective at corpus sizes where d8's 8-bit blocks saturate
+    // (2^16 values per block vs 2^8; the pigeonhole guarantee for
+    // hamming ≤ 3 is identical). Same hot-block cap.
+    "d10_simhash64_pairs" -> { (s, dir) =>
+      import s.implicits._
+      val sh = Tables(s, dir).documents
+        .select($"doc_id", TextKernels.simhash62Udf($"text").as("simhash"))
+      val blocks = sh.select($"doc_id", $"simhash",
+        posexplode(array(
+          expr("simhash % 65536"),
+          expr("(simhash div 65536) % 65536"),
+          expr("(simhash div 4294967296) % 65536"),
+          expr("(simhash div 281474976710656) % 65536"))).as(Seq("block_idx", "block_val")))
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy($"block_idx", $"block_val")
+      val capped = blocks
+        .withColumn("bn", count(lit(1)).over(wB))
+        .filter($"bn" <= MaxBucket)
+        .drop("bn")
+      capped.as("a").join(capped.as("b"),
+          $"a.block_idx" === $"b.block_idx" && $"a.block_val" === $"b.block_val" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
+                $"a.simhash".as("s1"), $"b.simhash".as("s2"))
+        .distinct()
+        .withColumn("hamming", expr("cast(bit_count(s1 ^ s2) as bigint)"))
+        .filter($"hamming" <= 3)
+        .select($"d1", $"d2", $"hamming")
+        .orderBy($"d1", $"d2")
+    },
     // d9: PAIR-OUTPUT COMPACTION — the deployment shape for near-dedup at
     // scale. d2/d4/d8 emit O(pairs) rows, quadratic in duplicate-group
     // size; what a 100 TB curation job actually materializes is one row
@@ -397,6 +445,29 @@ object Dedup extends QueryPack {
       bl AS (
         SELECT doc_id, simhash, b.block_idx,
                ((simhash // ([1,256,65536,16777216])[b.block_idx + 1]) % 256) AS block_val
+        FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS block_idx) b),
+      blc AS (
+        SELECT * FROM bl
+        QUALIFY COUNT(*) OVER (PARTITION BY block_idx, block_val) <= $MaxBucket),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+               a.simhash AS s1, b.simhash AS s2
+        FROM blc a JOIN blc b
+          ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+         AND a.doc_id < b.doc_id)
+      SELECT d1, d2, hamming FROM (
+        SELECT d1, d2, bit_count(xor(s1, s2))::BIGINT AS hamming FROM pairs) t
+      WHERE hamming <= 3 ORDER BY d1, d2""",
+    "d10_simhash64_pairs" -> s"""
+      WITH sh AS (
+        SELECT doc_id, (${simhash62Sql("hs1", "hs2")})::BIGINT AS simhash
+        FROM (SELECT doc_id,
+                     list_transform(ws, t -> ${polyHashSql("t")}) AS hs1,
+                     list_transform(ws, t -> ${polyHash2Sql("t")}) AS hs2
+              FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0) t1),
+      bl AS (
+        SELECT doc_id, simhash, b.block_idx,
+               ((simhash // ([1, 65536, 4294967296, 281474976710656])[b.block_idx + 1]) % 65536) AS block_val
         FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS block_idx) b),
       blc AS (
         SELECT * FROM bl

@@ -57,6 +57,34 @@ object TextKernels extends Serializable {
     a
   }
 
+  /** second independent hash stream (multiplier 37) — the extra 31 bits
+    * the 62-bit simhash needs. */
+  def polyHash2(s: String): Long = {
+    var a = 0L
+    var i = 0
+    while (i < s.length) { a = (a * 37 + s.charAt(i)) % P; i += 1 }
+    a
+  }
+
+  /** 62-bit simhash from two independent 31-bit hash streams: bit j (j<31)
+    * from the ±1 sum over hs1's bit j, bit 31+j from hs2's bit j. The
+    * wide signature keeps 16-bit pigeonhole blocks selective at large
+    * corpus sizes (d10), where 32-bit/8-bit blocks saturate. */
+  def simhash62(hs1: Array[Long], hs2: Array[Long]): Long = {
+    var out = 0L
+    var j = 0
+    while (j < 31) {
+      var s1 = 0L; var i = 0
+      while (i < hs1.length) { s1 += ((hs1(i) >> j) & 1L) * 2 - 1; i += 1 }
+      if (s1 > 0) out |= 1L << j
+      var s2 = 0L; i = 0
+      while (i < hs2.length) { s2 += ((hs2(i) >> j) & 1L) * 2 - 1; i += 1 }
+      if (s2 > 0) out |= 1L << (31 + j)
+      j += 1
+    }
+    out
+  }
+
   /** distinct word 4-gram shingles of the token array. */
   def shingles4(ws: Array[String]): Array[String] =
     if (ws.length < 4) Array.empty
@@ -155,6 +183,14 @@ object TextKernels extends Serializable {
   /** text → 32-bit simhash (frequency-weighted tokens). */
   val simhashUdf: Column => Column =
     { val f = udf((t: String) => simhash32(tokenize(t).map(polyHash))); c: Column => f(c) }
+
+  /** text → 62-bit simhash (frequency-weighted tokens, two hash streams). */
+  val simhash62Udf: Column => Column =
+    { val f = udf { (t: String) =>
+        val ws = tokenize(t)
+        simhash62(ws.map(polyHash), ws.map(polyHash2))
+      }
+      c: Column => f(c) }
 
   /** float embedding → double vector (exact widening). */
   val toDoubleVecUdf: Column => Column =

@@ -45,6 +45,18 @@ class DedupHotKeySpec extends AnyFunSuite {
       r.getLong(2) == 0L))
   }
 
+  test("d10: viral 62-bit-signature blocks are cut; pair survives with hamming 0") {
+    val viral = (0L until 150L).map(i => i -> "the viral boilerplate every crawler copy has seen")
+    val pair = Seq(200L -> "a genuinely unique document body with its own words here",
+                   201L -> "a genuinely unique document body with its own words here")
+    val dir = writeDocs(viral ++ pair)
+    val out = SparkEntry.queries("d10_simhash64_pairs")(spark, dir).collect()
+    assert(!out.exists(r => r.getLong(0) < 150 && r.getLong(1) < 150),
+      "viral simhash64 block leaked candidate pairs")
+    assert(out.exists(r => r.getLong(0) == 200L && r.getLong(1) == 201L &&
+      r.getLong(2) == 0L))
+  }
+
   test("d4: a viral shingle (df=300) is cut; clean duplicate pair survives") {
     val viral = (0L until 300L).map { i =>
       i -> s"common viral boilerplate prefix u${i}a u${i}b u${i}c u${i}d u${i}e"
