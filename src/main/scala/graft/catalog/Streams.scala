@@ -31,8 +31,11 @@ import graft.streaming.{EventStreams, RunningCounts, StatefulSessions}
   *      exactly once regardless of batching.
   *
   * Scale notes: these run the same state-sharded plans EventStreams
-  * documents; the memory sink is the test harness, not the deployment sink
-  * (production writes partitioned parquet per trigger).
+  * documents; the memory sink is the test harness for e6–e11, while e12
+  * runs the DEPLOYMENT sink itself (checkpointed partitioned parquet,
+  * manifest-committed — exactly-once under restart, see
+  * StreamFileSourceSpec), e13 the watermark-bounded dedup, and e14 the
+  * stream-static broadcast enrichment.
   */
 object Streams extends QueryPack {
 
