@@ -156,7 +156,17 @@ final class Dashboard(spark: SparkSession, configDir: String,
             SpecStore.loadFileSpecs(sourcesPath).get(m.sourceId)))
         }
       case "preview" :: sourceId :: filename :: Nil if !post =>
-        html(ex, Pages.preview(sourceId, filename))
+        withSourceFile(ex, sourceId, filename) { (source, path) =>
+          val mapping = queryParams(ex).get("mapping_id")
+            .flatMap(SpecStore.loadMappings(mappingsPath).get)
+          val p = Api.preview(spark, path, source, mapping, n = 100)
+          html(ex, Pages.previewGrid(sourceId, filename,
+            source.columns.map(_.name),
+            p.rows.map(r => r.line -> r.cells),
+            p.errorsByLine.keySet,
+            p.result.map(r => (r.successCount, r.skippedCount, r.errorCount)),
+            p.rows.length.toLong))
+        }
       case _ => err(ex, 404, "Not found")
     }
   }

@@ -120,10 +120,29 @@ object Pages {
          |<textarea name="$fieldName" rows="24" cols="100">${esc(json)}</textarea>
          |<br><button type="submit">Save</button></form>""".stripMargin)
 
-  /** Preview page shell: the grid itself loads from the JSON preview API
-    * (same split as the reference's preview.html + /api/preview). */
-  def preview(sourceId: String, filename: String): String =
+  /** Server-rendered preview grid (reference preview.html): first rows of
+    * the file with per-line error highlighting and, when a mapping was
+    * applied, the validation counters. */
+  def previewGrid(sourceId: String, filename: String, columns: Seq[String],
+                  rows: Seq[(Long, Map[String, String])],
+                  errorLines: Set[Long],
+                  validation: Option[(Long, Long, Long)],
+                  total: Long): String = {
+    val head = ("line" +: columns).map(c => s"<th>${esc(c)}</th>").mkString
+    val body = rows.map { case (line, cells) =>
+      val style = if (errorLines(line)) """ style="background:#fdd"""" else ""
+      s"<tr$style><td>$line</td>" +
+        columns.map(c => s"<td>${esc(cells.getOrElse(c, ""))}</td>").mkString +
+        "</tr>"
+    }.mkString
+    val summary = validation.map { case (ok, skip, err) =>
+      s"<p>validation: <b>$ok</b> ok, <b>$skip</b> skipped, <b>$err</b> errors</p>"
+    }.getOrElse("")
     page(s"Preview — $filename",
-      s"""<p>file <b>${esc(filename)}</b> of source <b>${esc(sourceId)}</b></p>
-         |<p>data: <code>GET /api/preview/${esc(sourceId)}/${esc(filename)}</code></p>""".stripMargin)
+      s"""<p>file <b>${esc(filename)}</b> of source <b>${esc(sourceId)}</b>
+         | — showing ${rows.length} of $total rows
+         | (JSON: <code>/api/preview/${esc(sourceId)}/${esc(filename)}</code>)</p>
+         |$summary
+         |<table><tr>$head</tr>$body</table>""".stripMargin)
+  }
 }

@@ -90,6 +90,14 @@ class DashboardSpec extends AnyFunSuite {
     assert(get("/mappings/nope/visual")._1 == 404)
     val (c4, prev) = get("/preview/revolut_stocks/a.csv")
     assert(c4 == 200 && prev.contains("/api/preview/revolut_stocks/a.csv"))
+    // the grid is server-rendered: actual file cells appear in the page
+    assert(prev.contains("AAPL") && prev.contains("DEPOSIT"),
+      "preview page must render the file's rows")
+    // with a mapping applied, validation counters + error highlighting show
+    val (c5, prevM) =
+      get("/preview/revolut_stocks/a.csv?mapping_id=revolut_stocks_to_ghostfolio")
+    assert(c5 == 200 && prevM.contains("validation:"))
+    assert(prevM.contains("background:#fdd"), "errored line must be highlighted")
   }
 
   test("HTML form CRUD: new/edit pages render and a form POST persists") {
