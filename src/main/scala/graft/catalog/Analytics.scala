@@ -2,6 +2,7 @@ package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{QueryPack, Tables}
 
 /** Reshaping + order-statistics operators: pivot, unpivot, exact
@@ -25,6 +26,8 @@ object Analytics extends QueryPack {
 
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
   private val P = 2147483647L
+  /** g4: target shard size in characters. */
+  private val ShardBudget = 2000L
   /** per-event-type sampling rates in percent (g2). */
   private val SampleRates = Seq(
     "view" -> 5L, "click" -> 20L, "error" -> 50L,
@@ -94,6 +97,72 @@ object Analytics extends QueryPack {
              sum(octet_length($"text").cast("long")).as("n_bytes"))
         .orderBy($"split")
     },
+    // g4: token-budget SHARD PACKING — assign documents to fixed-size output
+    // shards (≤ ~2000 chars each) per language, in doc_id order:
+    // shard = exclusive-prefix-sum(n_chars) div budget. The naive plan is a
+    // per-language running sum — a 5-partition window at 100 TB. This uses
+    // the ScaleOps two-pass shape instead: bucket doc_id into 32 ranges
+    // (order-preserving), aggregate one row per (lang, bucket), cumulative
+    // offsets over that TINY frame (≤ 5×32 rows), broadcast back, and run
+    // the real window partitioned by (lang, bucket) — every sort is
+    // per-bucket, the widest shuffle is the bucket hash.
+    "g4_shard_packing" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents.select($"doc_id", $"lang", $"n_chars")
+      val bounds = docs.agg(min($"doc_id").as("_lo"), max($"doc_id").as("_hi"))
+      val bucketed = docs.crossJoin(broadcast(bounds))
+        .withColumn("_bkt",
+          least(floor(($"doc_id" - $"_lo") * 32 / ($"_hi" - $"_lo" + 1)),
+                lit(31)).cast("int"))
+        .drop("_lo", "_hi")
+      val perBucket = bucketed.groupBy($"lang", $"_bkt")
+        .agg(sum($"n_chars").as("_bsum"))
+      val wPrev = Window.partitionBy($"lang").orderBy($"_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = perBucket
+        .withColumn("_off", coalesce(sum($"_bsum").over(wPrev), lit(0L)))
+        .select($"lang", $"_bkt", $"_off")
+      val wIn = Window.partitionBy($"lang", $"_bkt").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bucketed.join(broadcast(offsets), Seq("lang", "_bkt"))
+        .withColumn("_prefix", $"_off" + coalesce(sum($"n_chars").over(wIn), lit(0L)))
+        .withColumn("shard", expr(s"_prefix div $ShardBudget"))
+        .groupBy($"lang", $"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars_total"),
+             min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+        .orderBy($"lang", $"shard")
+    },
+    // q9: per-group QUANTILE FILTER — keep documents at or above their
+    // language's median length. The median is computed from the VALUE
+    // HISTOGRAM (groupBy (lang, n_chars) → counts, cumulative over distinct
+    // values), not from percentile()'s in-memory value buffer: the window
+    // runs over histogram rows (distinct values per lang), never documents,
+    // so exact per-group quantiles stay tractable when one lang holds 10^10
+    // docs. (v_lo + v_hi) / 2.0 is one IEEE op on exact integers — bitwise
+    // equal to DuckDB's quantile_cont interpolation at p = 0.5.
+    "q9_quantile_filter" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents.select($"lang", $"n_chars")
+      val h = docs.groupBy($"lang", $"n_chars").agg(count(lit(1)).as("c"))
+      val n = h.groupBy($"lang").agg(sum($"c").as("n"))
+      val wCum = Window.partitionBy($"lang").orderBy($"n_chars")
+      val cum = h.withColumn("cum", sum($"c").over(wCum))
+        .join(broadcast(n), Seq("lang"))
+      // 0-based positions of the two middle values; value at position k is
+      // the smallest n_chars whose cumulative count reaches k + 1
+      val lo = cum.filter($"cum" >= expr("(n - 1) div 2") + 1)
+        .groupBy($"lang").agg(min($"n_chars").as("v_lo"))
+      val hi = cum.filter($"cum" >= expr("n div 2") + 1)
+        .groupBy($"lang").agg(min($"n_chars").as("v_hi"))
+      val med = lo.join(hi, Seq("lang"))
+        .select($"lang", (($"v_lo" + $"v_hi") / 2.0).as("p50"))
+      docs.join(broadcast(med), Seq("lang"))
+        .groupBy($"lang")
+        .agg(max($"p50").as("p50"), count(lit(1)).as("n_total"),
+             sum(when($"n_chars" >= $"p50", 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("frac_kept", $"n_kept".cast("double") / $"n_total")
+        .orderBy($"lang")
+    },
     // g1: per-nation sorted list of supplier names (deterministic array agg).
     // Comma-joined, not ARRAY-typed: the driver's compare (pandas sort +
     // hash) cannot process array cells; the joined string carries the same
@@ -115,6 +184,26 @@ object Analytics extends QueryPack {
     case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ") + " END"
 
   val oracle: Map[String, String] = Map(
+    "g4_shard_packing" -> s"""
+      SELECT lang, shard, COUNT(*)::BIGINT AS n_docs,
+             SUM(n_chars)::BIGINT AS n_chars_total,
+             MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      FROM (
+        SELECT lang, doc_id, n_chars,
+               (COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // $ShardBudget)::BIGINT AS shard
+        FROM documents) t
+      GROUP BY lang, shard ORDER BY lang, shard""",
+    "q9_quantile_filter" -> """
+      WITH med AS (
+        SELECT lang, quantile_cont(n_chars, 0.5) AS p50
+        FROM documents GROUP BY lang)
+      SELECT lang, MAX(p50) AS p50, COUNT(*) AS n_total,
+             SUM(CASE WHEN n_chars >= p50 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+             SUM(CASE WHEN n_chars >= p50 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*) AS frac_kept
+      FROM documents JOIN med USING (lang)
+      GROUP BY lang ORDER BY lang""",
     "g2_stratified_sample" -> s"""
       SELECT event_id, event_type, bucket FROM (
         SELECT event_id, event_type,

@@ -188,6 +188,26 @@ object Dedup extends QueryPack {
         .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
         .orderBy($"keeper_doc_id")
     },
+    // d11: INCREMENTAL exact dedup — the "only index new data" shape a
+    // continuously-crawled corpus needs: documents already in the index
+    // (stand-in: doc_id % 10 == 0) contribute digests only; the incoming
+    // batch (the rest) is (a) anti-joined against the index so previously
+    // seen content never re-enters, then (b) deduped within itself by
+    // keeper = min doc_id. At 100 TB the index side is a digest-only
+    // projection (16 bytes/doc) and both the anti-join and the group-by
+    // shuffle on digest alone — the batch, not the corpus, dictates cost.
+    "d11_incremental_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+        .select($"doc_id", md5(expr("trim(regexp_replace(lower(text), '[^a-z ]', ''))")).as("digest"))
+      val indexed = docs.filter(pmod($"doc_id", lit(10)) === 0)
+        .select($"digest").distinct()
+      docs.filter(pmod($"doc_id", lit(10)) =!= 0)
+        .join(indexed, Seq("digest"), "left_anti")
+        .groupBy($"digest")
+        .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_in_batch"))
+        .orderBy($"keeper_doc_id")
+    },
     // d2: MinHash+LSH near-dup candidates — 16 minhashes, 4 bands × 4 rows;
     // pairs sharing any band bucket, with estimated Jaccard = matching
     // signature slots / 16 (kept when est ≥ 0.5). Two scale guards:
@@ -382,6 +402,17 @@ object Dedup extends QueryPack {
       SELECT md5(trim(regexp_replace(lower(text), '[^a-z ]', '', 'g'))) AS digest,
              MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
       FROM documents GROUP BY digest ORDER BY keeper_doc_id""",
+    "d11_incremental_dedup" -> """
+      WITH d AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z ]', '', 'g'))) AS digest
+        FROM documents)
+      SELECT digest, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_in_batch
+      FROM d b
+      WHERE doc_id % 10 <> 0
+        AND NOT EXISTS (SELECT 1 FROM d i
+                        WHERE i.doc_id % 10 = 0 AND i.digest = b.digest)
+      GROUP BY digest ORDER BY keeper_doc_id""",
     "d2_minhash_lsh" -> s"""
       WITH sig AS (
         SELECT doc_id, ${sigSql("hs")} AS sig

@@ -74,6 +74,31 @@ object Text extends QueryPack {
         .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
         .orderBy($"doc_id")
     },
+    // x10: PII redaction — mask emails and phone-like numbers before the
+    // corpus ships to training. The raw corpus carries no PII, so the query
+    // first PLANTS a deterministic email + phone per document (pure function
+    // of doc_id, mirrored exactly in the oracle SQL), then redacts and
+    // reports match counts + a digest of the redacted text. Patterns are
+    // RE2-safe (char classes + bounded/greedy quantifiers only) so Java
+    // regex (Spark) and RE2 (DuckDB) match identically. Scale: pure per-row
+    // projection — no shuffle, whole-stage codegen, the 100 TB shape.
+    "x10_pii_redact" -> { (s, dir) =>
+      import s.implicits._
+      val aug = concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+        lit("@mail"), pmod($"doc_id", lit(7)).cast("string"),
+        lit(".com or call 555-"),
+        lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0"), lit(" now"))
+      Tables(s, dir).documents
+        .withColumn("aug", aug)
+        .withColumn("n_emails", regexp_count($"aug", lit(EmailPat)).cast("long"))
+        .withColumn("r1", regexp_replace($"aug", EmailPat, "<EMAIL>"))
+        .withColumn("n_phones", regexp_count($"r1", lit(PhonePat)).cast("long"))
+        .withColumn("redacted", regexp_replace($"r1", PhonePat, "<PHONE>"))
+        .select($"doc_id", $"n_emails", $"n_phones",
+                length($"redacted").cast("long").as("red_len"),
+                md5($"redacted").as("red_digest"))
+        .orderBy($"doc_id")
+    },
     // x1: token counting (whitespace tokenizer + distinct + mean length) —
     // one compiled tokenize pass per row (see TextKernels scaladoc for why
     // not inline HOF lambdas)
@@ -170,6 +195,10 @@ object Text extends QueryPack {
     }
   )
 
+  /** RE2-safe PII patterns (identical strings feed Spark and DuckDB). */
+  private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhonePat = "[0-9]{3}-[0-9]{4}"
+
   private[catalog] val caseSql =
     """CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
       |     WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
@@ -178,6 +207,23 @@ object Text extends QueryPack {
       |     ELSE 'zh' END""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "x10_pii_redact" -> s"""
+      WITH a AS (
+        SELECT doc_id,
+               concat(text, ' contact user', doc_id, '@mail', doc_id % 7,
+                      '.com or call 555-', lpad((doc_id % 10000)::VARCHAR, 4, '0'),
+                      ' now') AS aug
+        FROM documents),
+      r AS (
+        SELECT doc_id,
+               len(regexp_extract_all(aug, '$EmailPat'))::BIGINT AS n_emails,
+               regexp_replace(aug, '$EmailPat', '<EMAIL>', 'g') AS r1
+        FROM a)
+      SELECT doc_id, n_emails,
+             len(regexp_extract_all(r1, '$PhonePat'))::BIGINT AS n_phones,
+             length(regexp_replace(r1, '$PhonePat', '<PHONE>', 'g'))::BIGINT AS red_len,
+             md5(regexp_replace(r1, '$PhonePat', '<PHONE>', 'g')) AS red_digest
+      FROM r ORDER BY doc_id""",
     "x8_repetition" -> s"""
       WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
       base AS (

