@@ -208,6 +208,42 @@ object Dedup extends QueryPack {
         .agg(min($"doc_id").as("keeper_doc_id"), count(lit(1)).as("n_in_batch"))
         .orderBy($"keeper_doc_id")
     },
+    // d12: INCREMENTAL near-dup — d11's shape for NEAR duplicates: the
+    // incoming batch's band buckets probe the index's persisted buckets
+    // (index docs: doc_id % 10 == 0), so only batch×index candidates are
+    // generated — never index×index (that work was done when the index was
+    // built; cf. v2's bucketBy deployment shape which makes the probe
+    // exchange-free). Same MaxBucket viral-bucket cap and ≥ 0.5 estimated-
+    // Jaccard confirm as d2. Output: one row per flagged batch doc.
+    "d12_incremental_lsh" -> { (s, dir) =>
+      import s.implicits._
+      val sig = Tables(s, dir).documents
+        .withColumn("sig", TextKernels.minhashUdf($"text"))
+        .withColumn("bands", TextKernels.bandsUdf($"sig"))
+        .select($"doc_id", $"sig", $"bands")
+      val buckets = sig
+        .select($"doc_id", posexplode($"bands").as(Seq("band_idx", "band_hash")))
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy($"band_idx", $"band_hash")
+      val capped = buckets
+        .withColumn("bn", count(lit(1)).over(wB))
+        .filter($"bn" <= MaxBucket)
+        .drop("bn")
+      val idx = capped.filter(pmod($"doc_id", lit(10)) === 0)
+        .select($"band_idx", $"band_hash", $"doc_id".as("idx_id"))
+      val bat = capped.filter(pmod($"doc_id", lit(10)) =!= 0)
+        .select($"band_idx", $"band_hash", $"doc_id".as("new_id"))
+      bat.join(idx, Seq("band_idx", "band_hash"))
+        .select($"new_id", $"idx_id").distinct()
+        .join(sig.select($"doc_id".as("new_id"), $"sig".as("sig_a")), Seq("new_id"))
+        .join(sig.select($"doc_id".as("idx_id"), $"sig".as("sig_b")), Seq("idx_id"))
+        .withColumn("est_jaccard",
+          expr("cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) as double)") / 16.0)
+        .filter($"est_jaccard" >= 0.5)
+        .groupBy($"new_id")
+        .agg(count(lit(1)).as("n_index_matches"), min($"idx_id").as("first_match"))
+        .orderBy($"new_id")
+    },
     // d2: MinHash+LSH near-dup candidates — 16 minhashes, 4 bands × 4 rows;
     // pairs sharing any band bucket, with estimated Jaccard = matching
     // signature slots / 16 (kept when est ≥ 0.5). Two scale guards:
@@ -413,6 +449,31 @@ object Dedup extends QueryPack {
         AND NOT EXISTS (SELECT 1 FROM d i
                         WHERE i.doc_id % 10 = 0 AND i.digest = b.digest)
       GROUP BY digest ORDER BY keeper_doc_id""",
+    "d12_incremental_lsh" -> s"""
+      WITH sig AS (
+        SELECT doc_id, ${sigSql("hs")} AS sig
+        FROM (SELECT doc_id, $shingleHashesSql AS hs
+              FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0) t1),
+      bk AS (
+        SELECT doc_id, sig, b.band_idx, bands[b.band_idx + 1] AS band_hash
+        FROM (SELECT doc_id, sig, ${bandsSql("sig")} AS bands FROM sig) t
+        CROSS JOIN (SELECT unnest(range(0, $NBands)) AS band_idx) b),
+      bkc AS (
+        SELECT * FROM bk
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= $MaxBucket),
+      pairs AS (
+        SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id,
+               n.sig AS sig_a, i.sig AS sig_b
+        FROM bkc n JOIN bkc i
+          ON n.band_idx = i.band_idx AND n.band_hash = i.band_hash
+         AND n.doc_id % 10 <> 0 AND i.doc_id % 10 = 0)
+      SELECT new_id, COUNT(*) AS n_index_matches, MIN(idx_id) AS first_match
+      FROM (
+        SELECT new_id, idx_id,
+               len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i]))::DOUBLE / 16.0 AS est_jaccard
+        FROM pairs) t
+      WHERE est_jaccard >= 0.5
+      GROUP BY new_id ORDER BY new_id""",
     "d2_minhash_lsh" -> s"""
       WITH sig AS (
         SELECT doc_id, ${sigSql("hs")} AS sig

@@ -99,6 +99,21 @@ object Text extends QueryPack {
                 md5($"redacted").as("red_digest"))
         .orderBy($"doc_id")
     },
+    // x11: corpus-wide HEAVY HITTERS — global top-20 tokens by count (the
+    // vocabulary/stop-list builder). groupBy(token) partial-aggregates
+    // map-side; the final orderBy+limit plans as TakeOrderedAndProject —
+    // each partition keeps a 20-row heap and only those heaps cross the
+    // wire, never a full sort (CurationOpsSpec pins the plan). Count ties
+    // break on the token itself so the cut is deterministic.
+    "x11_heavy_hitters" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .select(explode(expr(wsExpr)).as("tok"))
+        .filter(length($"tok") > 0)
+        .groupBy($"tok").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"tok")
+        .limit(20)
+    },
     // x1: token counting (whitespace tokenizer + distinct + mean length) —
     // one compiled tokenize pass per row (see TextKernels scaladoc for why
     // not inline HOF lambdas)
@@ -224,6 +239,12 @@ object Text extends QueryPack {
              length(regexp_replace(r1, '$PhonePat', '<PHONE>', 'g'))::BIGINT AS red_len,
              md5(regexp_replace(r1, '$PhonePat', '<PHONE>', 'g')) AS red_digest
       FROM r ORDER BY doc_id""",
+    "x11_heavy_hitters" -> s"""
+      SELECT tok, COUNT(*) AS n
+      FROM (SELECT unnest(ws) AS tok
+            FROM (SELECT $wsSql AS ws FROM documents) t0) t1
+      WHERE length(tok) > 0
+      GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
     "x8_repetition" -> s"""
       WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
       base AS (

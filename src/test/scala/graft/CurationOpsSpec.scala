@@ -73,6 +73,23 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d12: only batch docs are flagged, and every match is an index doc") {
+    import spark.implicits._
+    val out = SparkEntry.queries("d12_incremental_lsh")(spark, sf)
+    assert(out.filter(pmod($"new_id", lit(10)) === 0).count() == 0,
+      "an index doc was flagged as incoming")
+    assert(out.filter(pmod($"first_match", lit(10)) =!= 0).count() == 0,
+      "a match points outside the index")
+  }
+
+  test("x11: top-k plans as TakeOrderedAndProject, never a global sort") {
+    val df = SparkEntry.queries("x11_heavy_hitters")(spark, sf)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$physical")
+    assert(df.count() == 20)
+  }
+
   test("q9: histogram median equals builtin percentile; at least half kept") {
     import spark.implicits._
     val out = SparkEntry.queries("q9_quantile_filter")(spark, sf)
