@@ -21,6 +21,7 @@ object SparkEntry {
     catalog.Temporal,
     catalog.Analytics,
     catalog.Strings,
+    catalog.Formats,
     catalog.CorpusGate
   )
 

@@ -32,6 +32,15 @@ object Analytics extends QueryPack {
   private val SampleRates = Seq(
     "view" -> 5L, "click" -> 20L, "error" -> 50L,
     "purchase" -> 100L, "signup" -> 10L)
+  /** g6: target language mixture in percent and total document budget. */
+  private val MixtureWeights = Seq(
+    "en" -> 40L, "de" -> 15L, "es" -> 15L, "fr" -> 15L, "zh" -> 15L)
+  private val MixtureBudget = 200L
+  /** CASE expr mapping a lang column to its mixture weight (0 if unlisted) —
+    * identical text runs on both engines. */
+  private def weightCase(col: String): String =
+    s"(CASE $col " + MixtureWeights.map {
+      case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ") + " ELSE 0 END)"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // p1: per-user event-type counts pivoted to columns (explicit values)
@@ -163,6 +172,54 @@ object Analytics extends QueryPack {
         .withColumn("frac_kept", $"n_kept".cast("double") / $"n_total")
         .orderBy($"lang")
     },
+    // g5: deterministic SHUFFLE-SHARD assignment — the reproducible global
+    // permutation a training-data loader consumes: key = LCG permutation of
+    // doc_id (injective mod P, so no ties), shard = key % 16, pos = rank of
+    // key within shard. A shard-wide row_number is a 16-partition global
+    // sort at 100 TB, so pos uses the same two-pass shape as g4: bucket the
+    // key RANGE into 32 order-preserving slices, count one row per
+    // (shard, bucket), cumulate offsets over that tiny frame, and
+    // row_number only within (shard, bucket). Re-runs and engine changes
+    // reproduce the identical permutation — the resumability property.
+    "g5_shuffle_shard" -> { (s, dir) =>
+      import s.implicits._
+      val keyed = Tables(s, dir).documents
+        .select($"doc_id",
+          ((($"doc_id" % P) * 48271L + 13L) % P).as("key"))
+        .withColumn("shard", $"key" % 16)
+        .withColumn("_bkt", expr(s"key div ${P / 32 + 1}").cast("int"))
+      val wOff = Window.partitionBy($"shard").orderBy($"_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = keyed.groupBy($"shard", $"_bkt").agg(count(lit(1)).as("_c"))
+        .withColumn("_off", coalesce(sum($"_c").over(wOff), lit(0L)))
+        .select($"shard", $"_bkt", $"_off")
+      val wIn = Window.partitionBy($"shard", $"_bkt").orderBy($"key")
+      keyed.join(broadcast(offsets), Seq("shard", "_bkt"))
+        .withColumn("pos", $"_off" + row_number().over(wIn).cast("long"))
+        .select($"doc_id", $"shard", $"pos")
+        .orderBy($"doc_id")
+    },
+    // g6: LANGUAGE-MIXTURE sampling — resample the corpus toward target
+    // language weights (en 40 / de·es·fr·zh 15 each, total budget 200):
+    // per-lang keep-rate = min(1, target·10000 // count) basis points,
+    // applied as a row-local hash predicate. Counts are a tiny per-lang
+    // aggregate broadcast back; selection is deterministic (no rand()), so
+    // the sampled corpus is reproducible and append-stable. Reported per
+    // lang: corpus size, target, and what the deterministic filter kept.
+    "g6_mixture_sample" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents.select($"doc_id", $"lang")
+      val rates = docs.groupBy($"lang").agg(count(lit(1)).as("n_total"))
+        .withColumn("target_n",
+          expr(s"($MixtureBudget * ${weightCase("lang")}) div 100").cast("long"))
+        .withColumn("rate_bp", least(lit(10000L), expr("target_n * 10000 div n_total")))
+      docs.join(broadcast(rates), Seq("lang"))
+        .withColumn("b", (($"doc_id" % P) * 48271L + 29L) % P % 10000L)
+        .groupBy($"lang")
+        .agg(max($"n_total").as("n_total"), max($"target_n").as("target_n"),
+             sum(when($"b" < $"rate_bp", 1L).otherwise(0L)).as("n_kept"))
+        .orderBy($"lang")
+    },
     // g1: per-nation sorted list of supplier names (deterministic array agg).
     // Comma-joined, not ARRAY-typed: the driver's compare (pandas sort +
     // hash) cannot process array cells; the joined string carries the same
@@ -184,6 +241,24 @@ object Analytics extends QueryPack {
     case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ") + " END"
 
   val oracle: Map[String, String] = Map(
+    "g5_shuffle_shard" -> s"""
+      SELECT doc_id, shard,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key)::BIGINT AS pos
+      FROM (SELECT doc_id, ((doc_id % $P) * 48271 + 13) % $P AS key,
+                   (((doc_id % $P) * 48271 + 13) % $P) % 16 AS shard
+            FROM documents) t
+      ORDER BY doc_id""",
+    "g6_mixture_sample" -> s"""
+      WITH rates AS (
+        SELECT lang, COUNT(*) AS n_total,
+               (($MixtureBudget * ${weightCase("lang")}) // 100)::BIGINT AS target_n
+        FROM documents GROUP BY lang)
+      SELECT d.lang, MAX(r.n_total) AS n_total, MAX(r.target_n) AS target_n,
+             SUM(CASE WHEN ((d.doc_id % $P) * 48271 + 29) % $P % 10000
+                        < LEAST(10000, r.target_n * 10000 // r.n_total)
+                 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+      FROM documents d JOIN rates r USING (lang)
+      GROUP BY d.lang ORDER BY d.lang""",
     "g4_shard_packing" -> s"""
       SELECT lang, shard, COUNT(*)::BIGINT AS n_docs,
              SUM(n_chars)::BIGINT AS n_chars_total,

@@ -2,6 +2,7 @@ package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{QueryPack, Tables}
 import graft.multimodal.Media
 
@@ -62,6 +63,23 @@ object Multimodal extends QueryPack {
           Media.resize(Media.mediaFromDocuments(Tables(s, dir).documents), 256, 144))
         .toDF()
         .select($"media_id", $"kind", $"width", $"height", $"digest")
+        .orderBy($"media_id")
+    },
+    // m5: PERCEPTUAL-HASH image dedup — 64-bit aHash from an 8×8 NN sample
+    // of the DECODED pixels; `scale_invariant` compares it against the hash
+    // of a REAL half-scale resample (a second full decode→resample→encode→
+    // decode loop), and near-dup groups form by exact hash equality
+    // (window partitioned by the hash — group-sized state, no all-pairs).
+    // The oracle recomputes the hash from the tile closed form, pinning
+    // both codec paths AND their agreement.
+    "m5_phash_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val h = Media.perceptualHash(Media.mediaFromDocuments(Tables(s, dir).documents))
+        .toDF()
+      val wB = Window.partitionBy($"ahash")
+      h.withColumn("scale_invariant", $"ahash" === $"ahash_half")
+        .withColumn("n_same_hash", count(lit(1)).over(wB))
+        .select($"media_id", $"ahash", $"scale_invariant", $"n_same_hash")
         .orderBy($"media_id")
     },
     // m3: decode + feature extraction through the typed mapPartitions batch
@@ -126,6 +144,25 @@ object Multimodal extends QueryPack {
       s"(($id * 29 + 5 * $tx + 2 * $ty) % 256)]"
 
   val oracle: Map[String, String] = Map(
+    "m5_phash_dedup" -> s"""
+      WITH $imgCtes,
+      grid AS (
+        SELECT a.x, b.y FROM (SELECT unnest(range(0, 8)) AS x) a
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS y) b),
+      samp AS (
+        SELECT i.doc_id, g.x, g.y,
+               ${rgbSum("i.doc_id", "(((g.x * i.w) // 8) % 16)",
+                        "(((g.y * i.h) // 8) % 16)")} AS s
+        FROM imgs i CROSS JOIN grid g),
+      tot AS (SELECT doc_id, SUM(s) AS total FROM samp GROUP BY doc_id),
+      hsh AS (
+        SELECT s.doc_id,
+               string_agg(CASE WHEN s.s * 64 > t.total THEN '1' ELSE '0' END,
+                          '' ORDER BY s.y, s.x) AS ahash
+        FROM samp s JOIN tot t USING (doc_id) GROUP BY s.doc_id)
+      SELECT doc_id AS media_id, ahash, TRUE AS scale_invariant,
+             (COUNT(*) OVER (PARTITION BY ahash))::BIGINT AS n_same_hash
+      FROM hsh ORDER BY media_id""",
     "m1_media_catalog" -> s"""
       WITH $imgCtes,
       $audCtes,

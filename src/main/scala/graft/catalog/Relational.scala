@@ -501,6 +501,38 @@ object Relational extends QueryPack {
                   .otherwise("updated").as("op"))
         .orderBy($"c_custkey")
     },
+    // u8: SNAPSHOT DIFF — the inverse of u6's merge: given two snapshots of
+    // a table, extract the CDC changelog (I/U/D rows, unchanged rows
+    // suppressed). One co-partitioned FULL OUTER join on the key — with
+    // both snapshots bucketed by key this is exchange-free; the comparison
+    // is column equality, so at 100 TB you'd diff a precomputed row digest
+    // instead of every column (same plan shape). The "new" snapshot is
+    // derived deterministically: every key ≡ 3 (mod 7) deleted, every key
+    // ≡ 0 (mod 10) rebalanced, every key ≡ 0 (mod 100) inserted anew.
+    "u8_snapshot_diff" -> { (s, dir) =>
+      import s.implicits._
+      val old = Tables(s, dir).customer
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+      val neu = old.filter($"c_custkey" % 7 =!= 3)
+        .withColumn("c_acctbal",
+          when($"c_custkey" % 10 === 0, $"c_acctbal" + 50.0)
+            .otherwise($"c_acctbal"))
+        .union(old.filter($"c_custkey" % 100 === 0)
+          .select(($"c_custkey" + 2000000L).as("c_custkey"),
+                  concat(lit("INS#"), $"c_name").as("c_name"), $"c_acctbal"))
+      old.select($"c_custkey".as("o_key"), $"c_name".as("o_name"),
+                 $"c_acctbal".as("o_bal"))
+        .join(neu.select($"c_custkey".as("n_key"), $"c_name".as("n_name"),
+                         $"c_acctbal".as("n_bal")),
+              $"o_key" === $"n_key", "full_outer")
+        .withColumn("op",
+          when($"n_key".isNull, "D").when($"o_key".isNull, "I")
+            .when($"o_bal" =!= $"n_bal" || $"o_name" =!= $"n_name", "U"))
+        .filter($"op".isNotNull)
+        .select(coalesce($"o_key", $"n_key").as("c_custkey"), $"op",
+                $"o_bal", $"n_bal")
+        .orderBy($"c_custkey")
+    },
     // a6: incremental aggregate maintenance — yesterday's materialized
     // partial aggregates merge with today's delta WITHOUT recomputing the
     // prior partition; exact-decimal partials are associative, so the
@@ -548,6 +580,25 @@ object Relational extends QueryPack {
                   ELSE 'updated' END AS op
       FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.u_key
       ORDER BY c_custkey""",
+    "u8_snapshot_diff" -> """
+      WITH old AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+      neu AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 50.0
+                    ELSE c_acctbal END AS c_acctbal
+        FROM old WHERE c_custkey % 7 <> 3
+        UNION ALL
+        SELECT c_custkey + 2000000, 'INS#' || c_name, c_acctbal
+        FROM old WHERE c_custkey % 100 = 0)
+      SELECT c_custkey, op, o_bal, n_bal FROM (
+        SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+               CASE WHEN n.c_custkey IS NULL THEN 'D'
+                    WHEN o.c_custkey IS NULL THEN 'I'
+                    WHEN o.c_acctbal <> n.c_acctbal OR o.c_name <> n.c_name
+                    THEN 'U' END AS op,
+               o.c_acctbal AS o_bal, n.c_acctbal AS n_bal
+        FROM old o FULL OUTER JOIN neu n ON o.c_custkey = n.c_custkey) t
+      WHERE op IS NOT NULL ORDER BY c_custkey""",
     "a6_incremental_agg" -> """
       SELECT l_returnflag,
              CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,

@@ -130,6 +130,36 @@ object Similarity extends QueryPack {
         .orderBy($"q_id", $"rank")
     },
     "v3_ivf_ann" -> ivfQuery(sampleMod = 1),
+    // v5: kNN GRAPH construction — EVERY vector's top-3 neighbors within its
+    // IVF cell (the graph a semantic-dedup / diversity-sampling stage
+    // consumes). The self-join keys on cell id, so candidate pairs are
+    // Σ|cell|² instead of N² — with CellTarget-sized cells that is
+    // N·CellTarget, linear in the corpus; the rerank window partitions by
+    // source vector (cell-bounded groups). Vectors missing a same-cell
+    // neighbor drop out — at scale you re-probe those against adjacent
+    // cells, the v3 probe shape.
+    "v5_knn_graph" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
+        .select($"vec_id", $"v", $"norm2")
+      val cents = Quantizer.centroidsFor(e, dir, iters = 2, dim = 64)
+      val data = Quantizer.assign(e, cents)
+        .select($"cell", $"vec_id", $"v", $"norm2")
+      val src = data.select($"cell", $"vec_id".as("src_id"),
+        $"v".as("sv"), $"norm2".as("sn"))
+      val w = Window.partitionBy($"src_id").orderBy($"cos".desc, $"vec_id")
+      data.join(src, Seq("cell"))
+        .filter($"vec_id" =!= $"src_id")
+        .withColumn("cos",
+          graft.functions.VectorExprs.cosine($"sv", $"v", $"sn", $"norm2"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"src_id", $"rank".cast("long").as("rank"),
+                $"vec_id".as("neighbor_id"), $"cos")
+        .orderBy($"src_id", $"rank")
+    },
     // v4: v3's IVF with the quantizer trained on the DETERMINISTIC 1/4
     // SAMPLE (vec_id % 4 == 0) — Lloyd's passes scan a quarter of the
     // table, only the final assignment reads everything. At 100 TB the
@@ -201,6 +231,27 @@ object Similarity extends QueryPack {
 
   val oracle: Map[String, String] = Map(
     "v3_ivf_ann" -> ivfSql(sampleMod = 1),
+    "v5_knn_graph" -> s"""
+      WITH e AS (
+        SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings) t),
+      ${Quantizer.centroidsSql(iters = 2, dim = 64, sampleMod = 1)},
+      assigned AS (
+        SELECT t.vec_id, t.v, t.norm2, c.cell,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 ${dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) DESC,
+                 c.cell) AS crank
+        FROM kq t CROSS JOIN kmc c),
+      data AS (
+        SELECT cell, vec_id, v, norm2 FROM assigned WHERE crank = 1)
+      SELECT src_id, rank, neighbor_id, cos FROM (
+        SELECT src_id, vec_id AS neighbor_id, cos,
+               row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, vec_id) AS rank
+        FROM (SELECT s.vec_id AS src_id, d.vec_id,
+                     ${dotSql("s.v", "d.v")} / (sqrt(s.norm2) * sqrt(d.norm2)) AS cos
+              FROM data s JOIN data d ON s.cell = d.cell AND d.vec_id <> s.vec_id) t0) t1
+      WHERE rank <= 3 ORDER BY src_id, rank""",
     "v4_ivf_sampled" -> ivfSql(sampleMod = 4),
     "v1_brute_topk" -> s"""
       WITH e AS (

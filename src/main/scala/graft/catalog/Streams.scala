@@ -144,6 +144,20 @@ object Streams extends QueryPack {
           OutputMode.Append())
         .orderBy($"click_id", $"error_id")
     },
+    // e15: LEFT-OUTER stream-stream interval join — clicks with no same-user
+    // error in the preceding 10 minutes surface with NULL error columns.
+    // Outer rows are emitted by state EVICTION: a click's null row appears
+    // only once the final watermark (min of both sides' max ts − 30 min)
+    // has passed the click, so the oracle restates exactly that cutoff —
+    // matched rows are e9's, unmatched clicks appear iff click time < wm.
+    "e15_stream_left_join" -> { (s, dir) =>
+      import s.implicits._
+      val clicks = eventsStream(s, dir).filter($"event_type" === "click")
+      val errors = eventsStream(s, dir).filter($"event_type" === "error")
+      runToTable(EventStreams.clickErrorJoinLeft(clicks, errors),
+          OutputMode.Append())
+        .orderBy($"click_id", $"error_id")
+    },
     // e12: the PRODUCTION sink shape — same tumbling aggregation as e6 but
     // APPEND mode into a partitioned (by event_type), checkpointed parquet
     // sink, read back through the sink's manifest. Watermark 0s: with the
@@ -309,6 +323,32 @@ object Streams extends QueryPack {
       SELECT user_id, start_us, end_us, n_events
       FROM sess, wm WHERE (end_us // 1000) <= wm_ms
       ORDER BY user_id, start_us""",
+    // e9's matches plus never-matched clicks null-extended, the latter only
+    // once evicted: click time (ms, as the state store compares) < final
+    // watermark = min of both sides' max ts − 30 min
+    "e15_stream_left_join" -> """
+      WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+      wm AS (
+        SELECT LEAST((SELECT max(epoch_us(ts)) FROM c),
+                     (SELECT max(epoch_us(ts)) FROM e)) // 1000 - 1800000 AS wm_ms),
+      matched AS (
+        SELECT c.event_id AS click_id, c.user_id AS user_id,
+               epoch_us(c.ts) AS click_us,
+               e.event_id AS error_id, epoch_us(e.ts) AS error_us
+        FROM c JOIN e ON c.user_id = e.user_id
+         AND e.ts >= c.ts - INTERVAL 10 MINUTE AND e.ts <= c.ts),
+      unmatched AS (
+        SELECT c.event_id AS click_id, c.user_id AS user_id,
+               epoch_us(c.ts) AS click_us,
+               NULL::BIGINT AS error_id, NULL::BIGINT AS error_us
+        FROM c, wm
+        WHERE NOT EXISTS (
+            SELECT 1 FROM e WHERE e.user_id = c.user_id
+              AND e.ts >= c.ts - INTERVAL 10 MINUTE AND e.ts <= c.ts)
+          AND (epoch_us(c.ts) // 1000) < wm.wm_ms)
+      SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+      ORDER BY click_id, error_id""",
     "e9_stream_interval_join" -> """
       SELECT c.event_id AS click_id, c.user_id AS user_id,
              epoch_us(c.ts) AS click_us,

@@ -189,6 +189,30 @@ object Text extends QueryPack {
     // runtimes). Corpus size N is tiny driver state (one count), df is one
     // distinct-aggregate on the exploded token stream; at 100 TB both are
     // the standard shuffle-on-term shape with map-side combine.
+    // x12: RARE-TOKEN quality filter — the integer-exact unigram-LM proxy
+    // for a perplexity gate: a document whose tokens are mostly corpus-rare
+    // is likely noise/garbage. "Rare" is data-relative (count < half the
+    // mean vocabulary count — a 2-long broadcast scalar), so the op needs
+    // no tuned constant. Plan: one map-side-combined vocab aggregation, one
+    // hash join back on token (at 100 TB the top-of-vocabulary head would
+    // broadcast and only the long tail shuffles), then a per-doc aggregate.
+    // rare_pm is exact integer per-mille — no double crosses the gate.
+    "x12_rare_token_filter" -> { (s, dir) =>
+      import s.implicits._
+      val toks = Tables(s, dir).documents
+        .select($"doc_id", explode(expr(wsExpr)).as("tok"))
+        .filter(length($"tok") > 0)
+      val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+      val thr = vocab.agg(sum($"cnt").as("_tot"), count(lit(1)).as("_nv"))
+        .select(expr("_tot div (_nv * 2)").as("thr"))
+      toks.join(vocab, "tok").crossJoin(broadcast(thr))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+             sum(when($"cnt" < $"thr", 1L).otherwise(0L)).as("n_rare"))
+        .withColumn("rare_pm", expr("n_rare * 1000 div n_tokens"))
+        .withColumn("keep", $"rare_pm" < 500)
+        .orderBy($"doc_id")
+    },
     "x7_tfidf_topk" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables(s, dir).documents
@@ -245,6 +269,22 @@ object Text extends QueryPack {
             FROM (SELECT $wsSql AS ws FROM documents) t0) t1
       WHERE length(tok) > 0
       GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+    "x12_rare_token_filter" -> s"""
+      WITH toks AS (
+        SELECT doc_id, tok
+        FROM (SELECT doc_id, unnest(ws) AS tok
+              FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0) t1
+        WHERE length(tok) > 0),
+      vocab AS (SELECT tok, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY tok),
+      thr AS (SELECT (SUM(cnt) // (COUNT(*) * 2))::BIGINT AS thr FROM vocab)
+      SELECT doc_id, n_tokens, n_rare, rare_pm, rare_pm < 500 AS keep FROM (
+        SELECT k.doc_id, COUNT(*)::BIGINT AS n_tokens,
+               SUM(CASE WHEN v.cnt < t.thr THEN 1 ELSE 0 END)::BIGINT AS n_rare,
+               ((SUM(CASE WHEN v.cnt < t.thr THEN 1 ELSE 0 END) * 1000)
+                 // COUNT(*))::BIGINT AS rare_pm
+        FROM toks k JOIN vocab v USING (tok) CROSS JOIN thr t
+        GROUP BY k.doc_id) s
+      ORDER BY doc_id""",
     "x8_repetition" -> s"""
       WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
       base AS (

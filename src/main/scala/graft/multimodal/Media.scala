@@ -21,6 +21,9 @@ final case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte],
 final case class MediaFrame(media_id: Long, frame_idx: Int, width: Int,
                             height: Int, checksum: Long)
 
+/** Perceptual hash of an image payload at two scales (m5). */
+final case class MediaPHash(media_id: Long, ahash: String, ahash_half: String)
+
 /** Decoded-content embedding: 16-bin byte histogram over the DECODED bytes
   * (raw RGB for images), normalized by `n_bytes` = decoded length. */
 final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
@@ -403,6 +406,56 @@ object Media {
         r.copy(payload = resizeImage(r.payload, w, h),
                meta = r.meta.copy(width = w, height = h))
       else r
+    }
+  }
+
+  /** 64-bit average-hash (aHash) of a decoded image as a 64-char bit string,
+    * row-major: sample an 8×8 nearest-neighbor grid (src pixel
+    * (x·W/8, y·H/8) — the same integer map as `resizeImage`), gray = r+g+b,
+    * bit = [gray·64 > Σgray]. Integer-only, so the SQL twin recomputes it
+    * from the tile closed form. Because W and H are divisible by 16, the
+    * 8×8 sample points of the half-scale NN resample land on the SAME
+    * source pixels (x·(W/2)/8 in the resized image → src 2·(x·(W/2)/8) =
+    * x·W/8), so the hash is exactly invariant under
+    * `resizeImage(W/2, H/2)` — the property m5 pins through two real
+    * codec round-trips. */
+  def aHash(img: BufferedImage): String = {
+    val w = img.getWidth; val h = img.getHeight
+    val g = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val p = img.getRGB(x * w / 8, y * h / 8)
+        g(y * 8 + x) = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong
+        total += g(y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    val sb = new StringBuilder(64)
+    var i = 0
+    while (i < 64) { sb.append(if (g(i) * 64L > total) '1' else '0'); i += 1 }
+    sb.toString
+  }
+
+  /** Perceptual hashes of the image rows: aHash of the original payload plus
+    * aHash of a REAL half-scale resample (decode → NN resample → re-encode →
+    * decode). Pure per-row projection — no shuffle; the near-dup grouping
+    * happens downstream on the hash value. */
+  def perceptualHash(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaPHash] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter(col("kind") === lit("image")).as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val img = decodeImage(r.payload)
+          val half = decodeImage(
+            resizeImage(r.payload, img.getWidth / 2, img.getHeight / 2))
+          MediaPHash(r.media_id, aHash(img), aHash(half))
+        }
+      }
     }
   }
 

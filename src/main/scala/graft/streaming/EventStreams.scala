@@ -91,4 +91,27 @@ object EventStreams {
               unix_micros(col("c_ts")).as("click_us"),
               col("error_id"), unix_micros(col("e_ts")).as("error_us"))
   }
+
+  /** LEFT-OUTER stream-stream interval join: like [[clickErrorJoin]], but a
+    * click with no same-user error in its preceding 10 minutes is still
+    * emitted (null error columns) — once the watermark passes the click's
+    * interval so no late error can match it anymore. Same O(active interval)
+    * state; the null-extended rows ride the state EVICTION, which is why
+    * outer stream joins require the watermark at all. */
+  def clickErrorJoinLeft(clicks: DataFrame, errors: DataFrame,
+                         watermark: String = "30 minutes"): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val e = errors.select(col("event_id").as("error_id"),
+      col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", watermark)
+    c.join(e, expr(
+        """c_user = e_user AND
+          |e_ts >= c_ts - interval 10 minutes AND e_ts <= c_ts""".stripMargin),
+        "leftOuter")
+      .select(col("click_id"), col("c_user").as("user_id"),
+              unix_micros(col("c_ts")).as("click_us"),
+              col("error_id"), unix_micros(col("e_ts")).as("error_us"))
+  }
 }

@@ -90,6 +90,36 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(df.count() == 20)
   }
 
+  test("g5: positions are an exact 1..n permutation within every shard") {
+    import spark.implicits._
+    val out = SparkEntry.queries("g5_shuffle_shard")(spark, sf)
+    assert(out.count() == Tables(spark, sf).documents.count())
+    // two-pass (bucket offsets + within-bucket row_number) must still yield
+    // a dense rank: each shard's pos set is exactly {1..n}
+    val bad = out.groupBy($"shard")
+      .agg(count(lit(1)).as("n"), min($"pos").as("mn"), max($"pos").as("mx"),
+           countDistinct($"pos").as("nd"))
+      .filter(!($"mn" === 1 && $"mx" === $"n" && $"nd" === $"n"))
+    assert(bad.count() == 0, "shard positions are not a dense 1..n permutation")
+  }
+
+  test("g6: mixture rates cap at 1 and land near the target when uncapped") {
+    import spark.implicits._
+    // sf0.01: en has 218 docs vs target 80 (rate < 1); small langs cap at 1
+    val out = SparkEntry.queries("g6_mixture_sample")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (lang, total, target, kept) =>
+      assert(kept <= total, s"$lang kept more than exists")
+      if (target >= total) assert(kept == total, s"$lang: capped rate must keep all")
+      else {
+        // deterministic hash thinning: kept ≈ target (10k-bucket resolution)
+        assert(kept >= target / 2 && kept <= target * 2,
+          s"$lang: kept=$kept far from target=$target")
+      }
+    }
+  }
+
   test("q9: histogram median equals builtin percentile; at least half kept") {
     import spark.implicits._
     val out = SparkEntry.queries("q9_quantile_filter")(spark, sf)

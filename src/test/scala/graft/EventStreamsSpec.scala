@@ -111,6 +111,33 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty, s"got=$got want=$want")
   }
 
+  test("left-outer interval join emits unmatched clicks once the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val memC = MemoryStream[Ev]
+    val memE = MemoryStream[Ev]
+    val name = s"ssjl_${System.nanoTime()}"
+    val q = EventStreams.clickErrorJoinLeft(memC.toDF(), memE.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // c1 (10:10) matches e11 (10:05); c2 (10:30) has no error in window
+      memC.addData(Seq(ev(1, 10), ev(2, 30)))
+      memE.addData(Seq(ev(11, 5, typ = "error")))
+      q.processAllAvailable()
+      // advance BOTH sides' watermarks far past c2's interval (13:00 − 30min
+      // ≫ 10:30) so c2's state is evicted and its null row emitted; the two
+      // 13:00 events match each other
+      memC.addData(Seq(Ev(3, Timestamp.valueOf("2024-01-01 13:00:00"), 7, "click", 1.5, "{}")))
+      memE.addData(Seq(Ev(12, Timestamp.valueOf("2024-01-01 13:00:00"), 7, "error", 1.5, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name).collect()
+    val matched = rows.filter(!_.isNullAt(3)).map(r => (r.getLong(0), r.getLong(3))).toSet
+    val nullClicks = rows.filter(_.isNullAt(3)).map(_.getLong(0)).toSet
+    assert(matched == Set((1L, 11L), (3L, 12L)), s"matched=$matched")
+    assert(nullClicks == Set(2L), s"null-extended=$nullClicks")
+  }
+
   test("parseProps extracts k identically in batch") {
     val out = EventStreams.parseProps(inOrder.toDF()).select($"event_id", $"k")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

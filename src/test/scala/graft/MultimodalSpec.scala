@@ -119,4 +119,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema"))
     assert(!plan.contains("payload"), s"payload not pruned:\n$plan")
   }
+
+  test("m5 aHash: 64-bit, scale-invariant under the real half resample, discriminating") {
+    val h = Media.perceptualHash(media, batchSize = 16).collect()
+    assert(h.nonEmpty)
+    h.foreach { p =>
+      assert(p.ahash.length == 64 && p.ahash.forall(c => c == '0' || c == '1'))
+      // the half-scale hash went through a SECOND full decode→resample→
+      // encode→decode loop and must land on the same bits
+      assert(p.ahash == p.ahash_half, s"scale variance at ${p.media_id}")
+    }
+    // distinct tile patterns → overwhelmingly distinct hashes (the dedup
+    // property: near-dup groups stay tiny, not one giant bucket)
+    assert(h.map(_.ahash).distinct.length > h.length * 3 / 4)
+  }
 }
