@@ -26,19 +26,20 @@ object Analytics extends QueryPack {
 
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
   private val P = 2147483647L
-  /** g4: target shard size in characters. */
-  private val ShardBudget = 2000L
+  /** g4: target shard size in characters (shared with CorpusGate's c2). */
+  private[catalog] val ShardBudget = 2000L
   /** per-event-type sampling rates in percent (g2). */
   private val SampleRates = Seq(
     "view" -> 5L, "click" -> 20L, "error" -> 50L,
     "purchase" -> 100L, "signup" -> 10L)
-  /** g6: target language mixture in percent and total document budget. */
+  /** g6: target language mixture in percent and total document budget
+    * (shared with CorpusGate's c2 export pipeline). */
   private val MixtureWeights = Seq(
     "en" -> 40L, "de" -> 15L, "es" -> 15L, "fr" -> 15L, "zh" -> 15L)
-  private val MixtureBudget = 200L
+  private[catalog] val MixtureBudget = 200L
   /** CASE expr mapping a lang column to its mixture weight (0 if unlisted) —
-    * identical text runs on both engines. */
-  private def weightCase(col: String): String =
+    * identical text runs on both engines (shared with CorpusGate's c2). */
+  private[catalog] def weightCase(col: String): String =
     s"(CASE $col " + MixtureWeights.map {
       case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ") + " ELSE 0 END)"
 

@@ -2,6 +2,7 @@ package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{QueryPack, Tables}
 import graft.functions.TextKernels.NBands
 import Tx.wsSql
@@ -16,6 +17,9 @@ import Tx.wsSql
   */
 object CorpusGate extends QueryPack {
 
+  /** LCG permutation prime shared with Analytics' g-family. */
+  private val P = 2147483647L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_corpus_curate" -> { (s, dir) =>
       import s.implicits._
@@ -23,6 +27,47 @@ object CorpusGate extends QueryPack {
       curated.select($"doc_id", $"lang_pred",
                      $"n_tokens".cast("long").as("n_tokens"), $"quality_score")
         .orderBy($"doc_id")
+    },
+    // c2: the EXPORT half of the corpus pipeline, composed end to end —
+    // what turns a curated corpus into the shard manifest a trainer reads:
+    //   1. mixture resample toward target language weights (g6's
+    //      deterministic hash predicate, rates from a broadcast count);
+    //   2. deterministic shuffle key (g5's LCG permutation — reproducible
+    //      global order, no rand());
+    //   3. pack into ~ShardBudget-char shards PER LANGUAGE in shuffle-key
+    //      order (g4's two-pass shape: key-range buckets → tiny offset
+    //      frame → per-bucket windows — no language-wide global sort);
+    //   4. emit the per-shard manifest (doc/char counts + key range).
+    // One oracle pins the whole composition: a drift in any stage (or in
+    // how they chain) moves shard boundaries and breaks the manifest.
+    "c2_export_shards" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents.select($"doc_id", $"lang", $"n_chars")
+      val rates = docs.groupBy($"lang").agg(count(lit(1)).as("n_total"))
+        .withColumn("target_n",
+          expr(s"(${Analytics.MixtureBudget} * ${Analytics.weightCase("lang")}) div 100")
+            .cast("long"))
+        .withColumn("rate_bp",
+          least(lit(10000L), expr("target_n * 10000 div n_total")))
+      val sampled = docs.join(broadcast(rates), Seq("lang"))
+        .filter((($"doc_id" % P) * 48271L + 29L) % P % 10000L < $"rate_bp")
+        .withColumn("key", (($"doc_id" % P) * 48271L + 13L) % P)
+        .withColumn("_bkt", expr(s"key div ${P / 32 + 1}").cast("int"))
+      val wOff = Window.partitionBy($"lang").orderBy($"_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = sampled.groupBy($"lang", $"_bkt")
+        .agg(sum($"n_chars").as("_bsum"))
+        .withColumn("_off", coalesce(sum($"_bsum").over(wOff), lit(0L)))
+        .select($"lang", $"_bkt", $"_off")
+      val wIn = Window.partitionBy($"lang", $"_bkt").orderBy($"key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      sampled.join(broadcast(offsets), Seq("lang", "_bkt"))
+        .withColumn("_prefix", $"_off" + coalesce(sum($"n_chars").over(wIn), lit(0L)))
+        .withColumn("shard", expr(s"_prefix div ${Analytics.ShardBudget}"))
+        .groupBy($"lang", $"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars_total"),
+             min($"key").as("first_key"), max($"key").as("last_key"))
+        .orderBy($"lang", $"shard")
     }
   )
 
@@ -31,6 +76,27 @@ object CorpusGate extends QueryPack {
   }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "c2_export_shards" -> s"""
+      WITH rates AS (
+        SELECT lang, COUNT(*) AS n_total,
+               ((${Analytics.MixtureBudget} * ${Analytics.weightCase("lang")}) // 100)::BIGINT AS target_n
+        FROM documents GROUP BY lang),
+      sampled AS (
+        SELECT d.lang, d.n_chars,
+               ((d.doc_id % $P) * 48271 + 13) % $P AS key
+        FROM documents d JOIN rates r USING (lang)
+        WHERE ((d.doc_id % $P) * 48271 + 29) % $P % 10000
+              < LEAST(10000, r.target_n * 10000 // r.n_total)),
+      packed AS (
+        SELECT lang, key, n_chars,
+               (COALESCE(SUM(n_chars) OVER (PARTITION BY lang ORDER BY key
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // ${Analytics.ShardBudget})::BIGINT AS shard
+        FROM sampled)
+      SELECT lang, shard, COUNT(*)::BIGINT AS n_docs,
+             SUM(n_chars)::BIGINT AS n_chars_total,
+             MIN(key) AS first_key, MAX(key) AS last_key
+      FROM packed GROUP BY lang, shard ORDER BY lang, shard""",
     "c1_corpus_curate" -> s"""
       WITH base AS (SELECT doc_id, text, $wsSql AS ws FROM documents),
       scored AS (

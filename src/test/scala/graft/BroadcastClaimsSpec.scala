@@ -27,4 +27,19 @@ class BroadcastClaimsSpec extends AnyFunSuite {
     assert(p.contains("Broadcast"), s"w9 must broadcast the total:\n$p")
     assert(!p.contains("Window"), s"w9 must not use a window:\n$p")
   }
+
+  test("g6: per-lang rates broadcast; the corpus never shuffles for the join") {
+    assert(plan("g6_mixture_sample").contains("BroadcastHashJoin"))
+  }
+
+  test("g5/c2: bucket offsets broadcast back (two-pass shape, no wide sort)") {
+    assert(plan("g5_shuffle_shard").contains("BroadcastHashJoin"))
+    assert(plan("c2_export_shards").contains("BroadcastHashJoin"))
+  }
+
+  test("x12: the rarity threshold is a broadcast scalar") {
+    val p = plan("x12_rare_token_filter")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"x12 must broadcast the threshold:\n$p")
+  }
 }

@@ -120,6 +120,28 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("c2: manifest shards are contiguous, ordered key ranges per lang") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("c2_export_shards")(spark, "/root/testdata/sf0.01")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, shards) =>
+      val ordered = shards.sortBy(_._2)
+      // shard ids are dense from 0 and key ranges never overlap: the
+      // packing really was computed in one global deterministic order
+      assert(ordered.map(_._2).toSeq == ordered.indices.map(_.toLong),
+        s"$lang shard ids not dense: ${ordered.map(_._2).toSeq}")
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._6 < b._5, s"$lang shard key ranges overlap: $a vs $b")
+        case _ =>
+      }
+      ordered.foreach { sh => assert(sh._5 <= sh._6 && sh._3 > 0) }
+    }
+  }
+
   test("q9: histogram median equals builtin percentile; at least half kept") {
     import spark.implicits._
     val out = SparkEntry.queries("q9_quantile_filter")(spark, sf)
