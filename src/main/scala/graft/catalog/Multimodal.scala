@@ -82,6 +82,19 @@ object Multimodal extends QueryPack {
         .select($"media_id", $"ahash", $"scale_invariant", $"n_same_hash")
         .orderBy($"media_id")
     },
+    // m6: AUDIO perceptual fingerprint — the aHash analog over the DECODED
+    // PCM: 8 chunk energies of the first 400 samples, bit = chunk above the
+    // mean. Pins the WAV decode (two's-complement → unsigned recovery) and
+    // gives audio the same hash-equality near-dup grouping as m5's images.
+    "m6_audio_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      val f = Media.audioFingerprints(Media.mediaFromDocuments(Tables(s, dir).documents))
+        .toDF()
+      val wB = Window.partitionBy($"afp")
+      f.withColumn("n_same_fp", count(lit(1)).over(wB))
+        .select($"media_id", $"afp", $"n_samples", $"n_same_fp")
+        .orderBy($"media_id")
+    },
     // m3: decode + feature extraction through the typed mapPartitions batch
     // path. The normalized float32 embedding is projected back to the EXACT
     // integer byte-histogram of the DECODED content (round(x_i · n_bytes)
@@ -144,6 +157,25 @@ object Multimodal extends QueryPack {
       s"(($id * 29 + 5 * $tx + 2 * $ty) % 256)]"
 
   val oracle: Map[String, String] = Map(
+    "m6_audio_fingerprint" -> """
+      WITH auds AS (
+        SELECT doc_id, 400 + (doc_id % 7) * 200 AS n
+        FROM documents WHERE doc_id % 3 = 1),
+      ai AS (SELECT doc_id, unnest(range(0, 400)) AS i FROM auds),
+      en AS (
+        SELECT doc_id, (i // 50) AS c,
+               SUM((doc_id * 31 + i * 7) % 65536)::BIGINT AS e
+        FROM ai GROUP BY doc_id, i // 50),
+      tot AS (SELECT doc_id, SUM(e) AS total FROM en GROUP BY doc_id),
+      fp AS (
+        SELECT en.doc_id,
+               string_agg(CASE WHEN en.e * 8 > t.total THEN '1' ELSE '0' END,
+                          '' ORDER BY en.c) AS afp
+        FROM en JOIN tot t USING (doc_id) GROUP BY en.doc_id)
+      SELECT a.doc_id AS media_id, f.afp, a.n::INT AS n_samples,
+             (COUNT(*) OVER (PARTITION BY f.afp))::BIGINT AS n_same_fp
+      FROM auds a JOIN fp f USING (doc_id)
+      ORDER BY media_id""",
     "m5_phash_dedup" -> s"""
       WITH $imgCtes,
       grid AS (

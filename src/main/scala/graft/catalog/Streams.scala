@@ -232,6 +232,34 @@ object Streams extends QueryPack {
                 unix_micros($"ts").as("us"))
         .orderBy($"event_id")
     },
+    // e16: foreachBatch UPSERT sink — update-mode per-user counts MERGED
+    // into a keyed store under batch-id idempotence (the exactly-once-over-
+    // at-least-once pattern every production foreachBatch sink implements;
+    // UpsertStore scaladoc). The returned frame is the store's final
+    // snapshot, so the oracle is the plain per-user total: wrong upsert
+    // ordering, a dropped batch, or a double-applied replay all break it.
+    "e16_stream_upsert_sink" -> { (s, dir) =>
+      import s.implicits._
+      val runId = UUID.randomUUID().toString
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      try {
+        val counts = eventsStream(s, dir)
+          .groupBy($"user_id").agg(count(lit(1)).as("n"))
+        val q = counts.writeStream.outputMode("update")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // at scale this body is one bulk MERGE INTO; locally the
+            // per-user count frame is tiny (one row per active user)
+            graft.streaming.UpsertStore.applyBatch(runId, batchId,
+              batch.collect().iterator.map(r => (r.getLong(0), r.getLong(1))))
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val snap = graft.streaming.UpsertStore.snapshot(runId)
+      graft.streaming.UpsertStore.drop(runId)
+      snap.toDF("user_id", "n_events").orderBy($"user_id")
+    },
     // e11: the NATIVE session_window operator in APPEND mode — a session
     // emits once the watermark passes its end (last + gap). The stream
     // ends with watermark = max(ts) − 30 min, so the oracle is the batch
@@ -299,6 +327,10 @@ object Streams extends QueryPack {
       SELECT n_name, COUNT(*) AS n
       FROM events e JOIN nation ON (e.user_id % 25) = n_nationkey
       GROUP BY n_name ORDER BY n_name""",
+    // the upsert store's final snapshot is the full per-user aggregation
+    "e16_stream_upsert_sink" -> """
+      SELECT user_id, COUNT(*)::BIGINT AS n_events
+      FROM events GROUP BY user_id ORDER BY user_id""",
     // the doubled source collapses back to the source table itself
     "e13_stream_dedup" -> """
       SELECT event_id, user_id, event_type, epoch_us(ts) AS us

@@ -24,6 +24,9 @@ final case class MediaFrame(media_id: Long, frame_idx: Int, width: Int,
 /** Perceptual hash of an image payload at two scales (m5). */
 final case class MediaPHash(media_id: Long, ahash: String, ahash_half: String)
 
+/** Perceptual fingerprint of an audio payload (m6). */
+final case class MediaAFp(media_id: Long, afp: String, n_samples: Int)
+
 /** Decoded-content embedding: 16-bin byte histogram over the DECODED bytes
   * (raw RGB for images), normalized by `n_bytes` = decoded length. */
 final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
@@ -454,6 +457,47 @@ object Media {
           val half = decodeImage(
             resizeImage(r.payload, img.getWidth / 2, img.getHeight / 2))
           MediaPHash(r.media_id, aHash(img), aHash(half))
+        }
+      }
+    }
+  }
+
+  /** Chunk-energy fingerprint of DECODED PCM (the aHash analog for audio,
+    * m6): split the first 8 × 50-sample window into chunks, chunk energy =
+    * Σ unsigned sample values, bit = [energy·8 > Σ energies]. Integer-only
+    * over the closed-form series, so the SQL twin recomputes it — and it
+    * pins the WAV decode because the stored PCM is two's-complement while
+    * the formula speaks unsigned (the +32768 recovery must be right). */
+  def audioFingerprint(pcm: Array[Byte]): String = {
+    val e = new Array[Long](8)
+    var total = 0L
+    var c = 0
+    while (c < 8) {
+      var i = c * 50
+      val end = i + 50
+      var s = 0L
+      while (i < end) {
+        s += ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1).toInt << 8)) + 32768
+        i += 1
+      }
+      e(c) = s; total += s; c += 1
+    }
+    val sb = new StringBuilder(8)
+    c = 0
+    while (c < 8) { sb.append(if (e(c) * 8L > total) '1' else '0'); c += 1 }
+    sb.toString
+  }
+
+  /** Audio fingerprints of the audio rows via the REAL WAV decode. Pure
+    * per-row projection, no shuffle. */
+  def audioFingerprints(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaAFp] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter(col("kind") === lit("audio")).as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val au = decodeWav(r.payload)
+          MediaAFp(r.media_id, audioFingerprint(au.pcm), au.nSamples)
         }
       }
     }

@@ -133,4 +133,15 @@ class MultimodalSpec extends AnyFunSuite {
     // property: near-dup groups stay tiny, not one giant bucket)
     assert(h.map(_.ahash).distinct.length > h.length * 3 / 4)
   }
+
+  test("m6 audio fingerprint: 8 bits from decoded PCM, batch-size invariant") {
+    val a = Media.audioFingerprints(media, batchSize = 9).collect().sortBy(_.media_id)
+    val b = Media.audioFingerprints(media, batchSize = 64).collect().sortBy(_.media_id)
+    assert(a.nonEmpty && a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x.afp == y.afp) }
+    a.foreach { p =>
+      assert(p.afp.length == 8 && p.afp.forall(c => c == '0' || c == '1'))
+      assert(p.n_samples >= 400)
+    }
+  }
 }
