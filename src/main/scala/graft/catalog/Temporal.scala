@@ -66,6 +66,41 @@ object Temporal extends QueryPack {
                 $"us".as("click_us"), $"asof_error_us")
         .orderBy($"click_id")
     },
+    // r4: SCD2 (slowly-changing-dimension) point-in-time join — each fact
+    // row picks the dimension VERSION whose validity window contains its
+    // event time. The dim here is three deterministic versions per supplier
+    // (validity = thirds of the event-time range, closed-form on both
+    // engines, last window open-ended so every event matches exactly one
+    // version). Plan: the versioned dim BROADCASTS (dims are ≪ facts — the
+    // realistic 100 TB shape; a dim too big to broadcast falls back to r2's
+    // banded bucket join on (key, time-band)), the fact side is one scan +
+    // one aggregate.
+    "r4_scd2_join" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("us"))
+      val bounds = ev.agg(min($"us").as("lo"), max($"us").as("hi"))
+      val dim = Tables(s, dir).supplier.filter($"s_suppkey" <= 10)
+        .select($"s_suppkey")
+        .crossJoin(broadcast(bounds))
+        .withColumn("v", explode(array(lit(0L), lit(1L), lit(2L))))
+        .withColumn("v_start", $"lo" + $"v" * expr("(hi - lo + 1) div 3"))
+        .withColumn("v_end",
+          when($"v" === 2, $"hi" + 1)
+            .otherwise($"lo" + ($"v" + 1) * expr("(hi - lo + 1) div 3")))
+        .withColumn("rating", ($"s_suppkey" * 7 + $"v") % 100)
+        .select($"s_suppkey", $"v", $"v_start", $"v_end", $"rating")
+      val f = ev.filter($"event_type" === "purchase")
+        .select($"event_id", (pmod($"user_id", lit(10)) + 1).as("k"), $"us")
+      f.join(broadcast(dim),
+          $"k" === $"s_suppkey" && $"us" >= $"v_start" && $"us" < $"v_end")
+        .groupBy($"s_suppkey", $"v", $"rating")
+        .agg(count(lit(1)).as("n_events"),
+             min($"us").as("first_us"), max($"us").as("last_us"))
+        .select($"s_suppkey", $"v".as("version"), $"rating",
+                $"n_events", $"first_us", $"last_us")
+        .orderBy($"s_suppkey", $"version")
+    },
     // r2: per error event, clicks of the same user in [ts, ts + 10 min)
     "r2_range_join" -> { (s, dir) =>
       import s.implicits._
@@ -99,6 +134,27 @@ object Temporal extends QueryPack {
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
         ON c.user_id = e.user_id AND e.ts <= c.ts
       ORDER BY click_id""",
+    "r4_scd2_join" -> """
+      WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+      dim AS (
+        SELECT s.s_suppkey, v.v,
+               b.lo + v.v * ((b.hi - b.lo + 1) // 3) AS v_start,
+               CASE WHEN v.v = 2 THEN b.hi + 1
+                    ELSE b.lo + (v.v + 1) * ((b.hi - b.lo + 1) // 3) END AS v_end,
+               (s.s_suppkey * 7 + v.v) % 100 AS rating
+        FROM supplier s
+        CROSS JOIN (SELECT unnest(range(0, 3)) AS v) v
+        CROSS JOIN b
+        WHERE s.s_suppkey <= 10),
+      f AS (
+        SELECT event_id, (user_id % 10) + 1 AS k, epoch_us(ts) AS us
+        FROM events WHERE event_type = 'purchase')
+      SELECT d.s_suppkey, d.v AS version, d.rating,
+             COUNT(*) AS n_events, MIN(f.us) AS first_us, MAX(f.us) AS last_us
+      FROM f JOIN dim d
+        ON f.k = d.s_suppkey AND f.us >= d.v_start AND f.us < d.v_end
+      GROUP BY d.s_suppkey, d.v, d.rating
+      ORDER BY d.s_suppkey, version""",
     "r2_range_join" -> """
       SELECT e.event_id AS err_id, e.user_id, epoch_us(e.ts) AS err_us,
              COUNT(*) AS n_clicks, MIN(epoch_us(c.ts)) AS first_click_us
