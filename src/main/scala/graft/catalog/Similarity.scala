@@ -134,10 +134,12 @@ object Similarity extends QueryPack {
     // IVF cell (the graph a semantic-dedup / diversity-sampling stage
     // consumes). The self-join keys on cell id, so candidate pairs are
     // Σ|cell|² instead of N² — with CellTarget-sized cells that is
-    // N·CellTarget, linear in the corpus; the rerank window partitions by
-    // source vector (cell-bounded groups). Vectors missing a same-cell
-    // neighbor drop out — at scale you re-probe those against adjacent
-    // cells, the v3 probe shape.
+    // N·CellTarget, linear in the corpus. The rerank fans in through the
+    // TopKByCos typed aggregator (map-side partial top-3 heaps), so the
+    // post-join shuffle carries 3 rows per (source, partition) instead of
+    // sorting every scored pair — the same escalation v1 shipped. Vectors
+    // missing a same-cell neighbor drop out — at scale you re-probe those
+    // against adjacent cells, the v3 probe shape.
     "v5_knn_graph" -> { (s, dir) =>
       import s.implicits._
       val e = Tables(s, dir).embeddings
@@ -149,15 +151,15 @@ object Similarity extends QueryPack {
         .select($"cell", $"vec_id", $"v", $"norm2")
       val src = data.select($"cell", $"vec_id".as("src_id"),
         $"v".as("sv"), $"norm2".as("sn"))
-      val w = Window.partitionBy($"src_id").orderBy($"cos".desc, $"vec_id")
       data.join(src, Seq("cell"))
         .filter($"vec_id" =!= $"src_id")
         .withColumn("cos",
           graft.functions.VectorExprs.cosine($"sv", $"v", $"sn", $"norm2"))
-        .withColumn("rank", row_number().over(w))
-        .filter($"rank" <= 3)
-        .select($"src_id", $"rank".cast("long").as("rank"),
-                $"vec_id".as("neighbor_id"), $"cos")
+        .groupBy($"src_id")
+        .agg(graft.functions.TopK.topK3($"cos", $"vec_id").as("top"))
+        .select($"src_id", posexplode($"top").as(Seq("idx", "nb")))
+        .select($"src_id", ($"idx" + 1).cast("long").as("rank"),
+                $"nb.vec_id".as("neighbor_id"), $"nb.cos".as("cos"))
         .orderBy($"src_id", $"rank")
     },
     // v4: v3's IVF with the quantizer trained on the DETERMINISTIC 1/4

@@ -43,4 +43,6 @@ final class TopKByCos(k: Int)
 object TopK {
   /** udaf column function: call as `topK10($"cos", $"vec_id")`. */
   lazy val topK10 = org.apache.spark.sql.functions.udaf(new TopKByCos(10))
+  /** v5's kNN-graph fan-in: top-3 neighbors per source vector. */
+  lazy val topK3 = org.apache.spark.sql.functions.udaf(new TopKByCos(3))
 }

@@ -47,4 +47,17 @@ class FormatSpec extends AnyFunSuite {
     assert(back.collect().map(_.mkString("|")).sorted.toSeq ==
       src.collect().map(_.mkString("|")).sorted.toSeq)
   }
+
+  test("ORC round-trip preserves schema (incl. timestamp/double) and rows") {
+    val src = Tables(spark, TestSpark.sf).events
+      .select($"event_id", $"ts", $"event_type", $"value")
+      .orderBy($"event_id").limit(200)
+    val dir = Files.createTempDirectory("fmt").resolve("ev_orc").toString
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    // ORC carries its own schema — no inference: dtypes must be identical
+    assert(back.schema == src.schema, s"schema drift: ${back.schema} vs ${src.schema}")
+    assert(back.collect().map(_.mkString("|")).sorted.toSeq ==
+      src.collect().map(_.mkString("|")).sorted.toSeq)
+  }
 }
