@@ -101,6 +101,40 @@ object Streams extends QueryPack {
     s.read.parquet(out)
   }
 
+  /** e16's run body, shared with UpsertSinkSpec: stage events as 4 disjoint
+    * parquet splits, stream them ONE FILE PER TRIGGER through an
+    * update-mode per-user count into the UpsertStore, and return the final
+    * snapshot plus the distinct batch ids that wrote it. */
+  private[graft] def runUpsert(s: SparkSession, dir: String): (Seq[(Long, Long)], Set[Long]) = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val ingest = java.nio.file.Files.createTempDirectory("graft_e16").toString
+    raw.select($"event_id", $"user_id").repartition(4, $"event_id")
+      .write.mode("overwrite").parquet(ingest)
+    val runId = UUID.randomUUID().toString
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 4)
+    try {
+      val st = s.readStream.schema(s.read.parquet(ingest).schema)
+        .option("maxFilesPerTrigger", 1).parquet(ingest)
+      val counts = st.groupBy($"user_id").agg(count(lit(1)).as("n"))
+      val q = counts.writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // at scale this body is one bulk MERGE INTO; locally the
+          // per-user count frame is tiny (one row per active user)
+          graft.streaming.UpsertStore.applyBatch(runId, batchId,
+            batch.collect().iterator.map(r => (r.getLong(0), r.getLong(1))))
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val snap = graft.streaming.UpsertStore.snapshot(runId)
+    val bids = graft.streaming.UpsertStore.batchIds(runId)
+    graft.streaming.UpsertStore.drop(runId)
+    (snap, bids)
+  }
+
   private def withRocksDb[T](s: SparkSession)(body: => T): T = {
     val prev = s.conf.getOption(ProviderKey)
     s.conf.set(ProviderKey, RocksDb)
@@ -235,30 +269,15 @@ object Streams extends QueryPack {
     // e16: foreachBatch UPSERT sink — update-mode per-user counts MERGED
     // into a keyed store under batch-id idempotence (the exactly-once-over-
     // at-least-once pattern every production foreachBatch sink implements;
-    // UpsertStore scaladoc). The returned frame is the store's final
-    // snapshot, so the oracle is the plain per-user total: wrong upsert
-    // ordering, a dropped batch, or a double-applied replay all break it.
+    // UpsertStore scaladoc). The source is staged as 4 DISJOINT splits and
+    // the trigger takes one file per micro-batch, so the run PROVABLY spans
+    // ≥4 batches and later batches overwrite earlier counts. The returned
+    // frame is the store's final snapshot, so the oracle is the plain
+    // per-user total: wrong upsert ordering, a dropped batch, a
+    // double-applied replay, or stale-value wins all break it.
     "e16_stream_upsert_sink" -> { (s, dir) =>
       import s.implicits._
-      val runId = UUID.randomUUID().toString
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", 4)
-      try {
-        val counts = eventsStream(s, dir)
-          .groupBy($"user_id").agg(count(lit(1)).as("n"))
-        val q = counts.writeStream.outputMode("update")
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            // at scale this body is one bulk MERGE INTO; locally the
-            // per-user count frame is tiny (one row per active user)
-            graft.streaming.UpsertStore.applyBatch(runId, batchId,
-              batch.collect().iterator.map(r => (r.getLong(0), r.getLong(1))))
-          }
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      val snap = graft.streaming.UpsertStore.snapshot(runId)
-      graft.streaming.UpsertStore.drop(runId)
-      snap.toDF("user_id", "n_events").orderBy($"user_id")
+      runUpsert(s, dir)._1.toDF("user_id", "n_events").orderBy($"user_id")
     },
     // e11: the NATIVE session_window operator in APPEND mode — a session
     // emits once the watermark passes its end (last + gap). The stream

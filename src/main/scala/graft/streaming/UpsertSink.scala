@@ -42,5 +42,10 @@ object UpsertStore {
   def snapshot(runId: String): Seq[(Long, Long)] =
     store(runId).iterator.map { case (k, (_, v)) => (k, v) }.toSeq
 
+  /** Distinct micro-batch ids that wrote surviving values — lets specs
+    * assert a run REALLY spanned multiple batches. */
+  def batchIds(runId: String): Set[Long] =
+    store(runId).iterator.map { case (_, (b, _)) => b }.toSet
+
   def drop(runId: String): Unit = stores.remove(runId)
 }

@@ -18,6 +18,20 @@ class UpsertSinkSpec extends AnyFunSuite {
     UpsertStore.drop(run)
   }
 
+  test("e16 run really spans multiple micro-batches; totals survive upserts") {
+    val spark = TestSpark.spark
+    val (snap, batchIds) = graft.catalog.Streams.runUpsert(spark, TestSpark.sf)
+    // one file per trigger over 4 staged splits → batch ids are sequential
+    // from 0, so a surviving id ≥ 1 proves a multi-batch run. (Most users
+    // appear in EVERY batch, so typically only the last batch's writes
+    // survive — that is the upsert working, not a single-batch run.)
+    assert(batchIds.nonEmpty && batchIds.max >= 1, s"single-batch run: $batchIds")
+    val expect = Tables(spark, TestSpark.sf).events
+      .groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(snap.toMap == expect)
+  }
+
   test("stores are isolated per run id") {
     val a = s"a_${System.nanoTime()}"; val b = s"b_${System.nanoTime()}"
     UpsertStore.applyBatch(a, 0, Iterator(1L -> 1L))
