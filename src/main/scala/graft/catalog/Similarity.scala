@@ -168,7 +168,35 @@ object Similarity extends QueryPack {
     // training sample is what makes in-engine quantizer training feasible;
     // the oracle re-trains on the same sample, so the model (and therefore
     // every cell and neighbor) still matches bitwise.
-    "v4_ivf_sampled" -> ivfQuery(sampleMod = 4)
+    "v4_ivf_sampled" -> ivfQuery(sampleMod = 4),
+    // v6: EMBEDDING AGGREGATION — element-wise centroid of the embedding
+    // column per group (here: the doc's source, via doc_id = vec_id), the
+    // statistic diversity analysis and cluster monitoring consume.
+    // posexplode → groupBy (group, dim) is the scale shape: the shuffle
+    // key carries the dimension index, so a 64-dim corpus aggregates as 64
+    // independent partial sums (map-side combined) — never a whole-vector
+    // reduce on one key. Elements go through the Quantizer's fixed-point
+    // projection (round(x·2²⁴) → BIGINT, proven engine-identical by the
+    // v3/d5 gates), so the per-group sums are EXACT under any partition
+    // order; centroid = fixed-point sums + count (the partial-aggregate
+    // form — mean is sum/(n·2²⁴) downstream).
+    "v6_source_centroids" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val joined = t.embeddings.join(
+        t.documents.select($"doc_id".as("vec_id"), $"source"), Seq("vec_id"))
+      joined
+        .select($"source", posexplode($"embedding").as(Seq("dim", "x")))
+        .withColumn("q", expr(s"cast(round(x * ${Quantizer.Scale}) as bigint)"))
+        .groupBy($"source", $"dim")
+        .agg(sum($"q").as("sq"), count(lit(1)).as("n"))
+        .groupBy($"source")
+        .agg(max($"n").as("n_vectors"),
+             array_join(array_sort(collect_list(
+               concat(lpad($"dim".cast("string"), 2, "0"), lit(":"),
+                      $"sq".cast("string")))), ",").as("centroid_fp"))
+        .orderBy($"source")
+    }
   )
 
   /** v3: IVF ANN — coarse quantizer cells come from the ENGINE-COMPUTED
@@ -233,6 +261,20 @@ object Similarity extends QueryPack {
 
   val oracle: Map[String, String] = Map(
     "v3_ivf_ann" -> ivfSql(sampleMod = 1),
+    "v6_source_centroids" -> s"""
+      WITH ex AS (
+        SELECT d.source, i.dim,
+               CAST(round(e.embedding[i.dim + 1] * ${Quantizer.Scale}) AS BIGINT) AS q
+        FROM embeddings e
+        JOIN documents d ON d.doc_id = e.vec_id
+        CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) i),
+      agg AS (
+        SELECT source, dim, SUM(q)::BIGINT AS sq, COUNT(*) AS n
+        FROM ex GROUP BY source, dim)
+      SELECT source, MAX(n) AS n_vectors,
+             string_agg(lpad(dim::VARCHAR, 2, '0') || ':' || sq::VARCHAR,
+                        ',' ORDER BY lpad(dim::VARCHAR, 2, '0')) AS centroid_fp
+      FROM agg GROUP BY source ORDER BY source""",
     "v5_knn_graph" -> s"""
       WITH e AS (
         SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
