@@ -213,6 +213,47 @@ object Text extends QueryPack {
         .withColumn("keep", $"rare_pm" < 500)
         .orderBy($"doc_id")
     },
+    // x13: BPE MERGE LEARNING in-engine — train the first 3 tokenizer
+    // merge rules on the corpus, in the word-frequency-table formulation
+    // (Sennrich-style: learning runs over the DISTINCT-word table weighted
+    // by count, so corpus size only affects the tiny freq aggregation, not
+    // the merge loop). Each round: count adjacent symbol pairs (weighted),
+    // pick the max (ties on pair text), merge it everywhere. Symbol
+    // sequences ride a '@'-marked string ("@t @h @e"), so the merge is one
+    // literal `replace` whose left-to-right non-overlap semantics match
+    // greedy BPE on both engines — the oracle unrolls the identical three
+    // rounds in SQL. The per-round argmax is k-means-style driver state
+    // (one 1-row collect per round, the Quantizer pattern).
+    "x13_bpe_learn" -> { (s, dir) =>
+      import s.implicits._
+      val words = Tables(s, dir).documents
+        .select(explode(expr(wsExpr)).as("tok"))
+        .filter(length($"tok") > 0)
+        .groupBy($"tok").agg(count(lit(1)).as("freq"))
+        .withColumn("seq", expr(
+          "concat('@', array_join(transform(sequence(1, length(tok)), " +
+            "i -> substring(tok, i, 1)), ' @'))"))
+        .select($"freq", $"seq")
+      var cur = words
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      for (r <- 1 to 3) {
+        val best = cur
+          .select($"freq", split($"seq", " ").as("ss"))
+          .filter(size($"ss") >= 2)
+          .select($"freq", explode(expr(
+            "transform(sequence(0, size(ss) - 2), i -> concat(ss[i], ' ', ss[i + 1]))"))
+            .as("pair"))
+          .groupBy($"pair").agg(sum($"freq").as("c"))
+          .orderBy($"c".desc, $"pair").limit(1)
+          .collect()(0)
+        val pair = best.getString(0)
+        merges += ((r.toLong, pair, best.getLong(1)))
+        val repl = "@" + pair.replace(" @", "")
+        cur = cur.withColumn("seq", expr(s"replace(seq, '$pair', '$repl')"))
+      }
+      merges.toSeq.toDF("merge_rank", "pair", "weighted_count")
+        .orderBy($"merge_rank")
+    },
     "x7_tfidf_topk" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables(s, dir).documents
@@ -269,6 +310,47 @@ object Text extends QueryPack {
             FROM (SELECT $wsSql AS ws FROM documents) t0) t1
       WHERE length(tok) > 0
       GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
+    "x13_bpe_learn" -> {
+      // one learning round: pairs_r counts adjacent symbols of seq(r-1),
+      // best_r picks the merge, w_r applies it — unrolled three times
+      def round(r: Int): String = {
+        val prev = if (r == 1) "w0" else s"w${r - 1}"
+        s"""
+      pairs$r AS (
+        SELECT pair, SUM(freq)::BIGINT AS c FROM (
+          SELECT freq,
+                 unnest(list_transform(range(1, len(ss)),
+                        i -> ss[i] || ' ' || ss[i + 1])) AS pair
+          FROM (SELECT freq, string_split(seq, ' ') AS ss FROM $prev) t
+          WHERE len(ss) >= 2) p
+        GROUP BY pair),
+      best$r AS (SELECT pair, c FROM pairs$r ORDER BY c DESC, pair LIMIT 1),
+      w$r AS (
+        SELECT freq,
+               replace(seq, (SELECT pair FROM best$r),
+                       '@' || replace((SELECT pair FROM best$r), ' @', '')) AS seq
+        FROM $prev)"""
+      }
+      s"""
+      WITH w0 AS (
+        SELECT COUNT(*)::BIGINT AS freq,
+               '@' || array_to_string(list_transform(range(1, length(tok) + 1),
+                      i -> tok[i]), ' @') AS seq
+        FROM (SELECT unnest(ws) AS tok
+              FROM (SELECT $wsSql AS ws FROM documents) t0) t1
+        WHERE length(tok) > 0
+        GROUP BY tok),
+      ${round(1)},
+      ${round(2)},
+      ${round(3)}
+      SELECT merge_rank, pair, weighted_count FROM (
+        SELECT 1::BIGINT AS merge_rank, pair, c AS weighted_count FROM best1
+        UNION ALL
+        SELECT 2::BIGINT, pair, c FROM best2
+        UNION ALL
+        SELECT 3::BIGINT, pair, c FROM best3) u
+      ORDER BY merge_rank"""
+    },
     "x12_rare_token_filter" -> s"""
       WITH toks AS (
         SELECT doc_id, tok
