@@ -142,25 +142,32 @@ object Similarity extends QueryPack {
     // against adjacent cells, the v3 probe shape.
     "v5_knn_graph" -> { (s, dir) =>
       import s.implicits._
-      val e = Tables(s, dir).embeddings
-        .withColumn("v", $"embedding".cast("array<double>"))
-        .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
-        .select($"vec_id", $"v", $"norm2")
-      val cents = Quantizer.centroidsFor(e, dir, iters = 2, dim = 64)
-      val data = Quantizer.assign(e, cents)
-        .select($"cell", $"vec_id", $"v", $"norm2")
-      val src = data.select($"cell", $"vec_id".as("src_id"),
-        $"v".as("sv"), $"norm2".as("sn"))
-      data.join(src, Seq("cell"))
-        .filter($"vec_id" =!= $"src_id")
-        .withColumn("cos",
-          graft.functions.VectorExprs.cosine($"sv", $"v", $"sn", $"norm2"))
-        .groupBy($"src_id")
-        .agg(graft.functions.TopK.topK3($"cos", $"vec_id").as("top"))
-        .select($"src_id", posexplode($"top").as(Seq("idx", "nb")))
-        .select($"src_id", ($"idx" + 1).cast("long").as("rank"),
-                $"nb.vec_id".as("neighbor_id"), $"nb.cos".as("cos"))
-        .orderBy($"src_id", $"rank")
+      knnGraph(s, dir).orderBy($"src_id", $"rank")
+    },
+    // v7: CENTRALITY over the kNN graph — PageRank-style power iteration
+    // (2 rounds, damping 0.85) as a graph-structural quality signal (the
+    // harmonic-centrality idea web-corpus curation uses). All-integer
+    // arithmetic: scores are 10⁶-scaled, contributions use floor division,
+    // so every round is exact under any partition order. Each round is one
+    // join + one aggregate keyed by node (the d7 loop shape); the final
+    // top-20 is TakeOrderedAndProject, never a global sort.
+    "v7_knn_centrality" -> { (s, dir) =>
+      import s.implicits._
+      val edges = knnGraph(s, dir).select($"src_id", $"neighbor_id")
+      val out = edges.groupBy($"src_id").agg(count(lit(1)).as("outd"))
+      var score = out.select($"src_id".as("id"), lit(1000000L).as("sc"))
+      for (_ <- 1 to 2) {
+        val contrib = edges.join(out, Seq("src_id"))
+          .join(score, $"src_id" === $"id")
+          .select($"neighbor_id".as("id"), expr("sc div outd").as("c"))
+          .groupBy($"id").agg(sum($"c").as("in_sum"))
+        score = score.select($"id")
+          .join(contrib, Seq("id"), "left")
+          .select($"id",
+            expr("150000 + (85 * coalesce(in_sum, 0L)) div 100").as("sc"))
+      }
+      score.select($"id".as("vec_id"), $"sc".as("score"))
+        .orderBy($"score".desc, $"vec_id").limit(20)
     },
     // v4: v3's IVF with the quantizer trained on the DETERMINISTIC 1/4
     // SAMPLE (vec_id % 4 == 0) — Lloyd's passes scan a quarter of the
@@ -198,6 +205,30 @@ object Similarity extends QueryPack {
         .orderBy($"source")
     }
   )
+
+  /** v5's kNN graph: every vector's top-3 in-cell neighbors (see the v5
+    * entry comment for the scale story); shared with v7's centrality. */
+  private def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir).embeddings
+      .withColumn("v", $"embedding".cast("array<double>"))
+      .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
+      .select($"vec_id", $"v", $"norm2")
+    val cents = Quantizer.centroidsFor(e, dir, iters = 2, dim = 64)
+    val data = Quantizer.assign(e, cents)
+      .select($"cell", $"vec_id", $"v", $"norm2")
+    val src = data.select($"cell", $"vec_id".as("src_id"),
+      $"v".as("sv"), $"norm2".as("sn"))
+    data.join(src, Seq("cell"))
+      .filter($"vec_id" =!= $"src_id")
+      .withColumn("cos",
+        graft.functions.VectorExprs.cosine($"sv", $"v", $"sn", $"norm2"))
+      .groupBy($"src_id")
+      .agg(graft.functions.TopK.topK3($"cos", $"vec_id").as("top"))
+      .select($"src_id", posexplode($"top").as(Seq("idx", "nb")))
+      .select($"src_id", ($"idx" + 1).cast("long").as("rank"),
+              $"nb.vec_id".as("neighbor_id"), $"nb.cos".as("cos"))
+  }
 
   /** v3: IVF ANN — coarse quantizer cells come from the ENGINE-COMPUTED
     * spherical k-means (Quantizer: integer-exact Lloyd updates, centroids
@@ -259,8 +290,53 @@ object Similarity extends QueryPack {
               FROM data d JOIN probes p ON d.cell = p.cell AND d.vec_id <> p.q_id) t0) t1
       WHERE rank <= $K ORDER BY q_id, rank"""
 
+  /** Shared oracle CTEs: embeddings + trained cells + assignment + the
+    * ranked top-3 in-cell kNN pairs (v5's graph, consumed by v5 and v7). */
+  private def knnCtes: String = s"""
+      e AS (
+        SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings) t),
+      ${Quantizer.centroidsSql(iters = 2, dim = 64, sampleMod = 1)},
+      assigned AS (
+        SELECT t.vec_id, t.v, t.norm2, c.cell,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 ${dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) DESC,
+                 c.cell) AS crank
+        FROM kq t CROSS JOIN kmc c),
+      data AS (
+        SELECT cell, vec_id, v, norm2 FROM assigned WHERE crank = 1),
+      knn AS (
+        SELECT src_id, rank, neighbor_id, cos FROM (
+          SELECT src_id, vec_id AS neighbor_id, cos,
+                 row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, vec_id) AS rank
+          FROM (SELECT s.vec_id AS src_id, d.vec_id,
+                       ${dotSql("s.v", "d.v")} / (sqrt(s.norm2) * sqrt(d.norm2)) AS cos
+                FROM data s JOIN data d ON s.cell = d.cell AND d.vec_id <> s.vec_id) t0) t1
+        WHERE rank <= 3)"""
+
   val oracle: Map[String, String] = Map(
     "v3_ivf_ann" -> ivfSql(sampleMod = 1),
+    "v7_knn_centrality" -> s"""
+      WITH $knnCtes,
+      outd AS (SELECT src_id, COUNT(*)::BIGINT AS outd FROM knn GROUP BY src_id),
+      s0 AS (SELECT src_id AS id, 1000000::BIGINT AS sc FROM outd),
+      r1 AS (
+        SELECT k.neighbor_id AS id, SUM(s.sc // o.outd)::BIGINT AS in_sum
+        FROM knn k JOIN outd o USING (src_id) JOIN s0 s ON s.id = k.src_id
+        GROUP BY k.neighbor_id),
+      s1 AS (
+        SELECT s0.id, (150000 + (85 * COALESCE(r1.in_sum, 0)) // 100)::BIGINT AS sc
+        FROM s0 LEFT JOIN r1 USING (id)),
+      r2 AS (
+        SELECT k.neighbor_id AS id, SUM(s.sc // o.outd)::BIGINT AS in_sum
+        FROM knn k JOIN outd o USING (src_id) JOIN s1 s ON s.id = k.src_id
+        GROUP BY k.neighbor_id),
+      s2 AS (
+        SELECT s1.id, (150000 + (85 * COALESCE(r2.in_sum, 0)) // 100)::BIGINT AS sc
+        FROM s1 LEFT JOIN r2 USING (id))
+      SELECT id AS vec_id, sc AS score FROM s2
+      ORDER BY score DESC, vec_id LIMIT 20""",
     "v6_source_centroids" -> s"""
       WITH ex AS (
         SELECT d.source, i.dim,
@@ -276,26 +352,9 @@ object Similarity extends QueryPack {
                         ',' ORDER BY lpad(dim::VARCHAR, 2, '0')) AS centroid_fp
       FROM agg GROUP BY source ORDER BY source""",
     "v5_knn_graph" -> s"""
-      WITH e AS (
-        SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
-        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
-              FROM embeddings) t),
-      ${Quantizer.centroidsSql(iters = 2, dim = 64, sampleMod = 1)},
-      assigned AS (
-        SELECT t.vec_id, t.v, t.norm2, c.cell,
-               row_number() OVER (PARTITION BY t.vec_id ORDER BY
-                 ${dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) DESC,
-                 c.cell) AS crank
-        FROM kq t CROSS JOIN kmc c),
-      data AS (
-        SELECT cell, vec_id, v, norm2 FROM assigned WHERE crank = 1)
-      SELECT src_id, rank, neighbor_id, cos FROM (
-        SELECT src_id, vec_id AS neighbor_id, cos,
-               row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, vec_id) AS rank
-        FROM (SELECT s.vec_id AS src_id, d.vec_id,
-                     ${dotSql("s.v", "d.v")} / (sqrt(s.norm2) * sqrt(d.norm2)) AS cos
-              FROM data s JOIN data d ON s.cell = d.cell AND d.vec_id <> s.vec_id) t0) t1
-      WHERE rank <= 3 ORDER BY src_id, rank""",
+      WITH $knnCtes
+      SELECT src_id, rank, neighbor_id, cos FROM knn
+      ORDER BY src_id, rank""",
     "v4_ivf_sampled" -> ivfSql(sampleMod = 4),
     "v1_brute_topk" -> s"""
       WITH e AS (
