@@ -153,7 +153,10 @@ object Similarity extends QueryPack {
     // top-20 is TakeOrderedAndProject, never a global sort.
     "v7_knn_centrality" -> { (s, dir) =>
       import s.implicits._
-      val edges = knnGraph(s, dir).select($"src_id", $"neighbor_id")
+      // the graph subtree feeds out-degrees + one join per round: cache it
+      // once (k-means-training pattern — released after the plan executes)
+      // or each DAG branch re-runs the whole quantize+score pipeline
+      val edges = knnGraph(s, dir).select($"src_id", $"neighbor_id").cache()
       val out = edges.groupBy($"src_id").agg(count(lit(1)).as("outd"))
       var score = out.select($"src_id".as("id"), lit(1000000L).as("sc"))
       for (_ <- 1 to 2) {
