@@ -2,6 +2,7 @@ package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{QueryPack, Tables}
 
 /** Deduplication operators over the `documents` / `embeddings` tables — the
@@ -180,6 +181,51 @@ object Dedup extends QueryPack {
     // d1: exact dedup — group by content digest of normalized text, keep the
     // lowest doc_id as canonical (deterministic; dropDuplicates keeps an
     // arbitrary row). At scale only (digest, doc_id) shuffles.
+    // d13: EXACT-SUBSTRING dedup (the "deduplicate-text-datasets" operator,
+    // Lee et al. 2022): find every 32-char window that occurs ≥2 times
+    // ANYWHERE in the corpus, then merge each doc's duplicated windows into
+    // contiguous spans and report per-doc duplicated-character mass — the
+    // signal used to cut boilerplate/memorization-prone spans before
+    // training. Plan: one generator pass emits (hash, doc, pos) per window
+    // (row count = corpus chars — the honest cost the suffix-array
+    // formulation also pays), a count-≥2 aggregate finds repeated hashes,
+    // a hash join marks positions, and span merging is gaps-and-islands
+    // with per-doc windows (partitioned by doc_id, never global).
+    "d13_substr_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+        .select($"doc_id", lower($"text").as("t"))
+      val grams = docs.filter(length($"t") >= 32)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, length(t) - 31), " +
+            "i -> struct(i as i, substring(t, i, 32) as g))")).as("w"))
+        .select($"doc_id", $"w.i".as("i"), md5($"w.g").as("h"))
+      val dup = grams.groupBy($"h").agg(count(lit(1)).as("c"))
+        .filter($"c" >= 2).select($"h")
+      val pos = grams.join(dup, Seq("h")).select($"doc_id", $"i")
+      val wPrev = Window.partitionBy($"doc_id").orderBy($"i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val spans = pos
+        .withColumn("ns",
+          when($"i" > coalesce(max($"i" + 32).over(wPrev), lit(-1L)), 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum($"ns").over(
+          Window.partitionBy($"doc_id").orderBy($"i")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"doc_id", $"sid")
+        .agg(min($"i").as("s"), (max($"i") + 32).as("e"))
+      val perDoc = spans.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_spans"), sum($"e" - $"s").as("dup_chars"))
+      val nGrams = pos.groupBy($"doc_id").agg(count(lit(1)).as("n_dup_grams"))
+      docs.select($"doc_id")
+        .join(nGrams, Seq("doc_id"), "left")
+        .join(perDoc, Seq("doc_id"), "left")
+        .select($"doc_id",
+          coalesce($"n_dup_grams", lit(0L)).as("n_dup_grams"),
+          coalesce($"n_spans", lit(0L)).as("n_spans"),
+          coalesce($"dup_chars", lit(0L)).as("dup_chars"))
+        .orderBy($"doc_id")
+    },
     "d1_exact_dedup" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir).documents
@@ -434,6 +480,41 @@ object Dedup extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "d13_substr_dedup" -> """
+      WITH grams AS (
+        SELECT doc_id, i, md5(substr(t, i, 32)) AS h
+        FROM (SELECT doc_id, lower(text) AS t,
+                     unnest(range(1, greatest(length(text) - 30, 1))) AS i
+              FROM documents) g),
+      dh AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) >= 2),
+      pos AS (SELECT doc_id, i FROM grams JOIN dh USING (h)),
+      sp AS (
+        SELECT doc_id, i,
+               CASE WHEN i > COALESCE(MAX(i + 32) OVER (
+                      PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS ns
+        FROM pos),
+      isl AS (
+        SELECT doc_id, i,
+               SUM(ns) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM sp),
+      spans AS (
+        SELECT doc_id, sid, MIN(i) AS s, MAX(i) + 32 AS e
+        FROM isl GROUP BY doc_id, sid),
+      per AS (
+        SELECT doc_id, COUNT(*)::BIGINT AS n_spans,
+               SUM(e - s)::BIGINT AS dup_chars
+        FROM spans GROUP BY doc_id),
+      ng AS (SELECT doc_id, COUNT(*)::BIGINT AS n_dup_grams FROM pos GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(ng.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+             COALESCE(per.n_spans, 0)::BIGINT AS n_spans,
+             COALESCE(per.dup_chars, 0)::BIGINT AS dup_chars
+      FROM documents d
+      LEFT JOIN ng ON ng.doc_id = d.doc_id
+      LEFT JOIN per ON per.doc_id = d.doc_id
+      ORDER BY d.doc_id""",
     "d1_exact_dedup" -> """
       SELECT md5(trim(regexp_replace(lower(text), '[^a-z ]', '', 'g'))) AS digest,
              MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
