@@ -22,6 +22,7 @@ object SparkEntry {
     catalog.Analytics,
     catalog.Strings,
     catalog.Formats,
+    catalog.Quality,
     catalog.CorpusGate
   )
 

@@ -1,0 +1,136 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+
+/** DATA-QUALITY operators — the reference's validate semantics (E2 dry-run,
+  * error counters) elevated to warehouse scale: declarative rule audits and
+  * column profiling over the star schema (SURVEY.md §2.B; reference
+  * validate → csv_etl dynamic.py error counters are the §2.A ancestors).
+  *
+  * dq1 evaluates five rule families — range checks, null checks, a
+  * cross-table temporal consistency rule (join), and referential integrity
+  * (anti-join) — and reports per-rule violation counts. Scale shape: the
+  * three lineitem rules share ONE conditional-aggregation scan; the FK
+  * check is a broadcast anti-join; nothing materializes violating rows
+  * (count-only — the audit report; violation EXTRACTION is the same plan
+  * with the filter kept).
+  *
+  * dq2 profiles columns in ONE pass (stack over a single aggregate row):
+  * count / nulls / distincts / min / max per column — the statistics a
+  * catalog or optimizer ingests. Doubles surface as DECIMAL strings so both
+  * engines format identically.
+  */
+object Quality extends QueryPack {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq1_quality_audit" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val li = t.lineitem
+      val liAgg = li.agg(
+        count(lit(1)).as("n"),
+        sum(when(!$"l_quantity".between(1, 50), 1L).otherwise(0L)).as("v_qty"),
+        sum(when(!$"l_discount".between(0.0, 0.1), 1L).otherwise(0L)).as("v_disc"))
+      def rule(name: String, checked: org.apache.spark.sql.Column,
+               viol: org.apache.spark.sql.Column)(from: DataFrame): DataFrame =
+        from.select(lit(name).as("rule"), checked.cast("long").as("n_checked"),
+                    viol.cast("long").as("n_violations"),
+                    (viol === 0L).as("pass"))
+      val r1 = rule("r1_quantity_range", $"n", $"v_qty")(liAgg)
+      val r2 = rule("r2_discount_range", $"n", $"v_disc")(liAgg)
+      val cust = t.customer
+      val r3base = t.orders.agg(count(lit(1)).as("n")).crossJoin(
+        t.orders.join(broadcast(cust.select($"c_custkey")),
+            $"o_custkey" === $"c_custkey", "left_anti")
+          .agg(count(lit(1)).as("v")))
+      val r3 = rule("r3_orders_custkey_fk", $"n", $"v")(r3base)
+      val r4base = cust.agg(count(lit(1)).as("n"),
+        sum(when($"c_acctbal".isNull, 1L).otherwise(0L)).as("v"))
+      val r4 = rule("r4_acctbal_not_null", $"n", $"v")(r4base)
+      val r5base = li.select($"l_orderkey", $"l_shipdate")
+        .join(t.orders.select($"o_orderkey", $"o_orderdate"),
+              $"l_orderkey" === $"o_orderkey")
+        .agg(count(lit(1)).as("n"),
+             sum(when($"l_shipdate" < $"o_orderdate", 1L).otherwise(0L)).as("v"))
+      val r5 = rule("r5_ship_after_order", $"n", $"v")(r5base)
+      r1.union(r2).union(r3).union(r4).union(r5).orderBy($"rule")
+    },
+    "dq2_table_profile" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables(s, dir).lineitem
+      val a = li.agg(
+        count(lit(1)).as("n"),
+        sum($"l_quantity".isNull.cast("long")).as("qty_null"),
+        countDistinct($"l_quantity").as("qty_dist"),
+        min($"l_quantity".cast("decimal(18,2)")).cast("string").as("qty_min"),
+        max($"l_quantity".cast("decimal(18,2)")).cast("string").as("qty_max"),
+        sum($"l_discount".isNull.cast("long")).as("disc_null"),
+        countDistinct($"l_discount").as("disc_dist"),
+        min($"l_discount".cast("decimal(18,2)")).cast("string").as("disc_min"),
+        max($"l_discount".cast("decimal(18,2)")).cast("string").as("disc_max"),
+        sum($"l_returnflag".isNull.cast("long")).as("rf_null"),
+        countDistinct($"l_returnflag").as("rf_dist"),
+        min($"l_returnflag").as("rf_min"), max($"l_returnflag").as("rf_max"))
+      a.selectExpr(
+          """stack(3,
+             'l_quantity',   n, qty_null,  qty_dist,  qty_min,  qty_max,
+             'l_discount',   n, disc_null, disc_dist, disc_min, disc_max,
+             'l_returnflag', n, rf_null,   rf_dist,   rf_min,   rf_max)
+             AS (col, n, n_null, n_distinct, min_s, max_s)""")
+        .orderBy($"col")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dq1_quality_audit" -> """
+      WITH li AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END)::BIGINT AS v_qty,
+               SUM(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END)::BIGINT AS v_disc
+        FROM lineitem),
+      fk AS (
+        SELECT (SELECT COUNT(*) FROM orders)::BIGINT AS n,
+               (SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))::BIGINT AS v),
+      nn AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)::BIGINT AS v
+        FROM customer),
+      so AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END)::BIGINT AS v
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      SELECT rule, n_checked, n_violations, n_violations = 0 AS pass FROM (
+        SELECT 'r1_quantity_range' AS rule, n AS n_checked, v_qty AS n_violations FROM li
+        UNION ALL SELECT 'r2_discount_range', n, v_disc FROM li
+        UNION ALL SELECT 'r3_orders_custkey_fk', n, v FROM fk
+        UNION ALL SELECT 'r4_acctbal_not_null', n, v FROM nn
+        UNION ALL SELECT 'r5_ship_after_order', n, v FROM so) u
+      ORDER BY rule""",
+    "dq2_table_profile" -> """
+      SELECT col, n, n_null, n_distinct, min_s, max_s FROM (
+        SELECT 'l_quantity' AS col, COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+               COUNT(DISTINCT l_quantity)::BIGINT AS n_distinct,
+               MIN(CAST(l_quantity AS DECIMAL(18,2)))::VARCHAR AS min_s,
+               MAX(CAST(l_quantity AS DECIMAL(18,2)))::VARCHAR AS max_s
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', COUNT(*)::BIGINT,
+               SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               COUNT(DISTINCT l_discount)::BIGINT,
+               MIN(CAST(l_discount AS DECIMAL(18,2)))::VARCHAR,
+               MAX(CAST(l_discount AS DECIMAL(18,2)))::VARCHAR
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', COUNT(*)::BIGINT,
+               SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               COUNT(DISTINCT l_returnflag)::BIGINT,
+               MIN(l_returnflag), MAX(l_returnflag)
+        FROM lineitem) u
+      ORDER BY col"""
+  )
+}
