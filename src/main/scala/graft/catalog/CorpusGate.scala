@@ -28,6 +28,67 @@ object CorpusGate extends QueryPack {
                      $"n_tokens".cast("long").as("n_tokens"), $"quality_score")
         .orderBy($"doc_id")
     },
+    // c3: the INCREMENTAL REFRESH pipeline, composed end to end — the
+    // nightly increment a continuously-crawled corpus runs, chaining the
+    // individually-pinned incremental operators:
+    //   1. exact gate (d11): batch digests anti-joined against the index's,
+    //      then batch-internal min-keeper dedup;
+    //   2. near-dup probe (d12): survivors' LSH band buckets probe the
+    //      index's persisted buckets (batch×index only, hot-bucket capped
+    //      over index ∪ survivors) — flagged docs dropped;
+    //   3. PII redaction (x10) + token-stat enrich on what remains.
+    // One oracle pins the chain: a drift in any stage, or in which docs
+    // reach which stage, changes the surviving set or its digests.
+    "c3_incremental_refresh" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.TextKernels
+      val docs = Tables(s, dir).documents
+      val withDigest = docs.withColumn("digest",
+        md5(expr("trim(regexp_replace(lower(text), '[^a-z ]', ''))")))
+      val idxDig = withDigest.filter(pmod($"doc_id", lit(10)) === 0)
+        .select($"digest").distinct()
+      val wDig = Window.partitionBy($"digest").orderBy($"doc_id")
+      val exactKept = withDigest.filter(pmod($"doc_id", lit(10)) =!= 0)
+        .join(idxDig, Seq("digest"), "left_anti")
+        .withColumn("rn", row_number().over(wDig))
+        .filter($"rn" === 1).drop("rn")
+      val universe = docs.filter(pmod($"doc_id", lit(10)) === 0)
+        .select($"doc_id", $"text")
+        .union(docs.join(exactKept.select($"doc_id"), Seq("doc_id"), "left_semi")
+          .select($"doc_id", $"text"))
+      val sig = universe.withColumn("sig", TextKernels.minhashUdf($"text"))
+        .withColumn("bands", TextKernels.bandsUdf($"sig"))
+        .select($"doc_id", $"sig", $"bands")
+      val buckets = sig.select($"doc_id",
+        posexplode($"bands").as(Seq("band_idx", "band_hash")))
+      val wB = Window.partitionBy($"band_idx", $"band_hash")
+      val capped = buckets.withColumn("bn", count(lit(1)).over(wB))
+        .filter($"bn" <= Dedup.MaxBucket).drop("bn")
+      val idxB = capped.filter(pmod($"doc_id", lit(10)) === 0)
+        .select($"band_idx", $"band_hash", $"doc_id".as("idx_id"))
+      val batB = capped.filter(pmod($"doc_id", lit(10)) =!= 0)
+        .select($"band_idx", $"band_hash", $"doc_id".as("new_id"))
+      val flagged = batB.join(idxB, Seq("band_idx", "band_hash"))
+        .select($"new_id", $"idx_id").distinct()
+        .join(sig.select($"doc_id".as("new_id"), $"sig".as("sig_a")), Seq("new_id"))
+        .join(sig.select($"doc_id".as("idx_id"), $"sig".as("sig_b")), Seq("idx_id"))
+        .withColumn("est",
+          expr("cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) as double)") / 16.0)
+        .filter($"est" >= 0.5)
+        .select($"new_id".as("doc_id")).distinct()
+      val aug = concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+        lit("@mail"), pmod($"doc_id", lit(7)).cast("string"),
+        lit(".com or call 555-"),
+        lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0"), lit(" now"))
+      exactKept.join(flagged, Seq("doc_id"), "left_anti")
+        .withColumn("aug", aug)
+        .withColumn("redacted",
+          regexp_replace(regexp_replace($"aug", Text.EmailPat, "<EMAIL>"),
+            Text.PhonePat, "<PHONE>"))
+        .select($"doc_id", $"digest", md5($"redacted").as("red_digest"),
+          size(expr(Tx.wsExpr)).cast("long").as("n_tokens"))
+        .orderBy($"doc_id")
+    },
     // c2: the EXPORT half of the corpus pipeline, composed end to end —
     // what turns a curated corpus into the shard manifest a trainer reads:
     //   1. mixture resample toward target language weights (g6's
@@ -76,6 +137,59 @@ object CorpusGate extends QueryPack {
   }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "c3_incremental_refresh" -> s"""
+      WITH dig AS (
+        SELECT doc_id, text,
+               md5(trim(regexp_replace(lower(text), '[^a-z ]', '', 'g'))) AS digest
+        FROM documents),
+      idxd AS (SELECT DISTINCT digest FROM dig WHERE doc_id % 10 = 0),
+      ek AS (
+        SELECT doc_id, text, digest FROM (
+          SELECT d.doc_id, d.text, d.digest,
+                 row_number() OVER (PARTITION BY d.digest ORDER BY d.doc_id) AS rn
+          FROM dig d
+          WHERE d.doc_id % 10 <> 0
+            AND d.digest NOT IN (SELECT digest FROM idxd)) z
+        WHERE rn = 1),
+      uni AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        UNION ALL SELECT doc_id, text FROM ek),
+      sig AS (
+        SELECT doc_id, ${Dedup.sigSql("hs")} AS sig
+        FROM (SELECT doc_id, ${Dedup.shingleHashesSql} AS hs
+              FROM (SELECT doc_id, $wsSql AS ws FROM uni) t0) t1),
+      bk AS (
+        SELECT doc_id, sig, b.band_idx, bands[b.band_idx + 1] AS band_hash
+        FROM (SELECT doc_id, sig, ${Dedup.bandsSql("sig")} AS bands FROM sig) t
+        CROSS JOIN (SELECT unnest(range(0, $NBands)) AS band_idx) b),
+      bkc AS (
+        SELECT * FROM bk
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= ${Dedup.MaxBucket}),
+      pairs AS (
+        SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id,
+               n.sig AS sig_a, i.sig AS sig_b
+        FROM bkc n JOIN bkc i
+          ON n.band_idx = i.band_idx AND n.band_hash = i.band_hash
+         AND n.doc_id % 10 <> 0 AND i.doc_id % 10 = 0),
+      flag AS (
+        SELECT DISTINCT new_id FROM (
+          SELECT new_id,
+                 len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i]))::DOUBLE / 16.0 AS est
+          FROM pairs) t
+        WHERE est >= 0.5),
+      surv AS (
+        SELECT * FROM ek WHERE doc_id NOT IN (SELECT new_id FROM flag)),
+      red AS (
+        SELECT doc_id, digest, text,
+               concat(text, ' contact user', doc_id, '@mail', doc_id % 7,
+                      '.com or call 555-', lpad((doc_id % 10000)::VARCHAR, 4, '0'),
+                      ' now') AS aug
+        FROM surv)
+      SELECT doc_id, digest,
+             md5(regexp_replace(regexp_replace(aug, '${Text.EmailPat}', '<EMAIL>', 'g'),
+                                '${Text.PhonePat}', '<PHONE>', 'g')) AS red_digest,
+             len($wsSql)::BIGINT AS n_tokens
+      FROM red ORDER BY doc_id""",
     "c2_export_shards" -> s"""
       WITH rates AS (
         SELECT lang, COUNT(*) AS n_total,

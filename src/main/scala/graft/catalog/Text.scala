@@ -276,8 +276,8 @@ object Text extends QueryPack {
   )
 
   /** RE2-safe PII patterns (identical strings feed Spark and DuckDB). */
-  private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val PhonePat = "[0-9]{3}-[0-9]{4}"
+  private[catalog] val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[catalog] val PhonePat = "[0-9]{3}-[0-9]{4}"
 
   private[catalog] val caseSql =
     """CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
