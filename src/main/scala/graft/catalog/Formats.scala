@@ -2,47 +2,67 @@ package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.{QueryPack, Tables}
+import graft.{QueryPack, Scratch, Tables}
+import graft.sources.AvroTable
 
-/** Columnar-format interchange beyond the parquet testdata: ORC sink +
-  * source round-trip under the correctness gate (SURVEY.md §2.B source
-  * formats row; the reference is CSV-only, no citation).
+/** Columnar-format interchange beyond the parquet testdata: ORC and Avro
+  * sink + source round-trips under the correctness gate (SURVEY.md §2.B
+  * source formats row; the reference is CSV-only, no citation).
   *
   * k4 writes a lineitem projection to ORC (Spark's built-in vectorized ORC
-  * writer), reads it back, and aggregates; the oracle aggregates the
-  * ORIGINAL parquet — a green row pins value preservation across the
-  * encode/decode, not just "the files exist". DuckDB cannot read ORC, so
-  * the round-trip must re-enter from the Spark side; aggregation decimals
-  * follow the repo-wide dec2/asDbl convention (Relational scaladoc).
+  * writer), reads it back, and aggregates; k5 does the same through the
+  * custom Avro container-file sink/source (graft.sources.AvroTable — the
+  * Avro DataSource module is not on this classpath, so the format is a
+  * genuine custom source). Both oracles aggregate the ORIGINAL parquet — a
+  * green row pins value preservation across the encode/decode, not just
+  * "the files exist". DuckDB cannot read ORC/Avro, so the round-trip must
+  * re-enter from the Spark side; aggregation decimals follow the repo-wide
+  * dec2/asDbl convention (Relational scaladoc).
   *
-  * Scale notes: the write is a straight columnar re-encode — no shuffle,
-  * parallel by input split; locally it lands in a per-run temp dir, on a
-  * cluster the same two lines target shared storage. Column projection is
-  * pushed to the ORC reader the same way as parquet (ReadSchema).
+  * Scale notes: both writes are straight per-partition re-encodes — no
+  * shuffle, parallel by input split; locally they land in the per-JVM
+  * scratch dir (shutdown-hook cleaned), on a cluster the same lines target
+  * shared storage. Column projection is pushed to the ORC reader the same
+  * way as parquet (ReadSchema).
   */
 object Formats extends QueryPack {
+
+  private def qtyAgg(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           sum($"l_quantity".cast("decimal(18,2)"))
+             .cast("decimal(38,2)").cast("double").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k4_orc_roundtrip" -> { (s, dir) =>
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft-orc-")
-        .toFile.getAbsolutePath
+      val tmp = Scratch.dir("orc").toString
       Tables(s, dir).lineitem
         .select($"l_orderkey", $"l_returnflag", $"l_quantity")
         .write.mode("overwrite").orc(tmp)
-      s.read.orc(tmp)
-        .groupBy($"l_returnflag")
-        .agg(count(lit(1)).as("n"),
-             sum($"l_quantity".cast("decimal(18,2)"))
-               .cast("decimal(38,2)").cast("double").as("sum_qty"))
-        .orderBy($"l_returnflag")
+      qtyAgg(s.read.orc(tmp))
+    },
+    "k5_avro_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = Scratch.dir("avro").toString
+      val proj = Tables(s, dir).lineitem
+        .select($"l_orderkey".cast("long").as("l_orderkey"), $"l_returnflag",
+                $"l_quantity".cast("double").as("l_quantity"))
+      AvroTable.write(proj, tmp)
+      qtyAgg(AvroTable.read(s, tmp, proj.schema))
     }
   )
 
-  val oracle: Map[String, String] = Map(
-    "k4_orc_roundtrip" -> """
+  private val qtySql = """
       SELECT l_returnflag, COUNT(*) AS n,
              CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  val oracle: Map[String, String] = Map(
+    "k4_orc_roundtrip" -> qtySql,
+    "k5_avro_roundtrip" -> qtySql
   )
 }

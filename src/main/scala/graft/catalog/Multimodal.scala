@@ -1,10 +1,10 @@
 package graft.catalog
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.{QueryPack, Tables}
-import graft.multimodal.Media
+import graft.{QueryPack, Scratch, Tables}
+import graft.multimodal.{Media, MediaRecord}
 
 /** Oracle-pinned views of the multimodal operators (graft.multimodal.Media).
   *
@@ -30,6 +30,28 @@ import graft.multimodal.Media
   */
 object Multimodal extends QueryPack {
 
+  /** Staged media fixture: the deterministic synthetic media table is
+    * synthesized (encoder side) ONCE per (JVM, testdata dir) and written to
+    * scratch parquet; every query after the first reads the staged table.
+    * m1 stays end-to-end (it pins the encoders); m2–m6 measure what they
+    * are about — decode / resample / hash — not repeated fixture synthesis
+    * (round-4 verdict item 1: m3's 12 s was mostly encoder cost). The
+    * parquet hop also restores the production shape: payloads arrive FROM
+    * STORAGE, and metadata-only plans prune the payload column at the scan
+    * (MultimodalSpec's ReadSchema assertion runs against this path). */
+  private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedMedia(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    val path = stagedDirs.computeIfAbsent(dir, _ => {
+      val p = Scratch.dir("media").resolve("media").toString
+      Media.mediaFromDocuments(Tables(s, dir).documents)
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path).as[MediaRecord]
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // m1: media catalog — typed ingest + batched decode: image dims/digest
     // from PNG decode, audio n_bytes/rate/digest from WAV decode, video
@@ -47,7 +69,7 @@ object Multimodal extends QueryPack {
     // dims + pixel checksum.
     "m2_frame_sample" -> { (s, dir) =>
       import s.implicits._
-      Media.frameSample(Media.mediaFromDocuments(Tables(s, dir).documents))
+      Media.frameSample(stagedMedia(s, dir))
         .toDF()
         .select($"media_id", $"frame_idx".cast("long").as("frame_idx"),
                 $"width", $"height", $"checksum")
@@ -60,7 +82,7 @@ object Multimodal extends QueryPack {
     "m4_resize" -> { (s, dir) =>
       import s.implicits._
       Media.catalogStats(
-          Media.resize(Media.mediaFromDocuments(Tables(s, dir).documents), 256, 144))
+          Media.resize(stagedMedia(s, dir), 256, 144))
         .toDF()
         .select($"media_id", $"kind", $"width", $"height", $"digest")
         .orderBy($"media_id")
@@ -74,7 +96,7 @@ object Multimodal extends QueryPack {
     // both codec paths AND their agreement.
     "m5_phash_dedup" -> { (s, dir) =>
       import s.implicits._
-      val h = Media.perceptualHash(Media.mediaFromDocuments(Tables(s, dir).documents))
+      val h = Media.perceptualHash(stagedMedia(s, dir))
         .toDF()
       val wB = Window.partitionBy($"ahash")
       h.withColumn("scale_invariant", $"ahash" === $"ahash_half")
@@ -88,11 +110,28 @@ object Multimodal extends QueryPack {
     // gives audio the same hash-equality near-dup grouping as m5's images.
     "m6_audio_fingerprint" -> { (s, dir) =>
       import s.implicits._
-      val f = Media.audioFingerprints(Media.mediaFromDocuments(Tables(s, dir).documents))
+      val f = Media.audioFingerprints(stagedMedia(s, dir))
         .toDF()
       val wB = Window.partitionBy($"afp")
       f.withColumn("n_same_fp", count(lit(1)).over(wB))
         .select($"media_id", $"afp", $"n_samples", $"n_same_fp")
+        .orderBy($"media_id")
+    },
+    // m7: FULL-MODALITY resample — one pass that normalizes every modality
+    // through its real codec: images NN-resampled to 256×144, audio
+    // time-base-resampled to 16 kHz (out sample j = src sample (j·r)/16000,
+    // re-encoded WAV — upsampling duplicates, downsampling drops), video
+    // per-frame resized to 20×12 and re-packed. catalogStats then re-decodes
+    // everything, so digest/n_bytes/rate pin decode → resample → re-encode →
+    // decode for all three modalities (the audio rate comes from the
+    // re-encoded WAV header).
+    "m7_media_resample" -> { (s, dir) =>
+      import s.implicits._
+      Media.catalogStats(
+          Media.resize(stagedMedia(s, dir), 256, 144,
+            audioRateHz = 16000, frameW = 20, frameH = 12))
+        .toDF()
+        .select($"media_id", $"kind", $"n_bytes", $"sample_rate_hz", $"digest")
         .orderBy($"media_id")
     },
     // m3: decode + feature extraction through the typed mapPartitions batch
@@ -103,7 +142,7 @@ object Multimodal extends QueryPack {
     // recomputed from the closed forms in SQL.
     "m3_media_features" -> { (s, dir) =>
       import s.implicits._
-      Media.featureExtract(Media.mediaFromDocuments(Tables(s, dir).documents))
+      Media.featureExtract(stagedMedia(s, dir))
         .toDF()
         .select($"media_id", $"kind",
                 array_join(transform($"embedding",
@@ -263,6 +302,61 @@ object Multimodal extends QueryPack {
       LEFT JOIN rchk ON rchk.doc_id = d.doc_id
       LEFT JOIN achk ON achk.doc_id = d.doc_id
       LEFT JOIN vchk ON vchk.doc_id = d.doc_id
+      ORDER BY media_id""",
+    "m7_media_resample" -> s"""
+      WITH $imgCtes,
+      $audCtes,
+      $vidCtes,
+      cntx AS (
+        SELECT i.doc_id, ((r.x * i.w) // 256) % 16 AS tx, COUNT(*) AS cx
+        FROM imgs i CROSS JOIN (SELECT unnest(range(0, 256)) AS x) r
+        GROUP BY 1, 2),
+      cnty AS (
+        SELECT i.doc_id, ((r.y * i.h) // 144) % 16 AS ty, COUNT(*) AS cy
+        FROM imgs i CROSS JOIN (SELECT unnest(range(0, 144)) AS y) r
+        GROUP BY 1, 2),
+      rchk AS (
+        SELECT x.doc_id,
+               SUM(${rgbSum("x.doc_id", "x.tx", "y.ty")} * x.cx * y.cy) AS checksum
+        FROM cntx x JOIN cnty y ON x.doc_id = y.doc_id
+        GROUP BY x.doc_id),
+      ares AS (
+        SELECT doc_id, n, 8000 + (doc_id % 5) * 8000 AS r,
+               (n * 16000) // (8000 + (doc_id % 5) * 8000) AS m
+        FROM auds),
+      archk AS (
+        SELECT doc_id,
+               SUM((doc_id * 31 + ((j * r) // 16000) * 7) % 65536)::BIGINT AS checksum
+        FROM (SELECT doc_id, r, unnest(range(0, m)) AS j FROM ares) t
+        GROUP BY doc_id),
+      vcx AS (
+        SELECT ((x * 32) // 20) % 16 AS tx, COUNT(*) AS cx
+        FROM (SELECT unnest(range(0, 20)) AS x) GROUP BY 1),
+      vcy AS (
+        SELECT ((y * 32) // 12) % 16 AS ty, COUNT(*) AS cy
+        FROM (SELECT unnest(range(0, 12)) AS y) GROUP BY 1),
+      vrchk AS (
+        SELECT v.doc_id,
+               SUM(${rgbSum("(v.doc_id * 131 + v.f)", "x.tx", "y.ty")}
+                   * x.cx * y.cy) AS checksum
+        FROM vfr v CROSS JOIN vcx x CROSS JOIN vcy y
+        GROUP BY v.doc_id)
+      SELECT d.doc_id AS media_id,
+             (['image','audio','video'])[(d.doc_id % 3) + 1] AS kind,
+             CASE WHEN d.doc_id % 3 = 0 THEN ${256 * 144 * 3}::BIGINT
+                  WHEN d.doc_id % 3 = 1 THEN (a2.m * 2)::BIGINT
+                  ELSE (vd.nf * ${20 * 12 * 3})::BIGINT END AS n_bytes,
+             CASE WHEN d.doc_id % 3 = 1 THEN 16000
+                  ELSE 8000 + (d.doc_id % 5) * 8000 END::INT AS sample_rate_hz,
+             CASE WHEN d.doc_id % 3 = 0 THEN rchk.checksum::VARCHAR
+                  WHEN d.doc_id % 3 = 1 THEN archk.checksum::VARCHAR
+                  ELSE vrchk.checksum::VARCHAR END AS digest
+      FROM documents d
+      LEFT JOIN rchk ON rchk.doc_id = d.doc_id
+      LEFT JOIN ares a2 ON a2.doc_id = d.doc_id
+      LEFT JOIN archk ON archk.doc_id = d.doc_id
+      LEFT JOIN vids vd ON vd.doc_id = d.doc_id
+      LEFT JOIN vrchk ON vrchk.doc_id = d.doc_id
       ORDER BY media_id""",
     "m3_media_features" -> s"""
       WITH $imgCtes,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.apache.spark.sql.types.LongType
-import graft.{QueryPack, Tables}
+import graft.{QueryPack, Scratch, Tables}
 import graft.streaming.{EventStreams, RunningCounts, StatefulSessions}
 
 /** REAL Structured-Streaming executions under the driver's correctness gate
@@ -87,7 +87,7 @@ object Streams extends QueryPack {
   private def runToParquet(df: DataFrame, partitionCols: Seq[String],
                            partitions: Int = 4): DataFrame = {
     val s = df.sparkSession
-    val work = java.nio.file.Files.createTempDirectory("graft_e12")
+    val work = Scratch.dir("e12")
     val out = work.resolve("out").toString
     val ckpt = work.resolve("ckpt").toString
     val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -109,7 +109,7 @@ object Streams extends QueryPack {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
-    val ingest = java.nio.file.Files.createTempDirectory("graft_e16").toString
+    val ingest = Scratch.dir("e16").toString
     raw.select($"event_id", $"user_id").repartition(4, $"event_id")
       .write.mode("overwrite").parquet(ingest)
     val runId = UUID.randomUUID().toString
@@ -236,7 +236,7 @@ object Streams extends QueryPack {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val src = java.nio.file.Paths.get(s"$dir/events.parquet")
       val raw = s.read.parquet(src.toString)
-      val ingest = java.nio.file.Files.createTempDirectory("graft_e13")
+      val ingest = Scratch.dir("e13")
       // the driver testdata ships one file per table; regenerated table
       // sets (StressGen) are directories of part files — stage either
       def stage(tag: String): Unit =

@@ -309,9 +309,10 @@ object Media {
   // ---- operators ----------------------------------------------------------
 
   /** Deterministic synthetic media table derived from `documents`: image
-    * rows carry a REAL PNG payload (tile pattern above), audio/video rows
-    * carry UTF-8 text bytes; kind/dims from doc_id, mirrored by the m-pack
-    * oracles. The CaseWhen evaluates the PNG encoder only on image rows. */
+    * rows carry a REAL PNG payload (tile pattern above), audio rows a REAL
+    * WAV payload (`synthWav`), video rows a REAL PNG-frame container
+    * (`synthVideo`); kind/dims from doc_id, mirrored by the m-pack oracles.
+    * The CaseWhen evaluates exactly one encoder per row. */
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -340,10 +341,12 @@ object Media {
       .as[MediaRecord]
   }
 
-  /** Batched per-row decode → catalog stats. For images, width/height/
-    * n_bytes/digest all come from the DECODED pixels (dims recovered by the
-    * codec, digest = Σ(r+g+b)); for audio/video (stub decode) n_bytes is
-    * the payload length and digest its md5. */
+  /** Batched per-row decode → catalog stats, every modality through its
+    * REAL codec: image width/height/n_bytes/digest from the DECODED pixels
+    * (dims recovered by the codec, digest = Σ(r+g+b)); audio rate/n_bytes/
+    * digest from the DECODED WAV (header rate + PCM sum); video frame
+    * count/n_bytes/digest from decoding every container frame. Only an
+    * unknown `kind` falls back to payload length + md5. */
   def catalogStats(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaStats] = {
     val spark = ds.sparkSession
     import spark.implicits._
@@ -379,7 +382,7 @@ object Media {
 
   /** Decode + feature-extract in explicit batches: the embedding is a
     * 16-bin normalized byte histogram over the DECODED content — raw RGB
-    * bytes for images, payload bytes for the stub kinds. */
+    * bytes for images and video frames, raw PCM bytes for audio. */
   def featureExtract(ds: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
     val spark = ds.sparkSession
     import spark.implicits._
@@ -398,17 +401,73 @@ object Media {
     }
   }
 
-  /** Resize: image rows get a REAL nearest-neighbor pixel resample (payload
-    * bytes change; meta updated to the target dims); audio/video rows pass
-    * through untouched — a time-base resample needs the stubbed codecs. */
-  def resize(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+  /** Time-base audio resample to `targetHz`: decode WAV, nearest-neighbor
+    * sample the PCM series on the time axis (out sample j = src sample
+    * (j·r)/R in integer arithmetic — the 1-D analog of `resizeImage`'s
+    * pixel map; m = (n·R)/r output samples), re-encode WAV at the target
+    * rate. The oracle recomputes every output sample from the closed-form
+    * series, so a green row pins decode → resample → re-encode → decode. */
+  def resampleAudio(payload: Array[Byte], targetHz: Int): Array[Byte] = {
+    val au = decodeWav(payload)
+    val n = au.nSamples
+    val r = au.sampleRateHz
+    val m = ((n.toLong * targetHz) / r).toInt
+    val out = new Array[Byte](m * 2)
+    var j = 0
+    while (j < m) {
+      val src = ((j.toLong * r) / targetHz).toInt
+      out(2 * j) = au.pcm(2 * src)
+      out(2 * j + 1) = au.pcm(2 * src + 1)
+      j += 1
+    }
+    val fmt = new AudioFormat(targetHz.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(out), fmt, m.toLong)
+    val bos = new ByteArrayOutputStream(m * 2 + 64)
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Per-frame video resize: every container frame is decoded, NN-resampled
+    * to tw×th (`resizeImage`), re-encoded, and re-packed into a new
+    * container with the same frame count. */
+  def resizeVideo(payload: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+    val nFrames = java.nio.ByteBuffer.wrap(payload, VideoMagic.length, 4).getInt
+    val bos = new ByteArrayOutputStream(1 << 15)
+    val out = new java.io.DataOutputStream(bos)
+    out.write(VideoMagic)
+    out.writeInt(nFrames)
+    videoFrameSlices(payload, every = 1).foreach { case (_, png) =>
+      val resized = resizeImage(png, tw, th)
+      out.writeInt(resized.length)
+      out.write(resized)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Resize/resample across modalities, each through its REAL codec: image
+    * rows get a nearest-neighbor pixel resample to w×h (meta updated to the
+    * target dims); audio rows a time-base PCM resample to `audioRateHz`
+    * (meta rate updated); video rows a per-frame resize to frameW×frameH.
+    * The audio/video targets default to 0 = pass-through, so `resize(ds, w,
+    * h)` remains the image-only normalization (m4) while m7 exercises all
+    * three. Pure per-row map — no shuffle. */
+  def resize(ds: Dataset[MediaRecord], w: Int, h: Int,
+             audioRateHz: Int = 0, frameW: Int = 0, frameH: Int = 0): Dataset[MediaRecord] = {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.map { r =>
-      if (r.kind == "image")
-        r.copy(payload = resizeImage(r.payload, w, h),
-               meta = r.meta.copy(width = w, height = h))
-      else r
+      r.kind match {
+        case "image" =>
+          r.copy(payload = resizeImage(r.payload, w, h),
+                 meta = r.meta.copy(width = w, height = h))
+        case "audio" if audioRateHz > 0 =>
+          r.copy(payload = resampleAudio(r.payload, audioRateHz),
+                 meta = r.meta.copy(sample_rate_hz = audioRateHz))
+        case "video" if frameW > 0 && frameH > 0 =>
+          r.copy(payload = resizeVideo(r.payload, frameW, frameH))
+        case _ => r
+      }
     }
   }
 

@@ -48,6 +48,23 @@ class FormatSpec extends AnyFunSuite {
       src.collect().map(_.mkString("|")).sorted.toSeq)
   }
 
+  test("Avro round-trip: per-partition container files, nulls + all flat types") {
+    val src = Seq(
+      (1L, Some(1.5), Some("a"), Some(true), Some(7), Some(2.5f)),
+      (2L, None, None, None, None, None),
+      (3L, Some(-0.25), Some("héllo;τ"), Some(false), Some(-1), Some(0f)))
+      .toDF("id", "d", "s", "b", "i", "f").repartition(3)
+    val dir = Files.createTempDirectory("fmt").resolve("ev_avro").toString
+    graft.sources.AvroTable.write(src, dir)
+    // one container file per write partition
+    val parts = new java.io.File(dir).list().count(_.matches("part-\\d{5}\\.avro"))
+    assert(parts == 3, s"expected 3 part files, got $parts")
+    val back = graft.sources.AvroTable.read(spark, dir, src.schema)
+    assert(back.schema == src.schema)
+    assert(back.collect().map(_.mkString("|")).sorted.toSeq ==
+      src.collect().map(_.mkString("|")).sorted.toSeq)
+  }
+
   test("ORC round-trip preserves schema (incl. timestamp/double) and rows") {
     val src = Tables(spark, TestSpark.sf).events
       .select($"event_id", $"ts", $"event_type", $"value")

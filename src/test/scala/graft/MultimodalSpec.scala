@@ -3,9 +3,10 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import graft.multimodal.Media
 
-/** The multimodal plumbing is real even though the codec is stubbed: typed
-  * schema, batch shape, determinism, payload slicing, and (critically at
-  * 100 TB) payload column pruning for metadata-only plans. */
+/** Multimodal operators through the REAL codecs (in-JDK PNG / WAV / the
+  * PNG-frame container): typed schema, batch shape, determinism, payload
+  * slicing, resample loops, and (critically at 100 TB) payload column
+  * pruning for metadata-only plans. */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -46,6 +47,63 @@ class MultimodalSpec extends AnyFunSuite {
       } else {
         assert(x.meta == y.meta)
         assert(java.util.Arrays.equals(x.payload, y.payload))
+      }
+    }
+  }
+
+  test("resampleAudio: NN time-base map, re-encoded header carries the target rate") {
+    val wav = Media.synthWav(45L, 8000)          // n = audioLen(45) samples
+    val res = Media.resampleAudio(wav, 16000)    // 2× upsample
+    val au = Media.decodeWav(res)
+    assert(au.sampleRateHz == 16000)
+    val n = Media.audioLen(45L)
+    assert(au.nSamples == n * 2)
+    for (j <- 0 until au.nSamples) {
+      val s = (au.pcm(2 * j) & 0xff) | (au.pcm(2 * j + 1).toInt << 8)
+      // out sample j = src sample (j·8000)/16000 = j/2
+      assert(s + 32768 == Media.audioU16(45L, j / 2), s"sample $j mismatch")
+    }
+    // downsample: 24000 → 16000 keeps 2 of every 3 samples
+    val down = Media.decodeWav(Media.resampleAudio(Media.synthWav(46L, 24000), 16000))
+    assert(down.nSamples == Media.audioLen(46L) * 16000 / 24000)
+    for (j <- 0 until down.nSamples) {
+      val s = (down.pcm(2 * j) & 0xff) | (down.pcm(2 * j + 1).toInt << 8)
+      assert(s + 32768 == Media.audioU16(46L, j * 24000 / 16000), s"down sample $j")
+    }
+  }
+
+  test("resizeVideo: every frame NN-resampled, container re-packed intact") {
+    val payload = Media.synthVideo(47L, nFrames = 5)
+    val resized = Media.resizeVideo(payload, 20, 12)
+    val slices = Media.videoFrameSlices(resized, every = 1).toSeq
+    assert(slices.map(_._1) == (0 until 5))
+    slices.foreach { case (f, png) =>
+      val img = Media.decodeImage(png)
+      assert(img.getWidth == 20 && img.getHeight == 12)
+      // pixel (x,y) of the resized frame = src pixel (x·32/20, y·32/12)
+      val p = img.getRGB(7, 5)
+      val (r, g, b) = Media.tileRgb(Media.frameId(47L, f),
+        (7 * Media.FrameW / 20) & 15, (5 * Media.FrameH / 12) & 15)
+      assert(((p >> 16) & 0xff) == r && ((p >> 8) & 0xff) == g && (p & 0xff) == b)
+    }
+  }
+
+  test("resize with all-modality targets reaches every kind through its codec") {
+    val r = Media.resize(media, 256, 144, audioRateHz = 16000,
+        frameW = 20, frameH = 12)
+      .collect().sortBy(_.media_id)
+    r.foreach { x =>
+      x.kind match {
+        case "image" =>
+          val img = Media.decodeImage(x.payload)
+          assert(img.getWidth == 256 && img.getHeight == 144)
+        case "audio" =>
+          assert(Media.decodeWav(x.payload).sampleRateHz == 16000)
+          assert(x.meta.sample_rate_hz == 16000)
+        case "video" =>
+          val (_, png) = Media.videoFrameSlices(x.payload, 1).next()
+          val img = Media.decodeImage(png)
+          assert(img.getWidth == 20 && img.getHeight == 12)
       }
     }
   }
