@@ -79,6 +79,15 @@ object Quantizer {
       centroids(train, k, iters, dim, seedBound = k.toLong * mod)
     })
 
+  /** Memoized centroids trained on an already-filtered INDEX subset (v8's
+    * incremental add-batch: the model is fixed state trained when the index
+    * was built; incoming batches only assign against it). `tag` keys the
+    * memo per index definition; k is sized for the index population. */
+  def centroidsOnIndexFor(indexE: DataFrame, dir: String, tag: String,
+                          iters: Int, dim: Int): Seq[Centroid] =
+    trained.getOrElseUpdate((s"$dir#$tag", iters, dim),
+      centroids(withQ(indexE), kFor(indexE.count()), iters, dim))
+
   private def serialDot(a: Array[Double], b: Array[Double]): Double = {
     // identical op order to Tx.dotSql / VectorExprs.dot: left fold of a+x_i
     var acc = 0.0; var i = 0

@@ -179,6 +179,44 @@ object Similarity extends QueryPack {
     // the oracle re-trains on the same sample, so the model (and therefore
     // every cell and neighbor) still matches bitwise.
     "v4_ivf_sampled" -> ivfQuery(sampleMod = 4),
+    // v8: INCREMENTAL ANN ADD-BATCH — the maintenance path a continuously-
+    // embedded corpus needs (round-4 missing #2): the IVF index (cells +
+    // trained centroids) already EXISTS, built over the index partition
+    // (vec_id % 10 ≠ 7); an incoming batch (vec_id % 10 = 7) is placed by
+    // assigning each new vector to its nearest EXISTING centroid — a pure
+    // literal-centroid projection, no retraining, no Lloyd pass — and
+    // reported with its top-3 nearest in-cell index neighbors (the insert
+    // position a graph/IVF index records). d12's shape applied to v3's
+    // cells: the scoring join probes batch×index only — index vectors
+    // NEVER re-score against each other (CurationOpsSpec pins both the
+    // pair population and the single-broadcast-join plan); cost scales
+    // with |batch|·CellTarget, not the index size.
+    "v8_ivf_add_batch" -> { (s, dir) =>
+      import s.implicits._
+      val all = Tables(s, dir).embeddings
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
+        .select($"vec_id", $"v", $"norm2")
+      val idx = all.filter(pmod($"vec_id", lit(10)) =!= 7)
+      val batch = all.filter(pmod($"vec_id", lit(10)) === 7)
+      // the trained model is index-build-time state (memoized per session,
+      // like a deployment loading the persisted quantizer)
+      val cents = Quantizer.centroidsOnIndexFor(idx, dir, "idx7", iters = 2, dim = 64)
+      val data = Quantizer.assign(idx, cents)
+        .select($"cell", $"vec_id", $"v", $"norm2")
+      val probes = Quantizer.assign(batch, cents)
+        .select($"cell", $"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
+      data.join(broadcast(probes), Seq("cell"))
+        .withColumn("cos",
+          graft.functions.VectorExprs.cosine($"qv", $"v", $"qn", $"norm2"))
+        .groupBy($"q_id", $"cell")
+        .agg(graft.functions.TopK.topK3($"cos", $"vec_id").as("top"))
+        .select($"q_id", $"cell", posexplode($"top").as(Seq("idx", "nb")))
+        .select($"q_id", $"cell".cast("long").as("cell"),
+                ($"idx" + 1).cast("long").as("rank"),
+                $"nb.vec_id".as("neighbor_id"), $"nb.cos".as("cos"))
+        .orderBy($"q_id", $"rank")
+    },
     // v6: EMBEDDING AGGREGATION — element-wise centroid of the embedding
     // column per group (here: the doc's source, via doc_id = vec_id), the
     // statistic diversity analysis and cluster monitoring consume.
@@ -359,6 +397,44 @@ object Similarity extends QueryPack {
       SELECT src_id, rank, neighbor_id, cos FROM knn
       ORDER BY src_id, rank""",
     "v4_ivf_sampled" -> ivfSql(sampleMod = 4),
+    // v8: `e` (the relation the quantizer CTEs train over) IS the index
+    // subset — the model never sees the batch; the batch assigns against
+    // the trained `kmc` and reranks only within its placement cell.
+    "v8_ivf_add_batch" -> s"""
+      WITH e AS (
+        SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings) t
+        WHERE vec_id % 10 <> 7),
+      ${Quantizer.centroidsSql(iters = 2, dim = 64, sampleMod = 1)},
+      assigned AS (
+        SELECT t.vec_id, t.v, t.norm2, c.cell,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 ${dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) DESC,
+                 c.cell) AS crank
+        FROM kq t CROSS JOIN kmc c),
+      data AS (
+        SELECT cell, vec_id, v, norm2 FROM assigned WHERE crank = 1),
+      b AS (
+        SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings) t
+        WHERE vec_id % 10 = 7),
+      bas AS (
+        SELECT vec_id, v, norm2, cell FROM (
+          SELECT t.vec_id, t.v, t.norm2, c.cell,
+                 row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                   ${dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) DESC,
+                   c.cell) AS crank
+          FROM b t CROSS JOIN kmc c) z WHERE crank = 1)
+      SELECT q_id, cell, rank, neighbor_id, cos FROM (
+        SELECT p.vec_id AS q_id, p.cell::BIGINT AS cell, d.vec_id AS neighbor_id,
+               ${dotSql("p.v", "d.v")} / (sqrt(p.norm2) * sqrt(d.norm2)) AS cos,
+               row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                 ${dotSql("p.v", "d.v")} / (sqrt(p.norm2) * sqrt(d.norm2)) DESC,
+                 d.vec_id) AS rank
+        FROM bas p JOIN data d ON d.cell = p.cell) t
+      WHERE rank <= 3 ORDER BY q_id, rank""",
     "v1_brute_topk" -> s"""
       WITH e AS (
         SELECT vec_id, v, ${dotSql("v", "v")} AS norm2

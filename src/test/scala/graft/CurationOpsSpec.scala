@@ -142,6 +142,28 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("v8: add-batch probes batch-vs-index only; index never re-scores") {
+    import spark.implicits._
+    val df = SparkEntry.queries("v8_ivf_add_batch")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every query is a BATCH vector, every neighbor an INDEX vector — no
+    // batch×batch and no index×index pair ever scored into the output
+    rows.foreach { r =>
+      assert(r.getLong(0) % 10 == 7, s"non-batch q_id ${r.getLong(0)}")
+      assert(r.getLong(3) % 10 != 7, s"batch id ${r.getLong(3)} as neighbor")
+    }
+    // plan shape: the only scoring join is ONE broadcast hash join whose
+    // build side is the (tiny) batch probe set — the index side streams
+    // through without an Exchange-for-join or a second self-join
+    // AQE's toString prints Final AND Initial plans — count the final only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 1,
+      s"expected exactly one broadcast scoring join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"index-sized shuffle join:\n$plan")
+  }
+
   test("q9: histogram median equals builtin percentile; at least half kept") {
     import spark.implicits._
     val out = SparkEntry.queries("q9_quantile_filter")(spark, sf)
