@@ -103,8 +103,11 @@ object Streams extends QueryPack {
 
   /** e16's run body, shared with UpsertSinkSpec: stage events as 4 disjoint
     * parquet splits, stream them ONE FILE PER TRIGGER through an
-    * update-mode per-user count into the UpsertStore, and return the final
-    * snapshot plus the distinct batch ids that wrote it. */
+    * update-mode per-user count MERGED into the table-backed upsert store
+    * (TableUpsertStore: the u6 FULL OUTER merge inside foreachBatch — a
+    * distributed join, no driver collect, so unbounded per-batch key sets
+    * hold at scale), and return the final snapshot plus the distinct batch
+    * ids that last wrote it. */
   private[graft] def runUpsert(s: SparkSession, dir: String): (Seq[(Long, Long)], Set[Long]) = {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -112,7 +115,8 @@ object Streams extends QueryPack {
     val ingest = Scratch.dir("e16").toString
     raw.select($"event_id", $"user_id").repartition(4, $"event_id")
       .write.mode("overwrite").parquet(ingest)
-    val runId = UUID.randomUUID().toString
+    val store = new graft.streaming.TableUpsertStore(
+      Scratch.dir("e16_store").toString)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", 4)
     try {
@@ -121,18 +125,15 @@ object Streams extends QueryPack {
       val counts = st.groupBy($"user_id").agg(count(lit(1)).as("n"))
       val q = counts.writeStream.outputMode("update")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          // at scale this body is one bulk MERGE INTO; locally the
-          // per-user count frame is tiny (one row per active user)
-          graft.streaming.UpsertStore.applyBatch(runId, batchId,
-            batch.collect().iterator.map(r => (r.getLong(0), r.getLong(1))))
+          store.applyBatch(batch, batchId)
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    val snap = graft.streaming.UpsertStore.snapshot(runId)
-    val bids = graft.streaming.UpsertStore.batchIds(runId)
-    graft.streaming.UpsertStore.drop(runId)
-    (snap, bids)
+    // the snapshot is the query's RESULT (one row per user) — output-sized
+    val snap = store.snapshot(s).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    (snap, store.batchIds(s))
   }
 
   private def withRocksDb[T](s: SparkSession)(body: => T): T = {
@@ -267,9 +268,11 @@ object Streams extends QueryPack {
         .orderBy($"event_id")
     },
     // e16: foreachBatch UPSERT sink — update-mode per-user counts MERGED
-    // into a keyed store under batch-id idempotence (the exactly-once-over-
-    // at-least-once pattern every production foreachBatch sink implements;
-    // UpsertStore scaladoc). The source is staged as 4 DISJOINT splits and
+    // into the TABLE-BACKED keyed store under batch-id idempotence (the
+    // exactly-once-over-at-least-once pattern every production foreachBatch
+    // sink implements; TableUpsertStore scaladoc — the merge is the u6
+    // FULL OUTER join, fully distributed, no driver collect). The source
+    // is staged as 4 DISJOINT splits and
     // the trigger takes one file per micro-batch, so the run PROVABLY spans
     // ≥4 batches and later batches overwrite earlier counts. The returned
     // frame is the store's final snapshot, so the oracle is the plain
