@@ -152,6 +152,33 @@ object Semantics extends QueryPack {
                 when($"o_orderstatus" === "F", "final").as("maybe_final"))
         .orderBy($"o_orderkey")
     },
+    // C1 condition mini-language as its own driver entry (round-4 missing
+    // #5): gated suffix/prefix fields compiled through the REAL
+    // TransformCompiler.compileField path — `==`, `!=`, `in [..]` gates,
+    // an unparsable condition (→ gate false, value passes through), and
+    // the Python-semantics quirk that a missing field compares as
+    // str(None) = 'None' (dynamic.py:197-219), so `nosuch == 'None'`
+    // gates TRUE on every row.
+    "t10_condition_gate" -> { (s, dir) =>
+      import s.implicits._
+      import graft.spec.FieldMapping
+      import graft.compile.TransformCompiler
+      val docs = Tables(s, dir).documents
+      val schema = docs.columns.toSet
+      def fld(fm: FieldMapping) = TransformCompiler.compileField(fm, schema).value
+      docs.select($"doc_id", $"lang", $"source",
+          fld(FieldMapping("suffixed", Some("source"), "suffix",
+            Map("value" -> "-en", "condition" -> "lang == 'en'"))).as("suffixed"),
+          fld(FieldMapping("prefixed", Some("source"), "prefix",
+            Map("value" -> "ok:", "condition" -> "source != 'src1'"))).as("prefixed"),
+          fld(FieldMapping("in_tagged", Some("lang"), "suffix",
+            Map("value" -> "+eu", "condition" -> "lang in ['de', 'fr']"))).as("in_tagged"),
+          fld(FieldMapping("unparsable", Some("source"), "suffix",
+            Map("value" -> "-x", "condition" -> "?? not a condition"))).as("unparsable"),
+          fld(FieldMapping("none_gate", Some("source"), "suffix",
+            Map("value" -> "-none", "condition" -> "nosuch == 'None'"))).as("none_gate"))
+        .orderBy($"doc_id")
+    },
     // H5 lenient float parse: strip commas, unparsable → 0.0
     "h5_lenient_float" -> { (s, dir) =>
       import s.implicits._
@@ -235,6 +262,14 @@ object Semantics extends QueryPack {
                   ELSE 'small' END AS size_class,
              CASE WHEN o_orderstatus = 'F' THEN 'final' END AS maybe_final
       FROM orders ORDER BY o_orderkey""",
+    "t10_condition_gate" -> """
+      SELECT doc_id, lang, source,
+             CASE WHEN lang = 'en' THEN source || '-en' ELSE source END AS suffixed,
+             CASE WHEN source <> 'src1' THEN 'ok:' || source ELSE source END AS prefixed,
+             CASE WHEN lang IN ('de','fr') THEN lang || '+eu' ELSE lang END AS in_tagged,
+             source AS unparsable,
+             source || '-none' AS none_gate
+      FROM documents ORDER BY doc_id""",
     "h5_lenient_float" -> """
       SELECT p_partkey, raw, COALESCE(TRY_CAST(replace(raw, ',', '') AS DOUBLE), 0.0) AS parsed
       FROM (SELECT p_partkey, '1,' || printf('%03.0f', CAST(p_size AS DOUBLE)) AS raw FROM part) t

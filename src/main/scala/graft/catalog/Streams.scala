@@ -282,6 +282,41 @@ object Streams extends QueryPack {
       import s.implicits._
       runUpsert(s, dir)._1.toDF("user_id", "n_events").orderBy($"user_id")
     },
+    // e17: STREAMING SCHEMA DRIFT — mid-stream files GAIN a column (a real
+    // crawl feed drifts; round-4 missing #3). The Spark answer to additive
+    // drift: declare the WIDENED schema on the source; parquet files
+    // written before the drift lack the column and the reader null-fills
+    // it — exactly unionByName(allowMissingColumns) semantics (u7) pushed
+    // through the file source, with no reprocessing of old files. The
+    // ingest dir is staged with legacy-schema files (even event_ids,
+    // 3 columns) and drifted files (odd event_ids, + `channel`), streamed
+    // a file per trigger so both shapes really cross micro-batch
+    // boundaries; the aggregate buckets null-filled legacy rows under
+    // 'legacy'. The oracle restates the same derivation over the source
+    // table.
+    "e17_stream_schema_drift" -> { (s, dir) =>
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val ingest = Scratch.dir("e17").toString
+      raw.select($"event_id", $"user_id", $"event_type")
+        .filter(pmod($"event_id", lit(2)) === 0)
+        .coalesce(2).write.mode("append").parquet(ingest)
+      raw.select($"event_id", $"user_id", $"event_type",
+          concat(lit("ch"), pmod($"user_id", lit(3))).as("channel"))
+        .filter(pmod($"event_id", lit(2)) === 1)
+        .coalesce(2).write.mode("append").parquet(ingest)
+      // the post-drift contract: the widened schema (mergeSchema is the
+      // one-time driver-side discovery a deployment does at deploy time)
+      val widened = s.read.option("mergeSchema", "true").parquet(ingest).schema
+      val st = s.readStream.schema(widened)
+        .option("maxFilesPerTrigger", 1).parquet(ingest)
+      runToTable(
+          st.groupBy(coalesce($"channel", lit("legacy")).as("channel"))
+            .agg(count(lit(1)).as("n")),
+          OutputMode.Complete())
+        .orderBy($"channel")
+    },
     // e11: the NATIVE session_window operator in APPEND mode — a session
     // emits once the watermark passes its end (last + gap). The stream
     // ends with watermark = max(ts) − 30 min, so the oracle is the batch
@@ -357,6 +392,11 @@ object Streams extends QueryPack {
     "e13_stream_dedup" -> """
       SELECT event_id, user_id, event_type, epoch_us(ts) AS us
       FROM events ORDER BY event_id""",
+    "e17_stream_schema_drift" -> """
+      SELECT CASE WHEN event_id % 2 = 1 THEN 'ch' || (user_id % 3)::VARCHAR
+                  ELSE 'legacy' END AS channel,
+             COUNT(*) AS n
+      FROM events GROUP BY channel ORDER BY channel""",
     "e11_stream_session_window" -> """
       WITH sess AS (
         SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,

@@ -126,4 +126,35 @@ class StreamFileSourceSpec extends AnyFunSuite {
     assert(gotSet.size >= (want.size * 95) / 100,
       s"too few windows closed: ${gotSet.size} of ${want.size}")
   }
+
+  test("additive schema drift: pre-drift files null-fill the new column mid-stream") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_drift").toString
+    // file 1: legacy schema (no `channel`); file 2: drifted (+ channel) —
+    // written second so it arrives in a LATER micro-batch
+    Seq((1L, "a"), (2L, "b")).toDF("id", "kind")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((3L, "c", "web"), (4L, "d", "app")).toDF("id", "kind", "channel")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val widened = spark.read.option("mergeSchema", "true").parquet(dir).schema
+    assert(widened.fieldNames.contains("channel"))
+
+    val name = s"drift_${System.nanoTime()}"
+    val q = spark.readStream.schema(widened)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val rows = spark.table(name)
+      .select($"id", $"kind", $"channel")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    // legacy rows surface with NULL channel, drifted rows carry theirs —
+    // unionByName(allowMissingColumns) semantics through the file source
+    assert(rows.toSeq == Seq((1L, "a", null), (2L, "b", null),
+      (3L, "c", "web"), (4L, "d", "app")))
+    // and the run really spanned one file per trigger (no single-batch read)
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      s"drift did not cross micro-batches: ${q.recentProgress.map(_.numInputRows).toSeq}")
+  }
 }
