@@ -20,7 +20,14 @@ import graft.{QueryPack, Tables}
   * dq2 profiles columns in ONE pass (stack over a single aggregate row):
   * count / nulls / distincts / min / max per column — the statistics a
   * catalog or optimizer ingests. Doubles surface as DECIMAL strings so both
-  * engines format identically.
+  * engines format identically. Scale caveat: its THREE exact
+  * countDistincts plan as an Expand (3× the scan's rows enter the
+  * aggregate — the standard multi-distinct cost); it is the exact-profile
+  * variant. dq3 is the 100 TB path: approx_count_distinct sketches are
+  * plain (mergeable) aggregates — one scan, NO Expand — pinned with a4's
+  * envelope pattern (exact value + a boolean that the sketch landed within
+  * the documented 5% rsd; a deployment drops the verification-only exact
+  * columns and keeps the single-scan plan).
   */
 object Quality extends QueryPack {
 
@@ -56,6 +63,30 @@ object Quality extends QueryPack {
              sum(when($"l_shipdate" < $"o_orderdate", 1L).otherwise(0L)).as("v"))
       val r5 = rule("r5_ship_after_order", $"n", $"v")(r5base)
       r1.union(r2).union(r3).union(r4).union(r5).orderBy($"rule")
+    },
+    "dq3_profile_approx" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables(s, dir).lineitem
+      val a = li.agg(
+        count(lit(1)).as("n"),
+        sum($"l_partkey".isNull.cast("long")).as("pk_null"),
+        countDistinct($"l_partkey").as("pk_d"),
+        approx_count_distinct($"l_partkey").as("pk_ad"),
+        sum($"l_suppkey".isNull.cast("long")).as("sk_null"),
+        countDistinct($"l_suppkey").as("sk_d"),
+        approx_count_distinct($"l_suppkey").as("sk_ad"),
+        sum($"l_orderkey".isNull.cast("long")).as("ok_null"),
+        countDistinct($"l_orderkey").as("ok_d"),
+        approx_count_distinct($"l_orderkey").as("ok_ad"))
+      def ok(ad: String, d: String) =
+        s"abs(cast($ad as double) - cast($d as double)) <= cast($d as double) * 0.05"
+      a.selectExpr(
+          s"""stack(3,
+             'l_orderkey', n, ok_null, ok_d, ${ok("ok_ad", "ok_d")},
+             'l_partkey',  n, pk_null, pk_d, ${ok("pk_ad", "pk_d")},
+             'l_suppkey',  n, sk_null, sk_d, ${ok("sk_ad", "sk_d")})
+             AS (col, n, n_null, n_distinct, within_5pct)""")
+        .orderBy($"col")
     },
     "dq2_table_profile" -> { (s, dir) =>
       import s.implicits._
@@ -110,6 +141,23 @@ object Quality extends QueryPack {
         UNION ALL SELECT 'r4_acctbal_not_null', n, v FROM nn
         UNION ALL SELECT 'r5_ship_after_order', n, v FROM so) u
       ORDER BY rule""",
+    "dq3_profile_approx" -> """
+      SELECT col, n, n_null, n_distinct, TRUE AS within_5pct FROM (
+        SELECT 'l_orderkey' AS col, COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+               COUNT(DISTINCT l_orderkey)::BIGINT AS n_distinct
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_partkey', COUNT(*)::BIGINT,
+               SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               COUNT(DISTINCT l_partkey)::BIGINT
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_suppkey', COUNT(*)::BIGINT,
+               SUM(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+               COUNT(DISTINCT l_suppkey)::BIGINT
+        FROM lineitem) u
+      ORDER BY col""",
     "dq2_table_profile" -> """
       SELECT col, n, n_null, n_distinct, min_s, max_s FROM (
         SELECT 'l_quantity' AS col, COUNT(*)::BIGINT AS n,

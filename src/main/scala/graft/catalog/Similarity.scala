@@ -154,8 +154,13 @@ object Similarity extends QueryPack {
     "v7_knn_centrality" -> { (s, dir) =>
       import s.implicits._
       // the graph subtree feeds out-degrees + one join per round: cache it
-      // once (k-means-training pattern — released after the plan executes)
-      // or each DAG branch re-runs the whole quantize+score pipeline
+      // once or each DAG branch re-runs the whole quantize+score pipeline.
+      // The cached copy LIVES until LRU eviction or session end (the query
+      // fn returns a lazy plan, so there is no post-action hook to
+      // unpersist from). Repeated runs do NOT accumulate copies: the
+      // CacheManager dedupes on the canonicalized plan, and the memoized
+      // centroids make every invocation's plan identical; storage memory
+      // is evictable besides
       val edges = knnGraph(s, dir).select($"src_id", $"neighbor_id").cache()
       val out = edges.groupBy($"src_id").agg(count(lit(1)).as("outd"))
       var score = out.select($"src_id".as("id"), lit(1000000L).as("sc"))

@@ -219,8 +219,12 @@ object Text extends QueryPack {
     // by count, so corpus size only affects the tiny freq aggregation, not
     // the merge loop). Each round: count adjacent symbol pairs (weighted),
     // pick the max (ties on pair text), merge it everywhere. Symbol
-    // sequences ride a '@'-marked string ("@t @h @e"), so the merge is one
-    // literal `replace` whose left-to-right non-overlap semantics match
+    // sequences ride a '@'-marked string ("@t @h @e"); the merge is one
+    // literal `replace` matched on SYMBOL BOUNDARIES — the pattern carries
+    // a trailing space and the sequence is padded with one ('@t @h ' never
+    // matches inside '@t @he'), the start is safe because '@' only occurs
+    // at symbol starts and the pair's interior space forces the first
+    // symbol to end exactly there. Left-to-right non-overlap then matches
     // greedy BPE on both engines — the oracle unrolls the identical three
     // rounds in SQL. The per-round argmax is k-means-style driver state
     // (one 1-row collect per round, the Quantizer pattern).
@@ -249,7 +253,10 @@ object Text extends QueryPack {
         val pair = best.getString(0)
         merges += ((r.toLong, pair, best.getLong(1)))
         val repl = "@" + pair.replace(" @", "")
-        cur = cur.withColumn("seq", expr(s"replace(seq, '$pair', '$repl')"))
+        // boundary-safe: pad the sequence and match 'pair ' so a pair can
+        // never merge into the PREFIX of a longer right-hand symbol
+        cur = cur.withColumn("seq",
+          expr(s"rtrim(replace(concat(seq, ' '), '$pair ', '$repl '))"))
       }
       merges.toSeq.toDF("merge_rank", "pair", "weighted_count")
         .orderBy($"merge_rank")
@@ -327,8 +334,8 @@ object Text extends QueryPack {
       best$r AS (SELECT pair, c FROM pairs$r ORDER BY c DESC, pair LIMIT 1),
       w$r AS (
         SELECT freq,
-               replace(seq, (SELECT pair FROM best$r),
-                       '@' || replace((SELECT pair FROM best$r), ' @', '')) AS seq
+               rtrim(replace(seq || ' ', (SELECT pair FROM best$r) || ' ',
+                       '@' || replace((SELECT pair FROM best$r), ' @', '') || ' ')) AS seq
         FROM $prev)"""
       }
       s"""
