@@ -134,6 +134,21 @@ object Multimodal extends QueryPack {
         .select($"media_id", $"kind", $"n_bytes", $"sample_rate_hz", $"digest")
         .orderBy($"media_id")
     },
+    // m8: VIDEO perceptual fingerprint — the m5/m6 analog for clips,
+    // completing hash-equality near-dup grouping across all three
+    // modalities: aHash of every 8th frame (container slice decodes ONLY
+    // sampled frames), concatenated in frame order. The oracle recomputes
+    // every sampled frame's 64 bits from the tile closed form (frame id
+    // id·131+f at 32×32 → grid sample (4x,4y)), pinning the slice seek,
+    // the per-frame decode, and the bit derivation.
+    "m8_video_fingerprint" -> { (s, dir) =>
+      import s.implicits._
+      val f = Media.videoFingerprints(stagedMedia(s, dir)).toDF()
+      val wB = Window.partitionBy($"vfp")
+      f.withColumn("n_same_fp", count(lit(1)).over(wB))
+        .select($"media_id", $"vfp", $"n_sampled", $"n_same_fp")
+        .orderBy($"media_id")
+    },
     // m3: decode + feature extraction through the typed mapPartitions batch
     // path. The normalized float32 embedding is projected back to the EXACT
     // integer byte-histogram of the DECODED content (round(x_i · n_bytes)
@@ -303,6 +318,35 @@ object Multimodal extends QueryPack {
       LEFT JOIN achk ON achk.doc_id = d.doc_id
       LEFT JOIN vchk ON vchk.doc_id = d.doc_id
       ORDER BY media_id""",
+    "m8_video_fingerprint" -> s"""
+      WITH vids AS (
+        SELECT doc_id, 8 + (doc_id % 24) AS nf
+        FROM documents WHERE doc_id % 3 = 2),
+      sfs AS (
+        SELECT doc_id, f FROM (SELECT doc_id, unnest(range(0, nf)) AS f FROM vids) t
+        WHERE f % 8 = 0),
+      grid AS (
+        SELECT a.x, b.y FROM (SELECT unnest(range(0, 8)) AS x) a
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS y) b),
+      samp AS (
+        SELECT s.doc_id, s.f, g.x, g.y,
+               ${rgbSum("(s.doc_id * 131 + s.f)", "((g.x * 4) % 16)",
+                        "((g.y * 4) % 16)")} AS v
+        FROM sfs s CROSS JOIN grid g),
+      tot AS (SELECT doc_id, f, SUM(v) AS total FROM samp GROUP BY doc_id, f),
+      fh AS (
+        SELECT s.doc_id, s.f,
+               string_agg(CASE WHEN s.v * 64 > t.total THEN '1' ELSE '0' END,
+                          '' ORDER BY s.y, s.x) AS h
+        FROM samp s JOIN tot t ON s.doc_id = t.doc_id AND s.f = t.f
+        GROUP BY s.doc_id, s.f),
+      fp AS (
+        SELECT doc_id, string_agg(h, '' ORDER BY f) AS vfp,
+               COUNT(*)::INT AS n_sampled
+        FROM fh GROUP BY doc_id)
+      SELECT doc_id AS media_id, vfp, n_sampled,
+             (COUNT(*) OVER (PARTITION BY vfp))::BIGINT AS n_same_fp
+      FROM fp ORDER BY media_id""",
     "m7_media_resample" -> s"""
       WITH $imgCtes,
       $audCtes,

@@ -27,6 +27,10 @@ final case class MediaPHash(media_id: Long, ahash: String, ahash_half: String)
 /** Perceptual fingerprint of an audio payload (m6). */
 final case class MediaAFp(media_id: Long, afp: String, n_samples: Int)
 
+/** Perceptual fingerprint of a video payload (m8): concatenated per-
+  * sampled-frame aHashes, in frame order. */
+final case class MediaVFp(media_id: Long, vfp: String, n_sampled: Int)
+
 /** Decoded-content embedding: 16-bin byte histogram over the DECODED bytes
   * (raw RGB for images), normalized by `n_bytes` = decoded length. */
 final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
@@ -557,6 +561,26 @@ object Media {
         batch.iterator.map { r =>
           val au = decodeWav(r.payload)
           MediaAFp(r.media_id, audioFingerprint(au.pcm), au.nSamples)
+        }
+      }
+    }
+  }
+
+  /** Video perceptual fingerprint (the m5/m6 analog for clips): aHash of
+    * every `every`-th frame — the container slice decodes ONLY sampled
+    * frames — concatenated in frame order. Hash-equality grouping then
+    * gives near-dup video detection with the same shuffle story as m5:
+    * a pure per-row projection here, group-sized state downstream. */
+  def videoFingerprints(ds: Dataset[MediaRecord], every: Int = 8,
+                        batchSize: Int = 64): Dataset[MediaVFp] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter(col("kind") === lit("video")).as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val hs = videoFrameSlices(r.payload, every)
+            .map { case (_, png) => aHash(decodeImage(png)) }.toSeq
+          MediaVFp(r.media_id, hs.mkString, hs.size)
         }
       }
     }

@@ -169,6 +169,25 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("m8 video fingerprint: 64 bits per sampled frame, frame order, batch invariant") {
+    val a = Media.videoFingerprints(media, batchSize = 5).collect().sortBy(_.media_id)
+    val b = Media.videoFingerprints(media, batchSize = 64).collect().sortBy(_.media_id)
+    assert(a.nonEmpty && a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x.vfp == y.vfp) }
+    val metas = media.filter(_.kind == "video").collect()
+      .map(r => r.media_id -> r.meta.n_frames).toMap
+    a.foreach { p =>
+      // sampled frames = 0, 8, 16, 24 below n_frames
+      val expect = (0 until metas(p.media_id) by 8).size
+      assert(p.n_sampled == expect, s"${p.media_id}: ${p.n_sampled} != $expect")
+      assert(p.vfp.length == 64 * expect && p.vfp.forall(c => c == '0' || c == '1'))
+      // first sampled frame's hash must equal aHash of the decoded frame 0
+      val payload = media.filter(_.media_id == p.media_id).head().payload
+      val (_, png0) = Media.videoFrameSlices(payload, every = 8).next()
+      assert(p.vfp.take(64) == Media.aHash(Media.decodeImage(png0)))
+    }
+  }
+
   test("metadata-only plan prunes the payload column from the parquet scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
     media.write.mode("overwrite").parquet(dir)
