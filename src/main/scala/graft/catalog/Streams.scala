@@ -136,6 +136,57 @@ object Streams extends QueryPack {
     (snap, store.batchIds(s))
   }
 
+  /** e18's run body: stage `documents` as 4 doc_id-RANGE splits, stream
+    * them one file per trigger through the EXACT-DEDUP GATE with a
+    * PERSISTENT index — d11's incremental shape made continuous:
+    * each micro-batch (a) dedups internally (min doc_id per digest),
+    * (b) anti-joins the surviving digests against the parquet index,
+    * (c) APPENDS the new keepers to the index. The index is append-only
+    * and collapsed on read (min doc_id per digest), so an at-least-once
+    * replayed batch appends duplicate rows that collapse away — replay
+    * idempotence by construction, no transactional merge needed. Returns
+    * the collapsed final index (= the corpus's global min-keeper dedup,
+    * because range-ordered batches make first-occurrence == min doc_id). */
+  private[graft] def runDedupGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents.select($"doc_id", $"text")
+    val ingest = Scratch.dir("e18").toString
+    // 4 contiguous doc_id ranges, written in range order so the file
+    // source's mtime ordering == doc_id order (first occurrence = min id)
+    val ids = docs.agg(min($"doc_id"), max($"doc_id")).head()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val step = (hi - lo) / 4 + 1
+    (0 until 4).foreach { i =>
+      docs.filter($"doc_id" >= lo + i * step && $"doc_id" < lo + (i + 1) * step)
+        .coalesce(1).write.mode("append").parquet(ingest)
+      Thread.sleep(5) // distinct mtimes → deterministic file order
+    }
+    val index = Scratch.dir("e18_index").resolve("idx").toString
+    val digestOf = md5(expr("trim(regexp_replace(lower(text), '[^a-z ]', ''))"))
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 4)
+    try {
+      val st = s.readStream.schema(s.read.parquet(ingest).schema)
+        .option("maxFilesPerTrigger", 1).parquet(ingest)
+      val q = st.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bs = batch.sparkSession
+          val withDigest = batch.withColumn("digest", digestOf)
+            .groupBy("digest").agg(min("doc_id").as("keeper_doc_id"))
+          val survivors =
+            if (new java.io.File(index).exists())
+              withDigest.join(bs.read.parquet(index).select("digest"),
+                Seq("digest"), "left_anti")
+            else withDigest
+          survivors.write.mode("append").parquet(index)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.parquet(index)
+      .groupBy($"digest").agg(min($"keeper_doc_id").as("keeper_doc_id"))
+  }
+
   private def withRocksDb[T](s: SparkSession)(body: => T): T = {
     val prev = s.conf.getOption(ProviderKey)
     s.conf.set(ProviderKey, RocksDb)
@@ -317,6 +368,18 @@ object Streams extends QueryPack {
           OutputMode.Complete())
         .orderBy($"channel")
     },
+    // e18: STREAMING EXACT-DEDUP GATE with persistent index (runDedupGate
+    // scaladoc) — the continuous-curation shape: a crawl feed streams in,
+    // each micro-batch keeps only digests the index has never seen, the
+    // index grows append-only. Unlike e13 (state-store id dedup within a
+    // watermark), this index is UNBOUNDED and lives in table storage —
+    // the shape that scales to a 100 TB corpus where dedup state cannot
+    // fit a state store. Oracle = the batch min-keeper dedup (d1 shape):
+    // range-ordered batches make first-occurrence == global min doc_id.
+    "e18_stream_dedup_gate" -> { (s, dir) =>
+      import s.implicits._
+      runDedupGate(s, dir).orderBy($"digest")
+    },
     // e11: the NATIVE session_window operator in APPEND mode — a session
     // emits once the watermark passes its end (last + gap). The stream
     // ends with watermark = max(ts) − 30 min, so the oracle is the batch
@@ -392,6 +455,11 @@ object Streams extends QueryPack {
     "e13_stream_dedup" -> """
       SELECT event_id, user_id, event_type, epoch_us(ts) AS us
       FROM events ORDER BY event_id""",
+    "e18_stream_dedup_gate" -> """
+      SELECT md5(trim(regexp_replace(lower(text), '[^a-z ]', '', 'g'))) AS digest,
+             MIN(doc_id) AS keeper_doc_id
+      FROM documents
+      GROUP BY digest ORDER BY digest""",
     "e17_stream_schema_drift" -> """
       SELECT CASE WHEN event_id % 2 = 1 THEN 'ch' || (user_id % 3)::VARCHAR
                   ELSE 'legacy' END AS channel,
