@@ -88,6 +88,35 @@ object Quality extends QueryPack {
              AS (col, n, n_null, n_distinct, within_5pct)""")
         .orderBy($"col")
     },
+    // dq4: SNAPSHOT PROFILE DRIFT — u8 diffs ROWS between two snapshots;
+    // dq4 diffs DISTRIBUTIONS: per-column row and distinct counts of two
+    // table versions (B simulates a short load: every 7th order missing),
+    // deltas in integer per-mille, `drifted` on a 5% threshold — the
+    // monitor a nightly pipeline runs before promoting a snapshot. Two
+    // single-scan aggregates + a 3-row join; all-integer arithmetic.
+    "dq4_profile_drift" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables(s, dir).lineitem
+      def prof(df: DataFrame, tag: String): DataFrame =
+        df.agg(
+            count(lit(1)).as("n"),
+            countDistinct($"l_quantity").as("qty_d"),
+            countDistinct($"l_discount").as("disc_d"),
+            countDistinct($"l_returnflag").as("rf_d"))
+          .selectExpr(
+            s"""stack(3,
+               'l_quantity',   n, qty_d,
+               'l_discount',   n, disc_d,
+               'l_returnflag', n, rf_d)
+               AS (col, n_$tag, d_$tag)""")
+      prof(li, "a").join(
+          prof(li.filter(pmod($"l_orderkey", lit(7)) =!= 0), "b"), Seq("col"))
+        .withColumn("dn_pm", expr("abs(n_a - n_b) * 1000 div n_a"))
+        .withColumn("dd_pm", expr("abs(d_a - d_b) * 1000 div d_a"))
+        .withColumn("drifted", $"dn_pm" > 50 || $"dd_pm" > 50)
+        .select($"col", $"n_a", $"n_b", $"dn_pm", $"d_a", $"d_b", $"dd_pm", $"drifted")
+        .orderBy($"col")
+    },
     "dq2_table_profile" -> { (s, dir) =>
       import s.implicits._
       val li = Tables(s, dir).lineitem
@@ -141,6 +170,36 @@ object Quality extends QueryPack {
         UNION ALL SELECT 'r4_acctbal_not_null', n, v FROM nn
         UNION ALL SELECT 'r5_ship_after_order', n, v FROM so) u
       ORDER BY rule""",
+    "dq4_profile_drift" -> """
+      WITH pa AS (
+        SELECT col, n_a, d_a FROM (
+          SELECT 'l_quantity' AS col, COUNT(*)::BIGINT AS n_a,
+                 COUNT(DISTINCT l_quantity)::BIGINT AS d_a FROM lineitem
+          UNION ALL
+          SELECT 'l_discount', COUNT(*)::BIGINT,
+                 COUNT(DISTINCT l_discount)::BIGINT FROM lineitem
+          UNION ALL
+          SELECT 'l_returnflag', COUNT(*)::BIGINT,
+                 COUNT(DISTINCT l_returnflag)::BIGINT FROM lineitem) u),
+      pb AS (
+        SELECT col, n_b, d_b FROM (
+          SELECT 'l_quantity' AS col, COUNT(*)::BIGINT AS n_b,
+                 COUNT(DISTINCT l_quantity)::BIGINT AS d_b
+          FROM lineitem WHERE l_orderkey % 7 <> 0
+          UNION ALL
+          SELECT 'l_discount', COUNT(*)::BIGINT, COUNT(DISTINCT l_discount)::BIGINT
+          FROM lineitem WHERE l_orderkey % 7 <> 0
+          UNION ALL
+          SELECT 'l_returnflag', COUNT(*)::BIGINT, COUNT(DISTINCT l_returnflag)::BIGINT
+          FROM lineitem WHERE l_orderkey % 7 <> 0) u)
+      SELECT col, n_a, n_b,
+             (abs(n_a - n_b) * 1000 // n_a)::BIGINT AS dn_pm,
+             d_a, d_b,
+             (abs(d_a - d_b) * 1000 // d_a)::BIGINT AS dd_pm,
+             ((abs(n_a - n_b) * 1000 // n_a) > 50
+              OR (abs(d_a - d_b) * 1000 // d_a) > 50) AS drifted
+      FROM pa JOIN pb USING (col)
+      ORDER BY col""",
     "dq3_profile_approx" -> """
       SELECT col, n, n_null, n_distinct, TRUE AS within_5pct FROM (
         SELECT 'l_orderkey' AS col, COUNT(*)::BIGINT AS n,

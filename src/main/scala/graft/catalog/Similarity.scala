@@ -222,6 +222,68 @@ object Similarity extends QueryPack {
                 $"nb.vec_id".as("neighbor_id"), $"nb.cos".as("cos"))
         .orderBy($"q_id", $"rank")
     },
+    // v9: INCREMENTAL kNN-GRAPH MAINTENANCE — v8 taken to its conclusion:
+    // the batch does not just probe the index, it UPDATES the graph.
+    // (a) new nodes get top-3 edges over (index ∪ batch) within their
+    // placement cell; (b) existing nodes' edges update by re-ranking their
+    // STORED top-3 unioned with candidates scored ONLY against the batch
+    // (cell-local) — the incremental-graph algorithm where index×index
+    // pairs are never re-scored: per batch, the new scoring work is
+    // |batch|·CellTarget (new edges) + |affected cells|·CellTarget·|batch
+    // in cell| (updates), independent of total graph size. Nodes in
+    // untouched cells re-rank their stored 3 edges to an identical result,
+    // so the oracle needs no affected-cell filter — re-ranking a node's
+    // old edges alone is the identity.
+    "v9_knn_graph_update" -> { (s, dir) =>
+      import s.implicits._
+      val all = Tables(s, dir).embeddings
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
+        .select($"vec_id", $"v", $"norm2")
+      val idx = all.filter(pmod($"vec_id", lit(10)) =!= 7)
+      val batch = all.filter(pmod($"vec_id", lit(10)) === 7)
+      // same trained index model as v8 (memoized — build-time state)
+      val cents = Quantizer.centroidsOnIndexFor(idx, dir, "idx7", iters = 2, dim = 64)
+      val data = Quantizer.assign(idx, cents)
+        .select($"cell", $"vec_id", $"v", $"norm2")
+      val bas = Quantizer.assign(batch, cents)
+        .select($"cell", $"vec_id".as("b_id"), $"v".as("bv"), $"norm2".as("bn"))
+      def top3(scored: DataFrame, srcCol: String): DataFrame =
+        scored.groupBy(col(srcCol))
+          .agg(graft.functions.TopK.topK3($"cos", $"nb_id").as("top"))
+          .select(col(srcCol).as("src_id"), posexplode($"top").as(Seq("idx", "nb")))
+          .select($"src_id", ($"idx" + 1).cast("long").as("rank"),
+                  $"nb.vec_id".as("neighbor_id"), $"nb.cos".as("cos"))
+      // stored graph: in-cell top-3 WITHIN the index (v5's build, run once
+      // at index-build time; here recomputed as the stand-in for the
+      // persisted edge table)
+      val srcSide = data.select($"cell", $"vec_id".as("s_id"),
+        $"v".as("sv"), $"norm2".as("sn"))
+      val oldEdges = top3(
+        data.join(srcSide, Seq("cell")).filter($"vec_id" =!= $"s_id")
+          .withColumn("cos",
+            graft.functions.VectorExprs.cosine($"sv", $"v", $"sn", $"norm2"))
+          .select($"s_id", $"vec_id".as("nb_id"), $"cos"), "s_id")
+      // (a) new-node edges over index ∪ batch, cell-local
+      val pool = data.unionByName(bas.select($"cell", $"b_id".as("vec_id"),
+        $"bv".as("v"), $"bn".as("norm2")))
+      val newEdges = top3(
+        pool.join(broadcast(bas), Seq("cell")).filter($"vec_id" =!= $"b_id")
+          .withColumn("cos",
+            graft.functions.VectorExprs.cosine($"bv", $"v", $"bn", $"norm2"))
+          .select($"b_id", $"vec_id".as("nb_id"), $"cos"), "b_id")
+      // (b) stored edges ∪ batch-only candidates, re-ranked per index node
+      val cand = data.join(broadcast(bas), Seq("cell"))
+        .withColumn("cos",
+          graft.functions.VectorExprs.cosine($"v", $"bv", $"norm2", $"bn"))
+        .select($"vec_id".as("s_id"), $"b_id".as("nb_id"), $"cos")
+      val updated = top3(
+        oldEdges.select($"src_id".as("s_id"), $"neighbor_id".as("nb_id"), $"cos")
+          .unionByName(cand), "s_id")
+      updated.withColumn("is_new", lit(false))
+        .unionByName(newEdges.withColumn("is_new", lit(true)))
+        .orderBy($"src_id", $"rank")
+    },
     // v6: EMBEDDING AGGREGATION — element-wise centroid of the embedding
     // column per group (here: the doc's source, via doc_id = vec_id), the
     // statistic diversity analysis and cluster monitoring consume.
@@ -402,6 +464,71 @@ object Similarity extends QueryPack {
       SELECT src_id, rank, neighbor_id, cos FROM knn
       ORDER BY src_id, rank""",
     "v4_ivf_sampled" -> ivfSql(sampleMod = 4),
+    // v9: the stored graph (knn over the index), new-node edges over the
+    // cell-local pool, and the stored∪batch-candidate re-rank — identical
+    // serial-fold cosines throughout, so ranks match bitwise.
+    "v9_knn_graph_update" -> s"""
+      WITH e AS (
+        SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings) t
+        WHERE vec_id % 10 <> 7),
+      ${Quantizer.centroidsSql(iters = 2, dim = 64, sampleMod = 1)},
+      assigned AS (
+        SELECT t.vec_id, t.v, t.norm2, c.cell,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 ${dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) DESC,
+                 c.cell) AS crank
+        FROM kq t CROSS JOIN kmc c),
+      data AS (
+        SELECT cell, vec_id, v, norm2 FROM assigned WHERE crank = 1),
+      b AS (
+        SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings) t
+        WHERE vec_id % 10 = 7),
+      bas AS (
+        SELECT cell, vec_id, v, norm2 FROM (
+          SELECT t.vec_id, t.v, t.norm2, c.cell,
+                 row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                   ${dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) DESC,
+                   c.cell) AS crank
+          FROM b t CROSS JOIN kmc c) z WHERE crank = 1),
+      knn AS (
+        SELECT src_id, neighbor_id, cos FROM (
+          SELECT src_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM (SELECT s.vec_id AS src_id, d.vec_id AS neighbor_id,
+                       ${dotSql("s.v", "d.v")} / (sqrt(s.norm2) * sqrt(d.norm2)) AS cos
+                FROM data s JOIN data d ON s.cell = d.cell AND d.vec_id <> s.vec_id) t0) t1
+        WHERE rank <= 3),
+      pool AS (
+        SELECT cell, vec_id, v, norm2 FROM data
+        UNION ALL SELECT cell, vec_id, v, norm2 FROM bas),
+      newe AS (
+        SELECT src_id, rank, neighbor_id, cos FROM (
+          SELECT src_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM (SELECT q.vec_id AS src_id, p.vec_id AS neighbor_id,
+                       ${dotSql("q.v", "p.v")} / (sqrt(q.norm2) * sqrt(p.norm2)) AS cos
+                FROM bas q JOIN pool p ON q.cell = p.cell AND p.vec_id <> q.vec_id) t0) t1
+        WHERE rank <= 3),
+      cand AS (
+        SELECT d.vec_id AS src_id, p.vec_id AS neighbor_id,
+               ${dotSql("d.v", "p.v")} / (sqrt(d.norm2) * sqrt(p.norm2)) AS cos
+        FROM data d JOIN bas p ON d.cell = p.cell),
+      upd AS (
+        SELECT src_id, rank, neighbor_id, cos FROM (
+          SELECT src_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, neighbor_id) AS rank
+          FROM (SELECT src_id, neighbor_id, cos FROM knn
+                UNION ALL SELECT src_id, neighbor_id, cos FROM cand) u) t
+        WHERE rank <= 3)
+      SELECT src_id, rank, neighbor_id, cos, is_new FROM (
+        SELECT src_id, rank, neighbor_id, cos, FALSE AS is_new FROM upd
+        UNION ALL
+        SELECT src_id, rank, neighbor_id, cos, TRUE FROM newe) f
+      ORDER BY src_id, rank""",
     // v8: `e` (the relation the quantizer CTEs train over) IS the index
     // subset — the model never sees the batch; the batch assigns against
     // the trained `kmc` and reranks only within its placement cell.
