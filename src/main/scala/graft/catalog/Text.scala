@@ -40,6 +40,47 @@ object Text extends QueryPack {
     "fr" -> Seq("scan", "data", "batch"),
     "zh" -> Seq("join", "small", "column"))
 
+  /** x13/x14's trained merge table — deterministic model state, memoized
+    * per testdata dir (the Quantizer.trained pattern): (rank, pair,
+    * weighted corpus count). Training runs over the DISTINCT-word
+    * frequency table; each round's argmax is a 1-row collect. */
+  private val learnedMerges =
+    new scala.collection.concurrent.TrieMap[String, Seq[(Long, String, Long)]]
+
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(Long, String, Long)] =
+    learnedMerges.getOrElseUpdate(dir, {
+      import s.implicits._
+      val words = Tables(s, dir).documents
+        .select(explode(expr(wsExpr)).as("tok"))
+        .filter(length($"tok") > 0)
+        .groupBy($"tok").agg(count(lit(1)).as("freq"))
+        .withColumn("seq", expr(
+          "concat('@', array_join(transform(sequence(1, length(tok)), " +
+            "i -> substring(tok, i, 1)), ' @'))"))
+        .select($"freq", $"seq")
+      var cur = words
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      for (r <- 1 to 3) {
+        val best = cur
+          .select($"freq", split($"seq", " ").as("ss"))
+          .filter(size($"ss") >= 2)
+          .select($"freq", explode(expr(
+            "transform(sequence(0, size(ss) - 2), i -> concat(ss[i], ' ', ss[i + 1]))"))
+            .as("pair"))
+          .groupBy($"pair").agg(sum($"freq").as("c"))
+          .orderBy($"c".desc, $"pair").limit(1)
+          .collect()(0)
+        val pair = best.getString(0)
+        merges += ((r.toLong, pair, best.getLong(1)))
+        val repl = "@" + pair.replace(" @", "")
+        // boundary-safe: pad the sequence and match 'pair ' so a pair can
+        // never merge into the PREFIX of a longer right-hand symbol
+        cur = cur.withColumn("seq",
+          expr(s"rtrim(replace(concat(seq, ' '), '$pair ', '$repl '))"))
+      }
+      merges.toSeq
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // x8: Gopher-style repetition signals per document — fraction of word
     // positions covered by the single most frequent bigram, and the
@@ -230,36 +271,33 @@ object Text extends QueryPack {
     // (one 1-row collect per round, the Quantizer pattern).
     "x13_bpe_learn" -> { (s, dir) =>
       import s.implicits._
-      val words = Tables(s, dir).documents
-        .select(explode(expr(wsExpr)).as("tok"))
+      bpeMerges(s, dir).toDF("merge_rank", "pair", "weighted_count")
+        .orderBy($"merge_rank")
+    },
+    // x14: BPE APPLY — the learned merges (x13's model, memoized per
+    // session like the trained quantizer) applied back to EVERY document:
+    // the train→apply loop a tokenization stage runs at 100 TB. Per
+    // (doc, word) symbol sequences get the 3 boundary-safe replaces in
+    // merge-rank order (pure per-row projections — no shuffle beyond the
+    // final per-doc aggregate); output = post-merge token count per doc,
+    // the compression statistic that prices a corpus in tokens.
+    "x14_bpe_apply" -> { (s, dir) =>
+      import s.implicits._
+      var cur = Tables(s, dir).documents
+        .select($"doc_id", explode(expr(wsExpr)).as("tok"))
         .filter(length($"tok") > 0)
-        .groupBy($"tok").agg(count(lit(1)).as("freq"))
         .withColumn("seq", expr(
           "concat('@', array_join(transform(sequence(1, length(tok)), " +
             "i -> substring(tok, i, 1)), ' @'))"))
-        .select($"freq", $"seq")
-      var cur = words
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
-      for (r <- 1 to 3) {
-        val best = cur
-          .select($"freq", split($"seq", " ").as("ss"))
-          .filter(size($"ss") >= 2)
-          .select($"freq", explode(expr(
-            "transform(sequence(0, size(ss) - 2), i -> concat(ss[i], ' ', ss[i + 1]))"))
-            .as("pair"))
-          .groupBy($"pair").agg(sum($"freq").as("c"))
-          .orderBy($"c".desc, $"pair").limit(1)
-          .collect()(0)
-        val pair = best.getString(0)
-        merges += ((r.toLong, pair, best.getLong(1)))
+      bpeMerges(s, dir).foreach { case (_, pair, _) =>
         val repl = "@" + pair.replace(" @", "")
-        // boundary-safe: pad the sequence and match 'pair ' so a pair can
-        // never merge into the PREFIX of a longer right-hand symbol
         cur = cur.withColumn("seq",
           expr(s"rtrim(replace(concat(seq, ' '), '$pair ', '$repl '))"))
       }
-      merges.toSeq.toDF("merge_rank", "pair", "weighted_count")
-        .orderBy($"merge_rank")
+      cur.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"),
+             sum(size(split($"seq", " "))).cast("long").as("n_tokens"))
+        .orderBy($"doc_id")
     },
     "x7_tfidf_topk" -> { (s, dir) =>
       import s.implicits._
@@ -293,6 +331,41 @@ object Text extends QueryPack {
       |     WHEN s_fr >= s_zh THEN 'fr'
       |     ELSE 'zh' END""".stripMargin
 
+  /** x13/x14's shared training CTEs: w0 = the @-marked word-frequency
+    * table; each round counts adjacent pairs of w(r−1), picks best_r, and
+    * applies the boundary-safe merge — unrolled three times. */
+  private def bpeTrainCtes: String = {
+    def round(r: Int): String = {
+      val prev = if (r == 1) "w0" else s"w${r - 1}"
+      s"""
+      pairs$r AS (
+        SELECT pair, SUM(freq)::BIGINT AS c FROM (
+          SELECT freq,
+                 unnest(list_transform(range(1, len(ss)),
+                        i -> ss[i] || ' ' || ss[i + 1])) AS pair
+          FROM (SELECT freq, string_split(seq, ' ') AS ss FROM $prev) t
+          WHERE len(ss) >= 2) p
+        GROUP BY pair),
+      best$r AS (SELECT pair, c FROM pairs$r ORDER BY c DESC, pair LIMIT 1),
+      w$r AS (
+        SELECT freq,
+               rtrim(replace(seq || ' ', (SELECT pair FROM best$r) || ' ',
+                       '@' || replace((SELECT pair FROM best$r), ' @', '') || ' ')) AS seq
+        FROM $prev)"""
+    }
+    s"""w0 AS (
+        SELECT COUNT(*)::BIGINT AS freq,
+               '@' || array_to_string(list_transform(range(1, length(tok) + 1),
+                      i -> tok[i]), ' @') AS seq
+        FROM (SELECT unnest(ws) AS tok
+              FROM (SELECT $wsSql AS ws FROM documents) t0) t1
+        WHERE length(tok) > 0
+        GROUP BY tok),
+      ${round(1)},
+      ${round(2)},
+      ${round(3)}"""
+  }
+
   val oracle: Map[String, String] = Map(
     "x10_pii_redact" -> s"""
       WITH a AS (
@@ -317,47 +390,37 @@ object Text extends QueryPack {
             FROM (SELECT $wsSql AS ws FROM documents) t0) t1
       WHERE length(tok) > 0
       GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
-    "x13_bpe_learn" -> {
-      // one learning round: pairs_r counts adjacent symbols of seq(r-1),
-      // best_r picks the merge, w_r applies it — unrolled three times
-      def round(r: Int): String = {
-        val prev = if (r == 1) "w0" else s"w${r - 1}"
-        s"""
-      pairs$r AS (
-        SELECT pair, SUM(freq)::BIGINT AS c FROM (
-          SELECT freq,
-                 unnest(list_transform(range(1, len(ss)),
-                        i -> ss[i] || ' ' || ss[i + 1])) AS pair
-          FROM (SELECT freq, string_split(seq, ' ') AS ss FROM $prev) t
-          WHERE len(ss) >= 2) p
-        GROUP BY pair),
-      best$r AS (SELECT pair, c FROM pairs$r ORDER BY c DESC, pair LIMIT 1),
-      w$r AS (
-        SELECT freq,
-               rtrim(replace(seq || ' ', (SELECT pair FROM best$r) || ' ',
-                       '@' || replace((SELECT pair FROM best$r), ' @', '') || ' ')) AS seq
-        FROM $prev)"""
-      }
-      s"""
-      WITH w0 AS (
-        SELECT COUNT(*)::BIGINT AS freq,
-               '@' || array_to_string(list_transform(range(1, length(tok) + 1),
-                      i -> tok[i]), ' @') AS seq
-        FROM (SELECT unnest(ws) AS tok
-              FROM (SELECT $wsSql AS ws FROM documents) t0) t1
-        WHERE length(tok) > 0
-        GROUP BY tok),
-      ${round(1)},
-      ${round(2)},
-      ${round(3)}
+    "x13_bpe_learn" -> s"""
+      WITH $bpeTrainCtes
       SELECT merge_rank, pair, weighted_count FROM (
         SELECT 1::BIGINT AS merge_rank, pair, c AS weighted_count FROM best1
         UNION ALL
         SELECT 2::BIGINT, pair, c FROM best2
         UNION ALL
         SELECT 3::BIGINT, pair, c FROM best3) u
-      ORDER BY merge_rank"""
-    },
+      ORDER BY merge_rank""",
+    // x14: the same trained merges applied to per-(doc, word) sequences —
+    // three boundary-safe scalar-subquery replaces, then tokens per doc
+    "x14_bpe_apply" -> s"""
+      WITH $bpeTrainCtes,
+      dt AS (
+        SELECT doc_id,
+               '@' || array_to_string(list_transform(range(1, length(tok) + 1),
+                      i -> tok[i]), ' @') AS seq
+        FROM (SELECT doc_id, unnest(ws) AS tok
+              FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0) t1
+        WHERE length(tok) > 0),
+      ${(1 to 3).map { r =>
+        val prev = if (r == 1) "dt" else s"d${r - 1}"
+        s"""d$r AS (
+        SELECT doc_id,
+               rtrim(replace(seq || ' ', (SELECT pair FROM best$r) || ' ',
+                       '@' || replace((SELECT pair FROM best$r), ' @', '') || ' ')) AS seq
+        FROM $prev)"""
+      }.mkString(",\n      ")}
+      SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+             SUM(len(string_split(seq, ' ')))::BIGINT AS n_tokens
+      FROM d3 GROUP BY doc_id ORDER BY doc_id""",
     "x12_rare_token_filter" -> s"""
       WITH toks AS (
         SELECT doc_id, tok
