@@ -149,6 +149,29 @@ object Multimodal extends QueryPack {
         .select($"media_id", $"vfp", $"n_sampled", $"n_same_fp")
         .orderBy($"media_id")
     },
+    // m9: MULTIMODAL DEDUP GATE — the keep/drop decision a curation
+    // pipeline consumes, composed from all three modality fingerprints
+    // (m5 image aHash, m6 audio chunk-energy fp, m8 video frame-hash
+    // concat): one row per media row, keeper = min media_id within its
+    // (kind, fingerprint) group, is_dup flags the rest. Grouping state is
+    // group-sized (window over the hash), never all-pairs; each modality's
+    // fingerprint is the per-row projection its own entry pins.
+    "m9_media_dedup_gate" -> { (s, dir) =>
+      import s.implicits._
+      val staged = stagedMedia(s, dir)
+      val img = Media.perceptualHash(staged).toDF()
+        .select($"media_id", lit("image").as("kind"), $"ahash".as("fp"))
+      val aud = Media.audioFingerprints(staged).toDF()
+        .select($"media_id", lit("audio").as("kind"), $"afp".as("fp"))
+      val vid = Media.videoFingerprints(staged).toDF()
+        .select($"media_id", lit("video").as("kind"), $"vfp".as("fp"))
+      val wG = Window.partitionBy($"kind", $"fp")
+      img.unionByName(aud).unionByName(vid)
+        .withColumn("keeper_media_id", min($"media_id").over(wG))
+        .withColumn("is_dup", $"media_id" =!= $"keeper_media_id")
+        .select($"media_id", $"kind", $"fp", $"keeper_media_id", $"is_dup")
+        .orderBy($"media_id")
+    },
     // m3: decode + feature extraction through the typed mapPartitions batch
     // path. The normalized float32 embedding is projected back to the EXACT
     // integer byte-histogram of the DECODED content (round(x_i · n_bytes)
@@ -318,6 +341,65 @@ object Multimodal extends QueryPack {
       LEFT JOIN achk ON achk.doc_id = d.doc_id
       LEFT JOIN vchk ON vchk.doc_id = d.doc_id
       ORDER BY media_id""",
+    // m9: the three fingerprint derivations (m5/m6/m8 shapes, prefixed
+    // CTE names) unioned, keeper = min per (kind, fp) group.
+    "m9_media_dedup_gate" -> s"""
+      WITH $imgCtes,
+      $audCtes,
+      g9 AS (
+        SELECT a.x, b.y FROM (SELECT unnest(range(0, 8)) AS x) a
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS y) b),
+      is9 AS (
+        SELECT i.doc_id, g.x, g.y,
+               ${rgbSum("i.doc_id", "(((g.x * i.w) // 8) % 16)",
+                        "(((g.y * i.h) // 8) % 16)")} AS s
+        FROM imgs i CROSS JOIN g9 g),
+      it9 AS (SELECT doc_id, SUM(s) AS total FROM is9 GROUP BY doc_id),
+      ih9 AS (
+        SELECT s.doc_id,
+               string_agg(CASE WHEN s.s * 64 > t.total THEN '1' ELSE '0' END,
+                          '' ORDER BY s.y, s.x) AS fp
+        FROM is9 s JOIN it9 t USING (doc_id) GROUP BY s.doc_id),
+      ae9 AS (
+        SELECT doc_id, (i // 50) AS c,
+               SUM((doc_id * 31 + i * 7) % 65536)::BIGINT AS e
+        FROM (SELECT doc_id, unnest(range(0, 400)) AS i FROM auds) t
+        GROUP BY doc_id, i // 50),
+      at9 AS (SELECT doc_id, SUM(e) AS total FROM ae9 GROUP BY doc_id),
+      af9 AS (
+        SELECT ae9.doc_id,
+               string_agg(CASE WHEN ae9.e * 8 > t.total THEN '1' ELSE '0' END,
+                          '' ORDER BY ae9.c) AS fp
+        FROM ae9 JOIN at9 t USING (doc_id) GROUP BY ae9.doc_id),
+      vd9 AS (
+        SELECT doc_id, 8 + (doc_id % 24) AS nf
+        FROM documents WHERE doc_id % 3 = 2),
+      vs9 AS (
+        SELECT doc_id, f FROM (SELECT doc_id, unnest(range(0, nf)) AS f FROM vd9) t
+        WHERE f % 8 = 0),
+      vp9 AS (
+        SELECT s.doc_id, s.f, g.x, g.y,
+               ${rgbSum("(s.doc_id * 131 + s.f)", "((g.x * 4) % 16)",
+                        "((g.y * 4) % 16)")} AS v
+        FROM vs9 s CROSS JOIN g9 g),
+      vt9 AS (SELECT doc_id, f, SUM(v) AS total FROM vp9 GROUP BY doc_id, f),
+      vh9 AS (
+        SELECT s.doc_id, s.f,
+               string_agg(CASE WHEN s.v * 64 > t.total THEN '1' ELSE '0' END,
+                          '' ORDER BY s.y, s.x) AS h
+        FROM vp9 s JOIN vt9 t ON s.doc_id = t.doc_id AND s.f = t.f
+        GROUP BY s.doc_id, s.f),
+      vf9 AS (
+        SELECT doc_id, string_agg(h, '' ORDER BY f) AS fp
+        FROM vh9 GROUP BY doc_id),
+      allf AS (
+        SELECT doc_id AS media_id, 'image' AS kind, fp FROM ih9
+        UNION ALL SELECT doc_id, 'audio', fp FROM af9
+        UNION ALL SELECT doc_id, 'video', fp FROM vf9)
+      SELECT media_id, kind, fp,
+             MIN(media_id) OVER (PARTITION BY kind, fp) AS keeper_media_id,
+             media_id <> MIN(media_id) OVER (PARTITION BY kind, fp) AS is_dup
+      FROM allf ORDER BY media_id""",
     "m8_video_fingerprint" -> s"""
       WITH vids AS (
         SELECT doc_id, 8 + (doc_id % 24) AS nf
