@@ -53,6 +53,17 @@ object Formats extends QueryPack {
                 $"l_quantity".cast("double").as("l_quantity"))
       AvroTable.write(proj, tmp)
       qtyAgg(AvroTable.read(s, tmp, proj.schema))
+    },
+    // k6: JSON-lines round-trip — the interchange format crawl feeds and
+    // label stores actually ship; read back under the WRITER's schema
+    // (no inference drift), aggregate, compare against the original
+    "k6_json_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = Scratch.dir("json").toString
+      val proj = Tables(s, dir).lineitem
+        .select($"l_orderkey", $"l_returnflag", $"l_quantity")
+      proj.write.mode("overwrite").json(tmp)
+      qtyAgg(s.read.schema(proj.schema).json(tmp))
     }
   )
 
@@ -63,6 +74,7 @@ object Formats extends QueryPack {
 
   val oracle: Map[String, String] = Map(
     "k4_orc_roundtrip" -> qtySql,
-    "k5_avro_roundtrip" -> qtySql
+    "k5_avro_roundtrip" -> qtySql,
+    "k6_json_roundtrip" -> qtySql
   )
 }
