@@ -36,6 +36,10 @@ object Similarity extends QueryPack {
   import graft.functions.TextKernels
   import Tx.dotSql
 
+  /** v9's persisted stored-graph stand-in: staged once per (JVM, dir). */
+  private val stagedGraphs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // Spark side computes with the compiled kernels in TextKernels (identical
   // arithmetic — see its scaladoc); these generators emit the DuckDB oracle.
 
@@ -255,15 +259,26 @@ object Similarity extends QueryPack {
           .select($"src_id", ($"idx" + 1).cast("long").as("rank"),
                   $"nb.vec_id".as("neighbor_id"), $"nb.cos".as("cos"))
       // stored graph: in-cell top-3 WITHIN the index (v5's build, run once
-      // at index-build time; here recomputed as the stand-in for the
-      // persisted edge table)
-      val srcSide = data.select($"cell", $"vec_id".as("s_id"),
-        $"v".as("sv"), $"norm2".as("sn"))
-      val oldEdges = top3(
-        data.join(srcSide, Seq("cell")).filter($"vec_id" =!= $"s_id")
-          .withColumn("cos",
-            graft.functions.VectorExprs.cosine($"sv", $"v", $"sn", $"norm2"))
-          .select($"s_id", $"vec_id".as("nb_id"), $"cos"), "s_id")
+      // at index-build time). Staged to scratch parquet once per session —
+      // the persisted-edge-table stand-in, same reasoning as the staged
+      // media fixture: the incremental operator's cost is the UPDATE, not
+      // rebuilding the index it updates. Parquet round-trips IEEE doubles
+      // bit-exact, so the re-rank stays oracle-identical.
+      val oldEdges = {
+        val path = stagedGraphs.computeIfAbsent(dir, _ => {
+          val p = graft.Scratch.dir("knn_graph").resolve("edges").toString
+          val srcSide = data.select($"cell", $"vec_id".as("s_id"),
+            $"v".as("sv"), $"norm2".as("sn"))
+          top3(
+            data.join(srcSide, Seq("cell")).filter($"vec_id" =!= $"s_id")
+              .withColumn("cos",
+                graft.functions.VectorExprs.cosine($"sv", $"v", $"sn", $"norm2"))
+              .select($"s_id", $"vec_id".as("nb_id"), $"cos"), "s_id")
+            .write.mode("overwrite").parquet(p)
+          p
+        })
+        s.read.parquet(path)
+      }
       // (a) new-node edges over index ∪ batch, cell-local
       val pool = data.unionByName(bas.select($"cell", $"b_id".as("vec_id"),
         $"bv".as("v"), $"bn".as("norm2")))
