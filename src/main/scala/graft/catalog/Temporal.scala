@@ -101,6 +101,56 @@ object Temporal extends QueryPack {
                 $"n_events", $"first_us", $"last_us")
         .orderBy($"s_suppkey", $"version")
     },
+    // r5: SCD2 BUILD — the inverse of r4's join: turn a changelog (orders
+    // as per-customer change events setting the current priority) into a
+    // versioned dimension. True SCD2 suppresses no-change events (lag
+    // filter), then versions number densely and each version's validity
+    // closes at the NEXT change (lead; null = current). Both windows key
+    // on custkey — group size = changes per key (bounded), never a global
+    // sort; the 100 TB shape for dim construction from CDC feeds.
+    "r5_scd2_build" -> { (s, dir) =>
+      import s.implicits._
+      val wo = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables(s, dir).orders
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"o_orderpriority")
+        .withColumn("prev", lag($"o_orderpriority", 1).over(wo))
+        .filter($"prev".isNull || $"prev" =!= $"o_orderpriority")
+        .withColumn("version", (row_number().over(wo) - 1).cast("long"))
+        .withColumn("valid_from", date_format($"o_orderdate", "yyyy-MM-dd"))
+        .withColumn("valid_to",
+          date_format(lead($"o_orderdate", 1).over(wo), "yyyy-MM-dd"))
+        .select($"o_custkey", $"version", $"o_orderpriority".as("priority"),
+                $"valid_from", $"valid_to")
+        .orderBy($"o_custkey", $"version")
+    },
+    // r6: CALENDAR GAP-FILL + FORWARD FILL — the feature-store/reporting
+    // op: per-priority DAILY revenue with missing days surfaced as n=0 and
+    // the last known revenue carried forward (last_value IGNORE NULLS).
+    // Scale shape: aggregate FIRST — the scaffold join and the window run
+    // over the per-(priority, day) SUMMARY (calendar-bounded rows), never
+    // the fact table; the date scaffold is a broadcast-tiny cross join.
+    "r6_gap_fill" -> { (s, dir) =>
+      import s.implicits._
+      val ords = Tables(s, dir).orders
+        .select($"o_orderpriority".as("prio"), $"o_orderdate".cast("date").as("d"),
+                $"o_totalprice")
+      val daily = ords.groupBy($"prio", $"d")
+        .agg(count(lit(1)).as("n"),
+             sum($"o_totalprice".cast("decimal(18,2)"))
+               .cast("decimal(38,2)").cast("double").as("rev"))
+      val bounds = ords.agg(min($"d").as("lo"), max($"d").as("hi"))
+      val scaffold = ords.select($"prio").distinct()
+        .crossJoin(broadcast(bounds))
+        .withColumn("d", explode(expr("sequence(lo, hi, interval 1 day)")))
+        .select($"prio", $"d")
+      val w = Window.partitionBy($"prio").orderBy($"d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scaffold.join(daily, Seq("prio", "d"), "left")
+        .withColumn("n", coalesce($"n", lit(0L)))
+        .withColumn("rev_ffill", last($"rev", ignoreNulls = true).over(w))
+        .select($"prio", date_format($"d", "yyyy-MM-dd").as("day"), $"n", $"rev_ffill")
+        .orderBy($"prio", $"day")
+    },
     // r2: per error event, clicks of the same user in [ts, ts + 10 min)
     "r2_range_join" -> { (s, dir) =>
       import s.implicits._
@@ -134,6 +184,43 @@ object Temporal extends QueryPack {
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
         ON c.user_id = e.user_id AND e.ts <= c.ts
       ORDER BY click_id""",
+    "r5_scd2_build" -> """
+      WITH ch AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+               lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders),
+      chg AS (SELECT * FROM ch WHERE prev IS NULL OR prev <> o_orderpriority)
+      SELECT o_custkey,
+             (row_number() OVER w - 1)::BIGINT AS version,
+             o_orderpriority AS priority,
+             strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+             strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS valid_to
+      FROM chg
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, version""",
+    "r6_gap_fill" -> """
+      WITH o AS (
+        SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS d,
+               o_totalprice
+        FROM orders),
+      daily AS (
+        SELECT prio, d, COUNT(*)::BIGINT AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS rev
+        FROM o GROUP BY prio, d),
+      bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM o),
+      scaffold AS (
+        SELECT p.prio, CAST(g.g AS DATE) AS d
+        FROM (SELECT DISTINCT prio FROM o) p
+        CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS g
+                    FROM bounds) g)
+      SELECT s.prio, strftime(s.d, '%Y-%m-%d') AS day,
+             COALESCE(daily.n, 0) AS n,
+             last_value(daily.rev IGNORE NULLS) OVER (PARTITION BY s.prio
+               ORDER BY s.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_ffill
+      FROM scaffold s
+      LEFT JOIN daily ON s.prio = daily.prio AND s.d = daily.d
+      ORDER BY s.prio, day""",
     "r4_scd2_join" -> """
       WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
       dim AS (
