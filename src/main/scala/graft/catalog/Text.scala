@@ -238,6 +238,25 @@ object Text extends QueryPack {
     // hash join back on token (at 100 TB the top-of-vocabulary head would
     // broadcast and only the long tail shuffles), then a per-doc aggregate.
     // rare_pm is exact integer per-mille — no double crosses the gate.
+    // x15: DOCUMENT CHUNKING — fixed-size overlapping chunks (500 chars,
+    // 100 overlap → stride 400), the context-packing prep a training
+    // pipeline runs before tokenization. Pure per-row projection
+    // (sequence + explode + substring — char-aligned boundaries on both
+    // engines, so multibyte text never splits a codepoint); chunk count
+    // uses greatest(len,1) so empty docs still yield one (empty) chunk
+    // with identical floor semantics on both engines.
+    "x15_chunk_pack" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .select($"doc_id", $"text",
+          explode(expr("sequence(0, (greatest(length(text), 1) - 1) div 400)"))
+            .as("chunk_idx"))
+        .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+          length(expr("substring(text, chunk_idx * 400 + 1, 500)")).cast("long")
+            .as("chunk_len"),
+          md5(expr("substring(text, chunk_idx * 400 + 1, 500)")).as("chunk_md5"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
     "x12_rare_token_filter" -> { (s, dir) =>
       import s.implicits._
       val toks = Tables(s, dir).documents
@@ -421,6 +440,14 @@ object Text extends QueryPack {
       SELECT doc_id, COUNT(*)::BIGINT AS n_words,
              SUM(len(string_split(seq, ' ')))::BIGINT AS n_tokens
       FROM d3 GROUP BY doc_id ORDER BY doc_id""",
+    "x15_chunk_pack" -> """
+      SELECT doc_id, i AS chunk_idx,
+             length(substr(text, i * 400 + 1, 500))::BIGINT AS chunk_len,
+             md5(substr(text, i * 400 + 1, 500)) AS chunk_md5
+      FROM (SELECT doc_id, text,
+                   unnest(range(0, ((greatest(length(text), 1) - 1) // 400) + 1))::BIGINT AS i
+            FROM documents) t
+      ORDER BY doc_id, chunk_idx""",
     "x12_rare_token_filter" -> s"""
       WITH toks AS (
         SELECT doc_id, tok
