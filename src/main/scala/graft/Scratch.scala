@@ -20,6 +20,22 @@ object Scratch {
   def dir(prefix: String): Path =
     Files.createTempDirectory(root, prefix)
 
+  /** Stage-once memo: the first caller for `key` runs `write` into a fresh
+    * scratch path and every caller gets that path back — the shared
+    * pattern behind the staged media fixture, v9's persisted graph, and
+    * any future deterministic fixture. `write` must fully materialize the
+    * data before returning (computeIfAbsent holds the slot, so concurrent
+    * callers block rather than observe a half-written dir). */
+  private val stagedPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def staged(key: String, prefix: String)(write: String => Unit): String =
+    stagedPaths.computeIfAbsent(key, _ => {
+      val p = dir(prefix).resolve("data").toString
+      write(p)
+      p
+    })
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {
       val ls = Files.list(p)

@@ -39,16 +39,12 @@ object Multimodal extends QueryPack {
     * parquet hop also restores the production shape: payloads arrive FROM
     * STORAGE, and metadata-only plans prune the payload column at the scan
     * (MultimodalSpec's ReadSchema assertion runs against this path). */
-  private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private def stagedMedia(s: SparkSession, dir: String): Dataset[MediaRecord] = {
     import s.implicits._
-    val path = stagedDirs.computeIfAbsent(dir, _ => {
-      val p = Scratch.dir("media").resolve("media").toString
+    val path = Scratch.staged(s"media#$dir", "media") { p =>
       Media.mediaFromDocuments(Tables(s, dir).documents)
         .write.mode("overwrite").parquet(p)
-      p
-    })
+    }
     s.read.parquet(path).as[MediaRecord]
   }
 

@@ -36,9 +36,6 @@ object Similarity extends QueryPack {
   import graft.functions.TextKernels
   import Tx.dotSql
 
-  /** v9's persisted stored-graph stand-in: staged once per (JVM, dir). */
-  private val stagedGraphs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   // Spark side computes with the compiled kernels in TextKernels (identical
   // arithmetic — see its scaladoc); these generators emit the DuckDB oracle.
@@ -265,8 +262,7 @@ object Similarity extends QueryPack {
       // rebuilding the index it updates. Parquet round-trips IEEE doubles
       // bit-exact, so the re-rank stays oracle-identical.
       val oldEdges = {
-        val path = stagedGraphs.computeIfAbsent(dir, _ => {
-          val p = graft.Scratch.dir("knn_graph").resolve("edges").toString
+        val path = graft.Scratch.staged(s"knn_graph#$dir", "knn_graph") { p =>
           val srcSide = data.select($"cell", $"vec_id".as("s_id"),
             $"v".as("sv"), $"norm2".as("sn"))
           top3(
@@ -275,8 +271,7 @@ object Similarity extends QueryPack {
                 graft.functions.VectorExprs.cosine($"sv", $"v", $"sn", $"norm2"))
               .select($"s_id", $"vec_id".as("nb_id"), $"cos"), "s_id")
             .write.mode("overwrite").parquet(p)
-          p
-        })
+        }
         s.read.parquet(path)
       }
       // (a) new-node edges over index ∪ batch, cell-local

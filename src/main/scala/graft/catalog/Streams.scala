@@ -150,31 +150,47 @@ object Streams extends QueryPack {
   private[graft] def runDedupGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables(s, dir).documents.select($"doc_id", $"text")
-    val ingest = Scratch.dir("e18").toString
-    // 4 contiguous doc_id ranges, written in range order so the file
-    // source's mtime ordering == doc_id order (first occurrence = min id)
+    val ingest = Scratch.dir("e18")
+    // 4 contiguous doc_id ranges with PINNED, strictly-increasing mtimes
+    // (minutes apart) so the file source's mtime ordering == doc_id order
+    // (first occurrence = min id) on ANY filesystem — coarse-granularity
+    // mtimes (1 s on some mounts) would make write-order timestamps tie
+    // and the source's ordering environment-dependent
     val ids = docs.agg(min($"doc_id"), max($"doc_id")).head()
     val (lo, hi) = (ids.getLong(0), ids.getLong(1))
     val step = (hi - lo) / 4 + 1
     (0 until 4).foreach { i =>
+      val stage = Scratch.dir(s"e18r$i")
       docs.filter($"doc_id" >= lo + i * step && $"doc_id" < lo + (i + 1) * step)
-        .coalesce(1).write.mode("append").parquet(ingest)
-      Thread.sleep(5) // distinct mtimes → deterministic file order
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val ls = java.nio.file.Files.list(stage)
+      val part = try {
+        ls.filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      } finally ls.close()
+      val dst = ingest.resolve(f"range_$i%02d.parquet")
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
     }
+    val ingestStr = ingest.toString
     val index = Scratch.dir("e18_index").resolve("idx").toString
     val digestOf = md5(expr("trim(regexp_replace(lower(text), '[^a-z ]', ''))"))
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", 4)
     try {
-      val st = s.readStream.schema(s.read.parquet(ingest).schema)
-        .option("maxFilesPerTrigger", 1).parquet(ingest)
+      val st = s.readStream.schema(s.read.parquet(ingestStr).schema)
+        .option("maxFilesPerTrigger", 1).parquet(ingestStr)
       val q = st.writeStream.outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val bs = batch.sparkSession
           val withDigest = batch.withColumn("digest", digestOf)
             .groupBy("digest").agg(min("doc_id").as("keeper_doc_id"))
+          // index existence probed through the Hadoop FS (not java.io) so
+          // the same code holds when the index root is table storage
+          val idxPath = new org.apache.hadoop.fs.Path(index)
+          val idxFs = idxPath.getFileSystem(bs.sparkContext.hadoopConfiguration)
           val survivors =
-            if (new java.io.File(index).exists())
+            if (idxFs.exists(idxPath))
               withDigest.join(bs.read.parquet(index).select("digest"),
                 Seq("digest"), "left_anti")
             else withDigest

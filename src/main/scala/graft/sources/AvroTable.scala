@@ -52,14 +52,29 @@ object AvroTable {
     fields.endRecord().toString
   }
 
+  /** The session's Hadoop configuration flattened to entries — the
+    * closure-safe form (Configuration itself is not serializable): rebuilt
+    * per task so executor-side FS access carries the same credentials/
+    * nameservice config the driver resolved paths with. */
+  private def confEntries(spark: SparkSession): Array[(String, String)] =
+    spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toArray
+
+  private def rebuild(entries: Array[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   /** Write `df` as `part-NNNNN.avro` container files under `path`. */
   def write(df: DataFrame, path: String): Unit = {
     val structType = df.schema
     // Schema objects don't cross the closure boundary; ship the JSON form
     val json = avroSchemaJson(structType, "row")
+    val entries = confEntries(df.sparkSession)
     df.foreachPartition { (it: Iterator[Row]) =>
       val avroSchema = new Schema.Parser().parse(json)
-      val conf = new Configuration()
+      val conf = rebuild(entries)
       val part = new Path(path, f"part-${TaskContext.getPartitionId()}%05d.avro")
       val fs = part.getFileSystem(conf)
       val out = fs.create(part, true)
@@ -87,10 +102,15 @@ object AvroTable {
     val files = fs.globStatus(glob).map(_.getPath.toString).sorted.toSeq
     val names = schema.fieldNames
     val types = schema.fields.map(_.dataType)
+    val entries = confEntries(spark)
     val rows = spark.sparkContext.parallelize(files, math.max(files.size, 1))
       .flatMap { file =>
-        val in = new FsInput(new Path(file), new Configuration())
+        val in = new FsInput(new Path(file), rebuild(entries))
         val reader = new DataFileReader(in, new GenericDatumReader[GenericRecord]())
+        // close at task end regardless of how far the consumer iterates
+        // (limit/take/exception would otherwise leak the file handle)
+        Option(TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => reader.close()))
         reader.iterator().asScala.map { rec =>
           val vals = new Array[Any](names.length)
           var i = 0
@@ -104,7 +124,7 @@ object AvroTable {
             i += 1
           }
           Row.fromSeq(vals.toIndexedSeq)
-        } ++ { reader.close(); Iterator.empty }
+        }
       }
     spark.createDataFrame(rows, schema)
   }

@@ -70,8 +70,16 @@ final class TableUpsertStore(root: String) {
     val tmp = new Path(root, s"_tmp_v$batchId")
     merged.write.mode("overwrite").parquet(tmp.toString)
     val fin = new Path(root, s"v$batchId")
-    if (f.exists(fin)) f.delete(fin, true) // replayed batch: rewrite same state
-    f.rename(tmp, fin)
+    if (f.exists(fin)) {
+      // replayed batch whose version already committed: it merged the same
+      // batch against the same predecessor state, so fin is identical —
+      // keep it and drop the re-computation (never delete-then-rename:
+      // that window would leave the store with ZERO committed versions)
+      f.delete(tmp, true)
+    } else if (!f.rename(tmp, fin)) {
+      throw new java.io.IOException(s"upsert commit failed: $tmp -> $fin")
+    }
+    // prune only AFTER the new version is committed
     versions(s).dropRight(1).foreach { case (_, p) => f.delete(p, true) }
   }
 

@@ -54,7 +54,7 @@ class FormatSpec extends AnyFunSuite {
       (2L, None, None, None, None, None),
       (3L, Some(-0.25), Some("héllo;τ"), Some(false), Some(-1), Some(0f)))
       .toDF("id", "d", "s", "b", "i", "f").repartition(3)
-    val dir = Files.createTempDirectory("fmt").resolve("ev_avro").toString
+    val dir = Scratch.dir("fmt_avro").resolve("ev_avro").toString
     graft.sources.AvroTable.write(src, dir)
     // one container file per write partition
     val parts = new java.io.File(dir).list().count(_.matches("part-\\d{5}\\.avro"))

@@ -129,7 +129,7 @@ class StreamFileSourceSpec extends AnyFunSuite {
 
   test("additive schema drift: pre-drift files null-fill the new column mid-stream") {
     import org.apache.spark.sql.functions._
-    val dir = Files.createTempDirectory("graft_drift").toString
+    val dir = Scratch.dir("graft_drift").toString
     // file 1: legacy schema (no `channel`); file 2: drifted (+ channel) —
     // written second so it arrives in a LATER micro-batch
     Seq((1L, "a"), (2L, "b")).toDF("id", "kind")
