@@ -221,6 +221,34 @@ object Analytics extends QueryPack {
              sum(when($"b" < $"rate_bp", 1L).otherwise(0L)).as("n_kept"))
         .orderBy($"lang")
     },
+    // g7: Z-ORDER LAYOUT for data skipping — the multi-dimensional
+    // clustering a 100 TB store applies so that per-file min/max zone maps
+    // prune scans for predicates on EITHER dimension (the Delta/Iceberg
+    // OPTIMIZE ZORDER idea). Two 8-bit keys — x = user bucket, y = 6-minute
+    // slot of day — interleave bit-by-bit into a 16-bit z-value (pure
+    // integer div/mod arithmetic, unrolled, identical on both engines);
+    // shard = z div 4096 assigns 16 range-contiguous files WITHOUT a global
+    // sort (the z prefix IS the range), each row a pure projection. The
+    // output is each file's zone map: by the z-curve's construction every
+    // shard's bounding box spans ≤ 64 of 256 x-values and ≤ 64 of 240
+    // y-slots — a predicate on either dimension prunes ~3/4 of the files,
+    // which a 1-D sort can only provide for its leading column. x_span /
+    // y_span carry that guarantee through the oracle gate.
+    "g7_zorder_layout" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).events
+        .select(expr("user_id % 256").as("x"),
+                expr("(hour(ts) * 60 + minute(ts)) div 6").as("y"))
+        .withColumn("z", expr(zInterleave("x", "y", div = "div")))
+        .withColumn("shard", expr("z div 4096"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n"),
+             min($"x").as("min_x"), max($"x").as("max_x"),
+             min($"y").as("min_y"), max($"y").as("max_y"))
+        .withColumn("x_span", $"max_x" - $"min_x" + 1)
+        .withColumn("y_span", $"max_y" - $"min_y" + 1)
+        .orderBy($"shard")
+    },
     // g1: per-nation sorted list of supplier names (deterministic array agg).
     // Comma-joined, not ARRAY-typed: the driver's compare (pandas sort +
     // hash) cannot process array cells; the joined string carries the same
@@ -235,6 +263,16 @@ object Analytics extends QueryPack {
     }
   )
 
+  /** g7's bit interleave, emitted for both engines: z = Σ_b x_b·4^b·1 +
+    * y_b·4^b·2 over 8 bits, as pure div/mod integer arithmetic (`div` is
+    * Spark's integral division, `//` DuckDB's — identical on non-negative
+    * operands). */
+  private def zInterleave(x: String, y: String, div: String): String =
+    (0 until 8).map { b =>
+      s"(($x $div ${1L << b}) % 2) * ${1L << (2 * b)} + " +
+        s"(($y $div ${1L << b}) % 2) * ${1L << (2 * b + 1)}"
+    }.mkString("(", " + ", ")")
+
   private val pivotCols = EventTypes.map(t =>
     s"""COALESCE(COUNT(*) FILTER (event_type = '$t'), 0)::BIGINT AS "$t"""").mkString(", ")
 
@@ -242,6 +280,17 @@ object Analytics extends QueryPack {
     case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ") + " END"
 
   val oracle: Map[String, String] = Map(
+    "g7_zorder_layout" -> s"""
+      SELECT z // 4096 AS shard, COUNT(*) AS n,
+             MIN(x) AS min_x, MAX(x) AS max_x,
+             MIN(y) AS min_y, MAX(y) AS max_y,
+             MAX(x) - MIN(x) + 1 AS x_span, MAX(y) - MIN(y) + 1 AS y_span
+      FROM (
+        SELECT x, y, ${zInterleave("x", "y", div = "//")} AS z
+        FROM (SELECT user_id % 256 AS x,
+                     (hour(ts) * 60 + minute(ts)) // 6 AS y
+              FROM events) t0) t1
+      GROUP BY shard ORDER BY shard""",
     "g5_shuffle_shard" -> s"""
       SELECT doc_id, shard,
              ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key)::BIGINT AS pos

@@ -19,6 +19,9 @@ import graft.sources.AvroTable
   * re-enter from the Spark side; aggregation decimals follow the repo-wide
   * dec2/asDbl convention (Relational scaladoc).
   *
+  * k6 closes the loop for JSON-lines, and k7 puts the hive-partitioned
+  * parquet LAYOUT itself under the gate (see its entry comment).
+  *
   * Scale notes: both writes are straight per-partition re-encodes — no
   * shuffle, parallel by input split; locally they land in the per-JVM
   * scratch dir (shutdown-hook cleaned), on a cluster the same lines target
@@ -54,6 +57,34 @@ object Formats extends QueryPack {
       AvroTable.write(proj, tmp)
       qtyAgg(AvroTable.read(s, tmp, proj.schema))
     },
+    // k7: HIVE-PARTITIONED LAYOUT round-trip — the 100 TB table layout
+    // itself under the oracle gate: events re-written partitionBy(
+    // event_date) (the date-partitioned layout an event store ships),
+    // read back with a single-day predicate, aggregated. The day filter
+    // resolves AT PLANNING TIME against the partition directory listing —
+    // the scan reads one partition's files, never the table
+    // (PartitionPruningSpec pins `PartitionFilters` + the numPartitions=1
+    // metric on exactly this layout). The oracle runs the same day
+    // aggregate over the ORIGINAL unpartitioned parquet, so a green row
+    // pins that the partitioned re-write preserved every row and value.
+    // Only integer aggregates cross the gate (sum of doubles is
+    // partition-order-dependent; event_id sums and distinct counts are
+    // not).
+    "k7_partitioned_prune" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = Scratch.staged(s"events_by_date#$dir", "part_events") { p =>
+        Tables(s, dir).events
+          .withColumn("event_date", to_date($"ts"))
+          .write.partitionBy("event_date").mode("overwrite").parquet(p)
+      }
+      s.read.parquet(tmp)
+        .filter($"event_date" === lit(java.sql.Date.valueOf("2024-01-02")))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+             countDistinct($"user_id").as("n_users"),
+             sum($"event_id").as("sum_ids"))
+        .orderBy($"event_type")
+    },
     // k6: JSON-lines round-trip — the interchange format crawl feeds and
     // label stores actually ship; read back under the WRITER's schema
     // (no inference drift), aggregate, compare against the original
@@ -73,6 +104,13 @@ object Formats extends QueryPack {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   val oracle: Map[String, String] = Map(
+    "k7_partitioned_prune" -> """
+      SELECT event_type, COUNT(*) AS n,
+             COUNT(DISTINCT user_id) AS n_users,
+             SUM(event_id)::BIGINT AS sum_ids
+      FROM events
+      WHERE CAST(ts AS DATE) = DATE '2024-01-02'
+      GROUP BY event_type ORDER BY event_type""",
     "k4_orc_roundtrip" -> qtySql,
     "k5_avro_roundtrip" -> qtySql,
     "k6_json_roundtrip" -> qtySql

@@ -1,6 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
 
@@ -117,6 +118,36 @@ object Quality extends QueryPack {
         .select($"col", $"n_a", $"n_b", $"dn_pm", $"d_a", $"d_b", $"dd_pm", $"drifted")
         .orderBy($"col")
     },
+    // dq5: ROBUST OUTLIER DETECTION — per-group median/MAD price anomaly
+    // counts, the distribution-tail audit a pipeline runs before trusting a
+    // new load (mean/stddev break under the very outliers they hunt; the
+    // median/MAD pair does not). Everything stays integer-exact for the
+    // hash gate: prices become cents via round(x·100)→BIGINT (the proven
+    // quantizer projection), medians ride DOUBLED (med2 = v_lo + v_hi, so
+    // even-count midpoints never leave ℤ), deviations are dev2 = |2·cents −
+    // med2|, and mad4 = 2·median(dev2) = 4·MAD; the outlier test
+    // 2·dev2 > 5·mad4 is exactly |x − med| > 5·MAD. Both medians use the
+    // two-pass bucketed order statistic (see med2 below — q9's histogram
+    // shape degenerates on near-unique values); the DuckDB twin's
+    // quantile_cont equals (v_lo + v_hi)/2 at p = 0.5 (q9's proof),
+    // doubled back to the same integer.
+    "dq5_mad_outliers" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables(s, dir).lineitem
+        .select($"l_returnflag".as("grp"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+      val m = med2(li, "grp", "cents", "med2")
+      val dev = li.join(broadcast(m), Seq("grp"))
+        .withColumn("dev2", abs($"cents" * 2 - $"med2"))
+      val mad = med2(dev.select($"grp", $"dev2"), "grp", "dev2", "mad4")
+      dev.join(broadcast(mad), Seq("grp"))
+        .groupBy($"grp")
+        .agg(count(lit(1)).as("n"), max($"med2").as("med2"),
+             max($"mad4").as("mad4"),
+             sum(when($"dev2" * 2 > $"mad4" * 5, 1L).otherwise(0L)).as("n_out"))
+        .withColumn("out_pm", expr("n_out * 1000 div n"))
+        .orderBy($"grp")
+    },
     "dq2_table_profile" -> { (s, dir) =>
       import s.implicits._
       val li = Tables(s, dir).lineitem
@@ -143,7 +174,65 @@ object Quality extends QueryPack {
     }
   )
 
+  /** Exact per-group DOUBLED median (v_lo + v_hi) of integer column `vcol`
+    * via the two-pass bucketed ORDER STATISTIC. q9's value-histogram median
+    * degenerates when value cardinality ≈ row count (dq5's cents are nearly
+    * unique, so the cumulative window would sort ~the whole table inside a
+    * handful of group partitions). Here instead: (0) one tiny per-group
+    * count/bounds aggregate; (1) per-(group, range-bucket) counts — at most
+    * |groups|·4096 rows, map-side combined — and the median position's
+    * bucket located on that tiny cumulative table; (2) ranking ONLY inside
+    * the located buckets (~n/4096 rows each). No window ever sees more than
+    * a bucket's worth of raw rows, so exact medians survive 10^10-row
+    * groups with two scans and a broadcast. */
+  private def med2(df: DataFrame, gcol: String, vcol: String,
+                   out: String): DataFrame = {
+    import df.sparkSession.implicits._
+    val B = 4096
+    val g = col(gcol)
+    val v = col(vcol)
+    val stats = df.groupBy(g)
+      .agg(count(lit(1)).as("n"), min(v).as("mn"), max(v).as("mx"))
+    // the two 0-based middle positions (equal when n is odd), as rows
+    val targets = stats.select(g, explode(array(
+        struct(lit("lo").as("tag"), expr("(n - 1) div 2").as("tpos")),
+        struct(lit("hi").as("tag"), expr("n div 2").as("tpos")))).as("t"))
+      .select(g, $"t.tag".as("tag"), $"t.tpos".as("tpos"))
+    val bucketed = df.join(broadcast(stats.select(g, $"mn", $"mx")), Seq(gcol))
+      .withColumn("_bkt", expr(s"(($vcol - mn) * $B) div (mx - mn + 1)"))
+    val bcounts = bucketed.groupBy(g, $"_bkt").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(g).orderBy($"_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val located = bcounts
+      .withColumn("cum0", coalesce(sum($"c").over(wCum), lit(0L)))
+      .join(targets, Seq(gcol))
+      .filter($"tpos" >= $"cum0" && $"tpos" < $"cum0" + $"c")
+      .select(g, $"tag", $"_bkt", ($"tpos" - $"cum0").as("lpos"))
+    val wIn = Window.partitionBy(g, $"tag").orderBy(v)
+    bucketed.join(broadcast(located), Seq(gcol, "_bkt"))
+      .withColumn("r", row_number().over(wIn).cast("long") - 1L)
+      .filter($"r" === $"lpos")
+      .groupBy(g).agg(sum(v).as(out))
+  }
+
   val oracle: Map[String, String] = Map(
+    "dq5_mad_outliers" -> """
+      WITH li AS (
+        SELECT l_returnflag AS grp,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem),
+      m AS (SELECT grp, CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS med2
+            FROM li GROUP BY grp),
+      dev AS (SELECT li.grp, cents, med2, abs(cents * 2 - med2) AS dev2
+              FROM li JOIN m USING (grp)),
+      mad AS (SELECT grp, CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+              FROM dev GROUP BY grp)
+      SELECT grp, COUNT(*) AS n, MAX(med2) AS med2, MAX(mad4) AS mad4,
+             SUM(CASE WHEN dev2 * 2 > mad4 * 5 THEN 1 ELSE 0 END)::BIGINT AS n_out,
+             (SUM(CASE WHEN dev2 * 2 > mad4 * 5 THEN 1 ELSE 0 END) * 1000
+               // COUNT(*))::BIGINT AS out_pm
+      FROM dev JOIN mad USING (grp)
+      GROUP BY grp ORDER BY grp""",
     "dq1_quality_audit" -> """
       WITH li AS (
         SELECT COUNT(*)::BIGINT AS n,

@@ -318,6 +318,42 @@ object Text extends QueryPack {
              sum(size(split($"seq", " "))).cast("long").as("n_tokens"))
         .orderBy($"doc_id")
     },
+    // x16: BIGRAM-LM QUALITY SCORE — the CCNet/perplexity-gate shape, kept
+    // integer-exact so it can sit under the hash gate: train a bigram model
+    // on the corpus itself (c(w1,w2), c(w1)), score every document by its
+    // mean scaled conditional probability ppm(w2|w1) = c12·10⁶ div c1, and
+    // keep documents whose mean is at least half the corpus-wide mean (the
+    // data-relative threshold, x12's convention — no tuned constant). Low
+    // scores = improbable token transitions = likely garbage; a real
+    // deployment swaps the floor-div probability for a log-prob, the plan
+    // is identical. Plan shape at 100 TB: two map-side-combined count
+    // aggregations (the model — shuffled on w1[,w2], head would broadcast),
+    // one hash join back per occurrence, one per-doc aggregate; docs with
+    // <2 tokens have no bigrams and drop out (they go to a length gate,
+    // not an LM gate).
+    "x16_lm_score" -> { (s, dir) =>
+      import s.implicits._
+      val bi = Tables(s, dir).documents
+        .select($"doc_id", expr(wsExpr).as("ws"))
+        .select($"doc_id", explode(expr(
+          "if(size(ws) < 2, array(), transform(sequence(1, size(ws) - 1), " +
+            "p -> struct(element_at(ws, p) as w1, element_at(ws, p + 1) as w2)))"))
+          .as("b"))
+        .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+        .filter(length($"w1") > 0 && length($"w2") > 0)
+      val big = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      val uni = bi.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      val perDoc = bi.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+        .withColumn("p_ppm", expr("c12 * 1000000L div c1"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"p_ppm").as("sum_ppm"))
+        .withColumn("lm_ppm", expr("sum_ppm div n_bigrams"))
+      val thr = perDoc.agg(expr("sum(sum_ppm) div sum(n_bigrams)").as("thr"))
+      perDoc.crossJoin(broadcast(thr))
+        .withColumn("keep", $"lm_ppm" >= expr("thr div 2"))
+        .select($"doc_id", $"n_bigrams", $"sum_ppm", $"lm_ppm", $"keep")
+        .orderBy($"doc_id")
+    },
     "x7_tfidf_topk" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables(s, dir).documents
@@ -492,6 +528,32 @@ object Text extends QueryPack {
       FROM sh JOIN ev USING (h)
       WHERE doc_id % 97 <> 0
       GROUP BY doc_id ORDER BY doc_id""",
+    // x16: identical bigram model + floor-div scoring; DuckDB's range is
+    // end-exclusive so range(1, len(ws)) enumerates the len-1 pair starts.
+    // Tokens never contain spaces (ws splits on space runs), so the
+    // "w1 w2" pair string splits back losslessly.
+    "x16_lm_score" -> s"""
+      WITH bi AS (
+        SELECT doc_id,
+               string_split(pr, ' ')[1] AS w1, string_split(pr, ' ')[2] AS w2
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(ws)),
+                            i -> ws[i] || ' ' || ws[i+1])) AS pr
+              FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0) t1
+        WHERE length(string_split(pr, ' ')[1]) > 0
+          AND length(string_split(pr, ' ')[2]) > 0),
+      big AS (SELECT w1, w2, COUNT(*)::BIGINT AS c12 FROM bi GROUP BY w1, w2),
+      uni AS (SELECT w1, COUNT(*)::BIGINT AS c1 FROM bi GROUP BY w1),
+      sc AS (
+        SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+               SUM((c12 * 1000000) // c1)::BIGINT AS sum_ppm
+        FROM bi JOIN big USING (w1, w2) JOIN uni USING (w1)
+        GROUP BY doc_id),
+      thr AS (SELECT (SUM(sum_ppm)::BIGINT // SUM(n_bigrams)::BIGINT) AS thr FROM sc)
+      SELECT doc_id, n_bigrams, sum_ppm,
+             (sum_ppm // n_bigrams)::BIGINT AS lm_ppm,
+             (sum_ppm // n_bigrams) >= (SELECT thr // 2 FROM thr) AS keep
+      FROM sc ORDER BY doc_id""",
     "x7_tfidf_topk" -> s"""
       WITH toks AS (
         SELECT doc_id, unnest(ws) AS tok
