@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral pins for the round-5 layout/quality operators (g7 z-order,
+  * k7 partitioned-layout round-trip, dq5 MAD outliers, x16 bigram-LM gate)
+  * beyond the DuckDB hash-match: each test asserts the property the
+  * operator exists for, on the real sf0.001 tables. */
+class LayoutQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("g7: z-order shards carry the bounding-box guarantee") {
+    import spark.implicits._
+    val out = SparkEntry.queries("g7_zorder_layout")(spark, sf).collect()
+    // shard = top-4 z bits = (x div 64, y div 64) quadrant → every file's
+    // zone map spans at most 64 of 256 x-values and 64 of 240 y-slots;
+    // that bound is WHY a 1-D predicate on either dimension can prune.
+    assert(out.nonEmpty && out.length <= 16)
+    out.foreach { r =>
+      assert(r.getAs[Long]("x_span") <= 64, s"x_span too wide: $r")
+      assert(r.getAs[Long]("y_span") <= 64, s"y_span too wide: $r")
+    }
+    // the layout is a partition of the table, not a sample
+    val total = out.map(_.getAs[Long]("n")).sum
+    assert(total == Tables(spark, sf).events.count())
+  }
+
+  test("k7: the pruned day-scan aggregates exactly the day's rows") {
+    import spark.implicits._
+    val out = SparkEntry.queries("k7_partitioned_prune")(spark, sf)
+    // plan-level: the scan must carry a partition filter on event_date
+    // (planning-time pruning — the layout contract, not a row filter)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_date"),
+      s"no partition filter in:\n$plan")
+    val expected = Tables(spark, sf).events
+      .filter(to_date($"ts") === "2024-01-02")
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val got = out.select($"event_type", $"n")
+    assert(got.except(expected).count() == 0 &&
+      expected.except(got).count() == 0)
+  }
+
+  test("dq5: two-pass bucketed medians equal the brute-force median") {
+    import spark.implicits._
+    val out = SparkEntry.queries("dq5_mad_outliers")(spark, sf).collect()
+    val cents = Tables(spark, sf).lineitem
+      .select($"l_returnflag".as("grp"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("c"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      s((s.size - 1) / 2) + s(s.size / 2)
+    }
+    out.foreach { r =>
+      val xs = cents(r.getAs[String]("grp")).map(_._2).toSeq
+      val m2 = med2(xs)
+      assert(r.getAs[Long]("med2") == m2, s"med2 mismatch: $r")
+      assert(r.getAs[Long]("mad4") == med2(xs.map(x => (2 * x - m2).abs)),
+        s"mad4 mismatch: $r")
+      assert(r.getAs[Long]("n_out") ==
+        xs.count(x => 2 * (2 * x - m2).abs > 5 * r.getAs[Long]("mad4")),
+        s"n_out mismatch: $r")
+    }
+  }
+
+  test("x16: keep flag is exactly the data-relative threshold") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("x16_lm_score")(spark, sf).collect()
+    // lm_ppm is the floor mean; thr is recomputed from the result itself
+    val thr = rows.map(_.getAs[Long]("sum_ppm")).sum /
+      rows.map(_.getAs[Long]("n_bigrams")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("lm_ppm") ==
+        r.getAs[Long]("sum_ppm") / r.getAs[Long]("n_bigrams"))
+      assert(r.getAs[Boolean]("keep") == (r.getAs[Long]("lm_ppm") >= thr / 2),
+        s"keep flag off-threshold: $r")
+    }
+    // single-token and empty docs carry no bigrams and are excluded
+    val docs = Tables(spark, sf).documents.count()
+    assert(rows.nonEmpty && rows.length <= docs)
+  }
+}
