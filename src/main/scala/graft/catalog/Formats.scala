@@ -85,6 +85,41 @@ object Formats extends QueryPack {
              sum($"event_id").as("sum_ids"))
         .orderBy($"event_type")
     },
+    // k8: BUCKETED CO-LOCATED JOIN — the other half of the 100 TB layout
+    // story (k7 prunes scans; k8 removes the join shuffle): both fact
+    // tables land bucketBy(orderkey) at ingest (staged once per session —
+    // the one-time shuffle every later query amortizes), and the join then
+    // sort-merges bucket-to-bucket with NO Exchange on either side
+    // (BucketingSpec pins exactly that plan: SMJ present, zero
+    // hashpartitioning exchanges). The oracle joins the ORIGINAL parquet,
+    // so a green row pins that the bucketed re-write lost nothing. The
+    // post-join groupBy(o_orderpriority) is a 5-group map-side-combined
+    // aggregate — the only shuffle left in the query.
+    "k8_bucketed_join" -> { (s, dir) =>
+      import s.implicits._
+      val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val (ob, lb) = (s"graft_orders_b_$key", s"graft_lineitem_b_$key")
+      Scratch.staged(s"bucketed_join#$dir", "wh") { p =>
+        val t = Tables(s, dir)
+        t.orders.select($"o_orderkey", $"o_orderpriority")
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$p/orders_b").format("parquet")
+          .mode("overwrite").saveAsTable(ob)
+        t.lineitem.select($"l_orderkey",
+            expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$p/lineitem_b").format("parquet")
+          .mode("overwrite").saveAsTable(lb)
+      }
+      // hint("merge"): at test SFs the planner would broadcast the small
+      // side and never touch the bucket layout; at 100 TB SMJ is the
+      // natural choice — the hint makes the test plan the production plan
+      s.table(lb).hint("merge")
+        .join(s.table(ob), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+        .orderBy($"o_orderpriority")
+    },
     // k6: JSON-lines round-trip — the interchange format crawl feeds and
     // label stores actually ship; read back under the WRITER's schema
     // (no inference drift), aggregate, compare against the original
@@ -104,6 +139,11 @@ object Formats extends QueryPack {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   val oracle: Map[String, String] = Map(
+    "k8_bucketed_join" -> """
+      SELECT o_orderpriority, COUNT(*) AS n,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "k7_partitioned_prune" -> """
       SELECT event_type, COUNT(*) AS n,
              COUNT(DISTINCT user_id) AS n_users,

@@ -294,6 +294,71 @@ object Similarity extends QueryPack {
         .unionByName(newEdges.withColumn("is_new", lit(true)))
         .orderBy($"src_id", $"rank")
     },
+    // v10: MMR-DIVERSIFIED SELECTION — retrieval alone returns near-
+    // duplicates of the same best hit; maximal-marginal-relevance re-picks
+    // k'=3 of the top-10 so each addition maximizes rel(q,c) − max_{s∈S}
+    // sim(c,s) (λ=1/2 MMR with the constant dropped — same argmax). The
+    // diversity-aware sampling step a curation pipeline runs after ANN.
+    // Greedy is inherently sequential, so the 3 rounds UNROLL (x13's
+    // convention): each round is an anti-join (drop selected), a join to
+    // the k²-pair sim table, a per-candidate max, and a window argmax with
+    // vec_id tiebreak. Every cosine is the serial-fold kernel and every
+    // score a single IEEE subtract, so both engines pick identical chains.
+    // Scale shape: candidate pooling is v1's broadcast + partial top-k
+    // heaps over the corpus; everything AFTER the top-k touches only
+    // k rows (and k² sims) per query — selection cost is independent of
+    // corpus size.
+    "v10_mmr_diversify" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
+        .select($"vec_id", $"v", $"norm2")
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
+      val top = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+        .withColumn("rel",
+          graft.functions.VectorExprs.cosine($"qv", $"v", $"qn", $"norm2"))
+        .groupBy($"q_id")
+        .agg(graft.functions.TopK.topK10($"rel", $"vec_id").as("top"))
+        .select($"q_id", explode($"top").as("nb"))
+        .select($"q_id", $"nb.vec_id".as("vec_id"), $"nb.cos".as("rel"))
+      val cand = top.join(e, Seq("vec_id"))
+      val sim = cand
+        .select($"q_id", $"vec_id".as("a_id"), $"v".as("av"), $"norm2".as("an"))
+        .join(cand.select($"q_id", $"vec_id".as("b_id"), $"v".as("bv"),
+          $"norm2".as("bn")), Seq("q_id"))
+        .filter($"a_id" =!= $"b_id")
+        .withColumn("sim",
+          graft.functions.VectorExprs.cosine($"av", $"bv", $"an", $"bn"))
+        .select($"q_id", $"a_id".as("vec_id"), $"b_id", $"sim")
+      val c0 = cand.select($"q_id", $"vec_id", $"rel")
+      def pick(scored: DataFrame): DataFrame = {
+        val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
+        scored.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+          .select($"q_id", $"vec_id", $"score")
+      }
+      // marginal score of every unselected candidate vs the selected set
+      def round(selected: DataFrame): DataFrame =
+        c0.join(selected.withColumnRenamed("sel_id", "vec_id"),
+            Seq("q_id", "vec_id"), "left_anti")
+          .join(sim, Seq("q_id", "vec_id"))
+          .join(selected, Seq("q_id"))
+          .filter($"b_id" === $"sel_id")
+          .groupBy($"q_id", $"vec_id", $"rel")
+          .agg(max($"sim").as("maxsim"))
+          .select($"q_id", $"vec_id", ($"rel" - $"maxsim").as("score"))
+      val s1 = pick(c0.select($"q_id", $"vec_id", $"rel".as("score")))
+      val sel1 = s1.select($"q_id", $"vec_id".as("sel_id"))
+      val s2 = pick(round(sel1))
+      val sel2 = sel1.unionByName(s2.select($"q_id", $"vec_id".as("sel_id")))
+      val s3 = pick(round(sel2))
+      s1.withColumn("pick", lit(1L))
+        .unionByName(s2.withColumn("pick", lit(2L)))
+        .unionByName(s3.withColumn("pick", lit(3L)))
+        .select($"q_id", $"pick", $"vec_id", $"score")
+        .orderBy($"q_id", $"pick")
+    },
     // v6: EMBEDDING AGGREGATION — element-wise centroid of the embedding
     // column per group (here: the doc's source, via doc_id = vec_id), the
     // statistic diversity analysis and cluster monitoring consume.
@@ -443,7 +508,59 @@ object Similarity extends QueryPack {
                 FROM data s JOIN data d ON s.cell = d.cell AND d.vec_id <> s.vec_id) t0) t1
         WHERE rank <= 3)"""
 
+  /** v10 oracle round: marginal score rel − max(sim to selected) over
+    * unselected candidates, then the per-query argmax (vec_id tiebreak). */
+  private def mmrRoundSql(selCte: String, outCte: String): String = s"""
+      $outCte AS (
+        SELECT q_id, vec_id, score FROM (
+          SELECT t.q_id, t.vec_id, t.score,
+                 row_number() OVER (PARTITION BY t.q_id
+                   ORDER BY t.score DESC, t.vec_id) AS rk
+          FROM (
+            SELECT c.q_id, c.vec_id, c.rel - MAX(m.sim) AS score
+            FROM cand c
+            JOIN sim m ON m.q_id = c.q_id AND m.a_id = c.vec_id
+            JOIN $selCte s ON s.q_id = m.q_id AND s.vec_id = m.b_id
+            WHERE NOT EXISTS (SELECT 1 FROM $selCte s2
+                              WHERE s2.q_id = c.q_id AND s2.vec_id = c.vec_id)
+            GROUP BY c.q_id, c.vec_id, c.rel) t) t2
+        WHERE rk = 1)"""
+
   val oracle: Map[String, String] = Map(
+    "v10_mmr_diversify" -> s"""
+      WITH n AS (
+        SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings) t),
+      q AS (SELECT vec_id AS q_id, v AS qv, norm2 AS qn FROM n WHERE vec_id < 10),
+      rel0 AS (
+        SELECT q_id, vec_id, rel,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY rel DESC, vec_id) AS rk
+        FROM (SELECT q.q_id, n.vec_id,
+                     ${dotSql("q.qv", "n.v")} / (sqrt(q.qn) * sqrt(n.norm2)) AS rel
+              FROM n JOIN q ON n.vec_id <> q.q_id) t0),
+      cand AS (SELECT q_id, vec_id, rel FROM rel0 WHERE rk <= 10),
+      cv AS (SELECT c.q_id, c.vec_id, c.rel, n.v, n.norm2
+             FROM cand c JOIN n USING (vec_id)),
+      sim AS (
+        SELECT a.q_id, a.vec_id AS a_id, b.vec_id AS b_id,
+               ${dotSql("a.v", "b.v")} / (sqrt(a.norm2) * sqrt(b.norm2)) AS sim
+        FROM cv a JOIN cv b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+      s1 AS (
+        SELECT q_id, vec_id, rel AS score FROM (
+          SELECT q_id, vec_id, rel,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY rel DESC, vec_id) AS rk
+          FROM cand) t WHERE rk = 1),
+      ${mmrRoundSql("s1", "s2")},
+      sel2 AS (SELECT q_id, vec_id FROM s1
+               UNION ALL SELECT q_id, vec_id FROM s2),
+      ${mmrRoundSql("sel2", "s3")}
+      SELECT q_id, 1::BIGINT AS pick, vec_id, score FROM s1
+      UNION ALL SELECT q_id, 2::BIGINT, vec_id, score FROM s2
+      UNION ALL SELECT q_id, 3::BIGINT, vec_id, score FROM s3
+      ORDER BY q_id, pick""",
     "v3_ivf_ann" -> ivfSql(sampleMod = 1),
     "v7_knn_centrality" -> s"""
       WITH $knnCtes,

@@ -66,6 +66,38 @@ class LayoutQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("k8: bucketed join plans with no join-side exchange") {
+    val out = SparkEntry.queries("k8_bucketed_join")(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    // the only hash exchange left is the 5-group aggregate after the join;
+    // the join itself reads both bucketed tables in place
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(nEx <= 1, s"join side shuffled ($nEx exchanges):\n$plan")
+  }
+
+  test("v10: picks are distinct; pick 1 is the relevance argmax") {
+    import spark.implicits._
+    val out = SparkEntry.queries("v10_mmr_diversify")(spark, sf).collect()
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.length == 3, s"q$qid: expected 3 picks")
+      assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == 3,
+        s"q$qid: duplicate pick")
+    }
+    // pick 1 is pure relevance — it must be exactly v1's rank-1 neighbor
+    // (later picks trade relevance for diversity, so no dominance claim:
+    // a negative max-sim legitimately RAISES a marginal score)
+    val v1top = SparkEntry.queries("v1_brute_topk")(spark, sf).collect()
+      .filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("neighbor_id")).toMap
+    byQ.foreach { case (qid, rows) =>
+      val p1 = rows.find(_.getAs[Long]("pick") == 1L).get.getAs[Long]("vec_id")
+      assert(v1top(qid) == p1, s"q$qid: pick1 != v1 rank-1")
+    }
+  }
+
   test("x16: keep flag is exactly the data-relative threshold") {
     import spark.implicits._
     val rows = SparkEntry.queries("x16_lm_score")(spark, sf).collect()
