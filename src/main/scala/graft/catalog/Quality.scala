@@ -148,6 +148,33 @@ object Quality extends QueryPack {
         .withColumn("out_pm", expr("n_out * 1000 div n"))
         .orderBy($"grp")
     },
+    // dq6: FUNCTIONAL-DEPENDENCY AUDIT — validate (or refute) candidate
+    // key→attribute dependencies, the schema-inference/constraint-mining
+    // profiling step: a FD "k → a" holds iff no key maps to two distinct
+    // attribute values. Per FD: distinct keys, violating keys (>1 variant),
+    // and the worst key's variant count. Scale shape: one distinct over
+    // (k, a) pairs (map-side combined) then a tiny per-key aggregate — the
+    // same two-level aggregation for every FD, never a self-join.
+    "dq6_fd_audit" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      def fd(name: String, df: DataFrame, k: String, a: String): DataFrame =
+        df.select(col(k).cast("string").as("k"), col(a).cast("string").as("a"))
+          .distinct()
+          .groupBy($"k").agg(count(lit(1)).as("variants"))
+          .agg(count(lit(1)).as("n_keys"),
+               sum(when($"variants" > 1, 1L).otherwise(0L)).as("n_violating"),
+               max($"variants").as("max_variants"))
+          .select(lit(name).as("fd"), $"n_keys", $"n_violating",
+                  $"max_variants", ($"n_violating" === 0L).as("holds"))
+      fd("nation_to_region", t.nation, "n_nationkey", "n_regionkey")
+        .unionByName(fd("order_to_priority", t.orders,
+          "o_orderkey", "o_orderpriority"))
+        .unionByName(fd("user_to_event_type", t.events,
+          "user_id", "event_type"))
+        .unionByName(fd("part_to_brand", t.part, "p_partkey", "p_brand"))
+        .orderBy($"fd")
+    },
     "dq2_table_profile" -> { (s, dir) =>
       import s.implicits._
       val li = Tables(s, dir).lineitem
@@ -215,7 +242,23 @@ object Quality extends QueryPack {
       .groupBy(g).agg(sum(v).as(out))
   }
 
+  /** dq6 oracle: one two-level aggregation per declared FD. */
+  private def fdSql(name: String, table: String, k: String, a: String): String =
+    s"""SELECT '$name' AS fd, COUNT(*) AS n_keys,
+             SUM(CASE WHEN variants > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+             MAX(variants) AS max_variants,
+             SUM(CASE WHEN variants > 1 THEN 1 ELSE 0 END) = 0 AS holds
+      FROM (SELECT k, COUNT(*)::BIGINT AS variants
+            FROM (SELECT DISTINCT $k::VARCHAR AS k, $a::VARCHAR AS a FROM $table) t
+            GROUP BY k) g"""
+
   val oracle: Map[String, String] = Map(
+    "dq6_fd_audit" -> s"""
+      ${fdSql("nation_to_region", "nation", "n_nationkey", "n_regionkey")}
+      UNION ALL ${fdSql("order_to_priority", "orders", "o_orderkey", "o_orderpriority")}
+      UNION ALL ${fdSql("user_to_event_type", "events", "user_id", "event_type")}
+      UNION ALL ${fdSql("part_to_brand", "part", "p_partkey", "p_brand")}
+      ORDER BY fd""",
     "dq5_mad_outliers" -> """
       WITH li AS (
         SELECT l_returnflag AS grp,

@@ -533,6 +533,55 @@ object Relational extends QueryPack {
                 $"o_bal", $"n_bal")
         .orderBy($"c_custkey")
     },
+    // u9: CHANGELOG APPLY — u8's inverse: the base snapshot plus an I/U/D
+    // changelog (the rows a CDC source delivers, full new-row payload on
+    // I and U) rebuilds snapshot B with ONE co-partitioned full-outer
+    // merge on the key — at 100 TB both sides bucket by key and the merge
+    // is exchange-free, the same plan shape as u6/u8. The oracle derives
+    // snapshot B DIRECTLY from the base, so a green row proves the CDC
+    // round trip: apply ∘ diff = identity.
+    "u9_changelog_apply" -> { (s, dir) =>
+      import s.implicits._
+      val old = Tables(s, dir).customer
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+      val log = old.filter($"c_custkey" % 7 === 3)
+          .select($"c_custkey", lit("D").as("op"),
+                  lit(null).cast("string").as("n_name"),
+                  lit(null).cast("double").as("n_bal"))
+        .unionByName(old.filter($"c_custkey" % 7 =!= 3 && $"c_custkey" % 10 === 0)
+          .select($"c_custkey", lit("U").as("op"), $"c_name".as("n_name"),
+                  ($"c_acctbal" + 50.0).as("n_bal")))
+        .unionByName(old.filter($"c_custkey" % 100 === 0)
+          .select(($"c_custkey" + 2000000L).as("c_custkey"), lit("I").as("op"),
+                  concat(lit("INS#"), $"c_name").as("n_name"),
+                  $"c_acctbal".as("n_bal")))
+      old.join(log, Seq("c_custkey"), "full_outer")
+        .filter($"op".isNull || $"op" =!= "D")
+        .select($"c_custkey",
+                coalesce($"n_name", $"c_name").as("c_name"),
+                coalesce($"n_bal", $"c_acctbal").as("c_acctbal"))
+        .orderBy($"c_custkey")
+    },
+    // a8: SLIDING-WINDOW DISTINCT — trailing-7-day distinct users per day,
+    // the rolling-reach statistic COUNT(DISTINCT) OVER a range frame
+    // cannot express (distinct is not frame-mergeable). Scale shape: each
+    // event fans out map-side to the ≤7 window-end days it contributes to
+    // (explode of a 7-element sequence — no join, no window), then one
+    // count-distinct per day; the fan-out factor is the window length, so
+    // cost is 7·|events| regardless of day count. The day semi-join keeps
+    // only observed days (the oracle's day table).
+    "a8_sliding_distinct" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select(to_date($"ts").as("d"), $"user_id")
+      val days = ev.select($"d".as("day")).distinct()
+      ev.select(explode(expr("sequence(d, date_add(d, 6))")).as("day"),
+                $"user_id")
+        .join(days, Seq("day"), "left_semi")
+        .groupBy(date_format($"day", "yyyy-MM-dd").as("day"))
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"day")
+    },
     // a6: incremental aggregate maintenance — yesterday's materialized
     // partial aggregates merge with today's delta WITHOUT recomputing the
     // prior partition; exact-decimal partials are associative, so the
@@ -580,6 +629,22 @@ object Relational extends QueryPack {
                   ELSE 'updated' END AS op
       FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.u_key
       ORDER BY c_custkey""",
+    "u9_changelog_apply" -> """
+      WITH old AS (SELECT c_custkey, c_name, c_acctbal FROM customer)
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 50.0
+                  ELSE c_acctbal END AS c_acctbal
+      FROM old WHERE c_custkey % 7 <> 3
+      UNION ALL
+      SELECT c_custkey + 2000000, 'INS#' || c_name, c_acctbal
+      FROM old WHERE c_custkey % 100 = 0
+      ORDER BY c_custkey""",
+    "a8_sliding_distinct" -> """
+      SELECT strftime(d.day, '%Y-%m-%d') AS day,
+             COUNT(DISTINCT e.user_id) AS n_users
+      FROM (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events) d
+      JOIN events e ON CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+      GROUP BY 1 ORDER BY 1""",
     "u8_snapshot_diff" -> """
       WITH old AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
       neu AS (
