@@ -249,6 +249,24 @@ object Analytics extends QueryPack {
         .withColumn("y_span", $"max_y" - $"min_y" + 1)
         .orderBy($"shard")
     },
+    // g8: EQUI-DEPTH DISCRETIZATION — per-group decile boundaries of the
+    // price distribution (cents, the proven round(x·100) projection), the
+    // binning model feature preprocessing and range-partition planning
+    // both consume. Exact order statistics at positions ((n−1)·q) div 10
+    // through ScaleOps.orderStats — two scans, tiny bucket tables, no
+    // whole-group sort — so the boundaries stay exact on 10^10-row groups
+    // of near-unique values. The oracle ranks explicitly (row_number − 1 =
+    // target position), pinning the same type-1 quantile definition.
+    "g8_equidepth_bins" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables(s, dir).lineitem
+        .select($"l_returnflag".as("grp"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+      ScaleOps.orderStats(li, "grp", "cents",
+          (1 to 9).map(q => (s"d$q", s"((n - 1) * $q) div 10")))
+        .select($"grp", $"tag".as("decile"), $"value".as("cents_at"))
+        .orderBy($"grp", $"decile")
+    },
     // g1: per-nation sorted list of supplier names (deterministic array agg).
     // Comma-joined, not ARRAY-typed: the driver's compare (pandas sort +
     // hash) cannot process array cells; the joined string carries the same
@@ -280,6 +298,20 @@ object Analytics extends QueryPack {
     case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ") + " END"
 
   val oracle: Map[String, String] = Map(
+    "g8_equidepth_bins" -> """
+      WITH li AS (
+        SELECT l_returnflag AS grp,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem),
+      r AS (
+        SELECT grp, cents,
+               row_number() OVER (PARTITION BY grp ORDER BY cents) - 1 AS rn,
+               COUNT(*) OVER (PARTITION BY grp) AS n
+        FROM li),
+      q AS (SELECT unnest(range(1, 10)) AS q)
+      SELECT r.grp, 'd' || q.q AS decile, r.cents AS cents_at
+      FROM r JOIN q ON r.rn = ((r.n - 1) * q.q) // 10
+      ORDER BY grp, decile""",
     "g7_zorder_layout" -> s"""
       SELECT z // 4096 AS shard, COUNT(*) AS n,
              MIN(x) AS min_x, MAX(x) AS max_x,

@@ -202,44 +202,15 @@ object Quality extends QueryPack {
   )
 
   /** Exact per-group DOUBLED median (v_lo + v_hi) of integer column `vcol`
-    * via the two-pass bucketed ORDER STATISTIC. q9's value-histogram median
-    * degenerates when value cardinality ≈ row count (dq5's cents are nearly
-    * unique, so the cumulative window would sort ~the whole table inside a
-    * handful of group partitions). Here instead: (0) one tiny per-group
-    * count/bounds aggregate; (1) per-(group, range-bucket) counts — at most
-    * |groups|·4096 rows, map-side combined — and the median position's
-    * bucket located on that tiny cumulative table; (2) ranking ONLY inside
-    * the located buckets (~n/4096 rows each). No window ever sees more than
-    * a bucket's worth of raw rows, so exact medians survive 10^10-row
-    * groups with two scans and a broadcast. */
+    * — the two middle order statistics through ScaleOps.orderStats (see its
+    * scaladoc for why the two-pass bucketed shape, not a value histogram),
+    * summed so even-count midpoints never leave ℤ. */
   private def med2(df: DataFrame, gcol: String, vcol: String,
                    out: String): DataFrame = {
     import df.sparkSession.implicits._
-    val B = 4096
-    val g = col(gcol)
-    val v = col(vcol)
-    val stats = df.groupBy(g)
-      .agg(count(lit(1)).as("n"), min(v).as("mn"), max(v).as("mx"))
-    // the two 0-based middle positions (equal when n is odd), as rows
-    val targets = stats.select(g, explode(array(
-        struct(lit("lo").as("tag"), expr("(n - 1) div 2").as("tpos")),
-        struct(lit("hi").as("tag"), expr("n div 2").as("tpos")))).as("t"))
-      .select(g, $"t.tag".as("tag"), $"t.tpos".as("tpos"))
-    val bucketed = df.join(broadcast(stats.select(g, $"mn", $"mx")), Seq(gcol))
-      .withColumn("_bkt", expr(s"(($vcol - mn) * $B) div (mx - mn + 1)"))
-    val bcounts = bucketed.groupBy(g, $"_bkt").agg(count(lit(1)).as("c"))
-    val wCum = Window.partitionBy(g).orderBy($"_bkt")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val located = bcounts
-      .withColumn("cum0", coalesce(sum($"c").over(wCum), lit(0L)))
-      .join(targets, Seq(gcol))
-      .filter($"tpos" >= $"cum0" && $"tpos" < $"cum0" + $"c")
-      .select(g, $"tag", $"_bkt", ($"tpos" - $"cum0").as("lpos"))
-    val wIn = Window.partitionBy(g, $"tag").orderBy(v)
-    bucketed.join(broadcast(located), Seq(gcol, "_bkt"))
-      .withColumn("r", row_number().over(wIn).cast("long") - 1L)
-      .filter($"r" === $"lpos")
-      .groupBy(g).agg(sum(v).as(out))
+    ScaleOps.orderStats(df, gcol, vcol,
+        Seq("lo" -> "(n - 1) div 2", "hi" -> "n div 2"))
+      .groupBy(col(gcol)).agg(sum($"value").as(out))
   }
 
   /** dq6 oracle: one two-level aggregation per declared FD. */

@@ -100,4 +100,43 @@ object ScaleOps {
           .cast("long"))
       .drop("_key", "_bkt", "_off", "_rank", "_base", "_rem", "_lo", "_hi", "_n")
   }
+
+  /** Exact per-group ORDER STATISTICS via the same two-pass shape: for each
+    * (tag, position) target — `targets` maps a tag to a 0-based position
+    * expression over the per-group count `n` — locate the range bucket that
+    * holds the position from a tiny per-(group, bucket) count table, then
+    * rank only inside the located buckets (~n/nBuckets raw rows each). No
+    * window ever sees more than a bucket, so exact medians/deciles survive
+    * 10^10-row groups of near-unique integer values, where a value-histogram
+    * quantile (q9's shape) would degenerate into a whole-group sort.
+    * Returns one row per (group, tag): (gcol, tag, value). */
+  def orderStats(df: DataFrame, gcol: String, vcol: String,
+                 targets: Seq[(String, String)],
+                 nBuckets: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = col(gcol)
+    val v = col(vcol)
+    val stats = df.groupBy(g)
+      .agg(count(lit(1)).as("n"), min(v).as("mn"), max(v).as("mx"))
+    val targetRows = stats.select(g, explode(array(targets.map {
+        case (tag, pos) => struct(lit(tag).as("tag"), expr(pos).as("tpos"))
+      }: _*)).as("t"))
+      .select(g, $"t.tag".as("tag"), $"t.tpos".as("tpos"))
+    val bucketed = df.join(broadcast(stats.select(g, $"mn", $"mx")), Seq(gcol))
+      .withColumn("_bkt", expr(s"(($vcol - mn) * $nBuckets) div (mx - mn + 1)"))
+    val bcounts = bucketed.groupBy(g, $"_bkt").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(g).orderBy($"_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val located = bcounts
+      .withColumn("cum0", coalesce(sum($"c").over(wCum), lit(0L)))
+      .join(targetRows, Seq(gcol))
+      .filter($"tpos" >= $"cum0" && $"tpos" < $"cum0" + $"c")
+      .select(g, $"tag", $"_bkt", ($"tpos" - $"cum0").as("lpos"))
+    val wIn = Window.partitionBy(g, $"tag").orderBy(v)
+    bucketed.join(broadcast(located), Seq(gcol, "_bkt"))
+      .withColumn("_r", row_number().over(wIn).cast("long") - 1L)
+      .filter($"_r" === $"lpos")
+      .select(g, $"tag", v.as("value"))
+  }
 }

@@ -354,6 +354,37 @@ object Text extends QueryPack {
         .select($"doc_id", $"n_bigrams", $"sum_ppm", $"lm_ppm", $"keep")
         .orderBy($"doc_id")
     },
+    // x17: CONTENT-DEFINED CHUNKING — x15 chunks at fixed offsets, so one
+    // inserted character shifts every later boundary and defeats chunk-
+    // level dedup; CDC cuts where a rolling hash of the local 8-char
+    // window hits a pattern (h % 64 == 0), so boundaries move WITH the
+    // content and an edit only re-chunks its neighborhood — the dedup-
+    // grade chunking backup/dedup systems use. Boundary choice depends
+    // only on the window (no min/max-chunk state), so the position scan is
+    // a pure per-row projection — embarrassingly parallel; production
+    // min/max chunk bounds are a post-filter on the same plan. The hash is
+    // the shared serial-fold polynomial (Tx), normalized text per x4.
+    "x17_cdc_chunk" -> { (s, dir) =>
+      import s.implicits._
+      val ph = polyHash("substring(nt, p, 8)")
+      Tables(s, dir).documents
+        .withColumn("nt",
+          expr("trim(regexp_replace(lower(text), '[^a-z ]', ''))"))
+        .withColumn("starts", expr(
+          s"concat(array(1), if(length(nt) < 9, array(), " +
+            s"filter(transform(sequence(2, length(nt) - 7), " +
+            s"p -> if($ph % 64 = 0, p, -1)), x -> x > 0)))"))
+        .select($"doc_id", $"nt", posexplode(expr(
+          "transform(sequence(0, size(starts) - 1), i -> struct(" +
+            "element_at(starts, i + 1) as st, " +
+            "if(i < size(starts) - 1, element_at(starts, i + 2) - 1, " +
+            "length(nt)) as en))")).as(Seq("chunk_idx", "c")))
+        .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+          $"c.st".cast("long").as("start"),
+          ($"c.en" - $"c.st" + 1).cast("long").as("chunk_len"),
+          md5(expr("substring(nt, c.st, c.en - c.st + 1)")).as("chunk_md5"))
+        .orderBy($"doc_id", $"chunk_idx")
+    },
     "x7_tfidf_topk" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables(s, dir).documents
@@ -528,6 +559,32 @@ object Text extends QueryPack {
       FROM sh JOIN ev USING (h)
       WHERE doc_id % 97 <> 0
       GROUP BY doc_id ORDER BY doc_id""",
+    // x17: same rolling-hash boundaries (nested lambdas, x4's pattern);
+    // DuckDB's end-exclusive range needs the +1, lists are 1-indexed like
+    // element_at
+    "x17_cdc_chunk" -> s"""
+      WITH d AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS nt
+        FROM documents),
+      st AS (
+        SELECT doc_id, nt,
+               list_concat([1]::BIGINT[], CASE WHEN length(nt) < 9
+                 THEN []::BIGINT[]
+                 ELSE list_filter(list_transform(range(2, length(nt) - 7 + 1),
+                        p -> CASE WHEN ${polyHashSql("substr(nt, p, 8)")} % 64 = 0
+                             THEN p ELSE -1 END), x -> x > 0) END) AS starts
+        FROM d),
+      ex AS (
+        SELECT doc_id, nt, starts, unnest(range(0, len(starts))) AS i
+        FROM st)
+      SELECT doc_id, i AS chunk_idx, starts[i + 1]::BIGINT AS start,
+             ((CASE WHEN i < len(starts) - 1 THEN starts[i + 2] - 1
+                    ELSE length(nt) END) - starts[i + 1] + 1)::BIGINT AS chunk_len,
+             md5(substr(nt, starts[i + 1],
+               (CASE WHEN i < len(starts) - 1 THEN starts[i + 2] - 1
+                     ELSE length(nt) END) - starts[i + 1] + 1)) AS chunk_md5
+      FROM ex ORDER BY doc_id, chunk_idx""",
     // x16: identical bigram model + floor-div scoring; DuckDB's range is
     // end-exclusive so range(1, len(ws)) enumerates the len-1 pair starts.
     // Tokens never contain spaces (ws splits on space runs), so the
