@@ -356,24 +356,26 @@ object Text extends QueryPack {
     },
     // x17: CONTENT-DEFINED CHUNKING — x15 chunks at fixed offsets, so one
     // inserted character shifts every later boundary and defeats chunk-
-    // level dedup; CDC cuts where a rolling hash of the local 8-char
-    // window hits a pattern (h % 64 == 0), so boundaries move WITH the
-    // content and an edit only re-chunks its neighborhood — the dedup-
-    // grade chunking backup/dedup systems use. Boundary choice depends
-    // only on the window (no min/max-chunk state), so the position scan is
-    // a pure per-row projection — embarrassingly parallel; production
-    // min/max chunk bounds are a post-filter on the same plan. The hash is
-    // the shared serial-fold polynomial (Tx), normalized text per x4.
+    // level dedup; CDC cuts where a fingerprint of the local 8-char window
+    // hits a pattern (first md5 byte < 4 → expected chunk ~64 chars), so
+    // boundaries move WITH the content and an edit only re-chunks its
+    // neighborhood — the dedup-grade chunking backup/dedup systems use.
+    // The window fingerprint is md5 (d13's window shape — native codegen'd
+    // kernel; the serial-fold polynomial hash costs an interpreted
+    // 64-step lambda PER POSITION and benched 8× slower). Boundary choice
+    // depends only on the window (no min/max-chunk state), so the position
+    // scan is a pure per-row projection — embarrassingly parallel;
+    // production min/max chunk bounds are a post-filter on the same plan.
     "x17_cdc_chunk" -> { (s, dir) =>
       import s.implicits._
-      val ph = polyHash("substring(nt, p, 8)")
       Tables(s, dir).documents
         .withColumn("nt",
           expr("trim(regexp_replace(lower(text), '[^a-z ]', ''))"))
         .withColumn("starts", expr(
-          s"concat(array(1), if(length(nt) < 9, array(), " +
-            s"filter(transform(sequence(2, length(nt) - 7), " +
-            s"p -> if($ph % 64 = 0, p, -1)), x -> x > 0)))"))
+          "concat(array(1), if(length(nt) < 9, array(), " +
+            "filter(transform(sequence(2, length(nt) - 7), " +
+            "p -> if(substring(md5(substring(nt, p, 8)), 1, 2) < '04', p, -1)), " +
+            "x -> x > 0)))"))
         .select($"doc_id", $"nt", posexplode(expr(
           "transform(sequence(0, size(starts) - 1), i -> struct(" +
             "element_at(starts, i + 1) as st, " +
@@ -559,9 +561,8 @@ object Text extends QueryPack {
       FROM sh JOIN ev USING (h)
       WHERE doc_id % 97 <> 0
       GROUP BY doc_id ORDER BY doc_id""",
-    // x17: same rolling-hash boundaries (nested lambdas, x4's pattern);
-    // DuckDB's end-exclusive range needs the +1, lists are 1-indexed like
-    // element_at
+    // x17: same md5-window boundaries; DuckDB's end-exclusive range needs
+    // the +1, lists are 1-indexed like element_at
     "x17_cdc_chunk" -> s"""
       WITH d AS (
         SELECT doc_id,
@@ -572,7 +573,7 @@ object Text extends QueryPack {
                list_concat([1]::BIGINT[], CASE WHEN length(nt) < 9
                  THEN []::BIGINT[]
                  ELSE list_filter(list_transform(range(2, length(nt) - 7 + 1),
-                        p -> CASE WHEN ${polyHashSql("substr(nt, p, 8)")} % 64 = 0
+                        p -> CASE WHEN substr(md5(substr(nt, p, 8)), 1, 2) < '04'
                              THEN p ELSE -1 END), x -> x > 0) END) AS starts
         FROM d),
       ex AS (
