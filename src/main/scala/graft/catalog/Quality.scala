@@ -175,6 +175,33 @@ object Quality extends QueryPack {
         .unionByName(fd("part_to_brand", t.part, "p_partkey", "p_brand"))
         .orderBy($"fd")
     },
+    // dq7: ORDER-INDEPENDENT TABLE CHECKSUM — the cross-engine/cross-copy
+    // reconciliation primitive (exactly what a migration like this repo
+    // needs): per-row 32-bit fingerprint from the md5 of a canonical '|'
+    // row string, SUMMED per table — addition commutes, so any partition
+    // order, file layout, or engine produces the same pair (n_rows,
+    // checksum), and two copies compare by exchanging 2 numbers, not rows.
+    // The hex→int conversion is 8 unrolled instr/substr terms (codegen'd
+    // string ops — the x17 lesson: no interpreted per-char lambda folds);
+    // 32-bit row values keep the exact sum < 2⁶³ up to ~10¹⁸ rows. Only
+    // integer/string columns join the canon string (float formatting is
+    // engine-specific; a deployment canonicalizes decimals first).
+    "dq7_table_checksum" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      def sums(name: String, df: DataFrame, cols: Seq[String]): DataFrame =
+        df.withColumn("m", md5(expr(s"concat_ws('|', ${cols.mkString(", ")})")))
+          .withColumn("h", expr(hexToLong("m", 8, spark = true)))
+          .agg(count(lit(1)).as("n_rows"), sum($"h").as("checksum"))
+          .select(lit(name).as("tbl"), $"n_rows", $"checksum")
+      sums("customer", t.customer, Seq("c_custkey", "c_mktsegment"))
+        .unionByName(sums("lineitem", t.lineitem,
+          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+              "l_returnflag", "l_linestatus")))
+        .unionByName(sums("orders", t.orders,
+          Seq("o_orderkey", "o_custkey", "o_orderstatus")))
+        .orderBy($"tbl")
+    },
     "dq2_table_profile" -> { (s, dir) =>
       import s.implicits._
       val li = Tables(s, dir).lineitem
@@ -213,6 +240,17 @@ object Quality extends QueryPack {
       .groupBy(col(gcol)).agg(sum($"value").as(out))
   }
 
+  /** dq7's hex→int: value of the first `n` hex chars of column `col`, as
+    * `n` unrolled positional-digit terms — identical arithmetic on both
+    * engines (Spark `instr` / DuckDB `strpos`, both 1-based). */
+  private def hexToLong(col: String, n: Int, spark: Boolean): String = {
+    val pos = if (spark) "instr" else "strpos"
+    (1 to n).map { j =>
+      s"($pos('0123456789abcdef', substr($col, $j, 1)) - 1) * " +
+        s"cast(${1L << (4 * (n - j))} as bigint)"
+    }.mkString("(", " + ", ")")
+  }
+
   /** dq6 oracle: one two-level aggregation per declared FD. */
   private def fdSql(name: String, table: String, k: String, a: String): String =
     s"""SELECT '$name' AS fd, COUNT(*) AS n_keys,
@@ -223,7 +261,22 @@ object Quality extends QueryPack {
             FROM (SELECT DISTINCT $k::VARCHAR AS k, $a::VARCHAR AS a FROM $table) t
             GROUP BY k) g"""
 
+  /** dq7 oracle: one checksum aggregate per table over the same canon. */
+  private def cksumSql(name: String, table: String, cols: Seq[String]): String =
+    s"""SELECT '$name' AS tbl, COUNT(*) AS n_rows, SUM(h)::BIGINT AS checksum
+      FROM (SELECT ${hexToLong("m", 8, spark = false)} AS h
+            FROM (SELECT md5(concat_ws('|', ${cols.mkString(", ")})) AS m
+                  FROM $table) t0) t1"""
+
   val oracle: Map[String, String] = Map(
+    "dq7_table_checksum" -> s"""
+      ${cksumSql("customer", "customer", Seq("c_custkey", "c_mktsegment"))}
+      UNION ALL ${cksumSql("lineitem", "lineitem",
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_returnflag", "l_linestatus"))}
+      UNION ALL ${cksumSql("orders", "orders",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus"))}
+      ORDER BY tbl""",
     "dq6_fd_audit" -> s"""
       ${fdSql("nation_to_region", "nation", "n_nationkey", "n_regionkey")}
       UNION ALL ${fdSql("order_to_priority", "orders", "o_orderkey", "o_orderpriority")}

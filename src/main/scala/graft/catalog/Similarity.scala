@@ -359,6 +359,26 @@ object Similarity extends QueryPack {
         .select($"q_id", $"pick", $"vec_id", $"score")
         .orderBy($"q_id", $"pick")
     },
+    // v11: ANN RECALL EVALUATION — the index-quality monitor a deployment
+    // runs before trusting an approximate index: v2's LSH top-10 scored
+    // against v1's exact top-10, recall@10 per query. Composes the two
+    // retrieval entries AS SHIPPED (self-composition through the query
+    // map, like the c-pipelines), so this gate breaks if either retrieval
+    // OR their agreement drifts. Integer-exact: hit counts and a floor
+    // percentage; at 100 TB the exact side runs on a small sampled query
+    // set — recall is a statistic, not a per-query product.
+    "v11_ann_recall" -> { (s, dir) =>
+      import s.implicits._
+      val exact = queries("v1_brute_topk")(s, dir)
+        .select($"q_id", $"neighbor_id")
+      val ann = queries("v2_lsh_ann")(s, dir)
+        .select($"q_id", $"neighbor_id").withColumn("hit", lit(1L))
+      exact.join(ann, Seq("q_id", "neighbor_id"), "left")
+        .groupBy($"q_id")
+        .agg(sum(coalesce($"hit", lit(0L))).as("n_hit"))
+        .withColumn("recall_pct", expr("n_hit * 100 div 10"))
+        .orderBy($"q_id")
+    },
     // v6: EMBEDDING AGGREGATION — element-wise centroid of the embedding
     // column per group (here: the doc's source, via doc_id = vec_id), the
     // statistic diversity analysis and cluster monitoring consume.
@@ -704,7 +724,19 @@ object Similarity extends QueryPack {
                  d.vec_id) AS rank
         FROM bas p JOIN data d ON d.cell = p.cell) t
       WHERE rank <= 3 ORDER BY q_id, rank""",
-    "v1_brute_topk" -> s"""
+    "v1_brute_topk" -> v1Sql,
+    "v2_lsh_ann" -> v2Sql,
+    // v11: both retrievals nest as subqueries; COUNT(a.neighbor_id) counts
+    // only matched (non-null) exact neighbors
+    "v11_ann_recall" -> s"""
+      SELECT x.q_id, COUNT(a.neighbor_id)::BIGINT AS n_hit,
+             (COUNT(a.neighbor_id) * 100 // 10)::BIGINT AS recall_pct
+      FROM ($v1Sql) x LEFT JOIN ($v2Sql) a
+        ON a.q_id = x.q_id AND a.neighbor_id = x.neighbor_id
+      GROUP BY x.q_id ORDER BY x.q_id"""
+  )
+
+  private lazy val v1Sql = s"""
       WITH e AS (
         SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
         FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -717,8 +749,9 @@ object Similarity extends QueryPack {
         SELECT q_id, neighbor_id, cos,
                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
         FROM scored) t
-      WHERE rank <= $K ORDER BY q_id, rank""",
-    "v2_lsh_ann" -> s"""
+      WHERE rank <= $K ORDER BY q_id, rank"""
+
+  private lazy val v2Sql = s"""
       WITH e AS (
         SELECT vec_id, v, norm2, ${sigSql("v")} AS sig
         FROM (SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
@@ -741,5 +774,4 @@ object Similarity extends QueryPack {
                      ${dotSql("qv", "v")} / (sqrt(qn) * sqrt(norm2)) AS cos
               FROM cand) t0) t1
       WHERE rank <= $K ORDER BY q_id, rank"""
-  )
 }
