@@ -243,7 +243,7 @@ object Quality extends QueryPack {
   /** dq7's hex→int: value of the first `n` hex chars of column `col`, as
     * `n` unrolled positional-digit terms — identical arithmetic on both
     * engines (Spark `instr` / DuckDB `strpos`, both 1-based). */
-  private def hexToLong(col: String, n: Int, spark: Boolean): String = {
+  private[catalog] def hexToLong(col: String, n: Int, spark: Boolean): String = {
     val pos = if (spark) "instr" else "strpos"
     (1 to n).map { j =>
       s"($pos('0123456789abcdef', substr($col, $j, 1)) - 1) * " +

@@ -214,6 +214,27 @@ object Streams extends QueryPack {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // e19: STREAMING INTEGRITY CHECKSUM — dq7's order-independent table
+    // checksum maintained INCREMENTALLY by the stream: the per-row 32-bit
+    // md5 fingerprint sum is a plain commutative aggregate (mergeable
+    // state, no rescan, no join), so the running (n_rows, checksum) per
+    // event_type costs one state row per group. COMPLETE mode's final
+    // trigger must equal the batch checksum the oracle recomputes over the
+    // same rows — ingestion lost or duplicated nothing. The continuous
+    // reconciliation a 100 TB ingest pipeline keeps next to its sink; ts
+    // stays out of the canon string (timestamp FORMATTING is engine-
+    // specific; integer/string columns are not).
+    "e19_stream_checksum" -> { (s, dir) =>
+      import s.implicits._
+      val hashed = eventsStream(s, dir)
+        .withColumn("m",
+          md5(expr("concat_ws('|', event_id, user_id, event_type)")))
+        .withColumn("h", expr(Quality.hexToLong("m", 8, spark = true)))
+      runToTable(hashed.groupBy($"event_type")
+          .agg(count(lit(1)).as("n_rows"), sum($"h").as("checksum")),
+          OutputMode.Complete())
+        .orderBy($"event_type")
+    },
     "e6_stream_tumbling" -> { (s, dir) =>
       import s.implicits._
       runToTable(EventStreams.tumblingCounts(eventsStream(s, dir)),
@@ -410,6 +431,14 @@ object Streams extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // e19: the batch recomputation of the streamed running checksum
+    "e19_stream_checksum" -> s"""
+      SELECT event_type, COUNT(*) AS n_rows, SUM(h)::BIGINT AS checksum
+      FROM (SELECT event_type, ${Quality.hexToLong("m", 8, spark = false)} AS h
+            FROM (SELECT event_type,
+                         md5(concat_ws('|', event_id, user_id, event_type)) AS m
+                  FROM events) t0) t1
+      GROUP BY event_type ORDER BY event_type""",
     // identical to e2's batch oracle — COMPLETE mode's last trigger IS the
     // full aggregation
     "e6_stream_tumbling" -> """
