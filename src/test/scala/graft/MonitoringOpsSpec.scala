@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral pins for the CDC / monitoring / evaluation operators (u9
+  * changelog apply, dq6 FD audit, dq7 + e19 checksums, a8 sliding distinct,
+  * v11 ANN recall) beyond the DuckDB hash-match — each test asserts the
+  * property the operator exists for, on the real sf0.001 tables. */
+class MonitoringOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  /** independent restatement of dq7's 8-hex-digit fingerprint value */
+  private def hex8(c: String) = expr((1 to 8).map { j =>
+    s"(instr('0123456789abcdef', substr($c, $j, 1)) - 1) * cast(${1L << (4 * (8 - j))} as bigint)"
+  }.mkString(" + "))
+
+  test("u9: applying the changelog reproduces the directly-derived snapshot") {
+    import spark.implicits._
+    val out = SparkEntry.queries("u9_changelog_apply")(spark, sf)
+    val old = Tables(spark, sf).customer
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+    // u8's scenario, derived independently of the apply path
+    val want = old.filter($"c_custkey" % 7 =!= 3)
+      .withColumn("c_acctbal",
+        when($"c_custkey" % 10 === 0, $"c_acctbal" + 50.0)
+          .otherwise($"c_acctbal"))
+      .union(old.filter($"c_custkey" % 100 === 0)
+        .select(($"c_custkey" + 2000000L).as("c_custkey"),
+                concat(lit("INS#"), $"c_name").as("c_name"), $"c_acctbal"))
+    assert(out.except(want).count() == 0 && want.except(out).count() == 0)
+    assert(out.count() == want.count())
+  }
+
+  test("dq7: checksum is invariant under repartitioning and row order") {
+    import spark.implicits._
+    val a = SparkEntry.queries("dq7_table_checksum")(spark, sf).collect()
+    // same rows, different physical layout → identical (n_rows, checksum)
+    val li = Tables(spark, sf).lineitem
+      .repartition(7, $"l_suppkey").sortWithinPartitions($"l_returnflag")
+    val m = md5(expr("concat_ws('|', l_orderkey, l_partkey, l_suppkey, " +
+      "l_linenumber, l_returnflag, l_linestatus)"))
+    val perm = li.withColumn("m", m)
+      .withColumn("h", hex8("m"))
+      .agg(count(lit(1)).as("n"), sum($"h").as("c")).collect()(0)
+    val row = a.find(_.getAs[String]("tbl") == "lineitem").get
+    assert(row.getAs[Long]("n_rows") == perm.getAs[Long]("n"))
+    assert(row.getAs[Long]("checksum") == perm.getAs[Long]("c"))
+  }
+
+  test("e19: the streamed running checksum equals the batch recomputation") {
+    import spark.implicits._
+    val streamed = SparkEntry.queries("e19_stream_checksum")(spark, sf)
+    val batch = Tables(spark, sf).events
+      .withColumn("m",
+        md5(expr("concat_ws('|', event_id, user_id, event_type)")))
+      .withColumn("h", hex8("m"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"), sum($"h").as("checksum"))
+    assert(streamed.except(batch).count() == 0 &&
+      batch.except(streamed).count() == 0)
+  }
+
+  test("a8: trailing window dominates the single-day distinct count") {
+    import spark.implicits._
+    val out = SparkEntry.queries("a8_sliding_distinct")(spark, sf)
+      .collect().map(r =>
+        r.getAs[String]("day") -> r.getAs[Long]("n_users")).toMap
+    val daily = Tables(spark, sf).events
+      .groupBy(date_format(to_date($"ts"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct($"user_id").as("d"))
+      .collect().map(r => r.getAs[String]("day") -> r.getAs[Long]("d")).toMap
+    assert(out.keySet == daily.keySet)
+    daily.foreach { case (day, d) =>
+      assert(out(day) >= d, s"$day: window smaller than its own day")
+    }
+  }
+
+  test("dq6: keyed FDs hold, the non-key FD is refuted") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("dq6_fd_audit")(spark, sf).collect()
+      .map(r => r.getAs[String]("fd") -> r).toMap
+    // primary-key left sides can never violate
+    Seq("nation_to_region", "order_to_priority", "part_to_brand").foreach { fd =>
+      assert(rows(fd).getAs[Boolean]("holds"), s"$fd should hold")
+      assert(rows(fd).getAs[Long]("max_variants") == 1L)
+    }
+    // users emit several event types — the candidate FD must be refuted
+    assert(!rows("user_to_event_type").getAs[Boolean]("holds"))
+    assert(rows("user_to_event_type").getAs[Long]("n_violating") > 0L)
+  }
+
+  test("v11: recall is bounded and consistent with the two retrievals") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("v11_ann_recall")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hit = r.getAs[Long]("n_hit")
+      assert(hit >= 0L && hit <= 10L)
+      assert(r.getAs[Long]("recall_pct") == hit * 100 / 10)
+    }
+  }
+}
