@@ -99,7 +99,10 @@ object Formats extends QueryPack {
       import s.implicits._
       val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val (ob, lb) = (s"graft_orders_b_$key", s"graft_lineitem_b_$key")
-      Scratch.staged(s"bucketed_join#$dir", "wh") { p =>
+      // staged per (session, dir): table registrations live in the SESSION
+      // catalog, so a JVM-scoped memo alone would skip the write for a
+      // second session and s.table() would miss
+      Scratch.staged(s"bucketed_join#$dir#${System.identityHashCode(s)}", "wh") { p =>
         val t = Tables(s, dir)
         t.orders.select($"o_orderkey", $"o_orderpriority")
           .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")

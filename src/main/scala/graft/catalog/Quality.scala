@@ -1,9 +1,8 @@
 package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.{QueryPack, Tables}
+import graft.{QueryPack, Scratch, Tables}
 
 /** DATA-QUALITY operators — the reference's validate semantics (E2 dry-run,
   * error counters) elevated to warehouse scale: declarative rule audits and
@@ -133,12 +132,21 @@ object Quality extends QueryPack {
     // doubled back to the same integer.
     "dq5_mad_outliers" -> { (s, dir) =>
       import s.implicits._
-      val li = Tables(s, dir).lineitem
-        .select($"l_returnflag".as("grp"),
-          expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
-      val m = med2(li, "grp", "cents", "med2")
-      val dev = li.join(broadcast(m), Seq("grp"))
-        .withColumn("dev2", abs($"cents" * 2 - $"med2"))
+      // the deviation table is the audit's working set — every later step
+      // (MAD median, outlier count) re-reads it, so it stages to scratch
+      // parquet once per session (v7's stored-table reasoning) instead of
+      // re-running the cents median under each consumer subtree; all
+      // columns are integers, so parquet round-trips them exactly
+      val devPath = Scratch.staged(s"dq5_dev#$dir", "dq5_dev") { p =>
+        val li = Tables(s, dir).lineitem
+          .select($"l_returnflag".as("grp"),
+            expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+        val m = med2(li, "grp", "cents", "med2")
+        li.join(broadcast(m), Seq("grp"))
+          .withColumn("dev2", abs($"cents" * 2 - $"med2"))
+          .write.mode("overwrite").parquet(p)
+      }
+      val dev = s.read.parquet(devPath)
       val mad = med2(dev.select($"grp", $"dev2"), "grp", "dev2", "mad4")
       dev.join(broadcast(mad), Seq("grp"))
         .groupBy($"grp")
@@ -177,8 +185,9 @@ object Quality extends QueryPack {
     },
     // dq7: ORDER-INDEPENDENT TABLE CHECKSUM — the cross-engine/cross-copy
     // reconciliation primitive (exactly what a migration like this repo
-    // needs): per-row 32-bit fingerprint from the md5 of a canonical '|'
-    // row string, SUMMED per table — addition commutes, so any partition
+    // needs): per-row 32-bit fingerprint from the md5 of a canonical
+    // length-prefixed row string (canonExpr — delimiter-shift-proof),
+    // SUMMED per table — addition commutes, so any partition
     // order, file layout, or engine produces the same pair (n_rows,
     // checksum), and two copies compare by exchanging 2 numbers, not rows.
     // The hex→int conversion is 8 unrolled instr/substr terms (codegen'd
@@ -190,7 +199,7 @@ object Quality extends QueryPack {
       import s.implicits._
       val t = Tables(s, dir)
       def sums(name: String, df: DataFrame, cols: Seq[String]): DataFrame =
-        df.withColumn("m", md5(expr(s"concat_ws('|', ${cols.mkString(", ")})")))
+        df.withColumn("m", md5(expr(canonExpr(cols, spark = true))))
           .withColumn("h", expr(hexToLong("m", 8, spark = true)))
           .agg(count(lit(1)).as("n_rows"), sum($"h").as("checksum"))
           .select(lit(name).as("tbl"), $"n_rows", $"checksum")
@@ -243,6 +252,19 @@ object Quality extends QueryPack {
   /** dq7's hex→int: value of the first `n` hex chars of column `col`, as
     * `n` unrolled positional-digit terms — identical arithmetic on both
     * engines (Spark `instr` / DuckDB `strpos`, both 1-based). */
+  /** dq7/e19's canonical row string: every field LENGTH-PREFIXED
+    * ("3:abc|2:xy") so values shifting across the '|' delimiter can never
+    * canonicalize to the same string — ('A|B','C') and ('A','B|C') differ.
+    * Identical text on both engines (integers render identically). */
+  private[catalog] def canonExpr(cols: Seq[String], spark: Boolean): String =
+    if (spark)
+      "concat_ws('|', " + cols.map(c =>
+        s"concat(cast(length(cast($c as string)) as string), ':', cast($c as string))")
+        .mkString(", ") + ")"
+    else
+      cols.map(c => s"length($c::VARCHAR)::VARCHAR || ':' || $c::VARCHAR")
+        .mkString(" || '|' || ")
+
   private[catalog] def hexToLong(col: String, n: Int, spark: Boolean): String = {
     val pos = if (spark) "instr" else "strpos"
     (1 to n).map { j =>
@@ -265,7 +287,7 @@ object Quality extends QueryPack {
   private def cksumSql(name: String, table: String, cols: Seq[String]): String =
     s"""SELECT '$name' AS tbl, COUNT(*) AS n_rows, SUM(h)::BIGINT AS checksum
       FROM (SELECT ${hexToLong("m", 8, spark = false)} AS h
-            FROM (SELECT md5(concat_ws('|', ${cols.mkString(", ")})) AS m
+            FROM (SELECT md5(${canonExpr(cols, spark = false)}) AS m
                   FROM $table) t0) t1"""
 
   val oracle: Map[String, String] = Map(

@@ -552,7 +552,7 @@ object Relational extends QueryPack {
           .select($"c_custkey", lit("U").as("op"), $"c_name".as("n_name"),
                   ($"c_acctbal" + 50.0).as("n_bal")))
         .unionByName(old.filter($"c_custkey" % 100 === 0)
-          .select(($"c_custkey" + 2000000L).as("c_custkey"), lit("I").as("op"),
+          .select(($"c_custkey" + 100000000000L).as("c_custkey"), lit("I").as("op"),
                   concat(lit("INS#"), $"c_name").as("n_name"),
                   $"c_acctbal".as("n_bal")))
       old.join(log, Seq("c_custkey"), "full_outer")
@@ -636,7 +636,7 @@ object Relational extends QueryPack {
                   ELSE c_acctbal END AS c_acctbal
       FROM old WHERE c_custkey % 7 <> 3
       UNION ALL
-      SELECT c_custkey + 2000000, 'INS#' || c_name, c_acctbal
+      SELECT c_custkey + 100000000000, 'INS#' || c_name, c_acctbal
       FROM old WHERE c_custkey % 100 = 0
       ORDER BY c_custkey""",
     "a8_sliding_distinct" -> """

@@ -109,7 +109,16 @@ object ScaleOps {
     * window ever sees more than a bucket, so exact medians/deciles survive
     * 10^10-row groups of near-unique integer values, where a value-histogram
     * quantile (q9's shape) would degenerate into a whole-group sort.
-    * Returns one row per (group, tag): (gcol, tag, value). */
+    * Returns one row per (group, tag): (gcol, tag, value).
+    *
+    * Range buckets assume the group's values are not pathologically
+    * heavy-tailed: one 10⁹×-outlier collapses everyone else into bucket 0
+    * and the in-bucket rank degenerates toward a whole-group sort. The
+    * escalation is recursive — re-bucket the located bucket by ITS
+    * min/max (same two passes over a 1/nBuckets slice); not needed at any
+    * tested scale, so not built. Bucket width divides FIRST (ceil of
+    * range/nBuckets), so the arithmetic cannot overflow for any Long
+    * value range. */
   def orderStats(df: DataFrame, gcol: String, vcol: String,
                  targets: Seq[(String, String)],
                  nBuckets: Int = 4096): DataFrame = {
@@ -124,7 +133,8 @@ object ScaleOps {
       }: _*)).as("t"))
       .select(g, $"t.tag".as("tag"), $"t.tpos".as("tpos"))
     val bucketed = df.join(broadcast(stats.select(g, $"mn", $"mx")), Seq(gcol))
-      .withColumn("_bkt", expr(s"(($vcol - mn) * $nBuckets) div (mx - mn + 1)"))
+      .withColumn("_bkt", expr(
+        s"($vcol - mn) div greatest((mx - mn + $nBuckets) div $nBuckets, 1)"))
     val bcounts = bucketed.groupBy(g, $"_bkt").agg(count(lit(1)).as("c"))
     val wCum = Window.partitionBy(g).orderBy($"_bkt")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -376,7 +376,7 @@ object Similarity extends QueryPack {
       exact.join(ann, Seq("q_id", "neighbor_id"), "left")
         .groupBy($"q_id")
         .agg(sum(coalesce($"hit", lit(0L))).as("n_hit"))
-        .withColumn("recall_pct", expr("n_hit * 100 div 10"))
+        .withColumn("recall_pct", expr(s"n_hit * 100 div $K"))
         .orderBy($"q_id")
     },
     // v6: EMBEDDING AGGREGATION — element-wise centroid of the embedding
@@ -730,7 +730,7 @@ object Similarity extends QueryPack {
     // only matched (non-null) exact neighbors
     "v11_ann_recall" -> s"""
       SELECT x.q_id, COUNT(a.neighbor_id)::BIGINT AS n_hit,
-             (COUNT(a.neighbor_id) * 100 // 10)::BIGINT AS recall_pct
+             (COUNT(a.neighbor_id) * 100 // $K)::BIGINT AS recall_pct
       FROM ($v1Sql) x LEFT JOIN ($v2Sql) a
         ON a.q_id = x.q_id AND a.neighbor_id = x.neighbor_id
       GROUP BY x.q_id ORDER BY x.q_id"""

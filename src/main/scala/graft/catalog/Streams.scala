@@ -227,8 +227,8 @@ object Streams extends QueryPack {
     "e19_stream_checksum" -> { (s, dir) =>
       import s.implicits._
       val hashed = eventsStream(s, dir)
-        .withColumn("m",
-          md5(expr("concat_ws('|', event_id, user_id, event_type)")))
+        .withColumn("m", md5(expr(Quality.canonExpr(
+          Seq("event_id", "user_id", "event_type"), spark = true))))
         .withColumn("h", expr(Quality.hexToLong("m", 8, spark = true)))
       runToTable(hashed.groupBy($"event_type")
           .agg(count(lit(1)).as("n_rows"), sum($"h").as("checksum")),
@@ -436,7 +436,9 @@ object Streams extends QueryPack {
       SELECT event_type, COUNT(*) AS n_rows, SUM(h)::BIGINT AS checksum
       FROM (SELECT event_type, ${Quality.hexToLong("m", 8, spark = false)} AS h
             FROM (SELECT event_type,
-                         md5(concat_ws('|', event_id, user_id, event_type)) AS m
+                         md5(${Quality.canonExpr(
+                           Seq("event_id", "user_id", "event_type"),
+                           spark = false)}) AS m
                   FROM events) t0) t1
       GROUP BY event_type ORDER BY event_type""",
     // identical to e2's batch oracle — COMPLETE mode's last trigger IS the

@@ -30,11 +30,27 @@ class LayoutQualitySpec extends AnyFunSuite {
   test("k7: the pruned day-scan aggregates exactly the day's rows") {
     import spark.implicits._
     val out = SparkEntry.queries("k7_partitioned_prune")(spark, sf)
-    // plan-level: the scan must carry a partition filter on event_date
-    // (planning-time pruning — the layout contract, not a row filter)
+    // plan-level: the scan must carry a NON-EMPTY partition filter on
+    // event_date (an empty 'PartitionFilters: []' string also contains the
+    // words, so match the populated form), and the physical proof is the
+    // numPartitions metric — exactly one partition directory read
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("event_date"),
-      s"no partition filter in:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*event_date".r.findFirstIn(plan).isDefined,
+      s"no populated partition filter in:\n$plan")
+    out.count() // materialize scan metrics
+    // the aggregate runs under AQE, so the scan lives inside the adaptive
+    // plan's final physical plan, not the initial executedPlan's leaves
+    val finalPlan = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val metrics = finalPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.metrics
+    }
+    assert(metrics.exists(_.get("numPartitions").exists(_.value <= 1)),
+      s"read more than one partition: " +
+        metrics.flatMap(_.get("numPartitions").map(_.value)).mkString(","))
     val expected = Tables(spark, sf).events
       .filter(to_date($"ts") === "2024-01-02")
       .groupBy($"event_type").agg(count(lit(1)).as("n"))

@@ -16,6 +16,12 @@ class MonitoringOpsSpec extends AnyFunSuite {
     s"(instr('0123456789abcdef', substr($c, $j, 1)) - 1) * cast(${1L << (4 * (8 - j))} as bigint)"
   }.mkString(" + "))
 
+  /** independent restatement of dq7's length-prefixed canonical row string */
+  private def canon(cols: Seq[String]) = expr(
+    "concat_ws('|', " + cols.map(c =>
+      s"concat(cast(length(cast($c as string)) as string), ':', cast($c as string))")
+      .mkString(", ") + ")")
+
   test("u9: applying the changelog reproduces the directly-derived snapshot") {
     import spark.implicits._
     val out = SparkEntry.queries("u9_changelog_apply")(spark, sf)
@@ -27,7 +33,7 @@ class MonitoringOpsSpec extends AnyFunSuite {
         when($"c_custkey" % 10 === 0, $"c_acctbal" + 50.0)
           .otherwise($"c_acctbal"))
       .union(old.filter($"c_custkey" % 100 === 0)
-        .select(($"c_custkey" + 2000000L).as("c_custkey"),
+        .select(($"c_custkey" + 100000000000L).as("c_custkey"),
                 concat(lit("INS#"), $"c_name").as("c_name"), $"c_acctbal"))
     assert(out.except(want).count() == 0 && want.except(out).count() == 0)
     assert(out.count() == want.count())
@@ -39,8 +45,8 @@ class MonitoringOpsSpec extends AnyFunSuite {
     // same rows, different physical layout → identical (n_rows, checksum)
     val li = Tables(spark, sf).lineitem
       .repartition(7, $"l_suppkey").sortWithinPartitions($"l_returnflag")
-    val m = md5(expr("concat_ws('|', l_orderkey, l_partkey, l_suppkey, " +
-      "l_linenumber, l_returnflag, l_linestatus)"))
+    val m = md5(canon(Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_returnflag", "l_linestatus")))
     val perm = li.withColumn("m", m)
       .withColumn("h", hex8("m"))
       .agg(count(lit(1)).as("n"), sum($"h").as("c")).collect()(0)
@@ -53,8 +59,7 @@ class MonitoringOpsSpec extends AnyFunSuite {
     import spark.implicits._
     val streamed = SparkEntry.queries("e19_stream_checksum")(spark, sf)
     val batch = Tables(spark, sf).events
-      .withColumn("m",
-        md5(expr("concat_ws('|', event_id, user_id, event_type)")))
+      .withColumn("m", md5(canon(Seq("event_id", "user_id", "event_type"))))
       .withColumn("h", hex8("m"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n_rows"), sum($"h").as("checksum"))
