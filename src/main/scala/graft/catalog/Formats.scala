@@ -123,6 +123,39 @@ object Formats extends QueryPack {
         .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
         .orderBy($"o_orderpriority")
     },
+    // k9: DYNAMIC PARTITION PRUNING — k7 prunes with a literal predicate
+    // at PLANNING time; k9 is the runtime half: the day set comes from a
+    // DIMENSION filter (tag = 'keep' on a dates dim), so the fact scan
+    // cannot know its partitions until the dim side runs. Spark's DPP
+    // inserts a dynamic subquery into the fact's PartitionFilters (the
+    // broadcast result doubles as the pruning filter — LayoutQualitySpec
+    // pins `dynamicpruning` in the scan), and the 100 TB fact table still
+    // reads only the dim-selected days. The dim stages as a REAL parquet
+    // scan: a LocalRelation would constant-fold the filter away and make
+    // the demo vacuous.
+    "k9_dpp_prune" -> { (s, dir) =>
+      import s.implicits._
+      val facts = Scratch.staged(s"events_by_date#$dir", "part_events") { p =>
+        Tables(s, dir).events
+          .withColumn("event_date", to_date($"ts"))
+          .write.partitionBy("event_date").mode("overwrite").parquet(p)
+      }
+      val part = s.read.parquet(facts)
+      val dimPath = Scratch.staged(s"dates_dim#$dir", "dates_dim") { p =>
+        s.read.parquet(facts).select($"event_date").distinct()
+          .withColumn("tag",
+            when($"event_date" <= lit(java.sql.Date.valueOf("2024-01-03")),
+              "keep").otherwise("skip"))
+          .write.mode("overwrite").parquet(p)
+      }
+      val dim = s.read.parquet(dimPath).filter($"tag" === "keep")
+      part.join(broadcast(dim), Seq("event_date"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+             countDistinct($"user_id").as("n_users"),
+             sum($"event_id").as("sum_ids"))
+        .orderBy($"event_type")
+    },
     // k6: JSON-lines round-trip — the interchange format crawl feeds and
     // label stores actually ship; read back under the WRITER's schema
     // (no inference drift), aggregate, compare against the original
@@ -147,6 +180,13 @@ object Formats extends QueryPack {
              SUM(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_cents
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "k9_dpp_prune" -> """
+      SELECT event_type, COUNT(*) AS n,
+             COUNT(DISTINCT user_id) AS n_users,
+             SUM(event_id)::BIGINT AS sum_ids
+      FROM events
+      WHERE CAST(ts AS DATE) <= DATE '2024-01-03'
+      GROUP BY event_type ORDER BY event_type""",
     "k7_partitioned_prune" -> """
       SELECT event_type, COUNT(*) AS n,
              COUNT(DISTINCT user_id) AS n_users,

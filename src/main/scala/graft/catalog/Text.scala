@@ -387,6 +387,23 @@ object Text extends QueryPack {
           md5(expr("substring(nt, c.st, c.en - c.st + 1)")).as("chunk_md5"))
         .orderBy($"doc_id", $"chunk_idx")
     },
+    // x18: TEXT NORMALIZATION — the canonicalization pass every downstream
+    // op assumes has already happened: control characters become spaces,
+    // whitespace runs collapse, edges trim. Pure per-row regex projections
+    // (RE2-safe patterns shared verbatim with the oracle), no shuffle; at
+    // 100 TB this runs fused into the ingest scan. `changed` + the digest
+    // make the gate pin both the transform and which rows it touched.
+    "x18_text_normalize" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .withColumn("norm", expr(
+          "trim(regexp_replace(regexp_replace(text, '[\\\\x00-\\\\x1f]', ' '), " +
+            "' {2,}', ' '))"))
+        .select($"doc_id", length($"text").cast("long").as("raw_len"),
+          length($"norm").cast("long").as("norm_len"),
+          ($"norm" =!= $"text").as("changed"), md5($"norm").as("norm_md5"))
+        .orderBy($"doc_id")
+    },
     "x7_tfidf_topk" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables(s, dir).documents
@@ -561,6 +578,15 @@ object Text extends QueryPack {
       FROM sh JOIN ev USING (h)
       WHERE doc_id % 97 <> 0
       GROUP BY doc_id ORDER BY doc_id""",
+    "x18_text_normalize" -> """
+      SELECT doc_id, length(text)::BIGINT AS raw_len,
+             length(norm)::BIGINT AS norm_len,
+             norm <> text AS changed, md5(norm) AS norm_md5
+      FROM (SELECT doc_id, text,
+                   trim(regexp_replace(regexp_replace(text,
+                     '[\x00-\x1f]', ' ', 'g'), ' {2,}', ' ', 'g')) AS norm
+            FROM documents) t
+      ORDER BY doc_id""",
     // x17: same md5-window boundaries; DuckDB's end-exclusive range needs
     // the +1, lists are 1-indexed like element_at
     "x17_cdc_chunk" -> s"""

@@ -82,6 +82,15 @@ class LayoutQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("k9: the fact scan carries a dynamic partition pruning filter") {
+    val out = SparkEntry.queries("k9_dpp_prune")(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    // runtime pruning: the day set comes from the dim filter, so the scan
+    // must carry a dynamicpruning subquery, not a literal partition filter
+    assert(plan.toLowerCase.contains("dynamicpruningexpression"),
+      s"no DPP subquery in:\n$plan")
+  }
+
   test("k8: bucketed join plans with no join-side exchange") {
     val out = SparkEntry.queries("k8_bucketed_join")(spark, sf)
     val plan = out.queryExecution.executedPlan.toString
