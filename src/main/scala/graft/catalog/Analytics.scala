@@ -267,6 +267,41 @@ object Analytics extends QueryPack {
         .select($"grp", $"tag".as("decile"), $"value".as("cents_at"))
         .orderBy($"grp", $"decile")
     },
+    // g9: INCREMENTAL Z-ORDER MAINTENANCE — g7 builds the layout; g9 keeps
+    // it current when a batch lands WITHOUT touching the base table: zone
+    // maps are (count, min, max) per shard, all mergeable aggregates, so
+    // base stats (staged table state, the v9/a6 pattern) merge with the
+    // batch's delta stats by a tiny per-shard combine. The oracle
+    // recomputes the layout over the FULL table, so a green row proves
+    // merge(base, delta) == rebuild — the incremental-OPTIMIZE property;
+    // per-batch work is |batch| + |shards|, independent of table size.
+    "g9_zorder_maintain" -> { (s, dir) =>
+      import s.implicits._
+      def shardStats(df: DataFrame): DataFrame =
+        df.select(expr("user_id % 256").as("x"),
+                  expr("(hour(ts) * 60 + minute(ts)) div 6").as("y"))
+          .withColumn("z", expr(zInterleave("x", "y", div = "div")))
+          .withColumn("shard", expr("z div 4096"))
+          .groupBy($"shard")
+          .agg(count(lit(1)).as("n"),
+               min($"x").as("min_x"), max($"x").as("max_x"),
+               min($"y").as("min_y"), max($"y").as("max_y"))
+      val basePath = graft.Scratch.staged(s"zorder_base#$dir", "zorder_base") { p =>
+        shardStats(Tables(s, dir).events
+            .filter(pmod($"event_id", lit(10)) =!= 7))
+          .write.mode("overwrite").parquet(p)
+      }
+      val delta = shardStats(Tables(s, dir).events
+        .filter(pmod($"event_id", lit(10)) === 7))
+      s.read.parquet(basePath).unionByName(delta)
+        .groupBy($"shard")
+        .agg(sum($"n").as("n"),
+             min($"min_x").as("min_x"), max($"max_x").as("max_x"),
+             min($"min_y").as("min_y"), max($"max_y").as("max_y"))
+        .withColumn("x_span", $"max_x" - $"min_x" + 1)
+        .withColumn("y_span", $"max_y" - $"min_y" + 1)
+        .orderBy($"shard")
+    },
     // g1: per-nation sorted list of supplier names (deterministic array agg).
     // Comma-joined, not ARRAY-typed: the driver's compare (pandas sort +
     // hash) cannot process array cells; the joined string carries the same
@@ -297,7 +332,23 @@ object Analytics extends QueryPack {
   private val rateCase = "CASE event_type " + SampleRates.map {
     case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ") + " END"
 
+  /** g7's full-layout recompute — g9's oracle too: the merged incremental
+    * stats must equal the rebuild. */
+  private lazy val zorderSql = s"""
+      SELECT z // 4096 AS shard, COUNT(*) AS n,
+             MIN(x) AS min_x, MAX(x) AS max_x,
+             MIN(y) AS min_y, MAX(y) AS max_y,
+             MAX(x) - MIN(x) + 1 AS x_span, MAX(y) - MIN(y) + 1 AS y_span
+      FROM (
+        SELECT x, y, ${zInterleave("x", "y", div = "//")} AS z
+        FROM (SELECT user_id % 256 AS x,
+                     (hour(ts) * 60 + minute(ts)) // 6 AS y
+              FROM events) t0) t1
+      GROUP BY shard ORDER BY shard"""
+
   val oracle: Map[String, String] = Map(
+    "g7_zorder_layout" -> zorderSql,
+    "g9_zorder_maintain" -> zorderSql,
     "g8_equidepth_bins" -> """
       WITH li AS (
         SELECT l_returnflag AS grp,
@@ -312,17 +363,6 @@ object Analytics extends QueryPack {
       SELECT r.grp, 'd' || q.q AS decile, r.cents AS cents_at
       FROM r JOIN q ON r.rn = ((r.n - 1) * q.q) // 10
       ORDER BY grp, decile""",
-    "g7_zorder_layout" -> s"""
-      SELECT z // 4096 AS shard, COUNT(*) AS n,
-             MIN(x) AS min_x, MAX(x) AS max_x,
-             MIN(y) AS min_y, MAX(y) AS max_y,
-             MAX(x) - MIN(x) + 1 AS x_span, MAX(y) - MIN(y) + 1 AS y_span
-      FROM (
-        SELECT x, y, ${zInterleave("x", "y", div = "//")} AS z
-        FROM (SELECT user_id % 256 AS x,
-                     (hour(ts) * 60 + minute(ts)) // 6 AS y
-              FROM events) t0) t1
-      GROUP BY shard ORDER BY shard""",
     "g5_shuffle_shard" -> s"""
       SELECT doc_id, shard,
              ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key)::BIGINT AS pos

@@ -82,6 +82,13 @@ class LayoutQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("g9: merged incremental zone maps equal the full rebuild") {
+    val full = SparkEntry.queries("g7_zorder_layout")(spark, sf)
+    val merged = SparkEntry.queries("g9_zorder_maintain")(spark, sf)
+    assert(full.except(merged).count() == 0 &&
+      merged.except(full).count() == 0)
+  }
+
   test("k9: the fact scan carries a dynamic partition pruning filter") {
     val out = SparkEntry.queries("k9_dpp_prune")(spark, sf)
     val plan = out.queryExecution.executedPlan.toString
