@@ -170,6 +170,36 @@ object Relational extends QueryPack {
         .agg(count(lit(1)).as("n"), asDbl(sum(dec2($"l_quantity")), 2).as("sum_qty"))
         .orderBy($"o_orderpriority")
     },
+    // j10: bloom-filter semi-join reduction — the runtime-filter shape for
+    // the case DPP (k9) can't cover: the fact table is NOT partitioned by
+    // the join key, and the filtered dim is too large to make the whole
+    // join broadcast-cheap but its KEY SET fits a sketch. The dim's keys
+    // are folded into a bloom filter (driver-side, a few KB), the sketch
+    // is broadcast, and the fact side drops non-matching rows BEFORE the
+    // shuffle — at 100 TB that converts a full-fact shuffle into a
+    // selectivity-proportional one. False positives are harmless: the real
+    // join behind the filter removes them, so results are exactly the
+    // plain join's (the oracle). Spark 4 can inject this itself
+    // (spark.sql.optimizer.runtime.bloomFilter.*); j10 is the explicit
+    // form for plans the planner rule doesn't reach (e.g. a reused
+    // hand-built sketch across queries). BloomJoinSpec pins the reduction
+    // actually fires (filtered scan < full scan) and FP-exactness.
+    "j10_bloom_join" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val dim = t.customer.filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey")
+      val bf = dim.stat.bloomFilter("c_custkey", 200000L, 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+      t.orders.select($"o_custkey", $"o_orderpriority", $"o_totalprice")
+        .filter(mightContain($"o_custkey"))
+        .join(dim, $"o_custkey" === $"c_custkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             asDbl(sum(dec2($"o_totalprice")), 2).as("sum_price"))
+        .orderBy($"o_orderpriority")
+    },
     "a5_grouping_sets" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir).orders
@@ -725,6 +755,12 @@ object Relational extends QueryPack {
       SELECT o_orderpriority, COUNT(*) AS n,
              CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "j10_bloom_join" -> """
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "a5_grouping_sets" -> """
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,

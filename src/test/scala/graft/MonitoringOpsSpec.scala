@@ -96,6 +96,47 @@ class MonitoringOpsSpec extends AnyFunSuite {
     assert(rows("user_to_event_type").getAs[Long]("n_violating") > 0L)
   }
 
+  test("dq2: two-level profile equals multi-distinct, plans with no Expand") {
+    import spark.implicits._
+    val q = SparkEntry.queries("dq2_table_profile")(spark, sf)
+    // the rewrite must not reintroduce the multi-distinct Expand
+    assert(!q.queryExecution.executedPlan.toString.contains("Expand"),
+      "dq2 plan contains Expand — multi-distinct shape came back")
+    val li = Tables(spark, sf).lineitem
+    val expect = li.agg(
+      count(lit(1)), sum($"l_quantity".isNull.cast("long")),
+      countDistinct($"l_quantity"),
+      min($"l_quantity".cast("decimal(18,2)")).cast("string"),
+      max($"l_quantity".cast("decimal(18,2)")).cast("string")).head
+    val got = q.filter($"col" === "l_quantity").head
+    assert((1 to 5).forall(i => got.get(i) == expect.get(i - 1)),
+      s"profile mismatch: $got vs $expect")
+  }
+
+  test("dq8: exact-sum correlations agree with the built-in corr aggregate") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("dq8_corr_matrix")(spark, sf).collect()
+    assert(rows.length == 3)
+    val li = Tables(spark, sf).lineitem
+    val builtin = li.agg(
+      corr($"l_quantity", $"l_extendedprice"),
+      corr($"l_quantity", $"l_discount"),
+      corr($"l_extendedprice", $"l_discount")).head
+    val byPair = rows.map(r =>
+      (r.getString(0), r.getString(1)) -> r.getAs[Double]("corr_v")).toMap
+    val cases = Seq(
+      ("l_quantity", "l_extendedprice") -> builtin.getDouble(0),
+      ("l_quantity", "l_discount") -> builtin.getDouble(1),
+      ("l_extendedprice", "l_discount") -> builtin.getDouble(2))
+    cases.foreach { case (pair, ref) =>
+      val v = byPair(pair)
+      assert(v >= -1.0 && v <= 1.0, s"$pair corr out of range: $v")
+      // built-in corr is a float-order-sensitive one-pass co-moment; the
+      // exact-sum closed form must land within float slack of it
+      assert(math.abs(v - ref) < 1e-9, s"$pair: $v vs builtin $ref")
+    }
+  }
+
   test("v11: recall is bounded and consistent with the two retrievals") {
     import spark.implicits._
     val rows = SparkEntry.queries("v11_ann_recall")(spark, sf).collect()
