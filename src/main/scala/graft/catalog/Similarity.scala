@@ -379,6 +379,63 @@ object Similarity extends QueryPack {
         .withColumn("recall_pct", expr(s"n_hit * 100 div $K"))
         .orderBy($"q_id")
     },
+    // v12: PRODUCT-QUANTIZATION ANN — the memory-compression path of the
+    // ANN family: the 64-dim vector becomes M=4 sub-codes into per-subspace
+    // 16-entry codebooks (here sample-initialized from the first 16 rows —
+    // swapping in per-subspace Lloyd's is exactly the Quantizer pattern),
+    // so the index stores 4 bytes/vector instead of 512. Retrieval is
+    // asymmetric distance (ADC): score queries against RECONSTRUCTED
+    // vectors (concatenated chosen sub-centroids), take a candidate pool,
+    // then exact-cosine rerank the true vectors — output cosines are
+    // exact. Scale shape (100 TB): encoding is a pure projection against
+    // literal codebooks (model state, like v3's centroids — no shuffle);
+    // ADC scans the 128x-smaller code/reconstruction table broadcast-vs-
+    // queries (a deployment precomputes per-query lookup tables of
+    // query-sub x codebook dots, making the scan additions only); only
+    // the PqCand candidate pool per query touches full vectors. The
+    // codebook argmin, ADC ordering, and rerank are engine-bitwise (serial
+    // -fold dots, ties on code / vec_id asc) so the DuckDB twin matches.
+    "v12_pq_ann" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
+        .select($"vec_id", $"v", $"norm2")
+      val books = pqBooksFor(e, dir)
+      def sub(m: Int) = slice($"v", m * PqSub + 1, PqSub)
+      // per-subspace argmin over the 16 literal codes: min struct of
+      // (score = |c|^2 - 2 t.c  [t-norm common to all codes], code, csub)
+      def pick(m: Int) = array_min(array(books(m).map { c =>
+        struct(
+          (lit(c.cn2) - lit(2.0) * graft.functions.VectorExprs.dot(
+            sub(m), typedLit(c.csub.toSeq))).as("score"),
+          lit(c.code).as("code"),
+          typedLit(c.csub.toSeq).as("csub"))
+      }: _*))
+      val coded = e.withColumn("recon",
+          flatten(array((0 until PqM).map(m => pick(m).getField("csub")): _*)))
+        .withColumn("rn2", graft.functions.VectorExprs.dot($"recon", $"recon"))
+        .select($"vec_id", $"recon", $"rn2")
+      val qs = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
+      val wCand = Window.partitionBy($"q_id").orderBy($"adc".desc, $"vec_id")
+      val cand = coded.crossJoin(broadcast(qs))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("adc", graft.functions.VectorExprs.cosine(
+          $"qv", $"recon", $"qn", $"rn2"))
+        .withColumn("crank", row_number().over(wCand))
+        .filter($"crank" <= PqCand)
+        .select($"q_id", $"qv", $"qn", $"vec_id")
+      val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+      cand.join(e, Seq("vec_id"))
+        .withColumn("cos", graft.functions.VectorExprs.cosine(
+          $"qv", $"v", $"qn", $"norm2"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter($"rank" <= K)
+        .select($"q_id", $"rank".cast("long").as("rank"),
+                $"vec_id".as("neighbor_id"), $"cos")
+        .orderBy($"q_id", $"rank")
+    },
     // v6: EMBEDDING AGGREGATION — element-wise centroid of the embedding
     // column per group (here: the doc's source, via doc_id = vec_id), the
     // statistic diversity analysis and cluster monitoring consume.
@@ -451,6 +508,33 @@ object Similarity extends QueryPack {
     * exact-cosine rerank runs only inside the probed cells. The search join
     * keys on cell id, so each query touches ~2/8 of the corpus — the
     * inverted-file property. */
+  // ---- v12 product quantization: M subspaces of PqSub dims, PqKs codes
+  // each. Codebooks are model state (like the Quantizer's centroids):
+  // sample-initialized from the sub-slices of seed rows vec_id < PqKs,
+  // memoized per dir, inlined as literals into the encoding projection.
+  private val PqM = 4
+  private val PqSub = 16
+  private val PqKs = 16
+  private val PqCand = 50
+  private case class PqCode(code: Int, csub: Array[Double], cn2: Double)
+  private val pqBookCache =
+    new scala.collection.concurrent.TrieMap[String, IndexedSeq[IndexedSeq[PqCode]]]
+  private def pqBooksFor(e: DataFrame, dir: String): IndexedSeq[IndexedSeq[PqCode]] =
+    pqBookCache.getOrElseUpdate(dir, {
+      val seeds = e.filter(col("vec_id") < PqKs).orderBy("vec_id")
+        .select("vec_id", "v").collect()
+      (0 until PqM).map { m =>
+        seeds.toIndexedSeq.map { r =>
+          val full = r.getSeq[Double](1).toArray
+          val csub = java.util.Arrays.copyOfRange(full, m * PqSub, (m + 1) * PqSub)
+          // serial left fold — the dotSql / DotProduct op order
+          var s2 = 0.0; var i = 0
+          while (i < csub.length) { s2 += csub(i) * csub(i); i += 1 }
+          PqCode(r.getLong(0).toInt, csub, s2)
+        }
+      }.toIndexedSeq
+    })
+
   private def ivfQuery(sampleMod: Int): (SparkSession, String) => DataFrame = { (s, dir) =>
     import s.implicits._
     val e = Tables(s, dir).embeddings
@@ -582,6 +666,50 @@ object Similarity extends QueryPack {
       UNION ALL SELECT q_id, 3::BIGINT, vec_id, score FROM s3
       ORDER BY q_id, pick""",
     "v3_ivf_ann" -> ivfSql(sampleMod = 1),
+    "v12_pq_ann" -> s"""
+      WITH e AS (
+        SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings) t),
+      pbooks AS (
+        SELECT m, code, csub, ${dotSql("csub", "csub")} AS cn2 FROM (
+          SELECT ms.m, s.vec_id AS code,
+                 list_slice(s.v, ms.m * $PqSub + 1, (ms.m + 1) * $PqSub) AS csub
+          FROM (SELECT vec_id, v FROM e WHERE vec_id < $PqKs) s
+          CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) ms) z),
+      pscored AS (
+        SELECT vec_id, m, code, csub,
+               cn2 - 2 * ${dotSql("tsub", "csub")} AS score
+        FROM (SELECT t.vec_id, b.m, b.code, b.csub, b.cn2,
+                     list_slice(t.v, b.m * $PqSub + 1, (b.m + 1) * $PqSub) AS tsub
+              FROM e t CROSS JOIN pbooks b) z),
+      pcoded AS (
+        SELECT vec_id, m, csub FROM (
+          SELECT vec_id, m, csub,
+                 row_number() OVER (PARTITION BY vec_id, m
+                   ORDER BY score ASC, code ASC) AS r
+          FROM pscored) w WHERE r = 1),
+      precon AS (
+        SELECT vec_id, recon, ${dotSql("recon", "recon")} AS rn2 FROM (
+          SELECT vec_id, flatten(list(csub ORDER BY m)) AS recon
+          FROM pcoded GROUP BY vec_id) g),
+      pqq AS (SELECT vec_id AS q_id, v AS qv, norm2 AS qn
+              FROM e WHERE vec_id < 10),
+      pcand AS (
+        SELECT q_id, qv, qn, vec_id FROM (
+          SELECT p.q_id, p.qv, p.qn, r.vec_id,
+                 row_number() OVER (PARTITION BY p.q_id ORDER BY
+                   ${dotSql("p.qv", "r.recon")} / (sqrt(p.qn) * sqrt(r.rn2)) DESC,
+                   r.vec_id) AS crank
+          FROM precon r CROSS JOIN pqq p WHERE r.vec_id <> p.q_id) z
+        WHERE crank <= $PqCand)
+      SELECT q_id, rank, neighbor_id, cos FROM (
+        SELECT q_id, vec_id AS neighbor_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        FROM (SELECT c.q_id, d.vec_id,
+                     ${dotSql("c.qv", "d.v")} / (sqrt(c.qn) * sqrt(d.norm2)) AS cos
+              FROM pcand c JOIN e d ON d.vec_id = c.vec_id) t0) t1
+      WHERE rank <= $K ORDER BY q_id, rank""",
     "v7_knn_centrality" -> s"""
       WITH $knnCtes,
       outd AS (SELECT src_id, COUNT(*)::BIGINT AS outd FROM knn GROUP BY src_id),
