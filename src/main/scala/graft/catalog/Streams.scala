@@ -235,6 +235,24 @@ object Streams extends QueryPack {
           OutputMode.Complete())
         .orderBy($"event_type")
     },
+    // e20: STREAMING VOCABULARY maintenance — x11's corpus heavy hitters
+    // kept continuously: complete-mode token counts over the documents
+    // stream (state = one row per vocabulary entry — bounded by the
+    // vocabulary, not the corpus, x12's keyspace argument), with the
+    // top-20 taken OFF the final sink snapshot (TakeOrderedAndProject on
+    // the trigger's table — never a global sort inside the stream). The
+    // oracle is x11's batch top-20, so green pins that micro-batched
+    // counting reached exactly the batch vocabulary.
+    "e20_stream_heavy_hitters" -> { (s, dir) =>
+      import s.implicits._
+      val raw = s.read.parquet(s"$dir/documents.parquet")
+      val st = s.readStream.schema(raw.schema).parquet(s"$dir/documents.parquet*")
+      runToTable(st.select(explode(expr(Tx.wsExpr)).as("tok"))
+          .filter(length($"tok") > 0)
+          .groupBy($"tok").agg(count(lit(1)).as("n")),
+          OutputMode.Complete())
+        .orderBy($"n".desc, $"tok").limit(20)
+    },
     "e6_stream_tumbling" -> { (s, dir) =>
       import s.implicits._
       runToTable(EventStreams.tumblingCounts(eventsStream(s, dir)),
@@ -441,6 +459,14 @@ object Streams extends QueryPack {
                            spark = false)}) AS m
                   FROM events) t0) t1
       GROUP BY event_type ORDER BY event_type""",
+    // e20: x11's batch oracle — COMPLETE-mode counting must reach exactly
+    // the batch vocabulary, so the two top-20s coincide
+    "e20_stream_heavy_hitters" -> s"""
+      SELECT tok, COUNT(*) AS n
+      FROM (SELECT unnest(ws) AS tok
+            FROM (SELECT ${Tx.wsSql} AS ws FROM documents) t0) t1
+      WHERE length(tok) > 0
+      GROUP BY tok ORDER BY n DESC, tok LIMIT 20""",
     // identical to e2's batch oracle — COMPLETE mode's last trigger IS the
     // full aggregation
     "e6_stream_tumbling" -> """

@@ -66,6 +66,32 @@ object Temporal extends QueryPack {
                 $"us".as("click_us"), $"asof_error_us")
         .orderBy($"click_id")
     },
+    // r7: as-of join with STALENESS TOLERANCE — the feature-store / market
+    // -data shape: a feature older than its TTL is as good as missing, so
+    // the nearest at-or-before match survives only within Gap (10 min);
+    // beyond it the click surfaces null-extended, and `matched` carries
+    // the TTL verdict. Same union+window composition as r1/r3 (one
+    // shuffle on user_id, no quadratic candidate set); the tolerance is a
+    // pure post-projection, so the 100 TB plan is exactly r3's.
+    "r7_asof_tolerance" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .filter($"event_type".isin("click", "error"))
+        .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("us"))
+      val tagged = ev.withColumn("prio", when($"event_type" === "error", 0).otherwise(1))
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"prio", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("asof_error_us",
+          last(when($"event_type" === "error", $"us"), ignoreNulls = true).over(w))
+        .filter($"event_type" === "click")
+        .withColumn("fresh_error_us",
+          when($"us" - $"asof_error_us" <= Gap, $"asof_error_us"))
+        .select($"event_id".as("click_id"), $"user_id",
+                $"us".as("click_us"), $"fresh_error_us",
+                $"fresh_error_us".isNotNull.as("matched"))
+        .orderBy($"click_id")
+    },
     // r4: SCD2 (slowly-changing-dimension) point-in-time join — each fact
     // row picks the dimension VERSION whose validity window contains its
     // event time. The dim here is three deterministic versions per supplier
@@ -183,6 +209,17 @@ object Temporal extends QueryPack {
       FROM (SELECT * FROM events WHERE event_type = 'click') c
       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
         ON c.user_id = e.user_id AND e.ts <= c.ts
+      ORDER BY click_id""",
+    "r7_asof_tolerance" -> """
+      SELECT click_id, user_id, click_us,
+             CASE WHEN click_us - asof_us <= 600000000 THEN asof_us END AS fresh_error_us,
+             (asof_us IS NOT NULL AND click_us - asof_us <= 600000000) AS matched
+      FROM (
+        SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS click_us,
+               epoch_us(e.ts) AS asof_us
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+          ON c.user_id = e.user_id AND e.ts <= c.ts) t
       ORDER BY click_id""",
     "r5_scd2_build" -> """
       WITH ch AS (

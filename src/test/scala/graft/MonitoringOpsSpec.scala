@@ -137,6 +137,34 @@ class MonitoringOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("r7: tolerance nulls exactly the stale as-of matches") {
+    import spark.implicits._
+    val tol = SparkEntry.queries("r7_asof_tolerance")(spark, sf).collect()
+    val plain = SparkEntry.queries("r3_asof_left")(spark, sf).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(tol.nonEmpty && tol.length == plain.size)
+    val gap = 600000000L
+    tol.foreach { r =>
+      val click = r.getLong(2)
+      val fresh = Option(r.get(3)).map(_.asInstanceOf[Long])
+      val asof = plain(r.getLong(0))
+      val expect = asof.filter(a => click - a <= gap)
+      assert(fresh == expect, s"tolerance verdict wrong for ${r.getLong(0)}")
+      assert(r.getBoolean(4) == fresh.isDefined)
+    }
+    // the tolerance must actually bite somewhere (else the case is vacuous)
+    assert(tol.exists(r => r.isNullAt(3) && plain(r.getLong(0)).isDefined),
+      "no stale match was nulled — fixture never exercises the TTL")
+  }
+
+  test("e20: streamed vocabulary top-20 equals the batch x11 result") {
+    val streamed = SparkEntry.queries("e20_stream_heavy_hitters")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = SparkEntry.queries("x11_heavy_hitters")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(streamed == batch)
+  }
+
   test("v11: recall is bounded and consistent with the two retrievals") {
     import spark.implicits._
     val rows = SparkEntry.queries("v11_ann_recall")(spark, sf).collect()
