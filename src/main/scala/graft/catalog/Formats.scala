@@ -123,6 +123,63 @@ object Formats extends QueryPack {
         .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
         .orderBy($"o_orderpriority")
     },
+    // k10: SMALL-FILE COMPACTION — the 100 TB hygiene pass every
+    // long-lived partitioned table needs: streaming/batch ingest lands
+    // many small files per partition (here staged deliberately: one file
+    // per (day, event_id%8) — repartition by both keys puts each combo
+    // wholly in one task, so the fragment count per day is EXACTLY its
+    // distinct-bucket count, a closed form the oracle recomputes), and
+    // the compaction job rewrites each day to one right-sized file
+    // (repartition(event_date): a day lands wholly in one task, so one
+    // file per day — at 100 TB the key is (day, floor(prefix_rows /
+    // target)) via the g4 two-pass shape for multi-file days). The
+    // output joins REAL filesystem listings (files before/after per day)
+    // with the compacted table's per-day aggregates; the oracle derives
+    // the fragment counts from the closed form and the aggregates from
+    // the ORIGINAL events, so green pins both the layout transition and
+    // that no row was lost or duplicated.
+    "k10_compaction" -> { (s, dir) =>
+      import s.implicits._
+      val frag = Scratch.staged(s"events_frag#$dir", "frag_events") { p =>
+        Tables(s, dir).events
+          .withColumn("event_date", to_date($"ts"))
+          .withColumn("bucket", pmod($"event_id", lit(8)))
+          .repartition($"event_date", $"bucket")
+          .write.partitionBy("event_date", "bucket")
+          .mode("overwrite").parquet(p)
+      }
+      val compacted = Scratch.staged(s"events_compact#$dir", "compact_events") { p =>
+        s.read.parquet(frag)
+          .repartition($"event_date")
+          .write.partitionBy("event_date").mode("overwrite").parquet(p)
+      }
+      def filesPerDate(root: String): Map[java.sql.Date, Long] = {
+        val path = new org.apache.hadoop.fs.Path(root)
+        val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.listStatus(path).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("event_date="))
+          .map { st =>
+            val d = java.sql.Date.valueOf(st.getPath.getName.stripPrefix("event_date="))
+            val it = fs.listFiles(st.getPath, true)
+            var n = 0L
+            while (it.hasNext)
+              if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+            d -> n
+          }.toMap
+      }
+      val before = filesPerDate(frag)
+      val after = filesPerDate(compacted)
+      val layout = before.keys.toSeq
+        .map(d => (d, before(d), after.getOrElse(d, 0L)))
+        .toDF("event_date", "n_files_before", "n_files_after")
+      s.read.parquet(compacted)
+        .groupBy($"event_date")
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("sum_ids"))
+        .join(layout, Seq("event_date"))
+        .select(date_format($"event_date", "yyyy-MM-dd").as("day"),
+                $"n_files_before", $"n_files_after", $"n_rows", $"sum_ids")
+        .orderBy($"day")
+    },
     // k9: DYNAMIC PARTITION PRUNING — k7 prunes with a literal predicate
     // at PLANNING time; k9 is the runtime half: the day set comes from a
     // DIMENSION filter (tag = 'keep' on a dates dim), so the fact scan
@@ -180,6 +237,12 @@ object Formats extends QueryPack {
              SUM(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_cents
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "k10_compaction" -> """
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             COUNT(DISTINCT event_id % 8) AS n_files_before,
+             1::BIGINT AS n_files_after,
+             COUNT(*) AS n_rows, SUM(event_id)::BIGINT AS sum_ids
+      FROM events GROUP BY 1 ORDER BY 1""",
     "k9_dpp_prune" -> """
       SELECT event_type, COUNT(*) AS n,
              COUNT(DISTINCT user_id) AS n_users,

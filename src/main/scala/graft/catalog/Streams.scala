@@ -253,6 +253,35 @@ object Streams extends QueryPack {
           OutputMode.Complete())
         .orderBy($"n".desc, $"tok").limit(20)
     },
+    // e21: STREAMING POINT-IN-TIME ENRICHMENT — r4's SCD2 join as a
+    // stream-static join: the versioned dim stages ONCE as a parquet
+    // table (feature-store style — dim refreshes are a separate slow
+    // path), each micro-batch of purchase facts joins it stateless
+    // (broadcast, range predicate picks the validity window), and the
+    // complete-mode aggregate's final trigger must equal the batch r4
+    // oracle — micro-batching the fact side changed nothing. The online
+    // half of the feature-consistency story r7's TTL is the offline half
+    // of; at 100 TB the dim broadcast is per-executor, the fact stream
+    // never shuffles before the aggregate.
+    "e21_stream_scd2_enrich" -> { (s, dir) =>
+      import s.implicits._
+      val dimPath = Scratch.staged(s"scd2dim#$dir", "scd2dim") { p =>
+        Temporal.scd2Dim(s, dir).write.mode("overwrite").parquet(p)
+      }
+      val dim = broadcast(s.read.parquet(dimPath))
+      val f = eventsStream(s, dir).filter($"event_type" === "purchase")
+        .select($"event_id", (pmod($"user_id", lit(10)) + 1).as("k"),
+                unix_micros($"ts").as("us"))
+      runToTable(f.join(dim,
+            $"k" === $"s_suppkey" && $"us" >= $"v_start" && $"us" < $"v_end")
+          .groupBy($"s_suppkey", $"v", $"rating")
+          .agg(count(lit(1)).as("n_events"),
+               min($"us").as("first_us"), max($"us").as("last_us")),
+          OutputMode.Complete())
+        .select($"s_suppkey", $"v".as("version"), $"rating",
+                $"n_events", $"first_us", $"last_us")
+        .orderBy($"s_suppkey", $"version")
+    },
     "e6_stream_tumbling" -> { (s, dir) =>
       import s.implicits._
       runToTable(EventStreams.tumblingCounts(eventsStream(s, dir)),
@@ -459,6 +488,29 @@ object Streams extends QueryPack {
                            spark = false)}) AS m
                   FROM events) t0) t1
       GROUP BY event_type ORDER BY event_type""",
+    // e21: r4's batch oracle — micro-batching the fact side of the
+    // stream-static point-in-time join must change nothing
+    "e21_stream_scd2_enrich" -> """
+      WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+      dim AS (
+        SELECT s.s_suppkey, v.v,
+               b.lo + v.v * ((b.hi - b.lo + 1) // 3) AS v_start,
+               CASE WHEN v.v = 2 THEN b.hi + 1
+                    ELSE b.lo + (v.v + 1) * ((b.hi - b.lo + 1) // 3) END AS v_end,
+               (s.s_suppkey * 7 + v.v) % 100 AS rating
+        FROM supplier s
+        CROSS JOIN (SELECT unnest(range(0, 3)) AS v) v
+        CROSS JOIN b
+        WHERE s.s_suppkey <= 10),
+      f AS (
+        SELECT event_id, (user_id % 10) + 1 AS k, epoch_us(ts) AS us
+        FROM events WHERE event_type = 'purchase')
+      SELECT d.s_suppkey, d.v AS version, d.rating,
+             COUNT(*) AS n_events, MIN(f.us) AS first_us, MAX(f.us) AS last_us
+      FROM f JOIN dim d
+        ON f.k = d.s_suppkey AND f.us >= d.v_start AND f.us < d.v_end
+      GROUP BY d.s_suppkey, d.v, d.rating
+      ORDER BY d.s_suppkey, version""",
     // e20: x11's batch oracle — COMPLETE-mode counting must reach exactly
     // the batch vocabulary, so the two top-20s coincide
     "e20_stream_heavy_hitters" -> s"""

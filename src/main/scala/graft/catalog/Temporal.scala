@@ -29,6 +29,26 @@ object Temporal extends QueryPack {
 
   private val Gap = 600000000L // 10 minutes in micros
 
+  /** r4's versioned dimension: three deterministic versions per supplier,
+    * validity = thirds of the event-time range (closed-form on both
+    * engines, last window open-ended). Shared with e21's streaming
+    * point-in-time enrichment, which stages it as a static parquet dim. */
+  private[catalog] def scd2Dim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bounds = Tables(s, dir).events
+      .agg(min(unix_micros($"ts")).as("lo"), max(unix_micros($"ts")).as("hi"))
+    Tables(s, dir).supplier.filter($"s_suppkey" <= 10)
+      .select($"s_suppkey")
+      .crossJoin(broadcast(bounds))
+      .withColumn("v", explode(array(lit(0L), lit(1L), lit(2L))))
+      .withColumn("v_start", $"lo" + $"v" * expr("(hi - lo + 1) div 3"))
+      .withColumn("v_end",
+        when($"v" === 2, $"hi" + 1)
+          .otherwise($"lo" + ($"v" + 1) * expr("(hi - lo + 1) div 3")))
+      .withColumn("rating", ($"s_suppkey" * 7 + $"v") % 100)
+      .select($"s_suppkey", $"v", $"v_start", $"v_end", $"rating")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // r1: for each click, the most recent error at-or-before it per user
     "r1_asof_join" -> { (s, dir) =>
@@ -105,17 +125,7 @@ object Temporal extends QueryPack {
       import s.implicits._
       val ev = Tables(s, dir).events
         .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("us"))
-      val bounds = ev.agg(min($"us").as("lo"), max($"us").as("hi"))
-      val dim = Tables(s, dir).supplier.filter($"s_suppkey" <= 10)
-        .select($"s_suppkey")
-        .crossJoin(broadcast(bounds))
-        .withColumn("v", explode(array(lit(0L), lit(1L), lit(2L))))
-        .withColumn("v_start", $"lo" + $"v" * expr("(hi - lo + 1) div 3"))
-        .withColumn("v_end",
-          when($"v" === 2, $"hi" + 1)
-            .otherwise($"lo" + ($"v" + 1) * expr("(hi - lo + 1) div 3")))
-        .withColumn("rating", ($"s_suppkey" * 7 + $"v") % 100)
-        .select($"s_suppkey", $"v", $"v_start", $"v_end", $"rating")
+      val dim = scd2Dim(s, dir)
       val f = ev.filter($"event_type" === "purchase")
         .select($"event_id", (pmod($"user_id", lit(10)) + 1).as("k"), $"us")
       f.join(broadcast(dim),

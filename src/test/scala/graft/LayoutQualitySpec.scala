@@ -89,6 +89,18 @@ class LayoutQualitySpec extends AnyFunSuite {
       merged.except(full).count() == 0)
   }
 
+  test("k10: compaction strictly reduces files and preserves every row") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("k10_compaction")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val before = rows.map(_.getLong(1)).sum
+    val after = rows.map(_.getLong(2)).sum
+    assert(after == rows.length, "compaction must land one file per day")
+    assert(before > after, s"no fragmentation to compact: $before -> $after")
+    val total = rows.map(_.getLong(3)).sum
+    assert(total == Tables(spark, sf).events.count(), "rows lost in rewrite")
+  }
+
   test("k9: the fact scan carries a dynamic partition pruning filter") {
     val out = SparkEntry.queries("k9_dpp_prune")(spark, sf)
     val plan = out.queryExecution.executedPlan.toString

@@ -165,6 +165,13 @@ class MonitoringOpsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("e21: streamed point-in-time enrichment equals the batch r4 join") {
+    val streamed = SparkEntry.queries("e21_stream_scd2_enrich")(spark, sf)
+      .collect().toSeq
+    val batch = SparkEntry.queries("r4_scd2_join")(spark, sf).collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("v11: recall is bounded and consistent with the two retrievals") {
     import spark.implicits._
     val rows = SparkEntry.queries("v11_ann_recall")(spark, sf).collect()
