@@ -180,6 +180,38 @@ object Formats extends QueryPack {
                 $"n_files_before", $"n_files_after", $"n_rows", $"sum_ids")
         .orderBy($"day")
     },
+    // k11: SCHEMA EVOLUTION — a long-lived 100 TB table's schema drifts
+    // across ingest batches (a crawl adds a field mid-corpus); old files
+    // must stay readable without rewrite. Staged deliberately: batch 0
+    // (even event_ids) lacks `props_len`, batch 1 (odd) carries it —
+    // parity keeps the split closed-form for the oracle; in production
+    // the split is temporal. The read unions the drifted footers with
+    // mergeSchema (pre-evolution rows surface NULL — reconciliation is
+    // per-FILE at the reader, no shuffle, no rewrite of old data), and
+    // the aggregate pins total counts, evolved-row counts, and the sum
+    // over the evolved column, so green proves NULL-backfill semantics
+    // exactly. At 100 TB, mergeSchema's footer sweep is the cost — a
+    // catalog (metastore) holds the merged schema so the sweep is
+    // O(1), but read-time reconciliation is identical.
+    "k11_schema_evolution" -> { (s, dir) =>
+      import s.implicits._
+      val root = Scratch.staged(s"events_evo#$dir", "evo_events") { p =>
+        val ev = Tables(s, dir).events
+        ev.filter($"event_id" % 2 === 0)
+          .select($"event_id", $"event_type", $"user_id")
+          .write.mode("overwrite").parquet(s"$p/batch=0")
+        ev.filter($"event_id" % 2 === 1)
+          .select($"event_id", $"event_type", $"user_id",
+                  length($"props").as("props_len"))
+          .write.mode("overwrite").parquet(s"$p/batch=1")
+      }
+      s.read.option("mergeSchema", "true").parquet(root)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+             count($"props_len").as("n_evolved"),
+             sum($"props_len".cast("long")).as("sum_props_len"))
+        .orderBy($"event_type")
+    },
     // k9: DYNAMIC PARTITION PRUNING — k7 prunes with a literal predicate
     // at PLANNING time; k9 is the runtime half: the day set comes from a
     // DIMENSION filter (tag = 'keep' on a dates dim), so the fact scan
@@ -242,6 +274,11 @@ object Formats extends QueryPack {
              COUNT(DISTINCT event_id % 8) AS n_files_before,
              1::BIGINT AS n_files_after,
              COUNT(*) AS n_rows, SUM(event_id)::BIGINT AS sum_ids
+      FROM events GROUP BY 1 ORDER BY 1""",
+    "k11_schema_evolution" -> """
+      SELECT event_type, COUNT(*) AS n,
+             SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_evolved,
+             SUM(CASE WHEN event_id % 2 = 1 THEN length(props) END)::BIGINT AS sum_props_len
       FROM events GROUP BY 1 ORDER BY 1""",
     "k9_dpp_prune" -> """
       SELECT event_type, COUNT(*) AS n,

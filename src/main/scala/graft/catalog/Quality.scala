@@ -211,6 +211,30 @@ object Quality extends QueryPack {
           Seq("o_orderkey", "o_custkey", "o_orderstatus")))
         .orderBy($"tbl")
     },
+    // dq9: UNKNOWN-MEMBER REPAIR — the late-arriving-dimension pattern:
+    // when facts reference dim members that don't exist yet (here a dim
+    // with deterministic holes: every c_custkey % 7 == 3 dropped), the
+    // pipeline must NOT drop or fail those facts; it left-joins and
+    // coalesces the missing member into a sentinel UNKNOWN bucket so
+    // totals stay complete and the orphan volume is visible per group.
+    // dq1's r3 counts FK violations; dq9 is the REPAIR path that keeps
+    // the warehouse loadable while the dim catches up. Plan: broadcast
+    // left join (dim ≪ facts) + one hash aggregate — one fact scan.
+    "dq9_unknown_member" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val dim = t.customer.filter($"c_custkey" % 7 =!= 3)
+        .select($"c_custkey", $"c_mktsegment")
+      t.orders.join(broadcast(dim), $"o_custkey" === $"c_custkey", "left")
+        .select(coalesce($"c_mktsegment", lit("UNKNOWN")).as("segment"),
+                $"o_totalprice",
+                $"c_custkey".isNull.cast("long").as("orphan"))
+        .groupBy($"segment")
+        .agg(count(lit(1)).as("n_orders"),
+             sum($"orphan").as("n_orphaned"),
+             Q.asDbl(sum(Q.dec2($"o_totalprice")), 2).as("sum_price"))
+        .orderBy($"segment")
+    },
     "dq2_table_profile" -> { (s, dir) =>
       import s.implicits._
       val li = Tables(s, dir).lineitem
@@ -445,6 +469,16 @@ object Quality extends QueryPack {
                COUNT(DISTINCT l_suppkey)::BIGINT
         FROM lineitem) u
       ORDER BY col""",
+    "dq9_unknown_member" -> """
+      SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+             COUNT(*) AS n_orders,
+             SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphaned,
+             CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
+      FROM orders o
+      LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer
+                 WHERE c_custkey % 7 <> 3) c
+        ON o.o_custkey = c.c_custkey
+      GROUP BY 1 ORDER BY 1""",
     "dq2_table_profile" -> """
       SELECT col, n, n_null, n_distinct, min_s, max_s FROM (
         SELECT 'l_quantity' AS col, COUNT(*)::BIGINT AS n,

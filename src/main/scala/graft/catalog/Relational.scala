@@ -628,6 +628,33 @@ object Relational extends QueryPack {
         .groupBy($"l_returnflag")
         .agg(asDbl(sum($"sq"), 2).as("sum_qty"), sum($"n").as("n"))
         .orderBy($"l_returnflag")
+    },
+    // a9: MERGEABLE DISTINCT-COUNT SKETCHES — the pattern that makes
+    // distinct counts cheap at 100 TB: materialize a DataSketches HLL
+    // sketch per (group, day) partition ONCE, answer any date-range
+    // distinct-count later by unioning the stored binary sketches —
+    // no rescan of the raw data. HLL register merge is max-per-register,
+    // associative and deterministic per input SET, so the union of the
+    // per-day sketches must estimate EXACTLY what a direct one-pass
+    // sketch over the same rows estimates (a9 pins that equality), and
+    // a4's pattern pins the accuracy envelope vs the exact count.
+    "a9_hll_merge" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"event_type", to_date($"ts").as("day"), $"user_id")
+      val daily = ev.groupBy($"event_type", $"day")
+        .agg(hll_sketch_agg($"user_id", 12).as("sk"))
+      val merged = daily.groupBy($"event_type")
+        .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("merged_est"))
+      val direct = ev.groupBy($"event_type")
+        .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", 12)).as("direct_est"),
+             countDistinct($"user_id").as("exact_users"))
+      merged.join(direct, Seq("event_type"))
+        .select($"event_type", $"exact_users",
+                ($"merged_est" === $"direct_est").as("merge_lossless"),
+                (abs($"merged_est".cast("double") - $"exact_users".cast("double")) <=
+                  $"exact_users".cast("double") * 0.05).as("within_5pct"))
+        .orderBy($"event_type")
     }
   )
 
@@ -694,6 +721,13 @@ object Relational extends QueryPack {
                o.c_acctbal AS o_bal, n.c_acctbal AS n_bal
         FROM old o FULL OUTER JOIN neu n ON o.c_custkey = n.c_custkey) t
       WHERE op IS NOT NULL ORDER BY c_custkey""",
+    // a9: the sketches themselves have no DuckDB twin; the oracle pins the
+    // exact distinct count plus the two contracts (merge losslessness,
+    // 5% envelope) the Spark side must certify TRUE
+    "a9_hll_merge" -> """
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+             TRUE AS merge_lossless, TRUE AS within_5pct
+      FROM events GROUP BY event_type ORDER BY event_type""",
     "a6_incremental_agg" -> """
       SELECT l_returnflag,
              CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,

@@ -112,6 +112,32 @@ object Temporal extends QueryPack {
                 $"fresh_error_us".isNotNull.as("matched"))
         .orderBy($"click_id")
     },
+    // r8: EVENT-TIME DOWNSAMPLING (OHLC bars) — compress a raw event
+    // stream to per-(series, hour) bars: open/close (first/last value by
+    // event time), high/low, exact-decimal volume, count. THE
+    // time-series reduction at 100 TB: one scan, one hash aggregate on
+    // (type, hour) — min_by/max_by are single-pass partial-merge
+    // aggregates, so the map side already reduces each partition to one
+    // row per bar before the shuffle; no window sort, no self-join.
+    // Determinism: event timestamps are unique in this corpus (asserted
+    // in TemporalOpsSpec), so min_by/max_by on `us` alone is total; with
+    // tied clocks the production tiebreak is min_by on
+    // struct(us, event_id), which DuckDB's arg_min can't mirror.
+    "r8_time_bars" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events.select(
+        $"event_type",
+        unix_micros(date_trunc("hour", $"ts")).as("hour_us"),
+        unix_micros($"ts").as("us"), $"value")
+      ev.groupBy($"event_type", $"hour_us")
+        .agg(min_by($"value", $"us").as("open_v"),
+             max_by($"value", $"us").as("close_v"),
+             max($"value").as("high_v"),
+             min($"value").as("low_v"),
+             Q.asDbl(sum(Q.dec2($"value")), 2).as("volume"),
+             count(lit(1)).as("n"))
+        .orderBy($"event_type", $"hour_us")
+    },
     // r4: SCD2 (slowly-changing-dimension) point-in-time join — each fact
     // row picks the dimension VERSION whose validity window contains its
     // event time. The dim here is three deterministic versions per supplier
@@ -231,6 +257,14 @@ object Temporal extends QueryPack {
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
           ON c.user_id = e.user_id AND e.ts <= c.ts) t
       ORDER BY click_id""",
+    "r8_time_bars" -> """
+      SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+             arg_min(value, epoch_us(ts)) AS open_v,
+             arg_max(value, epoch_us(ts)) AS close_v,
+             MAX(value) AS high_v, MIN(value) AS low_v,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS volume,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "r5_scd2_build" -> """
       WITH ch AS (
         SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,

@@ -101,6 +101,18 @@ class LayoutQualitySpec extends AnyFunSuite {
     assert(total == Tables(spark, sf).events.count(), "rows lost in rewrite")
   }
 
+  test("k11: merged read backfills NULL exactly on the pre-evolution rows") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("k11_schema_evolution")(spark, sf).collect()
+    val ev = Tables(spark, sf).events
+    assert(rows.map(_.getLong(1)).sum == ev.count(), "merged read lost rows")
+    val evolved = ev.filter($"event_id" % 2 === 1).count()
+    assert(rows.map(_.getLong(2)).sum == evolved,
+      "props_len must be non-null exactly on the evolved (odd-id) batch")
+    assert(rows.map(_.getLong(1)).sum > rows.map(_.getLong(2)).sum,
+      "fixture must actually contain pre-evolution rows")
+  }
+
   test("k9: the fact scan carries a dynamic partition pruning filter") {
     val out = SparkEntry.queries("k9_dpp_prune")(spark, sf)
     val plan = out.queryExecution.executedPlan.toString

@@ -172,6 +172,71 @@ class MonitoringOpsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("a9: per-day HLL sketches union to the direct sketch on every group") {
+    val rows = SparkEntry.queries("a9_hll_merge")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(2)), "per-day union diverged from direct sketch")
+    assert(rows.forall(_.getBoolean(3)), "estimate left the 5% envelope")
+  }
+
+  test("a9: sketch union is partition-invariant (user-parity split merges equal)") {
+    import spark.implicits._
+    val ev = Tables(spark, sf).events.select($"event_type", $"user_id")
+    def est(grouped: org.apache.spark.sql.DataFrame) = grouped.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byParity = est(ev.groupBy($"event_type", ($"user_id" % 2).as("p"))
+      .agg(hll_sketch_agg($"user_id", 12).as("sk"))
+      .groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("e")))
+    val direct = est(ev.groupBy($"event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", 12)).as("e")))
+    assert(byParity == direct, "union over a different split must still be lossless")
+  }
+
+  test("r8: bars' open/close equal the window-ranked first/last event values") {
+    import spark.implicits._
+    val bars = SparkEntry.queries("r8_time_bars")(spark, sf)
+    val ev = Tables(spark, sf).events.select(
+      $"event_type", unix_micros(date_trunc("hour", $"ts")).as("hour_us"),
+      unix_micros($"ts").as("us"), $"value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type", $"hour_us").orderBy($"us")
+    val want = ev
+      .withColumn("rn_a", row_number().over(w))
+      .withColumn("rn_d", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_type", $"hour_us").orderBy($"us".desc)))
+      .groupBy($"event_type", $"hour_us")
+      .agg(max(when($"rn_a" === 1, $"value")).as("open_v"),
+           max(when($"rn_d" === 1, $"value")).as("close_v"))
+    val joined = bars.select($"event_type", $"hour_us",
+        $"open_v".as("b_open"), $"close_v".as("b_close"))
+      .join(want, Seq("event_type", "hour_us"))
+    assert(joined.count() == bars.count())
+    assert(joined.filter($"b_open" =!= $"open_v" || $"b_close" =!= $"close_v")
+      .count() == 0)
+    assert(bars.filter($"high_v" < $"low_v").count() == 0)
+  }
+
+  test("r8: event timestamps are unique, so min_by/max_by on us is total") {
+    import spark.implicits._
+    val ev = Tables(spark, sf).events
+    assert(ev.count() == ev.select($"ts").distinct().count())
+  }
+
+  test("dq9: repair keeps every fact and orphan count matches the anti-join") {
+    import spark.implicits._
+    val out = SparkEntry.queries("dq9_unknown_member")(spark, sf).collect()
+    val t = Tables(spark, sf)
+    val nOrders = t.orders.count()
+    assert(out.map(_.getLong(1)).sum == nOrders, "repair dropped facts")
+    val orphans = t.orders.join(
+        t.customer.filter($"c_custkey" % 7 =!= 3).select($"c_custkey"),
+        $"o_custkey" === $"c_custkey", "left_anti").count()
+    assert(out.filter(_.getString(0) == "UNKNOWN").map(_.getLong(2)).sum == orphans)
+    assert(out.filter(_.getString(0) != "UNKNOWN").forall(_.getLong(2) == 0L))
+  }
+
   test("v11: recall is bounded and consistent with the two retrievals") {
     import spark.implicits._
     val rows = SparkEntry.queries("v11_ann_recall")(spark, sf).collect()
