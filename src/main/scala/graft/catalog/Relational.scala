@@ -655,6 +655,61 @@ object Relational extends QueryPack {
                 (abs($"merged_est".cast("double") - $"exact_users".cast("double")) <=
                   $"exact_users".cast("double") * 0.05).as("within_5pct"))
         .orderBy($"event_type")
+    },
+    // a10: EXACT mergeable distinct counts via roaring-style bitmaps —
+    // a9's exact twin. Each (group, day, id-bucket) partition reduces to
+    // one 32768-bit bitmap (bitmap_construct_agg); later merges are
+    // bitwise OR (associative, lossless BY CONSTRUCTION, not just by
+    // accuracy contract), and the final count sums per-bucket popcounts.
+    // The materialize-once / merge-cheap pattern for EXACT dashboard
+    // distincts at 100 TB when the id domain is dense integers; a9's
+    // sketches win when ids are sparse/hashed or 1.6 KB/bucket is too
+    // much state. The query pins bitmap == exact countDistinct.
+    "a10_bitmap_distinct" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"event_type", to_date($"ts").as("day"), $"user_id")
+      val daily = ev.groupBy(
+          $"event_type", $"day", bitmap_bucket_number($"user_id").as("bkt"))
+        .agg(bitmap_construct_agg(bitmap_bit_position($"user_id")).as("bm"))
+      val merged = daily.groupBy($"event_type", $"bkt")
+        .agg(bitmap_or_agg($"bm").as("bm"))
+        .groupBy($"event_type")
+        .agg(sum(bitmap_count($"bm")).as("bitmap_users"))
+      val exact = ev.groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("exact_users"))
+      merged.join(exact, Seq("event_type"))
+        .select($"event_type", $"exact_users",
+                ($"bitmap_users" === $"exact_users").as("bitmap_exact"))
+        .orderBy($"event_type")
+    },
+    // q10: CO-OCCURRENCE STATS (market-basket over event types) — for
+    // every unordered pair of event types, how many users did both, and
+    // the Jaccard overlap of their user sets. Scale shape: distinct
+    // (user, type) FIRST bounds the self-join to ≤k rows per user (k =
+    // |type domain|), the join key is user_id so both sides shuffle
+    // co-partitioned once, and the output is k·(k-1)/2 rows — the
+    // pair expansion happens AFTER the cardinality reduction, never on
+    // raw events. Per-type totals broadcast back onto the pairs.
+    "q10_cooccurrence" -> { (s, dir) =>
+      import s.implicits._
+      val ut = Tables(s, dir).events
+        .select($"user_id", $"event_type").distinct()
+      val totals = ut.groupBy($"event_type").agg(count(lit(1)).as("n"))
+      val pairs = ut.select($"user_id", $"event_type".as("type_a"))
+        .join(ut.select($"user_id", $"event_type".as("type_b")), Seq("user_id"))
+        .filter($"type_a" < $"type_b")
+        .groupBy($"type_a", $"type_b")
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(totals.select($"event_type".as("type_a"), $"n".as("n_a"))),
+              Seq("type_a"))
+        .join(broadcast(totals.select($"event_type".as("type_b"), $"n".as("n_b"))),
+              Seq("type_b"))
+        .select($"type_a", $"type_b", $"n_both",
+                ($"n_both".cast("double") /
+                  ($"n_a" + $"n_b" - $"n_both").cast("double")).as("jaccard"))
+        .orderBy($"type_a", $"type_b")
     }
   )
 
@@ -721,6 +776,25 @@ object Relational extends QueryPack {
                o.c_acctbal AS o_bal, n.c_acctbal AS n_bal
         FROM old o FULL OUTER JOIN neu n ON o.c_custkey = n.c_custkey) t
       WHERE op IS NOT NULL ORDER BY c_custkey""",
+    "a10_bitmap_distinct" -> """
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+             TRUE AS bitmap_exact
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "q10_cooccurrence" -> """
+      WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      tot AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+      pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+      SELECT p.type_a, p.type_b, p.n_both,
+             CAST(p.n_both AS DOUBLE) / (ta.n + tb.n - p.n_both) AS jaccard
+      FROM pairs p
+      JOIN tot ta ON ta.event_type = p.type_a
+      JOIN tot tb ON tb.event_type = p.type_b
+      ORDER BY p.type_a, p.type_b""",
     // a9: the sketches themselves have no DuckDB twin; the oracle pins the
     // exact distinct count plus the two contracts (merge losslessness,
     // 5% envelope) the Spark side must certify TRUE

@@ -193,6 +193,24 @@ class MonitoringOpsSpec extends AnyFunSuite {
     assert(byParity == direct, "union over a different split must still be lossless")
   }
 
+  test("a10: bitmap distinct is exact on every group and every pair count is bounded") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("a10_bitmap_distinct")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getBoolean(2)),
+      "bitmap popcount diverged from exact countDistinct")
+    val co = SparkEntry.queries("q10_cooccurrence")(spark, sf).collect()
+    val totals = Tables(spark, sf).events
+      .select($"user_id", $"event_type").distinct()
+      .groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(co.nonEmpty)
+    co.foreach { r =>
+      val (a, b, n, j) = (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      assert(n <= math.min(totals(a), totals(b)), s"$a/$b overlap exceeds a set size")
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
   test("r8: bars' open/close equal the window-ranked first/last event values") {
     import spark.implicits._
     val bars = SparkEntry.queries("r8_time_bars")(spark, sf)
