@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.{QueryPack, Tables}
+import graft.{QueryPack, Scratch, Tables}
 
 /** Reshaping + order-statistics operators: pivot, unpivot, exact
   * interpolated percentiles, sorted array aggregation (SURVEY.md §2.B
@@ -249,6 +249,34 @@ object Analytics extends QueryPack {
         .withColumn("y_span", $"max_y" - $"min_y" + 1)
         .orderBy($"shard")
     },
+    // g10: RANGE-SORTED PHYSICAL LAYOUT — the 1-dim sibling of g7's
+    // z-order: repartitionByRange(o_orderdate) writes files whose
+    // [min,max] date intervals are PAIRWISE DISJOINT (equal keys land in
+    // one partition by construction), which is what makes parquet
+    // zone-map / min-max skipping effective: a date-range scan prunes to
+    // the few files whose interval intersects it. The query inspects the
+    // REAL written files (input_file_name) and certifies disjointness +
+    // row preservation. At 100 TB this is the default sort-on-write for
+    // time-keyed facts; range boundaries come from a driver-side sample
+    // (one extra sampling pass — amortized, the layout is written once).
+    "g10_range_layout" -> { (s, dir) =>
+      import s.implicits._
+      val p = Scratch.staged(s"orders_range#$dir", "range_orders") { path =>
+        Tables(s, dir).orders
+          .repartitionByRange(8, $"o_orderdate")
+          .write.mode("overwrite").parquet(path)
+      }
+      val perFile = s.read.parquet(p)
+        .groupBy(input_file_name().as("f"))
+        .agg(count(lit(1)).as("n"),
+             min($"o_orderdate").as("lo"), max($"o_orderdate").as("hi"))
+      val w = Window.orderBy($"lo", $"hi", $"f")
+      perFile.withColumn("prev_hi", lag($"hi", 1).over(w))
+        .withColumn("overlap",
+          $"prev_hi".isNotNull && $"lo" <= $"prev_hi")
+        .agg(count(lit(1)).as("n_files"), sum($"n").as("n_rows"),
+             (sum($"overlap".cast("long")) === 0L).as("disjoint"))
+    },
     // g8: EQUI-DEPTH DISCRETIZATION — per-group decile boundaries of the
     // price distribution (cents, the proven round(x·100) projection), the
     // binning model feature preprocessing and range-partition planning
@@ -347,6 +375,12 @@ object Analytics extends QueryPack {
       GROUP BY shard ORDER BY shard"""
 
   val oracle: Map[String, String] = Map(
+    // g10: file count is pinned by the explicit partition count, interval
+    // disjointness by the range-partitioner contract (equal keys never
+    // split), row count by the source table
+    "g10_range_layout" -> """
+      SELECT 8::BIGINT AS n_files, COUNT(*) AS n_rows, TRUE AS disjoint
+      FROM orders""",
     "g7_zorder_layout" -> zorderSql,
     "g9_zorder_maintain" -> zorderSql,
     "g8_equidepth_bins" -> """

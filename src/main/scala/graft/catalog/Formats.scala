@@ -180,6 +180,37 @@ object Formats extends QueryPack {
                 $"n_files_before", $"n_files_after", $"n_rows", $"sum_ids")
         .orderBy($"day")
     },
+    // k12: DYNAMIC PARTITION OVERWRITE (backfill splice) — the correction
+    // path every partitioned 100 TB table needs: a bad day is recomputed
+    // and spliced in WITHOUT rewriting the other partitions. Staged as
+    // one sequence: full write partitioned by day, then an overwrite of
+    // ONLY the corrected frame (the earliest day, values doubled) under
+    // partitionOverwriteMode=dynamic — static mode would TRUNCATE the
+    // whole table first, THE classic data-loss foot-gun this op exists
+    // to avoid. The read-back aggregate must show exactly one day
+    // changed; the oracle recomputes the splice from the original events.
+    "k12_partition_overwrite" -> { (s, dir) =>
+      import s.implicits._
+      val p = Scratch.staged(s"events_dynover#$dir", "dynover_events") { path =>
+        val ev = Tables(s, dir).events
+          .withColumn("day", to_date($"ts"))
+          .select($"event_id", $"value", $"day")
+        ev.write.partitionBy("day").mode("overwrite").parquet(path)
+        val minDay = ev.agg(min($"day")).head().getDate(0)
+        val fixed = ev.filter($"day" === lit(minDay))
+          .withColumn("value", $"value" * 2)
+        val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try fixed.write.partitionBy("day").mode("overwrite").parquet(path)
+        finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      }
+      s.read.parquet(p)
+        .groupBy($"day")
+        .agg(count(lit(1)).as("n"),
+             Q.asDbl(sum(Q.dec2($"value")), 2).as("sum_value"))
+        .select(date_format($"day", "yyyy-MM-dd").as("day"), $"n", $"sum_value")
+        .orderBy($"day")
+    },
     // k11: SCHEMA EVOLUTION — a long-lived 100 TB table's schema drifts
     // across ingest batches (a crawl adds a field mid-corpus); old files
     // must stay readable without rewrite. Staged deliberately: batch 0
@@ -274,6 +305,14 @@ object Formats extends QueryPack {
              COUNT(DISTINCT event_id % 8) AS n_files_before,
              1::BIGINT AS n_files_after,
              COUNT(*) AS n_rows, SUM(event_id)::BIGINT AS sum_ids
+      FROM events GROUP BY 1 ORDER BY 1""",
+    "k12_partition_overwrite" -> """
+      WITH md AS (SELECT min(CAST(ts AS DATE)) AS d FROM events)
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(CASE WHEN CAST(ts AS DATE) = (SELECT d FROM md)
+                                      THEN value * 2 ELSE value END
+                             AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+               AS sum_value
       FROM events GROUP BY 1 ORDER BY 1""",
     "k11_schema_evolution" -> """
       SELECT event_type, COUNT(*) AS n,

@@ -200,6 +200,39 @@ object Relational extends QueryPack {
              asDbl(sum(dec2($"o_totalprice")), 2).as("sum_price"))
         .orderBy($"o_orderpriority")
     },
+    // j11: NULL-AWARE ANTI JOIN — SQL's NOT IN (subquery) trap: one NULL
+    // in the subquery makes `k NOT IN (...)` UNKNOWN for every k, so the
+    // result is EMPTY — totally different from the anti-join (j4) most
+    // engines happily substitute. Spark plans this as a broadcast
+    // null-aware anti join (a dedicated physical node); the query runs
+    // the same probe against a NULL-polluted and a clean subquery and
+    // pins both cardinalities, certifying the engine honors three-valued
+    // logic instead of silently degrading to NOT EXISTS. At 100 TB the
+    // null-aware side MUST broadcast (the semantics need the whole set
+    // per task) — keep NOT IN subqueries dimension-sized, or pre-filter
+    // the NULLs and use NOT EXISTS when null-rejection is intended.
+    "j11_null_aware_anti" -> { (s, dir) =>
+      val t = Tables(s, dir)
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val (vc, vo) = (s"v_cust_$tag", s"v_ord_$tag")
+      t.customer.createOrReplaceTempView(vc)
+      t.orders.createOrReplaceTempView(vo)
+      try s.sql(s"""
+        SELECT
+          (SELECT COUNT(*) FROM $vc WHERE c_custkey NOT IN
+             (SELECT CASE WHEN o_orderkey % 1000 = 7 THEN NULL
+                          ELSE o_custkey END
+              FROM $vo WHERE o_orderstatus = 'F')) AS n_with_null,
+          (SELECT COUNT(*) FROM $vc WHERE c_custkey NOT IN
+             (SELECT o_custkey FROM $vo WHERE o_orderstatus = 'F')) AS n_clean,
+          (SELECT COUNT(*) FROM $vc c WHERE NOT EXISTS
+             (SELECT 1 FROM $vo o WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderstatus = 'F')) AS n_not_exists""")
+      finally {
+        s.catalog.dropTempView(vc)
+        s.catalog.dropTempView(vo)
+      }
+    },
     "a5_grouping_sets" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir).orders
@@ -366,6 +399,29 @@ object Relational extends QueryPack {
           desc = true, outCol = "quartile")
         .select($"c_custkey", $"c_acctbal", $"quartile")
         .orderBy($"c_custkey")
+    },
+    // w10: GAPS-AND-ISLANDS — collapse each user's event stream into
+    // maximal runs of the same event_type (sessionized behavior signals:
+    // retry bursts, rage-clicks, scripted scans). The classic two-rank
+    // difference: rn(user) - rn(user, type) is constant exactly within a
+    // run, so runs fall out of ONE extra groupBy — two window sorts over
+    // the same (user, time) order (one shuffle: same partition key) and
+    // a hash aggregate; no self-join, no iteration. Timestamps are
+    // globally unique (pinned in MonitoringOpsSpec) so the order is total.
+    "w10_gaps_islands" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      val wAll = Window.partitionBy($"user_id").orderBy($"us")
+      val wTyp = Window.partitionBy($"user_id", $"event_type").orderBy($"us")
+      ev.withColumn("grp",
+          row_number().over(wAll) - row_number().over(wTyp))
+        .groupBy($"user_id", $"event_type", $"grp")
+        .agg(count(lit(1)).as("run_len"),
+             min($"us").as("start_us"), max($"us").as("end_us"))
+        .filter($"run_len" >= 3)
+        .select($"user_id", $"event_type", $"run_len", $"start_us", $"end_us")
+        .orderBy($"user_id", $"start_us")
     },
     // w8: percent_rank / cume_dist (rank-normalized window statistics)
     "w8_percent_cume" -> { (s, dir) =>
@@ -776,6 +832,31 @@ object Relational extends QueryPack {
                o.c_acctbal AS o_bal, n.c_acctbal AS n_bal
         FROM old o FULL OUTER JOIN neu n ON o.c_custkey = n.c_custkey) t
       WHERE op IS NOT NULL ORDER BY c_custkey""",
+    "j11_null_aware_anti" -> """
+      SELECT
+        (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+           (SELECT CASE WHEN o_orderkey % 1000 = 7 THEN NULL
+                        ELSE o_custkey END
+            FROM orders WHERE o_orderstatus = 'F')) AS n_with_null,
+        (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+           (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')) AS n_clean,
+        (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+           (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderstatus = 'F')) AS n_not_exists""",
+    "w10_gaps_islands" -> """
+      WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      marked AS (
+        SELECT user_id, event_type, us,
+               row_number() OVER (PARTITION BY user_id ORDER BY us)
+             - row_number() OVER (PARTITION BY user_id, event_type ORDER BY us)
+               AS grp
+        FROM ev)
+      SELECT user_id, event_type, COUNT(*) AS run_len,
+             MIN(us) AS start_us, MAX(us) AS end_us
+      FROM marked GROUP BY user_id, event_type, grp
+      HAVING COUNT(*) >= 3
+      ORDER BY user_id, start_us""",
     "a10_bitmap_distinct" -> """
       SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
              TRUE AS bitmap_exact

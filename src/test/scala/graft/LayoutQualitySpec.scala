@@ -101,6 +101,33 @@ class LayoutQualitySpec extends AnyFunSuite {
     assert(total == Tables(spark, sf).events.count(), "rows lost in rewrite")
   }
 
+  test("g10: range-partitioned files are disjoint and lose no rows") {
+    val r = SparkEntry.queries("g10_range_layout")(spark, sf).head()
+    assert(r.getLong(0) == 8L, "expected the 8 requested range files")
+    assert(r.getLong(1) == Tables(spark, sf).orders.count())
+    assert(r.getBoolean(2), "file date intervals overlap")
+  }
+
+  test("k12: dynamic overwrite changes exactly the corrected day") {
+    import spark.implicits._
+    val out = SparkEntry.queries("k12_partition_overwrite")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val direct = Tables(spark, sf).events
+      .groupBy(date_format(to_date($"ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"),
+           sum($"value".cast("decimal(18,2)")).cast("decimal(38,2)")
+             .cast("double").as("sum_value"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == direct.keySet, "overwrite must not add or drop days")
+    val minDay = direct.keySet.min
+    direct.foreach { case (d, (n, sv)) =>
+      val (on, osv) = out(d)
+      assert(on == n, s"row count changed on $d")
+      if (d == minDay) assert(osv == sv * 2, "corrected day must double")
+      else assert(osv == sv, s"untouched day $d changed")
+    }
+  }
+
   test("k11: merged read backfills NULL exactly on the pre-evolution rows") {
     import spark.implicits._
     val rows = SparkEntry.queries("k11_schema_evolution")(spark, sf).collect()

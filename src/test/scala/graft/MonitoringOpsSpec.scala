@@ -242,6 +242,42 @@ class MonitoringOpsSpec extends AnyFunSuite {
     assert(ev.count() == ev.select($"ts").distinct().count())
   }
 
+  test("j11: NOT IN honors three-valued logic; the clean form matches NOT EXISTS") {
+    import spark.implicits._
+    val r = SparkEntry.queries("j11_null_aware_anti")(spark, sf).head()
+    assert(r.getLong(0) == 0L,
+      "a NULL in the subquery must empty the NOT IN result")
+    assert(r.getLong(1) == r.getLong(2),
+      "without NULLs, NOT IN and NOT EXISTS must agree")
+    assert(r.getLong(1) > 0L, "fixture must leave some non-matching customers")
+  }
+
+  test("w10: every reported run is maximal and internally consecutive") {
+    import spark.implicits._
+    val runs = SparkEntry.queries("w10_gaps_islands")(spark, sf).collect()
+    assert(runs.nonEmpty)
+    val ev = Tables(spark, sf).events
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) =>
+        u -> rows.sortBy(_.getLong(2)).map(r => (r.getString(1), r.getLong(2)))
+      }
+    runs.foreach { r =>
+      val (u, t, len, lo, hi) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val stream = ev(u)
+      val inside = stream.filter { case (_, us) => us >= lo && us <= hi }
+      assert(inside.length == len && inside.forall(_._1 == t),
+        s"run ($u,$t,$lo..$hi) is not a pure consecutive block")
+      // maximality: the neighbors just outside the window differ in type
+      val before = stream.takeWhile(_._2 < lo).lastOption
+      val after = stream.dropWhile(_._2 <= hi).headOption
+      assert(before.forall(_._1 != t) && after.forall(_._1 != t),
+        s"run ($u,$t) is not maximal")
+    }
+  }
+
   test("dq9: repair keeps every fact and orphan count matches the anti-join") {
     import spark.implicits._
     val out = SparkEntry.queries("dq9_unknown_member")(spark, sf).collect()

@@ -21,7 +21,9 @@ class PlanAuditSpec extends AnyFunSuite {
     Seq("e6_", "e7_", "e8_", "e9_").exists(name.startsWith)
 
   /** ScaleOps bucket-summary windows (≤ one row per shuffle partition). */
-  private val allowedUnpartitioned = Map("e5_late_data" -> 1, "w5_ntile" -> 1)
+  /** g10's window runs over per-FILE summaries (≤ 8 rows), not data. */
+  private val allowedUnpartitioned = Map(
+    "e5_late_data" -> 1, "w5_ntile" -> 1, "g10_range_layout" -> 1)
 
   test("no data-scale unpartitioned Window in any query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
