@@ -168,6 +168,26 @@ object Multimodal extends QueryPack {
         .select($"media_id", $"kind", $"fp", $"keeper_media_id", $"is_dup")
         .orderBy($"media_id")
     },
+    // m10: SCENE-CUT DETECTION — the shot-boundary pass a video curation
+    // pipeline runs before sampling frames for training: decode EVERY
+    // frame (frameSample every=1), then flag frames whose pixel-checksum
+    // jump from the previous frame exceeds the threshold. The temporal
+    // diff is a lag window PARTITIONED BY media_id ordered by frame_idx —
+    // state is one frame's checksum per clip, never the decoded pixels,
+    // and clips parallelize independently (the 100 TB shape: a shuffle
+    // keyed by clip id moves 16-byte checksum rows, not video). The
+    // oracle recomputes every checksum from the closed tile form and runs
+    // the identical integer lag/threshold chain.
+    "m10_scene_cut" -> { (s, dir) =>
+      import s.implicits._
+      val fr = Media.frameSample(stagedMedia(s, dir), every = 1).toDF()
+      val wF = Window.partitionBy($"media_id").orderBy($"frame_idx")
+      fr.withColumn("diff", abs($"checksum" - lag($"checksum", 1).over(wF)))
+        .withColumn("is_cut", coalesce($"diff" > 50000L, lit(false)))
+        .select($"media_id", $"frame_idx".cast("long").as("frame_idx"),
+                $"checksum", coalesce($"diff", lit(0L)).as("diff"), $"is_cut")
+        .orderBy($"media_id", $"frame_idx")
+    },
     // m3: decode + feature extraction through the typed mapPartitions batch
     // path. The normalized float32 embedding is projected back to the EXACT
     // integer byte-histogram of the DECODED content (round(x_i · n_bytes)
@@ -305,6 +325,22 @@ object Multimodal extends QueryPack {
       FROM vfr v CROSS JOIN tile t
       WHERE v.f % 4 = 0
       GROUP BY v.doc_id, v.f
+      ORDER BY media_id, frame_idx""",
+    "m10_scene_cut" -> s"""
+      WITH $imgCtes,
+      $vidCtes,
+      chk AS (
+        SELECT v.doc_id, v.f,
+               (4 * SUM(${rgbSum("(v.doc_id * 131 + v.f)", "t.tx", "t.ty")}))::BIGINT AS checksum
+        FROM vfr v CROSS JOIN tile t
+        GROUP BY v.doc_id, v.f)
+      SELECT doc_id AS media_id, f::BIGINT AS frame_idx, checksum,
+             COALESCE(diff, 0)::BIGINT AS diff,
+             COALESCE(diff > 50000, FALSE) AS is_cut
+      FROM (
+        SELECT doc_id, f, checksum,
+               abs(checksum - lag(checksum) OVER (PARTITION BY doc_id ORDER BY f)) AS diff
+        FROM chk) t
       ORDER BY media_id, frame_idx""",
     "m4_resize" -> s"""
       WITH $imgCtes,

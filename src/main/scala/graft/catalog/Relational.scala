@@ -739,6 +739,47 @@ object Relational extends QueryPack {
                 ($"bitmap_users" === $"exact_users").as("bitmap_exact"))
         .orderBy($"event_type")
     },
+    // a11: MERGEABLE FREQUENCY SKETCH (count-min) — a9/a10's frequency
+    // twin: a depth-4 × width-64 integer sketch per (group, day) partition,
+    // merged across days by ELEMENTWISE SUM (associative, exact), probed
+    // with min-over-rows. Unlike a9 (whose HLL internals have no DuckDB
+    // twin, so the oracle pins contracts), every CMS cell here is plain
+    // integer arithmetic over fixed affine hashes ((a_j·id + b_j) mod p
+    // mod W, p = 2³¹−1) — the oracle RECOMPUTES the identical sketch and
+    // the driver hash-compares every estimate. Scale shape (100 TB):
+    // state is D×W longs per group regardless of corpus size, partials
+    // map-side combine, merge is one sum-aggregate — the heavy-hitter /
+    // frequency-monitor pattern where exact per-key counts won't fit.
+    // CMS guarantees est ≥ exact (collisions only ADD); the output pins it.
+    "a11_cms_sketch" -> { (s, dir) =>
+      import s.implicits._
+      val as = Seq(1103515245L, 1299709L, 104729L, 2654435761L)
+      val bs = Seq(12345L, 7919L, 524287L, 998244353L)
+      val P = 2147483647L
+      val ev = Tables(s, dir).events
+        .select($"event_type", to_date($"ts").as("day"), $"user_id")
+      val cells = ev.select($"event_type", $"day", posexplode(array(
+          (0 until 4).map(j => (($"user_id" * as(j) + bs(j)) % P) % 64): _*))
+        .as(Seq("j", "w")))
+      val daily = cells.groupBy($"event_type", $"day", $"j", $"w")
+        .agg(count(lit(1)).as("c"))
+      val sketch = daily.groupBy($"event_type", $"j", $"w")
+        .agg(sum($"c").as("c"))
+      val probes = (for { id <- 1L to 5L; j <- 0 until 4 }
+        yield (id, j, ((id * as(j) + bs(j)) % P % 64).toInt))
+        .toDF("user_id", "j", "w")
+      val types = ev.select($"event_type").distinct()
+      val est = types.crossJoin(broadcast(probes))
+        .join(sketch, Seq("event_type", "j", "w"), "left")
+        .groupBy($"event_type", $"user_id")
+        .agg(min(coalesce($"c", lit(0L))).as("cms_est"))
+      val exact = ev.filter($"user_id".between(1, 5))
+        .groupBy($"event_type", $"user_id").agg(count(lit(1)).as("exact_n"))
+      est.join(exact, Seq("event_type", "user_id"), "left")
+        .withColumn("exact_n", coalesce($"exact_n", lit(0L)))
+        .withColumn("overestimates", $"cms_est" >= $"exact_n")
+        .orderBy($"event_type", $"user_id")
+    },
     // q10: CO-OCCURRENCE STATS (market-basket over event types) — for
     // every unordered pair of event types, how many users did both, and
     // the Jaccard overlap of their user sets. Scale shape: distinct
@@ -861,6 +902,37 @@ object Relational extends QueryPack {
       SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
              TRUE AS bitmap_exact
       FROM events GROUP BY event_type ORDER BY event_type""",
+    // a11: the oracle recomputes the IDENTICAL sketch (daily partial +
+    // merge collapses to the plain total under sum-merge, so one GROUP BY
+    // suffices) — estimates hash-compare, not just the contract bits
+    "a11_cms_sketch" -> """
+      WITH h(j, a, b) AS (VALUES (0, 1103515245, 12345), (1, 1299709, 7919),
+                                 (2, 104729, 524287), (3, 2654435761, 998244353)),
+      cells AS (
+        SELECT event_type, h.j, ((user_id * h.a + h.b) % 2147483647) % 64 AS w
+        FROM events CROSS JOIN h),
+      sketch AS (
+        SELECT event_type, j, w, COUNT(*)::BIGINT AS c
+        FROM cells GROUP BY 1, 2, 3),
+      probes AS (
+        SELECT u.user_id, h.j, ((u.user_id * h.a + h.b) % 2147483647) % 64 AS w
+        FROM (SELECT unnest(range(1, 6)) AS user_id) u CROSS JOIN h),
+      est AS (
+        SELECT t.event_type, p.user_id, MIN(COALESCE(s.c, 0))::BIGINT AS cms_est
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN probes p
+        LEFT JOIN sketch s
+          ON s.event_type = t.event_type AND s.j = p.j AND s.w = p.w
+        GROUP BY 1, 2),
+      exact AS (
+        SELECT event_type, user_id, COUNT(*)::BIGINT AS exact_n
+        FROM events WHERE user_id BETWEEN 1 AND 5 GROUP BY 1, 2)
+      SELECT e.event_type, e.user_id, e.cms_est,
+             COALESCE(x.exact_n, 0)::BIGINT AS exact_n,
+             e.cms_est >= COALESCE(x.exact_n, 0) AS overestimates
+      FROM est e LEFT JOIN exact x
+        ON x.event_type = e.event_type AND x.user_id = e.user_id
+      ORDER BY e.event_type, e.user_id""",
     "q10_cooccurrence" -> """
       WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
       tot AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),

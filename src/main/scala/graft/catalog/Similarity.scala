@@ -436,6 +436,90 @@ object Similarity extends QueryPack {
                 $"vec_id".as("neighbor_id"), $"cos")
         .orderBy($"q_id", $"rank")
     },
+    // v13: HYBRID RETRIEVAL via RECIPROCAL-RANK FUSION — the production
+    // search shape: a LEXICAL ranking (shingle-hash Jaccard against the
+    // query document, d4's capped-join kernel pointed query-vs-corpus
+    // instead of all-pairs) fused with a SEMANTIC ranking (v1's exact
+    // cosine top-k, composed AS SHIPPED through the query map) by
+    // RRF(d) = Σ_lists 1/(60 + rank_list(d)) — rank-only fusion, so the
+    // two scores never need a common scale. Determinism: each RRF term is
+    // ONE exact-IEEE division of integers and the fusion ONE addition in
+    // fixed (keyword, embedding) order, so scores are engine-bitwise;
+    // ties (e.g. kw-only rank r vs em-only rank r) break on doc_id.
+    // Scale shape (100 TB): the lexical side shuffles only 8-byte shingle
+    // hashes with the d4 stop-shingle cap (df ≤ MaxDf kills the quadratic
+    // boilerplate bucket); the semantic side is v1's broadcast + partial
+    // top-k heaps; fusion itself touches ≤ 2k rows per query — a full
+    // outer join of two k-row lists, independent of corpus size.
+    "v13_rrf_fusion" -> { (s, dir) =>
+      import s.implicits._
+      val sh = Tables(s, dir).documents
+        .select($"doc_id", TextKernels.shingleHashesUdf($"text").as("hs"))
+        .select($"doc_id", size($"hs").cast("long").as("n_sh"), $"hs")
+      val wH = Window.partitionBy($"h")
+      val ex = sh.select($"doc_id", $"n_sh", explode($"hs").as("h"))
+        .withColumn("df", count(lit(1)).over(wH))
+        .filter($"df" <= Dedup.MaxDf)
+        .drop("df")
+      val q = ex.filter($"doc_id" < 10)
+        .select($"doc_id".as("q_id"), $"n_sh".as("qn"), $"h")
+      val wKw = Window.partitionBy($"q_id").orderBy($"jaccard".desc, $"doc_id")
+      val kw = ex.join(q, Seq("h"))
+        .filter($"doc_id" =!= $"q_id")
+        .groupBy($"q_id", $"doc_id", $"qn", $"n_sh")
+        .agg(count(lit(1)).as("n_inter"))
+        .withColumn("jaccard",
+          $"n_inter".cast("double") / ($"qn" + $"n_sh" - $"n_inter"))
+        .withColumn("krank", row_number().over(wKw).cast("long"))
+        .filter($"krank" <= K)
+        .select($"q_id", $"doc_id", $"krank")
+      val em = queries("v1_brute_topk")(s, dir)
+        .select($"q_id", $"neighbor_id".as("doc_id"), $"rank".as("erank"))
+      val wR = Window.partitionBy($"q_id").orderBy($"rrf".desc, $"doc_id")
+      kw.join(em, Seq("q_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / ($"krank" + 60), lit(0.0)) +
+            coalesce(lit(1.0) / ($"erank" + 60), lit(0.0)))
+        .withColumn("rank", row_number().over(wR).cast("long"))
+        .filter($"rank" <= K)
+        .select($"q_id", $"rank", $"doc_id",
+                coalesce($"krank", lit(0L)).as("kw_rank"),
+                coalesce($"erank", lit(0L)).as("em_rank"), $"rrf")
+        .orderBy($"q_id", $"rank")
+    },
+    // v14: COMMUNITY DETECTION on the kNN graph — bounded-round min-label
+    // propagation over the STORED edge table (v5's graph, read from
+    // scratch parquet exactly like v7): symmetrize the top-3 edges, then
+    // 2 unrolled rounds of label(v) ← min(label(v), min_{u∈N(v)} label(u)).
+    // The integer-exact sibling of d7's pointer-jumping CC, pointed at the
+    // similarity graph instead of dup pairs — the clusters a curation
+    // pipeline samples across for diversity. Scale shape (100 TB): each
+    // round is ONE join + min-aggregate keyed by vertex id (labels are
+    // 8-byte longs, the decoded vectors never move); rounds unroll like
+    // v7's power iteration, and a deployment runs O(log n) rounds with
+    // the d7 convergence loop.
+    "v14_label_prop" -> { (s, dir) =>
+      import s.implicits._
+      val g = stagedKnnGraph(s, dir).select($"src_id", $"neighbor_id")
+      val und = g.unionByName(
+          g.select($"neighbor_id".as("src_id"), $"src_id".as("neighbor_id")))
+        .distinct()
+      val s0 = und.select($"src_id".as("id")).distinct()
+        .withColumn("lbl", $"id")
+      def step(l: DataFrame): DataFrame = {
+        val nmin = und
+          .join(l.select($"id".as("neighbor_id"), $"lbl".as("nlbl")),
+                Seq("neighbor_id"))
+          .groupBy($"src_id".as("id")).agg(min($"nlbl").as("nmin"))
+        l.join(nmin, Seq("id"), "left")
+          .select($"id", least($"lbl", coalesce($"nmin", $"lbl")).as("lbl"))
+      }
+      val s2 = step(step(s0))
+      val sizes = s2.groupBy($"lbl").agg(count(lit(1)).as("community_size"))
+      s2.join(sizes, Seq("lbl"))
+        .select($"id".as("vec_id"), $"lbl".as("community"), $"community_size")
+        .orderBy($"vec_id")
+    },
     // v6: EMBEDDING AGGREGATION — element-wise centroid of the embedding
     // column per group (here: the doc's source, via doc_id = vec_id), the
     // statistic diversity analysis and cluster monitoring consume.
@@ -861,7 +945,65 @@ object Similarity extends QueryPack {
              (COUNT(a.neighbor_id) * 100 // $K)::BIGINT AS recall_pct
       FROM ($v1Sql) x LEFT JOIN ($v2Sql) a
         ON a.q_id = x.q_id AND a.neighbor_id = x.neighbor_id
-      GROUP BY x.q_id ORDER BY x.q_id"""
+      GROUP BY x.q_id ORDER BY x.q_id""",
+    // v13: lexical CTEs are d4's (same cap), pointed query-vs-corpus; the
+    // semantic list nests v1Sql verbatim; every RRF term is cast ::DOUBLE
+    // before dividing (DuckDB parses bare 1.0 as DECIMAL).
+    "v13_rrf_fusion" -> s"""
+      WITH sh AS (
+        SELECT doc_id, len(hs)::BIGINT AS n_sh, hs
+        FROM (SELECT doc_id, ${Dedup.shingleHashesSql} AS hs
+              FROM (SELECT doc_id, ${Tx.wsSql} AS ws FROM documents) t0) t1),
+      ex AS (
+        SELECT doc_id, n_sh, h FROM (SELECT doc_id, n_sh, unnest(hs) AS h FROM sh) t
+        QUALIFY COUNT(*) OVER (PARTITION BY h) <= ${Dedup.MaxDf}),
+      kw AS (
+        SELECT q_id, doc_id, krank FROM (
+          SELECT q_id, doc_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY jaccard DESC, doc_id)::BIGINT AS krank
+          FROM (
+            SELECT q.doc_id AS q_id, c.doc_id AS doc_id,
+                   COUNT(*)::DOUBLE / (q.n_sh + c.n_sh - COUNT(*)) AS jaccard
+            FROM ex q JOIN ex c ON q.h = c.h AND q.doc_id < 10 AND c.doc_id <> q.doc_id
+            GROUP BY q.doc_id, c.doc_id, q.n_sh, c.n_sh) t) t2
+        WHERE krank <= $K),
+      em AS (SELECT q_id, neighbor_id AS doc_id, rank AS erank FROM ($v1Sql) v),
+      fused AS (
+        SELECT COALESCE(k.q_id, m.q_id) AS q_id,
+               COALESCE(k.doc_id, m.doc_id) AS doc_id,
+               COALESCE(k.krank, 0)::BIGINT AS kw_rank,
+               COALESCE(m.erank, 0)::BIGINT AS em_rank,
+               COALESCE(1.0::DOUBLE / (k.krank + 60), 0.0::DOUBLE)
+                 + COALESCE(1.0::DOUBLE / (m.erank + 60), 0.0::DOUBLE) AS rrf
+        FROM kw k FULL OUTER JOIN em m ON k.q_id = m.q_id AND k.doc_id = m.doc_id)
+      SELECT q_id, rank, doc_id, kw_rank, em_rank, rrf FROM (
+        SELECT q_id, doc_id, kw_rank, em_rank, rrf,
+               row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id)::BIGINT AS rank
+        FROM fused) t
+      WHERE rank <= $K ORDER BY q_id, rank""",
+    "v14_label_prop" -> s"""
+      WITH $knnCtes,
+      und AS (
+        SELECT DISTINCT src_id, neighbor_id FROM (
+          SELECT src_id, neighbor_id FROM knn
+          UNION ALL
+          SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM knn) u),
+      s0 AS (SELECT DISTINCT src_id AS id, src_id AS lbl FROM und),
+      n1 AS (
+        SELECT u.src_id AS id, MIN(s.lbl) AS nmin
+        FROM und u JOIN s0 s ON s.id = u.neighbor_id GROUP BY 1),
+      s1 AS (
+        SELECT s0.id, least(s0.lbl, COALESCE(n1.nmin, s0.lbl)) AS lbl
+        FROM s0 LEFT JOIN n1 USING (id)),
+      n2 AS (
+        SELECT u.src_id AS id, MIN(s.lbl) AS nmin
+        FROM und u JOIN s1 s ON s.id = u.neighbor_id GROUP BY 1),
+      s2 AS (
+        SELECT s1.id, least(s1.lbl, COALESCE(n2.nmin, s1.lbl)) AS lbl
+        FROM s1 LEFT JOIN n2 USING (id)),
+      sizes AS (SELECT lbl, COUNT(*)::BIGINT AS community_size FROM s2 GROUP BY lbl)
+      SELECT s2.id AS vec_id, s2.lbl::BIGINT AS community, sizes.community_size
+      FROM s2 JOIN sizes USING (lbl) ORDER BY vec_id"""
   )
 
   private lazy val v1Sql = s"""

@@ -282,6 +282,26 @@ object Streams extends QueryPack {
                 $"n_events", $"first_us", $"last_us")
         .orderBy($"s_suppkey", $"version")
     },
+    // e22: STREAMING ACTIVE-USER COUNTS (hourly DAU) — exact windowed
+    // distinct users through a REAL micro-batch run: the stream dedups on
+    // (user_id, hour) with dropDuplicatesWithinWatermark, so state is one
+    // 16-byte key per ACTIVE (user, hour) inside the 30-minute horizon —
+    // never the raw events, and never an unbounded distinct set (the
+    // at-scale failure of naive streaming COUNT DISTINCT). Each key emits
+    // exactly once on first sight (append mode), and the hourly rollup
+    // runs on the COMMITTED sink — e7's read-side finalize pattern. The
+    // oracle is the plain batch COUNT(DISTINCT): micro-batching and state
+    // eviction must lose/duplicate nothing.
+    "e22_stream_active_users" -> { (s, dir) =>
+      import s.implicits._
+      val ev = eventsStream(s, dir)
+        .withColumn("hour_us", unix_micros(date_trunc("hour", $"ts")))
+      val deduped = ev.withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark("user_id", "hour_us")
+      runToTable(deduped.select($"user_id", $"hour_us"), OutputMode.Append())
+        .groupBy($"hour_us").agg(count(lit(1)).as("n_users"))
+        .orderBy($"hour_us")
+    },
     "e6_stream_tumbling" -> { (s, dir) =>
       import s.implicits._
       runToTable(EventStreams.tumblingCounts(eventsStream(s, dir)),
@@ -490,6 +510,10 @@ object Streams extends QueryPack {
       GROUP BY event_type ORDER BY event_type""",
     // e21: r4's batch oracle — micro-batching the fact side of the
     // stream-static point-in-time join must change nothing
+    "e22_stream_active_users" -> """
+      SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY 1 ORDER BY 1""",
     "e21_stream_scd2_enrich" -> """
       WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
       dim AS (

@@ -138,6 +138,43 @@ object Temporal extends QueryPack {
              count(lit(1)).as("n"))
         .orderBy($"event_type", $"hour_us")
     },
+    // r9: INTERVAL CONCURRENCY (sweep line) — how many orders are OPEN
+    // (ordered but not fully shipped) on each boundary date: intervals
+    // [o_orderdate, max ship date] become ±1 deltas, aggregated per date,
+    // then prefix-summed with the TWO-PASS BUCKETED form (g4's shape):
+    // a year-partitioned running sum plus a cumulative carry of year
+    // totals joined back broadcast. No global window ever sees data-scale
+    // rows — deltas first collapse to the CALENDAR DATE domain (bounded:
+    // ~2.4k rows however big the fact table), the in-year window runs
+    // per-partition, and the carry window orders ~7 year rows (PlanAudit
+    // allowlists exactly that one). The oracle runs the textbook single
+    // global-window sweep — pinning that the two-pass decomposition is
+    // EXACTLY the sequential sweep.
+    "r9_interval_sweep" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val iv = t.orders.join(
+          t.lineitem.groupBy($"l_orderkey")
+            .agg(max(to_date($"l_shipdate")).as("end_d")),
+          $"o_orderkey" === $"l_orderkey")
+        .select(to_date($"o_orderdate").as("start_d"), $"end_d")
+      val deltas = iv.select($"start_d".as("d"), lit(1L).as("delta"))
+        .unionByName(iv.select(date_add($"end_d", 1).as("d"),
+          lit(-1L).as("delta")))
+        .groupBy($"d").agg(sum($"delta").as("delta"))
+      val wY = Window.partitionBy($"yr").orderBy($"d")
+      val within = deltas.withColumn("yr", year($"d"))
+        .withColumn("run", sum($"delta").over(wY))
+      val wC = Window.orderBy($"yr")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = within.groupBy($"yr").agg(sum($"delta").as("ytot"))
+        .withColumn("carry", coalesce(sum($"ytot").over(wC), lit(0L)))
+        .select($"yr", $"carry")
+      within.join(broadcast(carry), Seq("yr"))
+        .select(date_format($"d", "yyyy-MM-dd").as("event_date"),
+                ($"carry" + $"run").as("n_open"))
+        .orderBy($"event_date")
+    },
     // r4: SCD2 (slowly-changing-dimension) point-in-time join — each fact
     // row picks the dimension VERSION whose validity window contains its
     // event time. The dim here is three deterministic versions per supplier
@@ -265,6 +302,22 @@ object Temporal extends QueryPack {
              CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS volume,
              COUNT(*) AS n
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // r9: the oracle runs the textbook SEQUENTIAL sweep (one global-window
+    // running sum) that the Spark side decomposes into the two-pass form
+    "r9_interval_sweep" -> """
+      WITH iv AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS start_d,
+               CAST(MAX(l.l_shipdate) AS DATE) AS end_d
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderdate),
+      deltas AS (
+        SELECT d, SUM(delta)::BIGINT AS delta FROM (
+          SELECT start_d AS d, 1 AS delta FROM iv
+          UNION ALL SELECT end_d + 1 AS d, -1 FROM iv) u
+        GROUP BY d)
+      SELECT strftime(d, '%Y-%m-%d') AS event_date,
+             SUM(delta) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)::BIGINT AS n_open
+      FROM deltas ORDER BY event_date""",
     "r5_scd2_build" -> """
       WITH ch AS (
         SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,

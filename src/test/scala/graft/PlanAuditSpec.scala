@@ -22,8 +22,11 @@ class PlanAuditSpec extends AnyFunSuite {
 
   /** ScaleOps bucket-summary windows (≤ one row per shuffle partition). */
   /** g10's window runs over per-FILE summaries (≤ 8 rows), not data. */
+  /** r9's carry window orders YEAR-total rows (~7) — the cross-bucket pass
+    * of the two-pass prefix sum, metadata-scale by construction. */
   private val allowedUnpartitioned = Map(
-    "e5_late_data" -> 1, "w5_ntile" -> 1, "g10_range_layout" -> 1)
+    "e5_late_data" -> 1, "w5_ntile" -> 1, "g10_range_layout" -> 1,
+    "r9_interval_sweep" -> 1)
 
   test("no data-scale unpartitioned Window in any query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
