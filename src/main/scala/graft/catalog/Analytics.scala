@@ -295,6 +295,34 @@ object Analytics extends QueryPack {
         .select($"grp", $"tag".as("decile"), $"value".as("cents_at"))
         .orderBy($"grp", $"decile")
     },
+    // g11: WINSORIZATION — clip a heavy-tailed numeric column at exact
+    // per-group p5/p95 before it feeds a model (the outlier-capping pass
+    // a feature pipeline runs where dropping rows would bias the sample).
+    // The two bound order statistics come from ScaleOps.orderStats (g8's
+    // two-pass bucketed machinery — no window ever sees more than a
+    // bucket), the bounds BROADCAST back (k rows per group), and the clip
+    // itself is one scan: least/greatest per row, exact BIGINT cents
+    // throughout. The oracle recomputes the bounds with the textbook
+    // whole-group rank and must land on identical clipped sums.
+    "g11_winsorize" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables(s, dir).lineitem
+        .select($"l_returnflag".as("grp"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+      val b = ScaleOps.orderStats(li, "grp", "cents",
+          Seq(("lo", "((n - 1) * 5) div 100"), ("hi", "((n - 1) * 95) div 100")))
+        .groupBy($"grp")
+        .agg(min(when($"tag" === "lo", $"value")).as("lo"),
+             min(when($"tag" === "hi", $"value")).as("hi"))
+      li.join(broadcast(b), Seq("grp"))
+        .groupBy($"grp")
+        .agg(count(lit(1)).as("n"),
+             sum(($"cents" < $"lo").cast("long")).as("n_clip_low"),
+             sum(($"cents" > $"hi").cast("long")).as("n_clip_high"),
+             sum(least(greatest($"cents", $"lo"), $"hi")).as("sum_winsorized"),
+             min($"lo").as("p5_cents"), max($"hi").as("p95_cents"))
+        .orderBy($"grp")
+    },
     // g9: INCREMENTAL Z-ORDER MAINTENANCE — g7 builds the layout; g9 keeps
     // it current when a batch lands WITHOUT touching the base table: zone
     // maps are (count, min, max) per shard, all mergeable aggregates, so
@@ -383,6 +411,27 @@ object Analytics extends QueryPack {
       FROM orders""",
     "g7_zorder_layout" -> zorderSql,
     "g9_zorder_maintain" -> zorderSql,
+    "g11_winsorize" -> """
+      WITH li AS (
+        SELECT l_returnflag AS grp,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem),
+      r AS (
+        SELECT grp, cents,
+               row_number() OVER (PARTITION BY grp ORDER BY cents) - 1 AS rn,
+               COUNT(*) OVER (PARTITION BY grp) AS n
+        FROM li),
+      b AS (
+        SELECT grp,
+               MIN(CASE WHEN rn = ((n - 1) * 5) // 100 THEN cents END) AS lo,
+               MIN(CASE WHEN rn = ((n - 1) * 95) // 100 THEN cents END) AS hi
+        FROM r GROUP BY grp)
+      SELECT li.grp, COUNT(*) AS n,
+             SUM((li.cents < b.lo)::INT)::BIGINT AS n_clip_low,
+             SUM((li.cents > b.hi)::INT)::BIGINT AS n_clip_high,
+             SUM(least(greatest(li.cents, b.lo), b.hi))::BIGINT AS sum_winsorized,
+             MIN(b.lo)::BIGINT AS p5_cents, MAX(b.hi)::BIGINT AS p95_cents
+      FROM li JOIN b USING (grp) GROUP BY li.grp ORDER BY li.grp""",
     "g8_equidepth_bins" -> """
       WITH li AS (
         SELECT l_returnflag AS grp,

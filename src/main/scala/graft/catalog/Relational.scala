@@ -788,6 +788,30 @@ object Relational extends QueryPack {
     // co-partitioned once, and the output is k·(k-1)/2 rows — the
     // pair expansion happens AFTER the cardinality reduction, never on
     // raw events. Per-type totals broadcast back onto the pairs.
+    // q11: SMALL-QUANTITY-ORDER REVENUE (TPC-H Q17 shape) — lineitems
+    // whose quantity is below 20% of their PART's average quantity. The
+    // correlated per-part average DECORRELATES into one groupBy(partkey)
+    // aggregate joined back — both sides shuffle co-partitioned on the
+    // part key ONCE, never a per-row re-scan (the classic correlated-
+    // subquery scale trap, q8's pattern at fact×fact scale). The 20%
+    // threshold compares as INTEGERS (5·qty·n < Σqty ⟺ qty < 0.2·avg) so
+    // no engine ever divides; the brand filter prunes the part side
+    // BEFORE its join (broadcast, it's a dim). Revenue sums DECIMAL.
+    "q11_small_qty_revenue" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val li = t.lineitem.select($"l_partkey",
+        $"l_quantity".cast("bigint").as("qty"), $"l_extendedprice")
+      val pa = li.groupBy($"l_partkey")
+        .agg(sum($"qty").as("sumq"), count(lit(1)).as("n"))
+      val brand = t.part.filter($"p_brand" === "Brand#4")
+        .select($"p_partkey")
+      li.join(pa, Seq("l_partkey"))
+        .join(broadcast(brand), $"l_partkey" === $"p_partkey")
+        .filter(lit(5) * $"qty" * $"n" < $"sumq")
+        .agg(count(lit(1)).as("n_lines"),
+             (Q.asDbl(sum(Q.dec2($"l_extendedprice")), 2) / 7.0).as("avg_yearly"))
+    },
     "q10_cooccurrence" -> { (s, dir) =>
       import s.implicits._
       val ut = Tables(s, dir).events
@@ -902,6 +926,17 @@ object Relational extends QueryPack {
       SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
              TRUE AS bitmap_exact
       FROM events GROUP BY event_type ORDER BY event_type""",
+    "q11_small_qty_revenue" -> """
+      WITH li AS (
+        SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty, l_extendedprice
+        FROM lineitem),
+      pa AS (SELECT l_partkey, SUM(qty) AS sumq, COUNT(*) AS n
+             FROM li GROUP BY 1)
+      SELECT COUNT(*) AS n_lines,
+             CAST(CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / 7.0::DOUBLE AS avg_yearly
+      FROM li JOIN pa USING (l_partkey)
+      JOIN part p ON p.p_partkey = li.l_partkey
+      WHERE p.p_brand = 'Brand#4' AND 5 * li.qty * pa.n < pa.sumq""",
     // a11: the oracle recomputes the IDENTICAL sketch (daily partial +
     // merge collapses to the plain total under sum-merge, so one GROUP BY
     // suffices) — estimates hash-compare, not just the contract bits

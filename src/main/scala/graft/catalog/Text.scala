@@ -393,6 +393,35 @@ object Text extends QueryPack {
     // (RE2-safe patterns shared verbatim with the oracle), no shuffle; at
     // 100 TB this runs fused into the ingest scan. `changed` + the digest
     // make the gate pin both the transform and which rows it touched.
+    // x19: VOCABULARY COVERAGE — per source, how concentrated is the token
+    // distribution: total/distinct tokens and the number of top-frequency
+    // types covering ≥50% and ≥90% of token mass (the Zipf-concentration
+    // statistic that flags templated/boilerplate sources before training).
+    // Scale shape: the corpus reduces to the (source, token) FREQUENCY
+    // table first (map-side combined — x11/x13's convention); the
+    // cumulative window runs over vocabulary rows partitioned by source,
+    // bounded by |vocab| per source however big the corpus. Thresholds
+    // compare as integers (cum·2 ≥ total, cum·10 ≥ 9·total) — no division.
+    "x19_vocab_coverage" -> { (s, dir) =>
+      import s.implicits._
+      val tf = Tables(s, dir).documents
+        .select($"source", explode(expr(wsExpr)).as("tok"))
+        .filter(length($"tok") > 0)
+        .groupBy($"source", $"tok").agg(count(lit(1)).as("f"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"f".desc, $"tok")
+      val cum = tf.withColumn("cumf", sum($"f").over(w))
+        .withColumn("rk", row_number().over(w).cast("long"))
+      val tot = tf.groupBy($"source")
+        .agg(sum($"f").as("total"), count(lit(1)).as("n_distinct"))
+      cum.join(broadcast(tot), Seq("source"))
+        .groupBy($"source")
+        .agg(max($"total").as("n_tokens"),
+             max($"n_distinct").as("n_distinct"),
+             min(when($"cumf" * 2 >= $"total", $"rk")).as("n_top50"),
+             min(when($"cumf" * 10 >= $"total" * 9, $"rk")).as("n_top90"))
+        .orderBy($"source")
+    },
     "x18_text_normalize" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir).documents
@@ -578,6 +607,27 @@ object Text extends QueryPack {
       FROM sh JOIN ev USING (h)
       WHERE doc_id % 97 <> 0
       GROUP BY doc_id ORDER BY doc_id""",
+    "x19_vocab_coverage" -> s"""
+      WITH toks AS (
+        SELECT source, unnest($wsSql) AS tok FROM documents),
+      tf AS (
+        SELECT source, tok, COUNT(*)::BIGINT AS f
+        FROM toks WHERE length(tok) > 0 GROUP BY 1, 2),
+      c AS (
+        SELECT source, tok, f,
+               SUM(f) OVER (PARTITION BY source ORDER BY f DESC, tok
+                 ROWS UNBOUNDED PRECEDING) AS cumf,
+               row_number() OVER (PARTITION BY source ORDER BY f DESC, tok) AS rk
+        FROM tf),
+      tot AS (
+        SELECT source, SUM(f) AS total, COUNT(*) AS n_distinct
+        FROM tf GROUP BY 1)
+      SELECT c.source, MAX(tot.total)::BIGINT AS n_tokens,
+             MAX(tot.n_distinct)::BIGINT AS n_distinct,
+             MIN(CASE WHEN c.cumf * 2 >= tot.total THEN c.rk END)::BIGINT AS n_top50,
+             MIN(CASE WHEN c.cumf * 10 >= tot.total * 9 THEN c.rk END)::BIGINT AS n_top90
+      FROM c JOIN tot USING (source)
+      GROUP BY c.source ORDER BY c.source""",
     "x18_text_normalize" -> """
       SELECT doc_id, length(text)::BIGINT AS raw_len,
              length(norm)::BIGINT AS norm_len,
