@@ -89,6 +89,41 @@ object CorpusGate extends QueryPack {
           size(expr(Tx.wsExpr)).cast("long").as("n_tokens"))
         .orderBy($"doc_id")
     },
+    // c4: BUDGETED QUALITY SELECTION — the data-mixing step that picks the
+    // HIGHEST-QUALITY doc prefix per language under a fixed token budget
+    // (greedy knapsack on quality rank — what "train on the best N tokens
+    // per language" means operationally). The quality score is x2's exact
+    // formula; the greedy prefix runs as the TWO-PASS BUCKETED form (c2
+    // stage 3 / g4's shape) with buckets on the QUALITY RANGE — floor((1−q)·8)
+    // is monotone in −q, so (bucket asc, quality desc, doc_id) is exactly
+    // the global greedy order: per-(lang, bucket) token sums → tiny offset
+    // frame → in-bucket windows. No language-wide sort; the oracle runs
+    // the sequential single-window greedy, pinning the decomposition.
+    "c4_budget_select" -> { (s, dir) =>
+      import s.implicits._
+      val scored = Tables(s, dir).documents
+        .withColumn("qc", graft.functions.TextKernels
+          .qualityCountsUdf(Text.stopwords.toSet)($"text"))
+        .withColumn("tl", greatest(length($"text"), lit(1)))
+        .select($"doc_id", $"lang", $"qc.n_tokens".cast("long").as("n_tokens"),
+          (lit(1.0) - ($"qc.punct_cnt".cast("double") / $"tl") * 2.0 -
+            ($"qc.digit_cnt".cast("double") / $"tl")).as("q"))
+        .withColumn("_bkt", floor((lit(1.0) - $"q") * 8).cast("int"))
+      val wOff = Window.partitionBy($"lang").orderBy($"_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = scored.groupBy($"lang", $"_bkt")
+        .agg(sum($"n_tokens").as("_bsum"))
+        .withColumn("_off", coalesce(sum($"_bsum").over(wOff), lit(0L)))
+        .select($"lang", $"_bkt", $"_off")
+      val wIn = Window.partitionBy($"lang", $"_bkt")
+        .orderBy($"q".desc, $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored.join(broadcast(offsets), Seq("lang", "_bkt"))
+        .withColumn("cum_tokens", $"_off" + sum($"n_tokens").over(wIn))
+        .filter($"cum_tokens" <= 2000L)
+        .select($"doc_id", $"lang", $"n_tokens", $"cum_tokens")
+        .orderBy($"doc_id")
+    },
     // c2: the EXPORT half of the corpus pipeline, composed end to end —
     // what turns a curated corpus into the shard manifest a trainer reads:
     //   1. mixture resample toward target language weights (g6's
@@ -137,6 +172,23 @@ object CorpusGate extends QueryPack {
   }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // c4: the oracle is the SEQUENTIAL greedy — one global window per
+    // language in exact quality order; the Spark two-pass must match it
+    "c4_budget_select" -> s"""
+      WITH q AS (
+        SELECT doc_id, lang, greatest(len(ws), 1)::BIGINT AS n_tokens,
+               1.0 - ((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::DOUBLE
+                      / greatest(length(text), 1)) * 2.0
+                   - ((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                      / greatest(length(text), 1)) AS qs
+        FROM (SELECT doc_id, lang, text, ${Tx.wsSql} AS ws FROM documents) t),
+      c AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY qs DESC, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM q)
+      SELECT doc_id, lang, n_tokens, cum_tokens::BIGINT AS cum_tokens
+      FROM c WHERE cum_tokens <= 2000 ORDER BY doc_id""",
     "c3_incremental_refresh" -> s"""
       WITH dig AS (
         SELECT doc_id, text,

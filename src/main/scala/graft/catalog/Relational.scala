@@ -648,6 +648,46 @@ object Relational extends QueryPack {
                 coalesce($"n_bal", $"c_acctbal").as("c_acctbal"))
         .orderBy($"c_custkey")
     },
+    // u10: CHANGELOG COMPACTION — collapse a multi-op CDC stream to the
+    // NET operation per key before u9's apply touches the base table
+    // (the Debezium/Kafka-compaction step that turns N ops into ≤1):
+    // last-op-wins for values, I…D within the window cancels entirely,
+    // I…U stays an INSERT, U…D stays a DELETE. One window per key over
+    // the changelog (single co-partitioned shuffle; frame carries ops,
+    // never base rows) — at 100 TB compaction cost scales with the LOG,
+    // and the downstream full-outer merge sees ≤1 row per key instead of
+    // the op fan-in. The synthetic 2–3-op-per-key log is closed-form on
+    // both engines; the oracle runs the identical window + cancel rules.
+    "u10_changelog_compact" -> { (s, dir) =>
+      import s.implicits._
+      val c = Tables(s, dir).customer
+        .select($"c_custkey".as("k"), $"c_name", $"c_acctbal")
+      def op(seq: Int, opc: String, name: Column, bal: Column,
+             pred: Column): DataFrame =
+        c.filter(pred).select($"k", lit(seq).as("seq"), lit(opc).as("op"),
+          name.as("name"), bal.as("bal"))
+      val nullS = lit(null).cast("string")
+      val nullD = lit(null).cast("double")
+      val log = op(1, "I", $"c_name", $"c_acctbal", $"k" % 3 === 0)
+        .unionByName(op(2, "U", $"c_name", $"c_acctbal" + 10.0, $"k" % 3 === 0))
+        .unionByName(op(3, "U", $"c_name", $"c_acctbal" + 20.0, $"k" % 3 === 0))
+        .unionByName(op(1, "I", $"c_name", $"c_acctbal", $"k" % 3 === 1))
+        .unionByName(op(2, "D", nullS, nullD, $"k" % 3 === 1))
+        .unionByName(op(1, "U", $"c_name", $"c_acctbal" + 5.0, $"k" % 3 === 2))
+        .unionByName(op(2, "D", nullS, nullD, $"k" % 3 === 2))
+      val wK = Window.partitionBy($"k").orderBy($"seq")
+      val wKall = Window.partitionBy($"k")
+      log
+        .withColumn("first_op", first($"op").over(wK))
+        .withColumn("last_seq", max($"seq").over(wKall))
+        .filter($"seq" === $"last_seq" &&
+          !($"op" === "D" && $"first_op" === "I"))
+        .withColumn("net_op",
+          when($"op" === "D", "D")
+            .when($"first_op" === "I", "I").otherwise("U"))
+        .select($"k".as("c_custkey"), $"net_op", $"name", $"bal")
+        .orderBy($"c_custkey")
+    },
     // a8: SLIDING-WINDOW DISTINCT — trailing-7-day distinct users per day,
     // the rolling-reach statistic COUNT(DISTINCT) OVER a range frame
     // cannot express (distinct is not frame-mergeable). Scale shape: each
@@ -861,6 +901,34 @@ object Relational extends QueryPack {
                   WHEN b.c_custkey IS NULL THEN 'inserted'
                   ELSE 'updated' END AS op
       FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.u_key
+      ORDER BY c_custkey""",
+    "u10_changelog_compact" -> """
+      WITH c AS (SELECT c_custkey AS k, c_name, c_acctbal FROM customer),
+      log AS (
+        SELECT k, 1 AS seq, 'I' AS op, c_name AS name, c_acctbal AS bal
+        FROM c WHERE k % 3 = 0
+        UNION ALL SELECT k, 2, 'U', c_name, c_acctbal + 10.0::DOUBLE
+        FROM c WHERE k % 3 = 0
+        UNION ALL SELECT k, 3, 'U', c_name, c_acctbal + 20.0::DOUBLE
+        FROM c WHERE k % 3 = 0
+        UNION ALL SELECT k, 1, 'I', c_name, c_acctbal FROM c WHERE k % 3 = 1
+        UNION ALL SELECT k, 2, 'D', CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+        FROM c WHERE k % 3 = 1
+        UNION ALL SELECT k, 1, 'U', c_name, c_acctbal + 5.0::DOUBLE
+        FROM c WHERE k % 3 = 2
+        UNION ALL SELECT k, 2, 'D', CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+        FROM c WHERE k % 3 = 2),
+      m AS (
+        SELECT k, seq, op, name, bal,
+               first_value(op) OVER (PARTITION BY k ORDER BY seq) AS first_op,
+               MAX(seq) OVER (PARTITION BY k) AS last_seq
+        FROM log)
+      SELECT k AS c_custkey,
+             CASE WHEN op = 'D' THEN 'D'
+                  WHEN first_op = 'I' THEN 'I' ELSE 'U' END AS net_op,
+             name, bal
+      FROM m
+      WHERE seq = last_seq AND NOT (op = 'D' AND first_op = 'I')
       ORDER BY c_custkey""",
     "u9_changelog_apply" -> """
       WITH old AS (SELECT c_custkey, c_name, c_acctbal FROM customer)
