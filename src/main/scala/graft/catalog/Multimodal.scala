@@ -188,6 +188,36 @@ object Multimodal extends QueryPack {
                 $"checksum", coalesce($"diff", lit(0L)).as("diff"), $"is_cut")
         .orderBy($"media_id", $"frame_idx")
     },
+    // m11: SILENCE-SPAN DETECTION — the audio VAD pass that trims dead air
+    // before ASR/training: per-chunk PCM loudness (Σ|sample| over 64-sample
+    // windows, decoded through the real WAV codec), chunks below the
+    // per-sample threshold (loud·64 < T·n — scale-invariant for the
+    // partial last chunk, no division) merged into maximal consecutive
+    // SPANS with w10's gaps-and-islands (lag + flag + running island id,
+    // partitioned by media_id). State per clip is one chunk row — the
+    // energy series, never the PCM, reaches the shuffle. The oracle
+    // recomputes every |u−32768| from the closed PCM form and runs the
+    // identical island chain.
+    "m11_silence_spans" -> { (s, dir) =>
+      import s.implicits._
+      val ch = Media.audioChunkLoudness(stagedMedia(s, dir)).toDF()
+      val silent = ch.filter($"loudness" * 64 < lit(950000L) * $"n_samples")
+      val wP = Window.partitionBy($"media_id").orderBy($"chunk_idx")
+      silent
+        .withColumn("prev", lag($"chunk_idx", 1).over(wP))
+        .withColumn("nf",
+          when($"prev".isNull || $"chunk_idx" =!= $"prev" + 1, 1L).otherwise(0L))
+        .withColumn("sid", sum($"nf").over(
+          wP.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"media_id", $"sid")
+        .agg(min($"chunk_idx").cast("long").as("start_chunk"),
+             max($"chunk_idx").cast("long").as("end_chunk"),
+             count(lit(1)).as("n_chunks"),
+             sum($"loudness").as("sum_loud"))
+        .select($"media_id", $"start_chunk", $"end_chunk", $"n_chunks",
+                $"sum_loud")
+        .orderBy($"media_id", $"start_chunk")
+    },
     // m3: decode + feature extraction through the typed mapPartitions batch
     // path. The normalized float32 embedding is projected back to the EXACT
     // integer byte-histogram of the DECODED content (round(x_i · n_bytes)
@@ -326,6 +356,30 @@ object Multimodal extends QueryPack {
       WHERE v.f % 4 = 0
       GROUP BY v.doc_id, v.f
       ORDER BY media_id, frame_idx""",
+    "m11_silence_spans" -> s"""
+      WITH auds AS (
+        SELECT doc_id, 400 + (doc_id % 7) * 200 AS n
+        FROM documents WHERE doc_id % 3 = 1),
+      ch AS (
+        SELECT doc_id, i // 64 AS c, COUNT(*) AS ns,
+               SUM(abs(((doc_id * 31 + i * 7) % 65536) - 32768))::BIGINT AS loud
+        FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM auds) t
+        GROUP BY 1, 2),
+      sil AS (SELECT * FROM ch WHERE loud * 64 < 950000 * ns),
+      sp AS (
+        SELECT doc_id, c, loud,
+               CASE WHEN c - 1 = lag(c) OVER (PARTITION BY doc_id ORDER BY c)
+                    THEN 0 ELSE 1 END AS nf
+        FROM sil),
+      isl AS (
+        SELECT doc_id, c, loud,
+               SUM(nf) OVER (PARTITION BY doc_id ORDER BY c
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM sp)
+      SELECT doc_id AS media_id, MIN(c)::BIGINT AS start_chunk,
+             MAX(c)::BIGINT AS end_chunk, COUNT(*)::BIGINT AS n_chunks,
+             SUM(loud)::BIGINT AS sum_loud
+      FROM isl GROUP BY doc_id, sid ORDER BY media_id, start_chunk""",
     "m10_scene_cut" -> s"""
       WITH $imgCtes,
       $vidCtes,

@@ -648,6 +648,33 @@ object Relational extends QueryPack {
                 coalesce($"n_bal", $"c_acctbal").as("c_acctbal"))
         .orderBy($"c_custkey")
     },
+    // q12: BLOCKING-SUPPLIER ANALYSIS (TPC-H Q21 shape) — suppliers who
+    // held up multi-supplier orders: in each order with ≥2 suppliers, the
+    // UNIQUE supplier owning the strict max ship date (EXISTS another
+    // supplier ∧ NOT EXISTS another supplier shipping as late). Both
+    // correlated quantifiers DECORRELATE into per-order aggregates over
+    // ONE (order, supplier) reduction: s_max per pair, then order-level
+    // (n_supp, max, #at-max) joined back — every join keyed on orderkey,
+    // co-partitioned, one shuffle chain, no per-row EXISTS probe. The
+    // top-10 is a k-row TakeOrderedAndProject.
+    "q12_blocking_supplier" -> { (s, dir) =>
+      import s.implicits._
+      val ps = Tables(s, dir).lineitem
+        .groupBy($"l_orderkey", $"l_suppkey")
+        .agg(max($"l_shipdate").as("s_max"))
+      val per = ps.groupBy($"l_orderkey")
+        .agg(countDistinct($"l_suppkey").as("n_supp"),
+             max($"s_max").as("o_max"))
+      val atMax = ps.join(per, Seq("l_orderkey"))
+        .filter($"s_max" === $"o_max")
+        .groupBy($"l_orderkey").agg(count(lit(1)).as("n_at_max"))
+      ps.join(per, Seq("l_orderkey")).join(atMax, Seq("l_orderkey"))
+        .filter($"n_supp" >= 2 && $"n_at_max" === 1 && $"s_max" === $"o_max")
+        .groupBy($"l_suppkey")
+        .agg(count(lit(1)).as("n_blocked"))
+        .orderBy($"n_blocked".desc, $"l_suppkey")
+        .limit(10)
+    },
     // u10: CHANGELOG COMPACTION — collapse a multi-op CDC stream to the
     // NET operation per key before u9's apply touches the base table
     // (the Debezium/Kafka-compaction step that turns N ops into ≤1):
@@ -902,6 +929,23 @@ object Relational extends QueryPack {
                   ELSE 'updated' END AS op
       FROM base b FULL OUTER JOIN upd u ON b.c_custkey = u.u_key
       ORDER BY c_custkey""",
+    "q12_blocking_supplier" -> """
+      WITH ps AS (
+        SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS s_max
+        FROM lineitem GROUP BY 1, 2),
+      per AS (
+        SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+               MAX(s_max) AS o_max
+        FROM ps GROUP BY 1),
+      am AS (
+        SELECT ps.l_orderkey, COUNT(*) AS n_at_max
+        FROM ps JOIN per USING (l_orderkey)
+        WHERE ps.s_max = per.o_max GROUP BY 1)
+      SELECT ps.l_suppkey, COUNT(*) AS n_blocked
+      FROM ps JOIN per USING (l_orderkey) JOIN am USING (l_orderkey)
+      WHERE per.n_supp >= 2 AND am.n_at_max = 1 AND ps.s_max = per.o_max
+      GROUP BY ps.l_suppkey
+      ORDER BY n_blocked DESC, ps.l_suppkey LIMIT 10""",
     "u10_changelog_compact" -> """
       WITH c AS (SELECT c_custkey AS k, c_name, c_acctbal FROM customer),
       log AS (

@@ -31,6 +31,11 @@ final case class MediaAFp(media_id: Long, afp: String, n_samples: Int)
   * sampled-frame aHashes, in frame order. */
 final case class MediaVFp(media_id: Long, vfp: String, n_sampled: Int)
 
+/** Per-chunk PCM loudness of decoded audio (m11): Σ|sample| over a
+  * fixed-size sample window (last chunk may be partial — n_samples < chunk). */
+final case class MediaChunk(media_id: Long, chunk_idx: Int, n_samples: Int,
+                            loudness: Long)
+
 /** Decoded-content embedding: 16-bin byte histogram over the DECODED bytes
   * (raw RGB for images), normalized by `n_bytes` = decoded length. */
 final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
@@ -561,6 +566,36 @@ object Media {
         batch.iterator.map { r =>
           val au = decodeWav(r.payload)
           MediaAFp(r.media_id, audioFingerprint(au.pcm), au.nSamples)
+        }
+      }
+    }
+  }
+
+  /** Per-chunk loudness over DECODED PCM (m11's kernel): Σ|sample| per
+    * `chunk`-sample window — the energy series silence/VAD analysis runs
+    * on. Same batched mapPartitions shape as the fingerprints; output is
+    * one small row per chunk, never the PCM itself. */
+  def audioChunkLoudness(ds: Dataset[MediaRecord], chunk: Int = 64,
+                         batchSize: Int = 64): Dataset[MediaChunk] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter(col("kind") === lit("audio")).as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          val au = decodeWav(r.payload)
+          val pcm = au.pcm
+          val nCh = (au.nSamples + chunk - 1) / chunk
+          (0 until nCh).iterator.map { c =>
+            val end = math.min(au.nSamples, (c + 1) * chunk)
+            var i = c * chunk
+            var s = 0L
+            while (i < end) {
+              val v = (((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff))).toShort.toLong
+              s += math.abs(v)
+              i += 1
+            }
+            MediaChunk(r.media_id, c, end - c * chunk, s)
+          }
         }
       }
     }
