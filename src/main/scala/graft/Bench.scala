@@ -39,7 +39,11 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
+    // Optional comma-separated query filter (dev iterations on one plan);
+    // the driver invokes with no args → full suite, contract unchanged.
+    val only: Option[Set[String]] = args.lift(0).map(_.split(",").toSet)
     val (streamQ, batchQ) = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .partition(_._1.contains("_stream"))
     val results = (batchQ ++ streamQ).map { case (name, fn) =>
       name -> (1 to Reps).map(_ => timeOnce(fn)).min

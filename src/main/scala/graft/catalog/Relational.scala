@@ -652,23 +652,24 @@ object Relational extends QueryPack {
     // held up multi-supplier orders: in each order with ≥2 suppliers, the
     // UNIQUE supplier owning the strict max ship date (EXISTS another
     // supplier ∧ NOT EXISTS another supplier shipping as late). Both
-    // correlated quantifiers DECORRELATE into per-order aggregates over
-    // ONE (order, supplier) reduction: s_max per pair, then order-level
-    // (n_supp, max, #at-max) joined back — every join keyed on orderkey,
-    // co-partitioned, one shuffle chain, no per-row EXISTS probe. The
-    // top-10 is a k-row TakeOrderedAndProject.
+    // correlated quantifiers DECORRELATE into per-order WINDOW aggregates
+    // over ONE (order, supplier) reduction: the fact scans ONCE into
+    // s_max per pair, then unordered windows partitioned by orderkey
+    // carry (n_supp, o_max, #at-max) — the 3-way self-join form re-read
+    // the fact 3× (no exchange reuse across aggregate branches, measured
+    // in this round's first cut); the window form is one scan + two
+    // bounded exchanges of the REDUCED pair table. Top-10 is a k-row
+    // TakeOrderedAndProject.
     "q12_blocking_supplier" -> { (s, dir) =>
       import s.implicits._
       val ps = Tables(s, dir).lineitem
         .groupBy($"l_orderkey", $"l_suppkey")
         .agg(max($"l_shipdate").as("s_max"))
-      val per = ps.groupBy($"l_orderkey")
-        .agg(countDistinct($"l_suppkey").as("n_supp"),
-             max($"s_max").as("o_max"))
-      val atMax = ps.join(per, Seq("l_orderkey"))
-        .filter($"s_max" === $"o_max")
-        .groupBy($"l_orderkey").agg(count(lit(1)).as("n_at_max"))
-      ps.join(per, Seq("l_orderkey")).join(atMax, Seq("l_orderkey"))
+      val wO = Window.partitionBy($"l_orderkey")
+      ps.withColumn("n_supp", count(lit(1)).over(wO))
+        .withColumn("o_max", max($"s_max").over(wO))
+        .withColumn("n_at_max",
+          sum(when($"s_max" === $"o_max", 1L).otherwise(0L)).over(wO))
         .filter($"n_supp" >= 2 && $"n_at_max" === 1 && $"s_max" === $"o_max")
         .groupBy($"l_suppkey")
         .agg(count(lit(1)).as("n_blocked"))
