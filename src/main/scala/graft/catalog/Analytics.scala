@@ -43,6 +43,33 @@ object Analytics extends QueryPack {
     s"(CASE $col " + MixtureWeights.map {
       case (k, v) => s"WHEN '$k' THEN $v" }.mkString(" ") + " ELSE 0 END)"
 
+  /** g12's hash ring: 8 virtual nodes per shard, position = md5 of the
+    * constant vnode label — computed HERE (driver-side, tiny) and embedded
+    * as sorted literal arrays in both engines' plans, so ring assignment
+    * needs no join. Fixed-width lowercase hex compares lexicographically
+    * in numeric order on both engines. */
+  private def ringNodes(nShards: Int): Seq[(String, Int)] =
+    (0 until nShards).flatMap { sh =>
+      (0 until 8).map { v =>
+        val label = s"s$sh:$v"
+        val pos = java.security.MessageDigest.getInstance("MD5")
+          .digest(label.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        (pos, sh)
+      }
+    }.sortBy(_._1)
+  /** (positions array, shards array) literals — Spark expr syntax. */
+  private def ringLits(nShards: Int): (String, String) = {
+    val r = ringNodes(nShards)
+    (r.map(p => s"'${p._1}'").mkString("array(", ",", ")"),
+     r.map(_._2).mkString("array(", ",", ")"))
+  }
+  /** same literals in DuckDB list syntax. */
+  private def ringSqlLits(nShards: Int): (String, String) = {
+    val r = ringNodes(nShards)
+    (r.map(p => s"'${p._1}'").mkString("[", ",", "]"),
+     r.map(_._2).mkString("[", ",", "]"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // p1: per-user event-type counts pivoted to columns (explicit values)
     "p1_pivot" -> { (s, dir) =>
@@ -362,6 +389,33 @@ object Analytics extends QueryPack {
     // Comma-joined, not ARRAY-typed: the driver's compare (pandas sort +
     // hash) cannot process array cells; the joined string carries the same
     // values in the same sorted order.
+    // g12: CONSISTENT-HASH RESHARDING — what moves when a 10-shard corpus
+    // layout grows to 11 shards. Each doc maps to the ring successor of
+    // md5(doc_id) among 8 virtual nodes per shard; the rings are LITERAL
+    // sorted arrays (the vnode positions are md5 of constant labels,
+    // computed once on the driver and embedded in the plan), so
+    // assignment under BOTH rings is a pure per-row projection — zero
+    // shuffle, zero join, the whole operator is scan→project→aggregate
+    // at any corpus size. Ring positions compare as fixed-width hex
+    // strings (lexicographic = numeric). The mod-N columns quantify why
+    // the ring wins: mod-rehash moves ~10/11 of every shard, the ring
+    // moves ~1/12 — the report a storage-layout migration plans against.
+    "g12_reshard_plan" -> { (s, dir) =>
+      import s.implicits._
+      val (p10, s10) = ringLits(10)
+      val (p11, s11) = ringLits(11)
+      def assign(posArr: String, shardArr: String, n: Int): String =
+        s"element_at($shardArr, (size(filter($posArr, p -> p < dpos)) % $n) + 1)"
+      Tables(s, dir).documents
+        .select($"doc_id", md5($"doc_id".cast("string")).as("dpos"))
+        .withColumn("old_shard", expr(assign(p10, s10, 80)).cast("long"))
+        .withColumn("new_shard", expr(assign(p11, s11, 88)).cast("long"))
+        .groupBy($"old_shard")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(($"old_shard" =!= $"new_shard").cast("long")).as("n_moved_ring"),
+             sum(($"doc_id" % 10 =!= $"doc_id" % 11).cast("long")).as("n_moved_mod"))
+        .orderBy($"old_shard")
+    },
     "g1_array_agg" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir).supplier
@@ -406,6 +460,24 @@ object Analytics extends QueryPack {
     // g10: file count is pinned by the explicit partition count, interval
     // disjointness by the range-partitioner contract (equal keys never
     // split), row count by the source table
+    "g12_reshard_plan" -> {
+      val (p10, s10) = ringSqlLits(10)
+      val (p11, s11) = ringSqlLits(11)
+      def assign(pos: String, sh: String, n: Int): String =
+        s"$sh[(len(list_filter($pos, p -> p < dpos)) % $n) + 1]"
+      s"""
+      WITH d AS (
+        SELECT doc_id, md5(doc_id::VARCHAR) AS dpos FROM documents),
+      a AS (
+        SELECT doc_id,
+               ${assign(p10, s10, 80)}::BIGINT AS old_shard,
+               ${assign(p11, s11, 88)}::BIGINT AS new_shard
+        FROM d)
+      SELECT old_shard, COUNT(*)::BIGINT AS n_docs,
+             SUM((old_shard <> new_shard)::INT)::BIGINT AS n_moved_ring,
+             SUM((doc_id % 10 <> doc_id % 11)::INT)::BIGINT AS n_moved_mod
+      FROM a GROUP BY old_shard ORDER BY old_shard"""
+    },
     "g10_range_layout" -> """
       SELECT 8::BIGINT AS n_files, COUNT(*) AS n_rows, TRUE AS disjoint
       FROM orders""",

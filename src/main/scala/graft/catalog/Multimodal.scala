@@ -218,6 +218,23 @@ object Multimodal extends QueryPack {
                 $"sum_loud")
         .orderBy($"media_id", $"start_chunk")
     },
+    // m12: PEAK-NORMALIZATION PLAN — the gain-staging pass an audio
+    // pipeline runs before training (normalize every clip to a common
+    // peak): per-clip peak/Σ|sample| reduce INSIDE the real WAV decode
+    // loop (Media.audioStats — one row per clip reaches the shuffle,
+    // never the PCM), then the gain to hit target peak 30000 and the
+    // post-gain loudness derive as exact integer per-mille arithmetic.
+    // The oracle recomputes peak and Σ|u−32768| from the closed PCM form
+    // — a green row pins the full encode→decode→reduce loop.
+    "m12_audio_normalize" -> { (s, dir) =>
+      import s.implicits._
+      Media.audioStats(stagedMedia(s, dir)).toDF()
+        .withColumn("gain_pm", expr("30000000 div greatest(peak, 1)"))
+        .withColumn("norm_sum_abs", expr("(sum_abs * gain_pm) div 1000"))
+        .select($"media_id", $"n_samples", $"peak", $"gain_pm",
+                $"norm_sum_abs")
+        .orderBy($"media_id")
+    },
     // m3: decode + feature extraction through the typed mapPartitions batch
     // path. The normalized float32 embedding is projected back to the EXACT
     // integer byte-histogram of the DECODED content (round(x_i · n_bytes)
@@ -356,6 +373,18 @@ object Multimodal extends QueryPack {
       WHERE v.f % 4 = 0
       GROUP BY v.doc_id, v.f
       ORDER BY media_id, frame_idx""",
+    "m12_audio_normalize" -> s"""
+      WITH $audCtes,
+      st AS (
+        SELECT doc_id, COUNT(*)::BIGINT AS n_samples,
+               MAX(abs(u - 32768))::BIGINT AS peak,
+               SUM(abs(u - 32768))::BIGINT AS sum_abs
+        FROM au GROUP BY doc_id)
+      SELECT doc_id AS media_id, n_samples, peak,
+             (30000000 // greatest(peak, 1))::BIGINT AS gain_pm,
+             ((sum_abs * (30000000 // greatest(peak, 1))) // 1000)::BIGINT
+               AS norm_sum_abs
+      FROM st ORDER BY media_id""",
     "m11_silence_spans" -> s"""
       WITH auds AS (
         SELECT doc_id, 400 + (doc_id % 7) * 200 AS n

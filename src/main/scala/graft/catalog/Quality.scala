@@ -2,6 +2,7 @@ package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{QueryPack, Scratch, Tables}
 
 /** DATA-QUALITY operators — the reference's validate semantics (E2 dry-run,
@@ -234,6 +235,36 @@ object Quality extends QueryPack {
              sum($"orphan").as("n_orphaned"),
              Q.asDbl(sum(Q.dec2($"o_totalprice")), 2).as("sum_price"))
         .orderBy($"segment")
+    },
+    // dq10: ROLLING-WINDOW ANOMALY FLAGS — the freshness/volume monitor a
+    // pipeline runs over its own daily intake: 28-day trailing mean/var of
+    // daily revenue, flag days beyond 3σ. The z-test stays EXACT by
+    // clearing denominators — (n·x − Σx)² > 9·(n·Σx² − (Σx)²) — in
+    // DECIMAL(38,0) cents (HUGEINT on the oracle side): no sqrt, no
+    // doubles, the flag is bit-identical on both engines. Scale shape: the
+    // only data-scale pass is the date-keyed rollup (map-side combined);
+    // the window then runs over CALENDAR rows (~365/year whatever the
+    // corpus size — metadata-scale, PlanAuditSpec-whitelisted like r9's
+    // year-total carry pass).
+    "dq10_rolling_anomaly" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val d38 = DecimalType(38, 0)
+      val daily = Tables(s, dir).orders
+        .groupBy($"o_orderdate")
+        .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+      val w = Window.orderBy($"o_orderdate").rowsBetween(-27, 0)
+      daily
+        .select($"o_orderdate", $"cents",
+          count(lit(1)).over(w).as("n"),
+          sum($"cents".cast(d38)).over(w).as("s"),
+          sum(($"cents".cast(d38) * $"cents".cast(d38)).cast(d38)).over(w).as("sq"))
+        .filter($"n" === 28)
+        .withColumn("dev", ($"n".cast(d38) * $"cents".cast(d38) - $"s").cast(d38))
+        .withColumn("is_anomaly", $"dev" * $"dev" >
+          lit(9).cast(d38) * ($"n".cast(d38) * $"sq" - $"s" * $"s"))
+        .select($"o_orderdate", $"cents", $"is_anomaly")
+        .orderBy($"o_orderdate")
     },
     "dq2_table_profile" -> { (s, dir) =>
       import s.implicits._
@@ -469,6 +500,23 @@ object Quality extends QueryPack {
                COUNT(DISTINCT l_suppkey)::BIGINT
         FROM lineitem) u
       ORDER BY col""",
+    "dq10_rolling_anomaly" -> """
+      WITH daily AS (
+        SELECT o_orderdate,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+        FROM orders GROUP BY 1),
+      w AS (
+        SELECT o_orderdate, cents,
+               COUNT(*) OVER win AS n,
+               SUM(cents::HUGEINT) OVER win AS s,
+               SUM(cents::HUGEINT * cents::HUGEINT) OVER win AS sq
+        FROM daily
+        WINDOW win AS (ORDER BY o_orderdate
+                       ROWS BETWEEN 27 PRECEDING AND CURRENT ROW))
+      SELECT o_orderdate, cents,
+             (n::HUGEINT * cents - s) * (n::HUGEINT * cents - s)
+               > 9 * (n::HUGEINT * sq - s * s) AS is_anomaly
+      FROM w WHERE n = 28 ORDER BY o_orderdate""",
     "dq9_unknown_member" -> """
       SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
              COUNT(*) AS n_orders,

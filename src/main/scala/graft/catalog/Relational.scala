@@ -508,6 +508,24 @@ object Relational extends QueryPack {
         .orderBy($"p_brand".asc, $"p_size".desc, $"p_partkey".asc)
         .limit(100)
     },
+    // s3: KEYSET (seek) PAGINATION — the scale-safe "page N": OFFSET must
+    // scan and discard every earlier row on every page (O(pages²) total
+    // work across a paginated export), while the seek predicate on the
+    // previous page's last (o_orderdate, o_orderkey) PUSHES to the parquet
+    // scan (row-group min/max pruning on o_orderdate — PushedFilters shows
+    // the date bound) so each page costs one pruned scan plus a k-row
+    // TakeOrderedAndProject. The cursor columns form a unique total order
+    // (o_orderkey is unique), so pages never skip or repeat rows.
+    "s3_keyset_page" -> { (s, dir) =>
+      import s.implicits._
+      val cur = lit("1998-03-15").cast("timestamp")
+      Tables(s, dir).orders
+        .filter($"o_orderdate" > cur ||
+                ($"o_orderdate" === cur && $"o_orderkey" > 4000L))
+        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .limit(20)
+    },
 
     // ---- set operations ----------------------------------------------------
     "u1_union_all" -> { (s, dir) =>
@@ -1294,6 +1312,11 @@ object Relational extends QueryPack {
     "s2_multikey_sort" -> """
       SELECT p_brand, p_size, p_partkey FROM part
       ORDER BY p_brand ASC, p_size DESC, p_partkey ASC LIMIT 100""",
+    "s3_keyset_page" -> """
+      SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders
+      WHERE o_orderdate > TIMESTAMP '1998-03-15 00:00:00'
+         OR (o_orderdate = TIMESTAMP '1998-03-15 00:00:00' AND o_orderkey > 4000)
+      ORDER BY o_orderdate, o_orderkey LIMIT 20""",
     "u1_union_all" -> """
       SELECT o_custkey, COUNT(*) AS n FROM (
         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'

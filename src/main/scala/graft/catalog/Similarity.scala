@@ -436,6 +436,56 @@ object Similarity extends QueryPack {
                 $"vec_id".as("neighbor_id"), $"cos")
         .orderBy($"q_id", $"rank")
     },
+    // v15: SCALAR-QUANTIZATION (int8) ANN — the OTHER standard embedding
+    // compression next to v12's PQ: each corpus vector stores as 64 int8
+    // codes + one double scale (16× vs float64, 4× vs float32), with
+    // code_i = round(v_i/scale), scale = max|v_i|/127. Queries stay EXACT
+    // (they arrive uncompressed); candidates rank by cosine against the
+    // DEQUANTIZED corpus vector (recon_i = code_i·scale), and the top-Cand
+    // pool reranks against exact vectors — v12's two-stage shape with a
+    // per-vector (not codebook) model, so there is NO training step: the
+    // encode is a pure projection, the natural choice when the corpus
+    // churns too fast to retrain codebooks.
+    // Determinism: scale/round/recon are single IEEE ops identical on both
+    // engines; every dot is the serial-fold kernel pair (VectorExprs.dot ==
+    // dotSql); ties break on vec_id.
+    // Scale shape (100 TB): encoding is per-row projection — zero shuffle;
+    // the candidate scan reads ~72 B/vector instead of 512 B (the memory-
+    // bandwidth win IS the operator); rerank touches Cand full vectors per
+    // query; at deployment the codes column is the only thing the hot scan
+    // reads (column pruning does the rest).
+    "v15_sq_ann" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
+        .select($"vec_id", $"v", $"norm2")
+      val coded = e
+        .withColumn("scale", expr("array_max(transform(v, x -> abs(x))) / 127.0D"))
+        .withColumn("recon", expr(
+          "transform(v, x -> cast(round(x / scale) as double) * scale)"))
+        .withColumn("rn2", graft.functions.VectorExprs.dot($"recon", $"recon"))
+        .select($"vec_id", $"recon", $"rn2")
+      val qs = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
+      val wCand = Window.partitionBy($"q_id").orderBy($"adc".desc, $"vec_id")
+      val cand = coded.crossJoin(broadcast(qs))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("adc", graft.functions.VectorExprs.cosine(
+          $"qv", $"recon", $"qn", $"rn2"))
+        .withColumn("crank", row_number().over(wCand))
+        .filter($"crank" <= PqCand)
+        .select($"q_id", $"qv", $"qn", $"vec_id")
+      val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+      cand.join(e, Seq("vec_id"))
+        .withColumn("cos", graft.functions.VectorExprs.cosine(
+          $"qv", $"v", $"qn", $"norm2"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter($"rank" <= K)
+        .select($"q_id", $"rank".cast("long").as("rank"),
+                $"vec_id".as("neighbor_id"), $"cos")
+        .orderBy($"q_id", $"rank")
+    },
     // v13: HYBRID RETRIEVAL via RECIPROCAL-RANK FUSION — the production
     // search shape: a LEXICAL ranking (shingle-hash Jaccard against the
     // query document, d4's capped-join kernel pointed query-vs-corpus
@@ -793,6 +843,37 @@ object Similarity extends QueryPack {
         FROM (SELECT c.q_id, d.vec_id,
                      ${dotSql("c.qv", "d.v")} / (sqrt(c.qn) * sqrt(d.norm2)) AS cos
               FROM pcand c JOIN e d ON d.vec_id = c.vec_id) t0) t1
+      WHERE rank <= $K ORDER BY q_id, rank""",
+    "v15_sq_ann" -> s"""
+      WITH e AS (
+        SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings) t),
+      sqsc AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        FROM e),
+      rec AS (
+        SELECT vec_id, recon, ${dotSql("recon", "recon")} AS rn2 FROM (
+          SELECT vec_id,
+                 list_transform(v, x -> round(x / scale)::DOUBLE * scale) AS recon
+          FROM sqsc) z),
+      sqq AS (SELECT vec_id AS q_id, v AS qv, norm2 AS qn
+              FROM e WHERE vec_id < 10),
+      sqcand AS (
+        SELECT q_id, qv, qn, vec_id FROM (
+          SELECT p.q_id, p.qv, p.qn, r.vec_id,
+                 row_number() OVER (PARTITION BY p.q_id ORDER BY
+                   ${dotSql("p.qv", "r.recon")} / (sqrt(p.qn) * sqrt(r.rn2)) DESC,
+                   r.vec_id) AS crank
+          FROM rec r CROSS JOIN sqq p WHERE r.vec_id <> p.q_id) z
+        WHERE crank <= $PqCand)
+      SELECT q_id, rank, neighbor_id, cos FROM (
+        SELECT q_id, vec_id AS neighbor_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        FROM (SELECT c.q_id, d.vec_id,
+                     ${dotSql("c.qv", "d.v")} / (sqrt(c.qn) * sqrt(d.norm2)) AS cos
+              FROM sqcand c JOIN e d ON d.vec_id = c.vec_id) t0) t1
       WHERE rank <= $K ORDER BY q_id, rank""",
     "v7_knn_centrality" -> s"""
       WITH $knnCtes,

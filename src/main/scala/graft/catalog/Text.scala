@@ -422,6 +422,25 @@ object Text extends QueryPack {
              min(when($"cumf" * 10 >= $"total" * 9, $"rk")).as("n_top90"))
         .orderBy($"source")
     },
+    // x20: LEXICAL DIVERSITY — per-language type-token ratio, the corpus
+    // diversity diagnostic next to x19's per-source concentration (low TTR
+    // flags repetitive/templated slices before training). Scale shape:
+    // the corpus reduces to the (lang, token) frequency table first
+    // (map-side combined, x11/x19's convention), then one bounded-by-vocab
+    // aggregate per language — distinct is NEVER a count(distinct) Expand
+    // over the raw token stream. The ratio surfaces as exact integer
+    // per-mille (no doubles cross the gate).
+    "x20_lexical_diversity" -> { (s, dir) =>
+      import s.implicits._
+      val tf = Tables(s, dir).documents
+        .select($"lang", explode(expr(wsExpr)).as("tok"))
+        .filter(length($"tok") > 0)
+        .groupBy($"lang", $"tok").agg(count(lit(1)).as("f"))
+      tf.groupBy($"lang")
+        .agg(sum($"f").as("n_tokens"), count(lit(1)).as("n_types"))
+        .withColumn("ttr_pm", expr("n_types * 1000 div n_tokens"))
+        .orderBy($"lang")
+    },
     "x18_text_normalize" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir).documents
@@ -628,6 +647,15 @@ object Text extends QueryPack {
              MIN(CASE WHEN c.cumf * 10 >= tot.total * 9 THEN c.rk END)::BIGINT AS n_top90
       FROM c JOIN tot USING (source)
       GROUP BY c.source ORDER BY c.source""",
+    "x20_lexical_diversity" -> s"""
+      WITH toks AS (
+        SELECT lang, unnest($wsSql) AS tok FROM documents),
+      tf AS (
+        SELECT lang, tok, COUNT(*)::BIGINT AS f
+        FROM toks WHERE length(tok) > 0 GROUP BY 1, 2)
+      SELECT lang, SUM(f)::BIGINT AS n_tokens, COUNT(*)::BIGINT AS n_types,
+             (COUNT(*) * 1000 // SUM(f))::BIGINT AS ttr_pm
+      FROM tf GROUP BY lang ORDER BY lang""",
     "x18_text_normalize" -> """
       SELECT doc_id, length(text)::BIGINT AS raw_len,
              length(norm)::BIGINT AS norm_len,

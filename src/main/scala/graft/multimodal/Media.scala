@@ -36,6 +36,11 @@ final case class MediaVFp(media_id: Long, vfp: String, n_sampled: Int)
 final case class MediaChunk(media_id: Long, chunk_idx: Int, n_samples: Int,
                             loudness: Long)
 
+/** Per-clip decoded PCM statistics (m12 normalization planning): sample
+  * count, peak |amplitude|, and Σ|amplitude| over the whole clip. */
+final case class MediaAudioStats(media_id: Long, n_samples: Long, peak: Long,
+                                 sum_abs: Long)
+
 /** Decoded-content embedding: 16-bin byte histogram over the DECODED bytes
   * (raw RGB for images), normalized by `n_bytes` = decoded length. */
 final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
@@ -596,6 +601,35 @@ object Media {
             }
             MediaChunk(r.media_id, c, end - c * chunk, s)
           }
+        }
+      }
+    }
+  }
+
+  /** Per-clip PCM amplitude statistics through the REAL WAV decode — the
+    * single pass a peak-normalization (gain-staging) plan needs: peak and
+    * Σ|sample| reduce inside the decode loop, so only ONE ROW per clip
+    * (never the PCM) reaches the shuffle — the m11 scale shape. */
+  def audioStats(ds: Dataset[MediaRecord],
+                 batchSize: Int = 64): Dataset[MediaAudioStats] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter(col("kind") === lit("audio")).as[MediaRecord].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val au = decodeWav(r.payload)
+          val pcm = au.pcm
+          var i = 0
+          var peak = 0L
+          var sumAbs = 0L
+          while (i < au.nSamples) {
+            val v = (((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff))).toShort.toLong
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            sumAbs += a
+            i += 1
+          }
+          MediaAudioStats(r.media_id, au.nSamples.toLong, peak, sumAbs)
         }
       }
     }

@@ -24,9 +24,12 @@ class PlanAuditSpec extends AnyFunSuite {
   /** g10's window runs over per-FILE summaries (≤ 8 rows), not data. */
   /** r9's carry window orders YEAR-total rows (~7) — the cross-bucket pass
     * of the two-pass prefix sum, metadata-scale by construction. */
+  /** dq10's trailing-28-day window runs over the DAILY rollup (~365 rows
+    * per year of calendar whatever the corpus size), after the data-scale
+    * date-keyed aggregate. */
   private val allowedUnpartitioned = Map(
     "e5_late_data" -> 1, "w5_ntile" -> 1, "g10_range_layout" -> 1,
-    "r9_interval_sweep" -> 1)
+    "r9_interval_sweep" -> 1, "dq10_rolling_anomaly" -> 1)
 
   test("no data-scale unpartitioned Window in any query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral pins for the late-round-5 additions (s3 keyset pagination,
+  * x20 lexical diversity, dq10 rolling anomaly, g12 consistent-hash
+  * reshard, m12 audio peak-normalize) beyond the DuckDB hash-match: each
+  * test asserts the property the operator exists for, on the real sf0.001
+  * tables. */
+class ReshardOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("s3: every page row sits strictly after the cursor; page is full and ordered") {
+    val rows = SparkEntry.queries("s3_keyset_page")(spark, sf).collect()
+    assert(rows.length == 20)
+    val cursor = java.time.LocalDateTime.parse("1998-03-15T00:00:00")
+    val keys = rows.map(r =>
+      (r.getAs[java.time.LocalDateTime](1), r.getLong(0)))
+    keys.foreach { case (d, k) =>
+      assert(d.isAfter(cursor) || (d.equals(cursor) && k > 4000L)) }
+    // unique total order → strictly increasing, no skips/repeats within page
+    assert(keys.sliding(2).forall { case Array((d1, k1), (d2, k2)) =>
+      d1.isBefore(d2) || (d1.equals(d2) && k1 < k2) })
+  }
+
+  test("x20: type counts bounded by token counts; ttr in (0, 1000]") {
+    val rows = SparkEntry.queries("x20_lexical_diversity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, nTyp, ttr) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nTyp >= 1 && nTyp <= nTok)
+      assert(ttr == nTyp * 1000 / nTok && ttr >= 0 && ttr <= 1000)
+    }
+  }
+
+  test("dq10: flags equal an exact BigInt recompute of the 28-day z-test") {
+    import spark.implicits._
+    val daily = Tables(spark, sf).orders
+      .groupBy($"o_orderdate")
+      .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+      .orderBy($"o_orderdate")
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0), BigInt(r.getLong(1))))
+    val expect = daily.indices.drop(27).map { i =>
+      val w = daily.slice(i - 27, i + 1).map(_._2)
+      val (n, x) = (BigInt(28), daily(i)._2)
+      val (s1, sq) = (w.sum, w.map(v => v * v).sum)
+      val dev = n * x - s1
+      (daily(i)._1, dev * dev > 9 * (n * sq - s1 * s1))
+    }.toMap
+    val got = SparkEntry.queries("dq10_rolling_anomaly")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0), r.getBoolean(2))).toMap
+    assert(got.size == daily.length - 27)
+    assert(got == expect)
+  }
+
+  test("g12: assignment is total; ring churn is an order of magnitude under mod churn") {
+    import spark.implicits._
+    val out = SparkEntry.queries("g12_reshard_plan")(spark, sf)
+      .agg(sum($"n_docs"), sum($"n_moved_ring"), sum($"n_moved_mod"))
+      .collect()(0)
+    val (n, ring, mod) = (out.getLong(0), out.getLong(1), out.getLong(2))
+    assert(n == Tables(spark, sf).documents.count())
+    // theory: ring moves ~1/12 of docs, mod-rehash ~10/11 — a wide gap
+    // that survives vnode placement variance
+    assert(ring * 4 < mod, s"ring=$ring mod=$mod")
+    assert(ring > 0, "growing the ring must move something")
+  }
+
+  test("v15: int8-quantized retrieval keeps near-exact recall vs brute force") {
+    def topk(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topk("v1_brute_topk")
+    val sq = topk("v15_sq_ann")
+    assert(sq.keySet == exact.keySet)
+    // 8-bit codes lose <1% cosine precision; recall@10 stays ≥ 0.8 per
+    // query and ≥ 0.95 averaged (bound loose enough for tie reshuffles)
+    val recalls = exact.map { case (q, ex) => (sq(q) & ex).size.toDouble / ex.size }
+    assert(recalls.forall(_ >= 0.8), s"per-query recall: $recalls")
+    assert(recalls.sum / recalls.size >= 0.95)
+  }
+
+  test("m12: gain is the exact floor ratio to target peak; peak within int16") {
+    val rows = SparkEntry.queries("m12_audio_normalize")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (peak, gain) = (r.getLong(2), r.getLong(3))
+      assert(peak >= 0 && peak <= 32768)
+      val p = math.max(peak, 1L)
+      assert(gain * p <= 30000000L && (gain + 1) * p > 30000000L)
+    }
+  }
+}
