@@ -248,6 +248,34 @@ object Analytics extends QueryPack {
              sum(when($"b" < $"rate_bp", 1L).otherwise(0L)).as("n_kept"))
         .orderBy($"lang")
     },
+    // g13: TEMPERATURE-SCALED MIXTURE (α = 0.5) — the UniMax/multilingual
+    // sampling shape: where g6 takes OPERATOR-SUPPLIED weights, here the
+    // rates derive FROM the corpus itself — w_l = floor(√n_l), so tails
+    // upsample relative to proportional sampling (α = 1) without the
+    // operator hand-tuning per-language weights; targets are
+    // B·w_l div Σw_l. floor(sqrt(n)) is ONE correctly-rounded IEEE op on
+    // an exactly-representable integer — engine-identical — and every
+    // step after is integer arithmetic. Scale shape: the weight table is
+    // a |langs|-row aggregate broadcast back; selection is g6's per-row
+    // hash threshold — one scan plus one tiny agg at any corpus size.
+    "g13_temperature_mix" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents.select($"doc_id", $"lang")
+      val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_total"))
+        .withColumn("w",
+          expr("cast(floor(sqrt(cast(n_total as double))) as bigint)"))
+      val rates = counts.crossJoin(broadcast(counts.agg(sum($"w").as("w_sum"))))
+        .withColumn("target_n", expr(s"$MixtureBudget * w div w_sum"))
+        .withColumn("rate_bp",
+          least(lit(10000L), expr("target_n * 10000 div n_total")))
+      docs.join(broadcast(rates), Seq("lang"))
+        .withColumn("b", (($"doc_id" % P) * 48271L + 29L) % P % 10000L)
+        .groupBy($"lang")
+        .agg(max($"n_total").as("n_total"), max($"w").as("weight"),
+             max($"target_n").as("target_n"),
+             sum(when($"b" < $"rate_bp", 1L).otherwise(0L)).as("n_kept"))
+        .orderBy($"lang")
+    },
     // g7: Z-ORDER LAYOUT for data skipping — the multi-dimensional
     // clustering a 100 TB store applies so that per-file min/max zone maps
     // prune scans for predicates on EITHER dimension (the Delta/Iceberg
@@ -534,6 +562,24 @@ object Analytics extends QueryPack {
              SUM(CASE WHEN ((d.doc_id % $P) * 48271 + 29) % $P % 10000
                         < LEAST(10000, r.target_n * 10000 // r.n_total)
                  THEN 1 ELSE 0 END)::BIGINT AS n_kept
+      FROM documents d JOIN rates r USING (lang)
+      GROUP BY d.lang ORDER BY d.lang""",
+    "g13_temperature_mix" -> s"""
+      WITH counts AS (
+        SELECT lang, COUNT(*)::BIGINT AS n_total,
+               floor(sqrt(COUNT(*)::DOUBLE))::BIGINT AS w
+        FROM documents GROUP BY lang),
+      ws AS (SELECT SUM(w)::BIGINT AS w_sum FROM counts),
+      rates AS (
+        SELECT lang, n_total, w,
+               ($MixtureBudget * w // w_sum)::BIGINT AS target_n,
+               LEAST(10000, ($MixtureBudget * w // w_sum) * 10000 // n_total)
+                 AS rate_bp
+        FROM counts CROSS JOIN ws)
+      SELECT d.lang, MAX(r.n_total) AS n_total, MAX(r.w) AS weight,
+             MAX(r.target_n) AS target_n,
+             SUM(CASE WHEN ((d.doc_id % $P) * 48271 + 29) % $P % 10000
+                        < r.rate_bp THEN 1 ELSE 0 END)::BIGINT AS n_kept
       FROM documents d JOIN rates r USING (lang)
       GROUP BY d.lang ORDER BY d.lang""",
     "g4_shard_packing" -> s"""

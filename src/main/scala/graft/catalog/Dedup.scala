@@ -96,6 +96,18 @@ object Dedup extends QueryPack {
     s"(${bits(hs1, 0)} + ${bits(hs2, 31)})"
   }
 
+  /** The LSH pair table persisted to scratch parquet once per session —
+    * the stored near-dup index d2 serves, d9 compacts, and d7 clusters,
+    * exactly as a deployment builds pairs once at ingest and lets every
+    * downstream consumer read the materialized table (v9's stored-graph
+    * reasoning applied to dedup). */
+  private def stagedMinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val path = graft.Scratch.staged(s"mh_pairs#$dir", "mh_pairs") { p =>
+      minhashPairs(s, dir).write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
   /** d2's pair pipeline, reused by d7's cluster builder:
     * (d1, d2, est_jaccard) with est ≥ 0.5, unordered. */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
@@ -302,7 +314,28 @@ object Dedup extends QueryPack {
     //    16-slot signatures rejoin AFTER dedup, so the widest shuffle
     //    carries ids, not signature payloads.
     "d2_minhash_lsh" -> { (s, dir) =>
-      minhashPairs(s, dir).orderBy("d1", "d2")
+      stagedMinhashPairs(s, dir).orderBy("d1", "d2")
+    },
+    // d14: LSH INDEX QUALITY EVALUATION — precision/recall of the d2
+    // MinHash-LSH candidate set against d4's exact n-gram Jaccard truth
+    // (pairs with true J ≥ 0.5), composed from both entries AS SHIPPED
+    // (v11's self-composition discipline applied to dedup): the gate
+    // breaks if the index, the exact kernel, or their agreement drifts.
+    // The report is the number a curation team watches when tuning
+    // bands/rows or the est threshold. Scale shape: two id-pair joins +
+    // three 1-row aggregates crossed together — the metrics are a 1-row
+    // report however big the corpus; at 100 TB the truth side runs on a
+    // sampled stratum (d4's cap already bounds it).
+    "d14_lsh_eval" -> { (s, dir) =>
+      import s.implicits._
+      val truth = queries("d4_ngram_jaccard")(s, dir).select($"d1", $"d2")
+      val cand = queries("d2_minhash_lsh")(s, dir).select($"d1", $"d2")
+      truth.join(cand, Seq("d1", "d2")).agg(count(lit(1)).as("n_hit"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .select($"n_truth", $"n_cand", $"n_hit",
+          expr("n_hit * 1000 div greatest(n_cand, 1)").as("precision_pm"),
+          expr("n_hit * 1000 div greatest(n_truth, 1)").as("recall_pm"))
     },
     // d3: per-doc 32-bit simhash signature (frequency-weighted tokens).
     // Near-dup pairing at scale joins on 16-bit signature halves.
@@ -443,7 +476,7 @@ object Dedup extends QueryPack {
     // viral the duplicate groups are.
     "d9_dedup_reps" -> { (s, dir) =>
       import s.implicits._
-      val pairs = minhashPairs(s, dir).select($"d1", $"d2")
+      val pairs = stagedMinhashPairs(s, dir).select($"d1", $"d2")
       val sym = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
       val minNb = sym.groupBy($"d1".as("doc_id")).agg(min($"d2").as("min_nb"))
       Tables(s, dir).documents.select($"doc_id")
@@ -468,7 +501,7 @@ object Dedup extends QueryPack {
       val exactEdges = digests.join(keepers, "digest")
         .filter($"doc_id" =!= $"keeper")
         .select($"keeper".as("d1"), $"doc_id".as("d2"))
-      val edges = exactEdges.union(minhashPairs(s, dir).select($"d1", $"d2"))
+      val edges = exactEdges.union(stagedMinhashPairs(s, dir).select($"d1", $"d2"))
       val labels = connectedComponents(
         edges, docs.select($"doc_id"))._1
       val wC = org.apache.spark.sql.expressions.Window.partitionBy($"cluster")
@@ -478,6 +511,49 @@ object Dedup extends QueryPack {
         .orderBy($"doc_id")
     }
   )
+
+  /** d2's oracle, extracted so d14 can nest it verbatim (v11's v1Sql/v2Sql
+    * pattern). */
+  private val d2Sql = s"""
+      WITH sig AS (
+        SELECT doc_id, ${sigSql("hs")} AS sig
+        FROM (SELECT doc_id, $shingleHashesSql AS hs
+              FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0) t1),
+      bk AS (
+        SELECT doc_id, sig, b.band_idx, bands[b.band_idx + 1] AS band_hash
+        FROM (SELECT doc_id, sig, ${bandsSql("sig")} AS bands FROM sig) t
+        CROSS JOIN (SELECT unnest(range(0, $NBands)) AS band_idx) b),
+      bkc AS (
+        SELECT * FROM bk
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= $MaxBucket),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sig AS sig_a, b.sig AS sig_b
+        FROM bkc a JOIN bkc b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+      SELECT d1, d2, est_jaccard FROM (
+        SELECT d1, d2,
+               len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i]))::DOUBLE / 16.0 AS est_jaccard
+        FROM pairs) t
+      WHERE est_jaccard >= 0.5 ORDER BY d1, d2"""
+
+  /** d4's oracle, extracted for the same d14 nesting. */
+  private val d4Sql = s"""
+      WITH sh AS (
+        SELECT doc_id, len(hs)::BIGINT AS n_sh, hs
+        FROM (SELECT doc_id, $shingleHashesSql AS hs
+              FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0) t1),
+      ex AS (
+        SELECT doc_id, n_sh, h FROM (SELECT doc_id, n_sh, unnest(hs) AS h FROM sh) t
+        QUALIFY COUNT(*) OVER (PARTITION BY h) <= $MaxDf)
+      SELECT d1, d2, n_inter, n_union, jaccard FROM (
+        SELECT d1, d2, n_inter, n1 + n2 - n_inter AS n_union,
+               n_inter::DOUBLE / (n1 + n2 - n_inter) AS jaccard
+        FROM (
+          SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_sh AS n1, b.n_sh AS n2,
+                 COUNT(*)::BIGINT AS n_inter
+          FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY d1, d2, n1, n2) t) t2
+      WHERE jaccard >= 0.5 ORDER BY d1, d2"""
 
   val oracle: Map[String, String] = Map(
     "d13_substr_dedup" -> """
@@ -555,49 +631,24 @@ object Dedup extends QueryPack {
         FROM pairs) t
       WHERE est_jaccard >= 0.5
       GROUP BY new_id ORDER BY new_id""",
-    "d2_minhash_lsh" -> s"""
-      WITH sig AS (
-        SELECT doc_id, ${sigSql("hs")} AS sig
-        FROM (SELECT doc_id, $shingleHashesSql AS hs
-              FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0) t1),
-      bk AS (
-        SELECT doc_id, sig, b.band_idx, bands[b.band_idx + 1] AS band_hash
-        FROM (SELECT doc_id, sig, ${bandsSql("sig")} AS bands FROM sig) t
-        CROSS JOIN (SELECT unnest(range(0, $NBands)) AS band_idx) b),
-      bkc AS (
-        SELECT * FROM bk
-        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= $MaxBucket),
-      pairs AS (
-        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2, a.sig AS sig_a, b.sig AS sig_b
-        FROM bkc a JOIN bkc b
-          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
-      SELECT d1, d2, est_jaccard FROM (
-        SELECT d1, d2,
-               len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i]))::DOUBLE / 16.0 AS est_jaccard
-        FROM pairs) t
-      WHERE est_jaccard >= 0.5 ORDER BY d1, d2""",
+    "d2_minhash_lsh" -> d2Sql,
+    "d14_lsh_eval" -> s"""
+      WITH truth AS (SELECT d1, d2 FROM ($d4Sql) t),
+      cand AS (SELECT d1, d2 FROM ($d2Sql) c),
+      h AS (SELECT COUNT(*)::BIGINT AS n_hit
+            FROM truth JOIN cand USING (d1, d2)),
+      nt AS (SELECT COUNT(*)::BIGINT AS n_truth FROM truth),
+      nc AS (SELECT COUNT(*)::BIGINT AS n_cand FROM cand)
+      SELECT n_truth, n_cand, n_hit,
+             (n_hit * 1000 // greatest(n_cand, 1))::BIGINT AS precision_pm,
+             (n_hit * 1000 // greatest(n_truth, 1))::BIGINT AS recall_pm
+      FROM h CROSS JOIN nt CROSS JOIN nc""",
     "d3_simhash" -> s"""
       SELECT doc_id, (${simhashSql("hs")})::BIGINT AS simhash
       FROM (SELECT doc_id, list_transform(ws, t -> ${polyHashSql("t")}) AS hs
             FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0) t1
       ORDER BY doc_id""",
-    "d4_ngram_jaccard" -> s"""
-      WITH sh AS (
-        SELECT doc_id, len(hs)::BIGINT AS n_sh, hs
-        FROM (SELECT doc_id, $shingleHashesSql AS hs
-              FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0) t1),
-      ex AS (
-        SELECT doc_id, n_sh, h FROM (SELECT doc_id, n_sh, unnest(hs) AS h FROM sh) t
-        QUALIFY COUNT(*) OVER (PARTITION BY h) <= $MaxDf)
-      SELECT d1, d2, n_inter, n_union, jaccard FROM (
-        SELECT d1, d2, n_inter, n1 + n2 - n_inter AS n_union,
-               n_inter::DOUBLE / (n1 + n2 - n_inter) AS jaccard
-        FROM (
-          SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_sh AS n1, b.n_sh AS n2,
-                 COUNT(*)::BIGINT AS n_inter
-          FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
-          GROUP BY d1, d2, n1, n2) t) t2
-      WHERE jaccard >= 0.5 ORDER BY d1, d2""",
+    "d4_ngram_jaccard" -> d4Sql,
     "d5_embedding_neardup" -> s"""
       WITH e AS (
         SELECT vec_id, v, ${dotSql("v", "v")} AS norm2

@@ -25,7 +25,10 @@ import graft.{QueryPack, Scratch, Tables}
   * re-enters every scan row once per distinct column. Doubles surface as
   * DECIMAL strings so both engines format identically. dq3 is the
   * single-scan 100 TB path: approx_count_distinct sketches are
-  * plain (mergeable) aggregates — one scan, NO Expand — pinned with a4's
+  * plain (mergeable) aggregates — its production aggregate is one scan
+  * with NO Expand (the verification-only exact distincts run as separate
+  * dq2-shape two-level aggregates and join back as 1-row broadcasts,
+  * keeping the Expand out of the plan entirely) — pinned with a4's
   * envelope pattern (exact value + a boolean that the sketch landed within
   * the documented 5% rsd; a deployment drops the verification-only exact
   * columns and keeps the single-scan plan).
@@ -68,17 +71,29 @@ object Quality extends QueryPack {
     "dq3_profile_approx" -> { (s, dir) =>
       import s.implicits._
       val li = Tables(s, dir).lineitem
+      // The PRODUCTION half is the first aggregate alone: count/nulls/HLL
+      // sketches are all plain mergeable aggregates — ONE scan, no Expand.
+      // The three EXACT distincts exist only to verify the sketch envelope;
+      // folding them into the same agg as countDistinct re-plans the scan
+      // as an Expand (every row enters the aggregate 3× — measured as the
+      // dominant dq3 cost, dq2's lesson). They run instead as dq2's
+      // two-level shape (distinct collapses map-side, shuffles carry
+      // |distinct| rows) and join back as 1-row broadcasts. A deployment
+      // drops the verification columns and keeps the single-scan plan.
       val a = li.agg(
         count(lit(1)).as("n"),
         sum($"l_partkey".isNull.cast("long")).as("pk_null"),
-        countDistinct($"l_partkey").as("pk_d"),
         approx_count_distinct($"l_partkey").as("pk_ad"),
         sum($"l_suppkey".isNull.cast("long")).as("sk_null"),
-        countDistinct($"l_suppkey").as("sk_d"),
         approx_count_distinct($"l_suppkey").as("sk_ad"),
         sum($"l_orderkey".isNull.cast("long")).as("ok_null"),
-        countDistinct($"l_orderkey").as("ok_d"),
         approx_count_distinct($"l_orderkey").as("ok_ad"))
+        .crossJoin(li.select($"l_partkey").distinct()
+          .agg(count(lit(1)).as("pk_d")))
+        .crossJoin(li.select($"l_suppkey").distinct()
+          .agg(count(lit(1)).as("sk_d")))
+        .crossJoin(li.select($"l_orderkey").distinct()
+          .agg(count(lit(1)).as("ok_d")))
       def ok(ad: String, d: String) =
         s"abs(cast($ad as double) - cast($d as double)) <= cast($d as double) * 0.05"
       a.selectExpr(

@@ -85,6 +85,30 @@ class ReshardOpsSpec extends AnyFunSuite {
     assert(recalls.sum / recalls.size >= 0.95)
   }
 
+  test("d14: hits bounded by both sides; metrics are exact per-mille ratios") {
+    val r = SparkEntry.queries("d14_lsh_eval")(spark, sf).collect()(0)
+    val (nt, nc, nh, prec, rec) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nh <= math.min(nt, nc))
+    assert(prec == nh * 1000 / math.max(nc, 1))
+    assert(rec == nh * 1000 / math.max(nt, 1))
+    // d2's banding is tuned for J >= 0.5 — it must find most true pairs
+    assert(rec >= 800, s"LSH recall collapsed: $rec pm")
+  }
+
+  test("g13: weights are floor(sqrt(n)); temperature flattens vs proportional") {
+    val rows = SparkEntry.queries("g13_temperature_mix")(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.foreach { case (n, w, _) =>
+      assert(w == math.sqrt(n.toDouble).toLong) }
+    val budget = rows.map(_._3).sum
+    assert(budget <= 200 && budget > 200 - rows.length * 2,
+      s"targets should consume ~the budget: $budget")
+    // α = 0.5 compresses the spread: target ratio < count ratio
+    val (ns, ts) = (rows.map(_._1), rows.map(_._3))
+    assert(ts.max.toDouble / ts.min < ns.max.toDouble / ns.min)
+  }
+
   test("m12: gain is the exact floor ratio to target peak; peak within int16") {
     val rows = SparkEntry.queries("m12_audio_normalize")(spark, sf).collect()
     assert(rows.nonEmpty)
