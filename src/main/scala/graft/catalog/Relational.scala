@@ -493,6 +493,30 @@ object Relational extends QueryPack {
         .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"qty_3row")
     },
 
+    // q13: TOP SUPPLIER BY WINDOWED REVENUE (TPC-H Q15 shape) — the
+    // GLOBAL scalar subquery (WHERE rev = (SELECT MAX(rev) …)) pattern:
+    // the quarter's per-supplier revenue reduces once (map-side combined,
+    // exact 10⁻⁴-dollar integers: cents × (100 − disc_pct)), the MAX is a
+    // 1-row aggregate of that reduction broadcast back (never a second
+    // fact scan), and ALL suppliers achieving it survive — the tie
+    // semantics Q15 specifies. Supplier dim broadcasts.
+    "q13_top_supplier" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val rev = t.lineitem
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+                $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+        .groupBy($"l_suppkey")
+        .agg(sum(expr(
+          "cast(round(l_extendedprice * 100) as bigint) * " +
+            "(100 - cast(round(l_discount * 100) as bigint))")).as("total_rev"))
+      rev.crossJoin(broadcast(rev.agg(max($"total_rev").as("mx"))))
+        .filter($"total_rev" === $"mx")
+        .join(broadcast(t.supplier), $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name", $"total_rev")
+        .orderBy($"s_suppkey")
+    },
+
     // ---- sort / limit ------------------------------------------------------
     "s1_topk" -> { (s, dir) =>
       import s.implicits._
@@ -1312,6 +1336,20 @@ object Relational extends QueryPack {
     "s2_multikey_sort" -> """
       SELECT p_brand, p_size, p_partkey FROM part
       ORDER BY p_brand ASC, p_size DESC, p_partkey ASC LIMIT 100""",
+    "q13_top_supplier" -> """
+      WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                   (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+                 AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY 1)
+      SELECT s_suppkey, s_name, total_rev
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+      ORDER BY s_suppkey""",
     "s3_keyset_page" -> """
       SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders
       WHERE o_orderdate > TIMESTAMP '1998-03-15 00:00:00'

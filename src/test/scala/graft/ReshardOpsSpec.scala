@@ -25,6 +25,35 @@ class ReshardOpsSpec extends AnyFunSuite {
       d1.isBefore(d2) || (d1.equals(d2) && k1 < k2) })
   }
 
+  test("s3: the seek predicate reaches the parquet scan as a pushed filter") {
+    val plan = SparkEntry.queries("s3_keyset_page")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the date bound must appear in PushedFilters (row-group min/max
+    // pruning), not only as a post-scan Filter — the property that makes
+    // keyset pagination O(page) instead of O(table)
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString("\n")
+    assert(pushed.contains("o_orderdate"),
+      s"seek bound not pushed to the scan:\n$pushed")
+  }
+
+  test("q13: all max-achievers survive; revenue recomputes exactly") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q13_top_supplier")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val revs = out.map(_.getLong(2))
+    assert(revs.distinct.length == 1, "every surviving row ties at the max")
+    val brute = Tables(spark, sf).lineitem
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(sum(expr(
+        "cast(round(l_extendedprice * 100) as bigint) * " +
+          "(100 - cast(round(l_discount * 100) as bigint))")).as("r"))
+      .agg(max($"r")).collect()(0).getLong(0)
+    assert(revs.head == brute)
+  }
+
   test("x20: type counts bounded by token counts; ttr in (0, 1000]") {
     val rows = SparkEntry.queries("x20_lexical_diversity")(spark, sf).collect()
     assert(rows.nonEmpty)
