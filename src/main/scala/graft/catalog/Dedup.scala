@@ -139,7 +139,7 @@ object Dedup extends QueryPack {
   }
 
   /** The same normalized-content digest d1 groups on. */
-  private val digestExpr = "md5(trim(regexp_replace(lower(text), '[^a-z ]', '')))"
+  private[catalog] val digestExpr = "md5(trim(regexp_replace(lower(text), '[^a-z ]', '')))"
 
   /** Connected components by min-label propagation WITH pointer jumping:
     * each round runs (a) one edge relax — every node takes the min of its

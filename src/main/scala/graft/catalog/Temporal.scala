@@ -251,6 +251,39 @@ object Temporal extends QueryPack {
         .orderBy($"prio", $"day")
     },
     // r2: per error event, clicks of the same user in [ts, ts + 10 min)
+    // r10: BITEMPORAL POINT SNAPSHOT — "the state effective at valid-time
+    // V, as the system knew it at transaction-time T": the reproducible-
+    // training-snapshot query (the corpus as of crawl date V, as the
+    // pipeline had recorded it at build T — re-running the build months
+    // later must NOT see late-arriving corrections). Version history is
+    // synthesized deterministically from orders (0–2 corrections per key,
+    // tx_seq = correction number, valid_from stepping +30 days, value
+    // stepping +100 cents); the snapshot filters BOTH axes then takes the
+    // per-key as-of row (max valid_from, tiebreak max tx_seq) with one
+    // key-partitioned window — the r1 as-of shape with the tx-visibility
+    // filter in front. Scale shape: version explosion is a generator
+    // projection; the only shuffle is the per-key window (key-partitioned,
+    // ≤3 rows/key); the status rollup is map-side combined.
+    "r10_bitemporal_snapshot" -> { (s, dir) =>
+      import s.implicits._
+      val vers = Tables(s, dir).orders
+        .select($"o_orderkey", $"o_orderstatus",
+          expr("cast(round(o_totalprice * 100) as bigint)").as("base_cents"),
+          $"o_orderdate",
+          explode(expr("sequence(0, cast(o_orderkey % 3 as int))")).as("v"))
+        .select($"o_orderkey", $"o_orderstatus",
+          $"v".cast("long").as("tx_seq"),
+          expr("o_orderdate + make_interval(0, 0, 0, v * 30)").as("valid_from"),
+          ($"base_cents" + $"v".cast("long") * 100L).as("cents"))
+      val vis = vers.filter($"tx_seq" <= 1 &&
+        $"valid_from" <= lit("1999-01-01").cast("timestamp"))
+      val w = Window.partitionBy($"o_orderkey")
+        .orderBy($"valid_from".desc, $"tx_seq".desc)
+      vis.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), sum($"cents").as("sum_cents"))
+        .orderBy($"o_orderstatus")
+    },
     "r2_range_join" -> { (s, dir) =>
       import s.implicits._
       val ev = Tables(s, dir).events
@@ -269,6 +302,24 @@ object Temporal extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "r10_bitemporal_snapshot" -> """
+      WITH vers AS (
+        SELECT o_orderkey, o_orderstatus, v::BIGINT AS tx_seq,
+               o_orderdate + (v * 30) * INTERVAL 1 DAY AS valid_from,
+               CAST(round(o_totalprice * 100) AS BIGINT) + v * 100 AS cents
+        FROM (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate,
+                     unnest(range(0, (o_orderkey % 3) + 1)) AS v
+              FROM orders) t),
+      vis AS (
+        SELECT * FROM vers
+        WHERE tx_seq <= 1 AND valid_from <= TIMESTAMP '1999-01-01 00:00:00'),
+      st AS (
+        SELECT * FROM vis
+        QUALIFY row_number() OVER (PARTITION BY o_orderkey
+          ORDER BY valid_from DESC, tx_seq DESC) = 1)
+      SELECT o_orderstatus, COUNT(*)::BIGINT AS n_orders,
+             SUM(cents)::BIGINT AS sum_cents
+      FROM st GROUP BY 1 ORDER BY 1""",
     "r1_asof_join" -> """
       SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS click_us,
              epoch_us(e.ts) AS asof_error_us
