@@ -22,10 +22,14 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** The driver's events.parquet stores TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; read nanos as long and convert (values are
-    * whole micros). Tables re-written by Spark (e.g. StressGen output)
-    * already carry a timestamp — convert only when the raw type is long. */
+  /** The driver's events.parquet has shipped two physical encodings for `ts`:
+    * TIMESTAMP(NANOS) (Spark's vectorized reader rejects it — read nanos as
+    * long and convert; values are whole micros) and timestamp[us] without the
+    * isAdjustedToUTC flag (Spark infers TIMESTAMP_NTZ — cast to TIMESTAMP;
+    * every session here runs UTC so the micros value is unchanged). Tables
+    * re-written by Spark (e.g. StressGen output) already carry TIMESTAMP and
+    * pass through. Normalizing HERE, not per-query, keeps event-time code
+    * (windows, watermarks, unix_micros) on one type under any session. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = t("events")
@@ -34,6 +38,10 @@ final case class Tables(spark: SparkSession, dir: String) {
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

@@ -4,7 +4,7 @@ import java.util.UUID
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 import graft.{QueryPack, Scratch, Tables}
 import graft.streaming.{EventStreams, RunningCounts, StatefulSessions}
 
@@ -52,6 +52,7 @@ object Streams extends QueryPack {
     val st = s.readStream.schema(raw.schema).parquet(s"$dir/events.parquet*")
     st.schema("ts").dataType match {
       case LongType => st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => st.withColumn("ts", col("ts").cast(TimestampType))
       case _ => st
     }
   }
@@ -415,6 +416,7 @@ object Streams extends QueryPack {
       // regenerated tables already carry a TIMESTAMP column
       val st = raw.schema("ts").dataType match {
         case LongType => st0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => st0.withColumn("ts", col("ts").cast(TimestampType))
         case _ => st0
       }
       runToTable(EventStreams.dedupEvents(st), OutputMode.Append())
