@@ -34,10 +34,12 @@ object Bench {
     // (b) streaming entries run LAST, so their micro-batch harness teardown
     // can't sit inside any batch query's timing window.
     val Reps = 2
+    // A failed query returns NEGATIVE elapsed time — a sentinel, so breakage
+    // can't masquerade as a suspiciously fast success (BENCH_r05 finding #3).
     def timeOnce(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -((System.nanoTime() - t0) / 1e9).max(1e-3) }
     }
     // Optional comma-separated query filter (dev iterations on one plan);
     // the driver invokes with no args → full suite, contract unchanged.
@@ -46,32 +48,34 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .partition(_._1.contains("_stream"))
     val results = (batchQ ++ streamQ).map { case (name, fn) =>
-      name -> (1 to Reps).map(_ => timeOnce(fn)).min
+      // min over reps, but only over SUCCESSFUL reps; all-failed → the
+      // (negative) sentinel survives into the artifact
+      val reps = (1 to Reps).map(_ => timeOnce(fn))
+      val ok = reps.filter(_ >= 0)
+      name -> (if (ok.nonEmpty) ok.min else reps.min)
     }
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val failed = results.collect { case (n, v) if v < 0 => n }
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // Locale.ROOT: the f-interpolator uses the default locale, which would
     // emit decimal COMMAS on some JVMs and corrupt the JSON line
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def line(kv: Seq[(String, String)]): String = {
       val qs = kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","nqueries":${results.size},"failed":$fl}"""
     }
     // Full-name per-query times → a file (the driver's stdout tail capture is
-    // ~2 KB; round 2's 2.9 KB line got front-truncated → parsed:null).
+    // ~2 KB; at 200+ queries even short-key lines front-truncate out of the
+    // window → BENCH_r05 parsed:null). Stdout gets ONE SHORT FINAL line:
+    // the parseable total plus only the 10 slowest queries.
     val full = line(results.map { case (k, v) => k -> r3(v) })
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         "BENCH_LOCAL.json")), full + "\n")
     catch { case _: Throwable => () }
-    // Stdout line uses each query's leading id token (q1, t5_t6→t5, …) —
-    // unique across the catalog and short enough to survive the tail window.
-    val shortKeys = results.map { case (k, v) => k.takeWhile(_ != '_') -> v }
-    val stdoutKv =
-      if (shortKeys.map(_._1).distinct.size == shortKeys.size)
-        shortKeys.map { case (k, v) => k -> r3(v) }
-      else results.map { case (k, v) => k -> r3(v) }
-    println(line(stdoutKv))
+    val slowest = results.sortBy(-_._2).take(10)
+    println(line(slowest.map { case (k, v) => k -> r3(v) }))
     spark.stop()
   }
 }

@@ -13,6 +13,27 @@ import graft.streaming.EventStreams
 class StreamFileSourceSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+  /** Mirror of the product-side `ts` guard (Tables.events / Streams
+    * .eventsStream): the driver's events.parquet has shipped both
+    * nanos-as-long and TIMESTAMP_MICROS-NTZ encodings — normalize either
+    * to TIMESTAMP so the spec survives any testdata vintage. */
+  private def normTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType          => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType  => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _                 => df
+  }
+
+  /** A monotone LONG image of `ts` for quantile-splitting, whatever the
+    * physical encoding (nanos-long stays raw; timestamps become micros). */
+  private def tsAsLong(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType         => col("ts")
+    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+    case _                => unix_micros(col("ts"))
+  }
 
   test("AvailableNow file-source tumbling counts == batch on events parquet") {
     val batchEvents = Tables(spark, TestSpark.sf).events
@@ -25,9 +46,8 @@ class StreamFileSourceSpec extends AnyFunSuite {
     val rawSchema = spark.read.parquet(path).schema
     val ingestDir = Files.createTempDirectory("graft_ingest")
     Files.copy(java.nio.file.Paths.get(path), ingestDir.resolve("events_0.parquet"))
-    val streamEvents = spark.readStream.schema(rawSchema).parquet(ingestDir.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val streamEvents =
+      normTs(spark.readStream.schema(rawSchema).parquet(ingestDir.toString))
 
     val work = Files.createTempDirectory("graft_stream")
     val outDir = work.resolve("out").toString
@@ -66,12 +86,14 @@ class StreamFileSourceSpec extends AnyFunSuite {
     // time order — a random split would let batch 1's watermark jump to the
     // global max and correctly drop everything later as late data
     val ingestDir = Files.createTempDirectory("graft_ingest4")
-    val cuts = raw.stat.approxQuantile("ts", Array(0.25, 0.5, 0.75), 0.0)
+    val keyed = raw.withColumn("__ts_split", tsAsLong(raw))
+    val cuts = keyed.stat.approxQuantile("__ts_split", Array(0.25, 0.5, 0.75), 0.0)
     val bounds = (Long.MinValue +: cuts.map(_.toLong)) :+ Long.MaxValue
     bounds.sliding(2).zipWithIndex.foreach { case (pair, i) =>
       val (lo, hi) = (pair(0), pair(1))
       val tmp = Files.createTempDirectory(s"graft_chunk$i")
-      raw.filter(raw("ts") > lo && raw("ts") <= hi)
+      keyed.filter(col("__ts_split") > lo && col("__ts_split") <= hi)
+        .drop("__ts_split")
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val src = new java.io.File(tmp.toString).listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
@@ -87,10 +109,8 @@ class StreamFileSourceSpec extends AnyFunSuite {
     val ckpt = work.resolve("ckpt").toString
 
     def start() = {
-      val streamEvents = spark.readStream.schema(raw.schema)
-        .option("maxFilesPerTrigger", "1").parquet(ingestDir.toString)
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val streamEvents = normTs(spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1").parquet(ingestDir.toString))
       EventStreams.tumblingCounts(streamEvents, watermark = "0 seconds")
         .writeStream.format("parquet").partitionBy("event_type")
         .option("path", outDir).option("checkpointLocation", ckpt)
