@@ -60,6 +60,10 @@ object Similarity extends QueryPack {
     "[" + (0 until 4).map(b => s"($sig // ${1L << (4 * b)}) % 16").mkString(", ") + "]"
 
   private val K = 10
+  // v16 beam-search budget: unrolled hop count and frontier width — per-
+  // query state is ≤ BeamW ids per hop regardless of corpus size.
+  private val BeamHops = 3
+  private val BeamW = 8
 
   /** Exploded (vec_id, band_idx, band_val) bucket table over a frame that
     * carries a `sig` column — the relation a deployment PERSISTS
@@ -570,6 +574,64 @@ object Similarity extends QueryPack {
         .select($"id".as("vec_id"), $"lbl".as("community"), $"community_size")
         .orderBy($"vec_id")
     },
+    // v16: GRAPH-BASED ANN SEARCH — the retrieval step that completes the
+    // graph-index lifecycle (v5 build → v9 maintain → v16 SEARCH → v11-style
+    // evaluate): greedy beam search over the STORED edge table, the
+    // HNSW/NSG-family query shape re-expressed as bounded relational hops.
+    // The walk starts at the query's own node (in-corpus queries — the
+    // semantic-dedup / related-docs case), expands SYMMETRIZED stored edges
+    // for BeamHops unrolled rounds (v7's unrolled-rounds convention),
+    // keeps the BeamW best-scored visited nodes as the next frontier, and
+    // finally exact-reranks the whole visited set to top-K. Monotone
+    // best-first with full visited memory: frontier_i = top-BeamW of
+    // visited_i — deterministic, and every cosine is the serial-fold
+    // kernel with vec_id tiebreaks, so DuckDB replays the walk bitwise.
+    // Scale shape (100 TB): per query the frontier is ≤ BeamW ids and the
+    // visited set ≤ 1 + BeamHops·BeamW·deg ids — corpus-size-INDEPENDENT;
+    // each hop is one broadcast join of the tiny frontier against the
+    // edge table (partitioned by src_id in a deployment = point lookups)
+    // plus one id-pruned vector fetch for scoring (the index-lookup
+    // analog; vectors never cross a shuffle). Reachability is bounded by
+    // the stored graph's in-cell edges — the recall floor GraphAnnSpec
+    // pins vs v1 measures exactly that index property (the v3 1-probe
+    // analog); a deployment widens it with cross-cell long links at
+    // build time, which changes the EDGE TABLE, not this search.
+    "v16_graph_beam_search" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
+        .select($"vec_id", $"v", $"norm2")
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
+      val g = stagedKnnGraph(s, dir).select($"src_id", $"neighbor_id")
+      val und = g.unionByName(
+          g.select($"neighbor_id".as("src_id"), $"src_id".as("neighbor_id")))
+        .distinct()
+      def score(ids: DataFrame): DataFrame =
+        ids.join(e, Seq("vec_id")).join(broadcast(q), Seq("q_id"))
+          .withColumn("cos",
+            graft.functions.VectorExprs.cosine($"qv", $"v", $"qn", $"norm2"))
+      val wB = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+      val v0 = q.select($"q_id", $"q_id".as("vec_id"))
+      val (visited, _) = (1 to BeamHops).foldLeft((v0, v0)) {
+        case ((vis, beam), _) =>
+          val cand = und
+            .join(broadcast(beam.select($"q_id", $"vec_id".as("src_id"))),
+                  Seq("src_id"))
+            .select($"q_id", $"neighbor_id".as("vec_id"))
+          val vis2 = vis.unionByName(cand).distinct()
+          val beam2 = score(vis2)
+            .withColumn("rk", row_number().over(wB)).filter($"rk" <= BeamW)
+            .select($"q_id", $"vec_id")
+          (vis2, beam2)
+      }
+      score(visited.filter($"vec_id" =!= $"q_id"))
+        .withColumn("rank", row_number().over(wB).cast("long"))
+        .filter($"rank" <= K)
+        .select($"q_id", $"rank", $"vec_id".as("neighbor_id"), $"cos")
+        .orderBy($"q_id", $"rank")
+    },
     // v6: EMBEDDING AGGREGATION — element-wise centroid of the embedding
     // column per group (here: the doc's source, via doc_id = vec_id), the
     // statistic diversity analysis and cluster monitoring consume.
@@ -746,6 +808,27 @@ object Similarity extends QueryPack {
                 FROM data s JOIN data d ON s.cell = d.cell AND d.vec_id <> s.vec_id) t0) t1
         WHERE rank <= 3)"""
 
+  /** v16 oracle hop i: frontier expansion through `und`, visited-set union,
+    * then the BeamW best-scored visited nodes become `beam$i`. */
+  private def beamHopSql(i: Int): String = s"""
+      cand$i AS (
+        SELECT DISTINCT b.q_id, u.neighbor_id AS vec_id
+        FROM beam${i - 1} b JOIN und u ON u.src_id = b.vec_id),
+      vis$i AS (
+        SELECT q_id, vec_id FROM vis${i - 1}
+        UNION SELECT q_id, vec_id FROM cand$i),
+      beam$i AS (
+        SELECT q_id, vec_id FROM (
+          SELECT z.q_id, z.vec_id,
+                 row_number() OVER (PARTITION BY z.q_id
+                   ORDER BY z.cos DESC, z.vec_id) AS rk
+          FROM (SELECT w.q_id, w.vec_id,
+                       ${dotSql("p.qv", "d.v")} / (sqrt(p.qn) * sqrt(d.norm2)) AS cos
+                FROM vis$i w
+                JOIN e d ON d.vec_id = w.vec_id
+                JOIN q p ON p.q_id = w.q_id) z) zz
+        WHERE rk <= $BeamW)"""
+
   /** v10 oracle round: marginal score rel − max(sim to selected) over
     * unselected candidates, then the per-query argmax (vec_id tiebreak). */
   private def mmrRoundSql(selCte: String, outCte: String): String = s"""
@@ -913,6 +996,30 @@ object Similarity extends QueryPack {
       WITH $knnCtes
       SELECT src_id, rank, neighbor_id, cos FROM knn
       ORDER BY src_id, rank""",
+    // v16: the beam walk replayed hop by hop — same symmetrized edges,
+    // same serial-fold cosines, same BeamW frontier cuts, so the visited
+    // set (and therefore the final top-K) matches the Spark walk exactly.
+    "v16_graph_beam_search" -> s"""
+      WITH $knnCtes,
+      und AS (
+        SELECT DISTINCT src_id, neighbor_id FROM (
+          SELECT src_id, neighbor_id FROM knn
+          UNION ALL SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM knn) u),
+      q AS (SELECT vec_id AS q_id, v AS qv, norm2 AS qn FROM e WHERE vec_id < 10),
+      vis0 AS (SELECT q_id, q_id AS vec_id FROM q),
+      beam0 AS (SELECT q_id, vec_id FROM vis0)
+      ${(1 to BeamHops).map(beamHopSql).mkString(",", ",", "")}
+      SELECT q_id, rank, neighbor_id, cos FROM (
+        SELECT z.q_id, z.vec_id AS neighbor_id, z.cos,
+               row_number() OVER (PARTITION BY z.q_id
+                 ORDER BY z.cos DESC, z.vec_id) AS rank
+        FROM (SELECT w.q_id, w.vec_id,
+                     ${dotSql("p.qv", "d.v")} / (sqrt(p.qn) * sqrt(d.norm2)) AS cos
+              FROM vis$BeamHops w
+              JOIN e d ON d.vec_id = w.vec_id
+              JOIN q p ON p.q_id = w.q_id
+              WHERE w.vec_id <> w.q_id) z) t
+      WHERE rank <= $K ORDER BY q_id, rank""",
     "v4_ivf_sampled" -> ivfSql(sampleMod = 4),
     // v9: the stored graph (knn over the index), new-node edges over the
     // cell-local pool, and the stored∪batch-candidate re-rank — identical

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** v16's graph beam search: the walk must stay inside the stored graph's
+  * reachable ball, emit exactly-reranked true cosines, and still find a
+  * useful share of what brute force finds — the property a graph index
+  * exists for (its ceiling is the stored graph's connectivity: in-cell
+  * top-3 edges, so the floor here is the v3 1-probe analog). */
+class GraphAnnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("v16: per-query results are ranked true cosines over a bounded visited set") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("v16_graph_beam_search")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 10L).toSet, s"missing queries: ${byQ.keySet}")
+    byQ.values.foreach { rs =>
+      // ranks are 1..n contiguous (n ≤ 10 — the visited ball can be small)
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq)
+      assert(rs.length <= 10)
+      val cs = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        "cosines not non-increasing in rank")
+      // no self-hit: the query's own node never appears as its neighbor
+      assert(rs.forall(r => r.getLong(2) != r.getLong(0)))
+    }
+    // visited-ball bound: 1 + Hops·BeamW·maxDeg ids per query — the walk
+    // cannot have touched more than the frontier budget allows, so every
+    // emitted neighbor is within BeamHops symmetrized hops of the query
+    val e = Tables(spark, sf).embeddings
+      .withColumn("v", $"embedding".cast("array<double>"))
+    val edges = SparkEntry.queries("v5_knn_graph")(spark, sf)
+      .select($"src_id", $"neighbor_id").collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      var ball = Set(qid)
+      for (_ <- 1 to 3)
+        ball = ball ++ ball.flatMap(id => edges.getOrElse(id, Set.empty))
+      rs.foreach(r => assert(ball.contains(r.getLong(2)),
+        s"neighbor ${r.getLong(2)} outside the 3-hop ball of query $qid"))
+    }
+  }
+
+  test("v16: beam search recalls a useful share of the exact top-k") {
+    val exact = SparkEntry.queries("v1_brute_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val beam = SparkEntry.queries("v16_graph_beam_search")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect beam).size.toDouble / exact.size
+    // ceiling = stored-graph connectivity (in-cell edges only); collapse
+    // below this floor means the walk or the frontier cut broke
+    assert(recall >= 0.3, s"graph-ANN recall collapsed: $recall")
+  }
+}
