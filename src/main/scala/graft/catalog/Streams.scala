@@ -349,6 +349,21 @@ object Streams extends QueryPack {
           OutputMode.Append())
         .orderBy($"click_id", $"error_id")
     },
+    // e23: FULL-OUTER stream-stream interval join — e15 completed
+    // symmetrically: unmatched CLICKS null-extend once the watermark passes
+    // the click (no later error can reach back to it), and unmatched
+    // ERRORS null-extend once the watermark passes error + 10 min (the
+    // whole window of clicks that could still match has closed). Exercises
+    // state eviction on BOTH join sides; the oracle restates the two
+    // per-side cutoffs in the state store's millisecond arithmetic.
+    "e23_stream_full_join" -> { (s, dir) =>
+      import s.implicits._
+      val clicks = eventsStream(s, dir).filter($"event_type" === "click")
+      val errors = eventsStream(s, dir).filter($"event_type" === "error")
+      runToTable(EventStreams.clickErrorJoinFull(clicks, errors),
+          OutputMode.Append())
+        .orderBy($"click_id", $"error_id")
+    },
     // e12: the PRODUCTION sink shape — same tumbling aggregation as e6 but
     // APPEND mode into a partitioned (by event_type), checkpointed parquet
     // sink, read back through the sink's manifest. Watermark 0s: with the
@@ -670,6 +685,43 @@ object Streams extends QueryPack {
         ON c.event_type = 'click' AND e.event_type = 'error'
        AND c.user_id = e.user_id
        AND e.ts >= c.ts - INTERVAL 10 MINUTE AND e.ts <= c.ts
+      ORDER BY click_id, error_id""",
+    // e15's matched + unmatched-click rows, plus the symmetric unmatched-
+    // error rows: an error null-extends only once the watermark clears
+    // error + 10 min (the last click that could match it)
+    "e23_stream_full_join" -> """
+      WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+      wm AS (
+        SELECT LEAST((SELECT max(epoch_us(ts)) FROM c),
+                     (SELECT max(epoch_us(ts)) FROM e)) // 1000 - 1800000 AS wm_ms),
+      matched AS (
+        SELECT c.event_id AS click_id, c.user_id AS user_id,
+               epoch_us(c.ts) AS click_us,
+               e.event_id AS error_id, epoch_us(e.ts) AS error_us
+        FROM c JOIN e ON c.user_id = e.user_id
+         AND e.ts >= c.ts - INTERVAL 10 MINUTE AND e.ts <= c.ts),
+      unmatched_c AS (
+        SELECT c.event_id AS click_id, c.user_id AS user_id,
+               epoch_us(c.ts) AS click_us,
+               NULL::BIGINT AS error_id, NULL::BIGINT AS error_us
+        FROM c, wm
+        WHERE NOT EXISTS (
+            SELECT 1 FROM e WHERE e.user_id = c.user_id
+              AND e.ts >= c.ts - INTERVAL 10 MINUTE AND e.ts <= c.ts)
+          AND (epoch_us(c.ts) // 1000) < wm.wm_ms),
+      unmatched_e AS (
+        SELECT NULL::BIGINT AS click_id, e.user_id AS user_id,
+               NULL::BIGINT AS click_us,
+               e.event_id AS error_id, epoch_us(e.ts) AS error_us
+        FROM e, wm
+        WHERE NOT EXISTS (
+            SELECT 1 FROM c WHERE c.user_id = e.user_id
+              AND e.ts >= c.ts - INTERVAL 10 MINUTE AND e.ts <= c.ts)
+          AND (epoch_us(e.ts) // 1000) + 600000 < wm.wm_ms)
+      SELECT * FROM matched
+      UNION ALL SELECT * FROM unmatched_c
+      UNION ALL SELECT * FROM unmatched_e
       ORDER BY click_id, error_id"""
   )
 }

@@ -114,4 +114,32 @@ object EventStreams {
               unix_micros(col("c_ts")).as("click_us"),
               col("error_id"), unix_micros(col("e_ts")).as("error_us"))
   }
+
+  /** FULL-OUTER stream-stream interval join — the symmetric completion of
+    * [[clickErrorJoinLeft]]: unmatched rows from BOTH sides surface as
+    * null-extended rows once their state evicts. Eviction is per-side and
+    * asymmetric, because the interval bound reads differently from each
+    * side: a click's matching errors lie in [c_ts − 10 min, c_ts], so a
+    * click evicts once the watermark passes c_ts; an error's matching
+    * clicks lie in [e_ts, e_ts + 10 min], so an error must out-wait the
+    * interval and evicts only once the watermark passes e_ts + 10 min.
+    * Same O(active interval) state as the inner join — the null rows ARE
+    * the eviction records, which is why both sides need watermarks. */
+  def clickErrorJoinFull(clicks: DataFrame, errors: DataFrame,
+                         watermark: String = "30 minutes"): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val e = errors.select(col("event_id").as("error_id"),
+      col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", watermark)
+    c.join(e, expr(
+        """c_user = e_user AND
+          |e_ts >= c_ts - interval 10 minutes AND e_ts <= c_ts""".stripMargin),
+        "fullOuter")
+      .select(col("click_id"),
+              coalesce(col("c_user"), col("e_user")).as("user_id"),
+              unix_micros(col("c_ts")).as("click_us"),
+              col("error_id"), unix_micros(col("e_ts")).as("error_us"))
+  }
 }

@@ -138,6 +138,39 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(nullClicks == Set(2L), s"null-extended=$nullClicks")
   }
 
+  test("full-outer interval join evicts BOTH sides: unmatched clicks AND errors surface") {
+    implicit val sqlCtx = spark.sqlContext
+    val memC = MemoryStream[Ev]
+    val memE = MemoryStream[Ev]
+    val name = s"ssjf_${System.nanoTime()}"
+    val q = EventStreams.clickErrorJoinFull(memC.toDF(), memE.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // c1 (10:10) matches e11 (10:05); c2 (10:30) never matches; e14
+      // (10:20, user 3) has no click in [10:20, 10:30] — both must
+      // null-extend after eviction, from OPPOSITE sides of the join
+      memC.addData(Seq(ev(1, 10), ev(2, 30)))
+      memE.addData(Seq(ev(11, 5, typ = "error"), ev(14, 20, typ = "error", user = 3)))
+      q.processAllAvailable()
+      // 13:00 on both sides pushes the global watermark past every
+      // eviction bound (c2 at 10:30; e14 at 10:20 + 10 min)
+      memC.addData(Seq(Ev(3, Timestamp.valueOf("2024-01-01 13:00:00"), 7, "click", 1.5, "{}")))
+      memE.addData(Seq(Ev(12, Timestamp.valueOf("2024-01-01 13:00:00"), 7, "error", 1.5, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name).collect()
+    val matched = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(3))
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    val nullClicks = rows.filter(r => !r.isNullAt(0) && r.isNullAt(3)).map(_.getLong(0)).toSet
+    val nullErrors = rows.filter(r => r.isNullAt(0) && !r.isNullAt(3)).map(_.getLong(3)).toSet
+    assert(matched == Set((1L, 11L), (3L, 12L)), s"matched=$matched")
+    assert(nullClicks == Set(2L), s"null-extended clicks=$nullClicks")
+    assert(nullErrors == Set(14L), s"null-extended errors=$nullErrors")
+    // user_id must come from the SURVIVING side on every row
+    rows.foreach(r => assert(!r.isNullAt(1), s"null user_id in $r"))
+  }
+
   test("parseProps extracts k identically in batch") {
     val out = EventStreams.parseProps(inOrder.toDF()).select($"event_id", $"k")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
