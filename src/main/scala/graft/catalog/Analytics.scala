@@ -304,6 +304,38 @@ object Analytics extends QueryPack {
         .withColumn("y_span", $"max_y" - $"min_y" + 1)
         .orderBy($"shard")
     },
+    // g14: 3-COLUMN Z-ORDER — g7's interleave extended to the (date-ish,
+    // user, amount) trio a real fact table filters on: x = user bucket,
+    // y = 6-minute slot of day, w = order-preserving amount bucket
+    // (cents div 192, capped — 490.02 max value → 0..255, so RANGE
+    // predicates on value map to w ranges). Bits triple-interleave into a
+    // 24-bit z (x at 8^b·1, y at 8^b·2, w at 8^b·4); shard = z div 2^20
+    // → ≤16 range-contiguous files whose top-4 fixed bits are (w₇ y₇ x₇
+    // w₆): every file's zone map spans ≤ 128/256 x, ≤ 128/240 y, AND
+    // ≤ 64/256 w — a predicate on ANY of the three dimensions prunes,
+    // which a 1-D sort gives only its leading column and 2-D z-order only
+    // two. Still a pure per-row projection — no global sort; the curve
+    // prefix IS the range. Escalation documented in SURVEY §6: beyond
+    // ~4 dims the per-dim span guarantee degrades as range/2^(bits/dims)
+    // — Hilbert improves locality constants, not that exponent.
+    "g14_zorder3_layout" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).events
+        .select(expr("user_id % 256").as("x"),
+                expr("(hour(ts) * 60 + minute(ts)) div 6").as("y"),
+                expr("least(255L, cast(round(value * 100) as bigint) div 192)").as("w"))
+        .withColumn("z", expr(zInterleave3("x", "y", "w", div = "div")))
+        .withColumn("shard", expr("z div 1048576"))
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n"),
+             min($"x").as("min_x"), max($"x").as("max_x"),
+             min($"y").as("min_y"), max($"y").as("max_y"),
+             min($"w").as("min_w"), max($"w").as("max_w"))
+        .withColumn("x_span", $"max_x" - $"min_x" + 1)
+        .withColumn("y_span", $"max_y" - $"min_y" + 1)
+        .withColumn("w_span", $"max_w" - $"min_w" + 1)
+        .orderBy($"shard")
+    },
     // g10: RANGE-SORTED PHYSICAL LAYOUT — the 1-dim sibling of g7's
     // z-order: repartitionByRange(o_orderdate) writes files whose
     // [min,max] date intervals are PAIRWISE DISJOINT (equal keys land in
@@ -464,6 +496,16 @@ object Analytics extends QueryPack {
         s"(($y $div ${1L << b}) % 2) * ${1L << (2 * b + 1)}"
     }.mkString("(", " + ", ")")
 
+  /** g14's 3-way interleave: dim bits at octal-digit weights 1 (x), 2 (y),
+    * 4 (w) — same div/mod arithmetic as [[zInterleave]], shared verbatim by
+    * both engines. */
+  private def zInterleave3(x: String, y: String, w: String, div: String): String =
+    (0 until 8).map { b =>
+      s"(($x $div ${1L << b}) % 2) * ${1L << (3 * b)} + " +
+        s"(($y $div ${1L << b}) % 2) * ${1L << (3 * b + 1)} + " +
+        s"(($w $div ${1L << b}) % 2) * ${1L << (3 * b + 2)}"
+    }.mkString("(", " + ", ")")
+
   private val pivotCols = EventTypes.map(t =>
     s"""COALESCE(COUNT(*) FILTER (event_type = '$t'), 0)::BIGINT AS "$t"""").mkString(", ")
 
@@ -511,6 +553,21 @@ object Analytics extends QueryPack {
       FROM orders""",
     "g7_zorder_layout" -> zorderSql,
     "g9_zorder_maintain" -> zorderSql,
+    "g14_zorder3_layout" -> s"""
+      SELECT z // 1048576 AS shard, COUNT(*) AS n,
+             MIN(x) AS min_x, MAX(x) AS max_x,
+             MIN(y) AS min_y, MAX(y) AS max_y,
+             MIN(w) AS min_w, MAX(w) AS max_w,
+             MAX(x) - MIN(x) + 1 AS x_span,
+             MAX(y) - MIN(y) + 1 AS y_span,
+             MAX(w) - MIN(w) + 1 AS w_span
+      FROM (
+        SELECT x, y, w, ${zInterleave3("x", "y", "w", div = "//")} AS z
+        FROM (SELECT user_id % 256 AS x,
+                     (hour(ts) * 60 + minute(ts)) // 6 AS y,
+                     LEAST(255, CAST(round(value * 100) AS BIGINT) // 192) AS w
+              FROM events) t0) t1
+      GROUP BY shard ORDER BY shard""",
     "g11_winsorize" -> """
       WITH li AS (
         SELECT l_returnflag AS grp,

@@ -27,6 +27,23 @@ class LayoutQualitySpec extends AnyFunSuite {
     assert(total == Tables(spark, sf).events.count())
   }
 
+  test("g14: 3-dim z-order shards bound the zone map on ALL THREE dimensions") {
+    import spark.implicits._
+    val out = SparkEntry.queries("g14_zorder3_layout")(spark, sf).collect()
+    // shard = top-4 bits of the 24-bit triple-interleave = (w₇ y₇ x₇ w₆):
+    // x fixes 1 bit (span ≤ 128/256), y fixes 1 (≤ 128/240, i.e. ≤ 128),
+    // w fixes 2 (span ≤ 64/256) — a range predicate on any one of user
+    // bucket, time slot, or amount bucket prunes shards
+    assert(out.nonEmpty && out.length <= 16)
+    out.foreach { r =>
+      assert(r.getAs[Long]("x_span") <= 128, s"x_span too wide: $r")
+      assert(r.getAs[Long]("y_span") <= 128, s"y_span too wide: $r")
+      assert(r.getAs[Long]("w_span") <= 64, s"w_span too wide: $r")
+    }
+    // a partition of the table, not a sample
+    assert(out.map(_.getAs[Long]("n")).sum == Tables(spark, sf).events.count())
+  }
+
   test("k7: the pruned day-scan aggregates exactly the day's rows") {
     import spark.implicits._
     val out = SparkEntry.queries("k7_partitioned_prune")(spark, sf)
