@@ -376,6 +376,54 @@ object Dedup extends QueryPack {
         .select($"d1", $"d2", $"n_inter", $"n_union", $"jaccard")
         .orderBy($"d1", $"d2")
     },
+    // d15: EXACT threshold set-similarity join — the PPJoin-family
+    // complement to d2/d4: NO LSH miss (d2 is probabilistic) and NO
+    // df-cap drop (d4 cuts shingles with df > MaxDf), so the output is
+    // EVERY pair with true set-Jaccard ≥ 0.5 — the audit primitive you
+    // reach for when d14 reads LSH recall low. The quadratic blowup is
+    // killed by PREFIX FILTERING instead of capping: order each doc's
+    // shingle set by (df ASC, h) — one GLOBAL rarest-first order — and
+    // join docs only on their first ⌊n/2⌋+1 tokens in that order. Any
+    // pair at J ≥ t must overlap within both prefixes (miss every prefix
+    // token of the other and too few tokens remain to reach t), so the
+    // candidate set provably contains all qualifying pairs; PPJoin's
+    // length filter (2·min(n₁,n₂) ≥ max — necessary for J ≥ ½) prunes
+    // further, then FULL sets verify exactly. Scale shape (100 TB):
+    // candidate pairs concentrate on RARE tokens (frequent tokens fall
+    // past the prefix boundary for large docs), cost ≈ Σ_h df_pfx(h)² for
+    // prefix-resident h only — the exact-guarantee analog of d2's banded
+    // buckets; df table + per-doc rank are one aggregate + one doc-keyed
+    // window; verification touches only candidates.
+    "d15_ppjoin_exact" -> { (s, dir) =>
+      import s.implicits._
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"df", $"h")
+      val sh = Tables(s, dir).documents
+        .select($"doc_id",
+          array_distinct(TextKernels.shingleHashesUdf($"text")).as("hs"))
+        .select($"doc_id", size($"hs").cast("long").as("n_sh"), $"hs")
+      val ex = sh.select($"doc_id", $"n_sh", explode($"hs").as("h"))
+      val dft = ex.groupBy($"h").agg(count(lit(1)).as("df"))
+      val prefix = ex.join(dft, Seq("h"))
+        .withColumn("rk", row_number().over(wDoc))
+        .filter($"rk" <= expr("n_sh div 2 + 1"))
+        .select($"doc_id", $"n_sh", $"h")
+      val cand = prefix.as("a").join(prefix.as("b"),
+          $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
+            $"a.n_sh" <= $"b.n_sh" * 2 && $"b.n_sh" <= $"a.n_sh" * 2)
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+        .distinct()
+      cand
+        .join(ex.select($"doc_id".as("d1"), $"n_sh".as("n1"), $"h"), Seq("d1"))
+        .join(ex.select($"doc_id".as("d2"), $"n_sh".as("n2"), $"h"), Seq("d2", "h"))
+        .groupBy($"d1", $"d2", $"n1", $"n2")
+        .agg(count(lit(1)).as("n_inter"))
+        .withColumn("n_union", $"n1" + $"n2" - $"n_inter")
+        .withColumn("jaccard", $"n_inter".cast("double") / $"n_union")
+        .filter($"jaccard" >= 0.5)
+        .select($"d1", $"d2", $"n_inter", $"n_union", $"jaccard")
+        .orderBy($"d1", $"d2")
+    },
     // d5: embedding-cosine near-dup pairs within coarse blocks. Blocking
     // cells come from the ENGINE-COMPUTED spherical k-means quantizer
     // (Quantizer: integer-exact Lloyd updates, literal-centroid assignment
@@ -649,6 +697,39 @@ object Dedup extends QueryPack {
             FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0) t1
       ORDER BY doc_id""",
     "d4_ngram_jaccard" -> d4Sql,
+    // d15: same global (df, h) prefix order, same length filter, same
+    // full-set verification — the prefix theorem makes both candidate
+    // supersets identical, so the verified outputs match exactly
+    "d15_ppjoin_exact" -> s"""
+      WITH sh AS (
+        SELECT doc_id, len(hs)::BIGINT AS n_sh, hs
+        FROM (SELECT doc_id, list_distinct($shingleHashesSql) AS hs
+              FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0) t1),
+      ex AS (SELECT doc_id, n_sh, unnest(hs) AS h FROM sh),
+      dft AS (SELECT h, COUNT(*)::BIGINT AS df FROM ex GROUP BY h),
+      pfx AS (
+        SELECT doc_id, n_sh, h FROM (
+          SELECT e.doc_id, e.n_sh, e.h,
+                 row_number() OVER (PARTITION BY e.doc_id
+                   ORDER BY d.df, e.h) AS rk
+          FROM ex e JOIN dft d USING (h)) t
+        WHERE rk <= n_sh // 2 + 1),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM pfx a JOIN pfx b ON a.h = b.h AND a.doc_id < b.doc_id
+         AND a.n_sh <= b.n_sh * 2 AND b.n_sh <= a.n_sh * 2),
+      ver AS (
+        SELECT c.d1, c.d2, e1.n_sh AS n1, e2.n_sh AS n2,
+               COUNT(*)::BIGINT AS n_inter
+        FROM cand c
+        JOIN ex e1 ON e1.doc_id = c.d1
+        JOIN ex e2 ON e2.doc_id = c.d2 AND e2.h = e1.h
+        GROUP BY c.d1, c.d2, n1, n2)
+      SELECT d1, d2, n_inter, n1 + n2 - n_inter AS n_union,
+             n_inter::DOUBLE / (n1 + n2 - n_inter) AS jaccard
+      FROM ver
+      WHERE n_inter::DOUBLE / (n1 + n2 - n_inter) >= 0.5
+      ORDER BY d1, d2""",
     "d5_embedding_neardup" -> s"""
       WITH e AS (
         SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
