@@ -248,6 +248,26 @@ object Analytics extends QueryPack {
              sum(when($"b" < $"rate_bp", 1L).otherwise(0L)).as("n_kept"))
         .orderBy($"lang")
     },
+    // g15: STRATIFIED TRAIN/VAL/TEST SPLIT — the assignment every training
+    // pipeline runs last: a deterministic 80/10/10 split, stratified per
+    // language so low-resource langs keep eval coverage. split =
+    // LCG(doc_id) % 100 against fixed thresholds — a pure per-row
+    // projection (zero shuffle, reproducible across runs/engines, stable
+    // under corpus growth: adding docs never reassigns existing ones —
+    // the property random-sort splits lack). Report = per (lang, split)
+    // count + doc_id-sum checksum; the splits are disjoint+exhaustive BY
+    // CONSTRUCTION (one hash, three disjoint ranges), which the checksum
+    // pins: per-lang split sums must re-add to the whole-lang sum.
+    "g15_stratified_split" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents.select($"doc_id", $"lang")
+        .withColumn("b", (($"doc_id" % P) * 48271L + 37L) % P % 100L)
+        .withColumn("split",
+          when($"b" < 80, "train").when($"b" < 90, "val").otherwise("test"))
+        .groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("id_sum"))
+        .orderBy($"lang", $"split")
+    },
     // g13: TEMPERATURE-SCALED MIXTURE (α = 0.5) — the UniMax/multilingual
     // sampling shape: where g6 takes OPERATOR-SUPPLIED weights, here the
     // rates derive FROM the corpus itself — w_l = floor(√n_l), so tails
@@ -621,6 +641,17 @@ object Analytics extends QueryPack {
                  THEN 1 ELSE 0 END)::BIGINT AS n_kept
       FROM documents d JOIN rates r USING (lang)
       GROUP BY d.lang ORDER BY d.lang""",
+    "g15_stratified_split" -> s"""
+      SELECT lang, split, COUNT(*)::BIGINT AS n_docs,
+             SUM(doc_id)::BIGINT AS id_sum
+      FROM (
+        SELECT doc_id, lang,
+               CASE WHEN b < 80 THEN 'train'
+                    WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        FROM (SELECT doc_id, lang,
+                     ((doc_id % $P) * 48271 + 37) % $P % 100 AS b
+              FROM documents) t0) t1
+      GROUP BY lang, split ORDER BY lang, split""",
     "g13_temperature_mix" -> s"""
       WITH counts AS (
         SELECT lang, COUNT(*)::BIGINT AS n_total,

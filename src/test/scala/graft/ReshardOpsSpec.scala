@@ -138,6 +138,28 @@ class ReshardOpsSpec extends AnyFunSuite {
     assert(ts.max.toDouble / ts.min < ns.max.toDouble / ns.min)
   }
 
+  test("g15: splits are disjoint+exhaustive per language; train fraction near 80%") {
+    import spark.implicits._
+    val out = SparkEntry.queries("g15_stratified_split")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables(spark, sf).documents
+      .groupBy($"lang").agg(count(lit(1)).as("n"), sum($"doc_id").as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // per-language split counts and id-checksums re-add to the whole
+    // language — no doc dropped, none double-assigned
+    out.groupBy(_._1).foreach { case (lang, rs) =>
+      assert(rs.map(_._3).sum == docs(lang)._1, s"count leak in $lang")
+      assert(rs.map(_._4).sum == docs(lang)._2, s"id-sum leak in $lang")
+    }
+    // the hash is uniform enough that train lands near 80% per language
+    out.groupBy(_._1).foreach { case (lang, rs) =>
+      val total = rs.map(_._3).sum.toDouble
+      val train = rs.find(_._2 == "train").map(_._3).getOrElse(0L).toDouble
+      assert(train / total > 0.6 && train / total < 0.95,
+        s"train fraction off for $lang: ${train / total}")
+    }
+  }
+
   test("m12: gain is the exact floor ratio to target peak; peak within int16") {
     val rows = SparkEntry.queries("m12_audio_normalize")(spark, sf).collect()
     assert(rows.nonEmpty)
