@@ -598,39 +598,31 @@ object Similarity extends QueryPack {
     // build time, which changes the EDGE TABLE, not this search.
     "v16_graph_beam_search" -> { (s, dir) =>
       import s.implicits._
-      val e = Tables(s, dir).embeddings
-        .withColumn("v", $"embedding".cast("array<double>"))
-        .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
-        .select($"vec_id", $"v", $"norm2")
-      val q = e.filter($"vec_id" < 10)
-        .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
-      val g = stagedKnnGraph(s, dir).select($"src_id", $"neighbor_id")
-      val und = g.unionByName(
-          g.select($"neighbor_id".as("src_id"), $"src_id".as("neighbor_id")))
-        .distinct()
-      def score(ids: DataFrame): DataFrame =
-        ids.join(e, Seq("vec_id")).join(broadcast(q), Seq("q_id"))
-          .withColumn("cos",
-            graft.functions.VectorExprs.cosine($"qv", $"v", $"qn", $"norm2"))
-      val wB = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-      val v0 = q.select($"q_id", $"q_id".as("vec_id"))
-      val (visited, _) = (1 to BeamHops).foldLeft((v0, v0)) {
-        case ((vis, beam), _) =>
-          val cand = und
-            .join(broadcast(beam.select($"q_id", $"vec_id".as("src_id"))),
-                  Seq("src_id"))
-            .select($"q_id", $"neighbor_id".as("vec_id"))
-          val vis2 = vis.unionByName(cand).distinct()
-          val beam2 = score(vis2)
-            .withColumn("rk", row_number().over(wB)).filter($"rk" <= BeamW)
-            .select($"q_id", $"vec_id")
-          (vis2, beam2)
-      }
-      score(visited.filter($"vec_id" =!= $"q_id"))
-        .withColumn("rank", row_number().over(wB).cast("long"))
-        .filter($"rank" <= K)
-        .select($"q_id", $"rank", $"vec_id".as("neighbor_id"), $"cos")
-        .orderBy($"q_id", $"rank")
+      graphBeamSearch(s, dir, stagedKnnGraph(s, dir)
+        .select($"src_id", $"neighbor_id"))
+    },
+    // v17: v16 over a LONG-LINK-AUGMENTED graph — the NSW-style escalation
+    // v16's scaladoc promises: the stored in-cell edges leave the graph
+    // DISCONNECTED across IVF cells (v16's recall ceiling), so the build
+    // adds one chain link per node (vec_id → vec_id+1 where it exists).
+    // vec_ids are assigned independently of embedding geometry, so
+    // id-adjacency IS a random long-range link — the classic
+    // small-world/NSW construction — and the chain makes the whole graph
+    // connected: the walk can now cross cells toward the query's true
+    // neighborhood. Pure build-time change; the SEARCH is v16's verbatim
+    // (same hops, same frontier, same rerank), which is the point — a
+    // deployment tunes recall by re-building edges, not re-writing the
+    // query. Chain links cost one id-shifted self-semi-join at build
+    // time; GraphAnnSpec pins that recall(v17) ≥ recall(v16) on average.
+    "v17_graph_search_longlinks" -> { (s, dir) =>
+      import s.implicits._
+      val ids = Tables(s, dir).embeddings.select($"vec_id")
+      val chain = ids.select($"vec_id".as("src_id"),
+          ($"vec_id" + 1).as("neighbor_id"))
+        .join(ids.select($"vec_id".as("neighbor_id")), Seq("neighbor_id"))
+        .select($"src_id", $"neighbor_id")
+      graphBeamSearch(s, dir, stagedKnnGraph(s, dir)
+        .select($"src_id", $"neighbor_id").unionByName(chain))
     },
     // v6: EMBEDDING AGGREGATION — element-wise centroid of the embedding
     // column per group (here: the doc's source, via doc_id = vec_id), the
@@ -661,6 +653,47 @@ object Similarity extends QueryPack {
         .orderBy($"source")
     }
   )
+
+  /** v16/v17's shared walk: symmetrize `edges`, beam-search BeamHops
+    * unrolled rounds from each query's own node (frontier = BeamW
+    * best-scored visited ids), exact-rerank the visited set to top-K.
+    * Deterministic: serial-fold cosines, vec_id tiebreaks. */
+  private def graphBeamSearch(s: SparkSession, dir: String,
+                              edges: DataFrame): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir).embeddings
+      .withColumn("v", $"embedding".cast("array<double>"))
+      .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
+      .select($"vec_id", $"v", $"norm2")
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
+    val und = edges.unionByName(
+        edges.select($"neighbor_id".as("src_id"), $"src_id".as("neighbor_id")))
+      .distinct()
+    def score(ids: DataFrame): DataFrame =
+      ids.join(e, Seq("vec_id")).join(broadcast(q), Seq("q_id"))
+        .withColumn("cos",
+          graft.functions.VectorExprs.cosine($"qv", $"v", $"qn", $"norm2"))
+    val wB = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    val v0 = q.select($"q_id", $"q_id".as("vec_id"))
+    val (visited, _) = (1 to BeamHops).foldLeft((v0, v0)) {
+      case ((vis, beam), _) =>
+        val cand = und
+          .join(broadcast(beam.select($"q_id", $"vec_id".as("src_id"))),
+                Seq("src_id"))
+          .select($"q_id", $"neighbor_id".as("vec_id"))
+        val vis2 = vis.unionByName(cand).distinct()
+        val beam2 = score(vis2)
+          .withColumn("rk", row_number().over(wB)).filter($"rk" <= BeamW)
+          .select($"q_id", $"vec_id")
+        (vis2, beam2)
+    }
+    score(visited.filter($"vec_id" =!= $"q_id"))
+      .withColumn("rank", row_number().over(wB).cast("long"))
+      .filter($"rank" <= K)
+      .select($"q_id", $"rank", $"vec_id".as("neighbor_id"), $"cos")
+      .orderBy($"q_id", $"rank")
+  }
 
   /** v5's graph persisted to scratch parquet once per session — the stored
     * edge table downstream graph consumers (v7 centrality) read, exactly as
@@ -807,6 +840,28 @@ object Similarity extends QueryPack {
                        ${dotSql("s.v", "d.v")} / (sqrt(s.norm2) * sqrt(d.norm2)) AS cos
                 FROM data s JOIN data d ON s.cell = d.cell AND d.vec_id <> s.vec_id) t0) t1
         WHERE rank <= 3)"""
+
+  /** v16/v17 oracle: full beam-search replay over the edge pairs produced
+    * by `edgeUnion` (symmetrized via DISTINCT in the `und` CTE). */
+  private def beamSearchSql(edgeUnion: String): String = s"""
+      WITH $knnCtes,
+      und AS (
+        SELECT DISTINCT src_id, neighbor_id FROM ($edgeUnion) u),
+      q AS (SELECT vec_id AS q_id, v AS qv, norm2 AS qn FROM e WHERE vec_id < 10),
+      vis0 AS (SELECT q_id, q_id AS vec_id FROM q),
+      beam0 AS (SELECT q_id, vec_id FROM vis0)
+      ${(1 to BeamHops).map(beamHopSql).mkString(",", ",", "")}
+      SELECT q_id, rank, neighbor_id, cos FROM (
+        SELECT z.q_id, z.vec_id AS neighbor_id, z.cos,
+               row_number() OVER (PARTITION BY z.q_id
+                 ORDER BY z.cos DESC, z.vec_id) AS rank
+        FROM (SELECT w.q_id, w.vec_id,
+                     ${dotSql("p.qv", "d.v")} / (sqrt(p.qn) * sqrt(d.norm2)) AS cos
+              FROM vis$BeamHops w
+              JOIN e d ON d.vec_id = w.vec_id
+              JOIN q p ON p.q_id = w.q_id
+              WHERE w.vec_id <> w.q_id) z) t
+      WHERE rank <= $K ORDER BY q_id, rank"""
 
   /** v16 oracle hop i: frontier expansion through `und`, visited-set union,
     * then the BeamW best-scored visited nodes become `beam$i`. */
@@ -996,30 +1051,20 @@ object Similarity extends QueryPack {
       WITH $knnCtes
       SELECT src_id, rank, neighbor_id, cos FROM knn
       ORDER BY src_id, rank""",
-    // v16: the beam walk replayed hop by hop — same symmetrized edges,
+    // v16/v17: the beam walk replayed hop by hop — same symmetrized edges,
     // same serial-fold cosines, same BeamW frontier cuts, so the visited
     // set (and therefore the final top-K) matches the Spark walk exactly.
-    "v16_graph_beam_search" -> s"""
-      WITH $knnCtes,
-      und AS (
-        SELECT DISTINCT src_id, neighbor_id FROM (
-          SELECT src_id, neighbor_id FROM knn
-          UNION ALL SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM knn) u),
-      q AS (SELECT vec_id AS q_id, v AS qv, norm2 AS qn FROM e WHERE vec_id < 10),
-      vis0 AS (SELECT q_id, q_id AS vec_id FROM q),
-      beam0 AS (SELECT q_id, vec_id FROM vis0)
-      ${(1 to BeamHops).map(beamHopSql).mkString(",", ",", "")}
-      SELECT q_id, rank, neighbor_id, cos FROM (
-        SELECT z.q_id, z.vec_id AS neighbor_id, z.cos,
-               row_number() OVER (PARTITION BY z.q_id
-                 ORDER BY z.cos DESC, z.vec_id) AS rank
-        FROM (SELECT w.q_id, w.vec_id,
-                     ${dotSql("p.qv", "d.v")} / (sqrt(p.qn) * sqrt(d.norm2)) AS cos
-              FROM vis$BeamHops w
-              JOIN e d ON d.vec_id = w.vec_id
-              JOIN q p ON p.q_id = w.q_id
-              WHERE w.vec_id <> w.q_id) z) t
-      WHERE rank <= $K ORDER BY q_id, rank""",
+    // v17 differs only in the edge CTE (chain links unioned in).
+    "v16_graph_beam_search" -> beamSearchSql(
+      """SELECT src_id, neighbor_id FROM knn
+         UNION ALL SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM knn"""),
+    "v17_graph_search_longlinks" -> beamSearchSql(
+      """SELECT src_id, neighbor_id FROM knn
+         UNION ALL SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM knn
+         UNION ALL SELECT a.vec_id AS src_id, a.vec_id + 1 AS neighbor_id
+                   FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+         UNION ALL SELECT b.vec_id AS src_id, a.vec_id AS neighbor_id
+                   FROM e a JOIN e b ON b.vec_id = a.vec_id + 1"""),
     "v4_ivf_sampled" -> ivfSql(sampleMod = 4),
     // v9: the stored graph (knn over the index), new-node edges over the
     // cell-local pool, and the stored∪batch-candidate re-rank — identical

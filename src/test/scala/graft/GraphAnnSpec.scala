@@ -54,4 +54,21 @@ class GraphAnnSpec extends AnyFunSuite {
     // below this floor means the walk or the frontier cut broke
     assert(recall >= 0.3, s"graph-ANN recall collapsed: $recall")
   }
+
+  test("v17: long links lift recall over the in-cell-only graph") {
+    val exact = SparkEntry.queries("v1_brute_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(q: String): Double = {
+      val got = SparkEntry.queries(q)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val r16 = recallOf("v16_graph_beam_search")
+    val r17 = recallOf("v17_graph_search_longlinks")
+    info(f"recall@10: v16=$r16%.2f v17(long links)=$r17%.2f")
+    // connectivity only ADDS reachable candidates under full visited
+    // memory + exact rerank; the build-time escalation must not hurt
+    assert(r17 >= r16, s"long links reduced recall: $r17 < $r16")
+    assert(r17 >= 0.4, s"long-link recall floor broken: $r17")
+  }
 }
