@@ -180,6 +180,60 @@ object Formats extends QueryPack {
                 $"n_files_before", $"n_files_after", $"n_rows", $"sum_ids")
         .orderBy($"day")
     },
+    // k13: SNAPSHOT ISOLATION + TIME TRAVEL — the lakehouse metadata
+    // pattern (Delta/Iceberg's core): a table version is a MANIFEST (list
+    // of immutable data directories), commits are copy-on-write (rewrite
+    // only the affected year's files, re-list everything else), and a
+    // reader pins a version by reading its manifest's file list — so v1
+    // stays byte-identical AFTER v2 commits, concurrent readers never see
+    // a half-applied change, and storage is shared between versions for
+    // every untouched year. Staged once per session: v1 = orders split
+    // into per-year dirs (year kept as a DATA column — manifests list
+    // plain dirs, no partition-path decoding); v2 = the earliest year
+    // recomputed with corrected (doubled) prices into NEW dirs. The
+    // per-year write loop is driver-side over the BOUNDED year list (7
+    // values — calendar-bounded like dq10's windows, never data-scale).
+    // The query time-travels both versions and reports exact cents
+    // totals; the oracle recomputes both snapshots from the base table.
+    // At 100 TB: manifests are the scan's file source (no directory
+    // listing), commits append a manifest not rewrite data, vacuum =
+    // delete files unreferenced by any live manifest.
+    "k13_time_travel" -> { (s, dir) =>
+      import s.implicits._
+      val root = Scratch.staged(s"orders_tt#$dir", "tt_orders") { p =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+        val orders = Tables(s, dir).orders
+          .withColumn("yr", year($"o_orderdate"))
+        val years = orders.select($"yr").distinct()
+          .collect().map(_.getInt(0)).sorted
+        years.foreach { y =>
+          orders.filter($"yr" === y)
+            .write.mode("overwrite").parquet(s"$p/y${y}_v1")
+        }
+        val minYr = years.min
+        orders.filter($"yr" === minYr)
+          .withColumn("o_totalprice", $"o_totalprice" * 2)
+          .write.mode("overwrite").parquet(s"$p/y${minYr}_v2")
+        val v1 = years.map(y => s"$p/y${y}_v1")
+        val v2 = years.map(y =>
+          if (y == minYr) s"$p/y${y}_v2" else s"$p/y${y}_v1")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$p/manifest_1.txt"), v1.mkString("\n"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$p/manifest_2.txt"), v2.mkString("\n"))
+      }
+      def readVersion(v: Int): DataFrame = {
+        val dirs = java.nio.file.Files
+          .readString(java.nio.file.Paths.get(s"$root/manifest_$v.txt"))
+          .split("\n").toSeq
+        s.read.parquet(dirs: _*)
+      }
+      def snap(v: Int): DataFrame = readVersion(v)
+        .agg(count(lit(1)).as("n_rows"),
+             sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("sum_cents"))
+        .select(lit(v.toLong).as("version"), $"n_rows", $"sum_cents")
+      snap(1).unionByName(snap(2)).orderBy($"version")
+    },
     // k12: DYNAMIC PARTITION OVERWRITE (backfill splice) — the correction
     // path every partitioned 100 TB table needs: a bad day is recomputed
     // and spliced in WITHOUT rewriting the other partitions. Staged as
@@ -314,6 +368,21 @@ object Formats extends QueryPack {
                              AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
                AS sum_value
       FROM events GROUP BY 1 ORDER BY 1""",
+    // k13: v1 = the base table as-is; v2 = the earliest year's prices
+    // doubled (x*2 is an exact IEEE exponent bump, so the cents
+    // projection stays engine-identical)
+    "k13_time_travel" -> """
+      WITH my AS (SELECT min(year(o_orderdate)) AS y FROM orders)
+      SELECT 1::BIGINT AS version, COUNT(*)::BIGINT AS n_rows,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS sum_cents
+      FROM orders
+      UNION ALL
+      SELECT 2::BIGINT, COUNT(*)::BIGINT,
+             SUM(CASE WHEN year(o_orderdate) = (SELECT y FROM my)
+                      THEN CAST(round((o_totalprice * 2) * 100) AS BIGINT)
+                      ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)::BIGINT
+      FROM orders
+      ORDER BY version""",
     "k11_schema_evolution" -> """
       SELECT event_type, COUNT(*) AS n,
              SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_evolved,

@@ -36,6 +36,31 @@ class FormatSpec extends AnyFunSuite {
       Seq("a|1;5|x", "b|2|y"))
   }
 
+  test("k13: version-1 read is isolated from the v2 commit; storage shared copy-on-write") {
+    import org.apache.spark.sql.functions.{count, expr, lit, sum}
+    val sf = TestSpark.sf
+    val out = SparkEntry.queries("k13_time_travel")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // v1, read AFTER v2 committed, must equal the base table exactly —
+    // the snapshot-isolation property
+    val base = Tables(spark, sf).orders
+      .agg(count(lit(1)), sum(expr("cast(round(o_totalprice * 100) as bigint)")))
+      .head
+    assert(out(0) == (1L, base.getLong(0), base.getLong(1)), s"v1 drifted: ${out(0)}")
+    // v2 touches only the earliest year: same row count, larger total
+    assert(out(1)._2 == out(0)._2, "copy-on-write changed row count")
+    assert(out(1)._3 > out(0)._3, "v2 correction not visible")
+    // the two manifests share every untouched year's files (copy-on-write
+    // storage sharing); exactly one entry differs
+    val root = Scratch.staged(s"orders_tt#$sf", "tt_orders")(_ =>
+      fail("k13 fixture was not staged by the query"))
+    def mf(v: Int) = Files.readString(
+      java.nio.file.Paths.get(s"$root/manifest_$v.txt")).split("\n").toSet
+    val (m1, m2) = (mf(1), mf(2))
+    assert(m1.size == m2.size && (m1 diff m2).size == 1,
+      s"expected exactly one rewritten entry: ${m1 diff m2}")
+  }
+
   test("JSON lines round-trip preserves events rows") {
     val src = Tables(spark, TestSpark.sf).events
       .select($"event_id", $"user_id", $"event_type", $"value", $"props")
