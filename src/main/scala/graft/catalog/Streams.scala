@@ -501,6 +501,80 @@ object Streams extends QueryPack {
       import s.implicits._
       runDedupGate(s, dir).orderBy($"digest")
     },
+    // e24: STREAMING ANN INDEX APPEND — v8's add-batch as a CONTINUOUS
+    // ingest job (the streaming leg of the ANN family, e18's persistent-
+    // index pattern pointed at vectors): the IVF model (centroids trained
+    // on the index partition, vec_id % 10 ≠ 7) is load-time state; each
+    // micro-batch of new embeddings is assigned to its nearest EXISTING
+    // centroid — a pure literal-centroid projection, no retrain, no
+    // shuffle — and appended to a persistent parquet index as (cell,
+    // vec_id) postings. A vec_id anti-join against the stored index makes
+    // the append idempotent under at-least-once replay (e18's guard). The
+    // final per-cell (count, id-sum) must equal the batch assignment of
+    // the whole new partition — micro-batching placed every vector in the
+    // same cell. At 100 TB: postings are 16 B/vector, the index parquet
+    // is partitioned by cell (queries touch probed cells only), and
+    // retraining is a separate slow path that REWRITES the index (v3/v4),
+    // not this hot path.
+    "e24_stream_index_append" -> { (s, dir) =>
+      import s.implicits._
+      val all = Tables(s, dir).embeddings
+      val nb = all.filter(pmod($"vec_id", lit(10)) === 7)
+        .select($"vec_id", $"embedding")
+      val idxE = all.filter(pmod($"vec_id", lit(10)) =!= 7)
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
+        .select($"vec_id", $"v", $"norm2")
+      val cents = Quantizer.centroidsOnIndexFor(idxE, dir, "idx7", iters = 2, dim = 64)
+      // stage the new partition as 4 id-ranged files → 4 micro-batches
+      val ingest = Scratch.dir("e24_ingest")
+      val ids = nb.agg(min($"vec_id"), max($"vec_id")).head()
+      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+      val step = (hi - lo) / 4 + 1
+      (0 until 4).foreach { i =>
+        val stage = Scratch.dir(s"e24r$i")
+        nb.filter($"vec_id" >= lo + i * step && $"vec_id" < lo + (i + 1) * step)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val ls = java.nio.file.Files.list(stage)
+        val part = try {
+          ls.filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        } finally ls.close()
+        val dst = ingest.resolve(f"range_$i%02d.parquet")
+        java.nio.file.Files.copy(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+      val index = Scratch.dir("e24_index").resolve("idx").toString
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      try {
+        val st = s.readStream.schema(s.read.parquet(ingest.toString).schema)
+          .option("maxFilesPerTrigger", 1).parquet(ingest.toString)
+        val q = st.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val bs = batch.sparkSession
+            val b = batch
+              .withColumn("v", col("embedding").cast("array<double>"))
+              .withColumn("norm2", graft.functions.VectorExprs.dot(col("v"), col("v")))
+            val posted = Quantizer.assign(b, cents)
+              .select(col("cell").cast("long").as("cell"), col("vec_id"))
+            val idxPath = new org.apache.hadoop.fs.Path(index)
+            val idxFs = idxPath.getFileSystem(bs.sparkContext.hadoopConfiguration)
+            val fresh =
+              if (idxFs.exists(idxPath))
+                posted.join(bs.read.parquet(index).select("vec_id"),
+                  Seq("vec_id"), "left_anti")
+              else posted
+            fresh.write.mode("append").parquet(index)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.read.parquet(index)
+        .groupBy($"cell")
+        .agg(count(lit(1)).as("n_vecs"), sum($"vec_id").as("id_sum"))
+        .orderBy($"cell")
+    },
     // e11: the NATIVE session_window operator in APPEND mode — a session
     // emits once the watermark passes its end (last + gap). The stream
     // ends with watermark = max(ts) − 30 min, so the oracle is the batch
@@ -515,6 +589,31 @@ object Streams extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // e24: the batch assignment of the whole new partition to the same
+    // trained centroids (v9's CTE shapes) — the streamed postings index
+    // must aggregate to exactly this
+    "e24_stream_index_append" -> s"""
+      WITH e AS (
+        SELECT vec_id, v, ${Tx.dotSql("v", "v")} AS norm2
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings) t
+        WHERE vec_id % 10 <> 7),
+      ${Quantizer.centroidsSql(iters = 2, dim = 64, sampleMod = 1)},
+      b AS (
+        SELECT vec_id, v, ${Tx.dotSql("v", "v")} AS norm2
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings) t
+        WHERE vec_id % 10 = 7),
+      bas AS (
+        SELECT cell, vec_id FROM (
+          SELECT t.vec_id, c.cell,
+                 row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                   ${Tx.dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) DESC,
+                   c.cell) AS crank
+          FROM b t CROSS JOIN kmc c) z WHERE crank = 1)
+      SELECT cell::BIGINT AS cell, COUNT(*)::BIGINT AS n_vecs,
+             SUM(vec_id)::BIGINT AS id_sum
+      FROM bas GROUP BY cell ORDER BY cell""",
     // e19: the batch recomputation of the streamed running checksum
     "e19_stream_checksum" -> s"""
       SELECT event_type, COUNT(*) AS n_rows, SUM(h)::BIGINT AS checksum

@@ -67,6 +67,23 @@ class MonitoringOpsSpec extends AnyFunSuite {
       batch.except(streamed).count() == 0)
   }
 
+  test("e24: streamed index postings cover the new partition; cells are trained cells") {
+    import spark.implicits._
+    val out = SparkEntry.queries("e24_stream_index_append")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batch7 = Tables(spark, sf).embeddings
+      .filter(pmod($"vec_id", lit(10)) === 7)
+      .agg(count(lit(1)), sum($"vec_id")).head
+    // every new vector posted exactly once — counts and id-sums re-add
+    assert(out.map(_._2).sum == batch7.getLong(0), s"postings leak: $out")
+    assert(out.map(_._3).sum == batch7.getLong(1), "id-sum leak")
+    // postings only reference cells the trained quantizer owns
+    val cells = SparkEntry.queries("v8_ivf_add_batch")(spark, sf).collect()
+      .map(_.getLong(1)).toSet
+    assert(out.map(_._1).toSet.subsetOf(cells),
+      s"unknown cells: ${out.map(_._1).toSet -- cells}")
+  }
+
   test("a8: trailing window dominates the single-day distinct count") {
     import spark.implicits._
     val out = SparkEntry.queries("a8_sliding_distinct")(spark, sf)
