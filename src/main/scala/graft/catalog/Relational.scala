@@ -423,6 +423,46 @@ object Relational extends QueryPack {
         .select($"user_id", $"event_type", $"run_len", $"start_us", $"end_us")
         .orderBy($"user_id", $"start_us")
     },
+    // w11: CONVERSION FUNNEL (view → click → purchase, in event-time
+    // order) — the sequenced-pattern analytic (MATCH_RECOGNIZE's common
+    // case) composed from conditional-min cascades instead of per-user
+    // event sorting: stage k's earliest qualifying time = min(ts of step-k
+    // events AFTER the user's stage-(k−1) time). Three filtered
+    // aggregates chained by user_id equi-joins — ONE shuffle key
+    // throughout (co-partitioned chain, no data-scale window, no
+    // self-join on raw events); per-user state is 3 timestamps however
+    // long the history. Report = users at each deepest stage + exact
+    // integer μs conversion-latency sums (view→deepest), the funnel
+    // table a product-analytics pipeline materializes daily.
+    "w11_funnel_stages" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_type", $"ts")
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"ts").as("t_view"))
+      val c = ev.filter($"event_type" === "click")
+        .join(v, Seq("user_id")).filter($"ts" > $"t_view")
+        .groupBy($"user_id").agg(min($"ts").as("t_click"))
+      val p = ev.filter($"event_type" === "purchase")
+        .join(c, Seq("user_id")).filter($"ts" > $"t_click")
+        .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+      ev.select($"user_id").distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .withColumn("stage",
+          when($"t_purchase".isNotNull, 3L).when($"t_click".isNotNull, 2L)
+            .when($"t_view".isNotNull, 1L).otherwise(0L))
+        .withColumn("deepest_ts",
+          coalesce($"t_purchase", $"t_click", $"t_view"))
+        .withColumn("lat_us",
+          when($"stage" >= 1,
+            unix_micros($"deepest_ts") - unix_micros($"t_view"))
+            .otherwise(0L))
+        .groupBy($"stage")
+        .agg(count(lit(1)).as("n_users"), sum($"lat_us").as("sum_latency_us"))
+        .orderBy($"stage")
+    },
     // w8: percent_rank / cume_dist (rank-normalized window statistics)
     "w8_percent_cume" -> { (s, dir) =>
       import s.implicits._
@@ -1063,6 +1103,36 @@ object Relational extends QueryPack {
         (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
            (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
               AND o.o_orderstatus = 'F')) AS n_not_exists""",
+    "w11_funnel_stages" -> """
+      WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id),
+      p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id),
+      u AS (SELECT DISTINCT user_id FROM events),
+      staged AS (
+        SELECT u.user_id,
+               CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                    WHEN c.t_click IS NOT NULL THEN 2
+                    WHEN v.t_view IS NOT NULL THEN 1 ELSE 0 END AS stage,
+               COALESCE(p.t_purchase, c.t_click, v.t_view) AS deepest_ts,
+               v.t_view
+        FROM u LEFT JOIN v USING (user_id)
+               LEFT JOIN c USING (user_id)
+               LEFT JOIN p USING (user_id))
+      SELECT stage::BIGINT AS stage, COUNT(*)::BIGINT AS n_users,
+             SUM(CASE WHEN stage >= 1
+                      THEN epoch_us(deepest_ts) - epoch_us(t_view)
+                      ELSE 0 END)::BIGINT AS sum_latency_us
+      FROM staged GROUP BY stage ORDER BY stage""",
     "w10_gaps_islands" -> """
       WITH ev AS (
         SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

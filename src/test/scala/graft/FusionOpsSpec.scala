@@ -10,6 +10,39 @@ import org.scalatest.funsuite.AnyFunSuite
   * the DuckDB hash-match: each test asserts the property the operator
   * exists for, on the real sf0.001 tables. */
 class FusionOpsSpec extends AnyFunSuite {
+
+  test("w11: stage counts cover all users; ordered-sequence property holds per user") {
+    import spark.implicits._
+    val out = SparkEntry.queries("w11_funnel_stages")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val nUsers = Tables(spark, sf).events
+      .select($"user_id").distinct().count()
+    assert(out.map(_._2).sum == nUsers, "stages don't partition the users")
+    // latency only accrues past stage 1, and never negative
+    out.foreach { case (stage, _, lat) =>
+      if (stage <= 1) assert(lat == 0L, s"latency at stage $stage")
+      else assert(lat > 0L, s"non-positive latency at stage $stage")
+    }
+    // independent per-user recompute of the deepest stage on raw rows
+    val ev = Tables(spark, sf).events
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = ev.groupBy(_._1).values.map { rows =>
+      def minAfter(t: String, after: Long): Option[Long] = {
+        val c = rows.filter(r => r._2 == t && r._3 > after).map(_._3)
+        if (c.isEmpty) None else Some(c.min)
+      }
+      val tv = rows.filter(_._2 == "view").map(_._3)
+        .reduceOption(_ min _)
+      tv.flatMap(v => minAfter("click", v)
+          .flatMap(c => minAfter("purchase", c))).map(_ => 3L)
+        .orElse(tv.flatMap(v => minAfter("click", v)).map(_ => 2L))
+        .orElse(tv.map(_ => 1L)).getOrElse(0L)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    out.foreach { case (stage, n, _) =>
+      assert(want.getOrElse(stage, 0L) == n, s"stage $stage count: got $n want ${want.get(stage)}")
+    }
+  }
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
