@@ -526,23 +526,27 @@ object Streams extends QueryPack {
         .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
         .select($"vec_id", $"v", $"norm2")
       val cents = Quantizer.centroidsOnIndexFor(idxE, dir, "idx7", iters = 2, dim = 64)
-      // stage the new partition as 4 id-ranged files → 4 micro-batches
-      val ingest = Scratch.dir("e24_ingest")
-      val ids = nb.agg(min($"vec_id"), max($"vec_id")).head()
-      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
-      val step = (hi - lo) / 4 + 1
-      (0 until 4).foreach { i =>
-        val stage = Scratch.dir(s"e24r$i")
-        nb.filter($"vec_id" >= lo + i * step && $"vec_id" < lo + (i + 1) * step)
-          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val ls = java.nio.file.Files.list(stage)
-        val part = try {
-          ls.filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
-        } finally ls.close()
-        val dst = ingest.resolve(f"range_$i%02d.parquet")
-        java.nio.file.Files.copy(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      // the 4 id-ranged ingest files (→ 4 micro-batches) are a read-only
+      // fixture — staged once per session; the streaming run + index
+      // append below stay per-call (they ARE the operator)
+      val ingest = Scratch.staged(s"e24_ingest#$dir", "e24_ingest") { p =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+        val ids = nb.agg(min($"vec_id"), max($"vec_id")).head()
+        val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+        val step = (hi - lo) / 4 + 1
+        (0 until 4).foreach { i =>
+          val stage = Scratch.dir(s"e24r$i")
+          nb.filter($"vec_id" >= lo + i * step && $"vec_id" < lo + (i + 1) * step)
+            .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val ls = java.nio.file.Files.list(stage)
+          val part = try {
+            ls.filter(q => q.getFileName.toString.endsWith(".parquet")).findFirst().get()
+          } finally ls.close()
+          val dst = java.nio.file.Paths.get(p, f"range_$i%02d.parquet")
+          java.nio.file.Files.copy(part, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+        }
       }
       val index = Scratch.dir("e24_index").resolve("idx").toString
       val prev = s.conf.get("spark.sql.shuffle.partitions")
