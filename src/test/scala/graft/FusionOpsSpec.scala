@@ -11,6 +11,24 @@ import org.scalatest.funsuite.AnyFunSuite
   * exists for, on the real sf0.001 tables. */
 class FusionOpsSpec extends AnyFunSuite {
 
+  test("w12: offset-0 row equals cohort size; retention never exceeds it") {
+    import spark.implicits._
+    val out = SparkEntry.queries("w12_retention_cohorts")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // every cohort has its day-0 row (the cohort definition), and no
+    // later offset retains more users than day 0
+    out.groupBy(_._1).foreach { case (c, rows) =>
+      val day0 = rows.find(_._2 == 0L)
+      assert(day0.isDefined, s"cohort $c missing day-0 row")
+      rows.foreach { case (_, off, n) =>
+        assert(n <= day0.get._3, s"cohort $c offset $off retains $n > day0 ${day0.get._3}")
+      }
+    }
+    // day-0 sizes sum to the distinct-user count (cohorts partition users)
+    val nUsers = Tables(spark, sf).events.select($"user_id").distinct().count()
+    assert(out.filter(_._2 == 0L).map(_._3).sum == nUsers)
+  }
+
   test("w11: stage counts cover all users; ordered-sequence property holds per user") {
     import spark.implicits._
     val out = SparkEntry.queries("w11_funnel_stages")(spark, sf).collect()
