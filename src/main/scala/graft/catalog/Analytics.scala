@@ -268,6 +268,29 @@ object Analytics extends QueryPack {
         .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("id_sum"))
         .orderBy($"lang", $"split")
     },
+    // g16: EXACT-n STRATIFIED SAMPLE — where g15 samples a PROPORTION,
+    // eval-set construction needs EXACTLY n docs per stratum. The naive
+    // form (row_number over hash per language) is a data-scale window on
+    // a 5-partition key — the anti-pattern PlanAudit bans. The scale
+    // form: the n-th smallest LCG hash per language is an ORDER STATISTIC
+    // (ScaleOps.orderStats — two bucketed passes, no language-wide sort),
+    // broadcast back as a threshold filter. The LCG is a PERMUTATION mod
+    // P, so hashes are distinct and `h ≤ h_(n)` selects exactly
+    // min(n, |stratum|) docs — deterministic, reproducible, and stable
+    // in expectation-free exactness at any corpus size.
+    "g16_exact_sample" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents.select($"doc_id", $"lang")
+        .withColumn("h", (($"doc_id" % P) * 48271L + 41L) % P)
+      val thr = ScaleOps.orderStats(docs, "lang", "h",
+          Seq(("k", "least(n - 1, 19)")))
+        .select($"lang", $"value".as("thr"))
+      docs.join(broadcast(thr), Seq("lang"))
+        .filter($"h" <= $"thr")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_sampled"), sum($"doc_id").as("id_sum"))
+        .orderBy($"lang")
+    },
     // g13: TEMPERATURE-SCALED MIXTURE (α = 0.5) — the UniMax/multilingual
     // sampling shape: where g6 takes OPERATOR-SUPPLIED weights, here the
     // rates derive FROM the corpus itself — w_l = floor(√n_l), so tails
@@ -641,6 +664,20 @@ object Analytics extends QueryPack {
                  THEN 1 ELSE 0 END)::BIGINT AS n_kept
       FROM documents d JOIN rates r USING (lang)
       GROUP BY d.lang ORDER BY d.lang""",
+    // g16: top-20-smallest-hash per language == threshold filter at the
+    // 20th order statistic, because the LCG permutation makes hashes
+    // distinct within a language
+    "g16_exact_sample" -> s"""
+      WITH d AS (
+        SELECT doc_id, lang, ((doc_id % $P) * 48271 + 41) % $P AS h
+        FROM documents),
+      r AS (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang ORDER BY h) AS rk
+        FROM d)
+      SELECT lang, COUNT(*)::BIGINT AS n_sampled, SUM(doc_id)::BIGINT AS id_sum
+      FROM r WHERE rk <= 20
+      GROUP BY lang ORDER BY lang""",
     "g15_stratified_split" -> s"""
       SELECT lang, split, COUNT(*)::BIGINT AS n_docs,
              SUM(doc_id)::BIGINT AS id_sum

@@ -35,6 +35,10 @@ import graft.{QueryPack, Scratch, Tables}
   */
 object Quality extends QueryPack {
 
+  /** dq11's release threshold: quasi-id combinations with fewer members
+    * are suppressed from the release. */
+  private val KAnon = 5L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq1_quality_audit" -> { (s, dir) =>
       import s.implicits._
@@ -261,6 +265,25 @@ object Quality extends QueryPack {
     // the window then runs over CALENDAR rows (~365/year whatever the
     // corpus size — metadata-scale, PlanAuditSpec-whitelisted like r9's
     // year-total carry pass).
+    // dq11: K-ANONYMITY RELEASE GATE — the governance check a dataset
+    // release runs before publishing: group by the quasi-identifier tuple
+    // (lang, source, length bucket — attributes that jointly re-identify)
+    // and release only combinations with ≥ K members; rarer combinations
+    // are reported suppressed. ONE map-side-combinable aggregate over the
+    // corpus (the shuffle carries |combinations| rows); the release
+    // decision is a per-row flag on that bounded table. At 100 TB the
+    // combination table is what it is at any scale — quasi-id cardinality
+    // — and the suppressed set is the privacy budget the release report
+    // carries.
+    "dq11_k_anonymity" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .select($"lang", $"source", expr("n_chars div 100").as("len_bucket"))
+        .groupBy($"lang", $"source", $"len_bucket")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("released", $"n_docs" >= KAnon)
+        .orderBy($"lang", $"source", $"len_bucket")
+    },
     "dq10_rolling_anomaly" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.types.DecimalType
@@ -515,6 +538,13 @@ object Quality extends QueryPack {
                COUNT(DISTINCT l_suppkey)::BIGINT
         FROM lineitem) u
       ORDER BY col""",
+    "dq11_k_anonymity" -> s"""
+      SELECT lang, source, n_chars // 100 AS len_bucket,
+             COUNT(*)::BIGINT AS n_docs,
+             COUNT(*) >= $KAnon AS released
+      FROM documents
+      GROUP BY lang, source, len_bucket
+      ORDER BY lang, source, len_bucket""",
     "dq10_rolling_anomaly" -> """
       WITH daily AS (
         SELECT o_orderdate,

@@ -160,6 +160,26 @@ class ReshardOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("g16: exactly min(20, |stratum|) docs per language, no window over the corpus") {
+    import spark.implicits._
+    val out = SparkEntry.queries("g16_exact_sample")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = Tables(spark, sf).documents.groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (lang, n) =>
+      assert(out(lang) == math.min(20L, n), s"$lang: ${out(lang)} of $n")
+    }
+  }
+
+  test("dq11: the release gate both releases and suppresses; counts cover the corpus") {
+    val out = SparkEntry.queries("dq11_k_anonymity")(spark, sf).collect()
+      .map(r => (r.getLong(3), r.getBoolean(4)))
+    assert(out.exists(_._2) && out.exists(!_._2),
+      "fixture does not exercise both release outcomes")
+    out.foreach { case (n, released) => assert(released == (n >= 5L)) }
+    assert(out.map(_._1).sum == Tables(spark, sf).documents.count())
+  }
+
   test("m12: gain is the exact floor ratio to target peak; peak within int16") {
     val rows = SparkEntry.queries("m12_audio_normalize")(spark, sf).collect()
     assert(rows.nonEmpty)
