@@ -131,7 +131,7 @@ object Events extends QueryPack {
     "e2_tumbling_counts" -> """
       SELECT (floor(epoch(ts) / 600) * 600)::BIGINT AS w_start, event_type,
              COUNT(*) AS n,
-             CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+             CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_value
       FROM events GROUP BY w_start, event_type ORDER BY w_start, event_type""",
     "e3_sliding_counts" -> """
       SELECT ws AS w_start, COUNT(*) AS n FROM (

@@ -345,7 +345,7 @@ object Formats extends QueryPack {
 
   private val qtySql = """
       SELECT l_returnflag, COUNT(*) AS n,
-             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+             CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   val oracle: Map[String, String] = Map(
@@ -363,9 +363,9 @@ object Formats extends QueryPack {
     "k12_partition_overwrite" -> """
       WITH md AS (SELECT min(CAST(ts AS DATE)) AS d FROM events)
       SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, COUNT(*) AS n,
-             CAST(CAST(SUM(CAST(CASE WHEN CAST(ts AS DATE) = (SELECT d FROM md)
+             CAST(CAST(CAST(SUM(CAST(CASE WHEN CAST(ts AS DATE) = (SELECT d FROM md)
                                       THEN value * 2 ELSE value END
-                             AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+                             AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE)
                AS sum_value
       FROM events GROUP BY 1 ORDER BY 1""",
     // k13: v1 = the base table as-is; v2 = the earliest year's prices

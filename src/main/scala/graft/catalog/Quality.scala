@@ -566,7 +566,7 @@ object Quality extends QueryPack {
       SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
              COUNT(*) AS n_orders,
              SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphaned,
-             CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
+             CAST(CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_price
       FROM orders o
       LEFT JOIN (SELECT c_custkey, c_mktsegment FROM customer
                  WHERE c_custkey % 7 <> 3) c

@@ -1197,7 +1197,7 @@ object Relational extends QueryPack {
       pa AS (SELECT l_partkey, SUM(qty) AS sumq, COUNT(*) AS n
              FROM li GROUP BY 1)
       SELECT COUNT(*) AS n_lines,
-             CAST(CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / 7.0::DOUBLE AS avg_yearly
+             CAST(CAST(CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) / 7.0::DOUBLE AS avg_yearly
       FROM li JOIN pa USING (l_partkey)
       JOIN part p ON p.p_partkey = li.l_partkey
       WHERE p.p_brand = 'Brand#4' AND 5 * li.qty * pa.n < pa.sumq""",
@@ -1256,25 +1256,25 @@ object Relational extends QueryPack {
       FROM events GROUP BY event_type ORDER BY event_type""",
     "a6_incremental_agg" -> """
       SELECT l_returnflag,
-             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+             CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty,
              COUNT(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q1_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
-             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
-             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
-             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
-             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2))) * (CAST(1 AS DECIMAL(8,2)) + CAST(l_tax AS DECIMAL(8,2)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+             CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty,
+             CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+             CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+             CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2))) * (CAST(1 AS DECIMAL(8,2)) + CAST(l_tax AS DECIMAL(8,2)))) AS DECIMAL(38,6)) AS VARCHAR) AS DOUBLE) AS sum_charge,
              COUNT(*) AS count_order
       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
     "q2_priority_distinct" -> """
       SELECT o_orderpriority, COUNT(*) AS n_orders, COUNT(DISTINCT o_custkey) AS n_cust,
-             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
+             CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_price
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q3_shipping_topk" -> """
       SELECT l_orderkey, o_orderdate, o_orderpriority,
-             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+             CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            JOIN customer ON o_custkey = c_custkey
       WHERE c_mktsegment = 'BUILDING'
@@ -1287,7 +1287,7 @@ object Relational extends QueryPack {
       GROUP BY o_custkey HAVING COUNT(*) >= 15 ORDER BY o_custkey""",
     "q5_nation_revenue" -> """
       SELECT n_name,
-             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+             CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue,
              COUNT(*) AS n_items
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            JOIN customer ON o_custkey = c_custkey
@@ -1302,29 +1302,29 @@ object Relational extends QueryPack {
       ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
     "a2_cube" -> """
       SELECT l_returnflag, l_linestatus,
-             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+             CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty,
              COUNT(*) AS n
       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "j8_skew_salted_join" -> """
       SELECT o_orderpriority, COUNT(*) AS n,
-             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+             CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "j9_skew_aqe_join" -> """
       SELECT o_orderpriority, COUNT(*) AS n,
-             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+             CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "j10_bloom_join" -> """
       SELECT o_orderpriority, COUNT(*) AS n,
-             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
+             CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_price
       FROM orders JOIN customer ON o_custkey = c_custkey
       WHERE c_mktsegment = 'BUILDING'
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "a5_grouping_sets" -> """
       SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
+             CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_price
       FROM orders
       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
@@ -1337,7 +1337,7 @@ object Relational extends QueryPack {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "a3_minmax_avg" -> """
       SELECT l_returnflag, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
-             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / COUNT(*) AS avg_qty,
+             CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
              COUNT(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "j1_inner" -> """
@@ -1377,9 +1377,9 @@ object Relational extends QueryPack {
       WHERE rn <= 3 ORDER BY o_custkey, rn""",
     "w2_running_sum" -> """
       SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
-             CAST(CAST(SUM(qty) OVER (
+             CAST(CAST(CAST(SUM(qty) OVER (
                PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS DOUBLE) AS running_qty
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS running_qty
       FROM (SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
                    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
             FROM lineitem WHERE l_suppkey <= 3 GROUP BY 1,2,3,4) g
@@ -1404,9 +1404,9 @@ object Relational extends QueryPack {
         FROM orders GROUP BY o_orderpriority),
       tot AS (SELECT SUM(rev) AS tot FROM per)
       SELECT o_orderpriority,
-             CAST(CAST(rev AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
-             CAST(CAST(rev AS DECIMAL(38,2)) AS DOUBLE) /
-               CAST(CAST(tot AS DECIMAL(38,2)) AS DOUBLE) AS share
+             CAST(CAST(CAST(rev AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS revenue,
+             CAST(CAST(CAST(rev AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) /
+               CAST(CAST(CAST(tot AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS share
       FROM per, tot ORDER BY o_orderpriority""",
     "w8_percent_cume" -> """
       SELECT o_orderpriority, o_orderkey,
@@ -1432,9 +1432,9 @@ object Relational extends QueryPack {
       ORDER BY o_orderpriority, o_orderkey""",
     "w6_range_frame" -> """
       SELECT l_suppkey, l_orderkey, l_linenumber,
-             CAST(CAST(SUM(qty) OVER (
+             CAST(CAST(CAST(SUM(qty) OVER (
                PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS DOUBLE) AS qty_3row
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS qty_3row
       FROM (SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
                    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
             FROM lineitem WHERE l_suppkey <= 2 GROUP BY 1,2,3,4) g

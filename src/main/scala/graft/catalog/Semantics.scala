@@ -252,8 +252,8 @@ object Semantics extends QueryPack {
       FROM customer ORDER BY c_custkey""",
     "t7_formula" -> """
       SELECT l_orderkey, l_linenumber,
-             CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)) AS DOUBLE) AS total,
-             CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2))) AS DECIMAL(38,4)) AS DOUBLE) AS discounted
+             CAST(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS total,
+             CAST(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2))) AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS discounted
       FROM lineitem ORDER BY l_orderkey, l_linenumber, total, discounted LIMIT 1000""",
     "t8_conditional" -> """
       SELECT o_orderkey,

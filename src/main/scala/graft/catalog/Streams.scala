@@ -668,7 +668,7 @@ object Streams extends QueryPack {
     "e6_stream_tumbling" -> """
       SELECT (floor(epoch(ts) / 600) * 600)::BIGINT AS w_start, event_type,
              COUNT(*) AS n,
-             CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+             CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_value
       FROM events GROUP BY w_start, event_type ORDER BY w_start, event_type""",
     "e7_stream_running_counts" -> """
       SELECT user_id, COUNT(*)::BIGINT AS n_events
@@ -706,7 +706,7 @@ object Streams extends QueryPack {
       WITH agg AS (
         SELECT (floor(epoch(ts) / 600) * 600)::BIGINT AS w_start, event_type,
                COUNT(*) AS n,
-               CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+               CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_value
         FROM events GROUP BY w_start, event_type),
       wm AS (SELECT (max(epoch_us(ts)) // 1000) AS wm_ms FROM events)
       SELECT w_start, event_type, n, sum_value

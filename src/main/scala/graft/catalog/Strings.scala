@@ -164,7 +164,7 @@ object Strings extends QueryPack {
       ORDER BY c_custkey""",
     "q7_sql_interface" -> """
       SELECT c_mktsegment, COUNT(*) AS n,
-             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+             CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS revenue
       FROM orders JOIN customer ON o_custkey = c_custkey
       WHERE o_orderstatus <> 'F'
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""

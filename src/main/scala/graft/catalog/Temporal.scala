@@ -350,7 +350,7 @@ object Temporal extends QueryPack {
              arg_min(value, epoch_us(ts)) AS open_v,
              arg_max(value, epoch_us(ts)) AS close_v,
              MAX(value) AS high_v, MIN(value) AS low_v,
-             CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS volume,
+             CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS volume,
              COUNT(*) AS n
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     // r9: the oracle runs the textbook SEQUENTIAL sweep (one global-window
@@ -391,7 +391,7 @@ object Temporal extends QueryPack {
         FROM orders),
       daily AS (
         SELECT prio, d, COUNT(*)::BIGINT AS n,
-               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS rev
+               CAST(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS rev
         FROM o GROUP BY prio, d),
       bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM o),
       scaffold AS (
