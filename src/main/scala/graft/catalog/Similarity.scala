@@ -1214,9 +1214,14 @@ object Similarity extends QueryPack {
                row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id)::BIGINT AS rank
         FROM fused) t
       WHERE rank <= $K ORDER BY q_id, rank""",
+    // `und` is MATERIALIZED (DuckDB-side only): DuckDB inlines plain CTEs
+    // at every reference, and und is referenced 3× (s0, n1, n2) — each
+    // inline replays the whole Lloyd-training chain behind `knn`, which
+    // at the 10× soak spilled >78 GB; materializing the ~150 k-edge
+    // frame evaluates it once. Values are unchanged.
     "v14_label_prop" -> s"""
       WITH $knnCtes,
-      und AS (
+      und AS MATERIALIZED (
         SELECT DISTINCT src_id, neighbor_id FROM (
           SELECT src_id, neighbor_id FROM knn
           UNION ALL
