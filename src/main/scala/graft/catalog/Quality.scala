@@ -265,6 +265,43 @@ object Quality extends QueryPack {
     // the window then runs over CALENDAR rows (~365/year whatever the
     // corpus size — metadata-scale, PlanAuditSpec-whitelisted like r9's
     // year-total carry pass).
+    // dq12: DISTRIBUTION-DRIFT MONITOR (exact chi-square) — did this
+    // month's data shift against last month's baseline? The two
+    // event-time halves bin `value` into fixed cents-width buckets and
+    // the 2×k contingency table scores per-bin chi-square contributions
+    // (a·B − b·A)²/(A·B·(a+b)) — dq10's cleared-denominator discipline:
+    // numerator and denominator stay EXACT DECIMAL(38,0)/HUGEINT (at 10×
+    // the squared numerator passes 10²², beyond int64), and the reported
+    // contribution is the floor parts-per-million — one integer division,
+    // bit-identical on both engines, no libm (log/χ²-CDF are NOT
+    // engine-portable; a fixed ppm threshold on the statistic is). Scale
+    // shape: one map-side-combinable (half, bin) count over the corpus;
+    // everything after runs on the k-row contingency table.
+    "dq12_drift_chi2" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val d38 = DecimalType(38, 0)
+      val binned = Tables(s, dir).events
+        .select(
+          when(dayofmonth($"ts") <= 15, lit("base")).otherwise(lit("new")).as("half"),
+          least(lit(9L), expr("cast(round(value * 100) as bigint) div 5000")).as("bin"))
+        .groupBy($"bin")
+        .agg(sum(when($"half" === "base", 1L).otherwise(0L)).as("n_base"),
+             sum(when($"half" === "new", 1L).otherwise(0L)).as("n_new"))
+      val tot = binned.agg(sum($"n_base").as("tot_base"), sum($"n_new").as("tot_new"))
+      binned.crossJoin(broadcast(tot))
+        .withColumn("num",
+          ($"n_base".cast(d38) * $"tot_new".cast(d38) -
+            $"n_new".cast(d38) * $"tot_base".cast(d38)))
+        .withColumn("num2", ($"num" * $"num").cast(d38))
+        .withColumn("den",
+          ($"tot_base".cast(d38) * $"tot_new".cast(d38) *
+            ($"n_base" + $"n_new").cast(d38)).cast(d38))
+        .withColumn("num2m", ($"num2" * lit(1000000L).cast(d38)).cast(d38))
+        .select($"bin", $"n_base", $"n_new",
+          expr("num2m div den").as("contrib_ppm"))
+        .orderBy($"bin")
+    },
     // dq11: K-ANONYMITY RELEASE GATE — the governance check a dataset
     // release runs before publishing: group by the quasi-identifier tuple
     // (lang, source, length bucket — attributes that jointly re-identify)
@@ -538,6 +575,23 @@ object Quality extends QueryPack {
                COUNT(DISTINCT l_suppkey)::BIGINT
         FROM lineitem) u
       ORDER BY col""",
+    // dq12: HUGEINT keeps every product exact; // is floor division on
+    // non-negative operands — same ppm integers as Spark's DECIMAL(38,0)
+    // `div` path
+    "dq12_drift_chi2" -> """
+      WITH binned AS (
+        SELECT LEAST(9, CAST(round(value * 100) AS BIGINT) // 5000) AS bin,
+               SUM(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END)::HUGEINT AS n_base,
+               SUM(CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END)::HUGEINT AS n_new
+        FROM events GROUP BY bin),
+      tot AS (
+        SELECT SUM(n_base)::HUGEINT AS tot_base, SUM(n_new)::HUGEINT AS tot_new
+        FROM binned)
+      SELECT bin, n_base::BIGINT AS n_base, n_new::BIGINT AS n_new,
+             (((n_base * tot_new - n_new * tot_base) *
+               (n_base * tot_new - n_new * tot_base) * 1000000::HUGEINT)
+              // (tot_base * tot_new * (n_base + n_new)))::BIGINT AS contrib_ppm
+      FROM binned, tot ORDER BY bin""",
     "dq11_k_anonymity" -> s"""
       SELECT lang, source, n_chars // 100 AS len_bucket,
              COUNT(*)::BIGINT AS n_docs,

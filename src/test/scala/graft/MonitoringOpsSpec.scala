@@ -84,6 +84,20 @@ class MonitoringOpsSpec extends AnyFunSuite {
       s"unknown cells: ${out.map(_._1).toSet -- cells}")
   }
 
+  test("dq12: per-bin chi-square ppm equals an exact BigInt recompute") {
+    import spark.implicits._
+    val out = SparkEntry.queries("dq12_drift_chi2")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (totA, totB) = (BigInt(out.map(_._2).sum), BigInt(out.map(_._3).sum))
+    assert(totA > 0 && totB > 0)
+    out.foreach { case (bin, a, b, ppm) =>
+      val num = BigInt(a) * totB - BigInt(b) * totA
+      val want = (num * num * 1000000) / (totA * totB * (BigInt(a) + BigInt(b)))
+      assert(BigInt(ppm) == want, s"bin $bin: $ppm != $want")
+      assert(ppm >= 0)
+    }
+  }
+
   test("a8: trailing window dominates the single-day distinct count") {
     import spark.implicits._
     val out = SparkEntry.queries("a8_sliding_distinct")(spark, sf)
