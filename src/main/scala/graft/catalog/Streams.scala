@@ -244,6 +244,40 @@ object Streams extends QueryPack {
     // the trigger's table — never a global sort inside the stream). The
     // oracle is x11's batch top-20, so green pins that micro-batched
     // counting reached exactly the batch vocabulary.
+    // e25: STREAMING DRIFT MONITOR — dq12's chi-square kept continuously:
+    // complete-mode (bin → per-half counts) over the event stream (state =
+    // one row per bin, bounded by the binning not the stream), then the
+    // exact cleared-denominator ppm contributions computed OFF the final
+    // sink snapshot (e20's convention: post-stream arithmetic runs on the
+    // bin-table, never inside the stream). The final trigger's table must
+    // reproduce dq12's batch report bit-for-bit — micro-batched counting
+    // changed nothing. The always-on twin of the release-time drift gate.
+    "e25_stream_drift" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val d38 = DecimalType(38, 0)
+      val binned = runToTable(eventsStream(s, dir)
+          .select(
+            when(dayofmonth($"ts") <= 15, lit("base")).otherwise(lit("new")).as("half"),
+            least(lit(9L), expr("cast(round(value * 100) as bigint) div 5000")).as("bin"))
+          .groupBy($"bin")
+          .agg(sum(when($"half" === "base", 1L).otherwise(0L)).as("n_base"),
+               sum(when($"half" === "new", 1L).otherwise(0L)).as("n_new")),
+          OutputMode.Complete())
+      val tot = binned.agg(sum($"n_base").as("tot_base"), sum($"n_new").as("tot_new"))
+      binned.crossJoin(broadcast(tot))
+        .withColumn("num",
+          ($"n_base".cast(d38) * $"tot_new".cast(d38) -
+            $"n_new".cast(d38) * $"tot_base".cast(d38)))
+        .withColumn("num2", ($"num" * $"num").cast(d38))
+        .withColumn("den",
+          ($"tot_base".cast(d38) * $"tot_new".cast(d38) *
+            ($"n_base" + $"n_new").cast(d38)).cast(d38))
+        .withColumn("num2m", ($"num2" * lit(1000000L).cast(d38)).cast(d38))
+        .select($"bin", $"n_base", $"n_new",
+          expr("num2m div den").as("contrib_ppm"))
+        .orderBy($"bin")
+    },
     "e20_stream_heavy_hitters" -> { (s, dir) =>
       import s.implicits._
       val raw = s.read.parquet(s"$dir/documents.parquet")
@@ -618,6 +652,22 @@ object Streams extends QueryPack {
       SELECT cell::BIGINT AS cell, COUNT(*)::BIGINT AS n_vecs,
              SUM(vec_id)::BIGINT AS id_sum
       FROM bas GROUP BY cell ORDER BY cell""",
+    // e25: dq12's batch oracle verbatim — the streamed bin table must
+    // reproduce the batch drift report exactly
+    "e25_stream_drift" -> """
+      WITH binned AS (
+        SELECT LEAST(9, CAST(round(value * 100) AS BIGINT) // 5000) AS bin,
+               SUM(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END)::HUGEINT AS n_base,
+               SUM(CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END)::HUGEINT AS n_new
+        FROM events GROUP BY bin),
+      tot AS (
+        SELECT SUM(n_base)::HUGEINT AS tot_base, SUM(n_new)::HUGEINT AS tot_new
+        FROM binned)
+      SELECT bin, n_base::BIGINT AS n_base, n_new::BIGINT AS n_new,
+             (((n_base * tot_new - n_new * tot_base) *
+               (n_base * tot_new - n_new * tot_base) * 1000000::HUGEINT)
+              // (tot_base * tot_new * (n_base + n_new)))::BIGINT AS contrib_ppm
+      FROM binned, tot ORDER BY bin""",
     // e19: the batch recomputation of the streamed running checksum
     "e19_stream_checksum" -> s"""
       SELECT event_type, COUNT(*) AS n_rows, SUM(h)::BIGINT AS checksum
