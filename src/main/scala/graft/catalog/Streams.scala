@@ -623,6 +623,23 @@ object Streams extends QueryPack {
       runToTable(EventStreams.sessionize(eventsStream(s, dir)),
           OutputMode.Append())
         .orderBy($"user_id", $"start_us")
+    },
+    // e26: SLIDING time windows in APPEND mode — completes the window-mode
+    // matrix (e2/e3 batch tumbling/sliding, e6 complete-mode tumbling, e11
+    // session append): each event lands in two 10-min/5-min-slide windows,
+    // and a window row is emitted EXACTLY ONCE, when the watermark
+    // (max ts − 10 min, in state-store ms) passes its end — so the final
+    // table is the batch sliding aggregation restricted to closed windows,
+    // and the trailing still-open windows are provably absent. State is one
+    // row per open (window) key — bounded by delay/slide + 2 windows
+    // regardless of corpus size; the append emission is what a downstream
+    // incremental consumer (e16's upsert, a feature store) reads without
+    // reprocessing, where complete-mode e6 would rewrite the world.
+    "e26_stream_sliding_append" -> { (s, dir) =>
+      import s.implicits._
+      runToTable(EventStreams.slidingCounts(eventsStream(s, dir),
+          watermark = "10 minutes"), OutputMode.Append())
+        .orderBy($"w_start")
     }
   )
 
@@ -875,6 +892,17 @@ object Streams extends QueryPack {
       SELECT * FROM matched
       UNION ALL SELECT * FROM unmatched_c
       UNION ALL SELECT * FROM unmatched_e
-      ORDER BY click_id, error_id"""
+      ORDER BY click_id, error_id""",
+    // e3's two-windows-per-event expansion, restricted to windows whose
+    // end cleared the final watermark (max ts − 10 min, ms floor — the
+    // state store's eviction arithmetic, '<=' like e11's sessions)
+    "e26_stream_sliding_append" -> """
+      WITH wm AS (SELECT (max(epoch_us(ts)) // 1000) - 600000 AS wm_ms
+                  FROM events)
+      SELECT ws AS w_start, COUNT(*) AS n FROM (
+        SELECT (floor(epoch(ts) / 300) * 300 - off)::BIGINT AS ws
+        FROM events CROSS JOIN (VALUES (0), (300)) o(off)) t, wm
+      WHERE (ws + 600) * 1000 <= wm_ms
+      GROUP BY ws ORDER BY ws"""
   )
 }

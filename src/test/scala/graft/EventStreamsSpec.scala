@@ -56,6 +56,20 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("slidingCounts in append mode emits exactly the closed windows (e26)") {
+    // events at 10:01/10:05/10:12/10:14/10:25, then 10:55 drives the final
+    // watermark to 10:45 — every window ending ≤ 10:45 must emit exactly
+    // once, and 10:55's two still-open windows (10:50, 10:55) must NOT.
+    val got = runStream(Seq(inOrder.take(4), inOrder.drop(4)), OutputMode.Append())(
+      EventStreams.slidingCounts(_, watermark = "10 minutes"))
+    val batch = EventStreams.slidingCounts(inOrder.toDF())
+      .collect().map(_.mkString("|")).toSet
+    val wmSec = Timestamp.valueOf("2024-01-01 10:45:00").getTime / 1000
+    val want = batch.filter(_.split('|')(0).toLong + 600 <= wmSec)
+    assert(got == want, s"got=$got want=$want")
+    assert(got.size < batch.size, "eviction never withheld an open window")
+  }
+
   test("sessionize closes a session after the gap (append mode emits it)") {
     // user 1: events at 10:01 and 10:05 (one session), then 11:30 (new
     // session) pushes the watermark far past the first session's close.
