@@ -31,9 +31,17 @@ object Scratch {
 
   def staged(key: String, prefix: String)(write: String => Unit): String =
     stagedPaths.computeIfAbsent(key, _ => {
+      // retry once into a FRESH path: a transient first-write failure (FS
+      // hiccup mid-bench) otherwise leaves the memo empty and every later
+      // caller re-pays the full staging cost inside its own timing window
       val p = dir(prefix).resolve("data").toString
-      write(p)
-      p
+      try { write(p); p }
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          val p2 = dir(prefix).resolve("data").toString
+          write(p2)
+          p2
+      }
     })
 
   private def deleteRecursively(p: Path): Unit = {
