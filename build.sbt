@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must pass through UNPREFIXED: the driver parses the
+// LAST stdout line of `sbt "runMain graft.Bench"` as the metric JSON, and
+// sbt's default LoggedOutput wrapped it as "[info] {...}" then appended a
+// "[success] Total time" trailer — six straight rounds of parsed:null
+// (BENCH_r01..r06). StdoutOutput inherits the parent's streams directly;
+// showSuccess := false drops the trailer so the bare JSON line is final.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not by other settings —
+// lintUnused can't see that
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

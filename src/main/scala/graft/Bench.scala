@@ -75,7 +75,13 @@ object Bench {
         "BENCH_LOCAL.json")), full + "\n")
     catch { case _: Throwable => () }
     val slowest = results.sortBy(-_._2).take(10)
-    println(line(slowest.map { case (k, v) => k -> r3(v) }))
+    val shortLine = line(slowest.map { case (k, v) => k -> r3(v) })
+    // Stop Spark BEFORE printing: session teardown logs WARNs (state-store
+    // unload, temp-checkpoint cleanup) to stderr, and if the driver merges
+    // streams those lines would land after the metric JSON. With the
+    // session already down, the println is the last thing this JVM emits.
     spark.stop()
+    println(shortLine)
+    System.out.flush()
   }
 }
