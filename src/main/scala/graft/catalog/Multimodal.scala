@@ -250,6 +250,22 @@ object Multimodal extends QueryPack {
                   x => round(x.cast("double") * $"n_bytes".cast("double"))
                     .cast("long").cast("string")), ",").as("hist"))
         .orderBy($"media_id")
+    },
+    // m13: FUSED MULTI-FEATURE DECODE — the whole-curation sweep. Run
+    // separately, m3 + m5/m6/m8 + m10 decode the same payload three-to-four
+    // times; at 100 TB the decode bill dominates the cluster cost, so the
+    // production pass decodes ONCE and derives every feature family in the
+    // same pixel/PCM sweep: the m3 byte histogram, the modality fingerprint
+    // (image aHash / audio chunk-energy / video sampled-frame concat), and
+    // the checksum series (per-frame, in frame order — m10's scene-cut
+    // input). The oracle recomputes all three families from the closed
+    // forms and joins them, so a green row pins feature EQUIVALENCE with
+    // the unfused entries, not just plumbing.
+    "m13_fused_media_pass" -> { (s, dir) =>
+      import s.implicits._
+      Media.fusedFeatures(stagedMedia(s, dir)).toDF()
+        .select($"media_id", $"kind", $"hist", $"fp", $"checksums")
+        .orderBy($"media_id")
     }
   )
 
@@ -598,6 +614,125 @@ object Multimodal extends QueryPack {
       LEFT JOIN archk ON archk.doc_id = d.doc_id
       LEFT JOIN vids vd ON vd.doc_id = d.doc_id
       LEFT JOIN vrchk ON vrchk.doc_id = d.doc_id
+      ORDER BY media_id""",
+    // m13: hist = m3's three histogram chains; fp = m9's three fingerprint
+    // chains; checksums = m1's whole-image/audio sums + m10's per-frame
+    // series string_agg'd in frame order — all joined per media row.
+    "m13_fused_media_pass" -> s"""
+      WITH $imgCtes,
+      $audCtes,
+      $vidCtes,
+      avals AS (
+        SELECT doc_id, unnest([u % 256, ((u // 256) + 128) % 256]) AS v FROM au),
+      avc AS (SELECT doc_id, v // 16 AS bin, COUNT(*) AS c FROM avals GROUP BY 1, 2),
+      ah AS (
+        SELECT a.doc_id,
+               string_agg(COALESCE(avc.c, 0)::VARCHAR, ',' ORDER BY b.bin) AS hist
+        FROM auds a
+        CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) b
+        LEFT JOIN avc ON avc.doc_id = a.doc_id AND avc.bin = b.bin
+        GROUP BY a.doc_id),
+      vals AS (
+        SELECT i.doc_id,
+               unnest(${rgbVals("i.doc_id", "t.tx", "t.ty")}) AS v
+        FROM imgs i CROSS JOIN tile t),
+      vc AS (SELECT doc_id, v // 16 AS bin, COUNT(*) AS c FROM vals GROUP BY 1, 2),
+      ih AS (
+        SELECT i.doc_id,
+               string_agg((COALESCE(vc.c, 0) * (i.w // 16) * (i.h // 16))::VARCHAR,
+                          ',' ORDER BY b.bin) AS hist
+        FROM imgs i
+        CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) b
+        LEFT JOIN vc ON vc.doc_id = i.doc_id AND vc.bin = b.bin
+        GROUP BY i.doc_id),
+      vvals AS (
+        SELECT fr.doc_id,
+               unnest(${rgbVals("(fr.doc_id * 131 + fr.f)", "t.tx", "t.ty")}) AS v
+        FROM vfr fr CROSS JOIN tile t),
+      vvc AS (SELECT doc_id, v // 16 AS bin, COUNT(*) * 4 AS c FROM vvals GROUP BY 1, 2),
+      vh AS (
+        SELECT vd.doc_id,
+               string_agg(COALESCE(vvc.c, 0)::VARCHAR, ',' ORDER BY b.bin) AS hist
+        FROM vids vd
+        CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) b
+        LEFT JOIN vvc ON vvc.doc_id = vd.doc_id AND vvc.bin = b.bin
+        GROUP BY vd.doc_id),
+      g9 AS (
+        SELECT a.x, b.y FROM (SELECT unnest(range(0, 8)) AS x) a
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS y) b),
+      is9 AS (
+        SELECT i.doc_id, g.x, g.y,
+               ${rgbSum("i.doc_id", "(((g.x * i.w) // 8) % 16)",
+                        "(((g.y * i.h) // 8) % 16)")} AS s
+        FROM imgs i CROSS JOIN g9 g),
+      it9 AS (SELECT doc_id, SUM(s) AS total FROM is9 GROUP BY doc_id),
+      ih9 AS (
+        SELECT s.doc_id,
+               string_agg(CASE WHEN s.s * 64 > t.total THEN '1' ELSE '0' END,
+                          '' ORDER BY s.y, s.x) AS fp
+        FROM is9 s JOIN it9 t USING (doc_id) GROUP BY s.doc_id),
+      ae9 AS (
+        SELECT doc_id, (i // 50) AS c,
+               SUM((doc_id * 31 + i * 7) % 65536)::BIGINT AS e
+        FROM (SELECT doc_id, unnest(range(0, 400)) AS i FROM auds) t
+        GROUP BY doc_id, i // 50),
+      at9 AS (SELECT doc_id, SUM(e) AS total FROM ae9 GROUP BY doc_id),
+      af9 AS (
+        SELECT ae9.doc_id,
+               string_agg(CASE WHEN ae9.e * 8 > t.total THEN '1' ELSE '0' END,
+                          '' ORDER BY ae9.c) AS fp
+        FROM ae9 JOIN at9 t USING (doc_id) GROUP BY ae9.doc_id),
+      vs9 AS (
+        SELECT doc_id, f FROM (SELECT doc_id, unnest(range(0, nf)) AS f FROM vids) t
+        WHERE f % 8 = 0),
+      vp9 AS (
+        SELECT s.doc_id, s.f, g.x, g.y,
+               ${rgbSum("(s.doc_id * 131 + s.f)", "((g.x * 4) % 16)",
+                        "((g.y * 4) % 16)")} AS v
+        FROM vs9 s CROSS JOIN g9 g),
+      vt9 AS (SELECT doc_id, f, SUM(v) AS total FROM vp9 GROUP BY doc_id, f),
+      vh9 AS (
+        SELECT s.doc_id, s.f,
+               string_agg(CASE WHEN s.v * 64 > t.total THEN '1' ELSE '0' END,
+                          '' ORDER BY s.y, s.x) AS h
+        FROM vp9 s JOIN vt9 t ON s.doc_id = t.doc_id AND s.f = t.f
+        GROUP BY s.doc_id, s.f),
+      vf9 AS (
+        SELECT doc_id, string_agg(h, '' ORDER BY f) AS fp
+        FROM vh9 GROUP BY doc_id),
+      ichk AS (
+        SELECT i.doc_id, (i.w // 16) * (i.h // 16)
+               * SUM(${rgbSum("i.doc_id", "t.tx", "t.ty")}) AS checksum
+        FROM imgs i CROSS JOIN tile t GROUP BY i.doc_id, i.w, i.h),
+      vfc AS (
+        SELECT v.doc_id, v.f,
+               (4 * SUM(${rgbSum("(v.doc_id * 131 + v.f)", "t.tx", "t.ty")}))::BIGINT AS checksum
+        FROM vfr v CROSS JOIN tile t
+        GROUP BY v.doc_id, v.f),
+      vcs AS (
+        SELECT doc_id, string_agg(checksum::VARCHAR, ',' ORDER BY f) AS cs
+        FROM vfc GROUP BY doc_id)
+      SELECT d.doc_id AS media_id,
+             (['image','audio','video'])[(d.doc_id % 3) + 1] AS kind,
+             CASE WHEN d.doc_id % 3 = 0 THEN ih.hist
+                  WHEN d.doc_id % 3 = 1 THEN ah.hist
+                  ELSE vh.hist END AS hist,
+             CASE WHEN d.doc_id % 3 = 0 THEN ih9.fp
+                  WHEN d.doc_id % 3 = 1 THEN af9.fp
+                  ELSE vf9.fp END AS fp,
+             CASE WHEN d.doc_id % 3 = 0 THEN ichk.checksum::VARCHAR
+                  WHEN d.doc_id % 3 = 1 THEN achk.checksum::VARCHAR
+                  ELSE vcs.cs END AS checksums
+      FROM documents d
+      LEFT JOIN ih ON ih.doc_id = d.doc_id
+      LEFT JOIN ah ON ah.doc_id = d.doc_id
+      LEFT JOIN vh ON vh.doc_id = d.doc_id
+      LEFT JOIN ih9 ON ih9.doc_id = d.doc_id
+      LEFT JOIN af9 ON af9.doc_id = d.doc_id
+      LEFT JOIN vf9 ON vf9.doc_id = d.doc_id
+      LEFT JOIN ichk ON ichk.doc_id = d.doc_id
+      LEFT JOIN achk ON achk.doc_id = d.doc_id
+      LEFT JOIN vcs ON vcs.doc_id = d.doc_id
       ORDER BY media_id""",
     "m3_media_features" -> s"""
       WITH $imgCtes,

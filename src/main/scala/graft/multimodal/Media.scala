@@ -41,6 +41,13 @@ final case class MediaChunk(media_id: Long, chunk_idx: Int, n_samples: Int,
 final case class MediaAudioStats(media_id: Long, n_samples: Long, peak: Long,
                                  sum_abs: Long)
 
+/** Fused single-decode feature row (m13): every feature family the curation
+  * pipeline consumes — byte histogram (m3 shape), perceptual fingerprint
+  * (m5/m6/m8 shape), and content checksum series (m10's scene-cut input for
+  * video) — derived from ONE decode of the payload. */
+final case class MediaFused(media_id: Long, kind: String, hist: String,
+                            fp: String, checksums: String)
+
 /** Decoded-content embedding: 16-bin byte histogram over the DECODED bytes
   * (raw RGB for images), normalized by `n_bytes` = decoded length. */
 final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
@@ -650,6 +657,83 @@ object Media {
           val hs = videoFrameSlices(r.payload, every)
             .map { case (_, png) => aHash(decodeImage(png)) }.toSeq
           MediaVFp(r.media_id, hs.mkString, hs.size)
+        }
+      }
+    }
+  }
+
+  /** FUSED multi-feature pass (m13): one decode of each payload emits every
+    * per-content feature family downstream curation consumes — the 16-bin
+    * byte histogram (m3's hist), the modality's perceptual fingerprint
+    * (m5 image aHash / m6 audio chunk-energy fp / m8 video sampled-frame
+    * concat), and the content checksum series (whole-image Σ(r+g+b), audio
+    * Σu, per-frame checksums in frame order — m10's scene-cut input).
+    *
+    * This is the 100 TB decode-bill optimization: run separately, m3 + m5 +
+    * m10 (+ m8 for the fp) decode the SAME video frames three-to-four times
+    * and the same image pixels twice; here each frame's pixels are decoded
+    * once and all three families reduce in the same pixel sweep. Output is
+    * one small row per media row — payloads never cross a shuffle. */
+  def fusedFeatures(ds: Dataset[MediaRecord], every: Int = 8,
+                    batchSize: Int = 64): Dataset[MediaFused] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          r.kind match {
+            case "image" =>
+              val img = decodeImage(r.payload)
+              val hist = new Array[Long](16)
+              var chk = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val p = img.getRGB(x, y)
+                  val rr = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+                  hist(rr >> 4) += 1; hist(g >> 4) += 1; hist(b >> 4) += 1
+                  chk += rr + g + b
+                  x += 1
+                }
+                y += 1
+              }
+              MediaFused(r.media_id, r.kind, hist.mkString(","), aHash(img),
+                chk.toString)
+            case "audio" =>
+              val au = decodeWav(r.payload)
+              val hist = new Array[Long](16)
+              var i = 0
+              while (i < au.pcm.length) { hist((au.pcm(i) & 0xff) >> 4) += 1; i += 1 }
+              MediaFused(r.media_id, r.kind, hist.mkString(","),
+                audioFingerprint(au.pcm), audioChecksum(au.pcm).toString)
+            case "video" =>
+              val hist = new Array[Long](16)
+              val fps = new StringBuilder
+              val chks = new scala.collection.mutable.ArrayBuffer[Long]
+              videoFrameSlices(r.payload, every = 1).foreach { case (f, png) =>
+                val img = decodeImage(png) // ONE decode serves all 3 families
+                var chk = 0L
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val p = img.getRGB(x, y)
+                    val rr = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+                    hist(rr >> 4) += 1; hist(g >> 4) += 1; hist(b >> 4) += 1
+                    chk += rr + g + b
+                    x += 1
+                  }
+                  y += 1
+                }
+                chks += chk
+                if (f % every == 0) fps.append(aHash(img))
+              }
+              MediaFused(r.media_id, r.kind, hist.mkString(","), fps.toString,
+                chks.mkString(","))
+            case _ =>
+              MediaFused(r.media_id, r.kind, "", "", md5Hex(r.payload))
+          }
         }
       }
     }

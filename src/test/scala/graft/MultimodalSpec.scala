@@ -221,4 +221,31 @@ class MultimodalSpec extends AnyFunSuite {
       assert(p.n_samples >= 400)
     }
   }
+
+  test("m13 fused pass: one decode reproduces every unfused feature family") {
+    val fused = Media.fusedFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(fused.nonEmpty)
+    // hist == m3's integer histogram (embedding·n_bytes is exact — see m3)
+    Media.featureExtract(media).collect().foreach { f =>
+      val hist = f.embedding.map(x => math.round(x.toDouble * f.n_bytes)).mkString(",")
+      assert(fused(f.media_id).hist == hist, s"hist mismatch at ${f.media_id}")
+    }
+    // fp: m5 image aHash / m6 audio chunk fp / m8 video sampled-frame concat
+    Media.perceptualHash(media).collect().foreach { p =>
+      assert(fused(p.media_id).fp == p.ahash, s"image fp mismatch at ${p.media_id}") }
+    Media.audioFingerprints(media).collect().foreach { p =>
+      assert(fused(p.media_id).fp == p.afp, s"audio fp mismatch at ${p.media_id}") }
+    Media.videoFingerprints(media).collect().foreach { p =>
+      assert(fused(p.media_id).fp == p.vfp, s"video fp mismatch at ${p.media_id}") }
+    // checksums: video per-frame series == m10's frameSample(every=1) chain;
+    // image/audio == the whole-payload catalogStats digest
+    Media.frameSample(media, every = 1).collect()
+      .groupBy(_.media_id).foreach { case (id, fs) =>
+        val cs = fs.sortBy(_.frame_idx).map(_.checksum).mkString(",")
+        assert(fused(id).checksums == cs, s"frame checksum series mismatch at $id")
+      }
+    Media.catalogStats(media).collect().filter(_.kind != "video").foreach { s =>
+      assert(fused(s.media_id).checksums == s.digest,
+        s"checksum mismatch at ${s.media_id}") }
+  }
 }
