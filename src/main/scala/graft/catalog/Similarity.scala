@@ -253,31 +253,7 @@ object Similarity extends QueryPack {
         .select($"cell", $"vec_id", $"v", $"norm2")
       val bas = Quantizer.assign(batch, cents)
         .select($"cell", $"vec_id".as("b_id"), $"v".as("bv"), $"norm2".as("bn"))
-      def top3(scored: DataFrame, srcCol: String): DataFrame =
-        scored.groupBy(col(srcCol))
-          .agg(graft.functions.TopK.topK3($"cos", $"nb_id").as("top"))
-          .select(col(srcCol).as("src_id"), posexplode($"top").as(Seq("idx", "nb")))
-          .select($"src_id", ($"idx" + 1).cast("long").as("rank"),
-                  $"nb.vec_id".as("neighbor_id"), $"nb.cos".as("cos"))
-      // stored graph: in-cell top-3 WITHIN the index (v5's build, run once
-      // at index-build time). Staged to scratch parquet once per session —
-      // the persisted-edge-table stand-in, same reasoning as the staged
-      // media fixture: the incremental operator's cost is the UPDATE, not
-      // rebuilding the index it updates. Parquet round-trips IEEE doubles
-      // bit-exact, so the re-rank stays oracle-identical.
-      val oldEdges = {
-        val path = graft.Scratch.staged(s"knn_graph#$dir", "knn_graph") { p =>
-          val srcSide = data.select($"cell", $"vec_id".as("s_id"),
-            $"v".as("sv"), $"norm2".as("sn"))
-          top3(
-            data.join(srcSide, Seq("cell")).filter($"vec_id" =!= $"s_id")
-              .withColumn("cos",
-                graft.functions.VectorExprs.cosine($"sv", $"v", $"sn", $"norm2"))
-              .select($"s_id", $"vec_id".as("nb_id"), $"cos"), "s_id")
-            .write.mode("overwrite").parquet(p)
-        }
-        s.read.parquet(path)
-      }
+      val oldEdges = stagedIndexKnnGraph(s, dir)
       // (a) new-node edges over index ∪ batch, cell-local
       val pool = data.unionByName(bas.select($"cell", $"b_id".as("vec_id"),
         $"bv".as("v"), $"bn".as("norm2")))
@@ -658,7 +634,48 @@ object Similarity extends QueryPack {
     * unrolled rounds from each query's own node (frontier = BeamW
     * best-scored visited ids), exact-rerank the visited set to top-K.
     * Deterministic: serial-fold cosines, vec_id tiebreaks. */
-  private def graphBeamSearch(s: SparkSession, dir: String,
+  /** Per-source top-3 of a scored (srcCol, nb_id, cos) pair table, via the
+    * partial-aggregate TopK kernel (v9's edge ranking). */
+  private def top3(scored: DataFrame, srcCol: String): DataFrame = {
+    import scored.sparkSession.implicits._
+    scored.groupBy(col(srcCol))
+      .agg(graft.functions.TopK.topK3($"cos", $"nb_id").as("top"))
+      .select(col(srcCol).as("src_id"), posexplode($"top").as(Seq("idx", "nb")))
+      .select($"src_id", ($"idx" + 1).cast("long").as("rank"),
+              $"nb.vec_id".as("neighbor_id"), $"nb.cos".as("cos"))
+  }
+
+  /** v9's stored graph: in-cell top-3 WITHIN the index partition (v5's
+    * build, run once at index-build time). Staged to scratch parquet once
+    * per session — the persisted-edge-table stand-in; the incremental
+    * operators' cost is the UPDATE/SEARCH, not rebuilding the index they
+    * read. Parquet round-trips IEEE doubles bit-exact, so downstream
+    * re-ranks stay oracle-identical. Shared by v9 (incremental update) and
+    * e27 (stream-fed search over the growing graph). */
+  private[catalog] def stagedIndexKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = graft.Scratch.staged(s"knn_graph#$dir", "knn_graph") { p =>
+      val all = Tables(s, dir).embeddings
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
+        .select($"vec_id", $"v", $"norm2")
+      val idx = all.filter(pmod($"vec_id", lit(10)) =!= 7)
+      val cents = Quantizer.centroidsOnIndexFor(idx, dir, "idx7", iters = 2, dim = 64)
+      val data = Quantizer.assign(idx, cents)
+        .select($"cell", $"vec_id", $"v", $"norm2")
+      val srcSide = data.select($"cell", $"vec_id".as("s_id"),
+        $"v".as("sv"), $"norm2".as("sn"))
+      top3(
+        data.join(srcSide, Seq("cell")).filter($"vec_id" =!= $"s_id")
+          .withColumn("cos",
+            graft.functions.VectorExprs.cosine($"sv", $"v", $"sn", $"norm2"))
+          .select($"s_id", $"vec_id".as("nb_id"), $"cos"), "s_id")
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(path)
+  }
+
+  private[catalog] def graphBeamSearch(s: SparkSession, dir: String,
                               edges: DataFrame): DataFrame = {
     import s.implicits._
     val e = Tables(s, dir).embeddings
@@ -843,14 +860,23 @@ object Similarity extends QueryPack {
 
   /** v16/v17 oracle: full beam-search replay over the edge pairs produced
     * by `edgeUnion` (symmetrized via DISTINCT in the `und` CTE). */
-  private def beamSearchSql(edgeUnion: String): String = s"""
+  private def beamSearchSql(edgeUnion: String): String =
+    s"""
       WITH $knnCtes,
+      ${beamWalkSql(edgeUnion, "e")}"""
+
+  /** The beam walk as a WITH-list fragment (no leading WITH): und/q/vis/
+    * beam chain over `edgeUnion`, every cosine scored against relation
+    * `rel` (vec_id, v, norm2), ending in the final top-K SELECT. Callers
+    * prepend their own CTEs — v16/v17 use the full-corpus `e`; e27 scores
+    * against index ∪ streamed batch. */
+  private[catalog] def beamWalkSql(edgeUnion: String, rel: String): String = s"""
       und AS (
         SELECT DISTINCT src_id, neighbor_id FROM ($edgeUnion) u),
-      q AS (SELECT vec_id AS q_id, v AS qv, norm2 AS qn FROM e WHERE vec_id < 10),
+      q AS (SELECT vec_id AS q_id, v AS qv, norm2 AS qn FROM $rel WHERE vec_id < 10),
       vis0 AS (SELECT q_id, q_id AS vec_id FROM q),
       beam0 AS (SELECT q_id, vec_id FROM vis0)
-      ${(1 to BeamHops).map(beamHopSql).mkString(",", ",", "")}
+      ${(1 to BeamHops).map(i => beamHopSql(i, rel)).mkString(",", ",", "")}
       SELECT q_id, rank, neighbor_id, cos FROM (
         SELECT z.q_id, z.vec_id AS neighbor_id, z.cos,
                row_number() OVER (PARTITION BY z.q_id
@@ -858,14 +884,14 @@ object Similarity extends QueryPack {
         FROM (SELECT w.q_id, w.vec_id,
                      ${dotSql("p.qv", "d.v")} / (sqrt(p.qn) * sqrt(d.norm2)) AS cos
               FROM vis$BeamHops w
-              JOIN e d ON d.vec_id = w.vec_id
+              JOIN $rel d ON d.vec_id = w.vec_id
               JOIN q p ON p.q_id = w.q_id
               WHERE w.vec_id <> w.q_id) z) t
       WHERE rank <= $K ORDER BY q_id, rank"""
 
   /** v16 oracle hop i: frontier expansion through `und`, visited-set union,
     * then the BeamW best-scored visited nodes become `beam$i`. */
-  private def beamHopSql(i: Int): String = s"""
+  private def beamHopSql(i: Int, rel: String): String = s"""
       cand$i AS (
         SELECT DISTINCT b.q_id, u.neighbor_id AS vec_id
         FROM beam${i - 1} b JOIN und u ON u.src_id = b.vec_id),
@@ -880,7 +906,7 @@ object Similarity extends QueryPack {
           FROM (SELECT w.q_id, w.vec_id,
                        ${dotSql("p.qv", "d.v")} / (sqrt(p.qn) * sqrt(d.norm2)) AS cos
                 FROM vis$i w
-                JOIN e d ON d.vec_id = w.vec_id
+                JOIN $rel d ON d.vec_id = w.vec_id
                 JOIN q p ON p.q_id = w.q_id) z) zz
         WHERE rk <= $BeamW)"""
 

@@ -204,6 +204,69 @@ object Streams extends QueryPack {
       .groupBy($"digest").agg(min($"keeper_doc_id").as("keeper_doc_id"))
   }
 
+  /** The 4 id-ranged parquet ingest files of the new-vector partition
+    * (vec_id % 10 == 7) — a read-only staged fixture shared by e24 (postings
+    * append) and e27 (graph-edge append + search). Each file becomes one
+    * micro-batch (maxFilesPerTrigger = 1; mtimes force range order). */
+  private def stagedNewVecIngest(s: SparkSession, dir: String,
+                                 nb: DataFrame): String = {
+    import s.implicits._
+    Scratch.staged(s"e24_ingest#$dir", "e24_ingest") { p =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+      val ids = nb.agg(min($"vec_id"), max($"vec_id")).head()
+      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+      val step = (hi - lo) / 4 + 1
+      (0 until 4).foreach { i =>
+        val stage = Scratch.dir(s"e24r$i")
+        nb.filter($"vec_id" >= lo + i * step && $"vec_id" < lo + (i + 1) * step)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val ls = java.nio.file.Files.list(stage)
+        val part = try {
+          ls.filter(q => q.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        } finally ls.close()
+        val dst = java.nio.file.Paths.get(p, f"range_$i%02d.parquet")
+        java.nio.file.Files.copy(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+    }
+  }
+
+  /** e27's per-batch graph insert: assign a (vec_id, embedding) micro-batch
+    * to its IVF cell, score against the in-cell INDEX vectors only, and
+    * append each new vector's top-3 anchor edges to the persistent `edges`
+    * parquet — idempotently (src_id anti-join) under at-least-once replay.
+    * private[graft] so StreamGraphSearchSpec can drive batches one at a
+    * time and pin batch-k findability at batch k+1. */
+  private[graft] def insertGraphEdges(batch: DataFrame, data: DataFrame,
+      cents: Seq[Quantizer.Centroid], edges: String): Unit = {
+    val bs = batch.sparkSession
+    val b = batch
+      .withColumn("v", col("embedding").cast("array<double>"))
+      .withColumn("norm2", graft.functions.VectorExprs.dot(col("v"), col("v")))
+    val bas = Quantizer.assign(b, cents)
+      .select(col("cell"), col("vec_id").as("b_id"),
+              col("v").as("bv"), col("norm2").as("bn"))
+    val scored = data.join(broadcast(bas), Seq("cell"))
+      .withColumn("cos", graft.functions.VectorExprs.cosine(
+        col("bv"), col("v"), col("bn"), col("norm2")))
+      .select(col("b_id"), col("vec_id").as("nb_id"), col("cos"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b_id")).orderBy(col("cos").desc, col("nb_id"))
+    val newEdges = scored
+      .withColumn("rk", row_number().over(wS)).filter(col("rk") <= 3)
+      .select(col("b_id").as("src_id"), col("nb_id").as("neighbor_id"))
+    val ePath = new org.apache.hadoop.fs.Path(edges)
+    val eFs = ePath.getFileSystem(bs.sparkContext.hadoopConfiguration)
+    val fresh =
+      if (eFs.exists(ePath))
+        newEdges.join(
+          bs.read.parquet(edges).select("src_id").distinct(),
+          Seq("src_id"), "left_anti")
+      else newEdges
+    fresh.write.mode("append").parquet(edges)
+  }
+
   private def withRocksDb[T](s: SparkSession)(body: => T): T = {
     val prev = s.conf.getOption(ProviderKey)
     s.conf.set(ProviderKey, RocksDb)
@@ -563,25 +626,7 @@ object Streams extends QueryPack {
       // the 4 id-ranged ingest files (→ 4 micro-batches) are a read-only
       // fixture — staged once per session; the streaming run + index
       // append below stay per-call (they ARE the operator)
-      val ingest = Scratch.staged(s"e24_ingest#$dir", "e24_ingest") { p =>
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
-        val ids = nb.agg(min($"vec_id"), max($"vec_id")).head()
-        val (lo, hi) = (ids.getLong(0), ids.getLong(1))
-        val step = (hi - lo) / 4 + 1
-        (0 until 4).foreach { i =>
-          val stage = Scratch.dir(s"e24r$i")
-          nb.filter($"vec_id" >= lo + i * step && $"vec_id" < lo + (i + 1) * step)
-            .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-          val ls = java.nio.file.Files.list(stage)
-          val part = try {
-            ls.filter(q => q.getFileName.toString.endsWith(".parquet")).findFirst().get()
-          } finally ls.close()
-          val dst = java.nio.file.Paths.get(p, f"range_$i%02d.parquet")
-          java.nio.file.Files.copy(part, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-        }
-      }
+      val ingest = stagedNewVecIngest(s, dir, nb)
       val index = Scratch.dir("e24_index").resolve("idx").toString
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", 4)
@@ -612,6 +657,54 @@ object Streams extends QueryPack {
         .groupBy($"cell")
         .agg(count(lit(1)).as("n_vecs"), sum($"vec_id").as("id_sum"))
         .orderBy($"cell")
+    },
+    // e27: SEARCH OVER THE STREAM-FED GRAPH — the production retrieval
+    // loop e24 + v16 compose to: each micro-batch of new vectors (the e24
+    // ingest fixture) is assigned to its IVF cell and INSERTED into the
+    // stored kNN graph by appending edges to its top-3 nearest EXISTING
+    // index vectors in that cell (the HNSW-insert shape; batch×in-cell-
+    // index scoring only, |batch|·CellTarget work per batch, graph-size-
+    // independent). The append is idempotent under at-least-once replay
+    // (src_id anti-join — e18/e24's guard). After ingest, v16's beam walk
+    // runs VERBATIM over base ∪ appended edges — queries vec_id < 10
+    // include vec_id 7, itself a streamed vector, so a green row proves an
+    // ingested vector is SEARCHABLE (walk starts at its streamed edges)
+    // and, via symmetrization, FINDABLE from old nodes
+    // (StreamGraphSearchSpec pins batch-k findability at batch k+1).
+    // Anchors are INDEX vectors only — new↔new links arrive with the
+    // periodic graph rebuild (v5), the same hot/slow-path split as e24's
+    // no-retrain rule — which also makes the final edge table independent
+    // of the batch partitioning (the oracle replays it as one batch).
+    "e27_stream_graph_search" -> { (s, dir) =>
+      import s.implicits._
+      val all = Tables(s, dir).embeddings
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
+        .select($"vec_id", $"v", $"norm2")
+      val idx = all.filter(pmod($"vec_id", lit(10)) =!= 7)
+      val cents = Quantizer.centroidsOnIndexFor(idx, dir, "idx7", iters = 2, dim = 64)
+      val data = Quantizer.assign(idx, cents)
+        .select($"cell", $"vec_id", $"v", $"norm2")
+      val base = Similarity.stagedIndexKnnGraph(s, dir)
+        .select($"src_id", $"neighbor_id")
+      val ingest = stagedNewVecIngest(s, dir,
+        Tables(s, dir).embeddings.filter(pmod($"vec_id", lit(10)) === 7)
+          .select($"vec_id", $"embedding"))
+      val edges = Scratch.dir("e27_edges").resolve("edges").toString
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      try {
+        val st = s.readStream.schema(s.read.parquet(ingest).schema)
+          .option("maxFilesPerTrigger", 1).parquet(ingest)
+        val q = st.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            insertGraphEdges(batch, data, cents, edges)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      Similarity.graphBeamSearch(s, dir,
+        base.unionByName(s.read.parquet(edges).select($"src_id", $"neighbor_id")))
     },
     // e11: the NATIVE session_window operator in APPEND mode — a session
     // emits once the watermark passes its end (last + gap). The stream
@@ -669,6 +762,62 @@ object Streams extends QueryPack {
       SELECT cell::BIGINT AS cell, COUNT(*)::BIGINT AS n_vecs,
              SUM(vec_id)::BIGINT AS id_sum
       FROM bas GROUP BY cell ORDER BY cell""",
+    // e27: batch-side replay — trained centroids, base in-cell top-3 graph,
+    // the streamed anchor edges recomputed as ONE batch assignment (anchor
+    // pool = index only, so the result is micro-batch-partitioning-
+    // independent by construction), then v16's beam walk verbatim scored
+    // against index ∪ batch.
+    "e27_stream_graph_search" -> s"""
+      WITH e AS (
+        SELECT vec_id, v, ${Tx.dotSql("v", "v")} AS norm2
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings) t
+        WHERE vec_id % 10 <> 7),
+      ${Quantizer.centroidsSql(iters = 2, dim = 64, sampleMod = 1)},
+      assigned AS (
+        SELECT t.vec_id, t.v, t.norm2, c.cell,
+               row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                 ${Tx.dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) DESC,
+                 c.cell) AS crank
+        FROM kq t CROSS JOIN kmc c),
+      data AS (SELECT cell, vec_id, v, norm2 FROM assigned WHERE crank = 1),
+      b AS (
+        SELECT vec_id, v, ${Tx.dotSql("v", "v")} AS norm2
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings) t
+        WHERE vec_id % 10 = 7),
+      bas AS (
+        SELECT cell, vec_id, v, norm2 FROM (
+          SELECT t.vec_id, t.v, t.norm2, c.cell,
+                 row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                   ${Tx.dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) DESC,
+                   c.cell) AS crank
+          FROM b t CROSS JOIN kmc c) z WHERE crank = 1),
+      knn AS (
+        SELECT src_id, neighbor_id FROM (
+          SELECT s.vec_id AS src_id, d.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                   ${Tx.dotSql("s.v", "d.v")} / (sqrt(s.norm2) * sqrt(d.norm2)) DESC,
+                   d.vec_id) AS rank
+          FROM data s JOIN data d ON s.cell = d.cell AND d.vec_id <> s.vec_id) t0
+        WHERE rank <= 3),
+      newe AS (
+        SELECT src_id, neighbor_id FROM (
+          SELECT n.vec_id AS src_id, p.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY n.vec_id ORDER BY
+                   ${Tx.dotSql("n.v", "p.v")} / (sqrt(n.norm2) * sqrt(p.norm2)) DESC,
+                   p.vec_id) AS rank
+          FROM bas n JOIN data p ON n.cell = p.cell) t0
+        WHERE rank <= 3),
+      alle AS (
+        SELECT vec_id, v, norm2 FROM e
+        UNION ALL SELECT vec_id, v, norm2 FROM b),
+      ${Similarity.beamWalkSql(
+        """SELECT src_id, neighbor_id FROM knn
+           UNION ALL SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM knn
+           UNION ALL SELECT src_id, neighbor_id FROM newe
+           UNION ALL SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM newe""",
+        "alle")}""",
     // e25: dq12's batch oracle verbatim — the streamed bin table must
     // reproduce the batch drift report exactly
     "e25_stream_drift" -> """
