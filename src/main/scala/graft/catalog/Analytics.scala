@@ -379,6 +379,48 @@ object Analytics extends QueryPack {
         .withColumn("w_span", $"max_w" - $"min_w" + 1)
         .orderBy($"shard")
     },
+    // g17: HILBERT-CURVE LAYOUT — g14's documented 3-dim escalation. At
+    // bit-aligned shard boundaries Hilbert and z-order cut IDENTICAL
+    // bounding boxes (both reduce to whole subcubes), so the aligned gate
+    // cannot separate them; the production difference appears under
+    // EQUAL-FREQUENCY packing (what a real writer does: equal-size files
+    // along the curve, boundaries wherever the row count falls). There a
+    // z-curve file straddling an octant jump spans a whole axis, while
+    // every contiguous Hilbert segment stays compact — the curve moves one
+    // grid step at a time (HilbertLayoutSpec proves bijection + unit-step
+    // adjacency exhaustively at 2 and 3 bits/dim, and pins
+    // Σspans(hilbert) < Σspans(z) on this packing: ~18% tighter on events).
+    // Pipeline: h = 24-bit Hilbert index of (x, y, w) via Skilling's
+    // transform ("Programming the Hilbert curve", AIP 704, 2004) — 7
+    // unrolled undo rounds + gray code + interleave, integer-only chained
+    // projections (no UDF, no sort, codegen-friendly straight-line code);
+    // file boundaries = 15 EXACT order statistics of h (g8's two-scan
+    // orderStats — no data-scale window); file = # boundaries below h
+    // (one broadcast 15-value array per row). Per-file spans feed the same
+    // zone-map gate as g14.
+    "g17_hilbert_layout" -> { (s, dir) =>
+      import s.implicits._
+      val pts = hilbertIndex(
+        Tables(s, dir).events.select(
+          expr("user_id % 256").as("x"),
+          expr("(hour(ts) * 60 + minute(ts)) div 6").as("y"),
+          expr("least(255L, cast(round(value * 100) as bigint) div 192)").as("w")))
+      val bounds = ScaleOps.orderStats(pts.withColumn("g", lit(1)), "g", "h",
+          (1 to 15).map(k => (f"b$k%02d", s"((n - 1) * $k) div 16")))
+        .groupBy().agg(sort_array(collect_list($"value")).as("bs"))
+      pts.crossJoin(broadcast(bounds))
+        .withColumn("file", expr(
+          "aggregate(bs, 0L, (acc, b) -> acc + if(h > b, 1L, 0L))"))
+        .groupBy($"file")
+        .agg(count(lit(1)).as("n"),
+             min($"x").as("min_x"), max($"x").as("max_x"),
+             min($"y").as("min_y"), max($"y").as("max_y"),
+             min($"w").as("min_w"), max($"w").as("max_w"))
+        .withColumn("x_span", $"max_x" - $"min_x" + 1)
+        .withColumn("y_span", $"max_y" - $"min_y" + 1)
+        .withColumn("w_span", $"max_w" - $"min_w" + 1)
+        .orderBy($"file")
+    },
     // g10: RANGE-SORTED PHYSICAL LAYOUT — the 1-dim sibling of g7's
     // z-order: repartitionByRange(o_orderdate) writes files whose
     // [min,max] date intervals are PAIRWISE DISJOINT (equal keys land in
@@ -549,6 +591,72 @@ object Analytics extends QueryPack {
         s"(($w $div ${1L << b}) % 2) * ${1L << (3 * b + 2)}"
     }.mkString("(", " + ", ")")
 
+  /** Skilling's axes→Hilbert-transpose ("Programming the Hilbert curve",
+    * AIP Conf. Proc. 707, 2004) unrolled for 8 bits × 3 dims as a chain of
+    * integer expression LEVELS over working columns x0/x1/x2 (+ one-level
+    * temp t). Each level maps column → expression over the previous
+    * level's columns; both engines consume the same strings — only the
+    * xor spelling differs (Spark `^`, DuckDB xor()). */
+  private def hilbertLevels(xor: (String, String) => String): Seq[Map[String, String]] = {
+    val qs = Seq(128, 64, 32, 16, 8, 4, 2)
+    val undo = qs.flatMap { q =>
+      val p = (q - 1).toString
+      val e1 = s"(${xor("x0", "x1")} & $p)"
+      val e2 = s"(${xor("x0", "x2")} & $p)"
+      Seq(
+        // i = 0: exchange-with-self is the identity, only the invert arm
+        Map("x0" -> s"CASE WHEN (x0 & $q) <> 0 THEN ${xor("x0", p)} ELSE x0 END"),
+        Map(
+          "x0" -> s"CASE WHEN (x1 & $q) <> 0 THEN ${xor("x0", p)} ELSE ${xor("x0", e1)} END",
+          "x1" -> s"CASE WHEN (x1 & $q) <> 0 THEN x1 ELSE ${xor("x1", e1)} END"),
+        Map(
+          "x0" -> s"CASE WHEN (x2 & $q) <> 0 THEN ${xor("x0", p)} ELSE ${xor("x0", e2)} END",
+          "x2" -> s"CASE WHEN (x2 & $q) <> 0 THEN x2 ELSE ${xor("x2", e2)} END"))
+    }
+    val gray = Seq(Map("x1" -> xor("x1", "x0")), Map("x2" -> xor("x2", "x1")))
+    val tExpr = qs.foldLeft("0") { (acc, q) =>
+      xor(acc, s"(CASE WHEN (x2 & $q) <> 0 THEN ${q - 1} ELSE 0 END)") }
+    undo ++ gray ++ Seq(Map("t" -> tExpr),
+      Map("x0" -> xor("x0", "t"), "x1" -> xor("x1", "t"), "x2" -> xor("x2", "t")))
+  }
+
+  /** Bit-interleave of the transpose: X0 carries each 3-bit group's high
+    * bit, yielding the standard 24-bit Hilbert index. */
+  private def hilbertInterleave(div: String): String =
+    (0 until 8).flatMap { q =>
+      Seq(s"((x0 $div ${1L << q}) % 2) * ${1L << (3 * q + 2)}",
+          s"((x1 $div ${1L << q}) % 2) * ${1L << (3 * q + 1)}",
+          s"((x2 $div ${1L << q}) % 2) * ${1L << (3 * q)}")
+    }.mkString("(", " + ", ")")
+
+  /** h = hilbert(x, y, w) appended to `base` (columns x, y, w) through the
+    * chained-projection pipeline: each level is one narrow Project, so
+    * whole-stage codegen compiles the transform to straight-line integer
+    * code without duplicating the non-cheap intermediates.
+    * private[graft] so HilbertLayoutSpec can pin it against the plain-
+    * Scala reference and the z-curve comparison. */
+  private[graft] def hilbertIndex(base: DataFrame): DataFrame = {
+    var df = base.selectExpr("x", "y", "w", "x AS x0", "y AS x1", "w AS x2")
+    hilbertLevels((a, b) => s"($a ^ $b)").foreach { lvl =>
+      val cols = (df.columns.toSeq ++ lvl.keys.filterNot(df.columns.contains)).distinct
+      df = df.selectExpr(cols.map(c => s"${lvl.getOrElse(c, c)} AS $c"): _*)
+    }
+    df.selectExpr("x", "y", "w", s"${hilbertInterleave("div")} AS h")
+  }
+
+  /** The identical chain as nested-subquery DuckDB SQL over `src` (x,y,w). */
+  private def hilbertSql(src: String): String = {
+    var cols = Seq("x", "y", "w", "x0", "x1", "x2")
+    var cur = s"SELECT x, y, w, x AS x0, y AS x1, w AS x2 FROM ($src) t0"
+    var i = 0
+    hilbertLevels((a, b) => s"xor($a, $b)").foreach { lvl =>
+      cols = (cols ++ lvl.keys.filterNot(cols.contains)).distinct
+      cur = s"SELECT ${cols.map(c => s"${lvl.getOrElse(c, c)} AS $c").mkString(", ")} FROM ($cur) s$i"
+      i += 1
+    }
+    s"SELECT x, y, w, ${hilbertInterleave("//")} AS h FROM ($cur) hfin"
+  }
+
   private val pivotCols = EventTypes.map(t =>
     s"""COALESCE(COUNT(*) FILTER (event_type = '$t'), 0)::BIGINT AS "$t"""").mkString(", ")
 
@@ -611,6 +719,34 @@ object Analytics extends QueryPack {
                      LEAST(255, CAST(round(value * 100) AS BIGINT) // 192) AS w
               FROM events) t0) t1
       GROUP BY shard ORDER BY shard""",
+    // g17: the identical Skilling chain (hilbertSql), boundaries replayed
+    // as explicit type-1 order statistics (row_number − 1 = position),
+    // file = count of boundaries strictly below h.
+    "g17_hilbert_layout" -> s"""
+      WITH pts AS (
+        ${hilbertSql("""SELECT user_id % 256 AS x,
+                     (hour(ts) * 60 + minute(ts)) // 6 AS y,
+                     LEAST(255, CAST(round(value * 100) AS BIGINT) // 192) AS w
+              FROM events""")}),
+      nn AS (SELECT COUNT(*) AS n FROM pts),
+      ranked AS (SELECT h, row_number() OVER (ORDER BY h) - 1 AS rn FROM pts),
+      bounds AS (
+        SELECT r.h AS b
+        FROM ranked r JOIN nn ON true
+        JOIN (SELECT unnest(range(1, 16)) AS k) ks
+          ON r.rn = ((nn.n - 1) * ks.k) // 16),
+      fil AS (
+        SELECT p.x, p.y, p.w,
+               (SELECT COUNT(*) FROM bounds b WHERE p.h > b.b) AS file
+        FROM pts p)
+      SELECT file, COUNT(*) AS n,
+             MIN(x) AS min_x, MAX(x) AS max_x,
+             MIN(y) AS min_y, MAX(y) AS max_y,
+             MIN(w) AS min_w, MAX(w) AS max_w,
+             MAX(x) - MIN(x) + 1 AS x_span,
+             MAX(y) - MIN(y) + 1 AS y_span,
+             MAX(w) - MIN(w) + 1 AS w_span
+      FROM fil GROUP BY file ORDER BY file""",
     "g11_winsorize" -> """
       WITH li AS (
         SELECT l_returnflag AS grp,

@@ -27,9 +27,13 @@ class PlanAuditSpec extends AnyFunSuite {
   /** dq10's trailing-28-day window runs over the DAILY rollup (~365 rows
     * per year of calendar whatever the corpus size), after the data-scale
     * date-keyed aggregate. */
+  /** g17's single-group orderStats: the constant group key folds away,
+    * leaving ScaleOps' bucket-summary cumsum (≤ nBuckets = 4096 rows, one
+    * per value bucket — not data-scale) unpartitioned in the plan. */
   private val allowedUnpartitioned = Map(
     "e5_late_data" -> 1, "w5_ntile" -> 1, "g10_range_layout" -> 1,
-    "r9_interval_sweep" -> 1, "dq10_rolling_anomaly" -> 1)
+    "r9_interval_sweep" -> 1, "dq10_rolling_anomaly" -> 1,
+    "g17_hilbert_layout" -> 1)
 
   test("no data-scale unpartitioned Window in any query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
