@@ -424,6 +424,57 @@ object Dedup extends QueryPack {
         .select($"d1", $"d2", $"n_inter", $"n_union", $"jaccard")
         .orderBy($"d1", $"d2")
     },
+    // d16: EXACT COSINE THRESHOLD JOIN — d15's prefix-filter skeleton
+    // generalized from Jaccard-on-sets to cosine-on-tf-vectors (unigram
+    // term frequencies), completing the exact-guarantee family on the
+    // weighted side. Prefix theorem (Bayardo all-pairs, norm form): order
+    // features globally by (df asc, h); for the FIRST common feature g of
+    // any pair, common ⊆ suffix(g) on both sides, so by Cauchy-Schwarz
+    // cos ≤ √(suffix2_x(g)·suffix2_y(g)/(n2_x·n2_y)); cos ≥ t therefore
+    // forces suffix2(g) ≥ t²·n2 on BOTH sides — i.e. g lies in both docs'
+    // prefixes {j : suffix2(j) ≥ t²·n2}. The candidate equi-join on
+    // prefix features reaches every qualifying pair; verification is the
+    // INTEGER predicate 100·dot² ≥ 81·n2₁·n2₂ (t = 0.9 as exact 81/100 —
+    // no floating point until the reported cos, which is two correctly-
+    // rounded IEEE ops and so engine-identical). Same scale story and the
+    // same honest bound as d15: rare-first prefixes keep stopwords out of
+    // the candidate index on natural corpora; on this deliberately
+    // self-similar fixture the TRUE pair density dominates candidate
+    // count, which exactness cannot undercut (escape hatch d2/d5, audited
+    // by d14). CosineExactSpec proves recall 1.0 vs plain-Scala brute force.
+    "d16_cosine_threshold_join" -> { (s, dir) =>
+      import s.implicits._
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"df", $"h")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val tf = Tables(s, dir).documents
+        .select($"doc_id", explode(expr(Tx.wsExpr)).as("tok"))
+        .select($"doc_id", expr(Tx.polyHash("tok")).as("h"))
+        .groupBy($"doc_id", $"h").agg(count(lit(1)).as("tf"))
+      val ex = tf.join(
+        tf.groupBy($"doc_id").agg(sum($"tf" * $"tf").as("n2")), Seq("doc_id"))
+      val dft = tf.groupBy($"h").agg(count(lit(1)).as("df"))
+      val prefix = ex.join(dft, Seq("h"))
+        .withColumn("pre2", coalesce(sum($"tf" * $"tf").over(wDoc), lit(0L)))
+        .filter(($"n2" - $"pre2") * 100 >= $"n2" * 81)
+        .select($"doc_id", $"h")
+      val cand = prefix.as("a").join(prefix.as("b"),
+          $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))
+        .distinct()
+      cand
+        .join(ex.select($"doc_id".as("d1"), $"h", $"tf".as("tf1"), $"n2".as("n2_1")),
+              Seq("d1"))
+        .join(ex.select($"doc_id".as("d2"), $"h", $"tf".as("tf2"), $"n2".as("n2_2")),
+              Seq("d2", "h"))
+        .groupBy($"d1", $"d2", $"n2_1", $"n2_2")
+        .agg(sum($"tf1" * $"tf2").as("dot"))
+        .filter($"dot" * $"dot" * 100 >= $"n2_1" * $"n2_2" * 81)
+        .withColumn("cos",
+          $"dot".cast("double") / sqrt(($"n2_1" * $"n2_2").cast("double")))
+        .select($"d1", $"d2", $"dot", $"n2_1", $"n2_2", $"cos")
+        .orderBy($"d1", $"d2")
+    },
     // d5: embedding-cosine near-dup pairs within coarse blocks. Blocking
     // cells come from the ENGINE-COMPUTED spherical k-means quantizer
     // (Quantizer: integer-exact Lloyd updates, literal-centroid assignment
@@ -729,6 +780,43 @@ object Dedup extends QueryPack {
              n_inter::DOUBLE / (n1 + n2 - n_inter) AS jaccard
       FROM ver
       WHERE n_inter::DOUBLE / (n1 + n2 - n_inter) >= 0.5
+      ORDER BY d1, d2""",
+    // d16: the same prefix/verify chain over tf vectors — integer norms,
+    // integer dot, integer threshold predicate; cos = two correctly-
+    // rounded IEEE ops, identical on both engines.
+    "d16_cosine_threshold_join" -> s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(ws) AS tok
+        FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0),
+      tf AS (
+        SELECT doc_id, h, COUNT(*)::BIGINT AS tf FROM (
+          SELECT doc_id, ${polyHashSql("tok")} AS h FROM toks) t
+        GROUP BY doc_id, h),
+      n2t AS (SELECT doc_id, SUM(tf * tf)::BIGINT AS n2 FROM tf GROUP BY doc_id),
+      ex AS (SELECT tf.doc_id, tf.h, tf.tf, n2t.n2 FROM tf JOIN n2t USING (doc_id)),
+      dft AS (SELECT h, COUNT(*)::BIGINT AS df FROM tf GROUP BY h),
+      pfx AS (
+        SELECT doc_id, h FROM (
+          SELECT e.doc_id, e.h, e.n2,
+                 COALESCE(SUM(e.tf * e.tf) OVER (PARTITION BY e.doc_id
+                   ORDER BY d.df, e.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre2
+          FROM ex e JOIN dft d USING (h)) t
+        WHERE (n2 - pre2) * 100 >= n2 * 81),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM pfx a JOIN pfx b ON a.h = b.h AND a.doc_id < b.doc_id),
+      ver AS (
+        SELECT c.d1, c.d2, e1.n2 AS n2_1, e2.n2 AS n2_2,
+               SUM(e1.tf * e2.tf)::BIGINT AS dot
+        FROM cand c
+        JOIN ex e1 ON e1.doc_id = c.d1
+        JOIN ex e2 ON e2.doc_id = c.d2 AND e2.h = e1.h
+        GROUP BY c.d1, c.d2, n2_1, n2_2)
+      SELECT d1, d2, dot, n2_1, n2_2,
+             dot::DOUBLE / sqrt((n2_1 * n2_2)::DOUBLE) AS cos
+      FROM ver
+      WHERE dot * dot * 100 >= n2_1 * n2_2 * 81
       ORDER BY d1, d2""",
     "d5_embedding_neardup" -> s"""
       WITH e AS (
