@@ -37,10 +37,18 @@ object Scratch {
       val p = dir(prefix).resolve("data").toString
       try { write(p); p }
       catch {
-        case scala.util.control.NonFatal(_) =>
+        case scala.util.control.NonFatal(e1) =>
+          // drop the half-written first dir now (not at JVM shutdown), and
+          // if the retry also fails keep the ORIGINAL failure visible
+          try deleteRecursively(Path.of(p).getParent)
+          catch { case scala.util.control.NonFatal(_) => () }
           val p2 = dir(prefix).resolve("data").toString
-          write(p2)
-          p2
+          try { write(p2); p2 }
+          catch {
+            case scala.util.control.NonFatal(e2) =>
+              e2.addSuppressed(e1)
+              throw e2
+          }
       }
     })
 
