@@ -169,6 +169,49 @@ object Analytics extends QueryPack {
              min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
         .orderBy($"lang", $"shard")
     },
+    // g18: CONTEXT-WINDOW SEQUENCE PACKING MAP — the concat-then-chunk
+    // layout GPT-style pretraining uses: documents are laid end-to-end in
+    // doc_id order and cut every 512 tokens; the op emits, per document,
+    // its global token offset and the span of context windows it occupies
+    // (win_start..win_end, offset inside the first window) — the map a
+    // loader needs to materialize training examples without re-tokenizing.
+    // The naive plan is a GLOBAL running sum — a single-partition window at
+    // 100 TB — so the prefix reuses g4's two-pass shape: bucket the doc_id
+    // RANGE into 32 order-preserving slices, aggregate one row per bucket,
+    // cumulate offsets over that 32-row frame, then window only within
+    // buckets (g4's proof transfers: range-bucketing preserves doc_id
+    // order, so bucket-offset + in-bucket prefix == the serial prefix).
+    // Empty docs still advance zero tokens but occupy one window slot
+    // (greatest(n_tok,1) caps win_end at win_start — no empty span).
+    "g18_sequence_packing" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+        .select($"doc_id", expr(s"size(${Tx.wsExpr})").cast("long").as("n_tok"))
+      val bounds = docs.agg(min($"doc_id").as("_lo"), max($"doc_id").as("_hi"))
+      val bucketed = docs.crossJoin(broadcast(bounds))
+        .withColumn("_bkt",
+          least(floor(($"doc_id" - $"_lo") * 32 / ($"_hi" - $"_lo" + 1)),
+                lit(31)).cast("int"))
+        .drop("_lo", "_hi")
+      val perBucket = bucketed.groupBy($"_bkt").agg(sum($"n_tok").as("_bsum"))
+      val wPrev = Window.orderBy($"_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = perBucket
+        .withColumn("_off", coalesce(sum($"_bsum").over(wPrev), lit(0L)))
+        .select($"_bkt", $"_off")
+      val wIn = Window.partitionBy($"_bkt").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bucketed.join(broadcast(offsets), Seq("_bkt"))
+        .withColumn("start_tok",
+          $"_off" + coalesce(sum($"n_tok").over(wIn), lit(0L)))
+        .withColumn("win_start", expr("start_tok div 512"))
+        .withColumn("win_end",
+          expr("(start_tok + greatest(n_tok, 1) - 1) div 512"))
+        .select($"doc_id", $"n_tok", $"start_tok", $"win_start", $"win_end",
+          expr("start_tok % 512").as("off_in_win"),
+          ($"win_end" - $"win_start" + 1).as("n_wins"))
+        .orderBy($"doc_id")
+    },
     // q9: per-group QUANTILE FILTER — keep documents at or above their
     // language's median length. The median is computed from the VALUE
     // HISTOGRAM (groupBy (lang, n_chars) → counts, cumulative over distinct
@@ -854,6 +897,24 @@ object Analytics extends QueryPack {
                 // $ShardBudget)::BIGINT AS shard
         FROM documents) t
       GROUP BY lang, shard ORDER BY lang, shard""",
+    // g18: the oracle states the SERIAL prefix; the Spark side's two-pass
+    // bucket-offset shape must reproduce it exactly (order-preserving
+    // range bucketing).
+    "g18_sequence_packing" -> s"""
+      SELECT doc_id, n_tok, start_tok,
+             (start_tok // 512)::BIGINT AS win_start,
+             ((start_tok + greatest(n_tok, 1) - 1) // 512)::BIGINT AS win_end,
+             (start_tok % 512)::BIGINT AS off_in_win,
+             ((start_tok + greatest(n_tok, 1) - 1) // 512
+                - start_tok // 512 + 1)::BIGINT AS n_wins
+      FROM (
+        SELECT doc_id, n_tok,
+               COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                 AS start_tok
+        FROM (SELECT doc_id, len(${Tx.wsSql})::BIGINT AS n_tok
+              FROM documents) t0) t
+      ORDER BY doc_id""",
     "q9_quantile_filter" -> """
       WITH med AS (
         SELECT lang, quantile_cont(n_chars, 0.5) AS p50

@@ -496,6 +496,37 @@ object Dedup extends QueryPack {
                 $"a.cell".cast("long").as("cell"), $"cos")
         .orderBy($"v1", $"v2")
     },
+    // d17: SEMANTIC DEDUP GATE (the SemDeDup shape, Abbas et al. 2023) —
+    // d5 reports embedding near-dup PAIRS; d17 turns them into the
+    // keep/drop DECISION a curation run executes: within each quantizer
+    // cell a vector is dropped iff some SMALLER-id vector of the same cell
+    // sits at cos ≥ 0.4 (min-id greedy keeper — deterministic, order-free,
+    // and chain-free: one pass over the d5 candidate pairs, no transitive
+    // closure). Output is the per-vector verdict + cell, the joinable gate
+    // the corpus-side filter applies. Scale shape: identical to d5
+    // (cell-blocked quadratic, norms precomputed before the join); the
+    // verdict itself adds one id-only distinct + one left join — no
+    // vectors cross either shuffle.
+    "d17_semantic_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
+        .select($"vec_id", $"v", $"norm2")
+      val cents = Quantizer.centroidsFor(e, dir, iters = 2, dim = 64)
+      val cells = Quantizer.assign(e, cents)
+      val drops = cells.as("a").join(cells.as("b"),
+          $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+        .withColumn("cos",
+          graft.functions.VectorExprs.cosine($"a.v", $"b.v", $"a.norm2", $"b.norm2"))
+        .filter($"cos" >= 0.4)
+        .select($"b.vec_id".as("vec_id")).distinct()
+        .withColumn("is_dup", lit(true))
+      cells.join(drops, Seq("vec_id"), "left")
+        .select($"vec_id", $"cell".cast("long").as("cell"),
+                (!coalesce($"is_dup", lit(false))).as("kept"))
+        .orderBy($"vec_id")
+    },
     // d8: SimHash near-dup PAIRS — hamming ≤ 3 over the d3 signature.
     // Pigeonhole blocking: 3 differing bits across 4 disjoint 8-bit blocks
     // leave at least one block identical, so the candidate equi-join on
@@ -830,6 +861,23 @@ object Dedup extends QueryPack {
                ${dotSql("a.v", "b.v")} / (sqrt(a.norm2) * sqrt(b.norm2)) AS cos
         FROM kcells a JOIN kcells b ON a.cell = b.cell AND a.vec_id < b.vec_id) t
       WHERE cos >= 0.4 ORDER BY v1, v2""",
+    // d17: d5's pair chain + the min-id keeper verdict.
+    "d17_semantic_dedup" -> s"""
+      WITH e AS (
+        SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings) t),
+      ${Quantizer.centroidsSql(iters = 2, dim = 64)}
+      ${Quantizer.cellsSql},
+      drops AS (
+        SELECT DISTINCT v2 AS vec_id FROM (
+          SELECT b.vec_id AS v2,
+                 ${dotSql("a.v", "b.v")} / (sqrt(a.norm2) * sqrt(b.norm2)) AS cos
+          FROM kcells a JOIN kcells b ON a.cell = b.cell AND a.vec_id < b.vec_id) t
+        WHERE cos >= 0.4)
+      SELECT c.vec_id, c.cell::BIGINT AS cell, d.vec_id IS NULL AS kept
+      FROM kcells c LEFT JOIN drops d ON d.vec_id = c.vec_id
+      ORDER BY c.vec_id""",
     "d8_simhash_pairs" -> s"""
       WITH sh AS (
         SELECT doc_id, (${simhashSql("hs")})::BIGINT AS simhash

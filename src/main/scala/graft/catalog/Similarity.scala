@@ -98,6 +98,70 @@ object Similarity extends QueryPack {
                 $"nb.vec_id".as("neighbor_id"), $"nb.cos".as("cos"))
         .orderBy($"q_id", $"rank")
     },
+    // v18: RANDOM-PROJECTION SKETCH SEARCH (Johnson-Lindenstrauss) — the
+    // 64-dim embeddings compress to 8 signed-sum projections (±1 signs from
+    // a deterministic integer hash of (k, d) — the % 2147483647 mix breaks
+    // the parity structure an odd multiplier alone would leave), and the
+    // ANN scan ranks by PROJECTED-space cosine: 8× fewer bytes through the
+    // scan, the standard dim-reduction front of a 100 TB retrieval tier.
+    // Exactness contract: components quantize to round(v·4096) ints, so
+    // projections, dotp and pn2 are exact integers under any partition
+    // order; cosp = dotp / sqrt(greatest(pn2q·pn2c, 1)) is two IEEE ops on
+    // exact ints (the greatest() guard keeps a theoretical all-zero sketch
+    // finite and engine-identical). Top-k uses the v1 TopK typed aggregator
+    // (map-side k-buffers — k·p rows shuffle, never the corpus); true
+    // cosine is recomputed ONLY for the reported k·|Q| pairs (id-pruned
+    // joins), exposing sketch-vs-exact agreement per row — the recall
+    // readout a deployment monitors when tuning the projection width.
+    "v18_random_projection" -> { (s, dir) =>
+      import s.implicits._
+      // the ±1 signs are a PURE function of (k, d): fold them at plan-build
+      // time and emit flat 64-term sums — the sketch and the dotp stay
+      // inside whole-stage codegen (the HOF `aggregate` form of the same
+      // arithmetic ran interpreted per candidate pair: 35× slower at sf0.1).
+      // The oracle recomputes the identical hash at RUN time, so a
+      // constant-folding bug here cannot self-confirm.
+      val signs = Array.tabulate(8, 64) { (k, d) =>
+        1L - 2L * (((1315423911L * k + 2654435761L * d) % 2147483647L) % 2)
+      }
+      val projExpr = "array(" + (0 until 8).map { k =>
+        (0 until 64).map { d =>
+          s"${if (signs(k)(d) > 0) "" else "-"}element_at(q, ${d + 1})"
+        }.mkString(" + ")
+      }.mkString(", ") + ")"
+      val e = Tables(s, dir).embeddings
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
+        .withColumn("q", expr("transform(v, x -> cast(round(x * 4096) as bigint))"))
+        .withColumn("p", expr(projExpr))
+        .withColumn("pn2", expr((1 to 8)
+          .map(i => s"element_at(p, $i) * element_at(p, $i)").mkString(" + ")))
+        .select($"vec_id", $"v", $"norm2", $"p", $"pn2")
+      val qs = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"),
+                $"p".as("qp"), $"pn2".as("qpn2"))
+      val dotpExpr = expr((1 to 8)
+        .map(i => s"element_at(qp, $i) * element_at(p, $i)").mkString(" + "))
+      val top = e.select($"vec_id", $"p", $"pn2")
+        .join(broadcast(qs.select($"q_id", $"qp", $"qpn2")), $"vec_id" =!= $"q_id")
+        .withColumn("dotp", dotpExpr)
+        .withColumn("cosp", $"dotp".cast("double") /
+          sqrt(expr("greatest(qpn2 * pn2, 1)").cast("double")))
+        .groupBy($"q_id")
+        .agg(graft.functions.TopK.topK10($"cosp", $"vec_id").as("top"))
+        .select($"q_id", posexplode($"top").as(Seq("idx", "nb")))
+        .select($"q_id", ($"idx" + 1).cast("long").as("rank"),
+                $"nb.vec_id".as("neighbor_id"), $"nb.cos".as("cosp"))
+      top
+        .join(e.select($"vec_id".as("neighbor_id"), $"v", $"norm2",
+                       $"p", $"pn2"), Seq("neighbor_id"))
+        .join(broadcast(qs), Seq("q_id"))
+        .withColumn("dotp", dotpExpr)
+        .withColumn("cos_true",
+          graft.functions.VectorExprs.cosine($"qv", $"v", $"qn", $"norm2"))
+        .select($"q_id", $"rank", $"neighbor_id", $"dotp", $"cosp", $"cos_true")
+        .orderBy($"q_id", $"rank")
+    },
     // v2: LSH-bucketed ANN — candidates share ≥1 of 4 signature bands with
     // the query, exact-cosine rerank top-k within candidates.
     // The candidate DEDUP shuffles only (q_id, vec_id) id pairs — round-1's
@@ -1196,6 +1260,7 @@ object Similarity extends QueryPack {
         FROM bas p JOIN data d ON d.cell = p.cell) t
       WHERE rank <= 3 ORDER BY q_id, rank""",
     "v1_brute_topk" -> v1Sql,
+    "v18_random_projection" -> v18Sql,
     "v2_lsh_ann" -> v2Sql,
     // v11: both retrievals nest as subqueries; COUNT(a.neighbor_id) counts
     // only matched (non-null) exact neighbors
@@ -1284,6 +1349,47 @@ object Similarity extends QueryPack {
                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
         FROM scored) t
       WHERE rank <= $K ORDER BY q_id, rank"""
+
+  // v18: the projection/sketch chain restated — integer q/p/pn2/dotp, the
+  // same (k, d) sign hash, cosp's greatest() guard, true cosine only on
+  // the reported pairs.
+  private lazy val v18Sql = s"""
+      WITH e AS (
+        SELECT vec_id, v, ${dotSql("v", "v")} AS norm2,
+               list_transform(v, x -> CAST(round(x * 4096) AS BIGINT)) AS q
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings) t0),
+      pp AS (
+        SELECT vec_id, v, norm2,
+               list_transform(range(0, 8), k -> list_reduce(list_prepend(0::BIGINT,
+                 list_transform(range(0, 64), d ->
+                   (1 - 2 * (((1315423911 * k + 2654435761 * d) % 2147483647) % 2))
+                   * q[d + 1])),
+                 (a, x) -> a + x)) AS p
+        FROM e),
+      pn AS (
+        SELECT vec_id, v, norm2, p,
+               list_reduce(list_prepend(0::BIGINT, list_transform(p, x -> x * x)),
+                 (a, x) -> a + x) AS pn2
+        FROM pp),
+      scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+               list_reduce(list_prepend(0::BIGINT,
+                 list_transform(range(1, 9), i -> q.p[i] * c.p[i])),
+                 (a, x) -> a + x) AS dotp,
+               q.pn2 AS qpn2, c.pn2 AS cpn2,
+               ${dotSql("q.v", "c.v")} / (sqrt(q.norm2) * sqrt(c.norm2)) AS cos_true
+        FROM pn q JOIN pn c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      ranked AS (
+        SELECT q_id, neighbor_id, dotp,
+               dotp::DOUBLE / sqrt(greatest(qpn2 * cpn2, 1)::DOUBLE) AS cosp,
+               cos_true,
+               row_number() OVER (PARTITION BY q_id ORDER BY
+                 dotp::DOUBLE / sqrt(greatest(qpn2 * cpn2, 1)::DOUBLE) DESC,
+                 neighbor_id) AS rank
+        FROM scored)
+      SELECT q_id, rank::BIGINT AS rank, neighbor_id, dotp, cosp, cos_true
+      FROM ranked WHERE rank <= $K ORDER BY q_id, rank"""
 
   private lazy val v2Sql = s"""
       WITH e AS (

@@ -470,6 +470,50 @@ object Text extends QueryPack {
         .filter($"rank" <= 3)
         .select($"doc_id", $"rank", $"tok", $"score")
         .orderBy($"doc_id", $"rank")
+    },
+    // x21: BM25 RETRIEVAL — the classic probabilistic ranking function,
+    // kept integer-exact so ranking is bitwise identical across engines.
+    // The standard constants k1 = 1.2, b = 0.75 enter as exact rationals:
+    // multiplying the per-term denominator tf + k1·(1−b+b·dl/avgdl) through
+    // by 20·L (avgdl = L/N) gives the all-integer
+    //   20·L·tf + 6·L + 18·dl·N,
+    // and the numerator (k1+1)·tf·idf becomes 44·tf·L·idf over it. idf
+    // avoids libm logarithms the way x7 does: idf = floor(log2(N div df))+1
+    // = length(bin(N div df)) — exact on both engines. The query set is
+    // DATA-RELATIVE (x12's convention, no tuned constant): the 5 vocabulary
+    // terms whose df lands closest to N/10 — mid-selectivity, so stopwords
+    // rank themselves out — picked by a TakeOrdered over the df table and
+    // broadcast. Scale shape (100 TB): df/L/N are map-side-combined
+    // aggregates; the scoring join touches only (query-term, doc) postings
+    // (5 terms → 5 posting lists, never the corpus); final top-10 is
+    // TakeOrderedAndProject — no global sort, no unpartitioned window. The
+    // 10⁴ score scale keeps 44·tf·L·idf·10⁴ under 2⁶³ to L ≈ 10¹²  tokens;
+    // past that the scale drops a digit (ranking is unaffected — all docs
+    // share the factor).
+    "x21_bm25_topk" -> { (s, dir) =>
+      import s.implicits._
+      val toks = Tables(s, dir).documents
+        .select($"doc_id", explode(expr(wsExpr)).as("tok"))
+        .filter(length($"tok") > 0)
+      val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      val dft = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val nl = toks.agg(countDistinct($"doc_id").as("n"), count(lit(1)).as("l"))
+      val q = dft.crossJoin(broadcast(nl))
+        .orderBy(abs($"df" * 10 - $"n"), $"tok").limit(5)
+        .select($"tok", $"df")
+      tf.join(broadcast(q), Seq("tok"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(nl))
+        .withColumn("idf", length(bin(expr("n div df"))).cast("long"))
+        .withColumn("term_score",
+          expr("(44 * tf * l * idf * 10000) div (20 * l * tf + 6 * l + 18 * dl * n)"))
+        .groupBy($"doc_id", $"dl")
+        .agg(sum($"term_score").as("score_sc"), count(lit(1)).as("n_hit"))
+        .select($"doc_id", $"dl", $"n_hit", $"score_sc",
+          ($"score_sc".cast("double") / 10000.0).as("bm25"))
+        .orderBy($"score_sc".desc, $"doc_id")
+        .limit(10)
     }
   )
 
@@ -732,6 +776,33 @@ object Text extends QueryPack {
                  ORDER BY ((tf.tf * n.n * 1000000) // df.df) DESC, tf.tok)::BIGINT AS rank
         FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n) t
       WHERE rank <= 3 ORDER BY doc_id, rank""",
+    // x21: integer-exact BM25 — same rational form as the Spark side (20·L
+    // common denominator, bin()-length idf); the only double is the final
+    // one-division bm25 display value.
+    "x21_bm25_topk" -> s"""
+      WITH toks AS (
+        SELECT doc_id, tok FROM (
+          SELECT doc_id, unnest(ws) AS tok
+          FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0) t
+        WHERE length(tok) > 0),
+      tf AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS tf FROM toks GROUP BY doc_id, tok),
+      dl AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+      dft AS (SELECT tok, COUNT(*)::BIGINT AS df FROM tf GROUP BY tok),
+      nl AS (SELECT COUNT(DISTINCT doc_id)::BIGINT AS n, COUNT(*)::BIGINT AS l FROM toks),
+      q AS (SELECT tok, df FROM dft CROSS JOIN nl
+            ORDER BY abs(df * 10 - n), tok LIMIT 5),
+      sc AS (
+        SELECT tf.doc_id, dl.dl, tf.tf, q.df, nl.n, nl.l,
+               length(bin(nl.n // q.df))::BIGINT AS idf
+        FROM tf JOIN q USING (tok)
+        JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN nl),
+      agg AS (
+        SELECT doc_id, dl, COUNT(*)::BIGINT AS n_hit,
+               SUM((44 * tf * l * idf * 10000)
+                   // (20 * l * tf + 6 * l + 18 * dl * n))::BIGINT AS score_sc
+        FROM sc GROUP BY doc_id, dl)
+      SELECT doc_id, dl, n_hit, score_sc, score_sc::DOUBLE / 10000.0 AS bm25
+      FROM agg ORDER BY score_sc DESC, doc_id LIMIT 10""",
     "x1_token_stats" -> s"""
       SELECT doc_id,
              len(ws)::BIGINT AS n_tokens,
