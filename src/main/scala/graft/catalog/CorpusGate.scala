@@ -164,6 +164,58 @@ object CorpusGate extends QueryPack {
         .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars_total"),
              min($"key").as("first_key"), max($"key").as("last_key"))
         .orderBy($"lang", $"shard")
+    },
+    // c5: the PRETRAIN PACKING pipeline — the round-7 lifecycle composed
+    // end to end, one oracle over the whole chain:
+    //   1. heuristic quality gate: stopword ratio ≤ 18% (x2's counts,
+    //      cross-multiplied so no division crosses the gate — the synthetic
+    //      corpus has no punctuation/digits, so the stop ratio is the
+    //      discriminating heuristic, C4-style);
+    //   2. semantic-dedup verdict (d17, SemDeDup): docs whose 1:1 embedding
+    //      was dropped in its quantizer cell leave the corpus — the two
+    //      gates are computed INDEPENDENTLY (parallel subplans, each
+    //      individually oracle-pinned) and intersected;
+    //   3. survivors packed into 512-token context windows in doc_id order
+    //      (g18's two-pass bucket-offset prefix — no global sort).
+    // Output = the loader-ready manifest: one row per surviving doc with
+    // its gate facts (cell, stop per-mille) and its packing coordinates.
+    // A drift in ANY stage — tokenize, quantizer, verdict, gate order,
+    // prefix — moves survivors or their offsets and breaks the oracle.
+    "c5_pretrain_pack" -> { (s, dir) =>
+      import s.implicits._
+      val q = Text.queries("x2_quality_score")(s, dir)
+        .select($"doc_id", $"n_tokens", $"stop_cnt")
+      val verdict = Dedup.queries("d17_semantic_dedup")(s, dir)
+        .select($"vec_id".as("doc_id"), $"cell", $"kept")
+      val surv = Tables(s, dir).documents.select($"doc_id", $"lang")
+        .join(q, Seq("doc_id"))
+        .join(verdict, Seq("doc_id"))
+        .filter($"kept" && $"stop_cnt" * 1000 <= $"n_tokens" * 180)
+        .select($"doc_id", $"lang", $"cell",
+          expr("stop_cnt * 1000 div n_tokens").as("stop_pm"),
+          $"n_tokens".as("n_tok"))
+      val bounds = surv.agg(min($"doc_id").as("_lo"), max($"doc_id").as("_hi"))
+      val bucketed = surv.crossJoin(broadcast(bounds))
+        .withColumn("_bkt",
+          least(floor(($"doc_id" - $"_lo") * 32 / ($"_hi" - $"_lo" + 1)),
+                lit(31)).cast("int"))
+        .drop("_lo", "_hi")
+      val wPrev = Window.orderBy($"_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bucketed.groupBy($"_bkt").agg(sum($"n_tok").as("_bsum"))
+        .withColumn("_off", coalesce(sum($"_bsum").over(wPrev), lit(0L)))
+        .select($"_bkt", $"_off")
+      val wIn = Window.partitionBy($"_bkt").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bucketed.join(broadcast(offsets), Seq("_bkt"))
+        .withColumn("start_tok",
+          $"_off" + coalesce(sum($"n_tok").over(wIn), lit(0L)))
+        .withColumn("win_start", expr("start_tok div 512"))
+        .withColumn("win_end",
+          expr("(start_tok + greatest(n_tok, 1) - 1) div 512"))
+        .select($"doc_id", $"lang", $"cell", $"stop_pm", $"n_tok",
+                $"start_tok", $"win_start", $"win_end")
+        .orderBy($"doc_id")
     }
   )
 
@@ -172,6 +224,44 @@ object CorpusGate extends QueryPack {
   }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // c5: the full chain restated — x2's stop counts, d17's quantizer/
+    // verdict CTEs, the serial packing prefix the two-pass shape must hit.
+    "c5_pretrain_pack" -> s"""
+      WITH e AS (
+        SELECT vec_id, v, ${Tx.dotSql("v", "v")} AS norm2
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings) t),
+      ${Quantizer.centroidsSql(iters = 2, dim = 64)}
+      ${Quantizer.cellsSql},
+      drops AS (
+        SELECT DISTINCT v2 AS vec_id FROM (
+          SELECT b.vec_id AS v2,
+                 ${Tx.dotSql("a.v", "b.v")} / (sqrt(a.norm2) * sqrt(b.norm2)) AS cos
+          FROM kcells a JOIN kcells b ON a.cell = b.cell AND a.vec_id < b.vec_id) t
+        WHERE cos >= 0.4),
+      qx AS (
+        SELECT doc_id, greatest(len(ws), 1)::BIGINT AS n_tokens,
+               len(list_filter(ws, t -> ${Text.inList("t", Text.stopwords)}))::BIGINT AS stop_cnt
+        FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0),
+      surv AS (
+        SELECT d.doc_id, d.lang, kc.cell::BIGINT AS cell,
+               (qx.stop_cnt * 1000 // qx.n_tokens)::BIGINT AS stop_pm,
+               qx.n_tokens AS n_tok
+        FROM documents d
+        JOIN qx ON qx.doc_id = d.doc_id
+        JOIN kcells kc ON kc.vec_id = d.doc_id
+        LEFT JOIN drops dr ON dr.vec_id = d.doc_id
+        WHERE dr.vec_id IS NULL AND qx.stop_cnt * 1000 <= qx.n_tokens * 180),
+      packed AS (
+        SELECT doc_id, lang, cell, stop_pm, n_tok,
+               COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                 AS start_tok
+        FROM surv)
+      SELECT doc_id, lang, cell, stop_pm, n_tok, start_tok,
+             (start_tok // 512)::BIGINT AS win_start,
+             ((start_tok + greatest(n_tok, 1) - 1) // 512)::BIGINT AS win_end
+      FROM packed ORDER BY doc_id""",
     // c4: the oracle is the SEQUENTIAL greedy — one global window per
     // language in exact quality order; the Spark two-pass must match it
     "c4_budget_select" -> s"""

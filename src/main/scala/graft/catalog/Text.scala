@@ -492,13 +492,18 @@ object Text extends QueryPack {
     // share the factor).
     "x21_bm25_topk" -> { (s, dir) =>
       import s.implicits._
-      val toks = Tables(s, dir).documents
+      // everything derives from ONE tokenize pass: tf is the only operator
+      // that reads the corpus; dl/df/N/L are aggregates OVER tf (dl =
+      // Σ tf per doc, L = Σ tf, N = |dl|) — re-deriving each from the raw
+      // token stream would tokenize the corpus four times.
+      val tf = Tables(s, dir).documents
         .select($"doc_id", explode(expr(wsExpr)).as("tok"))
         .filter(length($"tok") > 0)
-      val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-      val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(false)
+      val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
       val dft = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
-      val nl = toks.agg(countDistinct($"doc_id").as("n"), count(lit(1)).as("l"))
+      val nl = dl.agg(count(lit(1)).as("n"), sum($"dl").as("l"))
       val q = dft.crossJoin(broadcast(nl))
         .orderBy(abs($"df" * 10 - $"n"), $"tok").limit(5)
         .select($"tok", $"df")

@@ -30,10 +30,14 @@ class PlanAuditSpec extends AnyFunSuite {
   /** g17's single-group orderStats: the constant group key folds away,
     * leaving ScaleOps' bucket-summary cumsum (≤ nBuckets = 4096 rows, one
     * per value bucket — not data-scale) unpartitioned in the plan. */
+  /** g18/c5's bucket-offset window cumulates the 32-row per-bucket sum
+    * frame (g4's two-pass shape without g4's lang partition key) — one row
+    * per doc_id range slice, never data. */
   private val allowedUnpartitioned = Map(
     "e5_late_data" -> 1, "w5_ntile" -> 1, "g10_range_layout" -> 1,
     "r9_interval_sweep" -> 1, "dq10_rolling_anomaly" -> 1,
-    "g17_hilbert_layout" -> 1)
+    "g17_hilbert_layout" -> 1, "g18_sequence_packing" -> 1,
+    "c5_pretrain_pack" -> 1)
 
   test("no data-scale unpartitioned Window in any query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
