@@ -720,6 +720,23 @@ object Analytics extends QueryPack {
               FROM events) t0) t1
       GROUP BY shard ORDER BY shard"""
 
+  /** g18/e28's shared oracle — the serial packing prefix in doc_id order. */
+  private[catalog] lazy val g18Sql: String = s"""
+      SELECT doc_id, n_tok, start_tok,
+             (start_tok // 512)::BIGINT AS win_start,
+             ((start_tok + greatest(n_tok, 1) - 1) // 512)::BIGINT AS win_end,
+             (start_tok % 512)::BIGINT AS off_in_win,
+             ((start_tok + greatest(n_tok, 1) - 1) // 512
+                - start_tok // 512 + 1)::BIGINT AS n_wins
+      FROM (
+        SELECT doc_id, n_tok,
+               COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                 AS start_tok
+        FROM (SELECT doc_id, len(${Tx.wsSql})::BIGINT AS n_tok
+              FROM documents) t0) t
+      ORDER BY doc_id"""
+
   val oracle: Map[String, String] = Map(
     // g10: file count is pinned by the explicit partition count, interval
     // disjointness by the range-partitioner contract (equal keys never
@@ -899,22 +916,9 @@ object Analytics extends QueryPack {
       GROUP BY lang, shard ORDER BY lang, shard""",
     // g18: the oracle states the SERIAL prefix; the Spark side's two-pass
     // bucket-offset shape must reproduce it exactly (order-preserving
-    // range bucketing).
-    "g18_sequence_packing" -> s"""
-      SELECT doc_id, n_tok, start_tok,
-             (start_tok // 512)::BIGINT AS win_start,
-             ((start_tok + greatest(n_tok, 1) - 1) // 512)::BIGINT AS win_end,
-             (start_tok % 512)::BIGINT AS off_in_win,
-             ((start_tok + greatest(n_tok, 1) - 1) // 512
-                - start_tok // 512 + 1)::BIGINT AS n_wins
-      FROM (
-        SELECT doc_id, n_tok,
-               COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
-                 AS start_tok
-        FROM (SELECT doc_id, len(${Tx.wsSql})::BIGINT AS n_tok
-              FROM documents) t0) t
-      ORDER BY doc_id""",
+    // range bucketing). Shared with e28 (the streaming form packs the same
+    // doc_id order, so the two entries pin IDENTICAL results).
+    "g18_sequence_packing" -> g18Sql,
     "q9_quantile_filter" -> """
       WITH med AS (
         SELECT lang, quantile_cont(n_chars, 0.5) AS p50

@@ -204,6 +204,96 @@ object Streams extends QueryPack {
       .groupBy($"digest").agg(min($"keeper_doc_id").as("keeper_doc_id"))
   }
 
+  /** e28: STREAMING SEQUENCE PACKING — g18's concat-then-chunk map under
+    * continuous ingest. Documents arrive as doc_id-range files with pinned
+    * mtimes (e18's recipe: stream order == doc_id order); each micro-batch
+    * packs its documents AFTER everything already ingested. The running
+    * token total is NOT separate state — it is recovered from the output
+    * itself (max(start_tok + n_tok) — exclusive prefix + own count of the
+    * last packed doc IS the cumulative total): the persisted packing map is
+    * the operator's only state, and the doc_id anti-join makes
+    * at-least-once replays append nothing. In-batch offsets run g18's
+    * two-pass bucket shape, so no window ever sees more than a bucket.
+    * `ingest`/`out` are injectable so StreamSeqPackSpec can replay the same
+    * stream over a populated output. */
+  private[graft] def runStreamSeqPack(s: SparkSession, dir: String,
+      ingest: java.nio.file.Path, out: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents.select($"doc_id", $"text")
+    val hasFiles = { val ls = java.nio.file.Files.list(ingest)
+      try ls.findFirst().isPresent finally ls.close() }
+    if (!hasFiles) {
+      val ids = docs.agg(min($"doc_id"), max($"doc_id")).head()
+      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+      val step = (hi - lo) / 4 + 1
+      (0 until 4).foreach { i =>
+        val stage = Scratch.dir(s"e28r$i")
+        docs.filter($"doc_id" >= lo + i * step && $"doc_id" < lo + (i + 1) * step)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val ls = java.nio.file.Files.list(stage)
+        val part = try {
+          ls.filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        } finally ls.close()
+        val dst = ingest.resolve(f"range_$i%02d.parquet")
+        java.nio.file.Files.copy(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+    }
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 4)
+    try {
+      val st = s.readStream.schema(s.read.parquet(ingest.toString).schema)
+        .option("maxFilesPerTrigger", 1).parquet(ingest.toString)
+      val q = st.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bs = batch.sparkSession
+          val nb = batch.select(col("doc_id"),
+            expr(s"size(${Tx.wsExpr})").cast("long").as("n_tok"))
+          val outPath = new org.apache.hadoop.fs.Path(out)
+          val fs = outPath.getFileSystem(bs.sparkContext.hadoopConfiguration)
+          val (fresh, base) =
+            if (fs.exists(outPath)) {
+              val existing = bs.read.parquet(out)
+              val f = nb.join(existing.select("doc_id"), Seq("doc_id"), "left_anti")
+              val b = existing.agg(coalesce(max(col("start_tok") + col("n_tok")),
+                lit(0L))).head().getLong(0)
+              (f, b)
+            } else (nb, 0L)
+          val bounds = fresh.agg(min(col("doc_id")).as("_lo"),
+                                 max(col("doc_id")).as("_hi"))
+          val bucketed = fresh.crossJoin(broadcast(bounds))
+            .withColumn("_bkt",
+              least(floor((col("doc_id") - col("_lo")) * 32 /
+                          (col("_hi") - col("_lo") + 1)), lit(31)).cast("int"))
+            .drop("_lo", "_hi")
+          val wPrev = org.apache.spark.sql.expressions.Window.orderBy(col("_bkt"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+          val offsets = bucketed.groupBy(col("_bkt"))
+            .agg(sum(col("n_tok")).as("_bsum"))
+            .withColumn("_off", coalesce(sum(col("_bsum")).over(wPrev), lit(0L)))
+            .select(col("_bkt"), col("_off"))
+          val wIn = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("_bkt")).orderBy(col("doc_id"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+          bucketed.join(broadcast(offsets), Seq("_bkt"))
+            .withColumn("start_tok", lit(base) + col("_off") +
+              coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+            .select(col("doc_id"), col("n_tok"), col("start_tok"))
+            .write.mode("append").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.parquet(out)
+      .withColumn("win_start", expr("start_tok div 512"))
+      .withColumn("win_end", expr("(start_tok + greatest(n_tok, 1) - 1) div 512"))
+      .select($"doc_id", $"n_tok", $"start_tok", $"win_start", $"win_end",
+        expr("start_tok % 512").as("off_in_win"),
+        ($"win_end" - $"win_start" + 1).as("n_wins"))
+      .orderBy($"doc_id")
+  }
+
   /** The 4 id-ranged parquet ingest files of the new-vector partition
     * (vec_id % 10 == 7) — a read-only staged fixture shared by e24 (postings
     * append) and e27 (graph-edge append + search). Each file becomes one
@@ -598,6 +688,15 @@ object Streams extends QueryPack {
       import s.implicits._
       runDedupGate(s, dir).orderBy($"digest")
     },
+    // e28: STREAMING SEQUENCE PACKING (runStreamSeqPack scaladoc) — the
+    // ingest leg of the pretrain-packing pipeline: g18's context-window
+    // map maintained across micro-batches, output-as-state, idempotent
+    // replay. Oracle = g18's serial prefix verbatim (stream order ==
+    // doc_id order, so the streamed map must equal the batch map).
+    "e28_stream_seq_pack" -> { (s, dir) =>
+      runStreamSeqPack(s, dir, Scratch.dir("e28"),
+        Scratch.dir("e28_out").resolve("pack").toString)
+    },
     // e24: STREAMING ANN INDEX APPEND — v8's add-batch as a CONTINUOUS
     // ingest job (the streaming leg of the ANN family, e18's persistent-
     // index pattern pointed at vectors): the IVF model (centroids trained
@@ -945,6 +1044,8 @@ object Streams extends QueryPack {
              MIN(doc_id) AS keeper_doc_id
       FROM documents
       GROUP BY digest ORDER BY digest""",
+    // e28: the streamed packing map must equal g18's batch map exactly.
+    "e28_stream_seq_pack" -> Analytics.g18Sql,
     "e17_stream_schema_drift" -> """
       SELECT CASE WHEN event_id % 2 = 1 THEN 'ch' || (user_id % 3)::VARCHAR
                   ELSE 'legacy' END AS channel,
