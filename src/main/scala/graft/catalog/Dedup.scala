@@ -527,6 +527,54 @@ object Dedup extends QueryPack {
                 (!coalesce($"is_dup", lit(false))).as("kept"))
         .orderBy($"vec_id")
     },
+    // d18: INCREMENTAL SEMANTIC-DEDUP GATE — d17's verdict for the nightly
+    // increment (the d11/d12 pattern on the embedding side). The index
+    // partition (vec_id % 10 ≠ 7) carries its own d17 keeper set; the new
+    // batch (vec_id % 10 == 7) assigns to the INDEX-trained centroids
+    // (load-time model state, no retrain — e24's convention) and a batch
+    // vector is dropped iff an index KEEPER in its cell sits at cos ≥ 0.4
+    // (the index's non-keepers were already discarded — they no longer
+    // exist to compare against), or a smaller-id batch cell-mate does
+    // (batch-internal min-id greedy, d17's rule). Per-batch work = batch ×
+    // (in-cell keepers ∪ batch cell-mates): index×index pairs never
+    // re-score, so the nightly cost tracks the BATCH, not the corpus.
+    "d18_incremental_semantic" -> { (s, dir) =>
+      import s.implicits._
+      val all = Tables(s, dir).embeddings
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
+        .select($"vec_id", $"v", $"norm2")
+      val idxE = all.filter(pmod($"vec_id", lit(10)) =!= 7)
+      val batch = all.filter(pmod($"vec_id", lit(10)) === 7)
+      val cents = Quantizer.centroidsOnIndexFor(idxE, dir, "idx7", iters = 2, dim = 64)
+      val idxCells = Quantizer.assign(idxE, cents)
+      val idxDrops = idxCells.as("a").join(idxCells.as("b"),
+          $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+        .withColumn("cos",
+          graft.functions.VectorExprs.cosine($"a.v", $"b.v", $"a.norm2", $"b.norm2"))
+        .filter($"cos" >= 0.4)
+        .select($"b.vec_id".as("vec_id")).distinct()
+      val keepers = idxCells.join(idxDrops, Seq("vec_id"), "left_anti")
+      val bCells = Quantizer.assign(batch, cents)
+      val dropByIdx = bCells.as("b")
+        .join(keepers.select($"cell", $"v".as("kv"), $"norm2".as("kn")), Seq("cell"))
+        .withColumn("cos",
+          graft.functions.VectorExprs.cosine($"kv", $"b.v", $"kn", $"b.norm2"))
+        .filter($"cos" >= 0.4)
+        .select($"b.vec_id".as("vec_id"))
+      val dropByBatch = bCells.as("a").join(bCells.as("b"),
+          $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
+        .withColumn("cos",
+          graft.functions.VectorExprs.cosine($"a.v", $"b.v", $"a.norm2", $"b.norm2"))
+        .filter($"cos" >= 0.4)
+        .select($"b.vec_id".as("vec_id"))
+      val drops = dropByIdx.union(dropByBatch).distinct()
+        .withColumn("is_dup", lit(true))
+      bCells.join(drops, Seq("vec_id"), "left")
+        .select($"vec_id", $"cell".cast("long").as("cell"),
+                (!coalesce($"is_dup", lit(false))).as("kept"))
+        .orderBy($"vec_id")
+    },
     // d8: SimHash near-dup PAIRS — hamming ≤ 3 over the d3 signature.
     // Pigeonhole blocking: 3 differing bits across 4 disjoint 8-bit blocks
     // leave at least one block identical, so the candidate equi-join on
@@ -878,6 +926,52 @@ object Dedup extends QueryPack {
       SELECT c.vec_id, c.cell::BIGINT AS cell, d.vec_id IS NULL AS kept
       FROM kcells c LEFT JOIN drops d ON d.vec_id = c.vec_id
       ORDER BY c.vec_id""",
+    // d18: index-trained quantizer (e over the index partition), index
+    // keepers via d17's rule, batch assigned to kmc, dropped by keeper or
+    // smaller-id batch cell-mate.
+    "d18_incremental_semantic" -> s"""
+      WITH e AS (
+        SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings) t
+        WHERE vec_id % 10 <> 7),
+      ${Quantizer.centroidsSql(iters = 2, dim = 64)}
+      ${Quantizer.cellsSql},
+      idrops AS (
+        SELECT DISTINCT v2 AS vec_id FROM (
+          SELECT b.vec_id AS v2,
+                 ${dotSql("a.v", "b.v")} / (sqrt(a.norm2) * sqrt(b.norm2)) AS cos
+          FROM kcells a JOIN kcells b ON a.cell = b.cell AND a.vec_id < b.vec_id) t
+        WHERE cos >= 0.4),
+      keepers AS (
+        SELECT k.vec_id, k.v, k.norm2, k.cell
+        FROM kcells k LEFT JOIN idrops d ON d.vec_id = k.vec_id
+        WHERE d.vec_id IS NULL),
+      bvecs AS (
+        SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings) t
+        WHERE vec_id % 10 = 7),
+      bas AS (
+        SELECT vec_id, v, norm2, cell FROM (
+          SELECT t.vec_id, t.v, t.norm2, c.cell,
+                 row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                   ${dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) DESC,
+                   c.cell) AS crank
+          FROM bvecs t CROSS JOIN kmc c) z WHERE crank = 1),
+      bdrops AS (
+        SELECT DISTINCT vec_id FROM (
+          SELECT bb.vec_id,
+                 ${dotSql("k.v", "bb.v")} / (sqrt(k.norm2) * sqrt(bb.norm2)) AS cos
+          FROM bas bb JOIN keepers k ON k.cell = bb.cell
+          UNION ALL
+          SELECT b2.vec_id,
+                 ${dotSql("b1.v", "b2.v")} / (sqrt(b1.norm2) * sqrt(b2.norm2)) AS cos
+          FROM bas b1 JOIN bas b2 ON b1.cell = b2.cell AND b1.vec_id < b2.vec_id) t
+        WHERE cos >= 0.4)
+      SELECT bb.vec_id, bb.cell::BIGINT AS cell, d.vec_id IS NULL AS kept
+      FROM bas bb LEFT JOIN bdrops d ON d.vec_id = bb.vec_id
+      ORDER BY bb.vec_id""",
     "d8_simhash_pairs" -> s"""
       WITH sh AS (
         SELECT doc_id, (${simhashSql("hs")})::BIGINT AS simhash

@@ -936,15 +936,19 @@ object Relational extends QueryPack {
       val P = 2147483647L
       val ev = Tables(s, dir).events
         .select($"event_type", to_date($"ts").as("day"), $"user_id")
+      // id reduces mod p BEFORE the affine step: (id % p) ≤ 2³¹ keeps the
+      // largest product (2³¹·2654435761 ≈ 5.7e18) inside a signed 64-bit —
+      // raw 100×-scale ids (~10¹⁰) overflowed the multiply (the round-7
+      // whole-suite 100× soak finding); identical values for id < p.
       val cells = ev.select($"event_type", $"day", posexplode(array(
-          (0 until 4).map(j => (($"user_id" * as(j) + bs(j)) % P) % 64): _*))
+          (0 until 4).map(j => ((($"user_id" % P) * as(j) + bs(j)) % P) % 64): _*))
         .as(Seq("j", "w")))
       val daily = cells.groupBy($"event_type", $"day", $"j", $"w")
         .agg(count(lit(1)).as("c"))
       val sketch = daily.groupBy($"event_type", $"j", $"w")
         .agg(sum($"c").as("c"))
       val probes = (for { id <- 1L to 5L; j <- 0 until 4 }
-        yield (id, j, ((id * as(j) + bs(j)) % P % 64).toInt))
+        yield (id, j, (((id % P) * as(j) + bs(j)) % P % 64).toInt))
         .toDF("user_id", "j", "w")
       val types = ev.select($"event_type").distinct()
       val est = types.crossJoin(broadcast(probes))
@@ -1208,13 +1212,15 @@ object Relational extends QueryPack {
       WITH h(j, a, b) AS (VALUES (0, 1103515245, 12345), (1, 1299709, 7919),
                                  (2, 104729, 524287), (3, 2654435761, 998244353)),
       cells AS (
-        SELECT event_type, h.j, ((user_id * h.a + h.b) % 2147483647) % 64 AS w
+        SELECT event_type, h.j,
+               (((user_id % 2147483647) * h.a + h.b) % 2147483647) % 64 AS w
         FROM events CROSS JOIN h),
       sketch AS (
         SELECT event_type, j, w, COUNT(*)::BIGINT AS c
         FROM cells GROUP BY 1, 2, 3),
       probes AS (
-        SELECT u.user_id, h.j, ((u.user_id * h.a + h.b) % 2147483647) % 64 AS w
+        SELECT u.user_id, h.j,
+               (((u.user_id % 2147483647) * h.a + h.b) % 2147483647) % 64 AS w
         FROM (SELECT unnest(range(1, 6)) AS user_id) u CROSS JOIN h),
       est AS (
         SELECT t.event_type, p.user_id, MIN(COALESCE(s.c, 0))::BIGINT AS cms_est
