@@ -84,14 +84,19 @@ object Quality extends QueryPack {
       // two-level shape (distinct collapses map-side, shuffles carry
       // |distinct| rows) and join back as 1-row broadcasts. A deployment
       // drops the verification columns and keeps the single-scan plan.
+      // rsd = 0.01, NOT the 0.05 default: the pinned within_5pct envelope
+      // is then a 5σ bound (sketch error is scale-independent, so it holds
+      // at any N) — at the default the pin is 1σ and flipped on one column
+      // in the round-7 100× soak. Cost: 16× the HLL registers, still
+      // KB-scale per aggregate.
       val a = li.agg(
         count(lit(1)).as("n"),
         sum($"l_partkey".isNull.cast("long")).as("pk_null"),
-        approx_count_distinct($"l_partkey").as("pk_ad"),
+        approx_count_distinct($"l_partkey", 0.01).as("pk_ad"),
         sum($"l_suppkey".isNull.cast("long")).as("sk_null"),
-        approx_count_distinct($"l_suppkey").as("sk_ad"),
+        approx_count_distinct($"l_suppkey", 0.01).as("sk_ad"),
         sum($"l_orderkey".isNull.cast("long")).as("ok_null"),
-        approx_count_distinct($"l_orderkey").as("ok_ad"))
+        approx_count_distinct($"l_orderkey", 0.01).as("ok_ad"))
         .crossJoin(li.select($"l_partkey").distinct()
           .agg(count(lit(1)).as("pk_d")))
         .crossJoin(li.select($"l_suppkey").distinct()

@@ -42,6 +42,14 @@ def canon(df):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # big-SF soaks: cap DuckDB so a heavy CTE spills to disk instead of
+    # OOM-killing the process (the 100x quantizer CTEs reached 122 GB RSS
+    # unbounded); default high enough that small-SF runs never spill.
+    mem = os.environ.get("ORACLE_MEM_LIMIT", "80GB")
+    con.execute(f"SET memory_limit='{mem}'")
+    spill = os.environ.get("ORACLE_TEMP_DIR", "/tmp/duckspill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
@@ -49,28 +57,55 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
+    import time as _time
+
+    def fresh_con():
+        c = duckdb.connect()
+        c.execute(f"SET memory_limit='{mem}'")
+        c.execute(f"SET temp_directory='{spill}'")
+        for t in TABLES:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(p):
+                p = f"{p}/*.parquet"
+            c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        return c
+
     for name in sorted(oracle):
+        _t0 = _time.time()
+        print(f"... {name}", flush=True)
         sql = oracle[name]
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
         if not files:
             results[name] = "NO_SPARK_OUTPUT"
+            print(f"    {name}: NO_SPARK_OUTPUT", flush=True)
             continue
         try:
             want = con.execute(sql).df()          # DECIMAL -> float64 here
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {e}"
+            print(f"    {name}: ORACLE_SQL_ERROR {str(e)[:120]}", flush=True)
+            # a DuckDB OOM invalidates the whole connection; reconnect so
+            # one heavy oracle can't poison every query after it
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = fresh_con()
             continue
         try:
             got = load_spark(files)
         except Exception as e:
             results[name] = f"SPARK_READ_ERROR: {e}"
+            print(f"    {name}: {results[name][:120]}", flush=True)
             continue
         wcols, gcols = sorted(want.columns), sorted(got.columns)
         if list(wcols) != list(gcols):
             results[name] = f"COLS_MISMATCH want={list(wcols)} got={list(gcols)}"
+            print(f"    {name}: {results[name][:120]}", flush=True)
             continue
         if len(want) != len(got):
             results[name] = f"ROWS_MISMATCH want={len(want)} got={len(got)}"
+            print(f"    {name}: {results[name][:120]}", flush=True)
             continue
         try:
             want_s, want_str = canon(want)
@@ -78,11 +113,13 @@ def main(sf_dir, out_dir):
         except Exception as e:
             # the driver's sort crashes the same way (array cells etc.)
             results[name] = f"ERR_SORT ({type(e).__name__}: {e})"
+            print(f"    {name}: {results[name][:120]}", flush=True)
             continue
         dt = {c: (str(want_s[c].dtype), str(got_s[c].dtype))
               for c in wcols if str(want_s[c].dtype) != str(got_s[c].dtype)}
         if dt:
             results[name] = f"DTYPE_MISMATCH {dt}"
+            print(f"    {name}: {results[name][:120]}", flush=True)
             continue
         bad = None
         for c in wcols:
@@ -92,6 +129,8 @@ def main(sf_dir, out_dir):
                 bad = f"VALUE_MISMATCH row={i} col={c} want={want_s[c].iloc[i]!r} got={got_s[c].iloc[i]!r}"
                 break
         results[name] = bad if bad else "OK"
+        print(f"    {name}: {results[name][:80]} ({_time.time() - _t0:.1f}s)",
+              flush=True)
     n_ok = sum(1 for v in results.values() if v == "OK")
     for k, v in results.items():
         mark = "PASS" if v == "OK" else "FAIL"
