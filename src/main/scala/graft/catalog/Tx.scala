@@ -47,4 +47,19 @@ object Tx {
     val words = (0 until n).map(k => s"$ws[p + $k]").mkString(" || ' ' || ")
     s"list_distinct(list_transform(range(1, greatest(len($ws) - ${n - 1}, 0) + 1), p -> $words))"
   }
+
+  /** ALL (non-distinct) n-gram shingles — occurrence counts matter where
+    * shingles become tf WEIGHTS (d16), unlike the set-semantics
+    * shinglesExpr. Same empty-guard. */
+  def shinglesAllExpr(n: Int, ws: String = "ws"): String = {
+    val words = (0 until n).map(k => s"element_at($ws, p + $k)").mkString(", ")
+    s"if(size($ws) < $n, array(), " +
+      s"transform(sequence(1, size($ws) - ${n - 1}), p -> concat_ws(' ', $words)))"
+  }
+
+  /** same non-distinct shingles, DuckDB side. */
+  def shinglesAllSql(n: Int, ws: String = "ws"): String = {
+    val words = (0 until n).map(k => s"$ws[p + $k]").mkString(" || ' ' || ")
+    s"list_transform(range(1, greatest(len($ws) - ${n - 1}, 0) + 1), p -> $words)"
+  }
 }
