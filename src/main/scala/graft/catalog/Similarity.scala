@@ -146,7 +146,7 @@ object Similarity extends QueryPack {
         .join(broadcast(qs.select($"q_id", $"qp", $"qpn2")), $"vec_id" =!= $"q_id")
         .withColumn("dotp", dotpExpr)
         .withColumn("cosp", $"dotp".cast("double") /
-          sqrt(expr("greatest(qpn2 * pn2, 1)").cast("double")))
+          sqrt(expr("greatest(cast(qpn2 as double) * cast(pn2 as double), 1.0d)")))
         .groupBy($"q_id")
         .agg(graft.functions.TopK.topK10($"cosp", $"vec_id").as("top"))
         .select($"q_id", posexplode($"top").as(Seq("idx", "nb")))
@@ -1382,10 +1382,10 @@ object Similarity extends QueryPack {
         FROM pn q JOIN pn c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
       ranked AS (
         SELECT q_id, neighbor_id, dotp,
-               dotp::DOUBLE / sqrt(greatest(qpn2 * cpn2, 1)::DOUBLE) AS cosp,
+               dotp::DOUBLE / sqrt(greatest(qpn2::DOUBLE * cpn2::DOUBLE, 1)) AS cosp,
                cos_true,
                row_number() OVER (PARTITION BY q_id ORDER BY
-                 dotp::DOUBLE / sqrt(greatest(qpn2 * cpn2, 1)::DOUBLE) DESC,
+                 dotp::DOUBLE / sqrt(greatest(qpn2::DOUBLE * cpn2::DOUBLE, 1)) DESC,
                  neighbor_id) AS rank
         FROM scored)
       SELECT q_id, rank::BIGINT AS rank, neighbor_id, dotp, cosp, cos_true

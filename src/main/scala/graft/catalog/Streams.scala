@@ -212,7 +212,14 @@ object Streams extends QueryPack {
     * itself (max(start_tok + n_tok) — exclusive prefix + own count of the
     * last packed doc IS the cumulative total): the persisted packing map is
     * the operator's only state, and the doc_id anti-join makes
-    * at-least-once replays append nothing. In-batch offsets run g18's
+    * at-least-once replays append nothing. The idempotency contract is
+    * WHOLE-BATCH granular: a crash that leaves a partially committed
+    * parquet append (part files visible without job commit) would make the
+    * anti-join treat the batch as partly done and pack the missing
+    * lower-id docs after higher-id ones, breaking the serial doc_id-order
+    * prefix — on recovery after an unclean stop, validate that
+    * max(doc_id) in the output matches a contiguous doc_id prefix (or
+    * clear the partial batch's files) before resuming. In-batch offsets run g18's
     * two-pass bucket shape, so no window ever sees more than a bucket.
     * `ingest`/`out` are injectable so StreamSeqPackSpec can replay the same
     * stream over a populated output. */

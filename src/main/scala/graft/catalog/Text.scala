@@ -487,9 +487,13 @@ object Text extends QueryPack {
     // aggregates; the scoring join touches only (query-term, doc) postings
     // (5 terms → 5 posting lists, never the corpus); final top-10 is
     // TakeOrderedAndProject — no global sort, no unpartitioned window. The
-    // 10⁴ score scale keeps 44·tf·L·idf·10⁴ under 2⁶³ to L ≈ 10¹²  tokens;
-    // past that the scale drops a digit (ranking is unaffected — all docs
-    // share the factor).
+    // 10⁴ score scale keeps the intermediate 44·tf·L·idf·10⁴ under 2⁶³
+    // only while tf·idf·L < ~2·10¹³ — i.e. safe to L ≈ 10¹⁰–10¹¹ tokens at
+    // realistic tf/idf (tf·idf ≈ 10²), not 10¹². Past the bound Spark's
+    // non-ANSI mul wraps silently while DuckDB raises; before shipping at
+    // L beyond ~10¹⁰, drop a digit from the 10⁴ scale (ranking unaffected
+    // — all docs share the factor) or reorder the div to shrink the
+    // intermediate.
     "x21_bm25_topk" -> { (s, dir) =>
       import s.implicits._
       // everything derives from ONE tokenize pass: tf is the only operator

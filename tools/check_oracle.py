@@ -45,7 +45,14 @@ def main(sf_dir, out_dir):
     # big-SF soaks: cap DuckDB so a heavy CTE spills to disk instead of
     # OOM-killing the process (the 100x quantizer CTEs reached 122 GB RSS
     # unbounded); default high enough that small-SF runs never spill.
-    mem = os.environ.get("ORACLE_MEM_LIMIT", "80GB")
+    # default = min(80GB, 70% of physical RAM) so small hosts still spill
+    # before the OS OOM-killer fires; ORACLE_MEM_LIMIT overrides.
+    try:
+        ram_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30
+        default_mem = f"{min(80, max(1, int(ram_gb * 0.7)))}GB"
+    except (ValueError, OSError):
+        default_mem = "80GB"
+    mem = os.environ.get("ORACLE_MEM_LIMIT", default_mem)
     con.execute(f"SET memory_limit='{mem}'")
     spill = os.environ.get("ORACLE_TEMP_DIR", "/tmp/duckspill")
     os.makedirs(spill, exist_ok=True)
