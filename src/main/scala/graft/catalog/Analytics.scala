@@ -212,6 +212,35 @@ object Analytics extends QueryPack {
           ($"win_end" - $"win_start" + 1).as("n_wins"))
         .orderBy($"doc_id")
     },
+    // g19: BOUNDARY-RESPECTING BIN PACKING — g18's contamination-free
+    // twin: whole documents packed into 512-token windows with NO document
+    // crossing a window boundary (what clean attention masking wants;
+    // g18's concat-then-chunk splits docs across windows). Greedy
+    // first-fit-decreasing is inherently serial (each placement depends on
+    // every earlier bin's residual), so this ships the standard
+    // distributed shape — HARMONIC CLASS PACKING: a doc of n_tok tokens
+    // lands in class k = 512 div n_tok, and any k docs of class k fit one
+    // window by construction (each ≤ 512/k tokens); within a class,
+    // window index = rank div k where rank is the doc_id-order rank.
+    // Oversize docs (n_tok > 512) form class 0 with capacity 1 — each gets
+    // a dedicated window the loader truncates. Scale shape (100 TB): the
+    // within-class rank reuses g4's two-pass machinery keyed by
+    // (cls, doc_id-range bucket) — per-cell counts (≤ 513 classes × 32
+    // buckets) cumulate on a broadcastable frame, the real window runs per
+    // (cls, _bkt); class→window offsets cumulate over the ≤513-row class
+    // frame. No data-scale sort anywhere, and unlike serial FFD the
+    // assignment is embarrassingly parallel once the tiny offset frames
+    // broadcast. Quality: harmonic packing trades bin count (≤ ~1.7×
+    // optimal worst-case vs FFD's ~1.22×) for a closed form;
+    // SequencePackingSpec measures the realized ratio vs serial FFD and
+    // pins capacity/no-split invariants plus exact equality to a serial
+    // replay of the same class algorithm.
+    "g19_boundary_pack" -> { (s, dir) =>
+      import s.implicits._
+      binPack(Tables(s, dir).documents
+        .select($"doc_id", expr(s"size(${Tx.wsExpr})").cast("long").as("n_tok")))
+        .orderBy($"doc_id")
+    },
     // q9: per-group QUANTILE FILTER — keep documents at or above their
     // language's median length. The median is computed from the VALUE
     // HISTOGRAM (groupBy (lang, n_chars) → counts, cumulative over distinct
@@ -720,6 +749,44 @@ object Analytics extends QueryPack {
               FROM events) t0) t1
       GROUP BY shard ORDER BY shard"""
 
+  /** g19's harmonic class packing over a (doc_id, n_tok) frame — factored
+    * so SequencePackingSpec can feed synthetic lengths (oversize, empty)
+    * beyond what the fixture holds. See the g19 entry comment for the
+    * algorithm and scale shape. */
+  private[graft] def binPack(docsIn: DataFrame): DataFrame = {
+    import docsIn.sparkSession.implicits._
+    val docs = docsIn.withColumn("cls", expr(
+      "case when n_tok > 512 then 0L else 512 div greatest(n_tok, 1) end"))
+    val bounds = docs.agg(min($"doc_id").as("_lo"), max($"doc_id").as("_hi"))
+    val bucketed = docs.crossJoin(broadcast(bounds))
+      .withColumn("_bkt",
+        least(floor(($"doc_id" - $"_lo") * 32 / ($"_hi" - $"_lo" + 1)),
+              lit(31)).cast("int"))
+      .drop("_lo", "_hi")
+    val perCell = bucketed.groupBy($"cls", $"_bkt").agg(count(lit(1)).as("_c"))
+    val wPrevC = Window.partitionBy($"cls").orderBy($"_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cellOff = perCell
+      .withColumn("_coff", coalesce(sum($"_c").over(wPrevC), lit(0L)))
+      .select($"cls", $"_bkt", $"_coff")
+    val perCls = perCell.groupBy($"cls").agg(sum($"_c").as("_n"))
+      .withColumn("_cap", expr("case when cls = 0 then 1L else cls end"))
+      .withColumn("_nwin", expr("(_n + _cap - 1) div _cap"))
+    val wCls = Window.orderBy($"cls")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val clsOff = perCls
+      .withColumn("_woff", coalesce(sum($"_nwin").over(wCls), lit(0L)))
+      .select($"cls", $"_cap", $"_woff")
+    val wIn = Window.partitionBy($"cls", $"_bkt").orderBy($"doc_id")
+    bucketed
+      .join(broadcast(cellOff), Seq("cls", "_bkt"))
+      .join(broadcast(clsOff), Seq("cls"))
+      .withColumn("_rank", $"_coff" + row_number().over(wIn) - 1)
+      .select($"doc_id", $"n_tok", $"cls",
+        ($"_woff" + expr("_rank div _cap")).as("win_id"),
+        expr("_rank % _cap").as("slot"))
+  }
+
   /** g18/e28's shared oracle — the serial packing prefix in doc_id order. */
   private[catalog] lazy val g18Sql: String = s"""
       SELECT doc_id, n_tok, start_tok,
@@ -919,6 +986,34 @@ object Analytics extends QueryPack {
     // range bucketing). Shared with e28 (the streaming form packs the same
     // doc_id order, so the two entries pin IDENTICAL results).
     "g18_sequence_packing" -> g18Sql,
+    // g19: the serial statement of the class algorithm — rank within class
+    // by doc_id (one row_number), per-class window counts, cumulative
+    // class offsets; the Spark side's two-pass bucketed rank must hit it.
+    "g19_boundary_pack" -> s"""
+      WITH d AS (
+        SELECT doc_id, n_tok,
+               CASE WHEN n_tok > 512 THEN 0
+                    ELSE 512 // greatest(n_tok, 1) END AS cls
+        FROM (SELECT doc_id, len(${Tx.wsSql})::BIGINT AS n_tok
+              FROM documents) t0),
+      r AS (
+        SELECT doc_id, n_tok, cls,
+               row_number() OVER (PARTITION BY cls ORDER BY doc_id) - 1 AS rnk
+        FROM d),
+      cw AS (
+        SELECT cls, COUNT(*) AS n,
+               CASE WHEN cls = 0 THEN 1 ELSE cls END AS cap
+        FROM d GROUP BY cls),
+      co AS (
+        SELECT cls, cap,
+               COALESCE(SUM((n + cap - 1) // cap) OVER (ORDER BY cls
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS woff
+        FROM cw)
+      SELECT r.doc_id, r.n_tok, r.cls::BIGINT AS cls,
+             (co.woff + r.rnk // co.cap)::BIGINT AS win_id,
+             (r.rnk % co.cap)::BIGINT AS slot
+      FROM r JOIN co USING (cls)
+      ORDER BY r.doc_id""",
     "q9_quantile_filter" -> """
       WITH med AS (
         SELECT lang, quantile_cont(n_chars, 0.5) AS p50

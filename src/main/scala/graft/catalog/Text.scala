@@ -523,6 +523,41 @@ object Text extends QueryPack {
           ($"score_sc".cast("double") / 10000.0).as("bm25"))
         .orderBy($"score_sc".desc, $"doc_id")
         .limit(10)
+    },
+    // x22: SEMANTIC DECONTAMINATION — x9's benchmark-decontamination
+    // completed on the EMBEDDING side: a corpus vector is contaminated iff
+    // an eval-set vector (vec_id % 97, x9's held-out convention) in its
+    // quantizer cell sits at cos ≥ 0.3 (d17's cell machinery pointed at a
+    // broadcast eval side; the threshold is looser than dedup's 0.4 —
+    // decontamination wants recall on paraphrased eval items that lexical
+    // x9 misses). Output is the per-vector verdict gate (d17's shape), so
+    // the corpus filter is one joinable boolean. Scale shape (100 TB):
+    // cell assignment is a literal-centroid projection (no shuffle); the
+    // eval side is tiny and BROADCAST, so the corpus never shuffles — the
+    // scoring join is batch-side corpus × in-cell eval vectors only, the
+    // exact analog of x9's broadcast shingle set. Eval×eval and
+    // corpus×corpus pairs never score.
+    "x22_semantic_decontam" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
+        .select($"vec_id", $"v", $"norm2")
+      val cents = Quantizer.centroidsFor(e, dir, iters = 2, dim = 64)
+      val cells = Quantizer.assign(e, cents)
+      val evalCells = cells.filter(pmod($"vec_id", lit(97)) === 0)
+        .select($"cell", $"vec_id".as("e_id"), $"v".as("ev"), $"norm2".as("en2"))
+      val corpus = cells.filter(pmod($"vec_id", lit(97)) =!= 0)
+      val hits = corpus.join(broadcast(evalCells), Seq("cell"))
+        .withColumn("cos",
+          graft.functions.VectorExprs.cosine($"v", $"ev", $"norm2", $"en2"))
+        .filter($"cos" >= 0.3)
+        .groupBy($"vec_id").agg(count(lit(1)).as("n_hits"))
+      corpus.join(hits, Seq("vec_id"), "left")
+        .select($"vec_id", $"cell".cast("long").as("cell"),
+          coalesce($"n_hits", lit(0L)).as("n_eval_hits"),
+          (coalesce($"n_hits", lit(0L)) === 0L).as("clean"))
+        .orderBy($"vec_id")
     }
   )
 
@@ -669,6 +704,27 @@ object Text extends QueryPack {
              (b.n_words - b.n_distinct)::DOUBLE / b.n_words AS frac_dup_words
       FROM base b LEFT JOIN mx m ON m.doc_id = b.doc_id
       ORDER BY b.doc_id""",
+    // x22: d17's quantizer CTEs, hits = corpus × in-cell eval at cos ≥ 0.3.
+    "x22_semantic_decontam" -> s"""
+      WITH e AS (
+        SELECT vec_id, v, ${Tx.dotSql("v", "v")} AS norm2
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings) t),
+      ${Quantizer.centroidsSql(iters = 2, dim = 64)}
+      ${Quantizer.cellsSql},
+      hits AS (
+        SELECT c.vec_id, COUNT(*) AS n_hits
+        FROM kcells c JOIN kcells q
+          ON q.vec_id % 97 = 0 AND c.cell = q.cell
+        WHERE c.vec_id % 97 <> 0
+          AND ${Tx.dotSql("c.v", "q.v")} / (sqrt(c.norm2) * sqrt(q.norm2)) >= 0.3
+        GROUP BY c.vec_id)
+      SELECT c.vec_id, c.cell::BIGINT AS cell,
+             COALESCE(h.n_hits, 0)::BIGINT AS n_eval_hits,
+             COALESCE(h.n_hits, 0) = 0 AS clean
+      FROM kcells c LEFT JOIN hits h ON h.vec_id = c.vec_id
+      WHERE c.vec_id % 97 <> 0
+      ORDER BY c.vec_id""",
     "x9_decontam" -> s"""
       WITH sh AS (
         SELECT doc_id, unnest(hs) AS h

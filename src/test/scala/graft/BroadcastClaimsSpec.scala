@@ -37,6 +37,10 @@ class BroadcastClaimsSpec extends AnyFunSuite {
     assert(plan("c2_export_shards").contains("BroadcastHashJoin"))
   }
 
+  test("x22: the eval embedding set broadcasts; the corpus never shuffles to score") {
+    assert(plan("x22_semantic_decontam").contains("BroadcastHashJoin"))
+  }
+
   test("x12: the rarity threshold is a broadcast scalar") {
     val p = plan("x12_rare_token_filter")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

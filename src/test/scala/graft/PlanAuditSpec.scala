@@ -37,7 +37,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "e5_late_data" -> 1, "w5_ntile" -> 1, "g10_range_layout" -> 1,
     "r9_interval_sweep" -> 1, "dq10_rolling_anomaly" -> 1,
     "g17_hilbert_layout" -> 1, "g18_sequence_packing" -> 1,
-    "c5_pretrain_pack" -> 1)
+    "c5_pretrain_pack" -> 1,
+    // g19's class→window offset cumsum runs over the ≤513-row class frame
+    // (one row per harmonic length class), never documents.
+    "g19_boundary_pack" -> 1)
 
   test("no data-scale unpartitioned Window in any query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
