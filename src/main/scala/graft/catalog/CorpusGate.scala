@@ -216,6 +216,68 @@ object CorpusGate extends QueryPack {
         .select($"doc_id", $"lang", $"cell", $"stop_pm", $"n_tok",
                 $"start_tok", $"win_start", $"win_end")
         .orderBy($"doc_id")
+    },
+    // c6: the composed RETRIEVAL lifecycle (RAG) — the read-side twin of
+    // c5's write-side packing chain, each stage AS SHIPPED:
+    //   1. chunk (x15's exact map via Text.chunked — 500-char stride-400
+    //      chunks, the retrieval units a context window ingests);
+    //   2. lexical retrieval over chunks: chunk shingle hashes (v13's
+    //      kernel), d4's MaxDf stop-shingle cap on the chunk stream,
+    //      query = the full-text shingles of docs < 10; per-(query, doc)
+    //      score = the BEST chunk's jaccard (argmax chunk reported —
+    //      the passage a generator would be handed), top-K by score;
+    //   3. semantic retrieval: v16's graph beam search, called verbatim;
+    //   4. v13's RRF fusion (same 1/(60+r) terms, same tiebreaks).
+    // One oracle pins the chain end to end: the beam-walk CTEs are the
+    // v16 oracle's own (beamWalkCtes), the chunk/lexical CTEs restate
+    // stages 1-2, fusion is v13's SQL. Scale shape (100 TB): chunking is
+    // a per-row projection; the lexical side shuffles 8-byte hashes with
+    // the df cap killing viral shingles; the walk is corpus-size-
+    // independent per query; fusion touches ≤ 2K rows per query.
+    "c6_rag_retrieval" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.TextKernels
+      val chunks = Text.chunked(Tables(s, dir).documents)
+      val csh = chunks
+        .select($"doc_id", $"chunk_idx",
+          TextKernels.shingleHashesUdf($"chunk").as("hs"))
+        .select($"doc_id", $"chunk_idx", size($"hs").cast("long").as("c_nsh"),
+          explode($"hs").as("h"))
+      val wH = Window.partitionBy($"h")
+      val cex = csh.withColumn("df", count(lit(1)).over(wH))
+        .filter($"df" <= Dedup.MaxDf).drop("df")
+      val qsh = Tables(s, dir).documents.filter($"doc_id" < 10)
+        .select($"doc_id".as("q_id"), TextKernels.shingleHashesUdf($"text").as("qhs"))
+        .select($"q_id", size($"qhs").cast("long").as("qn"), explode($"qhs").as("h"))
+      val pair = cex.join(qsh, Seq("h"))
+        .filter($"doc_id" =!= $"q_id")
+        .groupBy($"q_id", $"qn", $"doc_id", $"chunk_idx", $"c_nsh")
+        .agg(count(lit(1)).as("n_inter"))
+        .withColumn("jac",
+          $"n_inter".cast("double") / ($"qn" + $"c_nsh" - $"n_inter"))
+      val wD = Window.partitionBy($"q_id", $"doc_id")
+        .orderBy($"jac".desc, $"chunk_idx")
+      val docLex = pair.withColumn("rk", row_number().over(wD))
+        .filter($"rk" === 1)
+        .select($"q_id", $"doc_id", $"chunk_idx".as("best_chunk"), $"jac")
+      val wKw = Window.partitionBy($"q_id").orderBy($"jac".desc, $"doc_id")
+      val kw = docLex.withColumn("krank", row_number().over(wKw).cast("long"))
+        .filter($"krank" <= Similarity.K)
+        .select($"q_id", $"doc_id", $"best_chunk", $"krank")
+      val em = Similarity.queries("v16_graph_beam_search")(s, dir)
+        .select($"q_id", $"neighbor_id".as("doc_id"), $"rank".as("erank"))
+      val wR = Window.partitionBy($"q_id").orderBy($"rrf".desc, $"doc_id")
+      kw.join(em, Seq("q_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / ($"krank" + 60), lit(0.0)) +
+            coalesce(lit(1.0) / ($"erank" + 60), lit(0.0)))
+        .withColumn("rank", row_number().over(wR).cast("long"))
+        .filter($"rank" <= Similarity.K)
+        .select($"q_id", $"rank", $"doc_id",
+          coalesce($"krank", lit(0L)).as("kw_rank"),
+          coalesce($"erank", lit(0L)).as("em_rank"),
+          coalesce($"best_chunk", lit(-1L)).as("best_chunk"), $"rrf")
+        .orderBy($"q_id", $"rank")
     }
   )
 
@@ -224,6 +286,67 @@ object CorpusGate extends QueryPack {
   }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // c6: v16's own beam-walk CTEs (knnCtes + beamWalkCtes → sem), the
+    // x15 chunk map, v13's capped lexical scoring pointed at chunks, and
+    // v13's fusion SQL — the whole retrieval chain in one statement.
+    "c6_rag_retrieval" -> s"""
+      WITH ${Similarity.knnCtes},
+      ${Similarity.beamWalkCtes(
+        """SELECT src_id, neighbor_id FROM knn
+           UNION ALL SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM knn""",
+        "e", "sem")},
+      chunks AS (
+        SELECT doc_id, i AS chunk_idx, substr(text, i * 400 + 1, 500) AS text
+        FROM (SELECT doc_id, text,
+                     unnest(range(0, ((greatest(length(text), 1) - 1) // 400) + 1))::BIGINT AS i
+              FROM documents) t),
+      csh AS (
+        SELECT doc_id, chunk_idx, len(hs)::BIGINT AS c_nsh, hs
+        FROM (SELECT doc_id, chunk_idx, ${Dedup.shingleHashesSql} AS hs
+              FROM (SELECT doc_id, chunk_idx, $wsSql AS ws FROM chunks) t0) t1),
+      cex AS (
+        SELECT doc_id, chunk_idx, c_nsh, h
+        FROM (SELECT doc_id, chunk_idx, c_nsh, unnest(hs) AS h FROM csh) t
+        QUALIFY COUNT(*) OVER (PARTITION BY h) <= ${Dedup.MaxDf}),
+      qsh AS (
+        SELECT doc_id AS q_id, len(hs)::BIGINT AS qn, unnest(hs) AS h
+        FROM (SELECT doc_id, ${Dedup.shingleHashesSql} AS hs
+              FROM (SELECT doc_id, $wsSql AS ws FROM documents
+                    WHERE doc_id < 10) t0) t1),
+      pair AS (
+        SELECT q.q_id, q.qn, c.doc_id, c.chunk_idx, c.c_nsh,
+               COUNT(*)::DOUBLE / (q.qn + c.c_nsh - COUNT(*)) AS jac
+        FROM cex c JOIN qsh q ON q.h = c.h AND c.doc_id <> q.q_id
+        GROUP BY q.q_id, q.qn, c.doc_id, c.chunk_idx, c.c_nsh),
+      doclex AS (
+        SELECT q_id, doc_id, chunk_idx AS best_chunk, jac FROM (
+          SELECT q_id, doc_id, chunk_idx, jac,
+                 row_number() OVER (PARTITION BY q_id, doc_id
+                   ORDER BY jac DESC, chunk_idx) AS rk
+          FROM pair) t WHERE rk = 1),
+      kw AS (
+        SELECT q_id, doc_id, best_chunk, krank FROM (
+          SELECT q_id, doc_id, best_chunk,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY jac DESC, doc_id)::BIGINT AS krank
+          FROM doclex) t WHERE krank <= ${Similarity.K}),
+      em AS (SELECT q_id, neighbor_id AS doc_id, rank AS erank FROM sem),
+      fused AS (
+        SELECT COALESCE(k.q_id, m.q_id) AS q_id,
+               COALESCE(k.doc_id, m.doc_id) AS doc_id,
+               COALESCE(k.krank, 0)::BIGINT AS kw_rank,
+               COALESCE(m.erank, 0)::BIGINT AS em_rank,
+               COALESCE(k.best_chunk, -1)::BIGINT AS best_chunk,
+               COALESCE(1.0::DOUBLE / (k.krank + 60), 0.0::DOUBLE)
+                 + COALESCE(1.0::DOUBLE / (m.erank + 60), 0.0::DOUBLE) AS rrf
+        FROM kw k FULL OUTER JOIN em m
+          ON k.q_id = m.q_id AND k.doc_id = m.doc_id)
+      SELECT q_id, rank, doc_id, kw_rank, em_rank, best_chunk, rrf FROM (
+        SELECT q_id, doc_id, kw_rank, em_rank, best_chunk, rrf,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY rrf DESC, doc_id)::BIGINT AS rank
+        FROM fused) t
+      WHERE rank <= ${Similarity.K} ORDER BY q_id, rank""",
     // c5: the full chain restated — x2's stop counts, d17's quantizer/
     // verdict CTEs, the serial packing prefix the two-pass shape must hit.
     "c5_pretrain_pack" -> s"""

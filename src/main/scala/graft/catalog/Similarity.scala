@@ -59,7 +59,7 @@ object Similarity extends QueryPack {
   private def bandsSql(sig: String): String =
     "[" + (0 until 4).map(b => s"($sig // ${1L << (4 * b)}) % 16").mkString(", ") + "]"
 
-  private val K = 10
+  private[catalog] val K = 10
   // v16 beam-search budget: unrolled hop count and frontier width — per-
   // query state is ≤ BeamW ids per hop regardless of corpus size.
   private val BeamHops = 3
@@ -899,7 +899,7 @@ object Similarity extends QueryPack {
 
   /** Shared oracle CTEs: embeddings + trained cells + assignment + the
     * ranked top-3 in-cell kNN pairs (v5's graph, consumed by v5 and v7). */
-  private def knnCtes: String = s"""
+  private[catalog] def knnCtes: String = s"""
       e AS (
         SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
         FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -935,23 +935,32 @@ object Similarity extends QueryPack {
     * prepend their own CTEs — v16/v17 use the full-corpus `e`; e27 scores
     * against index ∪ streamed batch. */
   private[catalog] def beamWalkSql(edgeUnion: String, rel: String): String = s"""
+      ${beamWalkCtes(edgeUnion, rel, "beamtop")}
+      SELECT q_id, rank, neighbor_id, cos FROM beamtop ORDER BY q_id, rank"""
+
+  /** The same walk as a pure CTE list ending in `$out` (q_id, rank,
+    * neighbor_id, cos — top-K, unordered) so composed oracles (c6) can
+    * join the search result instead of ending the query with it. */
+  private[catalog] def beamWalkCtes(edgeUnion: String, rel: String,
+                                    out: String): String = s"""
       und AS (
         SELECT DISTINCT src_id, neighbor_id FROM ($edgeUnion) u),
       q AS (SELECT vec_id AS q_id, v AS qv, norm2 AS qn FROM $rel WHERE vec_id < 10),
       vis0 AS (SELECT q_id, q_id AS vec_id FROM q),
       beam0 AS (SELECT q_id, vec_id FROM vis0)
-      ${(1 to BeamHops).map(i => beamHopSql(i, rel)).mkString(",", ",", "")}
-      SELECT q_id, rank, neighbor_id, cos FROM (
-        SELECT z.q_id, z.vec_id AS neighbor_id, z.cos,
-               row_number() OVER (PARTITION BY z.q_id
-                 ORDER BY z.cos DESC, z.vec_id) AS rank
-        FROM (SELECT w.q_id, w.vec_id,
-                     ${dotSql("p.qv", "d.v")} / (sqrt(p.qn) * sqrt(d.norm2)) AS cos
-              FROM vis$BeamHops w
-              JOIN $rel d ON d.vec_id = w.vec_id
-              JOIN q p ON p.q_id = w.q_id
-              WHERE w.vec_id <> w.q_id) z) t
-      WHERE rank <= $K ORDER BY q_id, rank"""
+      ${(1 to BeamHops).map(i => beamHopSql(i, rel)).mkString(",", ",", "")},
+      $out AS (
+        SELECT q_id, rank, neighbor_id, cos FROM (
+          SELECT z.q_id, z.vec_id AS neighbor_id, z.cos,
+                 row_number() OVER (PARTITION BY z.q_id
+                   ORDER BY z.cos DESC, z.vec_id) AS rank
+          FROM (SELECT w.q_id, w.vec_id,
+                       ${dotSql("p.qv", "d.v")} / (sqrt(p.qn) * sqrt(d.norm2)) AS cos
+                FROM vis$BeamHops w
+                JOIN $rel d ON d.vec_id = w.vec_id
+                JOIN q p ON p.q_id = w.q_id
+                WHERE w.vec_id <> w.q_id) z) t
+        WHERE rank <= $K)"""
 
   /** v16 oracle hop i: frontier expansion through `und`, visited-set union,
     * then the BeamW best-scored visited nodes become `beam$i`. */

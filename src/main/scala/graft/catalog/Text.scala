@@ -247,14 +247,10 @@ object Text extends QueryPack {
     // with identical floor semantics on both engines.
     "x15_chunk_pack" -> { (s, dir) =>
       import s.implicits._
-      Tables(s, dir).documents
-        .select($"doc_id", $"text",
-          explode(expr("sequence(0, (greatest(length(text), 1) - 1) div 400)"))
-            .as("chunk_idx"))
-        .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
-          length(expr("substring(text, chunk_idx * 400 + 1, 500)")).cast("long")
-            .as("chunk_len"),
-          md5(expr("substring(text, chunk_idx * 400 + 1, 500)")).as("chunk_md5"))
+      chunked(Tables(s, dir).documents)
+        .select($"doc_id", $"chunk_idx",
+          length($"chunk").cast("long").as("chunk_len"),
+          md5($"chunk").as("chunk_md5"))
         .orderBy($"doc_id", $"chunk_idx")
     },
     "x12_rare_token_filter" -> { (s, dir) =>
@@ -560,6 +556,20 @@ object Text extends QueryPack {
         .orderBy($"vec_id")
     }
   )
+
+  /** x15's chunk map — fixed 500-char chunks at stride 400 (100 overlap),
+    * char-aligned on both engines — factored so composed retrieval (c6)
+    * consumes the SAME chunk stage x15 pins. Input needs (doc_id, text);
+    * output (doc_id, chunk_idx, chunk). */
+  private[catalog] def chunked(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id", $"text",
+        explode(expr("sequence(0, (greatest(length(text), 1) - 1) div 400)"))
+          .as("chunk_idx"))
+      .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+        expr("substring(text, chunk_idx * 400 + 1, 500)").as("chunk"))
+  }
 
   /** RE2-safe PII patterns (identical strings feed Spark and DuckDB). */
   private[catalog] val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"

@@ -86,6 +86,36 @@ class FusionOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("c6: each composed retrieval stage equals its standalone entry") {
+    import spark.implicits._
+    val out = SparkEntry.queries("c6_rag_retrieval")(spark, sf).cache()
+    // semantic stage == v16 verbatim: every c6 row with an em_rank carries
+    // exactly v16's rank for that (q, doc)
+    val v16 = SparkEntry.queries("v16_graph_beam_search")(spark, sf)
+      .select($"q_id", $"neighbor_id".as("doc_id"), $"rank".as("v16_rank"))
+    val semBad = out.filter($"em_rank" > 0)
+      .join(v16, Seq("q_id", "doc_id"), "left")
+      .filter($"v16_rank".isNull || $"v16_rank" =!= $"em_rank")
+    assert(semBad.count() == 0, "c6 semantic ranks drifted from v16")
+    // fusion formula == v13's reciprocal-rank sum
+    val bad = out.withColumn("expect",
+        when($"kw_rank" > 0, lit(1.0) / ($"kw_rank" + 60)).otherwise(lit(0.0)) +
+        when($"em_rank" > 0, lit(1.0) / ($"em_rank" + 60)).otherwise(lit(0.0)))
+      .filter($"rrf" =!= $"expect")
+    assert(bad.count() == 0)
+    // lexical hits point at a real x15 chunk of that doc
+    val x15 = SparkEntry.queries("x15_chunk_pack")(spark, sf)
+      .select($"doc_id", $"chunk_idx".as("best_chunk"))
+    val chunkBad = out.filter($"kw_rank" > 0)
+      .join(x15, Seq("doc_id", "best_chunk"), "left_anti")
+    assert(chunkBad.count() == 0, "best_chunk not an x15 chunk")
+    // semantic-only rows carry the -1 sentinel; both sides contribute rows
+    assert(out.filter($"kw_rank" === 0 && $"best_chunk" =!= -1).count() == 0)
+    assert(out.filter($"kw_rank" > 0).count() > 0)
+    assert(out.filter($"em_rank" > 0).count() > 0)
+    out.unpersist()
+  }
+
   test("a11: count-min never underestimates and is exact when no collision") {
     import spark.implicits._
     val out = SparkEntry.queries("a11_cms_sketch")(spark, sf)
