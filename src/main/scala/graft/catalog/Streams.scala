@@ -205,7 +205,10 @@ object Streams extends QueryPack {
   }
 
   /** e28: STREAMING SEQUENCE PACKING — g18's concat-then-chunk map under
-    * continuous ingest. Documents arrive as doc_id-range files with pinned
+    * continuous ingest (2 doc_id-range micro-batches — the minimum that
+    * exercises cross-batch offsets and replay; the round-7 4-file ladder
+    * only raised the micro-batch startup floor). Documents arrive as
+    * doc_id-range files with pinned
     * mtimes (e18's recipe: stream order == doc_id order); each micro-batch
     * packs its documents AFTER everything already ingested. The running
     * token total is NOT separate state — it is recovered from the output
@@ -232,8 +235,8 @@ object Streams extends QueryPack {
     if (!hasFiles) {
       val ids = docs.agg(min($"doc_id"), max($"doc_id")).head()
       val (lo, hi) = (ids.getLong(0), ids.getLong(1))
-      val step = (hi - lo) / 4 + 1
-      (0 until 4).foreach { i =>
+      val step = (hi - lo) / 2 + 1
+      (0 until 2).foreach { i =>
         val stage = Scratch.dir(s"e28r$i")
         docs.filter($"doc_id" >= lo + i * step && $"doc_id" < lo + (i + 1) * step)
           .coalesce(1).write.mode("overwrite").parquet(stage.toString)
@@ -301,10 +304,14 @@ object Streams extends QueryPack {
       .orderBy($"doc_id")
   }
 
-  /** The 4 id-ranged parquet ingest files of the new-vector partition
+  /** The 2 id-ranged parquet ingest files of the new-vector partition
     * (vec_id % 10 == 7) — a read-only staged fixture shared by e24 (postings
     * append) and e27 (graph-edge append + search). Each file becomes one
-    * micro-batch (maxFilesPerTrigger = 1; mtimes force range order). */
+    * micro-batch (maxFilesPerTrigger = 1; mtimes force range order). Two
+    * batches are the minimum that exercises cross-batch append + replay
+    * idempotence; the round-7 4-file ladder doubled the per-rep micro-batch
+    * startup floor without strengthening any pin (batch-k findability is
+    * StreamGraphSearchSpec's, driven per-batch directly). */
   private def stagedNewVecIngest(s: SparkSession, dir: String,
                                  nb: DataFrame): String = {
     import s.implicits._
@@ -312,8 +319,8 @@ object Streams extends QueryPack {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
       val ids = nb.agg(min($"vec_id"), max($"vec_id")).head()
       val (lo, hi) = (ids.getLong(0), ids.getLong(1))
-      val step = (hi - lo) / 4 + 1
-      (0 until 4).foreach { i =>
+      val step = (hi - lo) / 2 + 1
+      (0 until 2).foreach { i =>
         val stage = Scratch.dir(s"e24r$i")
         nb.filter($"vec_id" >= lo + i * step && $"vec_id" < lo + (i + 1) * step)
           .coalesce(1).write.mode("overwrite").parquet(stage.toString)
@@ -701,7 +708,15 @@ object Streams extends QueryPack {
     // replay. Oracle = g18's serial prefix verbatim (stream order ==
     // doc_id order, so the streamed map must equal the batch map).
     "e28_stream_seq_pack" -> { (s, dir) =>
-      runStreamSeqPack(s, dir, Scratch.dir("e28"),
+      // ingest files are a read-only fixture — staged ONCE per (JVM, dir)
+      // (runStreamSeqPack populates an empty dir on first touch) so
+      // repeated runs time the stream + packing, not fixture re-writes;
+      // the packing output stays per-run (it IS the operator's state)
+      val ing = java.nio.file.Paths.get(
+        Scratch.staged(s"e28_ingest#$dir", "e28_ingest") { p =>
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+        })
+      runStreamSeqPack(s, dir, ing,
         Scratch.dir("e28_out").resolve("pack").toString)
     },
     // e24: STREAMING ANN INDEX APPEND — v8's add-batch as a CONTINUOUS
@@ -789,8 +804,15 @@ object Streams extends QueryPack {
         .select($"vec_id", $"v", $"norm2")
       val idx = all.filter(pmod($"vec_id", lit(10)) =!= 7)
       val cents = Quantizer.centroidsOnIndexFor(idx, dir, "idx7", iters = 2, dim = 64)
-      val data = Quantizer.assign(idx, cents)
-        .select($"cell", $"vec_id", $"v", $"norm2")
+      // the assigned index is load-time state like the graph itself — stage
+      // it once per (JVM, dir) so each micro-batch joins a parquet read
+      // instead of re-running the assignment projection (parquet round-trips
+      // IEEE doubles bit-exact, the stagedIndexKnnGraph convention)
+      val data = s.read.parquet(Scratch.staged(s"e27_data#$dir", "e27_data") { p =>
+        Quantizer.assign(idx, cents)
+          .select($"cell", $"vec_id", $"v", $"norm2")
+          .write.mode("overwrite").parquet(p)
+      })
       val base = Similarity.stagedIndexKnnGraph(s, dir)
         .select($"src_id", $"neighbor_id")
       val ingest = stagedNewVecIngest(s, dir,
