@@ -962,12 +962,14 @@ object Dedup extends QueryPack {
               FROM embeddings) t
         WHERE vec_id % 10 = 7),
       bas AS (
-        SELECT vec_id, v, norm2, cell FROM (
-          SELECT t.vec_id, t.v, t.norm2, c.cell,
-                 row_number() OVER (PARTITION BY t.vec_id ORDER BY
-                   ${dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) DESC,
-                   c.cell) AS crank
-          FROM bvecs t CROSS JOIN kmc c) z WHERE crank = 1),
+        SELECT k.vec_id, k.v, k.norm2, z.cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY acos DESC, cell) AS crank
+          FROM (SELECT t.vec_id, c.cell,
+                       ${dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) AS acos
+                FROM bvecs t CROSS JOIN kmc c) pp) z
+        JOIN bvecs k ON k.vec_id = z.vec_id WHERE z.crank = 1),
       bdrops AS (
         SELECT DISTINCT vec_id FROM (
           SELECT bb.vec_id,

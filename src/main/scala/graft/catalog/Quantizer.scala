@@ -203,7 +203,13 @@ object Quantizer {
       if (sampleMod > 1) s"(SELECT k FROM kk) * $sampleMod" else "(SELECT k FROM kk)"
     val seedFilter = if (sampleMod > 1) s"vec_id % $sampleMod = 0 AND " else ""
     val sb = new StringBuilder
-    sb ++= s"""kq AS (
+    // MATERIALIZED: DuckDB inlines plain CTEs at every reference (the v14
+    // lesson) — kq is read by every assign pass + kcells (up to 4x), and
+    // kmc/kcells are read 2-3x by the pair/verdict oracles; each inline
+    // would replay the whole Lloyd chain. Values are unchanged; at the
+    // 100x soak this is the difference between one 64M-row assign pass
+    // and an OOM-killed re-evaluation storm.
+    sb ++= s"""kq AS MATERIALIZED (
       SELECT vec_id, v, norm2,
              list_transform(v, x -> CAST(round(x * $Scale) AS BIGINT)) AS q
       FROM e),
@@ -218,11 +224,16 @@ object Quantizer {
       val sums = (0 until dim).map(i => s"sum(q[${i + 1}])::BIGINT").mkString(", ")
       sb ++= s""",
     ka$t AS (
-      SELECT vec_id, q, cell FROM (
-        SELECT t.vec_id, t.q, c.cell,
-               row_number() OVER (PARTITION BY t.vec_id ORDER BY
-                 ${cosSql("t.v", "c.cv", "t.norm2", "c.cnorm2")} DESC, c.cell) AS crank
-        FROM kq t CROSS JOIN $prev c$trainFilter) z WHERE crank = 1),
+      SELECT k.vec_id, k.q, z.cell FROM (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY acos DESC, cell) AS crank
+          FROM (SELECT t.vec_id, c.cell,
+                       ${cosSql("t.v", "c.cv", "t.norm2", "c.cnorm2")} AS acos
+                FROM kq t CROSS JOIN $prev c$trainFilter) pp) zz
+        WHERE crank = 1) z
+      JOIN kq k ON k.vec_id = z.vec_id),
     kc$t AS (SELECT cell, count(*)::BIGINT AS n, [$sums] AS sq
       FROM ka$t GROUP BY cell),
     kd$t AS (
@@ -231,17 +242,29 @@ object Quantizer {
         FROM kc$t) w)"""
     }
     sb ++= s""",
-    kmc AS (SELECT cell, cv, cnorm2 FROM kd$iters)"""
+    kmc AS MATERIALIZED (SELECT cell, cv, cnorm2 FROM kd$iters)"""
     sb.toString
   }
 
   /** CTE fragment for the final assignment over `kmc`:
     * `kcells(vec_id, v, norm2, cell)`. */
+  /** The argmax windows above and here keep their sort input NARROW —
+    * (vec_id, cell) plus the computed cos sort key; the 64-dim q/v list
+    * payloads join back on vec_id AFTER crank = 1. With the lists riding
+    * the sort, the 100x soak's 64M-row assignment window materialized
+    * >40 GB of spill per pass (the round-7 oracle wall); narrow, the sort
+    * carries ~24 B/row and the whole pass fits in memory. Same rows, same
+    * tiebreaks — only the payload routing changes. */
   def cellsSql: String = s""",
-    kcells AS (
-      SELECT vec_id, v, norm2, cell FROM (
-        SELECT t.vec_id, t.v, t.norm2, c.cell,
-               row_number() OVER (PARTITION BY t.vec_id ORDER BY
-                 ${cosSql("t.v", "c.cv", "t.norm2", "c.cnorm2")} DESC, c.cell) AS crank
-        FROM kq t CROSS JOIN kmc c) z WHERE crank = 1)"""
+    kcells AS MATERIALIZED (
+      SELECT k.vec_id, k.v, k.norm2, z.cell FROM (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY acos DESC, cell) AS crank
+          FROM (SELECT t.vec_id, c.cell,
+                       ${cosSql("t.v", "c.cv", "t.norm2", "c.cnorm2")} AS acos
+                FROM kq t CROSS JOIN kmc c) pp) zz
+        WHERE crank = 1) z
+      JOIN kq k ON k.vec_id = z.vec_id)"""
 }

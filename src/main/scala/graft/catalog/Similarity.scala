@@ -878,17 +878,20 @@ object Similarity extends QueryPack {
         FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
               FROM embeddings) t),
       ${Quantizer.centroidsSql(iters = 2, dim = 64, sampleMod = sampleMod)},
-      assigned AS (
-        SELECT t.vec_id, t.v, t.norm2, c.cell,
-               row_number() OVER (PARTITION BY t.vec_id ORDER BY
-                 ${dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) DESC,
-                 c.cell) AS crank
-        FROM kq t CROSS JOIN kmc c),
+      assigned AS MATERIALIZED (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY acos DESC, cell) AS crank
+        FROM (SELECT t.vec_id, c.cell,
+                     ${dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) AS acos
+              FROM kq t CROSS JOIN kmc c) pp),
       data AS (
-        SELECT cell, vec_id, v, norm2 FROM assigned WHERE crank = 1),
+        SELECT a.cell, k.vec_id, k.v, k.norm2 FROM assigned a
+        JOIN kq k ON k.vec_id = a.vec_id WHERE a.crank = 1),
       probes AS (
-        SELECT cell, vec_id AS q_id, v AS qv, norm2 AS qn
-        FROM assigned WHERE crank <= 2 AND vec_id < 10)
+        SELECT a.cell, k.vec_id AS q_id, k.v AS qv, k.norm2 AS qn
+        FROM assigned a JOIN kq k ON k.vec_id = a.vec_id
+        WHERE a.crank <= 2 AND a.vec_id < 10)
       SELECT q_id, rank, neighbor_id, cos FROM (
         SELECT q_id, vec_id AS neighbor_id, cos,
                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
@@ -905,15 +908,17 @@ object Similarity extends QueryPack {
         FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
               FROM embeddings) t),
       ${Quantizer.centroidsSql(iters = 2, dim = 64, sampleMod = 1)},
-      assigned AS (
-        SELECT t.vec_id, t.v, t.norm2, c.cell,
-               row_number() OVER (PARTITION BY t.vec_id ORDER BY
-                 ${dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) DESC,
-                 c.cell) AS crank
-        FROM kq t CROSS JOIN kmc c),
-      data AS (
-        SELECT cell, vec_id, v, norm2 FROM assigned WHERE crank = 1),
-      knn AS (
+      assigned AS MATERIALIZED (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY acos DESC, cell) AS crank
+        FROM (SELECT t.vec_id, c.cell,
+                     ${dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) AS acos
+              FROM kq t CROSS JOIN kmc c) pp),
+      data AS MATERIALIZED (
+        SELECT a.cell, k.vec_id, k.v, k.norm2 FROM assigned a
+        JOIN kq k ON k.vec_id = a.vec_id WHERE a.crank = 1),
+      knn AS MATERIALIZED (
         SELECT src_id, rank, neighbor_id, cos FROM (
           SELECT src_id, vec_id AS neighbor_id, cos,
                  row_number() OVER (PARTITION BY src_id ORDER BY cos DESC, vec_id) AS rank
@@ -1175,26 +1180,30 @@ object Similarity extends QueryPack {
               FROM embeddings) t
         WHERE vec_id % 10 <> 7),
       ${Quantizer.centroidsSql(iters = 2, dim = 64, sampleMod = 1)},
-      assigned AS (
-        SELECT t.vec_id, t.v, t.norm2, c.cell,
-               row_number() OVER (PARTITION BY t.vec_id ORDER BY
-                 ${dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) DESC,
-                 c.cell) AS crank
-        FROM kq t CROSS JOIN kmc c),
-      data AS (
-        SELECT cell, vec_id, v, norm2 FROM assigned WHERE crank = 1),
+      assigned AS MATERIALIZED (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY acos DESC, cell) AS crank
+        FROM (SELECT t.vec_id, c.cell,
+                     ${dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) AS acos
+              FROM kq t CROSS JOIN kmc c) pp),
+      data AS MATERIALIZED (
+        SELECT a.cell, k.vec_id, k.v, k.norm2 FROM assigned a
+        JOIN kq k ON k.vec_id = a.vec_id WHERE a.crank = 1),
       b AS (
         SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
         FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
               FROM embeddings) t
         WHERE vec_id % 10 = 7),
       bas AS (
-        SELECT cell, vec_id, v, norm2 FROM (
-          SELECT t.vec_id, t.v, t.norm2, c.cell,
-                 row_number() OVER (PARTITION BY t.vec_id ORDER BY
-                   ${dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) DESC,
-                   c.cell) AS crank
-          FROM b t CROSS JOIN kmc c) z WHERE crank = 1),
+        SELECT z.cell, k.vec_id, k.v, k.norm2 FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY acos DESC, cell) AS crank
+          FROM (SELECT t.vec_id, c.cell,
+                       ${dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) AS acos
+                FROM b t CROSS JOIN kmc c) pp) z
+        JOIN b k ON k.vec_id = z.vec_id WHERE z.crank = 1),
       knn AS (
         SELECT src_id, neighbor_id, cos FROM (
           SELECT src_id, neighbor_id, cos,
@@ -1240,26 +1249,30 @@ object Similarity extends QueryPack {
               FROM embeddings) t
         WHERE vec_id % 10 <> 7),
       ${Quantizer.centroidsSql(iters = 2, dim = 64, sampleMod = 1)},
-      assigned AS (
-        SELECT t.vec_id, t.v, t.norm2, c.cell,
-               row_number() OVER (PARTITION BY t.vec_id ORDER BY
-                 ${dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) DESC,
-                 c.cell) AS crank
-        FROM kq t CROSS JOIN kmc c),
-      data AS (
-        SELECT cell, vec_id, v, norm2 FROM assigned WHERE crank = 1),
+      assigned AS MATERIALIZED (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY acos DESC, cell) AS crank
+        FROM (SELECT t.vec_id, c.cell,
+                     ${dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) AS acos
+              FROM kq t CROSS JOIN kmc c) pp),
+      data AS MATERIALIZED (
+        SELECT a.cell, k.vec_id, k.v, k.norm2 FROM assigned a
+        JOIN kq k ON k.vec_id = a.vec_id WHERE a.crank = 1),
       b AS (
         SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
         FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
               FROM embeddings) t
         WHERE vec_id % 10 = 7),
       bas AS (
-        SELECT vec_id, v, norm2, cell FROM (
-          SELECT t.vec_id, t.v, t.norm2, c.cell,
-                 row_number() OVER (PARTITION BY t.vec_id ORDER BY
-                   ${dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) DESC,
-                   c.cell) AS crank
-          FROM b t CROSS JOIN kmc c) z WHERE crank = 1)
+        SELECT k.vec_id, k.v, k.norm2, z.cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY acos DESC, cell) AS crank
+          FROM (SELECT t.vec_id, c.cell,
+                       ${dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) AS acos
+                FROM b t CROSS JOIN kmc c) pp) z
+        JOIN b k ON k.vec_id = z.vec_id WHERE z.crank = 1)
       SELECT q_id, cell, rank, neighbor_id, cos FROM (
         SELECT p.vec_id AS q_id, p.cell::BIGINT AS cell, d.vec_id AS neighbor_id,
                ${dotSql("p.v", "d.v")} / (sqrt(p.norm2) * sqrt(d.norm2)) AS cos,

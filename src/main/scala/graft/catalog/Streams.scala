@@ -882,11 +882,12 @@ object Streams extends QueryPack {
         WHERE vec_id % 10 = 7),
       bas AS (
         SELECT cell, vec_id FROM (
-          SELECT t.vec_id, c.cell,
-                 row_number() OVER (PARTITION BY t.vec_id ORDER BY
-                   ${Tx.dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) DESC,
-                   c.cell) AS crank
-          FROM b t CROSS JOIN kmc c) z WHERE crank = 1)
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY acos DESC, cell) AS crank
+          FROM (SELECT t.vec_id, c.cell,
+                       ${Tx.dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) AS acos
+                FROM b t CROSS JOIN kmc c) pp) z WHERE crank = 1)
       SELECT cell::BIGINT AS cell, COUNT(*)::BIGINT AS n_vecs,
              SUM(vec_id)::BIGINT AS id_sum
       FROM bas GROUP BY cell ORDER BY cell""",
@@ -902,25 +903,30 @@ object Streams extends QueryPack {
               FROM embeddings) t
         WHERE vec_id % 10 <> 7),
       ${Quantizer.centroidsSql(iters = 2, dim = 64, sampleMod = 1)},
-      assigned AS (
-        SELECT t.vec_id, t.v, t.norm2, c.cell,
-               row_number() OVER (PARTITION BY t.vec_id ORDER BY
-                 ${Tx.dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) DESC,
-                 c.cell) AS crank
-        FROM kq t CROSS JOIN kmc c),
-      data AS (SELECT cell, vec_id, v, norm2 FROM assigned WHERE crank = 1),
+      assigned AS MATERIALIZED (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY acos DESC, cell) AS crank
+        FROM (SELECT t.vec_id, c.cell,
+                     ${Tx.dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) AS acos
+              FROM kq t CROSS JOIN kmc c) pp),
+      data AS MATERIALIZED (
+        SELECT a.cell, k.vec_id, k.v, k.norm2 FROM assigned a
+        JOIN kq k ON k.vec_id = a.vec_id WHERE a.crank = 1),
       b AS (
         SELECT vec_id, v, ${Tx.dotSql("v", "v")} AS norm2
         FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
               FROM embeddings) t
         WHERE vec_id % 10 = 7),
       bas AS (
-        SELECT cell, vec_id, v, norm2 FROM (
-          SELECT t.vec_id, t.v, t.norm2, c.cell,
-                 row_number() OVER (PARTITION BY t.vec_id ORDER BY
-                   ${Tx.dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) DESC,
-                   c.cell) AS crank
-          FROM b t CROSS JOIN kmc c) z WHERE crank = 1),
+        SELECT z.cell, k.vec_id, k.v, k.norm2 FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY acos DESC, cell) AS crank
+          FROM (SELECT t.vec_id, c.cell,
+                       ${Tx.dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) AS acos
+                FROM b t CROSS JOIN kmc c) pp) z
+        JOIN b k ON k.vec_id = z.vec_id WHERE z.crank = 1),
       knn AS (
         SELECT src_id, neighbor_id FROM (
           SELECT s.vec_id AS src_id, d.vec_id AS neighbor_id,

@@ -77,6 +77,42 @@ def main(sf_dir, out_dir):
             c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
         return c
 
+    # Past this row count the pandas conversion path is the bottleneck (the
+    # 100x soak's u10 segfaulted pandas astype(str) on a ~100M-row frame):
+    # compare entirely inside DuckDB instead — column sets via DESCRIBE,
+    # then counts + an empty symmetric difference (EXCEPT ALL both ways).
+    # Multiset equality over exact values is the same contract; what it
+    # drops is only the pandas dtype-repr check, so the result is reported
+    # as OK_BIG_DUCKDB, and the small-SF driver gate never takes this path.
+    big_rows = int(os.environ.get("ORACLE_BIG_ROWS", "2000000"))
+
+    def duck_compare(c, name, sql, files):
+        flist = "[" + ", ".join(f"'{f}'" for f in files) + "]"
+        wcols = sorted(d[0] for d in
+                       c.execute(f"DESCRIBE SELECT * FROM ({sql}) t").fetchall())
+        gcols = sorted(d[0] for d in
+                       c.execute(f"DESCRIBE SELECT * FROM read_parquet({flist})")
+                       .fetchall())
+        if wcols != gcols:
+            return f"COLS_MISMATCH want={wcols} got={gcols}"
+        cols = ", ".join(f'"{x}"' for x in wcols)
+        r = c.execute(f"""
+            WITH o AS MATERIALIZED (SELECT {cols} FROM ({sql}) t),
+                 s AS MATERIALIZED (SELECT {cols} FROM read_parquet({flist}))
+            SELECT (SELECT COUNT(*) FROM o),
+                   (SELECT COUNT(*) FROM s),
+                   (SELECT COUNT(*) FROM
+                      ((SELECT * FROM o EXCEPT ALL SELECT * FROM s)
+                       UNION ALL
+                       (SELECT * FROM s EXCEPT ALL SELECT * FROM o)) d)
+            """).fetchone()
+        n_o, n_s, n_diff = r
+        if n_o != n_s:
+            return f"ROWS_MISMATCH want={n_o} got={n_s}"
+        if n_diff != 0:
+            return f"VALUE_MISMATCH {n_diff} rows differ (duckdb EXCEPT)"
+        return "OK_BIG_DUCKDB"
+
     for name in sorted(oracle):
         _t0 = _time.time()
         print(f"... {name}", flush=True)
@@ -85,6 +121,20 @@ def main(sf_dir, out_dir):
         if not files:
             results[name] = "NO_SPARK_OUTPUT"
             print(f"    {name}: NO_SPARK_OUTPUT", flush=True)
+            continue
+        spark_rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        if spark_rows > big_rows:
+            try:
+                results[name] = duck_compare(con, name, sql, files)
+            except Exception as e:
+                results[name] = f"ORACLE_SQL_ERROR: {e}"
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                con = fresh_con()
+            print(f"    {name}: {results[name][:80]} ({_time.time() - _t0:.1f}s)",
+                  flush=True)
             continue
         try:
             want = con.execute(sql).df()          # DECIMAL -> float64 here
@@ -138,9 +188,9 @@ def main(sf_dir, out_dir):
         results[name] = bad if bad else "OK"
         print(f"    {name}: {results[name][:80]} ({_time.time() - _t0:.1f}s)",
               flush=True)
-    n_ok = sum(1 for v in results.values() if v == "OK")
+    n_ok = sum(1 for v in results.values() if v in ("OK", "OK_BIG_DUCKDB"))
     for k, v in results.items():
-        mark = "PASS" if v == "OK" else "FAIL"
+        mark = "PASS" if v in ("OK", "OK_BIG_DUCKDB") else "FAIL"
         print(f"{mark} {k}: {v}")
     # queries with no oracle: the driver still loads + sorts them (rows-only);
     # an array column crashes that path, so run the same canon here.
