@@ -948,7 +948,7 @@ object Similarity extends QueryPack {
     * join the search result instead of ending the query with it. */
   private[catalog] def beamWalkCtes(edgeUnion: String, rel: String,
                                     out: String): String = s"""
-      und AS (
+      und AS MATERIALIZED (
         SELECT DISTINCT src_id, neighbor_id FROM ($edgeUnion) u),
       q AS (SELECT vec_id AS q_id, v AS qv, norm2 AS qn FROM $rel WHERE vec_id < 10),
       vis0 AS (SELECT q_id, q_id AS vec_id FROM q),
@@ -973,10 +973,10 @@ object Similarity extends QueryPack {
       cand$i AS (
         SELECT DISTINCT b.q_id, u.neighbor_id AS vec_id
         FROM beam${i - 1} b JOIN und u ON u.src_id = b.vec_id),
-      vis$i AS (
+      vis$i AS MATERIALIZED (
         SELECT q_id, vec_id FROM vis${i - 1}
         UNION SELECT q_id, vec_id FROM cand$i),
-      beam$i AS (
+      beam$i AS MATERIALIZED (
         SELECT q_id, vec_id FROM (
           SELECT z.q_id, z.vec_id,
                  row_number() OVER (PARTITION BY z.q_id
