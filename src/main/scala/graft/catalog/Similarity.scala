@@ -530,6 +530,71 @@ object Similarity extends QueryPack {
                 $"vec_id".as("neighbor_id"), $"cos")
         .orderBy($"q_id", $"rank")
     },
+    // v19: IVF-PQ RESIDUAL ADC — the production composition of v3's coarse
+    // quantizer and v12's product quantizer (the FAISS IVFPQ shape): PQ
+    // codes quantize the RESIDUAL v − centroid(cell), not the raw vector.
+    // Residuals concentrate near zero once the coarse quantizer has
+    // absorbed the cluster mean, so the same 4-byte code budget spends its
+    // 16 codewords on a much tighter distribution — the reason every
+    // production IVF index encodes residuals. Search = v3's 2-cell probe
+    // restricted scan × v12's ADC ordering (query vs reconstructed
+    // centroid + sub-codes) → exact-cosine rerank of the PqCand pool.
+    // Scale shape (100 TB): cell assignment and PQ encoding are pure
+    // projections against literal/broadcast model state (centroids k×dim,
+    // codebooks M×16×16 doubles) — no shuffle; the ADC scan touches only
+    // the ~2/k of the code table in probed cells (inverted-file property)
+    // at ~4 B/vector of index payload; only PqCand full vectors per query
+    // are read at rerank. Determinism: every dot is the shared serial
+    // fold; argmin ties break on code asc, rank ties on vec_id asc — the
+    // codebook seeds are the residuals of rows vec_id < PqKs under the
+    // SAME assignment math, so both engines derive identical model state.
+    "v19_ivfpq_ann" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
+        .select($"vec_id", $"v", $"norm2")
+      val cents = Quantizer.centroidsFor(e, dir, iters = 2, dim = 64)
+      val centsDf = broadcast(
+        cents.map(c => (c.cell, c.cv.toSeq)).toDF("cell", "cv"))
+      val books = pqResidualBooksFor(e, dir, cents)
+      val data = Quantizer.assign(e, cents)
+        .join(centsDf, Seq("cell"))
+        .withColumn("r", expr("zip_with(v, cv, (x, c) -> x - c)"))
+        .select($"cell", $"vec_id", $"cv", $"r")
+      def sub(m: Int) = slice($"r", m * PqSub + 1, PqSub)
+      def pick(m: Int) = array_min(array(books(m).map { c =>
+        struct(
+          (lit(c.cn2) - lit(2.0) * graft.functions.VectorExprs.dot(
+            sub(m), typedLit(c.csub.toSeq))).as("score"),
+          lit(c.code).as("code"),
+          typedLit(c.csub.toSeq).as("csub"))
+      }: _*))
+      val coded = data.withColumn("rsub",
+          flatten(array((0 until PqM).map(m => pick(m).getField("csub")): _*)))
+        .withColumn("recon", expr("zip_with(cv, rsub, (a, b) -> a + b)"))
+        .withColumn("rn2", graft.functions.VectorExprs.dot($"recon", $"recon"))
+        .select($"cell", $"vec_id", $"recon", $"rn2")
+      val probes = Quantizer.probe(e.filter($"vec_id" < 10), cents, nProbe = 2)
+        .select($"cell", $"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
+      val wCand = Window.partitionBy($"q_id").orderBy($"adc".desc, $"vec_id")
+      val cand = coded.join(broadcast(probes), Seq("cell"))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("adc", graft.functions.VectorExprs.cosine(
+          $"qv", $"recon", $"qn", $"rn2"))
+        .withColumn("crank", row_number().over(wCand))
+        .filter($"crank" <= PqCand)
+        .select($"q_id", $"qv", $"qn", $"vec_id")
+      val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+      cand.join(e, Seq("vec_id"))
+        .withColumn("cos", graft.functions.VectorExprs.cosine(
+          $"qv", $"v", $"qn", $"norm2"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter($"rank" <= K)
+        .select($"q_id", $"rank".cast("long").as("rank"),
+                $"vec_id".as("neighbor_id"), $"cos")
+        .orderBy($"q_id", $"rank")
+    },
     // v13: HYBRID RETRIEVAL via RECIPROCAL-RANK FUSION — the production
     // search shape: a LEXICAL ranking (shingle-hash Jaccard against the
     // query document, d4's capped-join kernel pointed query-vs-corpus
@@ -845,6 +910,45 @@ object Similarity extends QueryPack {
       }.toIndexedSeq
     })
 
+  // ---- v19 residual PQ codebooks: seeds are the RESIDUALS (v − nearest
+  // centroid) of rows vec_id < PqKs — the cell argmax runs driver-side with
+  // the identical serial-fold cosine and (cos desc, cell asc) tiebreak the
+  // distributed assignment uses, so the model is bitwise the one the
+  // DuckDB twin derives from its assigned CTE.
+  private val pqResBookCache =
+    new scala.collection.concurrent.TrieMap[String, IndexedSeq[IndexedSeq[PqCode]]]
+  private def pqResidualBooksFor(e: DataFrame, dir: String,
+      cents: Seq[Quantizer.Centroid]): IndexedSeq[IndexedSeq[PqCode]] =
+    pqResBookCache.getOrElseUpdate(dir, {
+      val seeds = e.filter(col("vec_id") < PqKs).orderBy("vec_id")
+        .select("vec_id", "v", "norm2").collect()
+      val res = seeds.toIndexedSeq.map { r =>
+        val full = r.getSeq[Double](1).toArray
+        val n2 = r.getDouble(2)
+        var bestCell = -1; var bestCos = Double.NegativeInfinity
+        cents.foreach { c =>
+          // serial left fold — the dotSql / VectorExprs op order
+          var d = 0.0; var i = 0
+          while (i < full.length) { d += full(i) * c.cv(i); i += 1 }
+          val cos = d / (math.sqrt(n2) * math.sqrt(c.cn2))
+          if (cos > bestCos) { bestCos = cos; bestCell = c.cell }
+        }
+        val cv = cents.find(_.cell == bestCell).get.cv
+        val rr = new Array[Double](full.length)
+        var i = 0
+        while (i < full.length) { rr(i) = full(i) - cv(i); i += 1 }
+        (r.getLong(0).toInt, rr)
+      }
+      (0 until PqM).map { m =>
+        res.map { case (code, rr) =>
+          val csub = java.util.Arrays.copyOfRange(rr, m * PqSub, (m + 1) * PqSub)
+          var s2 = 0.0; var i = 0
+          while (i < csub.length) { s2 += csub(i) * csub(i); i += 1 }
+          PqCode(code, csub, s2)
+        }
+      }.toIndexedSeq
+    })
+
   private def ivfQuery(sampleMod: Int): (SparkSession, String) => DataFrame = { (s, dir) =>
     import s.implicits._
     val e = Tables(s, dir).embeddings
@@ -1116,6 +1220,68 @@ object Similarity extends QueryPack {
         FROM (SELECT c.q_id, d.vec_id,
                      ${dotSql("c.qv", "d.v")} / (sqrt(c.qn) * sqrt(d.norm2)) AS cos
               FROM sqcand c JOIN e d ON d.vec_id = c.vec_id) t0) t1
+      WHERE rank <= $K ORDER BY q_id, rank""",
+    // v19 twin: quantizer training (shared CTE chain) + residual codebooks
+    // from the assigned seeds; argmin windows stay NARROW (score, code) —
+    // csub payloads join back after the pick (the §6.5 discipline).
+    "v19_ivfpq_ann" -> s"""
+      WITH e AS (
+        SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings) t),
+      ${Quantizer.centroidsSql(iters = 2, dim = 64)}${Quantizer.cellsSql},
+      rdata AS MATERIALIZED (
+        SELECT kc.vec_id, kc.cell, c.cv,
+               list_transform(range(1, 65), i -> kc.v[i] - c.cv[i]) AS r
+        FROM kcells kc JOIN kmc c ON c.cell = kc.cell),
+      rbooks AS MATERIALIZED (
+        SELECT m, code, csub, ${dotSql("csub", "csub")} AS cn2 FROM (
+          SELECT ms.m, s.vec_id AS code,
+                 list_slice(s.r, ms.m * $PqSub + 1, (ms.m + 1) * $PqSub) AS csub
+          FROM (SELECT vec_id, r FROM rdata WHERE vec_id < $PqKs) s
+          CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) ms) z),
+      rpick AS (
+        SELECT vec_id, m, code FROM (
+          SELECT t.vec_id, b.m, b.code,
+                 row_number() OVER (PARTITION BY t.vec_id, b.m ORDER BY
+                   b.cn2 - 2 * ${dotSql(
+                     s"list_slice(t.r, b.m * $PqSub + 1, (b.m + 1) * $PqSub)",
+                     "b.csub")} ASC, b.code ASC) AS rr
+          FROM rdata t CROSS JOIN rbooks b) w WHERE rr = 1),
+      rrecon AS MATERIALIZED (
+        SELECT vec_id, cell, recon, ${dotSql("recon", "recon")} AS rn2 FROM (
+          SELECT d.vec_id, d.cell,
+                 list_transform(range(1, 65), i -> d.cv[i] + g.rsub[i]) AS recon
+          FROM (SELECT p.vec_id,
+                       flatten(list(b.csub ORDER BY p.m)) AS rsub
+                FROM rpick p JOIN rbooks b ON b.m = p.m AND b.code = p.code
+                GROUP BY p.vec_id) g
+          JOIN rdata d ON d.vec_id = g.vec_id) q0),
+      rprobes AS (
+        SELECT z.cell, k.vec_id AS q_id, k.v AS qv, k.norm2 AS qn FROM (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY acos DESC, cell) AS crank
+            FROM (SELECT t.vec_id, c.cell,
+                         ${dotSql("t.v", "c.cv")} / (sqrt(t.norm2) * sqrt(c.cnorm2)) AS acos
+                  FROM kq t CROSS JOIN kmc c WHERE t.vec_id < 10) pp) zz
+          WHERE crank <= 2) z
+        JOIN kq k ON k.vec_id = z.vec_id),
+      rcand AS (
+        SELECT q_id, qv, qn, vec_id FROM (
+          SELECT p.q_id, p.qv, p.qn, r.vec_id,
+                 row_number() OVER (PARTITION BY p.q_id ORDER BY
+                   ${dotSql("p.qv", "r.recon")} / (sqrt(p.qn) * sqrt(r.rn2)) DESC,
+                   r.vec_id) AS crank
+          FROM rrecon r JOIN rprobes p ON r.cell = p.cell AND r.vec_id <> p.q_id) z
+        WHERE crank <= $PqCand)
+      SELECT q_id, rank, neighbor_id, cos FROM (
+        SELECT q_id, vec_id AS neighbor_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+        FROM (SELECT c.q_id, d.vec_id,
+                     ${dotSql("c.qv", "d.v")} / (sqrt(c.qn) * sqrt(d.norm2)) AS cos
+              FROM rcand c JOIN e d ON d.vec_id = c.vec_id) t0) t1
       WHERE rank <= $K ORDER BY q_id, rank""",
     "v7_knn_centrality" -> s"""
       WITH $knnCtes,
