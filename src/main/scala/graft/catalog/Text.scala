@@ -554,8 +554,67 @@ object Text extends QueryPack {
           coalesce($"n_hits", lit(0L)).as("n_eval_hits"),
           (coalesce($"n_hits", lit(0L)) === 0L).as("clean"))
         .orderBy($"vec_id")
+    },
+    // x23: CENTROID (Rocchio) CLASSIFIER over the embedding column — the
+    // cheapest trainable document classifier a curation pipeline deploys
+    // (domain/language routing, quality-tier assignment): train = one
+    // per-class mean of the training split's vectors, classify = argmax
+    // cosine to the class centroids. Cosine only sees the centroid's
+    // DIRECTION, so the count divisor cancels and the per-class integer
+    // SUM (v6's fixed-point projection — exact under any partition order)
+    // IS the model; no mean, no division, bitwise-identical on both
+    // engines (|sum| ≤ n·2²⁴ stays double-exact to ~2⁵³, i.e. corpora of
+    // ~5·10⁸ docs per class; past that, drop to a 2¹⁶ scale).
+    // Scale shape (100 TB): training is one map-side-combined aggregate
+    // shuffling L×64 integer rows; the model (L classes × dim) collects as
+    // driver state (the Quantizer discipline) and inlines as LITERALS into
+    // the classify projection — inference is shuffle-free, no join, no
+    // window; the confusion matrix is an L² aggregate. Split: train
+    // vec_id % 5 ≠ 0, evaluate on the held-out rest — the output is the
+    // confusion matrix a team reads before trusting the router.
+    "x23_centroid_classifier" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val labeled = t.embeddings
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .select($"vec_id", $"v")
+        .join(t.documents.select($"doc_id".as("vec_id"), $"lang"), Seq("vec_id"))
+      centroidClassify(labeled, dim = 64)
     }
   )
+
+  /** x23's core over any (vec_id, v: array<double>, lang) frame — factored
+    * so the spec can drive it with planted separable classes. Train on
+    * vec_id % 5 ≠ 0, predict the held-out rest, return the confusion
+    * matrix (true_lang, pred_lang, n). */
+  private[graft] def centroidClassify(labeled: DataFrame, dim: Int): DataFrame = {
+    val s = labeled.sparkSession
+    import s.implicits._
+    val sums = labeled.filter(pmod($"vec_id", lit(5)) =!= 0)
+      .select($"lang", posexplode($"v").as(Seq("dim", "x")))
+      .withColumn("q", expr(s"cast(round(x * ${Quantizer.Scale}) as bigint)"))
+      .groupBy($"lang", $"dim").agg(sum($"q").as("sq"))
+      .collect()
+    val cents = sums.groupBy(_.getString(0)).toSeq.map { case (lang, rs) =>
+      val cv = new Array[Double](dim)
+      rs.foreach(r => cv(r.getInt(1)) = r.getLong(2).toDouble)
+      var n2 = 0.0; var i = 0
+      while (i < dim) { n2 += cv(i) * cv(i); i += 1 }
+      (lang, cv, n2)
+    }.sortBy(_._1)
+    val scored = array(cents.map { case (lang, cv, cn2) =>
+      struct((-graft.functions.VectorExprs.cosine(
+        $"v", typedLit(cv.toSeq), $"n2", lit(cn2))).as("neg"),
+        lit(lang).as("lang"))
+    }: _*)
+    labeled.filter(pmod($"vec_id", lit(5)) === 0)
+      .withColumn("n2", graft.functions.VectorExprs.dot($"v", $"v"))
+      .withColumn("pred_lang", array_min(scored).getField("lang"))
+      .groupBy($"lang".as("true_lang"), $"pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .select($"true_lang", $"pred_lang", $"n")
+      .orderBy($"true_lang", $"pred_lang")
+  }
 
   /** x15's chunk map — fixed 500-char chunks at stride 400 (100 overlap),
     * char-aligned on both engines — factored so composed retrieval (c6)
@@ -735,6 +794,36 @@ object Text extends QueryPack {
       FROM kcells c LEFT JOIN hits h ON h.vec_id = c.vec_id
       WHERE c.vec_id % 97 <> 0
       ORDER BY c.vec_id""",
+    "x23_centroid_classifier" -> s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings),
+      lab AS (
+        SELECT e.vec_id, e.v, d.lang
+        FROM e JOIN documents d ON d.doc_id = e.vec_id),
+      sums AS (
+        SELECT lang, i.dim,
+               SUM(CAST(round(v[i.dim + 1] * ${Quantizer.Scale}) AS BIGINT))::BIGINT AS sq
+        FROM lab CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) i
+        WHERE vec_id % 5 <> 0
+        GROUP BY lang, i.dim),
+      cent AS (
+        SELECT lang, cv, ${Tx.dotSql("cv", "cv")} AS cn2 FROM (
+          SELECT lang, list_transform(list(sq ORDER BY dim), x -> x::DOUBLE) AS cv
+          FROM sums GROUP BY lang) z),
+      test AS (
+        SELECT vec_id, v, lang, ${Tx.dotSql("v", "v")} AS n2
+        FROM lab WHERE vec_id % 5 = 0),
+      pred AS (
+        SELECT vec_id, true_lang, pred_lang FROM (
+          SELECT t.vec_id, t.lang AS true_lang, c.lang AS pred_lang,
+                 row_number() OVER (PARTITION BY t.vec_id ORDER BY
+                   ${Tx.dotSql("t.v", "c.cv")} / (sqrt(t.n2) * sqrt(c.cn2)) DESC,
+                   c.lang) AS rk
+          FROM test t CROSS JOIN cent c) z WHERE rk = 1)
+      SELECT true_lang, pred_lang, COUNT(*)::BIGINT AS n
+      FROM pred GROUP BY true_lang, pred_lang
+      ORDER BY true_lang, pred_lang""",
     "x9_decontam" -> s"""
       WITH sh AS (
         SELECT doc_id, unnest(hs) AS h
