@@ -204,6 +204,129 @@ object Streams extends QueryPack {
       .groupBy($"digest").agg(min($"keeper_doc_id").as("keeper_doc_id"))
   }
 
+  /** e29: STREAMING NEAR-DUP GATE with persistent LSH bucket index — d12's
+    * incremental MinHash probe made continuous (the near-dup twin of e18's
+    * exact-digest gate). Documents stream as 2 doc_id-range micro-batches
+    * (e18's pinned-mtime recipe); each batch
+    *  (a) anti-joins the index's doc_ids so at-least-once replays
+    *      re-process nothing (a replayed keeper would otherwise match its
+    *      own index row and self-drop),
+    *  (b) generates candidates by band-bucket join against the index ∪ its
+    *      own smaller-id rows, with buckets over MaxBucket members across
+    *      that SAME domain excluded (the d2 stop-bucket cut, re-applied
+    *      per batch as the index grows),
+    *  (c) drops docs whose estimated Jaccard vs any candidate ≥ 0.5 —
+    *      the in-batch verdict is CHAIN-FREE: a doc drops against any
+    *      smaller-id batch doc, dropped or not (d2's pair semantics), so
+    *      batch internals never recurse, and
+    *  (d) appends the survivors' (doc_id, sig, arrived) to the parquet
+    *      index — one 16-slot signature row per keeper; bands re-derive
+    *      from the sig on read, so persisted state is minimal.
+    * Streaming semantics intentionally differ from flat-batch d2: only
+    * KEEPERS gate later batches (a doc dropped in batch 0 never shadows a
+    * batch-1 near-dup of it) — the oracle unrolls both hops rather than
+    * pretending the batch pair set is equivalent. Scale shape (100 TB):
+    * per-batch cost is batch×(bucket-mates) candidates only — index×index
+    * never re-scores (that work happened when those batches arrived);
+    * everything shuffles on 8-byte band hashes, ids, and 16-slot sigs —
+    * never text.
+    * Replay contract (at-least-once): keepers are doc_id-anti-joined away
+    * (append nothing); a previously-dropped doc re-drops because every
+    * drop edge it had still exists — its keeper authorities are now index
+    * rows, its dropped smaller-id batch mates replay beside it. The one
+    * caveat: the MaxBucket cut is evaluated against the CURRENT domain,
+    * so a bucket that crossed the cap between arrival and replay could in
+    * principle suppress a drop edge and resurrect a dropped doc — the cap
+    * is a heuristic cut, and the gate stays append-only and never
+    * duplicates a keeper either way (StreamNearDupGateSpec replays the
+    * full stream over the populated index and pins byte-identical
+    * output). `indexOpt` is injectable for that spec. */
+  private[graft] def runNearDupGate(s: SparkSession, dir: String,
+      indexOpt: Option[String] = None): DataFrame = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents.select($"doc_id", $"text")
+    val ingest = Scratch.staged(s"e29_ingest#$dir", "e29_ingest") { p =>
+      val root = java.nio.file.Paths.get(p)
+      java.nio.file.Files.createDirectories(root)
+      val ids = docs.agg(min($"doc_id"), max($"doc_id")).head()
+      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+      val step = (hi - lo) / 2 + 1
+      (0 until 2).foreach { i =>
+        val stage = Scratch.dir(s"e29r$i")
+        docs.filter($"doc_id" >= lo + i * step && $"doc_id" < lo + (i + 1) * step)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val ls = java.nio.file.Files.list(stage)
+        val part = try {
+          ls.filter(q => q.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        } finally ls.close()
+        val dst = root.resolve(f"range_$i%02d.parquet")
+        java.nio.file.Files.copy(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+    }
+    val index = indexOpt.getOrElse(Scratch.dir("e29_index").resolve("idx").toString)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 4)
+    try {
+      val st = s.readStream.schema(s.read.parquet(ingest).schema)
+        .option("maxFilesPerTrigger", 1).parquet(ingest)
+      val q = st.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val bs = batch.sparkSession
+          val idxPath = new org.apache.hadoop.fs.Path(index)
+          val idxFs = idxPath.getFileSystem(bs.sparkContext.hadoopConfiguration)
+          val idx: Option[DataFrame] =
+            if (idxFs.exists(idxPath)) Some(bs.read.parquet(index)) else None
+          val sigAll = batch.select(col("doc_id"),
+            graft.functions.TextKernels.minhashUdf(col("text")).as("sig"))
+          val sig = idx.fold(sigAll)(i =>
+            sigAll.join(i.select("doc_id"), Seq("doc_id"), "left_anti"))
+          // bucket shuffle carries (id, band) only — the d2/d12 id-only
+          // discipline; 16-slot sigs rejoin AFTER pair dedup
+          val bBands = sig
+            .select(col("doc_id"), lit("b").as("src"),
+              posexplode(graft.functions.TextKernels.bandsUdf(col("sig")))
+                .as(Seq("band_idx", "band_hash")))
+          val dom = idx.fold(bBands) { i =>
+            bBands.unionByName(i
+              .select(col("doc_id"), lit("i").as("src"),
+                graft.functions.TextKernels.bandsUdf(col("sig")).as("bands"))
+              .select(col("doc_id"), col("src"),
+                posexplode(col("bands")).as(Seq("band_idx", "band_hash"))))
+          }
+          val wB = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band_idx"), col("band_hash"))
+          val capped = dom.withColumn("bn", count(lit(1)).over(wB))
+            .filter(col("bn") <= Dedup.MaxBucket).drop("bn")
+          val n = capped.filter(col("src") === "b")
+            .select(col("band_idx"), col("band_hash"), col("doc_id").as("new_id"))
+          val a = capped.select(col("band_idx"), col("band_hash"),
+            col("src"), col("doc_id").as("o_id"))
+          val authSigs = idx.fold(sig.select(col("doc_id"), col("sig")))(i =>
+            sig.select(col("doc_id"), col("sig"))
+              .unionByName(i.select(col("doc_id"), col("sig"))))
+          val drops = n.join(a, Seq("band_idx", "band_hash"))
+            .filter(col("src") === "i" || col("o_id") < col("new_id"))
+            .select(col("new_id"), col("o_id")).distinct()
+            .join(sig.select(col("doc_id").as("new_id"),
+              col("sig").as("sig_a")), Seq("new_id"))
+            .join(authSigs.select(col("doc_id").as("o_id"),
+              col("sig").as("sig_b")), Seq("o_id"))
+            .withColumn("est_jaccard", expr(
+              "cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) as double)") / 16.0)
+            .filter(col("est_jaccard") >= 0.5)
+            .select(col("new_id")).distinct()
+          sig.join(drops, sig("doc_id") === drops("new_id"), "left_anti")
+            .withColumn("arrived", lit(batchId))
+            .write.mode("append").parquet(index)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.parquet(index).select($"doc_id", $"arrived").orderBy($"doc_id")
+  }
+
   /** e28: STREAMING SEQUENCE PACKING — g18's concat-then-chunk map under
     * continuous ingest (2 doc_id-range micro-batches — the minimum that
     * exercises cross-batch offsets and replay; the round-7 4-file ladder
@@ -702,6 +825,13 @@ object Streams extends QueryPack {
       import s.implicits._
       runDedupGate(s, dir).orderBy($"digest")
     },
+    // e29: STREAMING NEAR-DUP GATE (runNearDupGate scaladoc) — the LSH
+    // near-dup twin of e18: persistent (doc_id, sig) keeper index, per-
+    // batch band-bucket probe against index ∪ smaller-id batch mates,
+    // MaxBucket cut re-applied per batch, est-Jaccard ≥ 0.5 verdict.
+    // Oracle unrolls both micro-batches (keepers-only gating is NOT
+    // batch-d2-equivalent, and the twin proves the difference).
+    "e29_stream_neardup_gate" -> { (s, dir) => runNearDupGate(s, dir) },
     // e28: STREAMING SEQUENCE PACKING (runStreamSeqPack scaladoc) — the
     // ingest leg of the pretrain-packing pipeline: g18's context-window
     // map maintained across micro-batches, output-as-state, idempotent
@@ -1081,6 +1211,64 @@ object Streams extends QueryPack {
       GROUP BY digest ORDER BY digest""",
     // e28: the streamed packing map must equal g18's batch map exactly.
     "e28_stream_seq_pack" -> Analytics.g18Sql,
+    // e29: both micro-batches unrolled — hop 0 dedups the first range
+    // within itself; hop 1 probes hop-0 KEEPERS (not all hop-0 docs: a
+    // dropped doc never entered the index) ∪ its own smaller-id mates.
+    // Same MaxBucket cut per hop over the same domain the engine caps.
+    "e29_stream_neardup_gate" -> s"""
+      WITH bb AS (SELECT MIN(doc_id) AS lo,
+                         ((MAX(doc_id) - MIN(doc_id)) // 2 + 1) AS step
+                  FROM documents),
+      sg AS MATERIALIZED (
+        SELECT d.doc_id, ${Dedup.sigSql("hs")} AS sig,
+               CASE WHEN d.doc_id < bb.lo + bb.step THEN 0 ELSE 1 END AS b
+        FROM (SELECT doc_id, ${Dedup.shingleHashesSql} AS hs
+              FROM (SELECT doc_id, ${Tx.wsSql} AS ws FROM documents) t0) d, bb),
+      bnd AS MATERIALIZED (
+        SELECT doc_id, b, bi.band_idx, bands[bi.band_idx + 1] AS band_hash
+        FROM (SELECT doc_id, b, ${Dedup.bandsSql("sig")} AS bands FROM sg) t
+        CROSS JOIN (SELECT unnest(range(0, ${graft.functions.TextKernels.NBands})) AS band_idx) bi),
+      cap0 AS (
+        SELECT doc_id, band_idx, band_hash FROM bnd WHERE b = 0
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= ${Dedup.MaxBucket}),
+      d0 AS (
+        SELECT DISTINCT new_id FROM (
+          SELECT p.new_id,
+                 len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 16.0 AS ej
+          FROM (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS o_id
+                FROM cap0 n JOIN cap0 o
+                  ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+                 AND o.doc_id < n.doc_id) p
+          JOIN sg sa ON sa.doc_id = p.new_id
+          JOIN sg sb ON sb.doc_id = p.o_id) z
+        WHERE ej >= 0.5),
+      k0 AS (SELECT doc_id FROM sg WHERE b = 0
+             AND doc_id NOT IN (SELECT new_id FROM d0)),
+      dom1 AS (
+        SELECT bn.doc_id, 'i' AS src, bn.band_idx, bn.band_hash
+        FROM bnd bn JOIN k0 ON k0.doc_id = bn.doc_id
+        UNION ALL
+        SELECT doc_id, 'b' AS src, band_idx, band_hash FROM bnd WHERE b = 1),
+      cap1 AS (
+        SELECT doc_id, src, band_idx, band_hash FROM dom1
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= ${Dedup.MaxBucket}),
+      d1 AS (
+        SELECT DISTINCT new_id FROM (
+          SELECT p.new_id,
+                 len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 16.0 AS ej
+          FROM (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS o_id
+                FROM cap1 n JOIN cap1 o
+                  ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+                 AND n.src = 'b'
+                 AND (o.src = 'i' OR (o.src = 'b' AND o.doc_id < n.doc_id))) p
+          JOIN sg sa ON sa.doc_id = p.new_id
+          JOIN sg sb ON sb.doc_id = p.o_id) z
+        WHERE ej >= 0.5)
+      SELECT doc_id, 0::BIGINT AS arrived FROM k0
+      UNION ALL
+      SELECT doc_id, 1::BIGINT AS arrived FROM sg
+      WHERE b = 1 AND doc_id NOT IN (SELECT new_id FROM d1)
+      ORDER BY doc_id""",
     "e17_stream_schema_drift" -> """
       SELECT CASE WHEN event_id % 2 = 1 THEN 'ch' || (user_id % 3)::VARCHAR
                   ELSE 'legacy' END AS channel,
