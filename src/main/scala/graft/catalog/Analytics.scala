@@ -241,6 +241,36 @@ object Analytics extends QueryPack {
         .select($"doc_id", expr(s"size(${Tx.wsExpr})").cast("long").as("n_tok")))
         .orderBy($"doc_id")
     },
+    // g20: CELL-BALANCED DIVERSITY SAMPLE — semantic-coverage subsetting
+    // (the cluster-balanced selection diversity-aware curation uses):
+    // uniform sampling reproduces the corpus's cluster imbalance, so
+    // instead keep at most Quota docs per quantizer CELL, chosen in
+    // deterministic LCG-permutation order (g5's key — unbiased within
+    // the cell, reproducible, append-stable). Over-represented clusters
+    // (boilerplate, template farms) cap at Quota; thin clusters survive
+    // whole — the output cell histogram is min(|cell|, Quota), the
+    // flattest semantic coverage a hard cap gives. Scale shape (100 TB):
+    // cell assignment is the literal-centroid projection (no shuffle);
+    // the pick is one window keyed by cell, and cells are CellTarget-
+    // sized by construction, so no window partition exceeds ~CellTarget
+    // rows — never a data-skewed sort.
+    "g20_cell_balanced_sample" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
+        .select($"vec_id", $"v", $"norm2")
+      val cents = Quantizer.centroidsFor(e, dir, iters = 2, dim = 64)
+      val quota = Quantizer.CellTarget / 4
+      val w = Window.partitionBy($"cell").orderBy($"key", $"vec_id")
+      Quantizer.assign(e, cents)
+        .select($"vec_id", $"cell",
+          ((($"vec_id" % P) * 48271L + 13L) % P).as("key"))
+        .withColumn("pick", row_number().over(w).cast("long"))
+        .filter($"pick" <= quota)
+        .select($"vec_id", $"cell".cast("long").as("cell"), $"pick")
+        .orderBy($"vec_id")
+    },
     // q9: per-group QUANTILE FILTER — keep documents at or above their
     // language's median length. The median is computed from the VALUE
     // HISTOGRAM (groupBy (lang, n_chars) → counts, cumulative over distinct
@@ -986,6 +1016,23 @@ object Analytics extends QueryPack {
     // range bucketing). Shared with e28 (the streaming form packs the same
     // doc_id order, so the two entries pin IDENTICAL results).
     "g18_sequence_packing" -> g18Sql,
+    // g20: the quantizer chain + one within-cell pick window; the LCG key
+    // is g5's permutation, so ordering ties are impossible below P.
+    "g20_cell_balanced_sample" -> s"""
+      WITH e AS (
+        SELECT vec_id, v, ${Tx.dotSql("v", "v")} AS norm2
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings) t),
+      ${Quantizer.centroidsSql(iters = 2, dim = 64)}${Quantizer.cellsSql}
+      SELECT vec_id, cell::BIGINT AS cell, pick FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY cell
+                 ORDER BY key, vec_id)::BIGINT AS pick
+        FROM (SELECT vec_id, cell,
+                     ((vec_id % $P) * 48271 + 13) % $P AS key
+              FROM kcells) t) z
+      WHERE pick <= ${Quantizer.CellTarget / 4}
+      ORDER BY vec_id""",
     // g19: the serial statement of the class algorithm — rank within class
     // by doc_id (one row_number), per-class window counts, cumulative
     // class offsets; the Spark side's two-pass bucketed rank must hit it.

@@ -39,7 +39,52 @@ object Quality extends QueryPack {
     * are suppressed from the release. */
   private val KAnon = 5L
 
+  /** dq13's profiled columns — one list feeds BOTH engines. */
+  private val Dq13Cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // dq13: INFERRED-EXPECTATION AUDIT — dq1 audits rules someone wrote;
+    // dq13 DERIVES them from an accepted reference partition and audits
+    // the incoming one against its own history (the expectation-suite
+    // profiling loop: "yesterday's accepted data defines today's
+    // contract"). Per numeric column the reference yields [min, max] and
+    // whether nulls ever occurred; the target partition reports
+    // below-range / above-range / newly-null counts. Scale shape
+    // (100 TB): ONE aggregate scan per side — the derived bounds are a
+    // 1-row broadcast into the target's conditional aggregate (no join
+    // by key, no shuffle beyond the two map-side-combined aggs); the
+    // report is 4 rows however large either partition. No arithmetic
+    // crosses engines: min/max are exact value selections, counts are
+    // integers.
+    "dq13_inferred_rules" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables(s, dir).lineitem
+      val ref = li.filter(pmod($"l_orderkey", lit(10)) =!= 0)
+      val tgt = li.filter(pmod($"l_orderkey", lit(10)) === 0)
+      val boundExprs = Dq13Cols.flatMap(c => Seq(
+        min(col(c)).cast("double").as(s"lo_$c"),
+        max(col(c)).cast("double").as(s"hi_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c")))
+      val bounds = ref.agg(boundExprs.head, boundExprs.tail: _*)
+      val auditExprs = count(lit(1)).as("n") +: Dq13Cols.flatMap(c => Seq(
+        sum(when(col(c) < col(s"lo_$c"), 1L).otherwise(0L)).as(s"bl_$c"),
+        sum(when(col(c) > col(s"hi_$c"), 1L).otherwise(0L)).as(s"ab_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nu_$c")))
+      val audited = tgt.crossJoin(broadcast(bounds))
+        .agg(auditExprs.head, auditExprs.tail: _*)
+        .crossJoin(broadcast(bounds))
+      Dq13Cols.map { c =>
+        audited.select(lit(c).as("col_name"),
+          col(s"lo_$c").as("lo"), col(s"hi_$c").as("hi"),
+          $"n".as("n_checked"), col(s"bl_$c").as("n_below"),
+          col(s"ab_$c").as("n_above"),
+          when(col(s"nn_$c") === 0L, col(s"nu_$c")).otherwise(lit(0L))
+            .as("n_new_nulls"))
+      }.reduce(_.unionByName(_))
+        .withColumn("pass",
+          $"n_below" + $"n_above" + $"n_new_nulls" === 0L)
+        .orderBy($"col_name")
+    },
     "dq1_quality_audit" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
@@ -511,6 +556,29 @@ object Quality extends QueryPack {
                // COUNT(*))::BIGINT AS out_pm
       FROM dev JOIN mad USING (grp)
       GROUP BY grp ORDER BY grp""",
+    "dq13_inferred_rules" -> s"""
+      WITH b AS (
+        SELECT ${Dq13Cols.map(c =>
+          s"min($c)::DOUBLE AS lo_$c, max($c)::DOUBLE AS hi_$c, " +
+          s"SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn_$c")
+          .mkString(", ")}
+        FROM lineitem WHERE l_orderkey % 10 <> 0),
+      a AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               ${Dq13Cols.map(c =>
+          s"SUM(CASE WHEN t.$c < b.lo_$c THEN 1 ELSE 0 END)::BIGINT AS bl_$c, " +
+          s"SUM(CASE WHEN t.$c > b.hi_$c THEN 1 ELSE 0 END)::BIGINT AS ab_$c, " +
+          s"SUM(CASE WHEN t.$c IS NULL THEN 1 ELSE 0 END)::BIGINT AS nu_$c")
+          .mkString(", ")}
+        FROM (SELECT * FROM lineitem WHERE l_orderkey % 10 = 0) t, b)
+      SELECT col_name, lo, hi, n_checked, n_below, n_above, n_new_nulls,
+             n_below + n_above + n_new_nulls = 0 AS pass
+      FROM (${Dq13Cols.map(c =>
+          s"SELECT '$c' AS col_name, b.lo_$c AS lo, b.hi_$c AS hi, " +
+          s"a.n AS n_checked, a.bl_$c AS n_below, a.ab_$c AS n_above, " +
+          s"CASE WHEN b.nn_$c = 0 THEN a.nu_$c ELSE 0 END AS n_new_nulls " +
+          "FROM a, b").mkString(" UNION ALL ")}) u
+      ORDER BY col_name""",
     "dq1_quality_audit" -> """
       WITH li AS (
         SELECT COUNT(*)::BIGINT AS n,

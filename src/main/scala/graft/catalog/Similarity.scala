@@ -199,6 +199,44 @@ object Similarity extends QueryPack {
         .orderBy($"q_id", $"rank")
     },
     "v3_ivf_ann" -> ivfQuery(sampleMod = 1),
+    // v20: FILTERED ANN — vector search under a metadata predicate (here:
+    // the neighbor's document must be lang = 'en'), the production RAG
+    // shape ("search my English docs"). The filter applies to the CELL
+    // SCAN — a semi-join of the inverted-file entries against the
+    // predicate's id set — BEFORE top-k, not to the result afterward:
+    // post-filtering a top-k list returns k·selectivity rows (recall
+    // collapses for selective predicates); pre-filtering fills k from
+    // eligible vectors only. Scale shape (100 TB): the predicate pushes
+    // to the documents scan (PushedFilters on lang), the id semi-join
+    // keys on vec_id alongside the cell join — no new data-sized
+    // shuffle; cells whose eligible population is thin simply return
+    // fewer rows (re-probing more cells is v3's nProbe dial, not a new
+    // operator). Queries themselves need not satisfy the predicate.
+    "v20_filtered_ann" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
+        .select($"vec_id", $"v", $"norm2")
+      val cents = Quantizer.centroidsFor(e, dir, iters = 2, dim = 64)
+      val eligible = Tables(s, dir).documents
+        .filter($"lang" === "en").select($"doc_id".as("vec_id"))
+      val data = Quantizer.assign(e, cents)
+        .join(eligible, Seq("vec_id"), "left_semi")
+        .select($"cell", $"vec_id", $"v", $"norm2")
+      val probes = Quantizer.probe(e.filter($"vec_id" < 10), cents, nProbe = 2)
+        .select($"cell", $"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
+      val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+      data.join(broadcast(probes), Seq("cell"))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("cos",
+          graft.functions.VectorExprs.cosine($"qv", $"v", $"qn", $"norm2"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter($"rank" <= K)
+        .select($"q_id", $"rank".cast("long").as("rank"),
+                $"vec_id".as("neighbor_id"), $"cos")
+        .orderBy($"q_id", $"rank")
+    },
     // v5: kNN GRAPH construction — EVERY vector's top-3 neighbors within its
     // IVF cell (the graph a semantic-dedup / diversity-sampling stage
     // consumes). The self-join keys on cell id, so candidate pairs are
@@ -974,9 +1012,10 @@ object Similarity extends QueryPack {
       .orderBy($"q_id", $"rank")
   }
 
-  /** v3/v4 oracle: identical IVF SQL, differing only in the quantizer
-    * training CTEs' sample filter. */
-  private def ivfSql(sampleMod: Int): String = s"""
+  /** v3/v4/v20 oracle: identical IVF SQL, differing only in the quantizer
+    * training CTEs' sample filter and (v20) an extra predicate join on the
+    * scanned cell entries. */
+  private def ivfSql(sampleMod: Int, dataJoin: String = ""): String = s"""
       WITH e AS (
         SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
         FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -991,7 +1030,7 @@ object Similarity extends QueryPack {
               FROM kq t CROSS JOIN kmc c) pp),
       data AS (
         SELECT a.cell, k.vec_id, k.v, k.norm2 FROM assigned a
-        JOIN kq k ON k.vec_id = a.vec_id WHERE a.crank = 1),
+        JOIN kq k ON k.vec_id = a.vec_id $dataJoin WHERE a.crank = 1),
       probes AS (
         SELECT a.cell, k.vec_id AS q_id, k.v AS qv, k.norm2 AS qn
         FROM assigned a JOIN kq k ON k.vec_id = a.vec_id
@@ -1146,6 +1185,8 @@ object Similarity extends QueryPack {
       UNION ALL SELECT q_id, 3::BIGINT, vec_id, score FROM s3
       ORDER BY q_id, pick""",
     "v3_ivf_ann" -> ivfSql(sampleMod = 1),
+    "v20_filtered_ann" -> ivfSql(sampleMod = 1,
+      dataJoin = "JOIN documents dd ON dd.doc_id = a.vec_id AND dd.lang = 'en'"),
     "v12_pq_ann" -> s"""
       WITH e AS (
         SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
