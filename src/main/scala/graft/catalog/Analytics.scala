@@ -25,7 +25,7 @@ import graft.{QueryPack, Scratch, Tables}
 object Analytics extends QueryPack {
 
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
-  private val P = 2147483647L
+  private[catalog] val P = 2147483647L
   /** g4: target shard size in characters (shared with CorpusGate's c2). */
   private[catalog] val ShardBudget = 2000L
   /** per-event-type sampling rates in percent (g2). */
@@ -817,6 +817,33 @@ object Analytics extends QueryPack {
         expr("_rank % _cap").as("slot"))
   }
 
+  /** g19/c7's shared serial oracle: class-pack over any relation providing
+    * (doc_id, n_tok) — returns a parenthesized subquery emitting
+    * (doc_id, n_tok, cls, win_id, slot). */
+  private[catalog] def binPackSql(src: String): String = s"""
+      (WITH d AS (
+        SELECT doc_id, n_tok,
+               CASE WHEN n_tok > 512 THEN 0
+                    ELSE 512 // greatest(n_tok, 1) END AS cls
+        FROM $src t0),
+      r AS (
+        SELECT doc_id, n_tok, cls,
+               row_number() OVER (PARTITION BY cls ORDER BY doc_id) - 1 AS rnk
+        FROM d),
+      cw AS (
+        SELECT cls, COUNT(*) AS n,
+               CASE WHEN cls = 0 THEN 1 ELSE cls END AS cap
+        FROM d GROUP BY cls),
+      co AS (
+        SELECT cls, cap,
+               COALESCE(SUM((n + cap - 1) // cap) OVER (ORDER BY cls
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS woff
+        FROM cw)
+      SELECT r.doc_id, r.n_tok, r.cls::BIGINT AS cls,
+             (co.woff + r.rnk // co.cap)::BIGINT AS win_id,
+             (r.rnk % co.cap)::BIGINT AS slot
+      FROM r JOIN co USING (cls))"""
+
   /** g18/e28's shared oracle — the serial packing prefix in doc_id order. */
   private[catalog] lazy val g18Sql: String = s"""
       SELECT doc_id, n_tok, start_tok,
@@ -1037,30 +1064,10 @@ object Analytics extends QueryPack {
     // by doc_id (one row_number), per-class window counts, cumulative
     // class offsets; the Spark side's two-pass bucketed rank must hit it.
     "g19_boundary_pack" -> s"""
-      WITH d AS (
-        SELECT doc_id, n_tok,
-               CASE WHEN n_tok > 512 THEN 0
-                    ELSE 512 // greatest(n_tok, 1) END AS cls
-        FROM (SELECT doc_id, len(${Tx.wsSql})::BIGINT AS n_tok
-              FROM documents) t0),
-      r AS (
-        SELECT doc_id, n_tok, cls,
-               row_number() OVER (PARTITION BY cls ORDER BY doc_id) - 1 AS rnk
-        FROM d),
-      cw AS (
-        SELECT cls, COUNT(*) AS n,
-               CASE WHEN cls = 0 THEN 1 ELSE cls END AS cap
-        FROM d GROUP BY cls),
-      co AS (
-        SELECT cls, cap,
-               COALESCE(SUM((n + cap - 1) // cap) OVER (ORDER BY cls
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS woff
-        FROM cw)
-      SELECT r.doc_id, r.n_tok, r.cls::BIGINT AS cls,
-             (co.woff + r.rnk // co.cap)::BIGINT AS win_id,
-             (r.rnk % co.cap)::BIGINT AS slot
-      FROM r JOIN co USING (cls)
-      ORDER BY r.doc_id""",
+      SELECT doc_id, n_tok, cls, win_id, slot
+      FROM ${binPackSql(s"""(SELECT doc_id, len(${Tx.wsSql})::BIGINT AS n_tok
+              FROM documents)""")} bp
+      ORDER BY doc_id""",
     "q9_quantile_filter" -> """
       WITH med AS (
         SELECT lang, quantile_cont(n_chars, 0.5) AS p50

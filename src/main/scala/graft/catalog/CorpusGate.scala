@@ -278,6 +278,44 @@ object CorpusGate extends QueryPack {
           coalesce($"erank", lit(0L)).as("em_rank"),
           coalesce($"best_chunk", lit(-1L)).as("best_chunk"), $"rrf")
         .orderBy($"q_id", $"rank")
+    },
+    // c7: the composed RELEASE-CERTIFICATION gate — the write-side
+    // lifecycle a training-data release runs before shipping a snapshot,
+    // each stage AS SHIPPED (c5/c6's self-composition convention):
+    //   1. semantic decontamination verdict (x22): drop any corpus
+    //      vector with an eval-set cell-mate at cos ≥ 0.3;
+    //   2. semantic dedup verdict (d17): keep cell-unique reps only;
+    //   3. cell-balanced cap (g20's pick machinery RE-RUN over the 1∩2
+    //      survivors — the quota must apply to what actually survives;
+    //      run over the raw corpus it would let dropped docs consume it);
+    //   4. boundary-respecting pack (g19's binPack) over the released
+    //      docs — loader-ready windows, no document crossing.
+    // Output: one manifest row per released doc (cell, pick, class,
+    // window, slot). Scale shape (100 TB): stages 1-2 are the standalone
+    // entries' cell-blocked scoring joins, stage 3 one per-cell window
+    // over survivors, stage 4 the two-pass class pack — composition adds
+    // NO shuffle the standalone entries don't already have.
+    "c7_release_gate" -> { (s, dir) =>
+      import s.implicits._
+      val clean = Text.queries("x22_semantic_decontam")(s, dir)
+        .filter($"clean").select($"vec_id", $"cell")
+      val kept = Dedup.queries("d17_semantic_dedup")(s, dir)
+        .filter($"kept").select($"vec_id")
+      val surv = clean.join(kept, Seq("vec_id"))
+      val wPick = Window.partitionBy($"cell").orderBy($"key", $"vec_id")
+      val balanced = surv
+        .withColumn("key", (($"vec_id" % P) * 48271L + 13L) % P)
+        .withColumn("pick", row_number().over(wPick).cast("long"))
+        .filter($"pick" <= Quantizer.CellTarget / 4)
+        .select($"vec_id".as("doc_id"), $"cell", $"pick")
+      val released = balanced.join(
+        Tables(s, dir).documents.select($"doc_id",
+          expr(s"size(${Tx.wsExpr})").cast("long").as("n_tok")), Seq("doc_id"))
+      Analytics.binPack(released.select($"doc_id", $"n_tok"))
+        .join(released.select($"doc_id", $"cell", $"pick"), Seq("doc_id"))
+        .select($"doc_id", $"cell", $"pick", $"n_tok", $"cls", $"win_id",
+          $"slot")
+        .orderBy($"doc_id")
     }
   )
 
@@ -286,6 +324,49 @@ object CorpusGate extends QueryPack {
   }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // c7: x22's hits + d17's drops over ONE shared quantizer chain,
+    // g20's pick window over the intersection survivors, g19's serial
+    // class-pack (Analytics.binPackSql) over the released docs.
+    "c7_release_gate" -> s"""
+      WITH e AS (
+        SELECT vec_id, v, ${Tx.dotSql("v", "v")} AS norm2
+        FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings) t),
+      ${Quantizer.centroidsSql(iters = 2, dim = 64)}${Quantizer.cellsSql},
+      hits AS (
+        SELECT c.vec_id FROM kcells c JOIN kcells q
+          ON q.vec_id % 97 = 0 AND c.cell = q.cell
+        WHERE c.vec_id % 97 <> 0
+          AND ${Tx.dotSql("c.v", "q.v")} / (sqrt(c.norm2) * sqrt(q.norm2)) >= 0.3
+        GROUP BY c.vec_id),
+      drops AS (
+        SELECT DISTINCT v2 AS vec_id FROM (
+          SELECT b.vec_id AS v2,
+                 ${Tx.dotSql("a.v", "b.v")} / (sqrt(a.norm2) * sqrt(b.norm2)) AS cos
+          FROM kcells a JOIN kcells b ON a.cell = b.cell AND a.vec_id < b.vec_id) t
+        WHERE cos >= 0.4),
+      surv AS (
+        SELECT c.vec_id, c.cell FROM kcells c
+        WHERE c.vec_id % 97 <> 0
+          AND c.vec_id NOT IN (SELECT vec_id FROM hits)
+          AND c.vec_id NOT IN (SELECT vec_id FROM drops)),
+      bal AS (
+        SELECT vec_id AS doc_id, cell, pick FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY cell
+                   ORDER BY key, vec_id)::BIGINT AS pick
+          FROM (SELECT vec_id, cell,
+                       ((vec_id % $P) * 48271 + 13) % $P AS key
+                FROM surv) t) z
+        WHERE pick <= ${Quantizer.CellTarget / 4}),
+      rel AS (
+        SELECT b.doc_id, b.cell, b.pick, len(${Tx.wsSql})::BIGINT AS n_tok
+        FROM bal b JOIN documents d ON d.doc_id = b.doc_id)
+      SELECT bp.doc_id, r.cell::BIGINT AS cell, r.pick, bp.n_tok, bp.cls,
+             bp.win_id, bp.slot
+      FROM ${Analytics.binPackSql("(SELECT doc_id, n_tok FROM rel)")} bp
+      JOIN rel r ON r.doc_id = bp.doc_id
+      ORDER BY bp.doc_id""",
     // c6: v16's own beam-walk CTEs (knnCtes + beamWalkCtes → sem), the
     // x15 chunk map, v13's capped lexical scoring pointed at chunks, and
     // v13's fusion SQL — the whole retrieval chain in one statement.
