@@ -46,4 +46,22 @@ class BroadcastClaimsSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"x12 must broadcast the threshold:\n$p")
   }
+
+  test("v20: the probe set broadcasts; the predicate reaches the documents scan") {
+    val p = plan("v20_filtered_ann")
+    assert(p.contains("BroadcastHashJoin"), s"v20 must broadcast probes:\n$p")
+    assert(p.contains("lang"), s"v20's predicate must appear in the plan:\n$p")
+    // the predicate is pushed into the parquet scan, not applied post-read
+    assert(p.contains("PushedFilters") && p.replaceAll("\\s", "")
+      .matches("(?s).*PushedFilters:\\[[^\\]]*EqualTo\\(lang,en\\).*"),
+      s"v20's lang predicate must push to the documents scan:\n$p")
+  }
+
+  test("x23: inference is a literal projection — no join, no window after training") {
+    // the classify stage runs over the held-out scan with the model inlined
+    // as literals: the plan may contain the train-side aggregate but the
+    // prediction path must not introduce a Window
+    val p = plan("x23_centroid_classifier")
+    assert(!p.contains("Window"), s"x23 inference must not use a window:\n$p")
+  }
 }
