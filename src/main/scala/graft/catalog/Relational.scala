@@ -485,6 +485,31 @@ object Relational extends QueryPack {
                 $"day_offset", $"n_users")
         .orderBy($"cohort_day", $"day_offset")
     },
+    // w13: FIRST-TOUCH ATTRIBUTION — every user's purchase revenue is
+    // credited to the user's FIRST view/click (marketing attribution's
+    // simplest model). The first-touch window partitions by user_id
+    // (data-scale partitioned — never a global window); purchases reduce
+    // per user BEFORE the join, so the touch⋈purchase join moves one row
+    // per user per side. Revenue in integer cents (q13 convention).
+    "w13_attribution" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+      val wFirst = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val touches = ev.filter($"event_type".isin("view", "click"))
+        .withColumn("rn", row_number().over(wFirst))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type".as("touch_type"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"),
+             count(lit(1)).as("n"))
+      touches.join(purchases, Seq("user_id"))
+        .groupBy($"touch_type")
+        .agg(count(lit(1)).as("n_users"), sum($"n").as("n_purchases"),
+             sum($"cents").as("attributed_cents"))
+        .orderBy($"touch_type")
+    },
     // w8: percent_rank / cume_dist (rank-normalized window statistics)
     "w8_percent_cume" -> { (s, dir) =>
       import s.implicits._
@@ -577,6 +602,121 @@ object Relational extends QueryPack {
         .join(broadcast(t.supplier), $"l_suppkey" === $"s_suppkey")
         .select($"s_suppkey", $"s_name", $"total_rev")
         .orderBy($"s_suppkey")
+    },
+    // q14: PROMO REVENUE SHARE (TPC-H Q14 shape) — conditional aggregation
+    // over a broadcast dim join. All arithmetic in integer cents (the q13
+    // convention); the share is basis points by integer floor-div, so no
+    // double crosses the aggregate on either engine. Scale: the month
+    // filter pushes to the lineitem scan; part broadcasts; one map-side-
+    // combined agg — no shuffle beyond the final 1-row reduce.
+    "q14_promo_share" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val rev = expr(
+        "cast(round(l_extendedprice * 100) as bigint) * " +
+          "(100 - cast(round(l_discount * 100) as bigint))")
+      t.lineitem
+        .filter($"l_shipdate" >= lit("1997-09-01").cast("timestamp") &&
+                $"l_shipdate" < lit("1997-10-01").cast("timestamp"))
+        .join(broadcast(t.part.select($"p_partkey", $"p_type")),
+              $"l_partkey" === $"p_partkey")
+        .agg(sum(when($"p_type" === "PROMO", rev).otherwise(lit(0L)))
+               .as("promo_cents"),
+             sum(rev).as("total_cents"))
+        .select($"promo_cents", $"total_cents",
+                expr("10000 * promo_cents div total_cents").as("promo_bp"))
+    },
+    // q16: SUPPLIER VARIETY (TPC-H Q16 shape) — distinct (part, supplier)
+    // pairs from the fact table, a NOT-IN supplier blacklist as a broadcast
+    // anti join, COUNT(DISTINCT) per part attribute. Scale: the pair
+    // distinct is the one data-scale shuffle (keyed on the pair — Q16's
+    // partsupp scan analog); part and the blacklist broadcast.
+    "q16_supplier_variety" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val pexcl = t.part
+        .filter($"p_brand" =!= "Brand#4" && $"p_type" =!= "PROMO" &&
+                $"p_size".isin(1, 4, 9, 16, 25, 36, 49))
+        .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+      val badSupp = t.supplier.filter($"s_acctbal" < 0).select($"s_suppkey")
+      t.lineitem.select($"l_partkey", $"l_suppkey").distinct()
+        .join(broadcast(badSupp), $"l_suppkey" === $"s_suppkey", "left_anti")
+        .join(broadcast(pexcl), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand", $"p_type", $"p_size")
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+    },
+    // q19: DISJUNCTIVE PREDICATE JOIN (TPC-H Q19 shape) — an OR of three
+    // (brand, size-range, quantity-range) conjuncts as the join residual.
+    // Catalyst extracts the l_partkey = p_partkey equi-key, so this stays
+    // a BROADCAST HASH join with the disjunction evaluated as a residual
+    // filter (DisjunctiveJoinSpec pins that no nested-loop join appears) —
+    // the classic Q19 trap is a plan that degrades to NLJ. Quantity
+    // bounds also push to the lineitem scan as (q >= 1 AND q <= 50)
+    // min/max envelopes via constraint propagation where beneficial.
+    "q19_disjunctive_join" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val rev = expr(
+        "cast(round(l_extendedprice * 100) as bigint) * " +
+          "(100 - cast(round(l_discount * 100) as bigint))")
+      t.lineitem
+        .select($"l_partkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+        .join(broadcast(t.part.select($"p_partkey", $"p_brand", $"p_size")),
+          $"l_partkey" === $"p_partkey" && (
+            ($"p_brand" === "Brand#1" && $"p_size".between(1, 15) &&
+               $"l_quantity".between(1, 20)) ||
+            ($"p_brand" === "Brand#2" && $"p_size".between(10, 30) &&
+               $"l_quantity".between(10, 40)) ||
+            ($"p_brand" === "Brand#3" && $"p_size".between(20, 50) &&
+               $"l_quantity".between(20, 50))))
+        .agg(count(lit(1)).as("n_lines"), sum(rev).as("revenue_cents"))
+    },
+    // q20: NESTED SEMI-JOIN CHAIN (TPC-H Q20 shape) — suppliers who moved
+    // real volume of 'small%' parts in 1997: part-name filter → per
+    // (part, supplier) 1997 quantity aggregate → HAVING gate → supplier
+    // LEFT SEMI. Scale: the name-filtered part side broadcasts into the
+    // fact scan; the aggregate shuffles on the (part, supplier) pair; the
+    // final semi probes the tiny qualifying set — supplier never shuffles.
+    "q20_nested_semi" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val pp = t.part.filter($"p_name".startsWith("small")).select($"p_partkey")
+      val qual = t.lineitem
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+                $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(pp), $"l_partkey" === $"p_partkey")
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(sum(expr("cast(round(l_quantity) as bigint)")).as("qty"))
+        .filter($"qty" > 40)
+      t.supplier
+        .join(qual.select($"l_suppkey").distinct(),
+              $"s_suppkey" === $"l_suppkey", "left_semi")
+        .select($"s_suppkey", $"s_name")
+        .orderBy($"s_suppkey")
+    },
+    // q22: IDLE HIGH-BALANCE CUSTOMERS (TPC-H Q22 shape) — customers above
+    // the positive-balance mean with no orders since 1999, counted per
+    // segment. The global-mean scalar subquery is a broadcast 1-row cross
+    // join, and the comparison cross-multiplies in integer cents
+    // (bal·n > Σbal) so no division or double ever enters the predicate.
+    // The anti join keys on custkey — at 100 TB both sides bucket on it.
+    "q22_idle_customers" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val cents = expr("cast(round(c_acctbal * 100) as bigint)")
+      val bal = t.customer.filter($"c_acctbal" > 0)
+        .agg(sum(cents).as("sum_c"), count(lit(1)).as("n_c"))
+      val active = t.orders
+        .filter($"o_orderdate" >= lit("1999-01-01").cast("timestamp"))
+        .select($"o_custkey")
+      t.customer
+        .crossJoin(broadcast(bal))
+        .filter(cents * $"n_c" > $"sum_c")
+        .join(active, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"), sum(cents).as("bal_cents"))
+        .orderBy($"c_mktsegment")
     },
 
     // ---- sort / limit ------------------------------------------------------
@@ -1465,6 +1605,88 @@ object Relational extends QueryPack {
       FROM rev JOIN supplier ON l_suppkey = s_suppkey
       WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
       ORDER BY s_suppkey""",
+    "q14_promo_share" -> """
+      WITH li AS (
+        SELECT l_partkey,
+               CAST(round(l_extendedprice * 100) AS BIGINT) *
+                 (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00')
+      SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT)
+               AS promo_cents,
+             CAST(SUM(rev) AS BIGINT) AS total_cents,
+             CAST(10000 * SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+                  // SUM(rev) AS BIGINT) AS promo_bp
+      FROM li JOIN part ON l_partkey = p_partkey""",
+    "q16_supplier_variety" -> """
+      SELECT p_brand, p_type, p_size,
+             COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#4' AND p_type <> 'PROMO'
+        AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "q19_disjunctive_join" -> """
+      SELECT COUNT(*) AS n_lines,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                      (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS revenue_cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 40)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 50)""",
+    "q20_nested_semi" -> """
+      WITH qual AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(round(l_quantity) AS BIGINT)) AS qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1, 2 HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 40)
+      SELECT s_suppkey, s_name FROM supplier
+      WHERE s_suppkey IN (SELECT l_suppkey FROM qual)
+      ORDER BY s_suppkey""",
+    "q22_idle_customers" -> """
+      WITH bal AS (
+        SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_c,
+               COUNT(*) AS n_c
+        FROM customer WHERE c_acctbal > 0)
+      SELECT c_mktsegment, COUNT(*) AS n_cust,
+             CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+      FROM customer CROSS JOIN bal
+      WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_c > sum_c
+        AND c_custkey NOT IN (
+          SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
+    "w13_attribution" -> """
+      WITH touches AS (
+        SELECT user_id, event_type AS touch_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type IN ('view', 'click')),
+      purchases AS (
+        SELECT user_id,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+               COUNT(*) AS n
+        FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      SELECT touch_type, COUNT(*) AS n_users,
+             CAST(SUM(n) AS BIGINT) AS n_purchases,
+             CAST(SUM(cents) AS BIGINT) AS attributed_cents
+      FROM touches JOIN purchases USING (user_id)
+      WHERE rn = 1
+      GROUP BY touch_type
+      ORDER BY touch_type""",
     "s3_keyset_page" -> """
       SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders
       WHERE o_orderdate > TIMESTAMP '1998-03-15 00:00:00'

@@ -925,9 +925,9 @@ object Similarity extends QueryPack {
   // each. Codebooks are model state (like the Quantizer's centroids):
   // sample-initialized from the sub-slices of seed rows vec_id < PqKs,
   // memoized per dir, inlined as literals into the encoding projection.
-  private val PqM = 4
-  private val PqSub = 16
-  private val PqKs = 16
+  private[graft] val PqM = 4
+  private[graft] val PqSub = 16
+  private[graft] val PqKs = 16
   private val PqCand = 50
   private case class PqCode(code: Int, csub: Array[Double], cn2: Double)
   private val pqBookCache =
@@ -964,12 +964,17 @@ object Similarity extends QueryPack {
         val full = r.getSeq[Double](1).toArray
         val n2 = r.getDouble(2)
         var bestCell = -1; var bestCos = Double.NegativeInfinity
-        cents.foreach { c =>
+        cents.sortBy(_.cell).foreach { c =>
           // serial left fold — the dotSql / VectorExprs op order
           var d = 0.0; var i = 0
           while (i < full.length) { d += full(i) * c.cv(i); i += 1 }
           val cos = d / (math.sqrt(n2) * math.sqrt(c.cn2))
-          if (cos > bestCos) { bestCos = cos; bestCell = c.cell }
+          // NaN (zero-norm seed) ranks FIRST, like both twins' ORDER BY
+          // cos DESC (Spark and DuckDB sort NaN greatest); strict > over
+          // the cell-ascending scan keeps their `cell asc` tiebreak, and
+          // bestCell can no longer stay -1 once any centroid exists.
+          val key = if (cos.isNaN) Double.PositiveInfinity else cos
+          if (key > bestCos) { bestCos = key; bestCell = c.cell }
         }
         val cv = cents.find(_.cell == bestCell).get.cv
         val rr = new Array[Double](full.length)

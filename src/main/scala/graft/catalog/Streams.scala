@@ -241,29 +241,38 @@ object Streams extends QueryPack {
     * duplicates a keeper either way (StreamNearDupGateSpec replays the
     * full stream over the populated index and pins byte-identical
     * output). `indexOpt` is injectable for that spec. */
+  /** Write the documents table as 2 doc_id-range parquet ingest files into
+    * `root` (pinned mtimes force range order under maxFilesPerTrigger=1) —
+    * the shared fixture recipe of e28/e29. Fully materializes every file
+    * before returning, as Scratch.staged's memo contract requires. */
+  private def stageDocRangeFiles(s: SparkSession, dir: String,
+      root: java.nio.file.Path, tag: String): Unit = {
+    import s.implicits._
+    val docs = Tables(s, dir).documents.select($"doc_id", $"text")
+    java.nio.file.Files.createDirectories(root)
+    val ids = docs.agg(min($"doc_id"), max($"doc_id")).head()
+    val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+    val step = (hi - lo) / 2 + 1
+    (0 until 2).foreach { i =>
+      val stage = Scratch.dir(s"$tag$i")
+      docs.filter($"doc_id" >= lo + i * step && $"doc_id" < lo + (i + 1) * step)
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val ls = java.nio.file.Files.list(stage)
+      val part = try {
+        ls.filter(q => q.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      } finally ls.close()
+      val dst = root.resolve(f"range_$i%02d.parquet")
+      java.nio.file.Files.copy(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+    }
+  }
+
   private[graft] def runNearDupGate(s: SparkSession, dir: String,
       indexOpt: Option[String] = None): DataFrame = {
     import s.implicits._
-    val docs = Tables(s, dir).documents.select($"doc_id", $"text")
     val ingest = Scratch.staged(s"e29_ingest#$dir", "e29_ingest") { p =>
-      val root = java.nio.file.Paths.get(p)
-      java.nio.file.Files.createDirectories(root)
-      val ids = docs.agg(min($"doc_id"), max($"doc_id")).head()
-      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
-      val step = (hi - lo) / 2 + 1
-      (0 until 2).foreach { i =>
-        val stage = Scratch.dir(s"e29r$i")
-        docs.filter($"doc_id" >= lo + i * step && $"doc_id" < lo + (i + 1) * step)
-          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val ls = java.nio.file.Files.list(stage)
-        val part = try {
-          ls.filter(q => q.getFileName.toString.endsWith(".parquet")).findFirst().get()
-        } finally ls.close()
-        val dst = root.resolve(f"range_$i%02d.parquet")
-        java.nio.file.Files.copy(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-      }
+      stageDocRangeFiles(s, dir, java.nio.file.Paths.get(p), "e29r")
     }
     val index = indexOpt.getOrElse(Scratch.dir("e29_index").resolve("idx").toString)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -352,27 +361,9 @@ object Streams extends QueryPack {
   private[graft] def runStreamSeqPack(s: SparkSession, dir: String,
       ingest: java.nio.file.Path, out: String): DataFrame = {
     import s.implicits._
-    val docs = Tables(s, dir).documents.select($"doc_id", $"text")
     val hasFiles = { val ls = java.nio.file.Files.list(ingest)
       try ls.findFirst().isPresent finally ls.close() }
-    if (!hasFiles) {
-      val ids = docs.agg(min($"doc_id"), max($"doc_id")).head()
-      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
-      val step = (hi - lo) / 2 + 1
-      (0 until 2).foreach { i =>
-        val stage = Scratch.dir(s"e28r$i")
-        docs.filter($"doc_id" >= lo + i * step && $"doc_id" < lo + (i + 1) * step)
-          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-        val ls = java.nio.file.Files.list(stage)
-        val part = try {
-          ls.filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
-        } finally ls.close()
-        val dst = ingest.resolve(f"range_$i%02d.parquet")
-        java.nio.file.Files.copy(part, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
-      }
-    }
+    if (!hasFiles) stageDocRangeFiles(s, dir, ingest, "e28r")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", 4)
     try {
@@ -838,13 +829,13 @@ object Streams extends QueryPack {
     // replay. Oracle = g18's serial prefix verbatim (stream order ==
     // doc_id order, so the streamed map must equal the batch map).
     "e28_stream_seq_pack" -> { (s, dir) =>
-      // ingest files are a read-only fixture — staged ONCE per (JVM, dir)
-      // (runStreamSeqPack populates an empty dir on first touch) so
-      // repeated runs time the stream + packing, not fixture re-writes;
-      // the packing output stays per-run (it IS the operator's state)
+      // ingest files are a read-only fixture — staged ONCE per (JVM, dir),
+      // fully materialized inside the memo closure (Scratch.staged's
+      // contract) so repeated runs time the stream + packing, not fixture
+      // re-writes; the packing output stays per-run (it IS the state)
       val ing = java.nio.file.Paths.get(
         Scratch.staged(s"e28_ingest#$dir", "e28_ingest") { p =>
-          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+          stageDocRangeFiles(s, dir, java.nio.file.Paths.get(p), "e28r")
         })
       runStreamSeqPack(s, dir, ing,
         Scratch.dir("e28_out").resolve("pack").toString)

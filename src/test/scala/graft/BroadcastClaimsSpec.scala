@@ -64,4 +64,25 @@ class BroadcastClaimsSpec extends AnyFunSuite {
     val p = plan("x23_centroid_classifier")
     assert(!p.contains("Window"), s"x23 inference must not use a window:\n$p")
   }
+
+  test("q19: equi-key extracted from the disjunction — hash join, never NLJ") {
+    // the classic Q19 trap: a planner that fails to factor out
+    // l_partkey = p_partkey from the OR-of-ANDs falls back to a
+    // nested-loop join over lineitem × part
+    val p = plan("q19_disjunctive_join")
+    assert(p.contains("BroadcastHashJoin"), s"q19 must hash-join on partkey:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q19 must not degrade to a nested-loop join:\n$p")
+  }
+
+  test("q20/q22: semi/anti probes keep the dim side unshuffled") {
+    // q20's supplier semi-join probes the tiny qualifying set; q22's
+    // global-mean scalar is a broadcast 1-row cross join
+    assert(plan("q20_nested_semi").contains("LeftSemi"),
+      "q20 must plan a semi join")
+    val p22 = plan("q22_idle_customers")
+    assert(p22.contains("LeftAnti"), s"q22 must plan an anti join:\n$p22")
+    assert(p22.contains("BroadcastNestedLoopJoin") || p22.contains("BroadcastExchange"),
+      s"q22's scalar mean must broadcast:\n$p22")
+  }
 }

@@ -45,7 +45,7 @@ class CentroidClassifierSpec extends AnyFunSuite {
     labeled.filter(_._1 % 5 != 0).foreach { case (_, v, lang) =>
       val acc = sums.getOrElseUpdate(lang, new Array[Long](dim))
       var i = 0
-      while (i < dim) { acc(i) += math.round(v(i) * 16777216.0); i += 1 }
+      while (i < dim) { acc(i) += math.round(v(i) * catalog.Quantizer.Scale); i += 1 }
     }
     val cents = sums.toSeq.sortBy(_._1).map { case (lang, sq) =>
       val cv = sq.map(_.toDouble)

@@ -15,7 +15,10 @@ class IvfPqSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
 
-  private val PqM = 4; private val PqSub = 16; private val PqKs = 16
+  // the shipped quantizer configuration — retunes flow into the spec
+  private val PqM = catalog.Similarity.PqM
+  private val PqSub = catalog.Similarity.PqSub
+  private val PqKs = catalog.Similarity.PqKs
 
   private def dot(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0

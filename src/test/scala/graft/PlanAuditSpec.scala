@@ -39,8 +39,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "g17_hilbert_layout" -> 1, "g18_sequence_packing" -> 1,
     "c5_pretrain_pack" -> 1,
     // g19's class→window offset cumsum runs over the ≤513-row class frame
-    // (one row per harmonic length class), never documents.
-    "g19_boundary_pack" -> 1)
+    // (one row per harmonic length class), never documents. c7 composes
+    // the same binPack stage, so it inherits the same class-frame window.
+    "g19_boundary_pack" -> 1, "c7_release_gate" -> 1)
 
   test("no data-scale unpartitioned Window in any query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
