@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.{QueryPack, Tables}
+import graft.{QueryPack, Scratch, Tables}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (north-star mandate; no reference citation — SURVEY.md §2.B).
@@ -228,6 +228,42 @@ object Similarity extends QueryPack {
         .select($"cell", $"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
       val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
       data.join(broadcast(probes), Seq("cell"))
+        .filter($"vec_id" =!= $"q_id")
+        .withColumn("cos",
+          graft.functions.VectorExprs.cosine($"qv", $"v", $"qn", $"norm2"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter($"rank" <= K)
+        .select($"q_id", $"rank".cast("long").as("rank"),
+                $"vec_id".as("neighbor_id"), $"cos")
+        .orderBy($"q_id", $"rank")
+    },
+    // v21: ANN INDEX DELETE + COMPACTION — the lifecycle leg v8/v9 leave
+    // out: vectors LEAVE the index (takedowns, stale docs). The postings
+    // store is parquet partitionBy(cell) — the inverted-file layout on
+    // disk. Deletes arrive as an id-only tombstone set; compaction
+    // (a) finds the DIRTY cells (a semi join of postings against the
+    // tombstones — only cells that actually contain a deleted vector),
+    // (b) rewrites ONLY those cell partitions via dynamic partition
+    // overwrite (k12's mechanism pointed at index maintenance), leaving
+    // every clean cell's files untouched. Search then reads the compacted
+    // store with NO per-query anti join — the read-path cost of deletion
+    // is zero after compaction. Scale shape (100 TB): tombstones are
+    // 8 B/row and broadcast; the rewrite bill is proportional to dirty
+    // cells, not index size; AnnDeleteCompactSpec pins compacted search ==
+    // tombstone-masked search (collapse-on-read and compaction agree) and
+    // that clean-cell files are byte-identical after compaction.
+    "v21_ann_delete_compact" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
+        .select($"vec_id", $"v", $"norm2")
+      val cents = Quantizer.centroidsFor(e, dir, iters = 2, dim = 64)
+      val compacted = s.read.parquet(compactedPostings(s, dir, e, cents))
+      val probes = Quantizer.probe(e.filter($"vec_id" < 10), cents, nProbe = 2)
+        .select($"cell", $"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
+      val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+      compacted.join(broadcast(probes), Seq("cell"))
         .filter($"vec_id" =!= $"q_id")
         .withColumn("cos",
           graft.functions.VectorExprs.cosine($"qv", $"v", $"qn", $"norm2"))
@@ -948,6 +984,45 @@ object Similarity extends QueryPack {
       }.toIndexedSeq
     })
 
+  // ---- v21 postings-store lifecycle: build partitionBy(cell) → tombstone
+  // → dirty-cell-only dynamic-partition-overwrite compaction. Tombstones
+  // are vec_id % 181 == 3 (the "deleted documents" set — id-only, 8 B/row).
+  private[graft] def v21Tombstones(e: DataFrame): DataFrame =
+    e.filter(pmod(col("vec_id"), lit(181)) === 3).select(col("vec_id"))
+
+  /** The cell-partitioned postings store BEFORE any delete. */
+  private[graft] def v21Postings(s: SparkSession, dir: String,
+      e: DataFrame, cents: Seq[Quantizer.Centroid]): String =
+    Scratch.staged(s"v21_postings#$dir", "v21_postings") { p =>
+      Quantizer.assign(e, cents)
+        .select(col("cell"), col("vec_id"), col("v"), col("norm2"))
+        .write.partitionBy("cell").parquet(p)
+    }
+
+  /** Compact the postings store: rewrite ONLY the cell partitions that
+    * contain a tombstoned vector (dynamic partition overwrite); clean
+    * cells' files are copied once at staging and never touched again. */
+  private[graft] def compactedPostings(s: SparkSession, dir: String,
+      e: DataFrame, cents: Seq[Quantizer.Centroid]): String =
+    Scratch.staged(s"v21_compact#$dir", "v21_compact") { p =>
+      val post = s.read.parquet(v21Postings(s, dir, e, cents))
+      post.write.partitionBy("cell").parquet(p) // the live store pre-delete
+      val tomb = v21Tombstones(e)
+      val dirty = post.join(tomb, Seq("vec_id"), "left_semi")
+        .select("cell").distinct()
+      // derive the rewrite from the ORIGINAL store (never read the path
+      // being overwritten): the dirty cells' surviving rows
+      val rewritten = post
+        .join(broadcast(dirty), Seq("cell"), "left_semi")
+        .join(tomb, Seq("vec_id"), "left_anti")
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.get(key)
+      s.conf.set(key, "dynamic")
+      try rewritten.select(col("vec_id"), col("v"), col("norm2"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(p)
+      finally s.conf.set(key, prev)
+    }
+
   // ---- v19 residual PQ codebooks: seeds are the RESIDUALS (v − nearest
   // centroid) of rows vec_id < PqKs — the cell argmax runs driver-side with
   // the identical serial-fold cosine and (cos desc, cell asc) tiebreak the
@@ -1192,6 +1267,9 @@ object Similarity extends QueryPack {
     "v3_ivf_ann" -> ivfSql(sampleMod = 1),
     "v20_filtered_ann" -> ivfSql(sampleMod = 1,
       dataJoin = "JOIN documents dd ON dd.doc_id = a.vec_id AND dd.lang = 'en'"),
+    // v21: the compacted store is exactly the assignment minus tombstones
+    "v21_ann_delete_compact" -> ivfSql(sampleMod = 1,
+      dataJoin = "AND a.vec_id % 181 <> 3"),
     "v12_pq_ann" -> s"""
       WITH e AS (
         SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
