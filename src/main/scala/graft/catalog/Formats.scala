@@ -330,6 +330,60 @@ object Formats extends QueryPack {
              sum($"event_id").as("sum_ids"))
         .orderBy($"event_type")
     },
+    // k14: CORRUPT-RECORD QUARANTINE — the reference's fail_on_error /
+    // error-row semantics (§2.A K3/E1) at warehouse ingest scale: a CSV
+    // feed with malformed rows (planted deterministically: orders with
+    // o_orderkey % 37 == 5 carry a non-numeric amount) is read under
+    // PERMISSIVE mode with an explicit schema + _corrupt_record column;
+    // corrupt rows are WRITTEN to a quarantine store (re-read for the
+    // audit, so the count comes from what actually landed) and clean rows
+    // aggregate. One pass, no driver-side error collection — the 100 TB
+    // shape of "reject bad rows but never fail the job". Oracle derives
+    // the expected split from the orders table via the same planting rule.
+    "k14_corrupt_quarantine" -> { (s, dir) =>
+      import s.implicits._
+      val feed = Scratch.staged(s"k14_csv#$dir", "k14_csv") { p =>
+        Tables(s, dir).orders
+          .select(concat_ws(",",
+            $"o_orderkey",
+            $"o_orderstatus",
+            when($"o_orderkey" % 37 === 5, lit("corrupt!"))
+              .otherwise(expr("cast(round(o_totalprice * 100) as bigint)")
+                           .cast("string")))
+            .as("value"))
+          .write.mode("overwrite").text(p)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_orderstatus",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("cents",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("_corrupt_record",
+          org.apache.spark.sql.types.StringType)))
+      val raw = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(feed)
+      val qdir = Scratch.dir("k14_quarantine").toString
+      // THE PRUNING TRAP: _corrupt_record is populated only for columns
+      // the scan actually parses. A quarantine projection that omits the
+      // failing column lets column pruning skip its parse — every row
+      // then reads "clean" and the quarantine is silently empty. The
+      // projection must reference EVERY data column (cents included)
+      // so the scan parses the full row before judging it.
+      raw.filter($"_corrupt_record".isNotNull)
+        .select($"o_orderkey", $"o_orderstatus", $"cents",
+                $"_corrupt_record".as("raw_line"))
+        .write.mode("overwrite").parquet(qdir)
+      val nQuarantined = s.read.parquet(qdir).count()
+      raw.filter($"_corrupt_record".isNull)
+        .agg(count(lit(1)).as("n_clean"),
+             sum($"cents").as("sum_cents"))
+        .select($"n_clean", lit(nQuarantined).as("n_quarantined"),
+                $"sum_cents")
+    },
     // k6: JSON-lines round-trip — the interchange format crawl feeds and
     // label stores actually ship; read back under the WRITER's schema
     // (no inference drift), aggregate, compare against the original
@@ -349,6 +403,15 @@ object Formats extends QueryPack {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   val oracle: Map[String, String] = Map(
+    "k14_corrupt_quarantine" -> """
+      SELECT CAST(SUM(CASE WHEN o_orderkey % 37 <> 5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_clean,
+             CAST(SUM(CASE WHEN o_orderkey % 37 = 5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_quarantined,
+             CAST(SUM(CASE WHEN o_orderkey % 37 <> 5
+                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS sum_cents
+      FROM orders""",
     "k8_bucketed_join" -> """
       SELECT o_orderpriority, COUNT(*) AS n,
              SUM(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_cents
