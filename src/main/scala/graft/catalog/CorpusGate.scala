@@ -316,6 +316,59 @@ object CorpusGate extends QueryPack {
         .select($"doc_id", $"cell", $"pick", $"n_tok", $"cls", $"win_id",
           $"slot")
         .orderBy($"doc_id")
+    },
+    // c8: COMPLIANCE DELETE — one takedown request (doc_id % 181 == 3,
+    // v21's tombstone set) executed across EVERY store the corpus lives
+    // in, with a per-store audit proving zero residue: (a) the documents
+    // snapshot rewritten minus the deleted ids (anti join — at 100 TB a
+    // partition-pruned rewrite), (b) the ANN postings store compacted
+    // via v21's dirty-cell dynamic partition overwrite (the store READ
+    // BACK for the audit — counts come from what's on disk, not from the
+    // plan that wrote it), (c) the d1 digest dedup index rebuilt over
+    // survivors: digests whose KEEPER was deleted reassign to the next
+    // surviving copy, digests with no surviving copy leave the index.
+    // n_residual counts deleted ids still reachable in each store after
+    // the delete — the oracle pins them to zero alongside the before /
+    // after counts, so a store the delete missed fails the gate.
+    "c8_compliance_delete" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val del = docs.filter($"doc_id" % 181 === 3).select($"doc_id")
+      // (a) documents snapshot
+      val docsAfter = docs.join(del, Seq("doc_id"), "left_anti")
+      val aud1 = docsAfter
+        .agg(count(lit(1)).as("n_after"),
+             sum(when($"doc_id" % 181 === 3, 1L).otherwise(0L)).as("n_residual"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_before"))))
+        .select(lit("documents").as("store"), $"n_before", $"n_after",
+                $"n_residual")
+      // (b) ANN postings: v21's compacted store, read back from disk
+      val e = Tables(s, dir).embeddings
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
+        .select($"vec_id", $"v", $"norm2")
+      val cents = Quantizer.centroidsFor(e, dir, iters = 2, dim = 64)
+      val post = s.read.parquet(Similarity.v21Postings(s, dir, e, cents))
+      val comp = s.read.parquet(Similarity.compactedPostings(s, dir, e, cents))
+      val aud2 = comp
+        .agg(count(lit(1)).as("n_after"),
+             sum(when($"vec_id" % 181 === 3, 1L).otherwise(0L)).as("n_residual"))
+        .crossJoin(broadcast(post.agg(count(lit(1)).as("n_before"))))
+        .select(lit("postings").as("store"), $"n_before", $"n_after",
+                $"n_residual")
+      // (c) digest index: keepers reassign to surviving copies
+      def digests(d: DataFrame) = d.withColumn("digest",
+        md5(expr("trim(regexp_replace(lower(text), '[^a-z ]', ''))")))
+        .groupBy($"digest").agg(min($"doc_id").as("keeper_doc_id"))
+      val idxAfter = digests(docsAfter)
+      val aud3 = idxAfter
+        .agg(count(lit(1)).as("n_after"),
+             sum(when($"keeper_doc_id" % 181 === 3, 1L).otherwise(0L))
+               .as("n_residual"))
+        .crossJoin(broadcast(digests(docs).agg(count(lit(1)).as("n_before"))))
+        .select(lit("digest_index").as("store"), $"n_before", $"n_after",
+                $"n_residual")
+      aud1.unionByName(aud2).unionByName(aud3).orderBy($"store")
     }
   )
 
@@ -324,6 +377,31 @@ object CorpusGate extends QueryPack {
   }.mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    // c8: ground truth of the takedown per store; residuals pinned to 0
+    "c8_compliance_delete" -> """
+      WITH dg AS (
+        SELECT md5(trim(regexp_replace(lower(text), '[^a-z ]', '', 'g')))
+                 AS digest, doc_id
+        FROM documents)
+      SELECT * FROM (
+        SELECT 'documents' AS store,
+               (SELECT COUNT(*) FROM documents)::BIGINT AS n_before,
+               (SELECT COUNT(*) FROM documents
+                WHERE doc_id % 181 <> 3)::BIGINT AS n_after,
+               0::BIGINT AS n_residual
+        UNION ALL
+        SELECT 'postings',
+               (SELECT COUNT(*) FROM embeddings)::BIGINT,
+               (SELECT COUNT(*) FROM embeddings
+                WHERE vec_id % 181 <> 3)::BIGINT,
+               0::BIGINT
+        UNION ALL
+        SELECT 'digest_index',
+               (SELECT COUNT(DISTINCT digest) FROM dg)::BIGINT,
+               (SELECT COUNT(DISTINCT digest) FROM dg
+                WHERE doc_id % 181 <> 3)::BIGINT,
+               0::BIGINT) t
+      ORDER BY store""",
     // c7: x22's hits + d17's drops over ONE shared quantizer chain,
     // g20's pick window over the intersection survivors, g19's serial
     // class-pack (Analytics.binPackSql) over the released docs.

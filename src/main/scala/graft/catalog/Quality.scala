@@ -285,6 +285,48 @@ object Quality extends QueryPack {
           Seq("o_orderkey", "o_custkey", "o_orderstatus")))
         .orderBy($"tbl")
     },
+    // dq14: REPLICA RECONCILIATION — dq7's checksum taken to its
+    // production conclusion: two copies of a table (here: a replica with
+    // deterministically planted drift — every o_orderkey % 9973 == 7 off
+    // by one cent) are reconciled Merkle-style. Level 1 compares 256
+    // per-bucket checksum rows (the dq7 md5-prefix sum keyed by
+    // o_orderkey % 256) — the only data-scale work, one scan per side
+    // reducing to 256 rows. Level 2 drills into ONLY the mismatched
+    // buckets (broadcast semi join on bucket id) and row-compares there.
+    // At 100 TB with bucket-partitioned replicas, level 2 touches
+    // |dirty buckets|/256 of the table — cross-DC repair without a full
+    //-table row join. A sum of md5-prefix hashes can mask a diff only on
+    // a 2^-64 collision; counts are compared alongside to catch
+    // pure row-loss.
+    "dq14_replica_reconcile" -> { (s, dir) =>
+      import s.implicits._
+      val cols = Seq("o_orderkey", "o_orderstatus", "cents")
+      val base = Tables(s, dir).orders
+        .select($"o_orderkey", $"o_orderstatus",
+                expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      val replica = base.withColumn("cents",
+        when($"o_orderkey" % 9973 === 7, $"cents" + 1).otherwise($"cents"))
+      def level1(df: DataFrame, side: String): DataFrame =
+        df.withColumn("bucket", pmod($"o_orderkey", lit(256)))
+          .withColumn("m", md5(expr(canonExpr(cols, spark = true))))
+          .withColumn("h", expr(hexToLong("m", 8, spark = true)))
+          .groupBy($"bucket")
+          .agg(sum($"h").as(s"chk_$side"), count(lit(1)).as(s"n_$side"))
+      val mismatch = level1(base, "a").join(level1(replica, "b"), Seq("bucket"))
+        .filter($"chk_a" =!= $"chk_b" || $"n_a" =!= $"n_b")
+        .select($"bucket")
+      val bb = base.withColumn("bucket", pmod($"o_orderkey", lit(256)))
+        .join(broadcast(mismatch), Seq("bucket"), "left_semi")
+      val rb = replica
+        .withColumn("bucket", pmod($"o_orderkey", lit(256)))
+        .join(broadcast(mismatch), Seq("bucket"), "left_semi")
+      bb.join(rb.select($"o_orderkey", $"cents".as("cents_replica")),
+              Seq("o_orderkey"))
+        .filter($"cents" =!= $"cents_replica")
+        .select($"bucket", $"o_orderkey", $"cents".as("cents_base"),
+                $"cents_replica")
+        .orderBy($"o_orderkey")
+    },
     // dq9: UNKNOWN-MEMBER REPAIR — the late-arriving-dimension pattern:
     // when facts reference dim members that don't exist yet (here a dim
     // with deterministic holes: every c_custkey % 7 == 3 dropped), the
@@ -525,6 +567,16 @@ object Quality extends QueryPack {
                   FROM $table) t0) t1"""
 
   val oracle: Map[String, String] = Map(
+    // dq14: the oracle states the GROUND TRUTH of the planted drift; the
+    // engine must rediscover exactly it through the two checksum levels
+    // (a missed bucket, a false positive, or a collision-masked row all
+    // hash-mismatch)
+    "dq14_replica_reconcile" -> """
+      SELECT o_orderkey % 256 AS bucket, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents_base,
+             CAST(round(o_totalprice * 100) AS BIGINT) + 1 AS cents_replica
+      FROM orders WHERE o_orderkey % 9973 = 7
+      ORDER BY o_orderkey""",
     "dq7_table_checksum" -> s"""
       ${cksumSql("customer", "customer", Seq("c_custkey", "c_mktsegment"))}
       UNION ALL ${cksumSql("lineitem", "lineitem",
