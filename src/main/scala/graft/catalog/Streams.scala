@@ -358,6 +358,99 @@ object Streams extends QueryPack {
     * two-pass bucket shape, so no window ever sees more than a bucket.
     * `ingest`/`out` are injectable so StreamSeqPackSpec can replay the same
     * stream over a populated output. */
+  /** e30: STREAMING CORRUPT-RECORD QUARANTINE — k14's PERMISSIVE ingest
+    * gate made continuous: a CSV feed (2 orderkey-range files, pinned
+    * mtimes) streams through an explicit schema + _corrupt_record; each
+    * micro-batch routes corrupt rows to a persistent quarantine store and
+    * clean rows to a clean store, both appends guarded by an o_orderkey
+    * anti join against the store so at-least-once replays append nothing
+    * (corrupt rows keep their parsed leading key — the anti join works on
+    * both sides of the split). The audit frame is computed FROM THE
+    * STORES after the stream drains, not from the plan that wrote them.
+    * The k14 pruning trap applies per micro-batch: the split projections
+    * reference every data column so the scan parses full rows. Store
+    * paths are injectable for StreamQuarantineSpec's replay pin. */
+  private[graft] def runStreamQuarantine(s: SparkSession, dir: String,
+      storesOpt: Option[(String, String)] = None): DataFrame = {
+    import s.implicits._
+    val feed = Scratch.staged(s"e30_ingest#$dir", "e30_ingest") { p =>
+      val root = java.nio.file.Paths.get(p)
+      java.nio.file.Files.createDirectories(root)
+      val src = Tables(s, dir).orders
+      val ids = src.agg(min($"o_orderkey"), max($"o_orderkey")).head()
+      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+      val step = (hi - lo) / 2 + 1
+      (0 until 2).foreach { i =>
+        val stage = Scratch.dir(s"e30r$i")
+        src.filter($"o_orderkey" >= lo + i * step &&
+                   $"o_orderkey" < lo + (i + 1) * step)
+          .select(concat_ws(",",
+            $"o_orderkey", $"o_orderstatus",
+            when($"o_orderkey" % 37 === 5, lit("corrupt!"))
+              .otherwise(expr("cast(round(o_totalprice * 100) as bigint)")
+                           .cast("string"))).as("value"))
+          .coalesce(1).write.mode("overwrite").text(stage.toString)
+        val ls = java.nio.file.Files.list(stage)
+        val part = try {
+          ls.filter(q => q.getFileName.toString.endsWith(".txt")).findFirst().get()
+        } finally ls.close()
+        val dst = root.resolve(f"range_$i%02d.csv")
+        java.nio.file.Files.copy(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_orderstatus",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cents",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    val (cleanStore, qStore) = storesOpt.getOrElse(
+      (Scratch.dir("e30_clean").resolve("c").toString,
+       Scratch.dir("e30_quar").resolve("q").toString))
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 4)
+    try {
+      val st = s.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("maxFilesPerTrigger", 1).csv(feed)
+      val q = st.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bs = batch.sparkSession
+          def appendNew(rows: DataFrame, store: String): Unit = {
+            val sp = new org.apache.hadoop.fs.Path(store)
+            val fs = sp.getFileSystem(bs.sparkContext.hadoopConfiguration)
+            val fresh = if (fs.exists(sp))
+              rows.join(bs.read.parquet(store).select("o_orderkey"),
+                        Seq("o_orderkey"), "left_anti")
+            else rows
+            fresh.write.mode("append").parquet(store)
+          }
+          // full projection on both sides — the k14 pruning trap
+          val full = batch.select(col("o_orderkey"), col("o_orderstatus"),
+            col("cents"), col("_corrupt_record"))
+          appendNew(full.filter(col("_corrupt_record").isNotNull)
+            .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
+                    col("_corrupt_record").as("raw_line")), qStore)
+          appendNew(full.filter(col("_corrupt_record").isNull)
+            .select(col("o_orderkey"), col("o_orderstatus"), col("cents")),
+            cleanStore)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.parquet(cleanStore)
+      .agg(count(lit(1)).as("n_clean"), sum($"cents").as("sum_cents"))
+      .crossJoin(broadcast(s.read.parquet(qStore)
+        .agg(count(lit(1)).as("n_quarantined"))))
+      .select($"n_clean", $"n_quarantined", $"sum_cents")
+  }
+
   private[graft] def runStreamSeqPack(s: SparkSession, dir: String,
       ingest: java.nio.file.Path, out: String): DataFrame = {
     import s.implicits._
@@ -823,6 +916,11 @@ object Streams extends QueryPack {
     // Oracle unrolls both micro-batches (keepers-only gating is NOT
     // batch-d2-equivalent, and the twin proves the difference).
     "e29_stream_neardup_gate" -> { (s, dir) => runNearDupGate(s, dir) },
+    // e30: STREAMING CORRUPT-RECORD QUARANTINE (runStreamQuarantine
+    // scaladoc) — k14's PERMISSIVE gate as a continuous ingest: per-batch
+    // corrupt/clean split into persistent stores, o_orderkey anti-join
+    // idempotence, audit computed from the stores after the drain.
+    "e30_stream_quarantine" -> { (s, dir) => runStreamQuarantine(s, dir) },
     // e28: STREAMING SEQUENCE PACKING (runStreamSeqPack scaladoc) — the
     // ingest leg of the pretrain-packing pipeline: g18's context-window
     // map maintained across micro-batches, output-as-state, idempotent
@@ -986,6 +1084,17 @@ object Streams extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    // e30: the k14 audit — the streamed split must land exactly the
+    // ground-truth partition of the planted corruption rule
+    "e30_stream_quarantine" -> """
+      SELECT CAST(SUM(CASE WHEN o_orderkey % 37 <> 5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_clean,
+             CAST(SUM(CASE WHEN o_orderkey % 37 = 5 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_quarantined,
+             CAST(SUM(CASE WHEN o_orderkey % 37 <> 5
+                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS sum_cents
+      FROM orders""",
     // e24: the batch assignment of the whole new partition to the same
     // trained centroids (v9's CTE shapes) — the streamed postings index
     // must aggregate to exactly this
