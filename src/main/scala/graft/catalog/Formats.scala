@@ -377,12 +377,21 @@ object Formats extends QueryPack {
         .select($"o_orderkey", $"o_orderstatus", $"cents",
                 $"_corrupt_record".as("raw_line"))
         .write.mode("overwrite").parquet(qdir)
-      val nQuarantined = s.read.parquet(qdir).count()
+      // the clean rows LAND (the load itself), and the audit reads both
+      // stores — never the raw scan. Auditing the raw frame directly is
+      // prune-fragile: a downstream count() prunes sum(cents) away,
+      // leaving a corrupt-column-only scan (AnalysisException at best;
+      // at worst the unparsed cents column means corruption is never
+      // detected and every row counts clean).
+      val cleanDir = Scratch.dir("k14_clean").toString
       raw.filter($"_corrupt_record".isNull)
-        .agg(count(lit(1)).as("n_clean"),
-             sum($"cents").as("sum_cents"))
-        .select($"n_clean", lit(nQuarantined).as("n_quarantined"),
-                $"sum_cents")
+        .select($"o_orderkey", $"o_orderstatus", $"cents")
+        .write.mode("overwrite").parquet(cleanDir)
+      s.read.parquet(cleanDir)
+        .agg(count(lit(1)).as("n_clean"), sum($"cents").as("sum_cents"))
+        .crossJoin(broadcast(s.read.parquet(qdir)
+          .agg(count(lit(1)).as("n_quarantined"))))
+        .select($"n_clean", $"n_quarantined", $"sum_cents")
     },
     // k6: JSON-lines round-trip — the interchange format crawl feeds and
     // label stores actually ship; read back under the WRITER's schema
