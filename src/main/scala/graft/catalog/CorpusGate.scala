@@ -357,8 +357,9 @@ object CorpusGate extends QueryPack {
         .select(lit("postings").as("store"), $"n_before", $"n_after",
                 $"n_residual")
       // (c) digest index: keepers reassign to surviving copies
-      def digests(d: DataFrame) = d.withColumn("digest",
-        md5(expr("trim(regexp_replace(lower(text), '[^a-z ]', ''))")))
+      // the SAME canonicalization d1's index groups on — a d1 change
+      // flows into this audit instead of silently diverging from it
+      def digests(d: DataFrame) = d.withColumn("digest", expr(Dedup.digestExpr))
         .groupBy($"digest").agg(min($"doc_id").as("keeper_doc_id"))
       val idxAfter = digests(docsAfter)
       val aud3 = idxAfter

@@ -30,6 +30,44 @@ import graft.sources.AvroTable
   */
 object Formats extends QueryPack {
 
+  // ---- corrupt-feed fixture shared by k14 (batch) and e30 (streaming):
+  // rows with o_orderkey % CorruptMod == CorruptRem carry a non-numeric
+  // amount. One definition — the batch and streaming twins (and both
+  // oracles) cannot drift apart.
+  private[catalog] val CorruptMod = 37
+  private[catalog] val CorruptRem = 5
+
+  /** One CSV line per orders row, the planted corruption applied. */
+  private[catalog] def corruptLineCol: org.apache.spark.sql.Column =
+    concat_ws(",",
+      col("o_orderkey"),
+      col("o_orderstatus"),
+      when(col("o_orderkey") % CorruptMod === CorruptRem, lit("corrupt!"))
+        .otherwise(expr("cast(round(o_totalprice * 100) as bigint)")
+                     .cast("string")))
+
+  private[catalog] val corruptFeedSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_orderstatus",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("cents",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+
+  /** Ground-truth audit of the planted split — the oracle of both twins. */
+  private[catalog] def corruptAuditSql: String = s"""
+      SELECT CAST(SUM(CASE WHEN o_orderkey % $CorruptMod <> $CorruptRem
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+             CAST(SUM(CASE WHEN o_orderkey % $CorruptMod = $CorruptRem
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+             CAST(SUM(CASE WHEN o_orderkey % $CorruptMod <> $CorruptRem
+                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS sum_cents
+      FROM orders"""
+
   private def qtyAgg(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
     df.groupBy($"l_returnflag")
@@ -343,26 +381,10 @@ object Formats extends QueryPack {
     "k14_corrupt_quarantine" -> { (s, dir) =>
       import s.implicits._
       val feed = Scratch.staged(s"k14_csv#$dir", "k14_csv") { p =>
-        Tables(s, dir).orders
-          .select(concat_ws(",",
-            $"o_orderkey",
-            $"o_orderstatus",
-            when($"o_orderkey" % 37 === 5, lit("corrupt!"))
-              .otherwise(expr("cast(round(o_totalprice * 100) as bigint)")
-                           .cast("string")))
-            .as("value"))
+        Tables(s, dir).orders.select(corruptLineCol.as("value"))
           .write.mode("overwrite").text(p)
       }
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("o_orderkey",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("o_orderstatus",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("cents",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("_corrupt_record",
-          org.apache.spark.sql.types.StringType)))
-      val raw = s.read.schema(schema)
+      val raw = s.read.schema(corruptFeedSchema)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(feed)
@@ -412,15 +434,7 @@ object Formats extends QueryPack {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   val oracle: Map[String, String] = Map(
-    "k14_corrupt_quarantine" -> """
-      SELECT CAST(SUM(CASE WHEN o_orderkey % 37 <> 5 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_clean,
-             CAST(SUM(CASE WHEN o_orderkey % 37 = 5 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_quarantined,
-             CAST(SUM(CASE WHEN o_orderkey % 37 <> 5
-                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
-                           ELSE 0 END) AS BIGINT) AS sum_cents
-      FROM orders""",
+    "k14_corrupt_quarantine" -> corruptAuditSql,
     "k8_bucketed_join" -> """
       SELECT o_orderpriority, COUNT(*) AS n,
              SUM(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_cents

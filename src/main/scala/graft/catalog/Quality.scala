@@ -295,9 +295,11 @@ object Quality extends QueryPack {
     // buckets (broadcast semi join on bucket id) and row-compares there.
     // At 100 TB with bucket-partitioned replicas, level 2 touches
     // |dirty buckets|/256 of the table — cross-DC repair without a full
-    //-table row join. A sum of md5-prefix hashes can mask a diff only on
-    // a 2^-64 collision; counts are compared alongside to catch
-    // pure row-loss.
+    //-table row join. The checksum is TWO independently-summed 32-bit
+    // md5 halves (summing a full 64-bit half would overflow signed-64 at
+    // realistic bucket sizes): a drifted bucket hides only if BOTH half
+    // sums collide, ~2^-64; counts are compared alongside to catch pure
+    // row-loss.
     "dq14_replica_reconcile" -> { (s, dir) =>
       import s.implicits._
       val cols = Seq("o_orderkey", "o_orderstatus", "cents")
@@ -309,11 +311,14 @@ object Quality extends QueryPack {
       def level1(df: DataFrame, side: String): DataFrame =
         df.withColumn("bucket", pmod($"o_orderkey", lit(256)))
           .withColumn("m", md5(expr(canonExpr(cols, spark = true))))
-          .withColumn("h", expr(hexToLong("m", 8, spark = true)))
+          .withColumn("h1", expr(hexToLong("m", 8, spark = true)))
+          .withColumn("h2", expr(hexToLong("substr(m, 9, 8)", 8, spark = true)))
           .groupBy($"bucket")
-          .agg(sum($"h").as(s"chk_$side"), count(lit(1)).as(s"n_$side"))
+          .agg(sum($"h1").as(s"c1_$side"), sum($"h2").as(s"c2_$side"),
+               count(lit(1)).as(s"n_$side"))
       val mismatch = level1(base, "a").join(level1(replica, "b"), Seq("bucket"))
-        .filter($"chk_a" =!= $"chk_b" || $"n_a" =!= $"n_b")
+        .filter($"c1_a" =!= $"c1_b" || $"c2_a" =!= $"c2_b" ||
+                $"n_a" =!= $"n_b")
         .select($"bucket")
       val bb = base.withColumn("bucket", pmod($"o_orderkey", lit(256)))
         .join(broadcast(mismatch), Seq("bucket"), "left_semi")

@@ -1001,13 +1001,16 @@ object Similarity extends QueryPack {
 
   /** Compact the postings store: rewrite ONLY the cell partitions that
     * contain a tombstoned vector (dynamic partition overwrite); clean
-    * cells' files are copied once at staging and never touched again. */
+    * cells' files are copied once at staging and never touched again.
+    * `tombOpt`/`tag` let AnnDeleteCompactSpec drive the fully-dead-cell
+    * path with its own tombstone set. */
   private[graft] def compactedPostings(s: SparkSession, dir: String,
-      e: DataFrame, cents: Seq[Quantizer.Centroid]): String =
-    Scratch.staged(s"v21_compact#$dir", "v21_compact") { p =>
+      e: DataFrame, cents: Seq[Quantizer.Centroid],
+      tombOpt: Option[DataFrame] = None, tag: String = "v21"): String =
+    Scratch.staged(s"${tag}_compact#$dir", s"${tag}_compact") { p =>
       val post = s.read.parquet(v21Postings(s, dir, e, cents))
       post.write.partitionBy("cell").parquet(p) // the live store pre-delete
-      val tomb = v21Tombstones(e)
+      val tomb = tombOpt.getOrElse(v21Tombstones(e))
       val dirty = post.join(tomb, Seq("vec_id"), "left_semi")
         .select("cell").distinct()
       // derive the rewrite from the ORIGINAL store (never read the path
@@ -1021,6 +1024,20 @@ object Similarity extends QueryPack {
       try rewritten.select(col("vec_id"), col("v"), col("norm2"), col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(p)
       finally s.conf.set(key, prev)
+      // dynamic overwrite replaces only partitions PRESENT in the written
+      // data — a cell whose every row is tombstoned contributes no rows,
+      // so its directory (full of deleted vectors) would survive. Delete
+      // fully-dead cells explicitly; the residue pin (c8, the spec) is
+      // only honest with this step.
+      import s.implicits._
+      val dead = dirty.join(rewritten.select("cell").distinct(),
+        Seq("cell"), "left_anti").as[Int].collect()
+      if (dead.nonEmpty) {
+        val root = new org.apache.hadoop.fs.Path(p)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        dead.foreach(c =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"cell=$c"), true))
+      }
     }
 
   // ---- v19 residual PQ codebooks: seeds are the RESIDUALS (v − nearest

@@ -362,10 +362,12 @@ object Streams extends QueryPack {
     * gate made continuous: a CSV feed (2 orderkey-range files, pinned
     * mtimes) streams through an explicit schema + _corrupt_record; each
     * micro-batch routes corrupt rows to a persistent quarantine store and
-    * clean rows to a clean store, both appends guarded by an o_orderkey
-    * anti join against the store so at-least-once replays append nothing
-    * (corrupt rows keep their parsed leading key — the anti join works on
-    * both sides of the split). The audit frame is computed FROM THE
+    * clean rows to a clean store, both appends guarded by an anti join
+    * against the store so at-least-once replays append nothing — clean
+    * rows keyed by their parsed o_orderkey, quarantine rows by the RAW
+    * LINE (content-addressed: a corrupt row whose key field itself failed
+    * to parse would defeat a key-based anti join with a null, but its
+    * line text still dedups). The audit frame is computed FROM THE
     * STORES after the stream drains, not from the plan that wrote them.
     * The k14 pruning trap applies per micro-batch: the split projections
     * reference every data column so the scan parses full rows. Store
@@ -384,11 +386,7 @@ object Streams extends QueryPack {
         val stage = Scratch.dir(s"e30r$i")
         src.filter($"o_orderkey" >= lo + i * step &&
                    $"o_orderkey" < lo + (i + 1) * step)
-          .select(concat_ws(",",
-            $"o_orderkey", $"o_orderstatus",
-            when($"o_orderkey" % 37 === 5, lit("corrupt!"))
-              .otherwise(expr("cast(round(o_totalprice * 100) as bigint)")
-                           .cast("string"))).as("value"))
+          .select(Formats.corruptLineCol.as("value"))
           .coalesce(1).write.mode("overwrite").text(stage.toString)
         val ls = java.nio.file.Files.list(stage)
         val part = try {
@@ -400,15 +398,7 @@ object Streams extends QueryPack {
           java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
       }
     }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("o_orderkey",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("o_orderstatus",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("cents",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("_corrupt_record",
-        org.apache.spark.sql.types.StringType)))
+    val schema = Formats.corruptFeedSchema
     val (cleanStore, qStore) = storesOpt.getOrElse(
       (Scratch.dir("e30_clean").resolve("c").toString,
        Scratch.dir("e30_quar").resolve("q").toString))
@@ -422,12 +412,17 @@ object Streams extends QueryPack {
       val q = st.writeStream.outputMode("append")
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val bs = batch.sparkSession
-          def appendNew(rows: DataFrame, store: String): Unit = {
+          // idempotence keys: clean rows by their (non-null by
+          // construction) parsed key; quarantine rows by the RAW LINE —
+          // content-addressed, so a corrupt row whose KEY failed to
+          // parse (null defeats a key anti join) still dedups on replay
+          def appendNew(rows: DataFrame, store: String,
+                        dedupKey: String): Unit = {
             val sp = new org.apache.hadoop.fs.Path(store)
             val fs = sp.getFileSystem(bs.sparkContext.hadoopConfiguration)
             val fresh = if (fs.exists(sp))
-              rows.join(bs.read.parquet(store).select("o_orderkey"),
-                        Seq("o_orderkey"), "left_anti")
+              rows.join(bs.read.parquet(store).select(dedupKey),
+                        Seq(dedupKey), "left_anti")
             else rows
             fresh.write.mode("append").parquet(store)
           }
@@ -436,10 +431,11 @@ object Streams extends QueryPack {
             col("cents"), col("_corrupt_record"))
           appendNew(full.filter(col("_corrupt_record").isNotNull)
             .select(col("o_orderkey"), col("o_orderstatus"), col("cents"),
-                    col("_corrupt_record").as("raw_line")), qStore)
+                    col("_corrupt_record").as("raw_line")),
+            qStore, "raw_line")
           appendNew(full.filter(col("_corrupt_record").isNull)
             .select(col("o_orderkey"), col("o_orderstatus"), col("cents")),
-            cleanStore)
+            cleanStore, "o_orderkey")
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -1085,16 +1081,9 @@ object Streams extends QueryPack {
 
   val oracle: Map[String, String] = Map(
     // e30: the k14 audit — the streamed split must land exactly the
-    // ground-truth partition of the planted corruption rule
-    "e30_stream_quarantine" -> """
-      SELECT CAST(SUM(CASE WHEN o_orderkey % 37 <> 5 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_clean,
-             CAST(SUM(CASE WHEN o_orderkey % 37 = 5 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_quarantined,
-             CAST(SUM(CASE WHEN o_orderkey % 37 <> 5
-                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
-                           ELSE 0 END) AS BIGINT) AS sum_cents
-      FROM orders""",
+    // ground-truth partition of the planted corruption rule (one shared
+    // SQL, so the batch and streaming twins cannot drift)
+    "e30_stream_quarantine" -> Formats.corruptAuditSql,
     // e24: the batch assignment of the whole new partition to the same
     // trained centroids (v9's CTE shapes) — the streamed postings index
     // must aggregate to exactly this

@@ -71,4 +71,26 @@ class AnnDeleteCompactSpec extends AnyFunSuite {
     assert(res.filter(pmod($"neighbor_id", lit(181)) === 3).count() == 0)
     assert(res.count() > 0)
   }
+
+  test("v21: a fully-tombstoned cell's directory is deleted, not orphaned") {
+    import spark.implicits._
+    // dynamic partition overwrite only replaces partitions PRESENT in the
+    // written data — a cell whose every row is deleted would otherwise
+    // survive as an orphan directory full of deleted vectors
+    val (e, cents) = fixture()
+    val pPath = catalog.Similarity.v21Postings(spark, sf, e, cents)
+    val post = spark.read.parquet(pPath)
+    val victim = post.groupBy($"cell").count()
+      .orderBy($"count", $"cell").select($"cell").as[Int].head()
+    val tomb = post.filter($"cell" === victim).select($"vec_id")
+    val nTomb = tomb.count()
+    val cPath = catalog.Similarity.compactedPostings(
+      spark, sf, e, cents, Some(tomb), tag = "v21dead")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cPath, s"cell=$victim")),
+      s"fully-dead cell $victim must be deleted from the store")
+    val comp = spark.read.parquet(cPath)
+    assert(comp.filter($"cell" === victim).count() == 0)
+    assert(comp.count() == post.count() - nTomb)
+  }
 }

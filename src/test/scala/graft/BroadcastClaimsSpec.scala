@@ -82,7 +82,9 @@ class BroadcastClaimsSpec extends AnyFunSuite {
       "q20 must plan a semi join")
     val p22 = plan("q22_idle_customers")
     assert(p22.contains("LeftAnti"), s"q22 must plan an anti join:\n$p22")
-    assert(p22.contains("BroadcastNestedLoopJoin") || p22.contains("BroadcastExchange"),
-      s"q22's scalar mean must broadcast:\n$p22")
+    // the 1-row scalar-mean cross join specifically — a broadcast
+    // elsewhere in the plan must not satisfy this pin
+    assert(p22.contains("BroadcastNestedLoopJoin"),
+      s"q22's scalar mean must be a broadcast 1-row cross join:\n$p22")
   }
 }
