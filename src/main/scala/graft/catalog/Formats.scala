@@ -415,6 +415,28 @@ object Formats extends QueryPack {
           .agg(count(lit(1)).as("n_quarantined"))))
         .select($"n_clean", $"n_quarantined", $"sum_cents")
     },
+    // k15: COMPRESSION-CODEC SWEEP — the storage-cost dial a 100 TB
+    // lakehouse actually turns: the same lineitem projection written
+    // under snappy (the fast default), zstd (the modern ratio/speed
+    // winner), and gzip (the legacy interop codec), each read back and
+    // aggregated. A green row per codec pins that the VALUE contract is
+    // codec-independent — re-encoding a table to cut its storage bill
+    // can never change query results. FormatSpec pins the physical side
+    // (per-codec file extensions, non-empty footprints); the writes are
+    // straight per-partition re-encodes, no shuffle.
+    "k15_codec_sweep" -> { (s, dir) =>
+      import s.implicits._
+      val proj = Tables(s, dir).lineitem
+        .select($"l_orderkey", $"l_returnflag", $"l_quantity")
+      Seq("snappy", "zstd", "gzip").map { c =>
+        val tmp = Scratch.staged(s"k15_$c#$dir", s"k15_$c") { p =>
+          proj.write.mode("overwrite").option("compression", c).parquet(p)
+        }
+        qtyAgg(s.read.parquet(tmp)).withColumn("codec", lit(c))
+      }.reduce(_ unionByName _)
+        .select($"codec", $"l_returnflag", $"n", $"sum_qty")
+        .orderBy($"codec", $"l_returnflag")
+    },
     // k6: JSON-lines round-trip — the interchange format crawl feeds and
     // label stores actually ship; read back under the WRITER's schema
     // (no inference drift), aggregate, compare against the original
@@ -435,6 +457,16 @@ object Formats extends QueryPack {
 
   val oracle: Map[String, String] = Map(
     "k14_corrupt_quarantine" -> corruptAuditSql,
+    // k15: the same aggregate must hold under every codec
+    "k15_codec_sweep" -> """
+      SELECT codec, l_returnflag, n, sum_qty
+      FROM (VALUES ('snappy'), ('zstd'), ('gzip')) c(codec)
+      CROSS JOIN (
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                 AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag) t
+      ORDER BY codec, l_returnflag""",
     "k8_bucketed_join" -> """
       SELECT o_orderpriority, COUNT(*) AS n,
              SUM(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_cents

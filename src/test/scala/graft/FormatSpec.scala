@@ -102,4 +102,25 @@ class FormatSpec extends AnyFunSuite {
     assert(back.collect().map(_.mkString("|")).sorted.toSeq ==
       src.collect().map(_.mkString("|")).sorted.toSeq)
   }
+
+  test("k15: each codec actually encodes its files (extension + footprint)") {
+    // run the entry first — it stages all three codec dirs per (JVM, sf)
+    assert(SparkEntry.queries("k15_codec_sweep")(spark, TestSpark.sf).count() > 0)
+    Seq("snappy" -> ".snappy.parquet", "zstd" -> ".zstd.parquet",
+        "gzip" -> ".gz.parquet").foreach { case (codec, ext) =>
+      // same memo key as the entry — returns the already-staged path
+      val p = Scratch.staged(s"k15_$codec#${TestSpark.sf}", s"k15_$codec") {
+        _ => fail(s"$codec dir must already be staged by the entry")
+      }
+      val ls = Files.list(java.nio.file.Paths.get(p))
+      val parts = try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("part-")).toList
+      } finally ls.close()
+      assert(parts.nonEmpty, s"$codec wrote no part files")
+      assert(parts.forall(_.endsWith(ext)),
+        s"$codec parts must end with $ext: $parts")
+    }
+  }
 }
