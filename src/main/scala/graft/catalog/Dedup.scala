@@ -141,6 +141,20 @@ object Dedup extends QueryPack {
   /** The same normalized-content digest d1 groups on. */
   private[catalog] val digestExpr = "md5(trim(regexp_replace(lower(text), '[^a-z ]', '')))"
 
+  /** d19's integer quality score — the CLEAN-CHARACTER COUNT: text length
+    * penalized by punctuation (×2) and digits, clamped at zero. Pure
+    * integer arithmetic (no division, no ratio), so both engines compare
+    * identical values; among near-identical copies it keeps the longest /
+    * cleanest one. One definition for both engines (they differ only in
+    * the regexp flag). */
+  private[catalog] def cleanCharsSql(spark: Boolean): String = {
+    val g = if (spark) "" else ", 'g'"
+    s"""greatest(0, length(text)
+       - 2 * (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''$g)))
+       - (length(text) - length(regexp_replace(text, '[0-9]', ''$g))))"""
+  }
+  private[graft] val cleanCharsExpr = cleanCharsSql(spark = true)
+
   /** Connected components by min-label propagation WITH pointer jumping:
     * each round runs (a) one edge relax — every node takes the min of its
     * own and its neighbors' labels (one hash-join + min-aggregate) — and
@@ -673,6 +687,34 @@ object Dedup extends QueryPack {
         .withColumn("is_canonical", ($"rep" === $"doc_id").cast("boolean"))
         .orderBy($"doc_id")
     },
+    // d19: QUALITY-AWARE KEEPER SELECTION — d9's one-row-per-doc rep
+    // compaction with the keeper practitioners actually want: among a doc
+    // and its direct near-dups, keep the HIGHEST-QUALITY copy — scored by
+    // CLEAN-CHARACTER COUNT (length penalized by punctuation and digits,
+    // pure integer arithmetic, cleanCharsSql), so the longest/cleanest
+    // copy wins, tiebreak doc_id asc. Same O(N) output and pair machinery
+    // as d9 — only the argmax changed; the keeper window partitions by
+    // doc (data-scale partitioned). QualityKeeperSpec pins that this
+    // genuinely diverges from d9's min-id rule on the fixture.
+    "d19_quality_keeper" -> { (s, dir) =>
+      import s.implicits._
+      val pairs = stagedMinhashPairs(s, dir).select($"d1", $"d2")
+      val sym = pairs.union(pairs.select($"d2".as("d1"), $"d1".as("d2")))
+      val q = Tables(s, dir).documents
+        .select($"doc_id".as("d2"), expr(cleanCharsExpr).as("clean_chars"))
+      val cand = Tables(s, dir).documents
+        .select($"doc_id".as("d1"), $"doc_id".as("d2"))
+        .union(sym)
+        .join(q, Seq("d2"))
+      val wPick = org.apache.spark.sql.expressions.Window
+        .partitionBy($"d1").orderBy($"clean_chars".desc, $"d2")
+      cand.withColumn("rn", row_number().over(wPick)).filter($"rn" === 1)
+        .select($"d1".as("doc_id"), $"d2".as("keeper"),
+                $"clean_chars".cast("long").as("keeper_clean_chars"))
+        .withColumn("is_canonical", ($"keeper" === $"doc_id").cast("boolean"))
+        .select($"doc_id", $"keeper", $"keeper_clean_chars", $"is_canonical")
+        .orderBy($"doc_id")
+    },
     // d7: duplicate-CLUSTER assignment — connected components over the
     // union of exact-digest star edges (doc ↔ its digest keeper) and
     // minhash near-dup pairs, by min-label propagation + pointer jumping
@@ -1027,6 +1069,44 @@ object Dedup extends QueryPack {
       SELECT d1, d2, hamming FROM (
         SELECT d1, d2, bit_count(xor(s1, s2))::BIGINT AS hamming FROM pairs) t
       WHERE hamming <= 3 ORDER BY d1, d2""",
+    // d19: d9's pair chain verbatim, only the keeper argmax differs
+    "d19_quality_keeper" -> s"""
+      WITH sig AS (
+        SELECT doc_id, ${sigSql("hs")} AS sig
+        FROM (SELECT doc_id, $shingleHashesSql AS hs
+              FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0) t1),
+      bk AS (
+        SELECT doc_id, sig, b.band_idx, bands[b.band_idx + 1] AS band_hash
+        FROM (SELECT doc_id, sig, ${bandsSql("sig")} AS bands FROM sig) t
+        CROSS JOIN (SELECT unnest(range(0, $NBands)) AS band_idx) b),
+      bkc AS (
+        SELECT * FROM bk
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= $MaxBucket),
+      near AS (
+        SELECT d1, d2 FROM (
+          SELECT d1, d2,
+                 len(list_filter(range(1, 17), i -> sig_a[i] = sig_b[i]))::DOUBLE / 16.0 AS est
+          FROM (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                       a.sig AS sig_a, b.sig AS sig_b
+                FROM bkc a JOIN bkc b
+                  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                 AND a.doc_id < b.doc_id) p) q
+        WHERE est >= 0.5),
+      sym AS (SELECT d1, d2 FROM near UNION ALL SELECT d2, d1 FROM near),
+      q AS (SELECT doc_id AS d2, ${cleanCharsSql(spark = false)} AS clean_chars
+            FROM documents),
+      cand AS (
+        SELECT doc_id AS d1, doc_id AS d2 FROM documents
+        UNION ALL SELECT d1, d2 FROM sym),
+      pick AS (
+        SELECT d1, cand.d2, clean_chars,
+               row_number() OVER (PARTITION BY d1
+                 ORDER BY clean_chars DESC, cand.d2) AS rn
+        FROM cand JOIN q ON q.d2 = cand.d2)
+      SELECT d1 AS doc_id, d2 AS keeper,
+             clean_chars::BIGINT AS keeper_clean_chars,
+             (d2 = d1) AS is_canonical
+      FROM pick WHERE rn = 1 ORDER BY doc_id""",
     "d9_dedup_reps" -> s"""
       WITH sig AS (
         SELECT doc_id, ${sigSql("hs")} AS sig
