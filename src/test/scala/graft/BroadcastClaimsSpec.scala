@@ -65,6 +65,18 @@ class BroadcastClaimsSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"x23 inference must not use a window:\n$p")
   }
 
+  test("q14/q20: the selective filters reach the parquet scans") {
+    // q14's month range must prune lineitem at the scan; q20's name
+    // prefix must prune part at the scan — at 100 TB these predicates
+    // ARE the plan (row-group skipping via min/max stats)
+    val p14 = plan("q14_promo_share").replaceAll("\\s", "")
+    assert(p14.matches("(?s).*PushedFilters:\\[[^\\]]*l_shipdate.*"),
+      s"q14's shipdate range must push to the lineitem scan:\n${plan("q14_promo_share")}")
+    val p20 = plan("q20_nested_semi").replaceAll("\\s", "")
+    assert(p20.matches("(?s).*PushedFilters:\\[[^\\]]*StringStartsWith\\(p_name,small\\).*"),
+      s"q20's name prefix must push to the part scan:\n${plan("q20_nested_semi")}")
+  }
+
   test("q19: equi-key extracted from the disjunction — hash join, never NLJ") {
     // the classic Q19 trap: a planner that fails to factor out
     // l_partkey = p_partkey from the OR-of-ANDs falls back to a
