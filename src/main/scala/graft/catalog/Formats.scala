@@ -272,6 +272,84 @@ object Formats extends QueryPack {
         .select(lit(v.toLong).as("version"), $"n_rows", $"sum_cents")
       snap(1).unionByName(snap(2)).orderBy($"version")
     },
+    // k16: SNAPSHOT EXPIRATION (vacuum) — the lifecycle twin of k13's
+    // time travel: versions accumulate immutable files forever unless a
+    // retention policy physically reclaims them. Three manifest versions
+    // are staged (base; min-year prices ×2; plus max-year prices ×3);
+    // expiration keeps the last TWO manifests, deletes every data
+    // directory no retained manifest references, and drops the expired
+    // manifest. Reads prove all three contracts at once: the expired
+    // version reports unavailable (−1 sentinels — never silently serving
+    // stale files), BOTH retained versions still time-travel to exact
+    // aggregates, and SnapshotExpireSpec pins the physical reclaim (the
+    // unreferenced directory is gone, shared files survive because
+    // retained manifests reference them). At 100 TB vacuum IS the
+    // storage bill: reclaim must track unreferenced files only, never
+    // rewrite live data — this shape deletes directories no retained
+    // snapshot references and touches nothing else.
+    "k16_snapshot_expire" -> { (s, dir) =>
+      import s.implicits._
+      val root = Scratch.staged(s"orders_vac#$dir", "vac_orders") { p =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+        val orders = Tables(s, dir).orders
+          .withColumn("yr", year($"o_orderdate"))
+        val years = orders.select($"yr").distinct()
+          .collect().map(_.getInt(0)).sorted
+        years.foreach { y =>
+          orders.filter($"yr" === y)
+            .write.mode("overwrite").parquet(s"$p/y${y}_v1")
+        }
+        val (minYr, maxYr) = (years.min, years.max)
+        orders.filter($"yr" === minYr)
+          .withColumn("o_totalprice", $"o_totalprice" * 2)
+          .write.mode("overwrite").parquet(s"$p/y${minYr}_v2")
+        orders.filter($"yr" === maxYr)
+          .withColumn("o_totalprice", $"o_totalprice" * 3)
+          .write.mode("overwrite").parquet(s"$p/y${maxYr}_v3")
+        val v1 = years.map(y => s"$p/y${y}_v1")
+        val v2 = years.map(y =>
+          if (y == minYr) s"$p/y${y}_v2" else s"$p/y${y}_v1")
+        val v3 = years.map(y =>
+          if (y == minYr) s"$p/y${y}_v2"
+          else if (y == maxYr) s"$p/y${y}_v3" else s"$p/y${y}_v1")
+        Seq(1 -> v1, 2 -> v2, 3 -> v3).foreach { case (v, dirs) =>
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$p/manifest_$v.txt"), dirs.mkString("\n"))
+        }
+        // EXPIRE: retention = last 2 manifests; reclaim = every data dir
+        // no retained manifest references
+        val retained = Seq(2, 3).flatMap(v => java.nio.file.Files
+          .readString(java.nio.file.Paths.get(s"$p/manifest_$v.txt"))
+          .split("\n")).toSet
+        val ls = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+        val dataDirs = try {
+          import scala.jdk.CollectionConverters._
+          ls.iterator().asScala.filter(d =>
+            d.getFileName.toString.startsWith("y")).map(_.toString).toList
+        } finally ls.close()
+        (dataDirs.toSet -- retained).foreach { d =>
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => java.nio.file.Files.deleteIfExists(q))
+          finally walk.close()
+        }
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(s"$p/manifest_1.txt"))
+      }
+      def snap(v: Int): DataFrame = {
+        val mf = java.nio.file.Paths.get(s"$root/manifest_$v.txt")
+        if (java.nio.file.Files.exists(mf)) {
+          val dirs = java.nio.file.Files.readString(mf).split("\n").toSeq
+          s.read.parquet(dirs: _*)
+            .agg(count(lit(1)).as("n_rows"),
+                 sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+                   .as("sum_cents"))
+            .select(lit(v.toLong).as("version"), $"n_rows", $"sum_cents")
+        } else Seq((v.toLong, -1L, -1L))
+          .toDF("version", "n_rows", "sum_cents")
+      }
+      snap(1).unionByName(snap(2)).unionByName(snap(3)).orderBy($"version")
+    },
     // k12: DYNAMIC PARTITION OVERWRITE (backfill splice) — the correction
     // path every partitioned 100 TB table needs: a bad day is recomputed
     // and spliced in WITHOUT rewriting the other partitions. Staged as
@@ -489,6 +567,30 @@ object Formats extends QueryPack {
     // k13: v1 = the base table as-is; v2 = the earliest year's prices
     // doubled (x*2 is an exact IEEE exponent bump, so the cents
     // projection stays engine-identical)
+    // k16: version 1 expired (−1 sentinels); versions 2 and 3 exact
+    "k16_snapshot_expire" -> """
+      WITH my AS (SELECT min(year(o_orderdate)) AS y FROM orders),
+           mx AS (SELECT max(year(o_orderdate)) AS y FROM orders)
+      SELECT * FROM (
+        SELECT 1::BIGINT AS version, (-1)::BIGINT AS n_rows,
+               (-1)::BIGINT AS sum_cents
+        UNION ALL
+        SELECT 2::BIGINT, COUNT(*)::BIGINT,
+               SUM(CASE WHEN year(o_orderdate) = (SELECT y FROM my)
+                        THEN CAST(round((o_totalprice * 2) * 100) AS BIGINT)
+                        ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                   END)::BIGINT
+        FROM orders
+        UNION ALL
+        SELECT 3::BIGINT, COUNT(*)::BIGINT,
+               SUM(CASE WHEN year(o_orderdate) = (SELECT y FROM my)
+                        THEN CAST(round((o_totalprice * 2) * 100) AS BIGINT)
+                        WHEN year(o_orderdate) = (SELECT y FROM mx)
+                        THEN CAST(round((o_totalprice * 3) * 100) AS BIGINT)
+                        ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                   END)::BIGINT
+        FROM orders) t
+      ORDER BY version""",
     "k13_time_travel" -> """
       WITH my AS (SELECT min(year(o_orderdate)) AS y FROM orders)
       SELECT 1::BIGINT AS version, COUNT(*)::BIGINT AS n_rows,
