@@ -1039,6 +1039,30 @@ object Relational extends QueryPack {
     // distincts at 100 TB when the id domain is dense integers; a9's
     // sketches win when ids are sparse/hashed or 1.6 KB/bucket is too
     // much state. The query pins bitmap == exact countDistinct.
+    // a12: TIME-DECAYED COUNTS — the feature-store popularity aggregate:
+    // recent activity outweighs old, here with exact integer half-life
+    // weights (weight = 2^(8 − weeks_ago), capped — powers of two, so
+    // the sum is exact on both engines; no float decay drift). The plan
+    // is the 100 TB decay shape: counts reduce per (type, week) FIRST
+    // (map-side combined, one row per type×week regardless of event
+    // volume), weights apply at the tiny second aggregate — a nightly
+    // refresh just re-weights the per-week partials instead of
+    // rescanning history. Anchor day is data-relative (broadcast 1-row).
+    "a12_decayed_counts" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"event_type", to_date($"ts").as("day"))
+      val anchor = ev.agg(max($"day").as("ad"))
+      ev.crossJoin(broadcast(anchor))
+        .withColumn("w", least(expr("datediff(ad, day) div 7"), lit(8)))
+        .groupBy($"event_type", $"w")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("wt",
+          expr("shiftleft(cast(1 as bigint), cast(8 - w as int))"))
+        .groupBy($"event_type")
+        .agg(sum($"n").as("n_events"), sum($"n" * $"wt").as("decayed_score"))
+        .orderBy($"event_type")
+    },
     "a10_bitmap_distinct" -> { (s, dir) =>
       import s.implicits._
       val ev = Tables(s, dir).events
@@ -1330,6 +1354,17 @@ object Relational extends QueryPack {
       FROM marked GROUP BY user_id, event_type, grp
       HAVING COUNT(*) >= 3
       ORDER BY user_id, start_us""",
+    "a12_decayed_counts" -> """
+      WITH ev AS (
+        SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events),
+      anchor AS (SELECT max(day) AS ad FROM ev)
+      SELECT event_type, COUNT(*)::BIGINT AS n_events,
+             SUM(1::BIGINT <<
+                 (8 - least(date_diff('day', day, ad) // 7, 8)))::BIGINT
+               AS decayed_score
+      FROM ev CROSS JOIN anchor
+      GROUP BY event_type ORDER BY event_type""",
     "a10_bitmap_distinct" -> """
       SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
              TRUE AS bitmap_exact
