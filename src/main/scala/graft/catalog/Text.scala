@@ -490,6 +490,42 @@ object Text extends QueryPack {
     // L beyond ~10¹⁰, drop a digit from the 10⁴ scale (ranking unaffected
     // — all docs share the factor) or reorder the div to shrink the
     // intermediate.
+    // x24: COLLOCATION MINING — the phrase-vocabulary builder: corpus-wide
+    // adjacent bigrams ranked by LIFT, n_ab·N_t² / (N_b·n_a·n_b) (the
+    // monotone core of PMI with the log dropped — no libm across the
+    // engine boundary). All counts are exact integers; the lift itself is
+    // ONE pinned flat double expression evaluated identically on both
+    // engines (per-row arithmetic on exact aggregates — the w9/x2
+    // precedent, never a double crossing an aggregate). Scale shape: one
+    // token explode feeds two map-side-combined count tables; bigram
+    // counts join the (vocab-sized, broadcastable) unigram table twice;
+    // totals are broadcast 1-row frames; top-20 is
+    // TakeOrderedAndProject, never a global sort. Support floor
+    // n_ab ≥ 5 keeps the output phrase-grade.
+    "x24_collocations" -> { (s, dir) =>
+      import s.implicits._
+      val toks = Tables(s, dir).documents
+        .select(expr(Tx.wsExpr).as("ws")).filter(size($"ws") >= 2)
+      val uni = toks.select(explode($"ws").as("w"))
+      val un = uni.groupBy($"w").agg(count(lit(1)).as("n"))
+      val nt = uni.agg(count(lit(1)).as("n_t"))
+      val bg = toks.select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(element_at(ws, i) as w1, element_at(ws, i + 1) as w2))"))
+        .as("b")).select($"b.w1", $"b.w2")
+      val nb = bg.agg(count(lit(1)).as("n_b"))
+      bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
+        .filter($"n_ab" >= 5)
+        .join(broadcast(un.select($"w".as("w1"), $"n".as("n_a"))), Seq("w1"))
+        .join(broadcast(un.select($"w".as("w2"), $"n".as("n_b2"))), Seq("w2"))
+        .crossJoin(broadcast(nt)).crossJoin(broadcast(nb))
+        .withColumn("lift", expr(
+          "cast(n_ab as double) * cast(n_t as double) * cast(n_t as double)" +
+            " / (cast(n_b as double) * cast(n_a as double) * cast(n_b2 as double))"))
+        .select($"w1", $"w2", $"n_ab", $"lift")
+        .orderBy($"lift".desc, $"w1", $"w2")
+        .limit(20)
+    },
     "x21_bm25_topk" -> { (s, dir) =>
       import s.implicits._
       // everything derives from ONE tokenize pass: tf is the only operator
@@ -943,6 +979,27 @@ object Text extends QueryPack {
     // x21: integer-exact BM25 — same rational form as the Spark side (20·L
     // common denominator, bin()-length idf); the only double is the final
     // one-division bm25 display value.
+    "x24_collocations" -> s"""
+      WITH toks AS (
+        SELECT ${Tx.wsSql} AS ws FROM documents
+        WHERE len(${Tx.wsSql}) >= 2),
+      uni AS (SELECT unnest(ws) AS w FROM toks),
+      un AS (SELECT w, COUNT(*)::BIGINT AS n FROM uni GROUP BY 1),
+      nt AS (SELECT COUNT(*)::BIGINT AS n_t FROM uni),
+      bg AS (
+        SELECT ws[i] AS w1, ws[i + 1] AS w2
+        FROM toks, unnest(range(1, len(ws))) AS t(i)),
+      nb AS (SELECT COUNT(*)::BIGINT AS n_b FROM bg),
+      bgc AS (
+        SELECT w1, w2, COUNT(*)::BIGINT AS n_ab FROM bg
+        GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+      SELECT w1, w2, n_ab,
+             CAST(n_ab AS DOUBLE) * CAST(n_t AS DOUBLE) * CAST(n_t AS DOUBLE)
+               / (CAST(n_b AS DOUBLE) * CAST(a.n AS DOUBLE)
+                  * CAST(b.n AS DOUBLE)) AS lift
+      FROM bgc JOIN un a ON a.w = w1 JOIN un b ON b.w = w2
+      CROSS JOIN nt CROSS JOIN nb
+      ORDER BY lift DESC, w1, w2 LIMIT 20""",
     "x21_bm25_topk" -> s"""
       WITH toks AS (
         SELECT doc_id, tok FROM (
