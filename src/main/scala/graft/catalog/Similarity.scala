@@ -199,6 +199,28 @@ object Similarity extends QueryPack {
         .orderBy($"q_id", $"rank")
     },
     "v3_ivf_ann" -> ivfQuery(sampleMod = 1),
+    // v22: PROBE-RECALL SWEEP — the measured tradeoff behind every
+    // scaladoc that says "re-probing more cells is v3's nProbe dial":
+    // the SAME trained quantizer searched at nProbe 1, 2, and 4, each
+    // scored against the brute-force truth (v1) — output is the
+    // (n_probe, recall) curve an operator reads before picking the dial.
+    // Scale shape: the quantizer trains ONCE (memoized model state); each
+    // sweep touches ~nProbe/k of the corpus; recall joins move only
+    // 10·K id pairs. Recall is basis points by integer division — exact.
+    "v22_probe_recall_sweep" -> { (s, dir) =>
+      import s.implicits._
+      val exact = queries("v1_brute_topk")(s, dir)
+        .select($"q_id", $"neighbor_id")
+      Seq(1, 2, 4).map { np =>
+        val ann = ivfQuery(sampleMod = 1, nProbe = np)(s, dir)
+          .select($"q_id", $"neighbor_id").withColumn("hit", lit(1L))
+        exact.join(ann, Seq("q_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+               sum(coalesce($"hit", lit(0L))).as("n_hit"))
+          .select(lit(np.toLong).as("n_probe"), $"n_truth", $"n_hit",
+                  expr("n_hit * 10000 div n_truth").as("recall_bp"))
+      }.reduce(_ unionByName _).orderBy($"n_probe")
+    },
     // v20: FILTERED ANN — vector search under a metadata predicate (here:
     // the neighbor's document must be lang = 'en'), the production RAG
     // shape ("search my English docs"). The filter applies to the CELL
@@ -1084,7 +1106,8 @@ object Similarity extends QueryPack {
       }.toIndexedSeq
     })
 
-  private def ivfQuery(sampleMod: Int): (SparkSession, String) => DataFrame = { (s, dir) =>
+  private def ivfQuery(sampleMod: Int, nProbe: Int = 2):
+      (SparkSession, String) => DataFrame = { (s, dir) =>
     import s.implicits._
     val e = Tables(s, dir).embeddings
       .withColumn("v", $"embedding".cast("array<double>"))
@@ -1095,7 +1118,7 @@ object Similarity extends QueryPack {
       else Quantizer.centroidsSampledFor(e, dir, iters = 2, dim = 64, mod = sampleMod)
     val data = Quantizer.assign(e, cents)
       .select($"cell", $"vec_id", $"v", $"norm2")
-    val probes = Quantizer.probe(e.filter($"vec_id" < 10), cents, nProbe = 2)
+    val probes = Quantizer.probe(e.filter($"vec_id" < 10), cents, nProbe = nProbe)
       .select($"cell", $"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
     val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
     data.join(broadcast(probes), Seq("cell"))
@@ -1112,7 +1135,8 @@ object Similarity extends QueryPack {
   /** v3/v4/v20 oracle: identical IVF SQL, differing only in the quantizer
     * training CTEs' sample filter and (v20) an extra predicate join on the
     * scanned cell entries. */
-  private def ivfSql(sampleMod: Int, dataJoin: String = ""): String = s"""
+  private def ivfSql(sampleMod: Int, dataJoin: String = "",
+                     nProbe: Int = 2): String = s"""
       WITH e AS (
         SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
         FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -1131,7 +1155,7 @@ object Similarity extends QueryPack {
       probes AS (
         SELECT a.cell, k.vec_id AS q_id, k.v AS qv, k.norm2 AS qn
         FROM assigned a JOIN kq k ON k.vec_id = a.vec_id
-        WHERE a.crank <= 2 AND a.vec_id < 10)
+        WHERE a.crank <= $nProbe AND a.vec_id < 10)
       SELECT q_id, rank, neighbor_id, cos FROM (
         SELECT q_id, vec_id AS neighbor_id, cos,
                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
@@ -1599,6 +1623,16 @@ object Similarity extends QueryPack {
       FROM ($v1Sql) x LEFT JOIN ($v2Sql) a
         ON a.q_id = x.q_id AND a.neighbor_id = x.neighbor_id
       GROUP BY x.q_id ORDER BY x.q_id""",
+    // v22: one brute truth, three IVF instantiations (each subquery
+    // carries its own WITH chain — names are scoped), recall in basis
+    // points by integer division
+    "v22_probe_recall_sweep" -> Seq(1, 2, 4).map { np =>
+      s"""SELECT ${np}::BIGINT AS n_probe, COUNT(*)::BIGINT AS n_truth,
+             COUNT(a.neighbor_id)::BIGINT AS n_hit,
+             (COUNT(a.neighbor_id) * 10000 // COUNT(*))::BIGINT AS recall_bp
+         FROM ($v1Sql) x LEFT JOIN (${ivfSql(1, "", np)}) a
+           ON a.q_id = x.q_id AND a.neighbor_id = x.neighbor_id"""
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) t ORDER BY n_probe"),
     // v13: lexical CTEs are d4's (same cap), pointed query-vs-corpus; the
     // semantic list nests v1Sql verbatim; every RRF term is cast ::DOUBLE
     // before dividing (DuckDB parses bare 1.0 as DECIMAL).
