@@ -101,7 +101,7 @@ object Dedup extends QueryPack {
     * exactly as a deployment builds pairs once at ingest and lets every
     * downstream consumer read the materialized table (v9's stored-graph
     * reasoning applied to dedup). */
-  private def stagedMinhashPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def stagedMinhashPairs(s: SparkSession, dir: String): DataFrame = {
     val path = graft.Scratch.staged(s"mh_pairs#$dir", "mh_pairs") { p =>
       minhashPairs(s, dir).write.mode("overwrite").parquet(p)
     }
@@ -712,7 +712,6 @@ object Dedup extends QueryPack {
         .select($"d1".as("doc_id"), $"d2".as("keeper"),
                 $"clean_chars".cast("long").as("keeper_clean_chars"))
         .withColumn("is_canonical", ($"keeper" === $"doc_id").cast("boolean"))
-        .select($"doc_id", $"keeper", $"keeper_clean_chars", $"is_canonical")
         .orderBy($"doc_id")
     },
     // d7: duplicate-CLUSTER assignment — connected components over the

@@ -309,9 +309,13 @@ object Formats extends QueryPack {
         val v1 = years.map(y => s"$p/y${y}_v1")
         val v2 = years.map(y =>
           if (y == minYr) s"$p/y${y}_v2" else s"$p/y${y}_v1")
+        // max-year branch FIRST: on a single-year corpus (min == max)
+        // version 3 must reference the dir version 3's write produced,
+        // or the fresh _v3 dir would be instantly vacuumed as
+        // unreferenced (oracle CASE mirrors this priority)
         val v3 = years.map(y =>
-          if (y == minYr) s"$p/y${y}_v2"
-          else if (y == maxYr) s"$p/y${y}_v3" else s"$p/y${y}_v1")
+          if (y == maxYr) s"$p/y${y}_v3"
+          else if (y == minYr) s"$p/y${y}_v2" else s"$p/y${y}_v1")
         Seq(1 -> v1, 2 -> v2, 3 -> v3).foreach { case (v, dirs) =>
           java.nio.file.Files.writeString(
             java.nio.file.Paths.get(s"$p/manifest_$v.txt"), dirs.mkString("\n"))
@@ -583,10 +587,10 @@ object Formats extends QueryPack {
         FROM orders
         UNION ALL
         SELECT 3::BIGINT, COUNT(*)::BIGINT,
-               SUM(CASE WHEN year(o_orderdate) = (SELECT y FROM my)
-                        THEN CAST(round((o_totalprice * 2) * 100) AS BIGINT)
-                        WHEN year(o_orderdate) = (SELECT y FROM mx)
+               SUM(CASE WHEN year(o_orderdate) = (SELECT y FROM mx)
                         THEN CAST(round((o_totalprice * 3) * 100) AS BIGINT)
+                        WHEN year(o_orderdate) = (SELECT y FROM my)
+                        THEN CAST(round((o_totalprice * 2) * 100) AS BIGINT)
                         ELSE CAST(round(o_totalprice * 100) AS BIGINT)
                    END)::BIGINT
         FROM orders) t

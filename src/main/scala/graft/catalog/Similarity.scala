@@ -204,13 +204,18 @@ object Similarity extends QueryPack {
     // the SAME trained quantizer searched at nProbe 1, 2, and 4, each
     // scored against the brute-force truth (v1) — output is the
     // (n_probe, recall) curve an operator reads before picking the dial.
-    // Scale shape: the quantizer trains ONCE (memoized model state); each
-    // sweep touches ~nProbe/k of the corpus; recall joins move only
-    // 10·K id pairs. Recall is basis points by integer division — exact.
+    // Scale shape: the quantizer trains ONCE (memoized model state); the
+    // brute-force truth is computed once and pinned as a 10·K-row
+    // LITERAL frame (bounded collect — the sweep must not re-pay the
+    // brute scan per branch); each sweep's IVF scan (the object under
+    // measurement) re-runs per probe width. Recall is basis points by
+    // integer division — exact.
     "v22_probe_recall_sweep" -> { (s, dir) =>
       import s.implicits._
       val exact = queries("v1_brute_topk")(s, dir)
-        .select($"q_id", $"neighbor_id")
+        .select($"q_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .toDF("q_id", "neighbor_id")
       Seq(1, 2, 4).map { np =>
         val ann = ivfQuery(sampleMod = 1, nProbe = np)(s, dir)
           .select($"q_id", $"neighbor_id").withColumn("hit", lit(1L))

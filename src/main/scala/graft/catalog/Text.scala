@@ -508,7 +508,7 @@ object Text extends QueryPack {
         .select(expr(Tx.wsExpr).as("ws")).filter(size($"ws") >= 2)
       val uni = toks.select(explode($"ws").as("w"))
       val un = uni.groupBy($"w").agg(count(lit(1)).as("n"))
-      val nt = uni.agg(count(lit(1)).as("n_t"))
+      val nt = un.agg(sum($"n").as("n_t"))
       val bg = toks.select(explode(expr(
         "transform(sequence(1, size(ws) - 1), " +
           "i -> struct(element_at(ws, i) as w1, element_at(ws, i + 1) as w2))"))
@@ -985,7 +985,7 @@ object Text extends QueryPack {
         WHERE len(${Tx.wsSql}) >= 2),
       uni AS (SELECT unnest(ws) AS w FROM toks),
       un AS (SELECT w, COUNT(*)::BIGINT AS n FROM uni GROUP BY 1),
-      nt AS (SELECT COUNT(*)::BIGINT AS n_t FROM uni),
+      nt AS (SELECT SUM(n)::BIGINT AS n_t FROM un),
       bg AS (
         SELECT ws[i] AS w1, ws[i + 1] AS w2
         FROM toks, unnest(range(1, len(ws))) AS t(i)),

@@ -69,12 +69,14 @@ class BroadcastClaimsSpec extends AnyFunSuite {
     // q14's month range must prune lineitem at the scan; q20's name
     // prefix must prune part at the scan — at 100 TB these predicates
     // ARE the plan (row-group skipping via min/max stats)
-    val p14 = plan("q14_promo_share").replaceAll("\\s", "")
-    assert(p14.matches("(?s).*PushedFilters:\\[[^\\]]*l_shipdate.*"),
-      s"q14's shipdate range must push to the lineitem scan:\n${plan("q14_promo_share")}")
-    val p20 = plan("q20_nested_semi").replaceAll("\\s", "")
-    assert(p20.matches("(?s).*PushedFilters:\\[[^\\]]*StringStartsWith\\(p_name,small\\).*"),
-      s"q20's name prefix must push to the part scan:\n${plan("q20_nested_semi")}")
+    val raw14 = plan("q14_promo_share")
+    assert(raw14.replaceAll("\\s", "")
+        .matches("(?s).*PushedFilters:\\[[^\\]]*l_shipdate.*"),
+      s"q14's shipdate range must push to the lineitem scan:\n$raw14")
+    val raw20 = plan("q20_nested_semi")
+    assert(raw20.replaceAll("\\s", "")
+        .matches("(?s).*PushedFilters:\\[[^\\]]*StringStartsWith\\(p_name,small\\).*"),
+      s"q20's name prefix must push to the part scan:\n$raw20")
   }
 
   test("q19: equi-key extracted from the disjunction — hash join, never NLJ") {

@@ -5,7 +5,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** d19's keeper rule must genuinely differ from d9's min-id rule — if the
   * score degenerates (as a constant-quality corpus would make a
   * ratio-based score do), the entry silently collapses into d9 and tests
-  * nothing new. Also pins keeper optimality within each doc's group.
+  * nothing new. Keeper optimality is pinned against the TRUE group
+  * (doc ∪ its near-dup partners from the shared pair table): the keeper
+  * must be the exact (clean_chars desc, doc_id asc) argmax.
   */
 class QualityKeeperSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -29,9 +31,17 @@ class QualityKeeperSpec extends AnyFunSuite {
       .select($"doc_id", org.apache.spark.sql.functions
         .expr(catalog.Dedup.cleanCharsExpr).cast("long").as("cc"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    nonSelf.foreach { case (d, k) =>
-      assert(chars(k) > chars(d) || (chars(k) == chars(d) && k < d),
-        s"keeper $k must dominate doc $d on (clean_chars, id)")
+    // exact argmax over the TRUE group: {doc} ∪ its near-dup partners
+    // from the same pair table the entry consumes
+    val pairs = catalog.Dedup.stagedMinhashPairs(spark, sf)
+      .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .map { case (d, ps) => d -> ps.map(_._2).toSet }
+    d19.foreach { case (d, k) =>
+      val group = nbrs.getOrElse(d, Set.empty) + d
+      val best = group.toSeq.sortBy(m => (-chars(m), m)).head
+      assert(k == best,
+        s"keeper for $d must be the group argmax $best, got $k")
     }
   }
 }
