@@ -332,6 +332,56 @@ object Quality extends QueryPack {
                 $"cents_replica")
         .orderBy($"o_orderkey")
     },
+    // dq15: THREE-REPLICA QUORUM REPAIR — dq14 detects WHERE two copies
+    // differ; with three replicas a majority vote decides WHICH copy is
+    // wrong and what to write back (the quorum-repair read path). Three
+    // replicas carry disjoint planted drifts (pure key functions);
+    // level 1 compares the three per-bucket checksum triples (the dq14
+    // machinery, one scan per replica → 256 rows each); the row-level
+    // vote runs ONLY in buckets where the triple disagrees. Per row the
+    // majority value (≥2 of 3 agree — drifts are disjoint by
+    // construction, so a majority always exists) is the repair target;
+    // the output is the repair PLAN: (key, bad replica, wrong value,
+    // majority value). At 100 TB the vote joins are co-partitioned on
+    // the key inside dirty buckets only — repair cost tracks drift.
+    "dq15_quorum_repair" -> { (s, dir) =>
+      import s.implicits._
+      val base = Tables(s, dir).orders
+        .select($"o_orderkey",
+                expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      def drift(plus: Int, rem: Int) = base.withColumn("cents",
+        when($"o_orderkey" % 9973 === rem, $"cents" + plus)
+          .otherwise($"cents"))
+      val reps = Seq("a" -> drift(1, 7), "b" -> drift(2, 13),
+                     "c" -> drift(3, 21))
+      def level1(df: DataFrame, side: String): DataFrame =
+        df.withColumn("bucket", pmod($"o_orderkey", lit(256)))
+          .withColumn("m", md5(expr(
+            canonExpr(Seq("o_orderkey", "cents"), spark = true))))
+          .withColumn("h", expr(hexToLong("m", 8, spark = true)))
+          .groupBy($"bucket").agg(sum($"h").as(s"chk_$side"))
+      val mism = reps.map { case (n, df) => level1(df, n) }
+        .reduce(_.join(_, Seq("bucket")))
+        .filter($"chk_a" =!= $"chk_b" || $"chk_b" =!= $"chk_c" ||
+                $"chk_a" =!= $"chk_c")
+        .select($"bucket")
+      def inDirty(df: DataFrame, n: String) = df
+        .withColumn("bucket", pmod($"o_orderkey", lit(256)))
+        .join(broadcast(mism), Seq("bucket"), "left_semi")
+        .select($"bucket", $"o_orderkey", $"cents".as(s"c_$n"))
+      val wide = inDirty(reps(0)._2, "a")
+        .join(inDirty(reps(1)._2, "b").drop("bucket"), Seq("o_orderkey"))
+        .join(inDirty(reps(2)._2, "c").drop("bucket"), Seq("o_orderkey"))
+        .withColumn("majority",
+          when($"c_a" === $"c_b", $"c_a")
+            .when($"c_a" === $"c_c", $"c_a").otherwise($"c_b"))
+      Seq("a", "b", "c").map { n =>
+        wide.filter(col(s"c_$n") =!= $"majority")
+          .select($"bucket", $"o_orderkey", lit(n).as("bad_replica"),
+                  col(s"c_$n").as("wrong_cents"),
+                  $"majority".as("majority_cents"))
+      }.reduce(_ unionByName _).orderBy($"o_orderkey", $"bad_replica")
+    },
     // dq9: UNKNOWN-MEMBER REPAIR — the late-arriving-dimension pattern:
     // when facts reference dim members that don't exist yet (here a dim
     // with deterministic holes: every c_custkey % 7 == 3 dropped), the
@@ -572,6 +622,17 @@ object Quality extends QueryPack {
                   FROM $table) t0) t1"""
 
   val oracle: Map[String, String] = Map(
+    // dq15: ground truth = the union of the three disjoint planted
+    // drifts; the engine must localize each to its replica via the vote
+    "dq15_quorum_repair" -> """
+      SELECT o_orderkey % 256 AS bucket, o_orderkey, bad_replica,
+             CAST(round(o_totalprice * 100) AS BIGINT) + plus AS wrong_cents,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS majority_cents
+      FROM orders
+      JOIN (VALUES ('a', 1, 7), ('b', 2, 13), ('c', 3, 21))
+           d(bad_replica, plus, rem)
+        ON o_orderkey % 9973 = rem
+      ORDER BY o_orderkey, bad_replica""",
     // dq14: the oracle states the GROUND TRUTH of the planted drift; the
     // engine must rediscover exactly it through the two checksum levels
     // (a missed bucket, a false positive, or a collision-masked row all
