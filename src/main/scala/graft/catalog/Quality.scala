@@ -332,6 +332,28 @@ object Quality extends QueryPack {
                 $"cents_replica")
         .orderBy($"o_orderkey")
     },
+    // c9: COMPOSED DATA-QUALITY SUITE — the release-contract run a
+    // warehouse executes before publishing a snapshot: the declarative
+    // rule audit (dq1), the history-inferred expectation audit (dq13),
+    // and the functional-dependency contracts (dq6) evaluated AS SHIPPED
+    // (each stage is the standalone entry, verbatim — the c5 composition
+    // convention) and folded into one report with a single release
+    // verdict row (all stages must pass). Scale: each stage keeps its
+    // own audited plan; the fold moves 13 summary rows.
+    "c9_quality_suite" -> { (s, dir) =>
+      import s.implicits._
+      val audit = queries("dq1_quality_audit")(s, dir)
+        .select(lit("audit").as("stage"), $"rule".as("item"), $"pass")
+      val inferred = queries("dq13_inferred_rules")(s, dir)
+        .select(lit("inferred").as("stage"), $"col_name".as("item"), $"pass")
+      val fds = queries("dq6_fd_audit")(s, dir)
+        .select(lit("fd").as("stage"), $"fd".as("item"), $"holds".as("pass"))
+      val u = audit.unionByName(inferred).unionByName(fds)
+      val verdict = u.agg(min($"pass".cast("int")).as("mn"))
+        .select(lit("verdict").as("stage"), lit("all").as("item"),
+                ($"mn" === 1).as("pass"))
+      u.unionByName(verdict).orderBy($"stage", $"item")
+    },
     // dq15: THREE-REPLICA QUORUM REPAIR — dq14 detects WHERE two copies
     // differ; with three replicas a majority vote decides WHICH copy is
     // wrong and what to write back (the quorum-repair read path). Three
@@ -621,7 +643,80 @@ object Quality extends QueryPack {
             FROM (SELECT md5(${canonExpr(cols, spark = false)}) AS m
                   FROM $table) t0) t1"""
 
+  // extracted so c9 can compose the exact same SQL the standalone
+  // entries run (a map literal cannot reference itself)
+  private lazy val dq1Sql: String = """
+      WITH li AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END)::BIGINT AS v_qty,
+               SUM(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END)::BIGINT AS v_disc
+        FROM lineitem),
+      fk AS (
+        SELECT (SELECT COUNT(*) FROM orders)::BIGINT AS n,
+               (SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))::BIGINT AS v),
+      nn AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)::BIGINT AS v
+        FROM customer),
+      so AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END)::BIGINT AS v
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      SELECT rule, n_checked, n_violations, n_violations = 0 AS pass FROM (
+        SELECT 'r1_quantity_range' AS rule, n AS n_checked, v_qty AS n_violations FROM li
+        UNION ALL SELECT 'r2_discount_range', n, v_disc FROM li
+        UNION ALL SELECT 'r3_orders_custkey_fk', n, v FROM fk
+        UNION ALL SELECT 'r4_acctbal_not_null', n, v FROM nn
+        UNION ALL SELECT 'r5_ship_after_order', n, v FROM so) u
+      ORDER BY rule"""
+
+  private lazy val dq6Sql: String = s"""
+      ${fdSql("nation_to_region", "nation", "n_nationkey", "n_regionkey")}
+      UNION ALL ${fdSql("order_to_priority", "orders", "o_orderkey", "o_orderpriority")}
+      UNION ALL ${fdSql("user_to_event_type", "events", "user_id", "event_type")}
+      UNION ALL ${fdSql("part_to_brand", "part", "p_partkey", "p_brand")}
+      ORDER BY fd"""
+
+  private lazy val dq13Sql: String = s"""
+      WITH b AS (
+        SELECT ${Dq13Cols.map(c =>
+          s"min($c)::DOUBLE AS lo_$c, max($c)::DOUBLE AS hi_$c, " +
+          s"SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn_$c")
+          .mkString(", ")}
+        FROM lineitem WHERE l_orderkey % 10 <> 0),
+      a AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               ${Dq13Cols.map(c =>
+          s"SUM(CASE WHEN t.$c < b.lo_$c THEN 1 ELSE 0 END)::BIGINT AS bl_$c, " +
+          s"SUM(CASE WHEN t.$c > b.hi_$c THEN 1 ELSE 0 END)::BIGINT AS ab_$c, " +
+          s"SUM(CASE WHEN t.$c IS NULL THEN 1 ELSE 0 END)::BIGINT AS nu_$c")
+          .mkString(", ")}
+        FROM (SELECT * FROM lineitem WHERE l_orderkey % 10 = 0) t, b)
+      SELECT col_name, lo, hi, n_checked, n_below, n_above, n_new_nulls,
+             n_below + n_above + n_new_nulls = 0 AS pass
+      FROM (${Dq13Cols.map(c =>
+          s"SELECT '$c' AS col_name, b.lo_$c AS lo, b.hi_$c AS hi, " +
+          s"a.n AS n_checked, a.bl_$c AS n_below, a.ab_$c AS n_above, " +
+          s"CASE WHEN b.nn_$c = 0 THEN a.nu_$c ELSE 0 END AS n_new_nulls " +
+          "FROM a, b").mkString(" UNION ALL ")}) u
+      ORDER BY col_name"""
+
   val oracle: Map[String, String] = Map(
+    // c9: the three stage SQLs verbatim (the extracted vals), one verdict
+    "c9_quality_suite" -> s"""
+      WITH u AS (
+        SELECT 'audit' AS stage, rule AS item, pass FROM ($dq1Sql) a
+        UNION ALL
+        SELECT 'inferred', col_name, pass FROM ($dq13Sql) i
+        UNION ALL
+        SELECT 'fd', fd, holds FROM ($dq6Sql) f)
+      SELECT * FROM (
+        SELECT stage, item, pass FROM u
+        UNION ALL
+        SELECT 'verdict', 'all', (SELECT bool_and(pass) FROM u)) t
+      ORDER BY stage, item""",
     // dq15: ground truth = the union of the three disjoint planted
     // drifts; the engine must localize each to its replica via the vote
     "dq15_quorum_repair" -> """
@@ -651,12 +746,7 @@ object Quality extends QueryPack {
       UNION ALL ${cksumSql("orders", "orders",
         Seq("o_orderkey", "o_custkey", "o_orderstatus"))}
       ORDER BY tbl""",
-    "dq6_fd_audit" -> s"""
-      ${fdSql("nation_to_region", "nation", "n_nationkey", "n_regionkey")}
-      UNION ALL ${fdSql("order_to_priority", "orders", "o_orderkey", "o_orderpriority")}
-      UNION ALL ${fdSql("user_to_event_type", "events", "user_id", "event_type")}
-      UNION ALL ${fdSql("part_to_brand", "part", "p_partkey", "p_brand")}
-      ORDER BY fd""",
+    "dq6_fd_audit" -> dq6Sql,
     "dq5_mad_outliers" -> """
       WITH li AS (
         SELECT l_returnflag AS grp,
@@ -674,55 +764,8 @@ object Quality extends QueryPack {
                // COUNT(*))::BIGINT AS out_pm
       FROM dev JOIN mad USING (grp)
       GROUP BY grp ORDER BY grp""",
-    "dq13_inferred_rules" -> s"""
-      WITH b AS (
-        SELECT ${Dq13Cols.map(c =>
-          s"min($c)::DOUBLE AS lo_$c, max($c)::DOUBLE AS hi_$c, " +
-          s"SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS nn_$c")
-          .mkString(", ")}
-        FROM lineitem WHERE l_orderkey % 10 <> 0),
-      a AS (
-        SELECT COUNT(*)::BIGINT AS n,
-               ${Dq13Cols.map(c =>
-          s"SUM(CASE WHEN t.$c < b.lo_$c THEN 1 ELSE 0 END)::BIGINT AS bl_$c, " +
-          s"SUM(CASE WHEN t.$c > b.hi_$c THEN 1 ELSE 0 END)::BIGINT AS ab_$c, " +
-          s"SUM(CASE WHEN t.$c IS NULL THEN 1 ELSE 0 END)::BIGINT AS nu_$c")
-          .mkString(", ")}
-        FROM (SELECT * FROM lineitem WHERE l_orderkey % 10 = 0) t, b)
-      SELECT col_name, lo, hi, n_checked, n_below, n_above, n_new_nulls,
-             n_below + n_above + n_new_nulls = 0 AS pass
-      FROM (${Dq13Cols.map(c =>
-          s"SELECT '$c' AS col_name, b.lo_$c AS lo, b.hi_$c AS hi, " +
-          s"a.n AS n_checked, a.bl_$c AS n_below, a.ab_$c AS n_above, " +
-          s"CASE WHEN b.nn_$c = 0 THEN a.nu_$c ELSE 0 END AS n_new_nulls " +
-          "FROM a, b").mkString(" UNION ALL ")}) u
-      ORDER BY col_name""",
-    "dq1_quality_audit" -> """
-      WITH li AS (
-        SELECT COUNT(*)::BIGINT AS n,
-               SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END)::BIGINT AS v_qty,
-               SUM(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END)::BIGINT AS v_disc
-        FROM lineitem),
-      fk AS (
-        SELECT (SELECT COUNT(*) FROM orders)::BIGINT AS n,
-               (SELECT COUNT(*) FROM orders o
-                WHERE NOT EXISTS (SELECT 1 FROM customer c
-                                  WHERE c.c_custkey = o.o_custkey))::BIGINT AS v),
-      nn AS (
-        SELECT COUNT(*)::BIGINT AS n,
-               SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)::BIGINT AS v
-        FROM customer),
-      so AS (
-        SELECT COUNT(*)::BIGINT AS n,
-               SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END)::BIGINT AS v
-        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
-      SELECT rule, n_checked, n_violations, n_violations = 0 AS pass FROM (
-        SELECT 'r1_quantity_range' AS rule, n AS n_checked, v_qty AS n_violations FROM li
-        UNION ALL SELECT 'r2_discount_range', n, v_disc FROM li
-        UNION ALL SELECT 'r3_orders_custkey_fk', n, v FROM fk
-        UNION ALL SELECT 'r4_acctbal_not_null', n, v FROM nn
-        UNION ALL SELECT 'r5_ship_after_order', n, v FROM so) u
-      ORDER BY rule""",
+    "dq13_inferred_rules" -> dq13Sql,
+    "dq1_quality_audit" -> dq1Sql,
     "dq4_profile_drift" -> """
       WITH pa AS (
         SELECT col, n_a, d_a FROM (
