@@ -243,9 +243,12 @@ object CorpusGate extends QueryPack {
           TextKernels.shingleHashesUdf($"chunk").as("hs"))
         .select($"doc_id", $"chunk_idx", size($"hs").cast("long").as("c_nsh"),
           explode($"hs").as("h"))
-      val wH = Window.partitionBy($"h")
-      val cex = csh.withColumn("df", count(lit(1)).over(wH))
-        .filter($"df" <= Dedup.MaxDf).drop("df")
+      // df cap as groupBy + anti join vs the tiny hot-shingle list (d4/d15's
+      // converged shape) — a window over h would concentrate a viral
+      // shingle's rows on one partition before the cap discards them
+      val hotH = csh.groupBy($"h").agg(count(lit(1)).as("df"))
+        .filter($"df" > Dedup.MaxDf).select($"h")
+      val cex = csh.join(hotH, Seq("h"), "left_anti")
       val qsh = Tables(s, dir).documents.filter($"doc_id" < 10)
         .select($"doc_id".as("q_id"), TextKernels.shingleHashesUdf($"text").as("qhs"))
         .select($"q_id", size($"qhs").cast("long").as("qn"), explode($"qhs").as("h"))

@@ -370,16 +370,20 @@ object Dedup extends QueryPack {
     // df > MaxDf are cut on BOTH engines (QUALIFY in the oracle); their
     // pairs' |∩| then counts only informative shingles, while |∪| keeps the
     // full per-doc counts (slight underestimate, consistent across engines).
+    // The df count is a map-side-combining groupBy + anti join against the
+    // (tiny) hot-shingle list — d15/d16's shape — NOT a window over h: a
+    // window ships every exploded row of a viral shingle to one partition
+    // before discarding it; the groupBy reduces the viral key to one row
+    // and AQE broadcasts the hot list (DedupHotKeySpec pins the plan).
     "d4_ngram_jaccard" -> { (s, dir) =>
       import s.implicits._
       val sh = Tables(s, dir).documents
         .select($"doc_id", TextKernels.shingleHashesUdf($"text").as("hs"))
         .select($"doc_id", size($"hs").cast("long").as("n_sh"), $"hs")
-      val wH = org.apache.spark.sql.expressions.Window.partitionBy($"h")
-      val ex = sh.select($"doc_id", $"n_sh", explode($"hs").as("h"))
-        .withColumn("df", count(lit(1)).over(wH))
-        .filter($"df" <= MaxDf)
-        .drop("df")
+      val ex0 = sh.select($"doc_id", $"n_sh", explode($"hs").as("h"))
+      val hot = ex0.groupBy($"h").agg(count(lit(1)).as("df"))
+        .filter($"df" > MaxDf).select($"h")
+      val ex = ex0.join(hot, Seq("h"), "left_anti")
       ex.as("a").join(ex.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
         .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
                  $"a.n_sh".as("n1"), $"b.n_sh".as("n2"))

@@ -352,9 +352,11 @@ object Streams extends QueryPack {
     * parquet append (part files visible without job commit) would make the
     * anti-join treat the batch as partly done and pack the missing
     * lower-id docs after higher-id ones, breaking the serial doc_id-order
-    * prefix — on recovery after an unclean stop, validate that
-    * max(doc_id) in the output matches a contiguous doc_id prefix (or
-    * clear the partial batch's files) before resuming. In-batch offsets run g18's
+    * prefix — so runStreamSeqPack VALIDATES on entry that the store closes
+    * a contiguous doc_id prefix of the ingest and rolls a torn store back
+    * to the largest complete batch boundary before resuming (the recovery
+    * guard below; StreamSeqPackSpec pins it with a hand-torn store).
+    * In-batch offsets run g18's
     * two-pass bucket shape, so no window ever sees more than a bucket.
     * `ingest`/`out` are injectable so StreamSeqPackSpec can replay the same
     * stream over a populated output. */
@@ -453,6 +455,56 @@ object Streams extends QueryPack {
     val hasFiles = { val ls = java.nio.file.Files.list(ingest)
       try ls.findFirst().isPresent finally ls.close() }
     if (!hasFiles) stageDocRangeFiles(s, dir, ingest, "e28r")
+    // RECOVERY GUARD — the idempotency contract is WHOLE-BATCH granular: a
+    // torn append (part files visible without job commit) leaves the store
+    // holding SOME of a batch's docs, and the doc_id anti-join would then
+    // pack the missing lower-id docs after higher-id ones, breaking the
+    // serial doc_id-order prefix. Before resuming, verify the store closes
+    // a contiguous doc_id prefix of the ingest (stored rows are distinct
+    // and count == ingest docs with doc_id <= max stored doc_id); if not,
+    // roll the store back to the largest complete batch boundary (ingest
+    // files ARE the batches under maxFilesPerTrigger = 1) and let the
+    // stream re-pack the torn batch. StreamSeqPackSpec pins the failure
+    // mode with a hand-torn store.
+    val outPath0 = new org.apache.hadoop.fs.Path(out)
+    val outFs = outPath0.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (outFs.exists(outPath0)) {
+      val ing = s.read.parquet(ingest.toString).select($"doc_id")
+      val existing = s.read.parquet(out)
+      val st = existing.agg(max($"doc_id"), count(lit(1)),
+        countDistinct($"doc_id")).head()
+      if (!st.isNullAt(0)) {
+        val (maxOut, nOut, nDist) = (st.getLong(0), st.getLong(1), st.getLong(2))
+        val nPrefix = ing.filter($"doc_id" <= maxOut).count()
+        if (nOut != nPrefix || nDist != nOut) {
+          val ls = java.nio.file.Files.list(ingest)
+          val files = try {
+            val b = Seq.newBuilder[String]
+            val it = ls.iterator(); while (it.hasNext) b += it.next().toString
+            b.result().sorted
+          } finally ls.close()
+          // batch boundaries: per-file max doc_id; a boundary is complete
+          // when the stored prefix up to it matches the ingest prefix
+          // exactly (completeness is monotone, so keep the largest good one)
+          val bounds = files.map(f =>
+            s.read.parquet(f).agg(max(col("doc_id"))).head().getLong(0))
+          val good = bounds.filter { b =>
+            val kept = existing.filter($"doc_id" <= b)
+              .agg(count(lit(1)), countDistinct($"doc_id")).head()
+            val want = ing.filter($"doc_id" <= b).count()
+            kept.getLong(0) == want && kept.getLong(1) == want
+          }
+          if (good.isEmpty) outFs.delete(outPath0, true)
+          else {
+            val tmp = Scratch.dir("e28_recover").resolve("keep").toString
+            existing.filter($"doc_id" <= good.max)
+              .write.mode("overwrite").parquet(tmp)
+            outFs.delete(outPath0, true)
+            s.read.parquet(tmp).write.mode("overwrite").parquet(out)
+          }
+        }
+      }
+    }
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", 4)
     try {

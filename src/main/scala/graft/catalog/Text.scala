@@ -638,9 +638,14 @@ object Text extends QueryPack {
       while (i < dim) { n2 += cv(i) * cv(i); i += 1 }
       (lang, cv, n2)
     }.sortBy(_._1)
+    // NaN cosine (a zero-norm centroid or test vector) maps to neg = -Inf so
+    // the argmin picks it FIRST — DuckDB's ORDER BY cos DESC ranks NaN first,
+    // while Spark's array_min would rank NaN last and skip the class (the
+    // pqResidualBooksFor NaN-first convention, applied here too)
     val scored = array(cents.map { case (lang, cv, cn2) =>
-      struct((-graft.functions.VectorExprs.cosine(
-        $"v", typedLit(cv.toSeq), $"n2", lit(cn2))).as("neg"),
+      struct(nanvl(-graft.functions.VectorExprs.cosine(
+        $"v", typedLit(cv.toSeq), $"n2", lit(cn2)),
+        lit(Double.NegativeInfinity)).as("neg"),
         lit(lang).as("lang"))
     }: _*)
     labeled.filter(pmod($"vec_id", lit(5)) === 0)

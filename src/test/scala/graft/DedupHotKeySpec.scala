@@ -72,4 +72,20 @@ class DedupHotKeySpec extends AnyFunSuite {
     val p = out.filter(r => r.getLong(0) == 1000L && r.getLong(1) == 1001L)
     assert(p.length == 1 && p.head.getAs[Double]("jaccard") >= 0.99)
   }
+
+  test("d4/c6 plan pin: the MaxDf cap is groupBy + anti join, never a window over h") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    Seq("d4_ngram_jaccard", "c6_rag_retrieval").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .queryExecution.optimizedPlan
+      // a count-over-h window ships every exploded row of a viral shingle
+      // to one partition before the cap discards it; the converged shape
+      // (d15/d16's) map-side combines the df count instead
+      val winOverH = plan.collect {
+        case w: LWindow
+            if w.partitionSpec.exists(_.references.exists(_.name == "h")) => w
+      }
+      assert(winOverH.isEmpty, s"$name caps df via a window over h")
+    }
+  }
 }

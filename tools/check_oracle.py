@@ -88,13 +88,21 @@ def main(sf_dir, out_dir):
 
     def duck_compare(c, name, sql, files):
         flist = "[" + ", ".join(f"'{f}'" for f in files) + "]"
-        wcols = sorted(d[0] for d in
+        wdesc = sorted((d[0], d[1]) for d in
                        c.execute(f"DESCRIBE SELECT * FROM ({sql}) t").fetchall())
-        gcols = sorted(d[0] for d in
+        gdesc = sorted((d[0], d[1]) for d in
                        c.execute(f"DESCRIBE SELECT * FROM read_parquet({flist})")
                        .fetchall())
+        wcols = [d[0] for d in wdesc]
+        gcols = [d[0] for d in gdesc]
         if wcols != gcols:
             return f"COLS_MISMATCH want={wcols} got={gcols}"
+        # keep the schema half of the driver-parity contract on the big
+        # path too: EXCEPT ALL coerces types, so an INT-vs-BIGINT drift
+        # would otherwise pass here while the strict small-SF path fails it
+        tdiff = {w[0]: (w[1], g[1]) for w, g in zip(wdesc, gdesc) if w[1] != g[1]}
+        if tdiff:
+            return f"TYPE_MISMATCH {tdiff}"
         cols = ", ".join(f'"{x}"' for x in wcols)
         r = c.execute(f"""
             WITH o AS MATERIALIZED (SELECT {cols} FROM ({sql}) t),
