@@ -510,6 +510,61 @@ object Relational extends QueryPack {
              sum($"cents").as("attributed_cents"))
         .orderBy($"touch_type")
     },
+    // w14: MULTI-TOUCH ATTRIBUTION — w13's first-touch credit generalized
+    // to the two split models a marketing warehouse ships alongside it:
+    // POSITION-BASED (U-shaped 40/20/40: first and last touch 4000 bp
+    // each, the 2000-bp middle pool split across interior touches) and
+    // TIME-DECAY (a12's exact power-of-two half-life weights: a touch
+    // w weeks before the anchor weighs 2^(8−min(w,8))). Everything stays
+    // INTEGER-EXACT — no float credit drift between engines: the middle
+    // pool splits by integer div with the remainder handed to the
+    // EARLIEST middles (one extra bp each), and decay credit is
+    // cents·wt div Σwt with the rounding residue handed to the first
+    // touch — so per user the models conserve exactly (10000 bp, all
+    // cents; MultiTouchSpec pins conservation against an independent
+    // recount). Scale shape (100 TB): both windows partition by user_id
+    // (data-scale partitioned, never global), purchases reduce per user
+    // BEFORE the join (one row per side), the decay anchor is a
+    // broadcast 1-row frame.
+    "w14_multitouch_attribution" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+      val wU = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val anchor = ev.agg(max(to_date($"ts")).as("ad"))
+      val touches = ev.filter($"event_type".isin("view", "click"))
+        .crossJoin(broadcast(anchor))
+        .withColumn("pos", row_number().over(wU).cast("long"))
+        .withColumn("k",
+          count(lit(1)).over(Window.partitionBy($"user_id")).cast("long"))
+        .withColumn("wt", expr("shiftleft(cast(1 as bigint), " +
+          "cast(8 - least(datediff(ad, to_date(ts)) div 7, 8) as int))"))
+        .select($"user_id", $"event_type".as("touch_type"),
+                $"pos", $"k", $"wt")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      val credited = touches.join(purchases, Seq("user_id"))
+        .withColumn("sum_wt",
+          sum($"wt").over(Window.partitionBy($"user_id")))
+        .withColumn("pos_bp", when($"k" === 1, 10000L)
+          .when($"k" === 2, 5000L)
+          .when($"pos" === 1 || $"pos" === $"k", 4000L)
+          .otherwise(expr(
+            "2000 div (k - 2) + if(pos - 1 <= 2000 % (k - 2), 1, 0)")))
+        .withColumn("share", expr("cents * wt div sum_wt"))
+      val resid = credited.groupBy($"user_id")
+        .agg((max($"cents") - sum($"share")).as("resid"))
+      credited.join(resid, Seq("user_id"))
+        .withColumn("decay_cents",
+          $"share" + when($"pos" === 1, $"resid").otherwise(0L))
+        .groupBy($"touch_type")
+        .agg(count(lit(1)).as("n_touches"),
+             countDistinct($"user_id").as("n_users"),
+             sum($"pos_bp").as("pos_credit_bp"),
+             sum($"decay_cents").as("decay_credit_cents"))
+        .orderBy($"touch_type")
+    },
     // w8: percent_rank / cume_dist (rank-normalized window statistics)
     "w8_percent_cume" -> { (s, dir) =>
       import s.implicits._
@@ -1722,6 +1777,46 @@ object Relational extends QueryPack {
       WHERE rn = 1
       GROUP BY touch_type
       ORDER BY touch_type""",
+    // w14: identical integer credit arithmetic — U-shaped bp split with
+    // div-remainder to the earliest middles, decay shares cents·wt//Σwt
+    // with the residue on the first touch
+    "w14_multitouch_attribution" -> """
+      WITH anchor AS (
+        SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS ad FROM events),
+      t AS (
+        SELECT user_id, event_type AS touch_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)::BIGINT AS pos,
+               COUNT(*) OVER (PARTITION BY user_id)::BIGINT AS k,
+               (1::BIGINT << (8 - least(
+                  date_diff('day', CAST(date_trunc('day', ts) AS DATE), ad) // 7,
+                  8))::INT)::BIGINT AS wt
+        FROM events CROSS JOIN anchor
+        WHERE event_type IN ('view', 'click')),
+      p AS (
+        SELECT user_id, SUM(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      c AS (
+        SELECT t.user_id, t.touch_type, t.pos, t.k, p.cents,
+               CASE WHEN t.k = 1 THEN 10000
+                    WHEN t.k = 2 THEN 5000
+                    WHEN t.pos = 1 OR t.pos = t.k THEN 4000
+                    ELSE 2000 // (t.k - 2)
+                         + CASE WHEN t.pos - 1 <= 2000 % (t.k - 2)
+                                THEN 1 ELSE 0 END
+               END::BIGINT AS pos_bp,
+               (p.cents * t.wt
+                  // SUM(t.wt) OVER (PARTITION BY t.user_id))::BIGINT AS share
+        FROM t JOIN p USING (user_id)),
+      r AS (SELECT user_id, (MAX(cents) - SUM(share))::BIGINT AS resid
+            FROM c GROUP BY 1)
+      SELECT c.touch_type, COUNT(*)::BIGINT AS n_touches,
+             COUNT(DISTINCT c.user_id)::BIGINT AS n_users,
+             SUM(c.pos_bp)::BIGINT AS pos_credit_bp,
+             SUM(c.share + CASE WHEN c.pos = 1 THEN r.resid ELSE 0 END)::BIGINT
+               AS decay_credit_cents
+      FROM c JOIN r USING (user_id)
+      GROUP BY c.touch_type ORDER BY c.touch_type""",
     "s3_keyset_page" -> """
       SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders
       WHERE o_orderdate > TIMESTAMP '1998-03-15 00:00:00'

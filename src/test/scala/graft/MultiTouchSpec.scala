@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** w14's conservation contract: per attributed user the position model
+  * hands out exactly 10000 bp and the decay model exactly the user's
+  * purchase cents — integer arithmetic only, so the totals must match an
+  * independent recount from the raw events table to the last unit. */
+class MultiTouchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("w14 credits conserve exactly: 10000 bp and all cents per attributed user") {
+    import spark.implicits._
+    val out = SparkEntry.queries("w14_multitouch_attribution")(spark, sf).collect()
+    val ev = Tables(spark, sf).events
+    val touched = ev.filter($"event_type".isin("view", "click"))
+      .select($"user_id").distinct()
+    val attributed = ev.filter($"event_type" === "purchase")
+      .join(touched, Seq("user_id"), "left_semi")
+    val nUsers = attributed.select($"user_id").distinct().count()
+    val cents = attributed
+      .agg(sum(expr("cast(round(value * 100) as bigint)"))).head().getLong(0)
+    assert(out.map(_.getAs[Long]("pos_credit_bp")).sum == 10000L * nUsers,
+      "position-based bp do not sum to 10000 per user")
+    assert(out.map(_.getAs[Long]("decay_credit_cents")).sum == cents,
+      "decay credits do not sum to the attributed purchase cents")
+    // both touch types must appear or the split test is vacuous
+    assert(out.map(_.getString(0)).toSet == Set("click", "view"))
+  }
+}
