@@ -354,6 +354,53 @@ object Formats extends QueryPack {
       }
       snap(1).unionByName(snap(2)).unionByName(snap(3)).orderBy($"version")
     },
+    // k17: MULTI-WRITER OPTIMISTIC CONCURRENCY — the commit protocol k13's
+    // single-writer manifests need before two jobs may share a table
+    // (Delta/Iceberg's conflict model): every writer PREPARES against the
+    // base snapshot it read (staging new immutable dirs + remembering the
+    // base's year→dir entries), then COMMITS via version CAS — atomically
+    // creating manifest_{cur+1} (createFile's create-if-absent is the CAS;
+    // cluster stores use putIfAbsent/conditional-PUT). A loser re-reads
+    // the current manifest, diffs it against its REMEMBERED base (held in
+    // memory, so base-snapshot expiry can't block the check), and either
+    // REBASES — its touched partitions are disjoint from everything that
+    // changed under it, so it replays its swap on top of the winner — or
+    // ABORTS, discarding its staging, when they overlap (a blind replay
+    // would silently drop the winner's rewrite of the same partition).
+    // Three writers race here from the same base: A doubles the min
+    // year, B triples the max year, C quintuples the min year. A wins the
+    // CAS; a VACUUM (k16's, retention = last 1) runs MID-RACE and must
+    // respect in-flight commits — retained refs are the live manifests'
+    // dirs PLUS every prepared writer's registered staging (the inflight_*
+    // markers); without that union it would reclaim B's staged dir and
+    // B's rebase would commit dangling references. B then rebases
+    // (disjoint: max ≠ min year) onto v2; C detects the overlap on min
+    // year and aborts. Output: v1 = −1 (expired by the mid-race vacuum),
+    // v2/v3 exact cents totals, v4 = −1 (C's abort left no commit).
+    // FormatSpec races both commit orders and pins that the final table
+    // converges (disjoint rebases are order-independent) and that C's
+    // abort leaves no manifest. At 100 TB this IS how two pipelines share
+    // one table: conflict detection costs a manifest diff (metadata-
+    // scale), never a data read.
+    "k17_commit_race" -> { (s, dir) =>
+      import s.implicits._
+      val root = commitRace(s, dir, Seq("a", "b", "c"), "abc")
+      def snap(v: Int): DataFrame = {
+        val mf = java.nio.file.Paths.get(s"$root/manifest_$v.txt")
+        if (java.nio.file.Files.exists(mf)) {
+          val dirs = java.nio.file.Files.readString(mf)
+            .split("\n").toSeq.map(_.split("\t")(1))
+          s.read.parquet(dirs: _*)
+            .agg(count(lit(1)).as("n_rows"),
+                 sum(expr("cast(round(o_totalprice * 100) as bigint)"))
+                   .as("sum_cents"))
+            .select(lit(v.toLong).as("version"), $"n_rows", $"sum_cents")
+        } else Seq((v.toLong, -1L, -1L))
+          .toDF("version", "n_rows", "sum_cents")
+      }
+      snap(1).unionByName(snap(2)).unionByName(snap(3)).unionByName(snap(4))
+        .orderBy($"version")
+    },
     // k12: DYNAMIC PARTITION OVERWRITE (backfill splice) — the correction
     // path every partitioned 100 TB table needs: a bad day is recomputed
     // and spliced in WITHOUT rewriting the other partitions. Staged as
@@ -532,6 +579,132 @@ object Formats extends QueryPack {
     }
   )
 
+  /** k17's engine, parameterized by commit order so FormatSpec can race
+    * both ways. Stages the base table (manifest_1, entries "yr<TAB>dir"),
+    * PREPARES writers a (min-year ×2), b (max-year ×3), c (min-year ×5)
+    * against that base, commits order.head, runs the in-flight-aware
+    * vacuum (retain last 1 manifest), then commits the rest — each via
+    * CAS + rebase-or-abort (scaladoc on the k17 entry). Returns the root.
+    * Driver-side loops run over the bounded year list / 3 writers only. */
+  private[graft] def commitRace(s: SparkSession, dir: String,
+      order: Seq[String], tag: String): String = {
+    import s.implicits._
+    import java.nio.file.{Files => F, Paths}
+    Scratch.staged(s"orders_race_$tag#$dir", s"race_$tag") { p =>
+      F.createDirectories(Paths.get(p))
+      val orders = Tables(s, dir).orders.withColumn("yr", year($"o_orderdate"))
+      val years = orders.select($"yr").distinct()
+        .collect().map(_.getInt(0)).sorted
+      years.foreach { y =>
+        orders.filter($"yr" === y)
+          .write.mode("overwrite").parquet(s"$p/y${y}_v1")
+      }
+      def writeEntries(v: Int, e: Seq[(Int, String)]): Unit =
+        F.writeString(Paths.get(s"$p/manifest_$v.txt"),
+          e.map { case (y, d) => s"$y\t$d" }.mkString("\n"))
+      def readEntries(v: Int): Map[Int, String] =
+        F.readString(Paths.get(s"$p/manifest_$v.txt")).split("\n")
+          .map { l => val a = l.split("\t"); a(0).toInt -> a(1) }.toMap
+      def currentVersion: Int = {
+        val ls = F.list(Paths.get(p))
+        try {
+          var mx = 0
+          val it = ls.iterator()
+          while (it.hasNext) {
+            val n = it.next().getFileName.toString
+            if (n.startsWith("manifest_"))
+              mx = math.max(mx, n.stripPrefix("manifest_").stripSuffix(".txt").toInt)
+          }
+          mx
+        } finally ls.close()
+      }
+      writeEntries(1, years.map(y => y -> s"$p/y${y}_v1"))
+      // PREPARE: each writer stages its rewrite and REMEMBERS the base
+      // entries it read (held in memory — base-manifest expiry can't
+      // block its later conflict check), and registers its staging as
+      // in-flight so vacuum can't reclaim it
+      val (minYr, maxYr) = (years.min, years.max)
+      val writers = Map(
+        "a" -> (minYr, 2), "b" -> (maxYr, 3), "c" -> (minYr, 5))
+      val base = readEntries(1)
+      val staged = writers.map { case (w, (yr, mult)) =>
+        val d = s"$p/y${yr}_$w"
+        orders.filter($"yr" === yr)
+          .withColumn("o_totalprice", $"o_totalprice" * mult)
+          .write.mode("overwrite").parquet(d)
+        F.writeString(Paths.get(s"$p/inflight_$w.txt"), d)
+        w -> d
+      }
+      def commit(w: String): Unit = {
+        val (yr, _) = writers(w)
+        var done = false
+        while (!done) {
+          val cur = currentVersion
+          val curE = readEntries(cur)
+          val changedByOthers = years.filter(y => curE(y) != base(y)).toSet
+          if (changedByOthers.contains(yr)) {
+            // OVERLAP → abort: discard staging, deregister
+            val walk = F.walk(Paths.get(staged(w)))
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(q => F.deleteIfExists(q))
+            finally walk.close()
+            F.deleteIfExists(Paths.get(s"$p/inflight_$w.txt"))
+            done = true
+          } else {
+            // DISJOINT (or first) → replay the swap on top of cur; CAS
+            val next = Paths.get(s"$p/manifest_${cur + 1}.txt")
+            val ok = try { F.createFile(next); true }
+              catch { case _: java.nio.file.FileAlreadyExistsException => false }
+            if (ok) {
+              writeEntries(cur + 1,
+                years.map(y => y -> (if (y == yr) staged(w) else curE(y))))
+              F.deleteIfExists(Paths.get(s"$p/inflight_$w.txt"))
+              done = true
+            } // CAS lost between read and create → loop, re-diff
+          }
+        }
+      }
+      commit(order.head)
+      // VACUUM mid-race (k16's reclaim, retention = last 1 manifest),
+      // respecting in-flight commits: retained = live manifest refs ∪
+      // every registered in-flight staging dir
+      val live = currentVersion
+      val retained = readEntries(live).values.toSet ++ {
+        val ls = F.list(Paths.get(p))
+        try {
+          val b = Set.newBuilder[String]
+          val it = ls.iterator()
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getFileName.toString.startsWith("inflight_"))
+              b += F.readString(f)
+          }
+          b.result()
+        } finally ls.close()
+      }
+      val dataDirs = {
+        val ls = F.list(Paths.get(p))
+        try {
+          val b = List.newBuilder[String]
+          val it = ls.iterator()
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getFileName.toString.startsWith("y")) b += f.toString
+          }
+          b.result()
+        } finally ls.close()
+      }
+      (dataDirs.toSet -- retained).foreach { d =>
+        val walk = F.walk(Paths.get(d))
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => F.deleteIfExists(q))
+        finally walk.close()
+      }
+      (1 until live).foreach(v => F.deleteIfExists(Paths.get(s"$p/manifest_$v.txt")))
+      order.tail.foreach(commit)
+    }
+  }
+
   private val qtySql = """
       SELECT l_returnflag, COUNT(*) AS n,
              CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty
@@ -594,6 +767,37 @@ object Formats extends QueryPack {
                         ELSE CAST(round(o_totalprice * 100) AS BIGINT)
                    END)::BIGINT
         FROM orders) t
+      ORDER BY version""",
+    // k17: v1 expired by the mid-race vacuum; v2 = A's min-year ×2 commit;
+    // v3 = B's rebase on top (min ×2 + max ×3) — or −1 when the corpus has
+    // a single year (B's touched partition then overlaps A's and B aborts);
+    // v4 = −1 always (C's overlap abort never commits)
+    "k17_commit_race" -> """
+      WITH o AS (
+        SELECT year(o_orderdate) AS yr,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c1,
+               CAST(round((o_totalprice * 2) * 100) AS BIGINT) AS c2,
+               CAST(round((o_totalprice * 3) * 100) AS BIGINT) AS c3
+        FROM orders),
+      yb AS (SELECT min(yr) AS mn, max(yr) AS mx FROM o)
+      SELECT * FROM (
+        SELECT 1::BIGINT AS version, (-1)::BIGINT AS n_rows,
+               (-1)::BIGINT AS sum_cents
+        UNION ALL
+        SELECT 2::BIGINT, COUNT(*)::BIGINT,
+               SUM(CASE WHEN yr = (SELECT mn FROM yb) THEN c2 ELSE c1 END)::BIGINT
+        FROM o
+        UNION ALL
+        SELECT 3::BIGINT,
+               CASE WHEN (SELECT mn FROM yb) = (SELECT mx FROM yb)
+                    THEN -1 ELSE COUNT(*) END::BIGINT,
+               CASE WHEN (SELECT mn FROM yb) = (SELECT mx FROM yb) THEN -1
+                    ELSE SUM(CASE WHEN yr = (SELECT mn FROM yb) THEN c2
+                                  WHEN yr = (SELECT mx FROM yb) THEN c3
+                                  ELSE c1 END) END::BIGINT
+        FROM o
+        UNION ALL
+        SELECT 4::BIGINT, (-1)::BIGINT, (-1)::BIGINT) t
       ORDER BY version""",
     "k13_time_travel" -> """
       WITH my AS (SELECT min(year(o_orderdate)) AS y FROM orders)

@@ -123,4 +123,29 @@ class FormatSpec extends AnyFunSuite {
         s"$codec parts must end with $ext: $parts")
     }
   }
+
+  test("k17: disjoint rebases converge under either commit order; the overlap abort leaves no trace") {
+    import org.apache.spark.sql.functions.{count, expr, lit, sum}
+    val sf = TestSpark.sf
+    def v3(tag: String, order: Seq[String]): (Long, Long) = {
+      val root = catalog.Formats.commitRace(spark, sf, order, tag)
+      assert(!Files.exists(java.nio.file.Paths.get(s"$root/manifest_4.txt")),
+        s"$tag: the aborted writer committed a manifest")
+      Seq("a", "b", "c").foreach { w =>
+        assert(!Files.exists(java.nio.file.Paths.get(s"$root/inflight_$w.txt")),
+          s"$tag: in-flight marker for $w leaked")
+      }
+      val dirs = Files.readString(java.nio.file.Paths.get(s"$root/manifest_3.txt"))
+        .split("\n").toSeq.map(_.split("\t")(1))
+      val r = spark.read.parquet(dirs: _*)
+        .agg(count(lit(1)),
+             sum(expr("cast(round(o_totalprice * 100) as bigint)"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // a-first: A wins the CAS, B rebases; b-first: B wins, A rebases —
+    // disjoint-partition rebases must land the SAME final table
+    val abc = v3("abc", Seq("a", "b", "c"))
+    val bac = v3("bac", Seq("b", "a", "c"))
+    assert(abc == bac, s"final table diverged by commit order: $abc vs $bac")
+  }
 }
