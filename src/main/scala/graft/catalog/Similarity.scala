@@ -821,14 +821,33 @@ object Similarity extends QueryPack {
     // query. Chain links cost one id-shifted self-semi-join at build
     // time; GraphAnnSpec pins that recall(v17) ≥ recall(v16) on average.
     "v17_graph_search_longlinks" -> { (s, dir) =>
-      import s.implicits._
-      val ids = Tables(s, dir).embeddings.select($"vec_id")
-      val chain = ids.select($"vec_id".as("src_id"),
-          ($"vec_id" + 1).as("neighbor_id"))
-        .join(ids.select($"vec_id".as("neighbor_id")), Seq("neighbor_id"))
-        .select($"src_id", $"neighbor_id")
-      graphBeamSearch(s, dir, stagedKnnGraph(s, dir)
-        .select($"src_id", $"neighbor_id").unionByName(chain))
+      graphBeamSearch(s, dir, v17Edges(s, dir))
+    },
+    // v23: HIERARCHICAL (HNSW-shape) ENTRY ROUTING over the stored v5
+    // edge table — the missing coarse layer: v16 enters at the query's
+    // OWN node (cell-seeded: its reachable ball is its quantizer cell)
+    // and v17 papers over the disconnect with chain long-links the walk
+    // must wander across. v23 instead routes DOWN a CENTROID-LEVEL graph:
+    //   layer 1 (coarse): the k centroids' top-3 cosine graph — model
+    //     state (k ≤ N/CellTarget rows), built on the DRIVER like the
+    //     quantizer itself; descent starts at a fixed global entry (min
+    //     cell) and greedily hops RouteHops unrolled rounds to the best
+    //     centroid (monotone: the current cell stays in the candidate
+    //     set, so a local optimum is a fixed point);
+    //   layer 0 (base): entry = the MEDOIDS (per-cell argmax cosine to
+    //     the centroid — one aggregate, k rows, computed at build time)
+    //     of the 2 best cells the descent VISITED, plus the query's own
+    //     node (in-corpus queries — v16's convention); the walk from
+    //     there is v16's verbatim beam search over the PURE v5 edges —
+    //     no chain crutch, so every frontier expansion follows real
+    //     nearest-neighbor edges.
+    // Scale shape (100 TB): routing touches k-row metadata frames only
+    // (broadcast joins, RouteHops ≈ log diameter); the per-query base
+    // walk is corpus-size-independent like v16's but over a LOWER-degree
+    // graph — GraphAnnSpec pins recall ≥ v17's AND touched frontier
+    // edges < v17's on the same queries.
+    "v23_graph_hier_route" -> { (s, dir) =>
+      graphBeamSearch(s, dir, v5Edges(s, dir), Some(hierRouteSeed(s, dir)))
     },
     // v6: EMBEDDING AGGREGATION — element-wise centroid of the embedding
     // column per group (here: the doc's source, via doc_id = vec_id), the
@@ -906,7 +925,16 @@ object Similarity extends QueryPack {
   }
 
   private[catalog] def graphBeamSearch(s: SparkSession, dir: String,
-                              edges: DataFrame): DataFrame = {
+                              edges: DataFrame,
+                              seed: Option[DataFrame] = None): DataFrame =
+    beamWalk(s, dir, edges, seed, countTouched = false)._1
+
+  /** The walk core. `seed` overrides the default own-node entry (v23's
+    * routed medoids); `countTouched` additionally counts frontier×edge
+    * expansion rows per hop (extra count() actions — GraphAnnSpec's
+    * v23-vs-v17 efficiency pin only, never the query path). */
+  private[graft] def beamWalk(s: SparkSession, dir: String, edges: DataFrame,
+      seed: Option[DataFrame], countTouched: Boolean): (DataFrame, Long) = {
     import s.implicits._
     val e = Tables(s, dir).embeddings
       .withColumn("v", $"embedding".cast("array<double>"))
@@ -922,24 +950,115 @@ object Similarity extends QueryPack {
         .withColumn("cos",
           graft.functions.VectorExprs.cosine($"qv", $"v", $"qn", $"norm2"))
     val wB = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-    val v0 = q.select($"q_id", $"q_id".as("vec_id"))
+    val v0 = seed.map(_.select($"q_id", $"vec_id").distinct())
+      .getOrElse(q.select($"q_id", $"q_id".as("vec_id")))
+    var touched = 0L
     val (visited, _) = (1 to BeamHops).foldLeft((v0, v0)) {
       case ((vis, beam), _) =>
         val cand = und
           .join(broadcast(beam.select($"q_id", $"vec_id".as("src_id"))),
                 Seq("src_id"))
           .select($"q_id", $"neighbor_id".as("vec_id"))
+        if (countTouched) touched += cand.count()
         val vis2 = vis.unionByName(cand).distinct()
         val beam2 = score(vis2)
           .withColumn("rk", row_number().over(wB)).filter($"rk" <= BeamW)
           .select($"q_id", $"vec_id")
         (vis2, beam2)
     }
-    score(visited.filter($"vec_id" =!= $"q_id"))
+    val out = score(visited.filter($"vec_id" =!= $"q_id"))
       .withColumn("rank", row_number().over(wB).cast("long"))
       .filter($"rank" <= K)
       .select($"q_id", $"rank", $"vec_id".as("neighbor_id"), $"cos")
       .orderBy($"q_id", $"rank")
+    (out, touched)
+  }
+
+  /** v23's coarse-descent depth — unrolled like BeamHops; ≈ the top-3
+    * centroid graph's log diameter at the SFs this repo drives. */
+  private val RouteHops = 4
+
+  /** The stored v5 edge table (v16/v23's base layer). */
+  private[graft] def v5Edges(s: SparkSession, dir: String): DataFrame =
+    stagedKnnGraph(s, dir).select(col("src_id"), col("neighbor_id"))
+
+  /** v17's graph: v5 edges ∪ the id-chain long links. */
+  private[graft] def v17Edges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = Tables(s, dir).embeddings.select($"vec_id")
+    val chain = ids.select($"vec_id".as("src_id"),
+        ($"vec_id" + 1).as("neighbor_id"))
+      .join(ids.select($"vec_id".as("neighbor_id")), Seq("neighbor_id"))
+      .select($"src_id", $"neighbor_id")
+    v5Edges(s, dir).unionByName(chain)
+  }
+
+  /** v23's routed entry seed: (q_id, vec_id) — the medoids of the 2 best
+    * cells the coarse descent visits (scaladoc on the v23 entry). The
+    * centroid graph is driver-built model state (k² serial-fold cosines
+    * over the SAME memoized Quantizer centroids the v5 build trained);
+    * medoids are one corpus aggregate; the descent itself is RouteHops
+    * broadcast joins of 10-row query frames against k-row metadata. */
+  private[graft] def hierRouteSeed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables(s, dir).embeddings
+      .withColumn("v", $"embedding".cast("array<double>"))
+      .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
+      .select($"vec_id", $"v", $"norm2")
+    val cents = Quantizer.centroidsFor(e, dir, iters = 2, dim = 64)
+    // serial-fold dot, identical op order to Tx.dotSql / VectorExprs.dot —
+    // the driver-side cos matches the oracle's kmc-pair cos bitwise
+    def sdot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc = acc + a(i) * b(i); i += 1 }
+      acc
+    }
+    val cg = cents.flatMap { a =>
+      cents.filter(_.cell != a.cell)
+        .map(b => (b.cell, sdot(a.cv, b.cv) /
+          (math.sqrt(a.cn2) * math.sqrt(b.cn2))))
+        .sortBy { case (cell, c) => (-c, cell) }
+        .take(3).map { case (cell, _) => (a.cell, cell) }
+    }
+    val cgDf = broadcast(cg.toDF("src_cell", "nb_cell"))
+    val centsDf = broadcast(
+      cents.map(c => (c.cell, c.cv.toSeq, c.cn2)).toDF("cell", "cv", "cnorm2"))
+    // per-cell entry node: argmax cos(v, centroid), vec_id tiebreak
+    val med = Quantizer.assign(e, cents).join(centsDf, Seq("cell"))
+      .withColumn("mcos",
+        graft.functions.VectorExprs.cosine($"v", $"cv", $"norm2", $"cnorm2"))
+      .groupBy($"cell")
+      .agg(min(struct((-$"mcos").as("neg"), $"vec_id".as("vec_id"))).as("m"))
+      .select($"cell", $"m.vec_id".as("vec_id"))
+    val q = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
+    val qc = q.crossJoin(centsDf)
+      .withColumn("ccos",
+        graft.functions.VectorExprs.cosine($"qv", $"cv", $"qn", $"cnorm2"))
+      .select($"q_id", $"cell", $"ccos")
+    val wR = Window.partitionBy($"q_id").orderBy($"ccos".desc, $"cell")
+    val entryCell = cents.map(_.cell).min
+    var route = q.select($"q_id").withColumn("cell", lit(entryCell))
+    var vis = route
+    (1 to RouteHops).foreach { _ =>
+      val cand = route.unionByName(
+          route.join(cgDf, route("cell") === cgDf("src_cell"))
+            .select($"q_id", $"nb_cell".as("cell")))
+        .distinct()
+      vis = vis.unionByName(cand).distinct()
+      route = cand.join(qc, Seq("q_id", "cell"))
+        .withColumn("rk", row_number().over(wR)).filter($"rk" === 1)
+        .select($"q_id", $"cell")
+    }
+    vis.join(qc, Seq("q_id", "cell"))
+      .withColumn("rk", row_number().over(wR)).filter($"rk" <= 2)
+      .select($"q_id", $"cell")
+      .join(med, Seq("cell"))
+      .select($"q_id", $"vec_id")
+      // in-corpus queries keep their own node as an entry too (v16's
+      // convention — "related docs" starts at the doc); the routed
+      // medoids ADD the cross-cell reach that v17 bought with chain links
+      .unionByName(q.select($"q_id", $"q_id".as("vec_id")))
   }
 
   /** v5's graph persisted to scratch parquet once per session — the stored
@@ -1216,11 +1335,14 @@ object Similarity extends QueryPack {
     * neighbor_id, cos — top-K, unordered) so composed oracles (c6) can
     * join the search result instead of ending the query with it. */
   private[catalog] def beamWalkCtes(edgeUnion: String, rel: String,
-                                    out: String): String = s"""
+                                    out: String,
+                                    seedSql: String = ""): String = s"""
       und AS MATERIALIZED (
         SELECT DISTINCT src_id, neighbor_id FROM ($edgeUnion) u),
       q AS (SELECT vec_id AS q_id, v AS qv, norm2 AS qn FROM $rel WHERE vec_id < 10),
-      vis0 AS (SELECT q_id, q_id AS vec_id FROM q),
+      vis0 AS (SELECT DISTINCT q_id, vec_id FROM (${
+        if (seedSql.isEmpty) "SELECT q_id, q_id AS vec_id FROM q" else seedSql
+      }) s0),
       beam0 AS (SELECT q_id, vec_id FROM vis0)
       ${(1 to BeamHops).map(i => beamHopSql(i, rel)).mkString(",", ",", "")},
       $out AS (
@@ -1235,6 +1357,24 @@ object Similarity extends QueryPack {
                 JOIN q p ON p.q_id = w.q_id
                 WHERE w.vec_id <> w.q_id) z) t
         WHERE rank <= $K)"""
+
+  /** v23 oracle coarse hop i: candidate cells = current ∪ its centroid-
+    * graph neighbors; the next route cell is the best-ccos candidate. */
+  private def routeHopSql(i: Int): String = s"""
+      rcand$i AS (
+        SELECT DISTINCT q_id, cell FROM (
+          SELECT q_id, cell FROM r${i - 1}
+          UNION ALL
+          SELECT r.q_id, g.nb_cell AS cell
+          FROM r${i - 1} r JOIN cg g ON g.src_cell = r.cell) u),
+      r$i AS (
+        SELECT q_id, cell FROM (
+          SELECT c.q_id, c.cell,
+                 row_number() OVER (PARTITION BY c.q_id
+                   ORDER BY s.ccos DESC, c.cell) AS rk
+          FROM rcand$i c JOIN qc s
+            ON s.q_id = c.q_id AND s.cell = c.cell) t
+        WHERE rk = 1)"""
 
   /** v16 oracle hop i: frontier expansion through `und`, visited-set union,
     * then the BeamW best-scored visited nodes become `beam$i`. */
@@ -1505,6 +1645,59 @@ object Similarity extends QueryPack {
                    FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
          UNION ALL SELECT b.vec_id AS src_id, a.vec_id AS neighbor_id
                    FROM e a JOIN e b ON b.vec_id = a.vec_id + 1"""),
+    // v23: the coarse layer replayed — centroid top-3 graph over kmc,
+    // per-cell medoids over data, the RouteHops greedy descent from the
+    // min cell, entry = 2 best visited cells' medoids — then the v16 walk
+    // CTEs verbatim with vis0 seeded from those medoids.
+    "v23_graph_hier_route" -> s"""
+      WITH $knnCtes,
+      cg AS (
+        SELECT src_cell, nb_cell FROM (
+          SELECT a.cell AS src_cell, b.cell AS nb_cell,
+                 row_number() OVER (PARTITION BY a.cell
+                   ORDER BY ${dotSql("a.cv", "b.cv")}
+                              / (sqrt(a.cnorm2) * sqrt(b.cnorm2)) DESC,
+                            b.cell) AS rk
+          FROM kmc a JOIN kmc b ON a.cell <> b.cell) t
+        WHERE rk <= 3),
+      med AS (
+        SELECT cell, vec_id FROM (
+          SELECT d.cell, d.vec_id,
+                 row_number() OVER (PARTITION BY d.cell
+                   ORDER BY ${dotSql("d.v", "c.cv")}
+                              / (sqrt(d.norm2) * sqrt(c.cnorm2)) DESC,
+                            d.vec_id) AS rk
+          FROM data d JOIN kmc c ON c.cell = d.cell) t
+        WHERE rk = 1),
+      rq AS (SELECT vec_id AS q_id, v AS qv, norm2 AS qn
+             FROM e WHERE vec_id < 10),
+      qc AS MATERIALIZED (
+        SELECT rq.q_id, c.cell,
+               ${dotSql("rq.qv", "c.cv")}
+                 / (sqrt(rq.qn) * sqrt(c.cnorm2)) AS ccos
+        FROM rq CROSS JOIN kmc c),
+      r0 AS (SELECT q_id, (SELECT min(cell) FROM kmc) AS cell FROM rq)
+      ${(1 to RouteHops).map(routeHopSql).mkString(",", ",", "")},
+      rvis AS (SELECT DISTINCT q_id, cell FROM (
+        SELECT q_id, cell FROM r0
+        ${(1 to RouteHops)
+          .map(i => s"UNION ALL SELECT q_id, cell FROM rcand$i").mkString(" ")}) u),
+      entry AS (
+        SELECT q_id, cell FROM (
+          SELECT v.q_id, v.cell,
+                 row_number() OVER (PARTITION BY v.q_id
+                   ORDER BY s.ccos DESC, v.cell) AS rk
+          FROM rvis v JOIN qc s ON s.q_id = v.q_id AND s.cell = v.cell) t
+        WHERE rk <= 2),
+      seed AS (SELECT en.q_id, m.vec_id FROM entry en JOIN med m
+               ON m.cell = en.cell),
+      ${beamWalkCtes(
+        """SELECT src_id, neighbor_id FROM knn
+           UNION ALL SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM knn""",
+        "e", "beamtop",
+        """SELECT q_id, vec_id FROM seed
+           UNION ALL SELECT q_id, q_id AS vec_id FROM rq""")}
+      SELECT q_id, rank, neighbor_id, cos FROM beamtop ORDER BY q_id, rank""",
     "v4_ivf_sampled" -> ivfSql(sampleMod = 4),
     // v9: the stored graph (knn over the index), new-node edges over the
     // cell-local pool, and the stored∪batch-candidate re-rank — identical

@@ -71,4 +71,28 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(r17 >= r16, s"long links reduced recall: $r17 < $r16")
     assert(r17 >= 0.4, s"long-link recall floor broken: $r17")
   }
+
+  test("v23: hierarchical routing matches v17 recall on fewer touched edges") {
+    val exact = SparkEntry.queries("v1_brute_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(q: String): Double = {
+      val got = SparkEntry.queries(q)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val r17 = recallOf("v17_graph_search_longlinks")
+    val r23 = recallOf("v23_graph_hier_route")
+    info(f"recall@10: v17=$r17%.2f v23(hier route)=$r23%.2f")
+    assert(r23 >= r17, s"hierarchical routing lost recall: $r23 < $r17")
+    // efficiency: the routed entry over the pure (lower-degree) v5 graph
+    // must expand fewer frontier edges than v17's chain-link wander —
+    // the point of paying for the coarse layer
+    val (_, t17) = catalog.Similarity.beamWalk(spark, sf,
+      catalog.Similarity.v17Edges(spark, sf), None, countTouched = true)
+    val (_, t23) = catalog.Similarity.beamWalk(spark, sf,
+      catalog.Similarity.v5Edges(spark, sf),
+      Some(catalog.Similarity.hierRouteSeed(spark, sf)), countTouched = true)
+    info(s"touched frontier edges: v17=$t17 v23=$t23")
+    assert(t23 < t17, s"routing did not reduce touched edges: $t23 >= $t17")
+  }
 }
