@@ -282,6 +282,60 @@ object CorpusGate extends QueryPack {
           coalesce($"best_chunk", lit(-1L)).as("best_chunk"), $"rrf")
         .orderBy($"q_id", $"rank")
     },
+    // c11: END-TO-END RETRIEVAL QUALITY EVALUATION for the composed RAG
+    // chain — v11's self-composition convention (Similarity.scala, exact
+    // vs approx recall) and d14's eval shape (Dedup.scala) applied at the
+    // COMPOSED level: c6's fused top-10, as shipped, scored per query
+    // against an exact two-leg truth set:
+    //   semantic truth = v1's brute-force cosine top-10 (as shipped);
+    //   lexical truth  = exact UNCAPPED full-text Jaccard top-10 — no
+    //     MaxDf cut, no chunking: the ceiling the capped best-chunk leg
+    //     approximates.
+    // truth = union of the two id lists; output per query = truth size,
+    // hits, recall in basis points, and PER-LEG ATTRIBUTION of the hits
+    // (found by the keyword leg only, the embedding leg only, or both) —
+    // the dial that says WHICH leg to tune when composed recall drops.
+    // Scale shape (100 TB): exact truth runs on the 10-query eval sample
+    // only (v1's documented convention); the uncapped lexical join is
+    // query-side bounded — 10 docs' shingles probe the corpus posting
+    // lists, so cost tracks the sample, not the corpus squared.
+    "c11_rag_recall_eval" -> { (s, dir) =>
+      import s.implicits._
+      import graft.functions.TextKernels
+      val truthE = Similarity.queries("v1_brute_topk")(s, dir)
+        .select($"q_id", $"neighbor_id".as("doc_id"))
+      val sh = Tables(s, dir).documents
+        .select($"doc_id", TextKernels.shingleHashesUdf($"text").as("hs"))
+        .select($"doc_id", size($"hs").cast("long").as("n_sh"),
+                explode($"hs").as("h"))
+      val qsh = sh.filter($"doc_id" < 10)
+        .select($"doc_id".as("q_id"), $"n_sh".as("qn"), $"h")
+      val wL = Window.partitionBy($"q_id").orderBy($"jac".desc, $"doc_id")
+      val truthL = sh.join(qsh, Seq("h"))
+        .filter($"doc_id" =!= $"q_id")
+        .groupBy($"q_id", $"qn", $"doc_id", $"n_sh")
+        .agg(count(lit(1)).as("n_inter"))
+        .withColumn("jac",
+          $"n_inter".cast("double") / ($"qn" + $"n_sh" - $"n_inter"))
+        .withColumn("rk", row_number().over(wL))
+        .filter($"rk" <= Similarity.K)
+        .select($"q_id", $"doc_id")
+      val truth = truthE.unionByName(truthL).distinct()
+      val got = queries("c6_rag_retrieval")(s, dir)
+        .select($"q_id", $"doc_id", $"kw_rank", $"em_rank")
+      truth.join(got, Seq("q_id", "doc_id"), "left")
+        .groupBy($"q_id")
+        .agg(count(lit(1)).as("n_truth"),
+             count($"kw_rank").as("n_hit"),
+             sum(when($"kw_rank" > 0 && $"em_rank" > 0, 1L).otherwise(0L))
+               .as("n_hit_both"),
+             sum(when($"kw_rank" > 0 && $"em_rank" === 0, 1L).otherwise(0L))
+               .as("n_hit_kw_only"),
+             sum(when($"kw_rank" === 0 && $"em_rank" > 0, 1L).otherwise(0L))
+               .as("n_hit_em_only"))
+        .withColumn("recall_bp", expr("n_hit * 10000 div n_truth"))
+        .orderBy($"q_id")
+    },
     // c7: the composed RELEASE-CERTIFICATION gate — the write-side
     // lifecycle a training-data release runs before shipping a snapshot,
     // each stage AS SHIPPED (c5/c6's self-composition convention):
@@ -380,6 +434,65 @@ object CorpusGate extends QueryPack {
     s"len(list_filter(ws, t -> ${Text.inList("t", ms)})) AS s_$l"
   }.mkString(", ")
 
+  private lazy val c6Sql: String = s"""
+      WITH ${Similarity.knnCtes},
+      ${Similarity.beamWalkCtes(
+        """SELECT src_id, neighbor_id FROM knn
+           UNION ALL SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM knn""",
+        "e", "sem")},
+      chunks AS (
+        SELECT doc_id, i AS chunk_idx, substr(text, i * 400 + 1, 500) AS text
+        FROM (SELECT doc_id, text,
+                     unnest(range(0, ((greatest(length(text), 1) - 1) // 400) + 1))::BIGINT AS i
+              FROM documents) t),
+      csh AS (
+        SELECT doc_id, chunk_idx, len(hs)::BIGINT AS c_nsh, hs
+        FROM (SELECT doc_id, chunk_idx, ${Dedup.shingleHashesSql} AS hs
+              FROM (SELECT doc_id, chunk_idx, $wsSql AS ws FROM chunks) t0) t1),
+      cex AS (
+        SELECT doc_id, chunk_idx, c_nsh, h
+        FROM (SELECT doc_id, chunk_idx, c_nsh, unnest(hs) AS h FROM csh) t
+        QUALIFY COUNT(*) OVER (PARTITION BY h) <= ${Dedup.MaxDf}),
+      qsh AS (
+        SELECT doc_id AS q_id, len(hs)::BIGINT AS qn, unnest(hs) AS h
+        FROM (SELECT doc_id, ${Dedup.shingleHashesSql} AS hs
+              FROM (SELECT doc_id, $wsSql AS ws FROM documents
+                    WHERE doc_id < 10) t0) t1),
+      pair AS (
+        SELECT q.q_id, q.qn, c.doc_id, c.chunk_idx, c.c_nsh,
+               COUNT(*)::DOUBLE / (q.qn + c.c_nsh - COUNT(*)) AS jac
+        FROM cex c JOIN qsh q ON q.h = c.h AND c.doc_id <> q.q_id
+        GROUP BY q.q_id, q.qn, c.doc_id, c.chunk_idx, c.c_nsh),
+      doclex AS (
+        SELECT q_id, doc_id, chunk_idx AS best_chunk, jac FROM (
+          SELECT q_id, doc_id, chunk_idx, jac,
+                 row_number() OVER (PARTITION BY q_id, doc_id
+                   ORDER BY jac DESC, chunk_idx) AS rk
+          FROM pair) t WHERE rk = 1),
+      kw AS (
+        SELECT q_id, doc_id, best_chunk, krank FROM (
+          SELECT q_id, doc_id, best_chunk,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY jac DESC, doc_id)::BIGINT AS krank
+          FROM doclex) t WHERE krank <= ${Similarity.K}),
+      em AS (SELECT q_id, neighbor_id AS doc_id, rank AS erank FROM sem),
+      fused AS (
+        SELECT COALESCE(k.q_id, m.q_id) AS q_id,
+               COALESCE(k.doc_id, m.doc_id) AS doc_id,
+               COALESCE(k.krank, 0)::BIGINT AS kw_rank,
+               COALESCE(m.erank, 0)::BIGINT AS em_rank,
+               COALESCE(k.best_chunk, -1)::BIGINT AS best_chunk,
+               COALESCE(1.0::DOUBLE / (k.krank + 60), 0.0::DOUBLE)
+                 + COALESCE(1.0::DOUBLE / (m.erank + 60), 0.0::DOUBLE) AS rrf
+        FROM kw k FULL OUTER JOIN em m
+          ON k.q_id = m.q_id AND k.doc_id = m.doc_id)
+      SELECT q_id, rank, doc_id, kw_rank, em_rank, best_chunk, rrf FROM (
+        SELECT q_id, doc_id, kw_rank, em_rank, best_chunk, rrf,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY rrf DESC, doc_id)::BIGINT AS rank
+        FROM fused) t
+      WHERE rank <= ${Similarity.K} ORDER BY q_id, rank"""
+
   val oracle: Map[String, String] = Map(
     // c8: ground truth of the takedown per store; residuals pinned to 0
     "c8_compliance_delete" -> """
@@ -452,64 +565,44 @@ object CorpusGate extends QueryPack {
     // c6: v16's own beam-walk CTEs (knnCtes + beamWalkCtes → sem), the
     // x15 chunk map, v13's capped lexical scoring pointed at chunks, and
     // v13's fusion SQL — the whole retrieval chain in one statement.
-    "c6_rag_retrieval" -> s"""
-      WITH ${Similarity.knnCtes},
-      ${Similarity.beamWalkCtes(
-        """SELECT src_id, neighbor_id FROM knn
-           UNION ALL SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM knn""",
-        "e", "sem")},
-      chunks AS (
-        SELECT doc_id, i AS chunk_idx, substr(text, i * 400 + 1, 500) AS text
-        FROM (SELECT doc_id, text,
-                     unnest(range(0, ((greatest(length(text), 1) - 1) // 400) + 1))::BIGINT AS i
-              FROM documents) t),
-      csh AS (
-        SELECT doc_id, chunk_idx, len(hs)::BIGINT AS c_nsh, hs
-        FROM (SELECT doc_id, chunk_idx, ${Dedup.shingleHashesSql} AS hs
-              FROM (SELECT doc_id, chunk_idx, $wsSql AS ws FROM chunks) t0) t1),
-      cex AS (
-        SELECT doc_id, chunk_idx, c_nsh, h
-        FROM (SELECT doc_id, chunk_idx, c_nsh, unnest(hs) AS h FROM csh) t
-        QUALIFY COUNT(*) OVER (PARTITION BY h) <= ${Dedup.MaxDf}),
-      qsh AS (
-        SELECT doc_id AS q_id, len(hs)::BIGINT AS qn, unnest(hs) AS h
+    "c6_rag_retrieval" -> c6Sql,
+    // c11: truth = v1's brute SQL ∪ the uncapped exact lexical top-10;
+    // c6's full oracle statement nests verbatim as the system under eval
+    "c11_rag_recall_eval" -> s"""
+      WITH tE AS (
+        SELECT q_id, neighbor_id AS doc_id FROM (${Similarity.v1Sql}) v),
+      sh AS (
+        SELECT doc_id, len(hs)::BIGINT AS n_sh, unnest(hs) AS h
         FROM (SELECT doc_id, ${Dedup.shingleHashesSql} AS hs
-              FROM (SELECT doc_id, $wsSql AS ws FROM documents
-                    WHERE doc_id < 10) t0) t1),
-      pair AS (
-        SELECT q.q_id, q.qn, c.doc_id, c.chunk_idx, c.c_nsh,
-               COUNT(*)::DOUBLE / (q.qn + c.c_nsh - COUNT(*)) AS jac
-        FROM cex c JOIN qsh q ON q.h = c.h AND c.doc_id <> q.q_id
-        GROUP BY q.q_id, q.qn, c.doc_id, c.chunk_idx, c.c_nsh),
-      doclex AS (
-        SELECT q_id, doc_id, chunk_idx AS best_chunk, jac FROM (
-          SELECT q_id, doc_id, chunk_idx, jac,
-                 row_number() OVER (PARTITION BY q_id, doc_id
-                   ORDER BY jac DESC, chunk_idx) AS rk
-          FROM pair) t WHERE rk = 1),
-      kw AS (
-        SELECT q_id, doc_id, best_chunk, krank FROM (
-          SELECT q_id, doc_id, best_chunk,
+              FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0) t1),
+      tL AS (
+        SELECT q_id, doc_id FROM (
+          SELECT q_id, doc_id,
                  row_number() OVER (PARTITION BY q_id
-                   ORDER BY jac DESC, doc_id)::BIGINT AS krank
-          FROM doclex) t WHERE krank <= ${Similarity.K}),
-      em AS (SELECT q_id, neighbor_id AS doc_id, rank AS erank FROM sem),
-      fused AS (
-        SELECT COALESCE(k.q_id, m.q_id) AS q_id,
-               COALESCE(k.doc_id, m.doc_id) AS doc_id,
-               COALESCE(k.krank, 0)::BIGINT AS kw_rank,
-               COALESCE(m.erank, 0)::BIGINT AS em_rank,
-               COALESCE(k.best_chunk, -1)::BIGINT AS best_chunk,
-               COALESCE(1.0::DOUBLE / (k.krank + 60), 0.0::DOUBLE)
-                 + COALESCE(1.0::DOUBLE / (m.erank + 60), 0.0::DOUBLE) AS rrf
-        FROM kw k FULL OUTER JOIN em m
-          ON k.q_id = m.q_id AND k.doc_id = m.doc_id)
-      SELECT q_id, rank, doc_id, kw_rank, em_rank, best_chunk, rrf FROM (
-        SELECT q_id, doc_id, kw_rank, em_rank, best_chunk, rrf,
-               row_number() OVER (PARTITION BY q_id
-                 ORDER BY rrf DESC, doc_id)::BIGINT AS rank
-        FROM fused) t
-      WHERE rank <= ${Similarity.K} ORDER BY q_id, rank""",
+                   ORDER BY jac DESC, doc_id) AS rk
+          FROM (
+            SELECT q.doc_id AS q_id, c.doc_id,
+                   COUNT(*)::DOUBLE / (q.n_sh + c.n_sh - COUNT(*)) AS jac
+            FROM sh q JOIN sh c
+              ON q.h = c.h AND q.doc_id < 10 AND c.doc_id <> q.doc_id
+            GROUP BY q.doc_id, c.doc_id, q.n_sh, c.n_sh) t) t2
+        WHERE rk <= ${Similarity.K}),
+      truth AS (
+        SELECT DISTINCT q_id, doc_id FROM (
+          SELECT * FROM tE UNION ALL SELECT * FROM tL) u),
+      got AS (SELECT q_id, doc_id, kw_rank, em_rank FROM ($c6Sql) g)
+      SELECT t.q_id, COUNT(*)::BIGINT AS n_truth,
+             COUNT(g.kw_rank)::BIGINT AS n_hit,
+             SUM(CASE WHEN g.kw_rank > 0 AND g.em_rank > 0
+                      THEN 1 ELSE 0 END)::BIGINT AS n_hit_both,
+             SUM(CASE WHEN g.kw_rank > 0 AND g.em_rank = 0
+                      THEN 1 ELSE 0 END)::BIGINT AS n_hit_kw_only,
+             SUM(CASE WHEN g.kw_rank = 0 AND g.em_rank > 0
+                      THEN 1 ELSE 0 END)::BIGINT AS n_hit_em_only,
+             (COUNT(g.kw_rank) * 10000 // COUNT(*))::BIGINT AS recall_bp
+      FROM truth t LEFT JOIN got g
+        ON g.q_id = t.q_id AND g.doc_id = t.doc_id
+      GROUP BY t.q_id ORDER BY t.q_id""",
     // c5: the full chain restated — x2's stop counts, d17's quantizer/
     // verdict CTEs, the serial packing prefix the two-pass shape must hit.
     "c5_pretrain_pack" -> s"""

@@ -1896,7 +1896,7 @@ object Similarity extends QueryPack {
       FROM s2 JOIN sizes USING (lbl) ORDER BY vec_id"""
   )
 
-  private lazy val v1Sql = s"""
+  private[catalog] lazy val v1Sql = s"""
       WITH e AS (
         SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
         FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v

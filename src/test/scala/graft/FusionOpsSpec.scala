@@ -116,6 +116,27 @@ class FusionOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("c11: composed recall holds a floor and attribution partitions the hits") {
+    val out = SparkEntry.queries("c11_rag_recall_eval")(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSet == (0L until 10L).toSet)
+    out.foreach { r =>
+      val (nTruth, nHit) = (r.getAs[Long]("n_truth"), r.getAs[Long]("n_hit"))
+      // truth ⊇ the 10 exact-cosine ids; hits can't exceed truth
+      assert(nTruth >= 10 && nHit <= nTruth)
+      // the three attribution buckets partition the hit set exactly
+      assert(r.getAs[Long]("n_hit_both") + r.getAs[Long]("n_hit_kw_only") +
+        r.getAs[Long]("n_hit_em_only") == nHit,
+        s"attribution doesn't partition hits for q=${r.getLong(0)}")
+      assert(r.getAs[Long]("recall_bp") == nHit * 10000 / nTruth)
+    }
+    // composed recall floor: the fused chain must keep finding the
+    // majority of the exact two-leg truth (measured ~0.70 mean here;
+    // collapse below half means a leg or the fusion broke)
+    val mean = out.map(_.getAs[Long]("recall_bp")).sum / out.length
+    info(s"mean composed recall = $mean bp")
+    assert(mean >= 5000L, s"composed RAG recall collapsed: $mean bp")
+  }
+
   test("a11: count-min never underestimates and is exact when no collision") {
     import spark.implicits._
     val out = SparkEntry.queries("a11_cms_sketch")(spark, sf)
