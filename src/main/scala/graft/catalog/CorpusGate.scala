@@ -76,17 +76,7 @@ object CorpusGate extends QueryPack {
           expr("cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) as double)") / 16.0)
         .filter($"est" >= 0.5)
         .select($"new_id".as("doc_id")).distinct()
-      val aug = concat($"text", lit(" contact user"), $"doc_id".cast("string"),
-        lit("@mail"), pmod($"doc_id", lit(7)).cast("string"),
-        lit(".com or call 555-"),
-        lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0"), lit(" now"))
-      exactKept.join(flagged, Seq("doc_id"), "left_anti")
-        .withColumn("aug", aug)
-        .withColumn("redacted",
-          regexp_replace(regexp_replace($"aug", Text.EmailPat, "<EMAIL>"),
-            Text.PhonePat, "<PHONE>"))
-        .select($"doc_id", $"digest", md5($"redacted").as("red_digest"),
-          size(expr(Tx.wsExpr)).cast("long").as("n_tokens"))
+      redactEnrich(exactKept.join(flagged, Seq("doc_id"), "left_anti"))
         .orderBy($"doc_id")
     },
     // c4: BUDGETED QUALITY SELECTION — the data-mixing step that picks the
@@ -429,6 +419,26 @@ object CorpusGate extends QueryPack {
       aud1.unionByName(aud2).unionByName(aud3).orderBy($"store")
     }
   )
+
+  /** c3/c10's shared PII-redact + token-enrich tail: input needs
+    * (doc_id, text, digest); output (doc_id, digest, red_digest,
+    * n_tokens). The aug string plants one email + one phone per doc so
+    * the x10 patterns demonstrably fire; n_tokens counts the ORIGINAL
+    * text's whitespace tokens (the enrich stat, not the redacted one). */
+  private[catalog] def redactEnrich(df: DataFrame): DataFrame = {
+    val aug = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"),
+      lit("@mail"), pmod(col("doc_id"), lit(7)).cast("string"),
+      lit(".com or call 555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"), lit(" now"))
+    df.withColumn("aug", aug)
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("aug"), Text.EmailPat, "<EMAIL>"),
+          Text.PhonePat, "<PHONE>"))
+      .select(col("doc_id"), col("digest"),
+        md5(col("redacted")).as("red_digest"),
+        size(expr(Tx.wsExpr)).cast("long").as("n_tokens"))
+  }
 
   private val markerScores = Text.markers.map { case (l, ms) =>
     s"len(list_filter(ws, t -> ${Text.inList("t", ms)})) AS s_$l"

@@ -336,6 +336,181 @@ object Streams extends QueryPack {
     s.read.parquet(index).select($"doc_id", $"arrived").orderBy($"doc_id")
   }
 
+  /** c10: CONTINUOUS END-TO-END CURATION — the production shape a 100 TB
+    * corpus actually runs: ONE streaming job (one foreachBatch) chaining
+    * the shipped gates over SHARED PERSISTENT STORES:
+    *   ingest (2 doc_id-range CSV files, pinned mtimes, 1-in-37 rows
+    *     corrupted in the doc_id field — k14's trap data)
+    *   → corrupt quarantine (e30's PERMISSIVE split: corrupt rows
+    *     content-addressed by raw line into the quarantine store)
+    *   → exact-dedup gate (e18: in-batch min-keeper per digest, digest
+    *     anti-join against the persistent index, new keepers appended)
+    *   → near-dup LSH gate (e29 verbatim: doc_id anti-join replay guard,
+    *     band buckets vs index ∪ smaller-id batch mates, MaxBucket cap
+    *     over that domain, est-Jaccard ≥ 0.5 drops, keeper sigs appended)
+    *   → PII redact + token enrich (c3's x10 tail) appended to the
+    *     curated corpus store keyed by doc_id.
+    * COMPOSITION DISCIPLINE: each stage's downstream input derives from
+    * the STORE STATE after its append — exact survivors are the clean
+    * rows the collapsed digest index names as keepers, corpus input is
+    * the survivors the LSH store holds — never from the in-flight batch
+    * frame. With every append guarded by its own store's anti-join, each
+    * stage is INDEPENDENTLY idempotent, so an at-least-once replay of the
+    * whole stream appends nothing AND a crash between two stage commits
+    * replays to the same final stores (the partially-committed stages
+    * skip, the missing ones fill in). StreamCurationSpec pins
+    * byte-identical full replay and per-stage counts against
+    * independently recomputed batch equivalents; the oracle is the batch
+    * chain in one statement — corrupt filter → global min-keeper exact
+    * dedup → e29's two-hop near-dup unroll over the exact survivors →
+    * c3's redact — so a drift in ANY stage or in how they chain breaks
+    * it. Scale shape (100 TB): every stage is the standalone gate's plan
+    * (digest/sig/band/id shuffles only; text feeds per-row kernels,
+    * never a shuffle key); stores are append-only parquet (table-format
+    * commits — k13/k17's manifests — in a deployment). */
+  private[graft] def runContinuousCuration(s: SparkSession, dir: String,
+      storesOpt: Option[(String, String, String, String)] = None): DataFrame = {
+    import s.implicits._
+    val feed = Scratch.staged(s"c10_ingest#$dir", "c10_ingest") { p =>
+      val root = java.nio.file.Paths.get(p)
+      java.nio.file.Files.createDirectories(root)
+      val docs = Tables(s, dir).documents.select($"doc_id", $"text")
+      val ids = docs.agg(min($"doc_id"), max($"doc_id")).head()
+      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+      val step = (hi - lo) / 2 + 1
+      (0 until 2).foreach { i =>
+        val stage = Scratch.dir(s"c10r$i")
+        docs.filter($"doc_id" >= lo + i * step && $"doc_id" < lo + (i + 1) * step)
+          // U+0001 separator: the synthetic texts carry no control chars;
+          // 1-in-37 rows get a non-numeric doc_id (k14's parse trap)
+          .select(concat(
+            when(pmod($"doc_id", lit(37)) === 5,
+              concat(lit("x"), $"doc_id".cast("string")))
+              .otherwise($"doc_id".cast("string")),
+            lit("\u0001"), $"text").as("value"))
+          .coalesce(1).write.mode("overwrite").text(stage.toString)
+        val ls = java.nio.file.Files.list(stage)
+        val part = try {
+          ls.filter(q => q.getFileName.toString.endsWith(".txt")).findFirst().get()
+        } finally ls.close()
+        val dst = root.resolve(f"range_$i%02d.csv")
+        java.nio.file.Files.copy(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+    }
+    val (qStore, idxStore, lshStore, corpusStore) = storesOpt.getOrElse((
+      Scratch.dir("c10_quar").resolve("q").toString,
+      Scratch.dir("c10_idx").resolve("d").toString,
+      Scratch.dir("c10_lsh").resolve("l").toString,
+      Scratch.dir("c10_corpus").resolve("c").toString))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 4)
+    try {
+      val st = s.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("sep", "\u0001")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("maxFilesPerTrigger", 1).csv(feed)
+      val q = st.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bs = batch.sparkSession
+          def store(path: String) = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(bs.sparkContext.hadoopConfiguration)
+          def exists(path: String) =
+            store(path).exists(new org.apache.hadoop.fs.Path(path))
+          def appendNew(rows: DataFrame, path: String, key: String): Unit = {
+            val fresh = if (exists(path))
+              rows.join(bs.read.parquet(path).select(key), Seq(key), "left_anti")
+            else rows
+            fresh.write.mode("append").parquet(path)
+          }
+          // STAGE 1 — quarantine (e30's split; full projection = k14 trap)
+          val full = batch.select(col("doc_id"), col("text"),
+            col("_corrupt_record"))
+          appendNew(full.filter(col("_corrupt_record").isNotNull)
+            .select(col("doc_id"), col("text"),
+                    col("_corrupt_record").as("raw_line")),
+            qStore, "raw_line")
+          val clean = full.filter(col("_corrupt_record").isNull)
+            .select(col("doc_id"), col("text"))
+          // STAGE 2 — exact gate (e18): append new keepers, then read the
+          // collapsed index back — survivors are the rows the INDEX names
+          val withDigest = clean.withColumn("digest", expr(Dedup.digestExpr))
+          val keepers = withDigest.groupBy("digest")
+            .agg(min("doc_id").as("keeper_doc_id"))
+          val newKeepers = if (exists(idxStore))
+            keepers.join(bs.read.parquet(idxStore).select("digest"),
+              Seq("digest"), "left_anti")
+          else keepers
+          newKeepers.write.mode("append").parquet(idxStore)
+          val idxAfter = bs.read.parquet(idxStore)
+            .groupBy("digest").agg(min("keeper_doc_id").as("keeper_doc_id"))
+          val exactSurv = withDigest.join(idxAfter,
+            withDigest("digest") === idxAfter("digest") &&
+              withDigest("doc_id") === idxAfter("keeper_doc_id"), "left_semi")
+          // STAGE 3 — near-dup gate (e29's body over the exact survivors)
+          val lshIdx: Option[DataFrame] =
+            if (exists(lshStore)) Some(bs.read.parquet(lshStore)) else None
+          val sigAll = exactSurv.select(col("doc_id"),
+            graft.functions.TextKernels.minhashUdf(col("text")).as("sig"))
+          val sig = lshIdx.fold(sigAll)(i =>
+            sigAll.join(i.select("doc_id"), Seq("doc_id"), "left_anti"))
+          val bBands = sig
+            .select(col("doc_id"), lit("b").as("src"),
+              posexplode(graft.functions.TextKernels.bandsUdf(col("sig")))
+                .as(Seq("band_idx", "band_hash")))
+          val dom = lshIdx.fold(bBands) { i =>
+            bBands.unionByName(i
+              .select(col("doc_id"), lit("i").as("src"),
+                graft.functions.TextKernels.bandsUdf(col("sig")).as("bands"))
+              .select(col("doc_id"), col("src"),
+                posexplode(col("bands")).as(Seq("band_idx", "band_hash"))))
+          }
+          val wB = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band_idx"), col("band_hash"))
+          val capped = dom.withColumn("bn", count(lit(1)).over(wB))
+            .filter(col("bn") <= Dedup.MaxBucket).drop("bn")
+          val n = capped.filter(col("src") === "b")
+            .select(col("band_idx"), col("band_hash"), col("doc_id").as("new_id"))
+          val a = capped.select(col("band_idx"), col("band_hash"),
+            col("src"), col("doc_id").as("o_id"))
+          val authSigs = lshIdx.fold(sig.select(col("doc_id"), col("sig")))(i =>
+            sig.select(col("doc_id"), col("sig"))
+              .unionByName(i.select(col("doc_id"), col("sig"))))
+          val drops = n.join(a, Seq("band_idx", "band_hash"))
+            .filter(col("src") === "i" || col("o_id") < col("new_id"))
+            .select(col("new_id"), col("o_id")).distinct()
+            .join(sig.select(col("doc_id").as("new_id"),
+              col("sig").as("sig_a")), Seq("new_id"))
+            .join(authSigs.select(col("doc_id").as("o_id"),
+              col("sig").as("sig_b")), Seq("o_id"))
+            .withColumn("est_jaccard", expr(
+              "cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) as double)") / 16.0)
+            .filter(col("est_jaccard") >= 0.5)
+            .select(col("new_id")).distinct()
+          sig.join(drops, sig("doc_id") === drops("new_id"), "left_anti")
+            .write.mode("append").parquet(lshStore)
+          // STAGE 4 — redact + enrich the survivors the LSH STORE holds
+          val lshAfter = bs.read.parquet(lshStore).select("doc_id")
+          appendNew(CorpusGate.redactEnrich(
+              exactSurv.join(lshAfter, Seq("doc_id"), "left_semi")),
+            corpusStore, "doc_id")
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.parquet(corpusStore)
+      .select($"doc_id", $"digest", $"red_digest", $"n_tokens")
+      .orderBy($"doc_id")
+  }
+
   /** e28: STREAMING SEQUENCE PACKING — g18's concat-then-chunk map under
     * continuous ingest (2 doc_id-range micro-batches — the minimum that
     * exercises cross-batch offsets and replay; the round-7 4-file ladder
@@ -969,6 +1144,11 @@ object Streams extends QueryPack {
     // corrupt/clean split into persistent stores, o_orderkey anti-join
     // idempotence, audit computed from the stores after the drain.
     "e30_stream_quarantine" -> { (s, dir) => runStreamQuarantine(s, dir) },
+    // c10: CONTINUOUS END-TO-END CURATION (runContinuousCuration
+    // scaladoc) — quarantine → exact gate → near-dup gate → redact in ONE
+    // streaming job over shared persistent stores; the batch chain is the
+    // oracle and full replay is byte-identical (StreamCurationSpec).
+    "c10_continuous_curation" -> { (s, dir) => runContinuousCuration(s, dir) },
     // e28: STREAMING SEQUENCE PACKING (runStreamSeqPack scaladoc) — the
     // ingest leg of the pretrain-packing pipeline: g18's context-window
     // map maintained across micro-batches, output-as-state, idempotent
@@ -1352,6 +1532,86 @@ object Streams extends QueryPack {
       GROUP BY digest ORDER BY digest""",
     // e28: the streamed packing map must equal g18's batch map exactly.
     "e28_stream_seq_pack" -> Analytics.g18Sql,
+    // c10: the whole curation chain in one statement — corrupt filter
+    // (doc_id % 37 = 5 quarantined), global min-keeper exact dedup over
+    // the clean rows (range-ordered batches make per-batch min + index
+    // anti-join == global min), e29's two-hop near-dup unroll over the
+    // EXACT SURVIVORS (same band SQL, same MaxBucket domains), then c3's
+    // redact tail over the final keepers.
+    "c10_continuous_curation" -> s"""
+      WITH bb AS (SELECT MIN(doc_id) AS lo,
+                         ((MAX(doc_id) - MIN(doc_id)) // 2 + 1) AS step
+                  FROM documents),
+      ek AS MATERIALIZED (
+        SELECT doc_id, text, digest FROM (
+          SELECT doc_id, text, digest,
+                 row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+          FROM (SELECT doc_id, text,
+                       md5(trim(regexp_replace(lower(text), '[^a-z ]', '', 'g')))
+                         AS digest
+                FROM documents WHERE doc_id % 37 <> 5) t0) z
+        WHERE rn = 1),
+      sg AS MATERIALIZED (
+        SELECT d.doc_id, ${Dedup.sigSql("hs")} AS sig,
+               CASE WHEN d.doc_id < bb.lo + bb.step THEN 0 ELSE 1 END AS b
+        FROM (SELECT doc_id, ${Dedup.shingleHashesSql} AS hs
+              FROM (SELECT doc_id, ${Tx.wsSql} AS ws FROM ek) t0) d, bb),
+      bnd AS MATERIALIZED (
+        SELECT doc_id, b, bi.band_idx, bands[bi.band_idx + 1] AS band_hash
+        FROM (SELECT doc_id, b, ${Dedup.bandsSql("sig")} AS bands FROM sg) t
+        CROSS JOIN (SELECT unnest(range(0, ${graft.functions.TextKernels.NBands})) AS band_idx) bi),
+      cap0 AS (
+        SELECT doc_id, band_idx, band_hash FROM bnd WHERE b = 0
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= ${Dedup.MaxBucket}),
+      d0 AS (
+        SELECT DISTINCT new_id FROM (
+          SELECT p.new_id,
+                 len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 16.0 AS ej
+          FROM (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS o_id
+                FROM cap0 n JOIN cap0 o
+                  ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+                 AND o.doc_id < n.doc_id) p
+          JOIN sg sa ON sa.doc_id = p.new_id
+          JOIN sg sb ON sb.doc_id = p.o_id) z
+        WHERE ej >= 0.5),
+      k0 AS (SELECT doc_id FROM sg WHERE b = 0
+             AND doc_id NOT IN (SELECT new_id FROM d0)),
+      dom1 AS (
+        SELECT bn.doc_id, 'i' AS src, bn.band_idx, bn.band_hash
+        FROM bnd bn JOIN k0 ON k0.doc_id = bn.doc_id
+        UNION ALL
+        SELECT doc_id, 'b' AS src, band_idx, band_hash FROM bnd WHERE b = 1),
+      cap1 AS (
+        SELECT doc_id, src, band_idx, band_hash FROM dom1
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= ${Dedup.MaxBucket}),
+      d1 AS (
+        SELECT DISTINCT new_id FROM (
+          SELECT p.new_id,
+                 len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 16.0 AS ej
+          FROM (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS o_id
+                FROM cap1 n JOIN cap1 o
+                  ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+                 AND n.src = 'b'
+                 AND (o.src = 'i' OR (o.src = 'b' AND o.doc_id < n.doc_id))) p
+          JOIN sg sa ON sa.doc_id = p.new_id
+          JOIN sg sb ON sb.doc_id = p.o_id) z
+        WHERE ej >= 0.5),
+      fin AS (
+        SELECT doc_id FROM k0
+        UNION ALL
+        SELECT doc_id FROM sg
+        WHERE b = 1 AND doc_id NOT IN (SELECT new_id FROM d1)),
+      red AS (
+        SELECT k.doc_id, k.digest, k.text,
+               concat(k.text, ' contact user', k.doc_id, '@mail', k.doc_id % 7,
+                      '.com or call 555-', lpad((k.doc_id % 10000)::VARCHAR, 4, '0'),
+                      ' now') AS aug
+        FROM ek k JOIN fin ON fin.doc_id = k.doc_id)
+      SELECT doc_id, digest,
+             md5(regexp_replace(regexp_replace(aug, '${Text.EmailPat}', '<EMAIL>', 'g'),
+                                '${Text.PhonePat}', '<PHONE>', 'g')) AS red_digest,
+             len(${Tx.wsSql})::BIGINT AS n_tokens
+      FROM red ORDER BY doc_id""",
     // e29: both micro-batches unrolled — hop 0 dedups the first range
     // within itself; hop 1 probes hop-0 KEEPERS (not all hop-0 docs: a
     // dropped doc never entered the index) ∪ its own smaller-id mates.
