@@ -332,4 +332,19 @@ class MonitoringOpsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("recall_pct") == hit * 100 / 10)
     }
   }
+
+  test("dq3 margin watch: observed HLL error stays within half the pinned envelope") {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col}
+    // dq3's within_5pct pin is a 2.5-sigma bound at rsd 0.02 (measured 5x
+    // margin at 1x/10x/100x) — this watch trips if the margin ever halves,
+    // catching a distribution or Spark-HLL drift BEFORE the gate flips
+    val li = Tables(spark, sf).lineitem
+    Seq("l_orderkey", "l_partkey", "l_suppkey").foreach { c =>
+      val ad = li.agg(approx_count_distinct(col(c), 0.02)).head().getLong(0)
+      val d = li.select(col(c)).distinct().count()
+      val err = math.abs(ad.toDouble - d.toDouble) / d.toDouble
+      info(f"$c: observed HLL error ${err * 100}%.2f%% (pin 5%%)")
+      assert(err <= 0.025, s"$c HLL error margin collapsed: $err")
+    }
+  }
 }
