@@ -1149,6 +1149,54 @@ object Streams extends QueryPack {
     // streaming job over shared persistent stores; the batch chain is the
     // oracle and full replay is byte-identical (StreamCurationSpec).
     "c10_continuous_curation" -> { (s, dir) => runContinuousCuration(s, dir) },
+    // c12: CURATION LINEAGE AUDIT — the "why was my doc dropped" query a
+    // pipeline owner runs against c10's PERSISTED STORES: every input doc
+    // accounted for exactly once with its disposition and evidence —
+    //   quarantined (id re-parsed from the stored raw line),
+    //   exact_dup (+ the keeper it collapsed into, from the digest index),
+    //   near_dup (exact keeper the LSH gate dropped),
+    //   released (present in the curated corpus store).
+    // The audit derives from STORE STATE (c10's composition discipline
+    // read back), joined against the input universe; the classes are
+    // disjoint and exhaustive by construction — StreamCurationSpec pins
+    // the partition property. Scale shape (100 TB): three store reads +
+    // digest-keyed joins; evidence costs nothing extra because the
+    // stores already carry it.
+    "c12_curation_lineage" -> { (s, dir) =>
+      import s.implicits._
+      val stores = (
+        Scratch.dir("c12_quar").resolve("q").toString,
+        Scratch.dir("c12_idx").resolve("d").toString,
+        Scratch.dir("c12_lsh").resolve("l").toString,
+        Scratch.dir("c12_corpus").resolve("c").toString)
+      runContinuousCuration(s, dir, Some(stores))
+      val (qS, idxS, lshS, corpS) = stores
+      val quarantined = s.read.parquet(qS)
+        .select(regexp_extract($"raw_line", "^x?([0-9]+)", 1)
+          .cast("long").as("doc_id"),
+          lit("quarantined").as("disposition"), lit(-1L).as("keeper_doc_id"))
+      val idx = s.read.parquet(idxS)
+        .groupBy($"digest").agg(min($"keeper_doc_id").as("keeper_doc_id"))
+      val clean = Tables(s, dir).documents
+        .filter(pmod($"doc_id", lit(37)) =!= 5)
+        .withColumn("digest", expr(Dedup.digestExpr))
+        .select($"doc_id", $"digest")
+      val withKeeper = clean.join(idx, Seq("digest"))
+      val exactDups = withKeeper.filter($"doc_id" =!= $"keeper_doc_id")
+        .select($"doc_id", lit("exact_dup").as("disposition"), $"keeper_doc_id")
+      val keepers = withKeeper.filter($"doc_id" === $"keeper_doc_id")
+        .select($"doc_id")
+      val nearDups = keepers
+        .join(s.read.parquet(lshS).select($"doc_id"), Seq("doc_id"), "left_anti")
+        .select($"doc_id", lit("near_dup").as("disposition"),
+                lit(-1L).as("keeper_doc_id"))
+      val released = s.read.parquet(corpS)
+        .select($"doc_id", lit("released").as("disposition"),
+                lit(-1L).as("keeper_doc_id"))
+      quarantined.unionByName(exactDups).unionByName(nearDups)
+        .unionByName(released)
+        .orderBy($"doc_id")
+    },
     // e28: STREAMING SEQUENCE PACKING (runStreamSeqPack scaladoc) — the
     // ingest leg of the pretrain-packing pipeline: g18's context-window
     // map maintained across micro-batches, output-as-state, idempotent
@@ -1310,6 +1358,69 @@ object Streams extends QueryPack {
         .orderBy($"w_start")
     }
   )
+
+  private lazy val c10Ctes: String = s"""bb AS (SELECT MIN(doc_id) AS lo,
+                         ((MAX(doc_id) - MIN(doc_id)) // 2 + 1) AS step
+                  FROM documents),
+      ek AS MATERIALIZED (
+        SELECT doc_id, text, digest FROM (
+          SELECT doc_id, text, digest,
+                 row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+          FROM (SELECT doc_id, text,
+                       md5(trim(regexp_replace(lower(text), '[^a-z ]', '', 'g')))
+                         AS digest
+                FROM documents WHERE doc_id % 37 <> 5) t0) z
+        WHERE rn = 1),
+      sg AS MATERIALIZED (
+        SELECT d.doc_id, ${Dedup.sigSql("hs")} AS sig,
+               CASE WHEN d.doc_id < bb.lo + bb.step THEN 0 ELSE 1 END AS b
+        FROM (SELECT doc_id, ${Dedup.shingleHashesSql} AS hs
+              FROM (SELECT doc_id, ${Tx.wsSql} AS ws FROM ek) t0) d, bb),
+      bnd AS MATERIALIZED (
+        SELECT doc_id, b, bi.band_idx, bands[bi.band_idx + 1] AS band_hash
+        FROM (SELECT doc_id, b, ${Dedup.bandsSql("sig")} AS bands FROM sg) t
+        CROSS JOIN (SELECT unnest(range(0, ${graft.functions.TextKernels.NBands})) AS band_idx) bi),
+      cap0 AS (
+        SELECT doc_id, band_idx, band_hash FROM bnd WHERE b = 0
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= ${Dedup.MaxBucket}),
+      d0 AS (
+        SELECT DISTINCT new_id FROM (
+          SELECT p.new_id,
+                 len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 16.0 AS ej
+          FROM (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS o_id
+                FROM cap0 n JOIN cap0 o
+                  ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+                 AND o.doc_id < n.doc_id) p
+          JOIN sg sa ON sa.doc_id = p.new_id
+          JOIN sg sb ON sb.doc_id = p.o_id) z
+        WHERE ej >= 0.5),
+      k0 AS (SELECT doc_id FROM sg WHERE b = 0
+             AND doc_id NOT IN (SELECT new_id FROM d0)),
+      dom1 AS (
+        SELECT bn.doc_id, 'i' AS src, bn.band_idx, bn.band_hash
+        FROM bnd bn JOIN k0 ON k0.doc_id = bn.doc_id
+        UNION ALL
+        SELECT doc_id, 'b' AS src, band_idx, band_hash FROM bnd WHERE b = 1),
+      cap1 AS (
+        SELECT doc_id, src, band_idx, band_hash FROM dom1
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= ${Dedup.MaxBucket}),
+      d1 AS (
+        SELECT DISTINCT new_id FROM (
+          SELECT p.new_id,
+                 len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 16.0 AS ej
+          FROM (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS o_id
+                FROM cap1 n JOIN cap1 o
+                  ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
+                 AND n.src = 'b'
+                 AND (o.src = 'i' OR (o.src = 'b' AND o.doc_id < n.doc_id))) p
+          JOIN sg sa ON sa.doc_id = p.new_id
+          JOIN sg sb ON sb.doc_id = p.o_id) z
+        WHERE ej >= 0.5),
+      fin AS (
+        SELECT doc_id FROM k0
+        UNION ALL
+        SELECT doc_id FROM sg
+        WHERE b = 1 AND doc_id NOT IN (SELECT new_id FROM d1))"""
 
   val oracle: Map[String, String] = Map(
     // e30: the k14 audit — the streamed split must land exactly the
@@ -1539,68 +1650,7 @@ object Streams extends QueryPack {
     // EXACT SURVIVORS (same band SQL, same MaxBucket domains), then c3's
     // redact tail over the final keepers.
     "c10_continuous_curation" -> s"""
-      WITH bb AS (SELECT MIN(doc_id) AS lo,
-                         ((MAX(doc_id) - MIN(doc_id)) // 2 + 1) AS step
-                  FROM documents),
-      ek AS MATERIALIZED (
-        SELECT doc_id, text, digest FROM (
-          SELECT doc_id, text, digest,
-                 row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
-          FROM (SELECT doc_id, text,
-                       md5(trim(regexp_replace(lower(text), '[^a-z ]', '', 'g')))
-                         AS digest
-                FROM documents WHERE doc_id % 37 <> 5) t0) z
-        WHERE rn = 1),
-      sg AS MATERIALIZED (
-        SELECT d.doc_id, ${Dedup.sigSql("hs")} AS sig,
-               CASE WHEN d.doc_id < bb.lo + bb.step THEN 0 ELSE 1 END AS b
-        FROM (SELECT doc_id, ${Dedup.shingleHashesSql} AS hs
-              FROM (SELECT doc_id, ${Tx.wsSql} AS ws FROM ek) t0) d, bb),
-      bnd AS MATERIALIZED (
-        SELECT doc_id, b, bi.band_idx, bands[bi.band_idx + 1] AS band_hash
-        FROM (SELECT doc_id, b, ${Dedup.bandsSql("sig")} AS bands FROM sg) t
-        CROSS JOIN (SELECT unnest(range(0, ${graft.functions.TextKernels.NBands})) AS band_idx) bi),
-      cap0 AS (
-        SELECT doc_id, band_idx, band_hash FROM bnd WHERE b = 0
-        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= ${Dedup.MaxBucket}),
-      d0 AS (
-        SELECT DISTINCT new_id FROM (
-          SELECT p.new_id,
-                 len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 16.0 AS ej
-          FROM (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS o_id
-                FROM cap0 n JOIN cap0 o
-                  ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
-                 AND o.doc_id < n.doc_id) p
-          JOIN sg sa ON sa.doc_id = p.new_id
-          JOIN sg sb ON sb.doc_id = p.o_id) z
-        WHERE ej >= 0.5),
-      k0 AS (SELECT doc_id FROM sg WHERE b = 0
-             AND doc_id NOT IN (SELECT new_id FROM d0)),
-      dom1 AS (
-        SELECT bn.doc_id, 'i' AS src, bn.band_idx, bn.band_hash
-        FROM bnd bn JOIN k0 ON k0.doc_id = bn.doc_id
-        UNION ALL
-        SELECT doc_id, 'b' AS src, band_idx, band_hash FROM bnd WHERE b = 1),
-      cap1 AS (
-        SELECT doc_id, src, band_idx, band_hash FROM dom1
-        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash) <= ${Dedup.MaxBucket}),
-      d1 AS (
-        SELECT DISTINCT new_id FROM (
-          SELECT p.new_id,
-                 len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i]))::DOUBLE / 16.0 AS ej
-          FROM (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS o_id
-                FROM cap1 n JOIN cap1 o
-                  ON n.band_idx = o.band_idx AND n.band_hash = o.band_hash
-                 AND n.src = 'b'
-                 AND (o.src = 'i' OR (o.src = 'b' AND o.doc_id < n.doc_id))) p
-          JOIN sg sa ON sa.doc_id = p.new_id
-          JOIN sg sb ON sb.doc_id = p.o_id) z
-        WHERE ej >= 0.5),
-      fin AS (
-        SELECT doc_id FROM k0
-        UNION ALL
-        SELECT doc_id FROM sg
-        WHERE b = 1 AND doc_id NOT IN (SELECT new_id FROM d1)),
+      WITH $c10Ctes,
       red AS (
         SELECT k.doc_id, k.digest, k.text,
                concat(k.text, ' contact user', k.doc_id, '@mail', k.doc_id % 7,
@@ -1612,6 +1662,29 @@ object Streams extends QueryPack {
                                 '${Text.PhonePat}', '<PHONE>', 'g')) AS red_digest,
              len(${Tx.wsSql})::BIGINT AS n_tokens
       FROM red ORDER BY doc_id""",
+    // c12: every input doc accounted for EXACTLY once — quarantined ids
+    // re-parsed from the raw lines, exact dups against the clean keeper
+    // map, near-dups = exact keepers the LSH gate dropped, released =
+    // the final keepers (c10's fin CTE verbatim)
+    "c12_curation_lineage" -> s"""
+      WITH $c10Ctes,
+      dg AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[^a-z ]', '', 'g'))) AS digest
+        FROM documents WHERE doc_id % 37 <> 5),
+      km AS (SELECT digest, MIN(doc_id) AS keeper FROM dg GROUP BY digest)
+      SELECT * FROM (
+        SELECT doc_id, 'quarantined' AS disposition, (-1)::BIGINT AS keeper_doc_id
+        FROM documents WHERE doc_id % 37 = 5
+        UNION ALL
+        SELECT d.doc_id, 'exact_dup', km.keeper::BIGINT
+        FROM dg d JOIN km USING (digest) WHERE d.doc_id <> km.keeper
+        UNION ALL
+        SELECT e.doc_id, 'near_dup', (-1)::BIGINT
+        FROM ek e WHERE e.doc_id NOT IN (SELECT doc_id FROM fin)
+        UNION ALL
+        SELECT doc_id, 'released', (-1)::BIGINT FROM fin) t
+      ORDER BY doc_id""",
     // e29: both micro-batches unrolled — hop 0 dedups the first range
     // within itself; hop 1 probes hop-0 KEEPERS (not all hop-0 docs: a
     // dropped doc never entered the index) ∪ its own smaller-id mates.
