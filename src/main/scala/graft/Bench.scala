@@ -44,9 +44,12 @@ object Bench {
     // Optional comma-separated query filter (dev iterations on one plan);
     // the driver invokes with no args → full suite, contract unchanged.
     val only: Option[Set[String]] = args.lift(0).map(_.split(",").toSet)
+    // c10/c12 drive real micro-batch streams too — keep every
+    // stream-running entry in the trailing phase
     val (streamQ, batchQ) = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .partition(_._1.contains("_stream"))
+      .partition(q => q._1.contains("_stream") ||
+        q._1.startsWith("c10_") || q._1.startsWith("c12_"))
     val results = (batchQ ++ streamQ).map { case (name, fn) =>
       // min over reps, but only over SUCCESSFUL reps; all-failed → the
       // (negative) sentinel survives into the artifact
