@@ -993,12 +993,22 @@ object Similarity extends QueryPack {
     v5Edges(s, dir).unionByName(chain)
   }
 
+  /** Per-(dir) memo of v23's medoid map — index-BUILD-time state like the
+    * stored v5 edge table (the full-corpus assignment pass is the build's
+    * cost, not the query's); k rows, the Quantizer driver-state budget. */
+  private val medoids =
+    new scala.collection.concurrent.TrieMap[String, Map[Int, Long]]
+
   /** v23's routed entry seed: (q_id, vec_id) — the medoids of the 2 best
-    * cells the coarse descent visits (scaladoc on the v23 entry). The
-    * centroid graph is driver-built model state (k² serial-fold cosines
-    * over the SAME memoized Quantizer centroids the v5 build trained);
-    * medoids are one corpus aggregate; the descent itself is RouteHops
-    * broadcast joins of 10-row query frames against k-row metadata. */
+    * cells the coarse descent visits, plus the query's own node (scaladoc
+    * on the v23 entry). The WHOLE coarse layer is metadata: k centroids
+    * (the trained Quantizer model), their top-3 cosine graph, k medoids,
+    * and 10 query vectors — so the descent runs ON THE DRIVER, exactly
+    * where HNSW keeps its upper layers (an in-memory navigation
+    * structure; a cluster run broadcasts the same k-row tables). All
+    * arithmetic is the serial-fold dot + IEEE sqrt/divide the SQL twin
+    * uses, with (cos desc, cell asc) tiebreaks — the oracle replays the
+    * descent relationally and matches bitwise. */
   private[graft] def hierRouteSeed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = Tables(s, dir).embeddings
@@ -1007,58 +1017,58 @@ object Similarity extends QueryPack {
       .select($"vec_id", $"v", $"norm2")
     val cents = Quantizer.centroidsFor(e, dir, iters = 2, dim = 64)
     // serial-fold dot, identical op order to Tx.dotSql / VectorExprs.dot —
-    // the driver-side cos matches the oracle's kmc-pair cos bitwise
+    // every driver-side cos matches its SQL twin bitwise
     def sdot(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < a.length) { acc = acc + a(i) * b(i); i += 1 }
       acc
     }
-    val cg = cents.flatMap { a =>
-      cents.filter(_.cell != a.cell)
+    // coarse graph: top-3 neighbors per centroid (k² driver cosines)
+    val cg: Map[Int, Seq[Int]] = cents.map { a =>
+      a.cell -> cents.filter(_.cell != a.cell)
         .map(b => (b.cell, sdot(a.cv, b.cv) /
           (math.sqrt(a.cn2) * math.sqrt(b.cn2))))
         .sortBy { case (cell, c) => (-c, cell) }
-        .take(3).map { case (cell, _) => (a.cell, cell) }
-    }
-    val cgDf = broadcast(cg.toDF("src_cell", "nb_cell"))
-    val centsDf = broadcast(
-      cents.map(c => (c.cell, c.cv.toSeq, c.cn2)).toDF("cell", "cv", "cnorm2"))
-    // per-cell entry node: argmax cos(v, centroid), vec_id tiebreak
-    val med = Quantizer.assign(e, cents).join(centsDf, Seq("cell"))
-      .withColumn("mcos",
-        graft.functions.VectorExprs.cosine($"v", $"cv", $"norm2", $"cnorm2"))
-      .groupBy($"cell")
-      .agg(min(struct((-$"mcos").as("neg"), $"vec_id".as("vec_id"))).as("m"))
-      .select($"cell", $"m.vec_id".as("vec_id"))
-    val q = e.filter($"vec_id" < 10)
-      .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
-    val qc = q.crossJoin(centsDf)
-      .withColumn("ccos",
-        graft.functions.VectorExprs.cosine($"qv", $"cv", $"qn", $"cnorm2"))
-      .select($"q_id", $"cell", $"ccos")
-    val wR = Window.partitionBy($"q_id").orderBy($"ccos".desc, $"cell")
+        .take(3).map(_._1)
+    }.toMap
+    // per-cell entry node: argmax cos(v, centroid), vec_id tiebreak — one
+    // corpus aggregate at build time, memoized per (JVM, dir)
+    val med: Map[Int, Long] = medoids.getOrElseUpdate(dir, {
+      val centsDf = broadcast(
+        cents.map(c => (c.cell, c.cv.toSeq, c.cn2)).toDF("cell", "cv", "cnorm2"))
+      Quantizer.assign(e, cents).join(centsDf, Seq("cell"))
+        .withColumn("mcos",
+          graft.functions.VectorExprs.cosine($"v", $"cv", $"norm2", $"cnorm2"))
+        .groupBy($"cell")
+        .agg(min(struct((-$"mcos").as("neg"), $"vec_id".as("vec_id"))).as("m"))
+        .select($"cell", $"m.vec_id".as("vec_id"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    })
+    val qRows = e.filter($"vec_id" < 10).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
     val entryCell = cents.map(_.cell).min
-    var route = q.select($"q_id").withColumn("cell", lit(entryCell))
-    var vis = route
-    (1 to RouteHops).foreach { _ =>
-      val cand = route.unionByName(
-          route.join(cgDf, route("cell") === cgDf("src_cell"))
-            .select($"q_id", $"nb_cell".as("cell")))
-        .distinct()
-      vis = vis.unionByName(cand).distinct()
-      route = cand.join(qc, Seq("q_id", "cell"))
-        .withColumn("rk", row_number().over(wR)).filter($"rk" === 1)
-        .select($"q_id", $"cell")
-    }
-    vis.join(qc, Seq("q_id", "cell"))
-      .withColumn("rk", row_number().over(wR)).filter($"rk" <= 2)
-      .select($"q_id", $"cell")
-      .join(med, Seq("cell"))
-      .select($"q_id", $"vec_id")
+    val centByCell = cents.map(c => c.cell -> c).toMap
+    val seeds = qRows.flatMap { case (qid, qv, qn) =>
+      def ccos(cell: Int): Double = {
+        val c = centByCell(cell)
+        sdot(qv, c.cv) / (math.sqrt(qn) * math.sqrt(c.cn2))
+      }
+      var route = entryCell
+      var vis = Set(route)
+      (1 to RouteHops).foreach { _ =>
+        val cand = (Seq(route) ++ cg(route)).distinct
+        vis ++= cand
+        route = cand.map(c => (c, ccos(c)))
+          .sortBy { case (cell, c) => (-c, cell) }.head._1
+      }
+      val entry = vis.toSeq.map(c => (c, ccos(c)))
+        .sortBy { case (cell, c) => (-c, cell) }.take(2).map(_._1)
       // in-corpus queries keep their own node as an entry too (v16's
       // convention — "related docs" starts at the doc); the routed
       // medoids ADD the cross-cell reach that v17 bought with chain links
-      .unionByName(q.select($"q_id", $"q_id".as("vec_id")))
+      (entry.map(med) :+ qid).map(vid => (qid, vid))
+    }
+    seeds.toSeq.toDF("q_id", "vec_id")
   }
 
   /** v5's graph persisted to scratch parquet once per session — the stored
