@@ -401,6 +401,110 @@ object Formats extends QueryPack {
       snap(1).unionByName(snap(2)).unionByName(snap(3)).unionByName(snap(4))
         .orderBy($"version")
     },
+    // k18: ORPHAN-FILE GC — the third leg of the lakehouse storage
+    // lifecycle (k16 expires SNAPSHOTS a retention policy names; k17's
+    // vacuum respects IN-FLIGHT commits; k18 reclaims what neither
+    // covers: data directories no live manifest references and no
+    // in-flight marker registers — the debris failed or abandoned jobs
+    // leave under the table root, which otherwise accumulates forever).
+    // Two safety rails make it production-shaped: (a) REGISTERED
+    // in-flight staging survives regardless of age (k17's markers);
+    // (b) an AGE WATERMARK keeps anything newly written — a writer
+    // between its first part file and its inflight registration must
+    // not lose data to a concurrently-sweeping GC. Staged: k13's
+    // two-version table + a planted stale orphan (failed job's output,
+    // old mtime), a planted FRESH unregistered dir (mtime now — the
+    // racing writer), and a registered in-flight dir. The audit reads
+    // the filesystem AFTER the sweep: stale orphan gone, fresh +
+    // registered kept, both snapshots still exact to the cent. At
+    // 100 TB this is the storage-bill op: candidates come from a
+    // listing diff against manifest references (metadata-scale), never
+    // a data read; deletes touch only unreferenced paths.
+    "k18_orphan_gc" -> { (s, dir) =>
+      import s.implicits._
+      val root = Scratch.staged(s"orders_gc#$dir", "gc_orders") { p =>
+        import java.nio.file.{Files => F, Paths}
+        F.createDirectories(Paths.get(p))
+        val orders = Tables(s, dir).orders.withColumn("yr", year($"o_orderdate"))
+        val years = orders.select($"yr").distinct()
+          .collect().map(_.getInt(0)).sorted
+        years.foreach { y =>
+          orders.filter($"yr" === y)
+            .write.mode("overwrite").parquet(s"$p/y${y}_v1")
+        }
+        val minYr = years.min
+        orders.filter($"yr" === minYr)
+          .withColumn("o_totalprice", $"o_totalprice" * 2)
+          .write.mode("overwrite").parquet(s"$p/y${minYr}_v2")
+        val v1 = years.map(y => y -> s"$p/y${y}_v1")
+        val v2 = years.map(y =>
+          if (y == minYr) y -> s"$p/y${y}_v2" else y -> s"$p/y${y}_v1")
+        Seq(1 -> v1, 2 -> v2).foreach { case (v, es) =>
+          F.writeString(Paths.get(s"$p/manifest_$v.txt"),
+            es.map { case (y, d) => s"$y\t$d" }.mkString("\n"))
+        }
+        // plant the three GC cases: a stale orphan (failed job, old
+        // mtime), a fresh unregistered dir (racing writer), and a
+        // registered in-flight dir (prepared commit)
+        def plant(name: String, ageMs: Long): String = {
+          val d = s"$p/$name"
+          orders.filter($"yr" === minYr).limit(10)
+            .write.mode("overwrite").parquet(d)
+          F.setLastModifiedTime(Paths.get(d),
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() - ageMs))
+          d
+        }
+        plant(s"y${minYr}_failedjob", ageMs = 86400000L)
+        plant(s"y${years.max}_racing", ageMs = 0L)
+        val prepared = plant(s"y${years.max}_prepared", ageMs = 86400000L)
+        F.writeString(Paths.get(s"$p/inflight_w1.txt"), prepared)
+        // GC sweep: candidates = data dirs referenced by NO manifest and
+        // NO in-flight marker; delete only those older than the watermark
+        val referenced = (1 to 2).flatMap(v =>
+          F.readString(Paths.get(s"$p/manifest_$v.txt"))
+            .split("\n").map(_.split("\t")(1))).toSet + prepared
+        val watermarkMs = System.currentTimeMillis() - 3600000L
+        val ls = F.list(Paths.get(p))
+        try {
+          val it = ls.iterator()
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getFileName.toString.startsWith("y") &&
+                !referenced.contains(f.toString) &&
+                F.getLastModifiedTime(f).toMillis < watermarkMs) {
+              val walk = F.walk(f)
+              try walk.sorted(java.util.Comparator.reverseOrder())
+                .forEach(q => F.deleteIfExists(q))
+              finally walk.close()
+            }
+          }
+        } finally ls.close()
+      }
+      import java.nio.file.{Files => F, Paths}
+      val orders = Tables(s, dir).orders.withColumn("yr", year($"o_orderdate"))
+      val (minYr, maxYr) = {
+        val r = orders.agg(min($"yr"), max($"yr")).head(); (r.getInt(0), r.getInt(1))
+      }
+      def flag(name: String, up: Boolean): Long = {
+        val there = F.exists(Paths.get(s"$root/$name"))
+        if (there == up) 1L else 0L
+      }
+      def snap(v: Int): Long = {
+        val dirs = F.readString(Paths.get(s"$root/manifest_$v.txt"))
+          .split("\n").toSeq.map(_.split("\t")(1))
+        s.read.parquet(dirs: _*)
+          .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")))
+          .head().getLong(0)
+      }
+      Seq(
+        ("fresh_unregistered_kept", flag(s"y${maxYr}_racing", up = true)),
+        ("inflight_registered_kept", flag(s"y${maxYr}_prepared", up = true)),
+        ("stale_orphan_deleted", flag(s"y${minYr}_failedjob", up = false)),
+        ("v1_sum_cents", snap(1)),
+        ("v2_sum_cents", snap(2))
+      ).toDF("item", "value").orderBy($"item")
+    },
     // k12: DYNAMIC PARTITION OVERWRITE (backfill splice) — the correction
     // path every partitioned 100 TB table needs: a bad day is recomputed
     // and spliced in WITHOUT rewriting the other partitions. Staged as
@@ -768,6 +872,28 @@ object Formats extends QueryPack {
                    END)::BIGINT
         FROM orders) t
       ORDER BY version""",
+    // k18: the three GC verdicts pinned (stale orphan swept, fresh and
+    // registered dirs kept) + both snapshots still exact after the sweep
+    "k18_orphan_gc" -> """
+      WITH my AS (SELECT min(year(o_orderdate)) AS y FROM orders)
+      SELECT * FROM (
+        SELECT 'fresh_unregistered_kept' AS item, 1::BIGINT AS value
+        UNION ALL
+        SELECT 'inflight_registered_kept', 1::BIGINT
+        UNION ALL
+        SELECT 'stale_orphan_deleted', 1::BIGINT
+        UNION ALL
+        SELECT 'v1_sum_cents',
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+        FROM orders
+        UNION ALL
+        SELECT 'v2_sum_cents',
+               SUM(CASE WHEN year(o_orderdate) = (SELECT y FROM my)
+                        THEN CAST(round((o_totalprice * 2) * 100) AS BIGINT)
+                        ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                   END)::BIGINT
+        FROM orders) t
+      ORDER BY item""",
     // k17: v1 expired by the mid-race vacuum; v2 = A's min-year ×2 commit;
     // v3 = B's rebase on top (min ×2 + max ×3) — or −1 when the corpus has
     // a single year (B's touched partition then overlaps A's and B aborts);
