@@ -546,21 +546,7 @@ object Similarity extends QueryPack {
         .withColumn("v", $"embedding".cast("array<double>"))
         .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
         .select($"vec_id", $"v", $"norm2")
-      val books = pqBooksFor(e, dir)
-      def sub(m: Int) = slice($"v", m * PqSub + 1, PqSub)
-      // per-subspace argmin over the 16 literal codes: min struct of
-      // (score = |c|^2 - 2 t.c  [t-norm common to all codes], code, csub)
-      def pick(m: Int) = array_min(array(books(m).map { c =>
-        struct(
-          (lit(c.cn2) - lit(2.0) * graft.functions.VectorExprs.dot(
-            sub(m), typedLit(c.csub.toSeq))).as("score"),
-          lit(c.code).as("code"),
-          typedLit(c.csub.toSeq).as("csub"))
-      }: _*))
-      val coded = e.withColumn("recon",
-          flatten(array((0 until PqM).map(m => pick(m).getField("csub")): _*)))
-        .withColumn("rn2", graft.functions.VectorExprs.dot($"recon", $"recon"))
-        .select($"vec_id", $"recon", $"rn2")
+      val coded = pqReconFrame(e, dir)
       val qs = e.filter($"vec_id" < 10)
         .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
       val wCand = Window.partitionBy($"q_id").orderBy($"adc".desc, $"vec_id")
@@ -849,6 +835,29 @@ object Similarity extends QueryPack {
     "v23_graph_hier_route" -> { (s, dir) =>
       graphBeamSearch(s, dir, v5Edges(s, dir), Some(hierRouteSeed(s, dir)))
     },
+    // v24: MEMORY-BOUNDED GRAPH WALK (DiskANN's query shape) — v16's beam
+    // search with the frontier hops scored against the PQ-RECONSTRUCTED
+    // vectors (v12's 4 B/vector codes, dequantized) instead of the full
+    // 512 B float64 rows; queries stay EXACT (asymmetric distance, v12's
+    // convention) and the FINAL top-K exact-reranks the visited set
+    // against true vectors, so the emitted cosines are exact — only the
+    // NAVIGATION is approximate. This is what makes a graph index fit in
+    // RAM at 100 TB: the hot loop (frontier expansion + scoring) touches
+    // codes 128× smaller than the vectors; full vectors are read once
+    // per visited id at the end, not per hop. Same edges, same seed,
+    // same hop/frontier budget as v16 — recall differences isolate the
+    // quantization, which GraphAnnSpec measures and floors.
+    "v24_pq_graph_search" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables(s, dir).embeddings
+        .withColumn("v", $"embedding".cast("array<double>"))
+        .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
+        .select($"vec_id", $"v", $"norm2")
+      val recon = pqReconFrame(e, dir)
+        .select($"vec_id", $"recon".as("v"), $"rn2".as("norm2"))
+      beamWalk(s, dir, v5Edges(s, dir), None, countTouched = false,
+        hopRel = Some(recon))._1
+    },
     // v6: EMBEDDING AGGREGATION — element-wise centroid of the embedding
     // column per group (here: the doc's source, via doc_id = vec_id), the
     // statistic diversity analysis and cluster monitoring consume.
@@ -932,9 +941,14 @@ object Similarity extends QueryPack {
   /** The walk core. `seed` overrides the default own-node entry (v23's
     * routed medoids); `countTouched` additionally counts frontier×edge
     * expansion rows per hop (extra count() actions — GraphAnnSpec's
-    * v23-vs-v17 efficiency pin only, never the query path). */
+    * v23-vs-v17 efficiency pin only, never the query path). `hopRel`
+    * overrides the CANDIDATE-side vectors the frontier hops score
+    * against (v24's PQ reconstructions — queries stay exact and the
+    * FINAL rerank always reads true vectors, v12's asymmetric-distance
+    * convention); None scores hops exactly (v16/v17/v23). */
   private[graft] def beamWalk(s: SparkSession, dir: String, edges: DataFrame,
-      seed: Option[DataFrame], countTouched: Boolean): (DataFrame, Long) = {
+      seed: Option[DataFrame], countTouched: Boolean,
+      hopRel: Option[DataFrame] = None): (DataFrame, Long) = {
     import s.implicits._
     val e = Tables(s, dir).embeddings
       .withColumn("v", $"embedding".cast("array<double>"))
@@ -945,10 +959,11 @@ object Similarity extends QueryPack {
     val und = edges.unionByName(
         edges.select($"neighbor_id".as("src_id"), $"src_id".as("neighbor_id")))
       .distinct()
-    def score(ids: DataFrame): DataFrame =
-      ids.join(e, Seq("vec_id")).join(broadcast(q), Seq("q_id"))
+    def score(rel: DataFrame)(ids: DataFrame): DataFrame =
+      ids.join(rel, Seq("vec_id")).join(broadcast(q), Seq("q_id"))
         .withColumn("cos",
           graft.functions.VectorExprs.cosine($"qv", $"v", $"qn", $"norm2"))
+    val hopScore = score(hopRel.getOrElse(e)) _
     val wB = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
     val v0 = seed.map(_.select($"q_id", $"vec_id").distinct())
       .getOrElse(q.select($"q_id", $"q_id".as("vec_id")))
@@ -961,12 +976,12 @@ object Similarity extends QueryPack {
           .select($"q_id", $"neighbor_id".as("vec_id"))
         if (countTouched) touched += cand.count()
         val vis2 = vis.unionByName(cand).distinct()
-        val beam2 = score(vis2)
+        val beam2 = hopScore(vis2)
           .withColumn("rk", row_number().over(wB)).filter($"rk" <= BeamW)
           .select($"q_id", $"vec_id")
         (vis2, beam2)
     }
-    val out = score(visited.filter($"vec_id" =!= $"q_id"))
+    val out = score(e)(visited.filter($"vec_id" =!= $"q_id"))
       .withColumn("rank", row_number().over(wB).cast("long"))
       .filter($"rank" <= K)
       .select($"q_id", $"rank", $"vec_id".as("neighbor_id"), $"cos")
@@ -1124,6 +1139,30 @@ object Similarity extends QueryPack {
   private case class PqCode(code: Int, csub: Array[Double], cn2: Double)
   private val pqBookCache =
     new scala.collection.concurrent.TrieMap[String, IndexedSeq[IndexedSeq[PqCode]]]
+  /** v12's PQ encode as a frame: every vector's reconstruction
+    * (concatenated chosen sub-centroids) + its squared norm — the
+    * 4 B/vector index payload dequantized; shared by v12's ADC scan and
+    * v24's PQ-scored walk. Pure projection against the literal codebooks
+    * (model state), zero shuffle. */
+  private def pqReconFrame(e: DataFrame, dir: String): DataFrame = {
+    import e.sparkSession.implicits._
+    val books = pqBooksFor(e, dir)
+    def sub(m: Int) = slice($"v", m * PqSub + 1, PqSub)
+    // per-subspace argmin over the 16 literal codes: min struct of
+    // (score = |c|^2 - 2 t.c  [t-norm common to all codes], code, csub)
+    def pick(m: Int) = array_min(array(books(m).map { c =>
+      struct(
+        (lit(c.cn2) - lit(2.0) * graft.functions.VectorExprs.dot(
+          sub(m), typedLit(c.csub.toSeq))).as("score"),
+        lit(c.code).as("code"),
+        typedLit(c.csub.toSeq).as("csub"))
+    }: _*))
+    e.withColumn("recon",
+        flatten(array((0 until PqM).map(m => pick(m).getField("csub")): _*)))
+      .withColumn("rn2", graft.functions.VectorExprs.dot($"recon", $"recon"))
+      .select($"vec_id", $"recon", $"rn2")
+  }
+
   private def pqBooksFor(e: DataFrame, dir: String): IndexedSeq[IndexedSeq[PqCode]] =
     pqBookCache.getOrElseUpdate(dir, {
       val seeds = e.filter(col("vec_id") < PqKs).orderBy("vec_id")
@@ -1325,6 +1364,33 @@ object Similarity extends QueryPack {
                 FROM data s JOIN data d ON s.cell = d.cell AND d.vec_id <> s.vec_id) t0) t1
         WHERE rank <= 3)"""
 
+  /** v12's PQ encode as a CTE chain over `e`: codebooks from the first
+    * PqKs rows, per-subspace argmin, reconstructions `precon(vec_id,
+    * recon, rn2)` — shared by the v12 and v24 oracles. */
+  private lazy val pqReconCtes: String = s"""
+      pbooks AS (
+        SELECT m, code, csub, ${dotSql("csub", "csub")} AS cn2 FROM (
+          SELECT ms.m, s.vec_id AS code,
+                 list_slice(s.v, ms.m * $PqSub + 1, (ms.m + 1) * $PqSub) AS csub
+          FROM (SELECT vec_id, v FROM e WHERE vec_id < $PqKs) s
+          CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) ms) z),
+      pscored AS (
+        SELECT vec_id, m, code, csub,
+               cn2 - 2 * ${dotSql("tsub", "csub")} AS score
+        FROM (SELECT t.vec_id, b.m, b.code, b.csub, b.cn2,
+                     list_slice(t.v, b.m * $PqSub + 1, (b.m + 1) * $PqSub) AS tsub
+              FROM e t CROSS JOIN pbooks b) z),
+      pcoded AS (
+        SELECT vec_id, m, csub FROM (
+          SELECT vec_id, m, csub,
+                 row_number() OVER (PARTITION BY vec_id, m
+                   ORDER BY score ASC, code ASC) AS r
+          FROM pscored) w WHERE r = 1),
+      precon AS MATERIALIZED (
+        SELECT vec_id, recon, ${dotSql("recon", "recon")} AS rn2 FROM (
+          SELECT vec_id, flatten(list(csub ORDER BY m)) AS recon
+          FROM pcoded GROUP BY vec_id) g)"""
+
   /** v16/v17 oracle: full beam-search replay over the edge pairs produced
     * by `edgeUnion` (symmetrized via DISTINCT in the `und` CTE). */
   private def beamSearchSql(edgeUnion: String): String =
@@ -1346,7 +1412,8 @@ object Similarity extends QueryPack {
     * join the search result instead of ending the query with it. */
   private[catalog] def beamWalkCtes(edgeUnion: String, rel: String,
                                     out: String,
-                                    seedSql: String = ""): String = s"""
+                                    seedSql: String = "",
+                                    hopRel: String = ""): String = s"""
       und AS MATERIALIZED (
         SELECT DISTINCT src_id, neighbor_id FROM ($edgeUnion) u),
       q AS (SELECT vec_id AS q_id, v AS qv, norm2 AS qn FROM $rel WHERE vec_id < 10),
@@ -1354,7 +1421,9 @@ object Similarity extends QueryPack {
         if (seedSql.isEmpty) "SELECT q_id, q_id AS vec_id FROM q" else seedSql
       }) s0),
       beam0 AS (SELECT q_id, vec_id FROM vis0)
-      ${(1 to BeamHops).map(i => beamHopSql(i, rel)).mkString(",", ",", "")},
+      ${(1 to BeamHops)
+        .map(i => beamHopSql(i, if (hopRel.isEmpty) rel else hopRel))
+        .mkString(",", ",", "")},
       $out AS (
         SELECT q_id, rank, neighbor_id, cos FROM (
           SELECT z.q_id, z.vec_id AS neighbor_id, z.cos,
@@ -1471,28 +1540,7 @@ object Similarity extends QueryPack {
         SELECT vec_id, v, ${dotSql("v", "v")} AS norm2
         FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
               FROM embeddings) t),
-      pbooks AS (
-        SELECT m, code, csub, ${dotSql("csub", "csub")} AS cn2 FROM (
-          SELECT ms.m, s.vec_id AS code,
-                 list_slice(s.v, ms.m * $PqSub + 1, (ms.m + 1) * $PqSub) AS csub
-          FROM (SELECT vec_id, v FROM e WHERE vec_id < $PqKs) s
-          CROSS JOIN (SELECT unnest(range(0, $PqM)) AS m) ms) z),
-      pscored AS (
-        SELECT vec_id, m, code, csub,
-               cn2 - 2 * ${dotSql("tsub", "csub")} AS score
-        FROM (SELECT t.vec_id, b.m, b.code, b.csub, b.cn2,
-                     list_slice(t.v, b.m * $PqSub + 1, (b.m + 1) * $PqSub) AS tsub
-              FROM e t CROSS JOIN pbooks b) z),
-      pcoded AS (
-        SELECT vec_id, m, csub FROM (
-          SELECT vec_id, m, csub,
-                 row_number() OVER (PARTITION BY vec_id, m
-                   ORDER BY score ASC, code ASC) AS r
-          FROM pscored) w WHERE r = 1),
-      precon AS (
-        SELECT vec_id, recon, ${dotSql("recon", "recon")} AS rn2 FROM (
-          SELECT vec_id, flatten(list(csub ORDER BY m)) AS recon
-          FROM pcoded GROUP BY vec_id) g),
+      $pqReconCtes,
       pqq AS (SELECT vec_id AS q_id, v AS qv, norm2 AS qn
               FROM e WHERE vec_id < 10),
       pcand AS (
@@ -1707,6 +1755,17 @@ object Similarity extends QueryPack {
         "e", "beamtop",
         """SELECT q_id, vec_id FROM seed
            UNION ALL SELECT q_id, q_id AS vec_id FROM rq""")}
+      SELECT q_id, rank, neighbor_id, cos FROM beamtop ORDER BY q_id, rank""",
+    // v24: the v16 walk CTEs with frontier hops scored against the PQ
+    // reconstructions (rcn) — queries and the final rerank stay exact
+    "v24_pq_graph_search" -> s"""
+      WITH $knnCtes,
+      $pqReconCtes,
+      rcn AS (SELECT vec_id, recon AS v, rn2 AS norm2 FROM precon),
+      ${beamWalkCtes(
+        """SELECT src_id, neighbor_id FROM knn
+           UNION ALL SELECT neighbor_id AS src_id, src_id AS neighbor_id FROM knn""",
+        "e", "beamtop", "", hopRel = "rcn")}
       SELECT q_id, rank, neighbor_id, cos FROM beamtop ORDER BY q_id, rank""",
     "v4_ivf_sampled" -> ivfSql(sampleMod = 4),
     // v9: the stored graph (knn over the index), new-node edges over the

@@ -95,4 +95,40 @@ class GraphAnnSpec extends AnyFunSuite {
     info(s"touched frontier edges: v17=$t17 v23=$t23")
     assert(t23 < t17, s"routing did not reduce touched edges: $t23 >= $t17")
   }
+
+  test("v24: PQ-scored navigation holds recall; emitted cosines are exact") {
+    import spark.implicits._
+    val exact = SparkEntry.queries("v1_brute_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(q: String): Double = {
+      val got = SparkEntry.queries(q)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val r16 = recallOf("v16_graph_beam_search")
+    val r24 = recallOf("v24_pq_graph_search")
+    info(f"recall@10: v16(exact nav)=$r16%.2f v24(PQ nav)=$r24%.2f")
+    // the quantization only degrades NAVIGATION; the stored-graph
+    // connectivity ceiling (v16's 0.3 floor) must still hold
+    assert(r24 >= 0.3, s"PQ navigation collapsed recall: $r24")
+    // exact-rerank contract: every emitted cosine is the TRUE cosine —
+    // recomputed with the serial-fold kernel over the raw embeddings
+    val rows = SparkEntry.queries("v24_pq_graph_search")(spark, sf).collect()
+    val need = rows.flatMap(r => Seq(r.getLong(0), r.getLong(2))).toSet
+    val vecs = Tables(spark, sf).embeddings
+      .filter($"vec_id".isin(need.toSeq: _*))
+      .select($"vec_id", $"embedding".cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def sdot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc = acc + a(i) * b(i); i += 1 }
+      acc
+    }
+    rows.foreach { r =>
+      val (q, n) = (vecs(r.getLong(0)), vecs(r.getLong(2)))
+      val truth = sdot(q, n) / (math.sqrt(sdot(q, q)) * math.sqrt(sdot(n, n)))
+      assert(r.getDouble(3) == truth,
+        s"v24 emitted a non-exact cosine for (${r.getLong(0)}, ${r.getLong(2)})")
+    }
+  }
 }
