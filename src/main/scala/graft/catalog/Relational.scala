@@ -1015,6 +1015,35 @@ object Relational extends QueryPack {
         .select($"k".as("c_custkey"), $"net_op", $"name", $"bal")
         .orderBy($"c_custkey")
     },
+    // u11: OUT-OF-ORDER CDC APPLY — the consumer shape a Debezium-style
+    // feed forces at 100 TB: updates arrive in ARBITRARY order (partitioned
+    // topics, retries), so "apply in order" is not an option. The correct
+    // semantics — max-sequence wins, a terminal delete removes the key —
+    // is computed as ONE map-side-combined argmax aggregate
+    // (max(struct(seq, op, payload))), no window, no sort, no per-key
+    // ordering requirement anywhere: arrival-order independence holds BY
+    // CONSTRUCTION (max is commutative/associative), which is the whole
+    // point — u9's changelog apply replays a clean ordered log; u11
+    // survives the log arriving shuffled. CDC feed synthesized from
+    // events (seq = globally-unique event_id; 'error' events are the
+    // deletes); the oracle replays the log SERIALLY per key in seq order
+    // (row_number window) — pinning argmax == serial replay. Integer
+    // cents payload (q13 convention).
+    "u11_ooo_cdc_apply" -> { (s, dir) =>
+      import s.implicits._
+      val cdc = Tables(s, dir).events
+        .select($"user_id", $"event_id".as("seq"),
+          when($"event_type" === "error", lit("D")).otherwise(lit("U")).as("op"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      cdc.groupBy($"user_id")
+        .agg(max(struct($"seq", $"op", $"cents")).as("last"),
+             count(lit(1)).as("n_ops"),
+             sum(when($"op" === "D", 1L).otherwise(0L)).as("n_deletes"))
+        .filter($"last.op" =!= "D")
+        .select($"user_id", $"last.seq".as("last_seq"),
+                $"last.cents".as("last_cents"), $"n_ops", $"n_deletes")
+        .orderBy($"user_id")
+    },
     // a8: SLIDING-WINDOW DISTINCT — trailing-7-day distinct users per day,
     // the rolling-reach statistic COUNT(DISTINCT) OVER a range frame
     // cannot express (distinct is not frame-mergeable). Scale shape: each
@@ -1280,6 +1309,28 @@ object Relational extends QueryPack {
       WHERE per.n_supp >= 2 AND am.n_at_max = 1 AND ps.s_max = per.o_max
       GROUP BY ps.l_suppkey
       ORDER BY n_blocked DESC, ps.l_suppkey LIMIT 10""",
+    // u11: the serial replay — last op per key in seq order via window;
+    // the engine's argmax must land the identical survivor set and payload
+    "u11_ooo_cdc_apply" -> """
+      WITH cdc AS (
+        SELECT user_id, event_id AS seq,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      fin AS (
+        SELECT user_id, seq AS last_seq, op AS last_op, cents AS last_cents,
+               n_ops, n_deletes FROM (
+          SELECT user_id, seq, op, cents,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY seq DESC) AS rk,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n_ops,
+                 SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id) AS n_deletes
+          FROM cdc) t
+        WHERE rk = 1)
+      SELECT user_id, last_seq, last_cents,
+             n_ops::BIGINT AS n_ops, n_deletes::BIGINT AS n_deletes
+      FROM fin WHERE last_op <> 'D' ORDER BY user_id""",
     "u10_changelog_compact" -> """
       WITH c AS (SELECT c_custkey AS k, c_name, c_acctbal FROM customer),
       log AS (

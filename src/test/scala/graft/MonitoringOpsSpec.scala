@@ -347,4 +347,30 @@ class MonitoringOpsSpec extends AnyFunSuite {
       assert(err <= 0.025, s"$c HLL error margin collapsed: $err")
     }
   }
+
+  test("u11: one-aggregate apply equals the serial per-key replay of the shuffled log") {
+    import org.apache.spark.sql.functions.{col, expr, when, lit}
+    val out = SparkEntry.queries("u11_ooo_cdc_apply")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // independent serial replay: fold each key's ops IN SEQ ORDER
+    val log = Tables(spark, sf).events
+      .select(col("user_id"), col("event_id").as("seq"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val replay = log.groupBy(_._1).flatMap { case (uid, ops) =>
+      val ordered = ops.sortBy(_._2)
+      val (_, lastSeq, lastOp, lastCents) = ordered.last
+      if (lastOp == "D") None
+      else Some(uid -> (lastSeq, lastCents, ops.length.toLong,
+        ops.count(_._3 == "D").toLong))
+    }.toMap
+    assert(out == replay, "argmax apply diverged from the serial replay")
+    // the fixture must actually exercise terminal deletes and survivors
+    assert(log.exists(_._3 == "D") && out.nonEmpty)
+    assert(replay.size < log.map(_._1).distinct.length ||
+           log.forall(_._3 != "D") == false)
+  }
 }
