@@ -421,6 +421,43 @@ object Analytics extends QueryPack {
              sum(when($"b" < $"rate_bp", 1L).otherwise(0L)).as("n_kept"))
         .orderBy($"lang")
     },
+    // g21: EPOCH-AWARE MIXTURE PLAN (upsampling) — g6/g13 only ever
+    // DOWNSAMPLE (keep-rate capped at 10000 bp); a real pretraining
+    // recipe UPsamples scarce domains past 1.0 epochs (the Llama/Pile
+    // shape: "wikipedia ×3.. epochs"). The plan per domain, all integer:
+    // token budget B = 1.5× the corpus (derived FROM the corpus so the
+    // entry is SF-invariant), target = B·w_l div 100 with g6's weight
+    // table, full_epochs = target div corpus (whole-corpus repeats —
+    // repeats cost ZERO plan-time work at 100 TB: a repeat factor in the
+    // manifest, never a data copy), and the fractional tail becomes g6's
+    // deterministic hash keep-rate in bp over ONE extra pass. Scale
+    // shape: one global sum + one per-lang aggregate broadcast back, one
+    // scan for the achieved partial-epoch chars — no shuffle beyond the
+    // map-side-combined groupBy(lang).
+    "g21_epoch_plan" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents.select($"doc_id", $"lang", $"n_chars")
+      val tot = docs.agg(sum($"n_chars").as("tot"))
+      val plan = docs.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("nc"))
+        .crossJoin(broadcast(tot))
+        .withColumn("target_chars",
+          expr(s"(tot * 3 div 2) * ${weightCase("lang")} div 100"))
+        .withColumn("full_epochs", expr("target_chars div nc"))
+        .withColumn("rem_rate_bp",
+          expr("(target_chars - full_epochs * nc) * 10000 div nc"))
+      val partial = docs
+        .withColumn("b", (($"doc_id" % P) * 48271L + 53L) % P % 10000L)
+        .join(broadcast(plan.select($"lang", $"rem_rate_bp")), Seq("lang"))
+        .groupBy($"lang")
+        .agg(sum(when($"b" < $"rem_rate_bp", $"n_chars").otherwise(0L))
+          .as("partial_chars"))
+      plan.join(partial, Seq("lang"))
+        .select($"lang", $"n_docs", $"nc".as("corpus_chars"), $"target_chars",
+                $"full_epochs", $"rem_rate_bp",
+                ($"full_epochs" * $"nc" + $"partial_chars").as("planned_chars"))
+        .orderBy($"lang")
+    },
     // g7: Z-ORDER LAYOUT for data skipping — the multi-dimensional
     // clustering a 100 TB store applies so that per-file min/max zone maps
     // prune scans for predicates on EITHER dimension (the Delta/Iceberg
@@ -1027,6 +1064,30 @@ object Analytics extends QueryPack {
                         < r.rate_bp THEN 1 ELSE 0 END)::BIGINT AS n_kept
       FROM documents d JOIN rates r USING (lang)
       GROUP BY d.lang ORDER BY d.lang""",
+    // g21: full_epochs is pure integer arithmetic on the two aggregates;
+    // planned_chars re-adds the deterministic partial-epoch hash pass
+    "g21_epoch_plan" -> s"""
+      WITH tot AS (SELECT SUM(n_chars)::BIGINT AS tot FROM documents),
+      plan AS (
+        SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(n_chars)::BIGINT AS nc,
+               (((SELECT tot FROM tot) * 3 // 2)
+                 * ${weightCase("lang")} // 100)::BIGINT AS target_chars
+        FROM documents GROUP BY lang),
+      p2 AS (
+        SELECT *, (target_chars // nc)::BIGINT AS full_epochs,
+               ((target_chars - (target_chars // nc) * nc) * 10000 // nc)::BIGINT
+                 AS rem_rate_bp
+        FROM plan),
+      part AS (
+        SELECT d.lang,
+               SUM(CASE WHEN ((d.doc_id % $P) * 48271 + 53) % $P % 10000
+                          < p.rem_rate_bp THEN d.n_chars ELSE 0 END)::BIGINT
+                 AS partial_chars
+        FROM documents d JOIN p2 p USING (lang) GROUP BY d.lang)
+      SELECT p.lang, p.n_docs, p.nc AS corpus_chars, p.target_chars,
+             p.full_epochs, p.rem_rate_bp,
+             (p.full_epochs * p.nc + pa.partial_chars)::BIGINT AS planned_chars
+      FROM p2 p JOIN part pa ON p.lang = pa.lang ORDER BY p.lang""",
     "g4_shard_packing" -> s"""
       SELECT lang, shard, COUNT(*)::BIGINT AS n_docs,
              SUM(n_chars)::BIGINT AS n_chars_total,

@@ -505,6 +505,75 @@ object Formats extends QueryPack {
         ("v2_sum_cents", snap(2))
       ).toDF("item", "value").orderBy($"item")
     },
+    // k19: MERGE-ON-READ DELETES (delete vectors) — the fourth lakehouse
+    // leg (k13 time-travels, k16 expires, k17 races, k18 sweeps): row
+    // deletes land as a SEPARATE equality-delete file costing O(deleted
+    // keys), never a rewrite of the base data — at 100 TB a copy-on-write
+    // delete of 0.1% of rows rewrites the whole partition; merge-on-read
+    // writes kilobytes. Reads apply the delete file as a BROADCAST
+    // anti-join scoped to the one partition the manifest marks dirty
+    // (clean partitions scan with zero overhead — the manifest entry IS
+    // the scope, no delete probe on the fast path). Compaction later
+    // materializes the anti-join for the dirty partition ONLY and commits
+    // a manifest with no delete ref — the read-amplification/write-
+    // amplification dial every production table tunes. Three versions
+    // under one gate: v1 base, v2 merge-on-read (base + delete file),
+    // v3 compacted — v2 and v3 must agree to the cent (the MoR read and
+    // its materialization are THE SAME TABLE), and FormatSpec pins the
+    // physical contracts (delete commit leaves every base file untouched;
+    // compaction rewrites only the dirty partition).
+    "k19_mor_delete" -> { (s, dir) =>
+      import s.implicits._
+      val root = Scratch.staged(s"orders_mor#$dir", "mor_orders") { p =>
+        import java.nio.file.{Files => F, Paths}
+        F.createDirectories(Paths.get(p))
+        val orders = Tables(s, dir).orders.withColumn("yr", year($"o_orderdate"))
+        val years = orders.select($"yr").distinct()
+          .collect().map(_.getInt(0)).sorted
+        years.foreach { y =>
+          orders.filter($"yr" === y)
+            .write.mode("overwrite").parquet(s"$p/y${y}_base")
+        }
+        val minYr = years.min
+        // DELETE COMMIT: keys only — no data file rewritten
+        orders.filter($"yr" === minYr && $"o_orderkey" % 10 === 3)
+          .select($"o_orderkey")
+          .write.mode("overwrite").parquet(s"$p/del_y${minYr}_1")
+        // COMPACTION: materialize the anti-join for the dirty partition
+        val del = s.read.parquet(s"$p/del_y${minYr}_1")
+        s.read.parquet(s"$p/y${minYr}_base")
+          .join(broadcast(del), Seq("o_orderkey"), "left_anti")
+          .write.mode("overwrite").parquet(s"$p/y${minYr}_compacted")
+        def entries(f: Int => (String, String)): String =
+          years.map { y => val (d, dl) = f(y); s"$y\t$d\t$dl" }.mkString("\n")
+        F.writeString(Paths.get(s"$p/manifest_1.txt"),
+          entries(y => (s"$p/y${y}_base", "-")))
+        F.writeString(Paths.get(s"$p/manifest_2.txt"),
+          entries(y => (s"$p/y${y}_base",
+            if (y == minYr) s"$p/del_y${minYr}_1" else "-")))
+        F.writeString(Paths.get(s"$p/manifest_3.txt"),
+          entries(y => (if (y == minYr) s"$p/y${y}_compacted"
+                        else s"$p/y${y}_base", "-")))
+      }
+      def readVersion(v: Int): DataFrame = {
+        val lines = java.nio.file.Files
+          .readString(java.nio.file.Paths.get(s"$root/manifest_$v.txt"))
+          .split("\n").toSeq.map { l =>
+            val a = l.split("\t"); (a(1), a(2))
+          }
+        lines.map { case (d, dl) =>
+          val base = s.read.parquet(d)
+          if (dl == "-") base
+          else base.join(broadcast(s.read.parquet(dl).select($"o_orderkey")),
+                         Seq("o_orderkey"), "left_anti")
+        }.reduce(_ unionByName _)
+      }
+      def snap(v: Int): DataFrame = readVersion(v)
+        .agg(count(lit(1)).as("n_rows"),
+             sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("sum_cents"))
+        .select(lit(v.toLong).as("version"), $"n_rows", $"sum_cents")
+      snap(1).unionByName(snap(2)).unionByName(snap(3)).orderBy($"version")
+    },
     // k12: DYNAMIC PARTITION OVERWRITE (backfill splice) — the correction
     // path every partitioned 100 TB table needs: a bad day is recomputed
     // and spliced in WITHOUT rewriting the other partitions. Staged as
@@ -894,6 +963,24 @@ object Formats extends QueryPack {
                    END)::BIGINT
         FROM orders) t
       ORDER BY item""",
+    // k19: v1 = full base; v2 (merge-on-read) and v3 (compacted) both =
+    // base minus the min-year keys ending in 3 — the MoR read and its
+    // materialization must be the same table to the cent
+    "k19_mor_delete" -> """
+      WITH my AS (SELECT min(year(o_orderdate)) AS y FROM orders),
+      o AS (SELECT year(o_orderdate) AS yr, o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders),
+      surv AS (SELECT * FROM o
+               WHERE NOT (yr = (SELECT y FROM my) AND o_orderkey % 10 = 3))
+      SELECT * FROM (
+        SELECT 1::BIGINT AS version, COUNT(*)::BIGINT AS n_rows,
+               SUM(cents)::BIGINT AS sum_cents FROM o
+        UNION ALL
+        SELECT 2::BIGINT, COUNT(*)::BIGINT, SUM(cents)::BIGINT FROM surv
+        UNION ALL
+        SELECT 3::BIGINT, COUNT(*)::BIGINT, SUM(cents)::BIGINT FROM surv) t
+      ORDER BY version""",
     // k17: v1 expired by the mid-race vacuum; v2 = A's min-year ×2 commit;
     // v3 = B's rebase on top (min ×2 + max ×3) — or −1 when the corpus has
     // a single year (B's touched partition then overlaps A's and B aborts);

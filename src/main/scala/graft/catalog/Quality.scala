@@ -85,6 +85,40 @@ object Quality extends QueryPack {
           $"n_below" + $"n_above" + $"n_new_nulls" === 0L)
         .orderBy($"col_name")
     },
+    // dq16: FRESHNESS SLA + ARRIVAL-RATE MONITOR — the ops question every
+    // feed answers before anything downstream runs: "is the pipe still
+    // flowing, per source?" Reference now = the corpus max event time
+    // (deterministic, no wall clock — the monitor's own ingestion
+    // watermark). Per event_type: last-seen lag vs a 6 h SLA, plus the
+    // trailing-24 h arrival count against the type's LIFETIME daily rate
+    // (rate_ratio_bp < 10000 = the feed slowed; a silent-stall detector
+    // even when the SLA still holds). All integer micros. Scale: two
+    // conditional aggregates over one scan — the per-type state is a
+    // handful of rows at any corpus size, no window anywhere.
+    "dq16_freshness_sla" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"event_type", unix_micros($"ts").as("us"))
+      val now = ev.agg(max($"us").as("now_us"))
+      ev.crossJoin(broadcast(now))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"),
+             max($"us").as("last_us"),
+             min($"us").as("first_us"),
+             max($"now_us").as("now_us"),
+             sum(when($"us" >= $"now_us" - 86400000000L, 1L).otherwise(0L))
+               .as("last_day_n"))
+        .withColumn("lag_us", $"now_us" - $"last_us")
+        .withColumn("sla_ok",
+          when($"lag_us" <= 21600000000L, 1L).otherwise(0L))
+        .withColumn("daily_avg",
+          expr("n_events * 86400000000 div greatest(now_us - first_us, 1)"))
+        .withColumn("rate_ratio_bp",
+          expr("last_day_n * 10000 div greatest(daily_avg, 1)"))
+        .select($"event_type", $"n_events", $"lag_us", $"sla_ok",
+                $"last_day_n", $"daily_avg", $"rate_ratio_bp")
+        .orderBy($"event_type")
+    },
     "dq1_quality_audit" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
@@ -764,6 +798,30 @@ object Quality extends QueryPack {
                // COUNT(*))::BIGINT AS out_pm
       FROM dev JOIN mad USING (grp)
       GROUP BY grp ORDER BY grp""",
+    // dq16: now = max(ts) corpus-wide; integer-micros lag and rate math
+    "dq16_freshness_sla" -> """
+      WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+      now_t AS (SELECT MAX(us) AS now_us FROM ev),
+      per AS (
+        SELECT event_type, COUNT(*)::BIGINT AS n_events,
+               MAX(us) AS last_us, MIN(us) AS first_us,
+               (SELECT now_us FROM now_t) AS now_us,
+               SUM(CASE WHEN us >= (SELECT now_us FROM now_t)
+                                   - 86400000000 THEN 1 ELSE 0 END)::BIGINT
+                 AS last_day_n
+        FROM ev GROUP BY event_type)
+      SELECT event_type, n_events,
+             (now_us - last_us)::BIGINT AS lag_us,
+             (CASE WHEN now_us - last_us <= 21600000000
+                   THEN 1 ELSE 0 END)::BIGINT AS sla_ok,
+             last_day_n,
+             (n_events * 86400000000
+                // GREATEST(now_us - first_us, 1))::BIGINT AS daily_avg,
+             (last_day_n * 10000
+                // GREATEST(n_events * 86400000000
+                             // GREATEST(now_us - first_us, 1), 1))::BIGINT
+               AS rate_ratio_bp
+      FROM per ORDER BY event_type""",
     "dq13_inferred_rules" -> dq13Sql,
     "dq1_quality_audit" -> dq1Sql,
     "dq4_profile_drift" -> """

@@ -565,6 +565,35 @@ object Relational extends QueryPack {
              sum($"decay_cents").as("decay_credit_cents"))
         .orderBy($"touch_type")
     },
+    // w15: MARKOV TRANSITION MATRIX (user-journey path analysis) — the
+    // "what do users do next" query: each user's event stream in time
+    // order, adjacent (from → to) transitions counted into a |types|²
+    // matrix with integer-bp row-conditional shares. Scale shape: ONE
+    // user-partitioned window (a user's sequence is bounded and
+    // co-located — never a global sort), then the stream immediately
+    // REDUCES to the tiny transition matrix via a map-side-combined
+    // groupBy; row totals are a second tiny aggregate broadcast back.
+    // Cost is one shuffle by user_id at any corpus size; the matrix
+    // itself is |event_types|² rows regardless of scale. Tiebreak on
+    // event_id makes same-timestamp ordering engine-identical.
+    "w15_markov_transitions" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_id", $"ts", $"event_type")
+      val wU = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val counts = ev
+        .withColumn("to_type", lead($"event_type", 1).over(wU))
+        .filter($"to_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"to_type")
+        .agg(count(lit(1)).as("n_trans"),
+             countDistinct($"user_id").as("n_users"))
+      val rowTot = counts.groupBy($"from_type")
+        .agg(sum($"n_trans").as("row_n"))
+      counts.join(broadcast(rowTot), Seq("from_type"))
+        .withColumn("share_bp", expr("n_trans * 10000 div row_n"))
+        .select($"from_type", $"to_type", $"n_trans", $"n_users", $"share_bp")
+        .orderBy($"from_type", $"to_type")
+    },
     // w8: percent_rank / cume_dist (rank-normalized window statistics)
     "w8_percent_cume" -> { (s, dir) =>
       import s.implicits._
@@ -1044,6 +1073,37 @@ object Relational extends QueryPack {
                 $"last.cents".as("last_cents"), $"n_ops", $"n_deletes")
         .orderBy($"user_id")
     },
+    // u12: SCD2 REBUILD FROM OUT-OF-ORDER CDC — u11 keeps only the LAST
+    // state; the warehouse twin materializes the FULL validity history
+    // (type-2 dimension) from the same unordered feed. The out-of-order
+    // answer here is the EVENT-TIME axis: one shuffle by key, then a
+    // per-user window ordered by (ts, seq) — arrival order is irrelevant
+    // because the sort key is carried data, not ingestion order. Each 'U'
+    // opens a version valid [ts, next-op ts); a 'D' closes the prior
+    // version and opens nothing; a trailing 'U' stays open. Per-user
+    // summary output (n_versions / open state / closed-interval micros —
+    // all integer) keeps the gate row count at |users| while the interval
+    // construction runs over every event. Scale: the only shuffle is the
+    // user_id partition; user sequences are bounded, so no skew cliff.
+    "u12_cdc_scd2" -> { (s, dir) =>
+      import s.implicits._
+      val cdc = Tables(s, dir).events
+        .select($"user_id", $"event_id".as("seq"), $"ts",
+          when($"event_type" === "error", lit("D")).otherwise(lit("U")).as("op"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      val wU = Window.partitionBy($"user_id").orderBy($"ts", $"seq")
+      cdc.withColumn("next_us", unix_micros(lead($"ts", 1).over(wU)))
+        .withColumn("us", unix_micros($"ts"))
+        .filter($"op" === "U")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_versions"),
+             sum(when($"next_us".isNull, 1L).otherwise(0L)).as("n_open"),
+             coalesce(max(when($"next_us".isNull, $"cents")), lit(-1L))
+               .as("open_cents"),
+             coalesce(sum(when($"next_us".isNotNull, $"next_us" - $"us")),
+               lit(0L)).as("closed_dur_us"))
+        .orderBy($"user_id")
+    },
     // a8: SLIDING-WINDOW DISTINCT — trailing-7-day distinct users per day,
     // the rolling-reach statistic COUNT(DISTINCT) OVER a range frame
     // cannot express (distinct is not frame-mergeable). Scale shape: each
@@ -1309,6 +1369,30 @@ object Relational extends QueryPack {
       WHERE per.n_supp >= 2 AND am.n_at_max = 1 AND ps.s_max = per.o_max
       GROUP BY ps.l_suppkey
       ORDER BY n_blocked DESC, ps.l_suppkey LIMIT 10""",
+    // u12: the same history via lead() on the event-time axis; a version's
+    // valid_to is the NEXT op's ts (update or delete alike), trailing
+    // updates stay open (-1 sentinel convention for "no open version")
+    "u12_cdc_scd2" -> """
+      WITH cdc AS (
+        SELECT user_id, event_id AS seq, ts,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      hist AS (
+        SELECT user_id, op, cents, epoch_us(ts) AS us,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, seq)) AS next_us
+        FROM cdc)
+      SELECT user_id, COUNT(*)::BIGINT AS n_versions,
+             SUM(CASE WHEN next_us IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_open,
+             COALESCE(MAX(CASE WHEN next_us IS NULL THEN cents END),
+                      -1)::BIGINT AS open_cents,
+             COALESCE(SUM(CASE WHEN next_us IS NOT NULL
+                               THEN next_us - us END), 0)::BIGINT
+               AS closed_dur_us
+      FROM hist WHERE op = 'U'
+      GROUP BY user_id ORDER BY user_id""",
     // u11: the serial replay — last op per key in seq order via window;
     // the engine's argmax must land the identical survivor set and payload
     "u11_ooo_cdc_apply" -> """
@@ -1831,6 +1915,24 @@ object Relational extends QueryPack {
     // w14: identical integer credit arithmetic — U-shaped bp split with
     // div-remainder to the earliest middles, decay shares cents·wt//Σwt
     // with the residue on the first touch
+    // w15: adjacent-pair counts via lead(); share is integer bp of the
+    // from-row total — both engines' window order pinned by (ts, event_id)
+    "w15_markov_transitions" -> """
+      WITH seq AS (
+        SELECT user_id, event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events),
+      counts AS (
+        SELECT from_type, to_type, COUNT(*)::BIGINT AS n_trans,
+               COUNT(DISTINCT user_id)::BIGINT AS n_users
+        FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+      rt AS (SELECT from_type, SUM(n_trans)::BIGINT AS row_n
+             FROM counts GROUP BY from_type)
+      SELECT c.from_type, c.to_type, c.n_trans, c.n_users,
+             (c.n_trans * 10000 // rt.row_n)::BIGINT AS share_bp
+      FROM counts c JOIN rt USING (from_type)
+      ORDER BY c.from_type, c.to_type""",
     "w14_multitouch_attribution" -> """
       WITH anchor AS (
         SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS ad FROM events),

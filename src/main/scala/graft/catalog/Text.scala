@@ -502,6 +502,39 @@ object Text extends QueryPack {
     // totals are broadcast 1-row frames; top-20 is
     // TakeOrderedAndProject, never a global sort. Support floor
     // n_ab ≥ 5 keeps the output phrase-grade.
+    // x25: CROSS-DOCUMENT BOILERPLATE DETECTION — the CCNet/RefinedWeb
+    // curation step d13 does NOT cover: d13 finds a doc repeating ITSELF;
+    // boilerplate is the same passage repeated ACROSS documents of one
+    // source (headers, footers, nav chrome, license blocks). Unit = word
+    // 8-gram (the corpus has no line structure); a gram is boilerplate in
+    // a source when ≥5 DISTINCT docs of that source contain it. Report
+    // per source: gram-type counts, boilerplate types, total boilerplate
+    // hits, and the hit rate in bp — the "how much of this source is
+    // chrome" dial a crawl pipeline reads before excising. Scale shape:
+    // the df table is ONE map-side-combined groupBy(source, hash) — a
+    // viral gram never concentrates on a partition (the d15/d16 groupBy
+    // convention, not a window); everything after is |sources|-row
+    // metadata. 8-gram fan-out is linear in corpus tokens.
+    "x25_boilerplate_passages" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+        .select($"doc_id", $"source", expr(Tx.wsExpr).as("ws"))
+        .filter(size($"ws") >= 8)
+      val grams = docs.select($"doc_id", $"source", explode(expr(
+        "transform(sequence(1, size(ws) - 7), " +
+          "i -> array_join(slice(ws, i, 8), ' '))")).as("g"))
+        .select($"doc_id", $"source", md5($"g").as("h"))
+      val df8 = grams.groupBy($"source", $"h")
+        .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("occ"))
+      val tot = df8.groupBy($"source")
+        .agg(count(lit(1)).as("n_gram_types"), sum($"occ").as("n_grams"))
+      val bl = df8.filter($"df" >= 5).groupBy($"source")
+        .agg(count(lit(1)).as("n_boiler_types"), sum($"occ").as("boiler_hits"))
+      tot.join(bl, Seq("source"), "left")
+        .na.fill(0L, Seq("n_boiler_types", "boiler_hits"))
+        .withColumn("hit_rate_bp", expr("boiler_hits * 10000 div n_grams"))
+        .orderBy($"source")
+    },
     "x24_collocations" -> { (s, dir) =>
       import s.implicits._
       val toks = Tables(s, dir).documents
@@ -984,6 +1017,32 @@ object Text extends QueryPack {
     // x21: integer-exact BM25 — same rational form as the Spark side (20·L
     // common denominator, bin()-length idf); the only double is the final
     // one-division bm25 display value.
+    // x25: same 8-gram hashes via list_slice; df threshold on DISTINCT
+    // docs per source; left-join zero-fill for boilerplate-free sources
+    "x25_boilerplate_passages" -> s"""
+      WITH docs AS (
+        SELECT doc_id, source, ${Tx.wsSql} AS ws FROM documents
+        WHERE len(${Tx.wsSql}) >= 8),
+      grams AS (
+        SELECT doc_id, source,
+               md5(array_to_string(list_slice(ws, i, i + 7), ' ')) AS h
+        FROM docs, unnest(range(1, len(ws) - 6)) AS t(i)),
+      df8 AS (
+        SELECT source, h, COUNT(DISTINCT doc_id)::BIGINT AS df,
+               COUNT(*)::BIGINT AS occ
+        FROM grams GROUP BY source, h),
+      tot AS (SELECT source, COUNT(*)::BIGINT AS n_gram_types,
+                     SUM(occ)::BIGINT AS n_grams FROM df8 GROUP BY source),
+      bl AS (SELECT source, COUNT(*)::BIGINT AS n_boiler_types,
+                    SUM(occ)::BIGINT AS boiler_hits
+             FROM df8 WHERE df >= 5 GROUP BY source)
+      SELECT t.source, t.n_gram_types, t.n_grams,
+             COALESCE(b.n_boiler_types, 0)::BIGINT AS n_boiler_types,
+             COALESCE(b.boiler_hits, 0)::BIGINT AS boiler_hits,
+             (COALESCE(b.boiler_hits, 0) * 10000 // t.n_grams)::BIGINT
+               AS hit_rate_bp
+      FROM tot t LEFT JOIN bl b ON b.source = t.source
+      ORDER BY t.source""",
     "x24_collocations" -> s"""
       WITH toks AS (
         SELECT ${Tx.wsSql} AS ws FROM documents

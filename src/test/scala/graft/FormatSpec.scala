@@ -36,6 +36,31 @@ class FormatSpec extends AnyFunSuite {
       Seq("a|1;5|x", "b|2|y"))
   }
 
+  test("k19: MoR read equals its compaction; the delete commit rewrites no data file") {
+    val sf = TestSpark.sf
+    val out = SparkEntry.queries("k19_mor_delete")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // the merge-on-read view and its materialization are the same table
+    assert(out(1)._2 == out(2)._2 && out(1)._3 == out(2)._3,
+      s"MoR read != compacted read: ${out.toSeq}")
+    assert(out(0)._2 > out(1)._2, "delete removed no rows")
+    val root = Scratch.staged(s"orders_mor#$sf", "mor_orders")(_ =>
+      fail("k19 fixture was not staged by the query"))
+    def mf(v: Int) = Files.readString(
+        java.nio.file.Paths.get(s"$root/manifest_$v.txt"))
+      .split("\n").map(_.split("\t")).map(a => (a(0), a(1), a(2))).toSeq
+    val (m1, m2, m3) = (mf(1), mf(2), mf(3))
+    // the delete commit references the SAME data files as the base —
+    // O(deleted keys) written, zero data rewritten
+    assert(m1.map(e => (e._1, e._2)) == m2.map(e => (e._1, e._2)),
+      "delete commit changed a data-file reference")
+    assert(m2.count(_._3 != "-") == 1, "exactly one partition is dirty")
+    // compaction drops the delete ref and swaps exactly the dirty dir
+    assert(m3.forall(_._3 == "-"), "compaction left a delete ref")
+    assert((m3.map(_._2).toSet -- m1.map(_._2).toSet).size == 1,
+      "compaction must swap exactly one partition dir")
+  }
+
   test("k13: version-1 read is isolated from the v2 commit; storage shared copy-on-write") {
     import org.apache.spark.sql.functions.{count, expr, lit, sum}
     val sf = TestSpark.sf

@@ -348,6 +348,98 @@ class MonitoringOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("u12: SCD2 summary equals a plain-Scala interval rebuild of the feed") {
+    val out = SparkEntry.queries("u12_cdc_scd2")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val log = Tables(spark, sf).events
+      .select(col("user_id"), col("event_id").as("seq"),
+        unix_micros(col("ts")).as("us"),
+        when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+        expr("cast(round(value * 100) as bigint)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+                 r.getLong(4)))
+    // independent rebuild: sort each key's ops on the EVENT-TIME axis,
+    // open a version per U, close it at the next op of any kind
+    val replay = log.groupBy(_._1).flatMap { case (uid, ops) =>
+      val ordered = ops.sortBy(o => (o._3, o._2))
+      val versions = ordered.zipWithIndex.collect {
+        case ((_, _, us, "U", cents), i) =>
+          val nextUs =
+            if (i + 1 < ordered.length) Some(ordered(i + 1)._3) else None
+          (us, nextUs, cents)
+      }
+      if (versions.isEmpty) None
+      else {
+        val open = versions.filter(_._2.isEmpty)
+        Some(uid -> (versions.length.toLong, open.length.toLong,
+          open.headOption.map(_._3).getOrElse(-1L),
+          versions.collect { case (us, Some(n), _) => n - us }.sum))
+      }
+    }.toMap
+    assert(out == replay, "engine SCD2 rebuild diverged from the serial twin")
+    // the fixture exercises both open and closed-by-delete histories
+    assert(out.values.exists(_._2 == 1L) && out.values.exists(_._2 == 0L))
+    assert(out.values.exists(_._1 > 1L))
+  }
+
+  test("w15: transition matrix conserves transitions; shares are exact row bp") {
+    val rows = SparkEntry.queries("w15_markov_transitions")(spark, sf).collect()
+    val ev = Tables(spark, sf).events.select("user_id")
+    val nEvents = ev.count(); val nUsers = ev.distinct().count()
+    // each user's length-L stream emits exactly L-1 adjacent transitions
+    assert(rows.map(_.getLong(2)).sum == nEvents - nUsers)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val rowN = rs.map(_.getLong(2)).sum
+      rs.foreach { r =>
+        assert(r.getLong(4) == r.getLong(2) * 10000 / rowN)
+        assert(r.getLong(3) <= r.getLong(2))
+      }
+    }
+  }
+
+  test("dq16: freshness math is internally exact; the newest feed meets the SLA") {
+    val rows = SparkEntry.queries("dq16_freshness_sla")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables(spark, sf).events.count())
+    // the type holding the corpus max has zero lag and a green SLA
+    assert(rows.exists(r => r.getLong(2) == 0L && r.getLong(3) == 1L))
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0)
+      assert(r.getLong(3) == (if (r.getLong(2) <= 21600000000L) 1L else 0L))
+      assert(r.getLong(4) <= r.getLong(1))
+    }
+  }
+
+  test("g21: epoch plan is integer-consistent; some domain reaches a full epoch") {
+    val rows = SparkEntry.queries("g21_epoch_plan")(spark, sf).collect()
+    rows.foreach { r =>
+      val (nc, target, full, rate, planned) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(full == target / nc)
+      assert(rate == (target - full * nc) * 10000 / nc && rate < 10000)
+      assert(planned >= full * nc && planned <= (full + 1) * nc)
+    }
+    assert(rows.exists(_.getLong(4) >= 1L),
+      "no domain reached a full epoch — the upsampling path is untested")
+  }
+
+  test("x25: boilerplate accounting matches a direct gram recount") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("x25_boilerplate_passages")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(2))
+      assert(r.getLong(5) == r.getLong(4) * 10000 / r.getLong(2))
+      assert(r.getLong(3) <= r.getLong(1))
+    }
+    val direct = Tables(spark, sf).documents
+      .select(expr(graft.catalog.Tx.wsExpr).as("ws"))
+      .filter(size($"ws") >= 8)
+      .agg(sum(size($"ws") - 7)).head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum == direct,
+      "per-source gram occurrences must re-add to the corpus gram count")
+  }
+
   test("u11: one-aggregate apply equals the serial per-key replay of the shuffled log") {
     import org.apache.spark.sql.functions.{col, expr, when, lit}
     val out = SparkEntry.queries("u11_ooo_cdc_apply")(spark, sf).collect()
