@@ -779,6 +779,251 @@ object Relational extends QueryPack {
         .select($"s_suppkey", $"s_name")
         .orderBy($"s_suppkey")
     },
+    // ---- TPC-H completion (round 9): the remaining ten shapes -----------
+    // The synthetic schema has no partsupp table and no
+    // shipmode/commitdate/receiptdate columns; where TPC-H touches those,
+    // the entries below substitute the nearest shipped column (lineitem's
+    // per-(part, supplier) min price as the supply-cost relation,
+    // l_linestatus as the mode axis) and KEEP the plan shape the query
+    // exists to exercise — that shape, not the literal column, is what a
+    // 100 TB engine must get right.
+    //
+    // q23: MIN-COST SUPPLIER PER PART (TPC-H Q2 shape) — the correlated
+    // "supplier with the minimum supply cost" subquery. The supply
+    // relation derives from lineitem as one map-side-combined aggregate;
+    // the per-part argmin is ONE min(struct(cost, suppkey, …)) aggregate
+    // (no window over parts — partkey cardinality is data-scale), and the
+    // region-filtered supplier dim broadcasts. Integer cents, suppkey
+    // tiebreak — the oracle's row_number replay must land identically.
+    "q23_min_cost_supplier" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val cost = t.lineitem.groupBy($"l_partkey", $"l_suppkey")
+        .agg(min(expr("cast(round(l_extendedprice * 100) as bigint)"))
+          .as("cost_cents"))
+      val parts = t.part.filter($"p_type" === "STANDARD" && $"p_size" <= 5)
+        .select($"p_partkey", $"p_name")
+      val sup = t.supplier
+        .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(t.region), $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name" === "EUROPE")
+        .select($"s_suppkey", $"s_name", $"n_name")
+      cost.join(broadcast(parts), $"l_partkey" === $"p_partkey")
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"p_partkey", $"p_name")
+        .agg(min(struct($"cost_cents", $"s_suppkey", $"s_name", $"n_name"))
+          .as("b"))
+        .select($"p_partkey", $"p_name", $"b.cost_cents".as("best_cost_cents"),
+                $"b.s_suppkey".as("s_suppkey"), $"b.s_name".as("s_name"),
+                $"b.n_name".as("n_name"))
+        .orderBy($"p_partkey")
+    },
+    // q24: FORECAST REVENUE CHANGE (TPC-H Q6) — the pure one-table
+    // conditional scan-aggregate: every predicate pushes to the parquet
+    // scan, the aggregate is one partial-combined row. The discount
+    // bounds compare the SAME stored doubles against the SAME literals on
+    // both engines, so the band is engine-identical.
+    "q24_forecast_revenue" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+                $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+                $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+                $"l_quantity" < 24)
+        .agg(asDbl(sum(dec2($"l_extendedprice") * rate($"l_discount")), 4)
+               .as("revenue"),
+             count(lit(1)).as("n_lines"))
+    },
+    // q25: VOLUME SHIPPING BETWEEN TWO NATIONS (TPC-H Q7 shape) — the
+    // two-sided nation pair: supplier nation on the lineitem side,
+    // customer nation through orders, both directions kept, revenue per
+    // (supp_nation, cust_nation, ship year). The nation filters reduce
+    // supplier/customer BEFORE the fact joins (semi-reduction first, the
+    // 100 TB ordering); the only fact-fact shuffle is lineitem ⋈ orders
+    // on orderkey.
+    "q25_volume_shipping" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val nats = Seq("NATION_1", "NATION_2")
+      val sup = t.supplier
+        .join(broadcast(t.nation.filter($"n_name".isin(nats: _*))),
+              $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("supp_nation"))
+      val cust = t.customer
+        .join(broadcast(t.nation.filter($"n_name".isin(nats: _*))),
+              $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"n_name".as("cust_nation"))
+      t.lineitem
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .join(t.orders.select($"o_orderkey", $"o_custkey"),
+              $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .filter($"supp_nation" =!= $"cust_nation")
+        .groupBy($"supp_nation", $"cust_nation",
+                 year($"l_shipdate").cast("long").as("l_year"))
+        .agg(asDbl(sum(dec2($"l_extendedprice") *
+               (rate(lit(1)) - rate($"l_discount"))), 4).as("revenue"),
+             count(lit(1)).as("n_lines"))
+        .orderBy($"supp_nation", $"cust_nation", $"l_year")
+    },
+    // q26: NATIONAL MARKET SHARE (TPC-H Q8 shape) — one nation's share of
+    // a region's revenue for one part type, per order year. Numerator and
+    // denominator are ONE conditional aggregation over the same scan
+    // (never two passes), in integer cents; the share is integer bp, so
+    // no double division crosses the gate.
+    "q26_market_share" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val cust = t.customer
+        .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(t.region.filter($"r_name" === "ASIA")),
+              $"n_regionkey" === $"r_regionkey")
+        .select($"c_custkey")
+      val sup = t.supplier
+        .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("supp_nation"))
+      t.lineitem
+        .join(broadcast(t.part.filter($"p_type" === "PROMO")
+          .select($"p_partkey")), $"l_partkey" === $"p_partkey")
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .join(t.orders.select($"o_orderkey", $"o_custkey", $"o_orderdate"),
+              $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .withColumn("cents", expr(
+          "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+        .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+        .agg(sum($"cents").as("total_cents"),
+             sum(when($"supp_nation" === "NATION_3", $"cents")
+               .otherwise(0L)).as("nation_cents"))
+        .withColumn("share_bp", expr("nation_cents * 10000 div total_cents"))
+        .orderBy($"o_year")
+    },
+    // q27: PRODUCT-TYPE PROFIT (TPC-H Q9 shape) — profit per (supplier
+    // nation, order year) for one part family; supply cost substitutes
+    // p_retailprice·quantity (no partsupp). All money stays exact
+    // decimal until the boundary; the part filter broadcasts, the one
+    // fact-fact shuffle is lineitem ⋈ orders.
+    "q27_product_profit" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val sup = t.supplier
+        .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name")
+      t.lineitem
+        .join(broadcast(t.part.filter($"p_name".startsWith("red "))
+          .select($"p_partkey", $"p_retailprice")),
+          $"l_partkey" === $"p_partkey")
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .join(t.orders.select($"o_orderkey", $"o_orderdate"),
+              $"l_orderkey" === $"o_orderkey")
+        .groupBy($"n_name", year($"o_orderdate").cast("long").as("o_year"))
+        .agg(asDbl(sum(dec2($"l_extendedprice") *
+                 (rate(lit(1)) - rate($"l_discount")) -
+               asDec(dec2($"p_retailprice") * dec2($"l_quantity"), 4)), 4)
+               .as("profit"),
+             count(lit(1)).as("n_lines"))
+        .orderBy($"n_name", $"o_year")
+    },
+    // q28: RETURNED-ITEM REPORTING (TPC-H Q10 shape) — top-20 customers
+    // by revenue lost to returns in one quarter. The quarter filter
+    // pushes to the orders scan; the return-flag filter to lineitem; the
+    // customer dim broadcasts onto the aggregated per-customer frame
+    // (aggregate FIRST, enrich after — never the reverse at 100 TB).
+    "q28_returned_items" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val rev = t.lineitem.filter($"l_returnflag" === "R")
+        .join(t.orders
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+                  $"o_orderdate" < lit("1996-04-01").cast("timestamp"))
+          .select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_custkey")
+        .agg(asDbl(sum(dec2($"l_extendedprice") *
+          (rate(lit(1)) - rate($"l_discount"))), 4).as("revenue"))
+      rev.join(broadcast(t.customer
+          .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+          .select($"c_custkey", $"c_name", $"c_acctbal", $"n_name")),
+          $"o_custkey" === $"c_custkey")
+        .select($"c_custkey", $"c_name", $"n_name", $"c_acctbal", $"revenue")
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+    },
+    // q29: IMPORTANT STOCK (TPC-H Q11 shape) — parts whose traded value
+    // exceeds a fixed fraction of the global total. Per-part value and
+    // the global scalar are integer cents; the threshold predicate
+    // cross-multiplies (v·1000 > total) — q22's no-division convention.
+    // The global total is a broadcast 1-row frame, never a window.
+    "q29_important_stock" -> { (s, dir) =>
+      import s.implicits._
+      val v = Tables(s, dir).lineitem
+        .groupBy($"l_partkey")
+        .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+          .as("value_cents"))
+      val tot = v.agg(sum($"value_cents").as("total_cents"))
+      v.crossJoin(broadcast(tot))
+        .filter($"value_cents" * 1000 > $"total_cents")
+        .select($"l_partkey", $"value_cents")
+        .orderBy($"value_cents".desc, $"l_partkey")
+    },
+    // q30: SHIP-CATEGORY PRIORITY SPLIT (TPC-H Q12 shape) — per lineitem
+    // category (l_linestatus standing in for the absent shipmode), how
+    // many high- vs low-priority orders shipped in the window. One
+    // orderkey shuffle, conditional counts in one aggregate.
+    "q30_shipmode_priority" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+                $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+        .join(t.orders.select($"o_orderkey", $"o_orderpriority"),
+              $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_linestatus")
+        .agg(sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L)
+               .otherwise(0L)).as("high_line_count"),
+             sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 0L)
+               .otherwise(1L)).as("low_line_count"))
+        .orderBy($"l_linestatus")
+    },
+    // q31: CUSTOMER ORDER-COUNT DISTRIBUTION (TPC-H Q13 shape) — the
+    // LEFT-join histogram whose whole point is the customers with ZERO
+    // orders (an inner join silently drops the largest bucket; q4/q5
+    // count only ordering customers). Orders aggregate per customer
+    // FIRST, then the left join against the customer dim, then the tiny
+    // histogram aggregate.
+    "q31_cust_order_dist" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val cnt = t.orders.groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+      t.customer.select($"c_custkey")
+        .join(cnt, $"c_custkey" === $"o_custkey", "left")
+        .select(coalesce($"n_orders", lit(0L)).as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    },
+    // q32: LARGE-VOLUME ORDERS (TPC-H Q18 shape) — orders whose total
+    // quantity crosses a threshold, enriched with their customer. The
+    // HAVING runs on the map-side-combined per-order aggregate (integral
+    // quantities sum exactly as BIGINT), and only qualifying orderkeys
+    // join back — the classic aggregate-then-join reduction.
+    "q32_large_orders" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val big = t.lineitem.groupBy($"l_orderkey")
+        .agg(sum(expr("cast(round(l_quantity) as bigint)")).as("sum_qty"))
+        .filter($"sum_qty" > 250)
+      big.join(t.orders.select($"o_orderkey", $"o_custkey",
+          expr("cast(round(o_totalprice * 100) as bigint)").as("total_cents")),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables(s, dir).customer
+          .select($"c_custkey", $"c_name")), $"o_custkey" === $"c_custkey")
+        .select($"c_custkey", $"c_name", $"o_orderkey", $"total_cents",
+                $"sum_qty")
+        .orderBy($"total_cents".desc, $"o_orderkey")
+        .limit(20)
+    },
     // q22: IDLE HIGH-BALANCE CUSTOMERS (TPC-H Q22 shape) — customers above
     // the positive-balance mean with no orders since 1999, counted per
     // segment. The global-mean scalar subquery is a broadcast 1-row cross
@@ -1878,6 +2123,146 @@ object Relational extends QueryPack {
       SELECT s_suppkey, s_name FROM supplier
       WHERE s_suppkey IN (SELECT l_suppkey FROM qual)
       ORDER BY s_suppkey""",
+    // q23: the per-part argmin replayed as a row_number window; integer
+    // cents and the suppkey tiebreak make rk=1 unique
+    "q23_min_cost_supplier" -> """
+      WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+        FROM lineitem GROUP BY 1, 2),
+      sup AS (
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'),
+      j AS (
+        SELECT p.p_partkey, p.p_name, c.cost_cents, s.s_suppkey, s.s_name,
+               s.n_name,
+               row_number() OVER (PARTITION BY p.p_partkey
+                                  ORDER BY c.cost_cents, s.s_suppkey) AS rk
+        FROM cost c
+        JOIN part p ON c.l_partkey = p.p_partkey
+                   AND p.p_type = 'STANDARD' AND p.p_size <= 5
+        JOIN sup s ON c.l_suppkey = s.s_suppkey)
+      SELECT p_partkey, p_name, cost_cents AS best_cost_cents,
+             s_suppkey, s_name, n_name
+      FROM j WHERE rk = 1 ORDER BY p_partkey""",
+    "q24_forecast_revenue" -> """
+      SELECT CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_discount AS DECIMAL(8,2))) AS DECIMAL(38,4))
+               AS VARCHAR) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_lines
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+    "q25_volume_shipping" -> """
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2))))
+                 AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_lines
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+        AND cn.n_name IN ('NATION_1', 'NATION_2')
+        AND sn.n_name <> cn.n_name
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q26_market_share" -> """
+      SELECT year(o_orderdate) AS o_year,
+             SUM(cents)::BIGINT AS total_cents,
+             SUM(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)::BIGINT
+               AS nation_cents,
+             (SUM(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)
+                * 10000 // SUM(cents))::BIGINT AS share_bp
+      FROM (
+        SELECT o_orderdate, sn.n_name AS supp_nation,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                 AS cents
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA') t
+      GROUP BY 1 ORDER BY 1""",
+    "q27_product_profit" -> """
+      SELECT n_name, year(o_orderdate) AS o_year,
+             CAST(CAST(CAST(SUM(
+                 CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (CAST(1 AS DECIMAL(8,2)) - CAST(l_discount AS DECIMAL(8,2)))
+                 - CAST(CAST(p_retailprice AS DECIMAL(18,2))
+                     * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+               AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS profit,
+             COUNT(*) AS n_lines
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red %'
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q28_returned_items" -> """
+      WITH rev AS (
+        SELECT o_custkey,
+               CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (CAST(1 AS DECIMAL(8,2))
+                        - CAST(l_discount AS DECIMAL(8,2))))
+                   AS DECIMAL(38,4)) AS VARCHAR) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY o_custkey)
+      SELECT c_custkey, c_name, n_name, c_acctbal, revenue
+      FROM rev JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q29_important_stock" -> """
+      WITH v AS (
+        SELECT l_partkey,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+                 AS value_cents
+        FROM lineitem GROUP BY l_partkey),
+      tot AS (SELECT SUM(value_cents)::BIGINT AS total_cents FROM v)
+      SELECT l_partkey, value_cents FROM v CROSS JOIN tot
+      WHERE value_cents * 1000 > total_cents
+      ORDER BY value_cents DESC, l_partkey""",
+    "q30_shipmode_priority" -> """
+      SELECT l_linestatus,
+             SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+             SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q31_cust_order_dist" -> """
+      SELECT c_count, COUNT(*) AS custdist FROM (
+        SELECT COALESCE(n_orders, 0)::BIGINT AS c_count
+        FROM customer LEFT JOIN (
+          SELECT o_custkey, COUNT(*) AS n_orders
+          FROM orders GROUP BY o_custkey) o ON c_custkey = o_custkey) t
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q32_large_orders" -> """
+      WITH big AS (
+        SELECT l_orderkey,
+               SUM(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 250)
+      SELECT c_custkey, c_name, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+             sum_qty
+      FROM big JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY total_cents DESC, o_orderkey LIMIT 20""",
     "q22_idle_customers" -> """
       WITH bal AS (
         SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
