@@ -65,6 +65,27 @@ class BroadcastClaimsSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"x23 inference must not use a window:\n$p")
   }
 
+  test("q23/q25/q28: TPC-H completion joins broadcast their dims, BNLJ-free") {
+    // q23: region-filtered supplier dim and the part slice broadcast onto
+    // the supply aggregate; q25: both nation-reduced sides broadcast onto
+    // the facts; q28: the customer enrichment broadcasts onto the
+    // aggregated per-customer frame. None may degrade to a
+    // BroadcastNestedLoopJoin (no join keys lost) at any scale.
+    Seq("q23_min_cost_supplier", "q25_volume_shipping",
+        "q28_returned_items").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q must broadcast dims:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q degraded to BNLJ:\n$p")
+    }
+    // q24/q30: the date windows must prune at the lineitem scan
+    Seq("q24_forecast_revenue", "q30_shipmode_priority").foreach { q =>
+      val raw = plan(q)
+      assert(raw.replaceAll("\\s", "")
+          .matches("(?s).*PushedFilters:\\[[^\\]]*l_shipdate.*"),
+        s"$q's shipdate range must push to the lineitem scan:\n$raw")
+    }
+  }
+
   test("q14/q20: the selective filters reach the parquet scans") {
     // q14's month range must prune lineitem at the scan; q20's name
     // prefix must prune part at the scan — at 100 TB these predicates
