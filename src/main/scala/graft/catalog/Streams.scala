@@ -833,6 +833,43 @@ object Streams extends QueryPack {
           OutputMode.Complete())
         .orderBy($"event_type")
     },
+    // e31: STREAMING FRESHNESS MONITOR — dq16's always-on twin: the
+    // stream maintains per-(type, hour-bucket) state (count, min/max
+    // micros — bounded by types × wall hours, never by event volume; a
+    // year of hours is ~10⁴ rows/type at any corpus size), and the
+    // freshness report computes OFF the final state table (e20/e25's
+    // post-stream-arithmetic convention). One twist vs the batch entry:
+    // a streaming monitor's rate window aligns to its BUCKET boundaries
+    // (the last 24 hour-buckets), because that is what the state can
+    // answer exactly — the oracle replays the same aligned definition, so
+    // the gate pins that micro-batched bucket upkeep changed nothing.
+    "e31_stream_freshness" -> { (s, dir) =>
+      import s.implicits._
+      val buckets = runToTable(eventsStream(s, dir)
+          .select($"event_type", unix_micros($"ts").as("us"))
+          .withColumn("hr", expr("us div 3600000000 * 3600000000"))
+          .groupBy($"event_type", $"hr")
+          .agg(count(lit(1)).as("n"), min($"us").as("mn"), max($"us").as("mx")),
+          OutputMode.Complete())
+      val now = buckets.agg(max($"mx").as("now_us"))
+      buckets.crossJoin(broadcast(now))
+        .groupBy($"event_type")
+        .agg(sum($"n").as("n_events"), max($"mx").as("last_us"),
+             min($"mn").as("first_us"), max($"now_us").as("now_us"),
+             sum(when($"hr" >= expr(
+                 "now_us div 3600000000 * 3600000000 - 82800000000"),
+               $"n").otherwise(0L)).as("day_n"))
+        .withColumn("lag_us", $"now_us" - $"last_us")
+        .withColumn("sla_ok",
+          when($"lag_us" <= 21600000000L, 1L).otherwise(0L))
+        .withColumn("daily_avg",
+          expr("n_events * 86400000000 div greatest(now_us - first_us, 1)"))
+        .withColumn("rate_ratio_bp",
+          expr("day_n * 10000 div greatest(daily_avg, 1)"))
+        .select($"event_type", $"n_events", $"lag_us", $"sla_ok",
+                $"day_n", $"daily_avg", $"rate_ratio_bp")
+        .orderBy($"event_type")
+    },
     // e20: STREAMING VOCABULARY maintenance — x11's corpus heavy hitters
     // kept continuously: complete-mode token counts over the documents
     // stream (state = one row per vocabulary entry — bounded by the
@@ -1531,6 +1568,33 @@ object Streams extends QueryPack {
               // (tot_base * tot_new * (n_base + n_new)))::BIGINT AS contrib_ppm
       FROM binned, tot ORDER BY bin""",
     // e19: the batch recomputation of the streamed running checksum
+    // e31: the batch replay of the hour-bucketed freshness report — the
+    // aligned 24-bucket rate window stated relationally
+    "e31_stream_freshness" -> """
+      WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+      b AS (SELECT event_type, us // 3600000000 * 3600000000 AS hr,
+                   COUNT(*)::BIGINT AS n, MIN(us) AS mn, MAX(us) AS mx
+            FROM ev GROUP BY 1, 2),
+      now_t AS (SELECT MAX(mx) AS now_us FROM b),
+      per AS (
+        SELECT event_type, SUM(n)::BIGINT AS n_events, MAX(mx) AS last_us,
+               MIN(mn) AS first_us, (SELECT now_us FROM now_t) AS now_us,
+               SUM(CASE WHEN hr >= (SELECT now_us FROM now_t)
+                     // 3600000000 * 3600000000 - 82800000000
+                   THEN n ELSE 0 END)::BIGINT AS day_n
+        FROM b GROUP BY event_type)
+      SELECT event_type, n_events,
+             (now_us - last_us)::BIGINT AS lag_us,
+             (CASE WHEN now_us - last_us <= 21600000000
+                   THEN 1 ELSE 0 END)::BIGINT AS sla_ok,
+             day_n,
+             (n_events * 86400000000
+                // GREATEST(now_us - first_us, 1))::BIGINT AS daily_avg,
+             (day_n * 10000
+                // GREATEST(n_events * 86400000000
+                             // GREATEST(now_us - first_us, 1), 1))::BIGINT
+               AS rate_ratio_bp
+      FROM per ORDER BY event_type""",
     "e19_stream_checksum" -> s"""
       SELECT event_type, COUNT(*) AS n_rows, SUM(h)::BIGINT AS checksum
       FROM (SELECT event_type, ${Quality.hexToLong("m", 8, spark = false)} AS h

@@ -411,6 +411,41 @@ class MonitoringOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("e31: streamed freshness report equals the batch hour-bucket recompute") {
+    import spark.implicits._
+    val out = SparkEntry.queries("e31_stream_freshness")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1).toSeq
+    // identical arithmetic, batch path — micro-batched bucket upkeep must
+    // change nothing
+    val b = Tables(spark, sf).events
+      .select($"event_type", unix_micros($"ts").as("us"))
+      .withColumn("hr", expr("us div 3600000000 * 3600000000"))
+      .groupBy($"event_type", $"hr")
+      .agg(count(lit(1)).as("n"), min($"us").as("mn"), max($"us").as("mx"))
+    val now = b.agg(max($"mx").as("now_us"))
+    val batch = b.crossJoin(broadcast(now))
+      .groupBy($"event_type")
+      .agg(sum($"n").as("n_events"), max($"mx").as("last_us"),
+           min($"mn").as("first_us"), max($"now_us").as("now_us"),
+           sum(when($"hr" >= expr(
+               "now_us div 3600000000 * 3600000000 - 82800000000"),
+             $"n").otherwise(0L)).as("day_n"))
+      .withColumn("lag_us", $"now_us" - $"last_us")
+      .withColumn("sla_ok", when($"lag_us" <= 21600000000L, 1L).otherwise(0L))
+      .withColumn("daily_avg",
+        expr("n_events * 86400000000 div greatest(now_us - first_us, 1)"))
+      .withColumn("rate_ratio_bp",
+        expr("day_n * 10000 div greatest(daily_avg, 1)"))
+      .select($"event_type", $"n_events", $"lag_us", $"sla_ok",
+              $"day_n", $"daily_avg", $"rate_ratio_bp")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                 r.getLong(4), r.getLong(5), r.getLong(6))).sortBy(_._1).toSeq
+    assert(out == batch, "streamed report diverged from the batch recompute")
+    assert(out.exists(_._4 == 1L))
+  }
+
   test("g21: epoch plan is integer-consistent; some domain reaches a full epoch") {
     val rows = SparkEntry.queries("g21_epoch_plan")(spark, sf).collect()
     rows.foreach { r =>
