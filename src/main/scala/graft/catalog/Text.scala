@@ -115,6 +115,36 @@ object Text extends QueryPack {
         .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
         .orderBy($"doc_id")
     },
+    // x26: GRADED CONTAMINATION REPORT — x9 answers "which TRAINING docs
+    // share anything with the eval set" (binary exposure, train lens);
+    // the number an eval card publishes is the EVAL lens: per eval doc,
+    // what FRACTION of its distinct n-grams the training split contains
+    // (the n-gram-overlap contamination statistic), plus a ≥50% dirty
+    // flag. Scale shape (x22's broadcast-eval convention): the eval gram
+    // set is corpus-fraction-small and BROADCASTS twice — once to
+    // semi-reduce the training scan to hit grams (distinct on the
+    // eval-bounded hit domain, map-side combined), once to mark the
+    // per-eval-doc gram list; the training corpus itself never shuffles.
+    "x26_contamination_report" -> { (s, dir) =>
+      import s.implicits._
+      val sh = Tables(s, dir).documents
+        .select($"doc_id",
+          explode(graft.functions.TextKernels.shingleHashesUdf($"text")).as("h"))
+      val evalSh = sh.filter(pmod($"doc_id", lit(97)) === 0)
+        .select($"doc_id", $"h").distinct()
+      val evalGrams = evalSh.select($"h").distinct()
+      val hit = sh.filter(pmod($"doc_id", lit(97)) =!= 0)
+        .join(broadcast(evalGrams), Seq("h"))
+        .select($"h").distinct()
+        .withColumn("is_hit", lit(1L))
+      evalSh.join(broadcast(hit), Seq("h"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+             sum(coalesce($"is_hit", lit(0L))).as("n_hit"))
+        .withColumn("hit_bp", expr("n_hit * 10000 div n_grams"))
+        .withColumn("dirty", when($"hit_bp" >= 5000, 1L).otherwise(0L))
+        .orderBy($"doc_id")
+    },
     // x10: PII redaction — mask emails and phone-like numbers before the
     // corpus ships to training. The raw corpus carries no PII, so the query
     // first PLANTS a deterministic email + phone per document (pure function
@@ -898,6 +928,27 @@ object Text extends QueryPack {
       SELECT true_lang, pred_lang, COUNT(*)::BIGINT AS n
       FROM pred GROUP BY true_lang, pred_lang
       ORDER BY true_lang, pred_lang""",
+    // x26: the eval-lens replay — distinct eval grams left-joined to the
+    // distinct training-hit set; integer-bp fraction and the dirty flag
+    "x26_contamination_report" -> s"""
+      WITH sh AS (
+        SELECT doc_id, unnest(hs) AS h
+        FROM (SELECT doc_id, ${Dedup.shingleHashesSql} AS hs
+              FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0) t1),
+      evsh AS (SELECT DISTINCT doc_id, h FROM sh WHERE doc_id % 97 = 0),
+      hit AS (
+        SELECT DISTINCT h FROM sh
+        WHERE doc_id % 97 <> 0 AND h IN (SELECT h FROM evsh)),
+      agg AS (
+        SELECT e.doc_id, COUNT(*)::BIGINT AS n_grams,
+               SUM(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_hit
+        FROM evsh e LEFT JOIN hit t ON e.h = t.h GROUP BY e.doc_id)
+      SELECT doc_id, n_grams, n_hit,
+             (n_hit * 10000 // n_grams)::BIGINT AS hit_bp,
+             (CASE WHEN n_hit * 10000 // n_grams >= 5000
+                   THEN 1 ELSE 0 END)::BIGINT AS dirty
+      FROM agg ORDER BY doc_id""",
     "x9_decontam" -> s"""
       WITH sh AS (
         SELECT doc_id, unnest(hs) AS h

@@ -459,6 +459,27 @@ class MonitoringOpsSpec extends AnyFunSuite {
       "no domain reached a full epoch — the upsampling path is untested")
   }
 
+  test("x26: contamination fractions match a plain-Scala set intersection") {
+    import spark.implicits._
+    val out = SparkEntry.queries("x26_contamination_report")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+                                 r.getLong(4))).toMap
+    val sh = Tables(spark, sf).documents
+      .select($"doc_id",
+        explode(graft.functions.TextKernels.shingleHashesUdf($"text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val evalDocs = sh.filter(_._1 % 97 == 0)
+    val trainGrams = sh.filter(_._1 % 97 != 0).map(_._2).toSet
+    val twin = evalDocs.groupBy(_._1).map { case (id, xs) =>
+      val gs = xs.map(_._2).distinct
+      val hit = gs.count(trainGrams)
+      val bp = hit.toLong * 10000 / gs.length
+      id -> (gs.length.toLong, hit.toLong, bp, if (bp >= 5000) 1L else 0L)
+    }
+    assert(out == twin, "report diverged from the set-intersection twin")
+    assert(out.values.exists(_._2 > 0), "fixture must witness contamination")
+  }
+
   test("x25: boilerplate accounting matches a direct gram recount") {
     import spark.implicits._
     val rows = SparkEntry.queries("x25_boilerplate_passages")(spark, sf).collect()
