@@ -574,6 +574,86 @@ object Formats extends QueryPack {
         .select(lit(v.toLong).as("version"), $"n_rows", $"sum_cents")
       snap(1).unionByName(snap(2)).unionByName(snap(3)).orderBy($"version")
     },
+    // k20: PARTITION EVOLUTION — the sixth lakehouse leg: the table's
+    // partition SCHEME changes (year → month) without rewriting history.
+    // Old data stays year-partitioned; the hot year re-lands monthly;
+    // the manifest carries (layout, key, dir) so reads UNION across
+    // layouts transparently — partitioning is physical metadata, never
+    // schema. The payoff is measured, not asserted: a one-month query
+    // under v1 must scan the whole year's rows (the year dir is the
+    // finest prunable unit), under v2 exactly the month's — same answer,
+    // 12× less data touched. At 100 TB this is why tables evolve specs
+    // instead of rewriting: history keeps its layout forever, only NEW
+    // data pays the finer granularity, and the manifest prunes both.
+    "k20_partition_evolution" -> { (s, dir) =>
+      import s.implicits._
+      import java.nio.file.{Files => F, Paths}
+      val root = Scratch.staged(s"orders_pev#$dir", "pev_orders") { p =>
+        F.createDirectories(Paths.get(p))
+        val orders = Tables(s, dir).orders.withColumn("yr", year($"o_orderdate"))
+        val years = orders.select($"yr").distinct()
+          .collect().map(_.getInt(0)).sorted
+        years.foreach { y =>
+          orders.filter($"yr" === y)
+            .write.mode("overwrite").parquet(s"$p/y${y}_base")
+        }
+        val maxYr = years.max
+        val months = orders.filter($"yr" === maxYr)
+          .select(month($"o_orderdate").as("m")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        months.foreach { m =>
+          orders.filter($"yr" === maxYr && month($"o_orderdate") === m)
+            .write.mode("overwrite").parquet(s"$p/m${maxYr}_$m")
+        }
+        def write(v: Int, es: Seq[(String, String, String)]): Unit =
+          F.writeString(Paths.get(s"$p/manifest_$v.txt"),
+            es.map { case (l, k, d) => s"$l\t$k\t$d" }.mkString("\n"))
+        write(1, years.map(y => ("year", y.toString, s"$p/y${y}_base")))
+        write(2, years.filter(_ != maxYr)
+          .map(y => ("year", y.toString, s"$p/y${y}_base")) ++
+          months.map(m => ("month", s"$maxYr-$m", s"$p/m${maxYr}_$m")))
+      }
+      def entries(v: Int): Seq[(String, String, String)] =
+        java.nio.file.Files
+          .readString(java.nio.file.Paths.get(s"$root/manifest_$v.txt"))
+          .split("\n").toSeq.map { l =>
+            val a = l.split("\t"); (a(0), a(1), a(2)) }
+      def agg(dirs: Seq[String]): (Long, Long) = {
+        val r = s.read.parquet(dirs: _*)
+          .agg(count(lit(1)),
+            sum(expr("cast(round(o_totalprice * 100) as bigint)"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val maxYr = Tables(s, dir).orders
+        .agg(max(year($"o_orderdate"))).head().getInt(0)
+      // full-table reads under both specs must agree exactly
+      val (n1, c1) = agg(entries(1).map(_._3))
+      val (n2, c2) = agg(entries(2).map(_._3))
+      // the month query: manifest-prune to entries COVERING maxYr/January,
+      // then apply the residual predicate (v1's year dir still needs it)
+      def monthScan(v: Int): (Long, Long, Long) = {
+        val sel = entries(v).filter {
+          case ("year", k, _)  => k == maxYr.toString
+          case ("month", k, _) => k == s"$maxYr-1"
+          case _               => false
+        }
+        val scanned = agg(sel.map(_._3))
+        val r = s.read.parquet(sel.map(_._3): _*)
+          .filter(year($"o_orderdate") === maxYr &&
+                  month($"o_orderdate") === 1)
+          .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))).head()
+        (sel.size.toLong, scanned._1, r.getLong(0))
+      }
+      val (d1, rs1, ms1) = monthScan(1)
+      val (d2, rs2, ms2) = monthScan(2)
+      Seq(
+        ("v1_rows", n1), ("v1_sum_cents", c1),
+        ("v2_rows", n2), ("v2_sum_cents", c2),
+        ("month_dirs_v1", d1), ("month_dirs_v2", d2),
+        ("month_rows_scanned_v1", rs1), ("month_rows_scanned_v2", rs2),
+        ("month_sum_cents_v1", ms1), ("month_sum_cents_v2", ms2)
+      ).toDF("item", "value").orderBy($"item")
+    },
     // k12: DYNAMIC PARTITION OVERWRITE (backfill splice) — the correction
     // path every partitioned 100 TB table needs: a bad day is recomputed
     // and spliced in WITHOUT rewriting the other partitions. Staged as
@@ -962,6 +1042,35 @@ object Formats extends QueryPack {
                         ELSE CAST(round(o_totalprice * 100) AS BIGINT)
                    END)::BIGINT
         FROM orders) t
+      ORDER BY item""",
+    // k20: both specs hold the identical table; the month query's scan
+    // cost drops from the full year (v1's finest prunable unit) to the
+    // single month under the evolved spec
+    "k20_partition_evolution" -> """
+      WITH o AS (
+        SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders),
+      my AS (SELECT max(yr) AS y FROM o)
+      SELECT * FROM (
+        SELECT 'month_dirs_v1' AS item, 1::BIGINT AS value
+        UNION ALL SELECT 'month_dirs_v2', 1::BIGINT
+        UNION ALL
+        SELECT 'month_rows_scanned_v1', COUNT(*)::BIGINT FROM o
+        WHERE yr = (SELECT y FROM my)
+        UNION ALL
+        SELECT 'month_rows_scanned_v2', COUNT(*)::BIGINT FROM o
+        WHERE yr = (SELECT y FROM my) AND mo = 1
+        UNION ALL
+        SELECT 'month_sum_cents_v1', SUM(cents)::BIGINT FROM o
+        WHERE yr = (SELECT y FROM my) AND mo = 1
+        UNION ALL
+        SELECT 'month_sum_cents_v2', SUM(cents)::BIGINT FROM o
+        WHERE yr = (SELECT y FROM my) AND mo = 1
+        UNION ALL SELECT 'v1_rows', COUNT(*)::BIGINT FROM o
+        UNION ALL SELECT 'v1_sum_cents', SUM(cents)::BIGINT FROM o
+        UNION ALL SELECT 'v2_rows', COUNT(*)::BIGINT FROM o
+        UNION ALL SELECT 'v2_sum_cents', SUM(cents)::BIGINT FROM o) t
       ORDER BY item""",
     // k19: v1 = full base; v2 (merge-on-read) and v3 (compacted) both =
     // base minus the min-year keys ending in 3 — the MoR read and its

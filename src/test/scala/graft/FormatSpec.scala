@@ -61,6 +61,29 @@ class FormatSpec extends AnyFunSuite {
       "compaction must swap exactly one partition dir")
   }
 
+  test("k20: spec evolution rewrites no history; the month query's scan shrinks") {
+    val sf = TestSpark.sf
+    val out = SparkEntry.queries("k20_partition_evolution")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // both specs hold the identical table
+    assert(out("v1_rows") == out("v2_rows") &&
+           out("v1_sum_cents") == out("v2_sum_cents"))
+    // same month answer, smaller scan under the evolved spec
+    assert(out("month_sum_cents_v1") == out("month_sum_cents_v2"))
+    assert(out("month_rows_scanned_v2") < out("month_rows_scanned_v1"),
+      "month granularity must prune below the year dir")
+    // history keeps its layout: every non-hot-year dir is SHARED verbatim
+    val root = Scratch.staged(s"orders_pev#$sf", "pev_orders")(_ =>
+      fail("k20 fixture was not staged by the query"))
+    def dirs(v: Int) = Files.readString(
+        java.nio.file.Paths.get(s"$root/manifest_$v.txt"))
+      .split("\n").map(_.split("\t")).map(a => (a(0), a(2))).toSeq
+    val yearDirs1 = dirs(1).filter(_._1 == "year").map(_._2).toSet
+    val yearDirs2 = dirs(2).filter(_._1 == "year").map(_._2).toSet
+    assert(yearDirs2.subsetOf(yearDirs1), "evolution rewrote an old year dir")
+    assert(dirs(2).exists(_._1 == "month"), "no month-layout entries landed")
+  }
+
   test("k13: version-1 read is isolated from the v2 commit; storage shared copy-on-write") {
     import org.apache.spark.sql.functions.{count, expr, lit, sum}
     val sf = TestSpark.sf
