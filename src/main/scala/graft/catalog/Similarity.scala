@@ -226,6 +226,32 @@ object Similarity extends QueryPack {
                   expr("n_hit * 10000 div n_truth").as("recall_bp"))
       }.reduce(_ unionByName _).orderBy($"n_probe")
     },
+    // v26: GRAPH HOP-RECALL SWEEP — v22 measures the IVF dial (nProbe);
+    // this measures the GRAPH dial: recall@10 vs exact truth for beam
+    // walks of 1/2/3 hops over the stored v5 edges. The measured curve is
+    // what an operator reads to set the hop budget (each hop costs one
+    // frontier×edge expansion round; recall is monotone in hops BY
+    // CONSTRUCTION — the h-hop visited set contains the (h−1)-hop one —
+    // and GraphAnnSpec pins that monotonicity). Exact truth is v1's
+    // 10-query sample (v11/v22's convention); the sweep's three walks
+    // share the walk shape, so cost scales with the dial, not the corpus.
+    "v26_hop_recall_sweep" -> { (s, dir) =>
+      import s.implicits._
+      val exact = queries("v1_brute_topk")(s, dir)
+        .select($"q_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .toDF("q_id", "neighbor_id")
+      Seq(1, 2, 3).map { h =>
+        val ann = beamWalk(s, dir, v5Edges(s, dir), None,
+            countTouched = false, hops = h)._1
+          .select($"q_id", $"neighbor_id").withColumn("hit", lit(1L))
+        exact.join(ann, Seq("q_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+               sum(coalesce($"hit", lit(0L))).as("n_hit"))
+          .select(lit(h.toLong).as("n_hops"), $"n_truth", $"n_hit",
+                  expr("n_hit * 10000 div n_truth").as("recall_bp"))
+      }.reduce(_ unionByName _).orderBy($"n_hops")
+    },
     // v20: FILTERED ANN — vector search under a metadata predicate (here:
     // the neighbor's document must be lang = 'en'), the production RAG
     // shape ("search my English docs"). The filter applies to the CELL
@@ -948,7 +974,8 @@ object Similarity extends QueryPack {
     * convention); None scores hops exactly (v16/v17/v23). */
   private[graft] def beamWalk(s: SparkSession, dir: String, edges: DataFrame,
       seed: Option[DataFrame], countTouched: Boolean,
-      hopRel: Option[DataFrame] = None): (DataFrame, Long) = {
+      hopRel: Option[DataFrame] = None,
+      hops: Int = BeamHops): (DataFrame, Long) = {
     import s.implicits._
     val e = Tables(s, dir).embeddings
       .withColumn("v", $"embedding".cast("array<double>"))
@@ -968,7 +995,7 @@ object Similarity extends QueryPack {
     val v0 = seed.map(_.select($"q_id", $"vec_id").distinct())
       .getOrElse(q.select($"q_id", $"q_id".as("vec_id")))
     var touched = 0L
-    val (visited, _) = (1 to BeamHops).foldLeft((v0, v0)) {
+    val (visited, _) = (1 to hops).foldLeft((v0, v0)) {
       case ((vis, beam), _) =>
         val cand = und
           .join(broadcast(beam.select($"q_id", $"vec_id".as("src_id"))),
@@ -1413,7 +1440,8 @@ object Similarity extends QueryPack {
   private[catalog] def beamWalkCtes(edgeUnion: String, rel: String,
                                     out: String,
                                     seedSql: String = "",
-                                    hopRel: String = ""): String = s"""
+                                    hopRel: String = "",
+                                    hops: Int = BeamHops): String = s"""
       und AS MATERIALIZED (
         SELECT DISTINCT src_id, neighbor_id FROM ($edgeUnion) u),
       q AS (SELECT vec_id AS q_id, v AS qv, norm2 AS qn FROM $rel WHERE vec_id < 10),
@@ -1421,7 +1449,7 @@ object Similarity extends QueryPack {
         if (seedSql.isEmpty) "SELECT q_id, q_id AS vec_id FROM q" else seedSql
       }) s0),
       beam0 AS (SELECT q_id, vec_id FROM vis0)
-      ${(1 to BeamHops)
+      ${(1 to hops)
         .map(i => beamHopSql(i, if (hopRel.isEmpty) rel else hopRel))
         .mkString(",", ",", "")},
       $out AS (
@@ -1431,7 +1459,7 @@ object Similarity extends QueryPack {
                    ORDER BY z.cos DESC, z.vec_id) AS rank
           FROM (SELECT w.q_id, w.vec_id,
                        ${dotSql("p.qv", "d.v")} / (sqrt(p.qn) * sqrt(d.norm2)) AS cos
-                FROM vis$BeamHops w
+                FROM vis$hops w
                 JOIN $rel d ON d.vec_id = w.vec_id
                 JOIN q p ON p.q_id = w.q_id
                 WHERE w.vec_id <> w.q_id) z) t
@@ -1900,6 +1928,22 @@ object Similarity extends QueryPack {
          FROM ($v1Sql) x LEFT JOIN (${ivfSql(1, "", np)}) a
            ON a.q_id = x.q_id AND a.neighbor_id = x.neighbor_id"""
     }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) t ORDER BY n_probe"),
+    // v26: one brute truth, three hop-parameterized walk instantiations
+    // (v22's scoped-subquery convention — each carries its own WITH chain)
+    "v26_hop_recall_sweep" -> Seq(1, 2, 3).map { h =>
+      s"""SELECT ${h}::BIGINT AS n_hops, COUNT(*)::BIGINT AS n_truth,
+             COUNT(a.neighbor_id)::BIGINT AS n_hit,
+             (COUNT(a.neighbor_id) * 10000 // COUNT(*))::BIGINT AS recall_bp
+         FROM ($v1Sql) x LEFT JOIN (
+           WITH $knnCtes,
+           ${beamWalkCtes(
+             """SELECT src_id, neighbor_id FROM knn
+                UNION ALL SELECT neighbor_id AS src_id, src_id AS neighbor_id
+                FROM knn""",
+             "e", "beamtop", hops = h)}
+           SELECT q_id, neighbor_id FROM beamtop) a
+           ON a.q_id = x.q_id AND a.neighbor_id = x.neighbor_id"""
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) t ORDER BY n_hops"),
     // v13: lexical CTEs are d4's (same cap), pointed query-vs-corpus; the
     // semantic list nests v1Sql verbatim; every RRF term is cast ::DOUBLE
     // before dividing (DuckDB parses bare 1.0 as DECIMAL).

@@ -96,6 +96,26 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(t23 < t17, s"routing did not reduce touched edges: $t23 >= $t17")
   }
 
+  test("v26: hop-recall sweep is monotone; the 3-hop point equals v16's recall") {
+    val sweep = SparkEntry.queries("v26_hop_recall_sweep")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).sortBy(_._1)
+    assert(sweep.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // the h-hop visited set contains the (h−1)-hop one → recall monotone
+    assert(sweep.sliding(2).forall(w => w(1)._2 >= w(0)._2),
+      s"recall not monotone in hops: ${sweep.toSeq}")
+    // hops=3 IS v16's walk: its recall must equal v16's measured recall
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
+    val v16 = SparkEntry.queries("v16_graph_beam_search")(spark, sf)
+      .select($"q_id", $"neighbor_id").withColumn("hit", lit(1L))
+    val truth = SparkEntry.queries("v1_brute_topk")(spark, sf)
+      .select($"q_id", $"neighbor_id")
+    val r16 = truth.join(v16, Seq("q_id", "neighbor_id"), "left")
+      .agg(sum(coalesce($"hit", lit(0L))), count(lit(1))).head()
+    assert(sweep.last._2 == r16.getLong(0) * 10000 / r16.getLong(1),
+      "the 3-hop sweep point diverged from v16's own walk")
+  }
+
   test("v24: PQ-scored navigation holds recall; emitted cosines are exact") {
     import spark.implicits._
     val exact = SparkEntry.queries("v1_brute_topk")(spark, sf).collect()
