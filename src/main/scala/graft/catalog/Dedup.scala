@@ -64,11 +64,13 @@ object Dedup extends QueryPack {
       s"coalesce(list_min(list_transform($hs, x -> ($a * x + $b) % $P)), $P)"
     }.mkString(", ") + "]"
 
-  /** band hashes: fold RowsPerBand signature slots per band (1-based slots). */
-  private[catalog] def bandsSql(sig: String): String =
-    "[" + (0 until NBands).map { b =>
-      (0 until RowsPerBand).foldLeft("0::BIGINT") { (acc, j) =>
-        s"(($acc * 1000003 + $sig[${b * RowsPerBand + j + 1}]) % $P)"
+  /** band hashes: fold `rpb` signature slots per band (1-based slots);
+    * defaults are the shipped d2 geometry. */
+  private[catalog] def bandsSql(sig: String, nb: Int = NBands,
+                                rpb: Int = RowsPerBand): String =
+    "[" + (0 until nb).map { b =>
+      (0 until rpb).foldLeft("0::BIGINT") { (acc, j) =>
+        s"(($acc * 1000003 + $sig[${b * rpb + j + 1}]) % $P)"
       }
     }.mkString(", ") + "]"
 
@@ -137,6 +139,49 @@ object Dedup extends QueryPack {
       .filter($"est_jaccard" >= 0.5)
       .select($"d1", $"d2", $"est_jaccard")
   }
+
+  /** d20's per-geometry candidate pairs: the d2 bucket pipeline with the
+    * banding fold inlined as a Spark `aggregate` lambda (codegen; the
+    * identical integer fold to bandsSql), bucket cap as groupBy+semi. */
+  private def bandCandidates(s: SparkSession, dir: String,
+                             nb: Int, rpb: Int): DataFrame = {
+    import s.implicits._
+    val sig = Tables(s, dir).documents
+      .withColumn("sig", TextKernels.minhashUdf($"text"))
+      .select($"doc_id", $"sig")
+    val bandExpr = s"transform(sequence(0, ${nb - 1}), bi -> " +
+      s"aggregate(slice(sig, bi * $rpb + 1, $rpb), cast(0 as bigint), " +
+      s"(acc, x) -> (acc * 1000003 + x) % $P))"
+    val buckets = sig.select($"doc_id",
+      posexplode(expr(bandExpr)).as(Seq("band_idx", "band_hash")))
+    val ok = buckets.groupBy($"band_idx", $"band_hash")
+      .agg(count(lit(1)).as("bn")).filter($"bn" <= MaxBucket)
+      .select($"band_idx", $"band_hash")
+    val capped = buckets.join(ok, Seq("band_idx", "band_hash"), "left_semi")
+    capped.as("a").join(capped.as("b"),
+        $"a.band_idx" === $"b.band_idx" &&
+          $"a.band_hash" === $"b.band_hash" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2")).distinct()
+  }
+
+  /** d20's oracle candidate chain for one banding geometry. */
+  private def bandCandSql(nb: Int, rpb: Int): String = s"""
+      WITH sig AS (
+        SELECT doc_id, ${sigSql("hs")} AS sig
+        FROM (SELECT doc_id, $shingleHashesSql AS hs
+              FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0) t1),
+      bk AS (
+        SELECT doc_id, b.band_idx, bands[b.band_idx + 1] AS band_hash
+        FROM (SELECT doc_id, ${bandsSql("sig", nb, rpb)} AS bands FROM sig) t
+        CROSS JOIN (SELECT unnest(range(0, $nb)) AS band_idx) b),
+      bkc AS (
+        SELECT * FROM bk
+        QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_hash)
+          <= $MaxBucket)
+      SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      FROM bkc a JOIN bkc b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id"""
 
   /** The same normalized-content digest d1 groups on. */
   private[catalog] val digestExpr = "md5(trim(regexp_replace(lower(text), '[^a-z ]', '')))"
@@ -350,6 +395,33 @@ object Dedup extends QueryPack {
         .select($"n_truth", $"n_cand", $"n_hit",
           expr("n_hit * 1000 div greatest(n_cand, 1)").as("precision_pm"),
           expr("n_hit * 1000 div greatest(n_truth, 1)").as("recall_pm"))
+    },
+    // d20: LSH BAND SWEEP — the dedup analog of v22's probe sweep and
+    // v26's hop sweep (the measured-dial trilogy): the SAME 16-slot
+    // signature banded three ways — 2×8 (strict: both docs must agree on
+    // 8 consecutive slots; high precision, low recall), 4×4 (shipped),
+    // 8×2 (loose: any 2-slot agreement buckets; high recall, quadratic-
+    // leaning candidate volume held down by the MaxBucket cap). Measured
+    // candidate precision/recall vs d4's exact truth is the curve a
+    // curation team reads before fixing b×r — the S-curve threshold
+    // s ≈ (1/b)^(1/r) made empirical. Band hashes are the same integer
+    // fold on both engines (a Spark `aggregate` lambda — codegen, no
+    // UDF); the bucket cap is the hot-key-safe groupBy+semi shape.
+    "d20_band_sweep" -> { (s, dir) =>
+      import s.implicits._
+      val truth = queries("d4_ngram_jaccard")(s, dir).select($"d1", $"d2")
+      Seq((2, 8), (4, 4), (8, 2)).map { case (nb, rpb) =>
+        val cand = bandCandidates(s, dir, nb, rpb)
+        truth.join(cand.withColumn("hit", lit(1L)), Seq("d1", "d2"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+               sum(coalesce($"hit", lit(0L))).as("n_hit"))
+          .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+          .select(lit(nb.toLong).as("n_bands"),
+                  lit(rpb.toLong).as("rows_per_band"),
+                  $"n_truth", $"n_cand", $"n_hit",
+                  expr("n_hit * 1000 div greatest(n_truth, 1)").as("recall_pm"),
+                  expr("n_hit * 1000 div greatest(n_cand, 1)").as("precision_pm"))
+      }.reduce(_ unionByName _).orderBy($"n_bands")
     },
     // d3: per-doc 32-bit simhash signature (frequency-weighted tokens).
     // Near-dup pairing at scale joins on 16-bit signature halves.
@@ -863,6 +935,21 @@ object Dedup extends QueryPack {
         FROM pairs) t
       WHERE est_jaccard >= 0.5
       GROUP BY new_id ORDER BY new_id""",
+    // d20: one d4 truth, three banding geometries (scoped subqueries —
+    // v22's convention); candidate counts pre-est-filter by design
+    "d20_band_sweep" -> Seq((2, 8), (4, 4), (8, 2)).map { case (nb, rpb) =>
+      s"""SELECT n_bands, rows_per_band, n_truth, n_cand, n_hit,
+             (n_hit * 1000 // GREATEST(n_truth, 1))::BIGINT AS recall_pm,
+             (n_hit * 1000 // GREATEST(n_cand, 1))::BIGINT AS precision_pm
+         FROM (
+           SELECT ${nb}::BIGINT AS n_bands, ${rpb}::BIGINT AS rows_per_band,
+             (SELECT COUNT(*) FROM ($d4Sql) x)::BIGINT AS n_truth,
+             (SELECT COUNT(*) FROM (${bandCandSql(nb, rpb)}) y)::BIGINT
+               AS n_cand,
+             (SELECT COUNT(*) FROM ($d4Sql) x
+              JOIN (${bandCandSql(nb, rpb)}) y USING (d1, d2))::BIGINT
+               AS n_hit) s"""
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) t ORDER BY n_bands"),
     "d2_minhash_lsh" -> d2Sql,
     "d14_lsh_eval" -> s"""
       WITH truth AS (SELECT d1, d2 FROM ($d4Sql) t),

@@ -496,6 +496,26 @@ class MonitoringOpsSpec extends AnyFunSuite {
       "per-source gram occurrences must re-add to the corpus gram count")
   }
 
+  test("d20: sweep identities hold; the shipped geometry's candidates cover d2's pairs") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("d20_band_sweep")(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(2L, 4L, 8L))
+    rows.foreach { r =>
+      val (truth, cand, hit, rec, prec) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(hit <= math.min(truth, cand))
+      assert(rec == hit * 1000 / math.max(truth, 1L))
+      assert(prec == hit * 1000 / math.max(cand, 1L))
+    }
+    // d2's final pairs (est-filtered) must be a subset of the 4×4
+    // geometry's candidate set — the est filter only ever removes
+    val d2 = SparkEntry.queries("d2_minhash_lsh")(spark, sf)
+      .select($"d1", $"d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sweep44 = rows.find(_.getLong(0) == 4L).get
+    assert(d2.nonEmpty && sweep44.getLong(3) >= d2.size.toLong,
+      "4×4 candidates cannot undercut d2's est-filtered pairs")
+  }
+
   test("u11: one-aggregate apply equals the serial per-key replay of the shuffled log") {
     import org.apache.spark.sql.functions.{col, expr, when, lit}
     val out = SparkEntry.queries("u11_ooo_cdc_apply")(spark, sf).collect()
