@@ -1168,6 +1168,69 @@ object Relational extends QueryPack {
     // instead of every column (same plan shape). The "new" snapshot is
     // derived deterministically: every key ≡ 3 (mod 7) deleted, every key
     // ≡ 0 (mod 10) rebalanced, every key ≡ 0 (mod 100) inserted anew.
+    // u13: THREE-WAY MERGE — the data "git merge" u8–u11 don't cover:
+    // two snapshots diverged from one base (two pipelines corrected the
+    // same table offline), merged key-by-key with a CONFLICT report. Per
+    // key: unchanged / a_only / b_only / both_same (identical outcome,
+    // incl. both-deleted) / conflict (different changes — surfaced
+    // unresolved with the base value, never silently overwritten; the
+    // whole reason three-way beats last-writer-wins). Divergence is
+    // synthesized deterministically from customer (A: +10 on k%5=0,
+    // delete k%7=0, insert k%13=0 shifted +10⁹; B: +20 on k%3=0, delete
+    // k%11=0, insert k%17=0 shifted +2·10⁹ — absent row = deleted).
+    // Scale shape: two FULL OUTER joins on the key — at 100 TB all three
+    // snapshots bucket on it, so the merge is co-located and
+    // shuffle-free; the disposition report is a 5-row aggregate.
+    "u13_three_way_merge" -> { (s, dir) =>
+      import s.implicits._
+      val base = Tables(s, dir).customer
+        .select($"c_custkey".as("k"),
+          expr("cast(round(c_acctbal * 100) as bigint)").as("cents"))
+      val a = base.filter($"k" % 7 =!= 0)
+        .select($"k",
+          when($"k" % 5 === 0, $"cents" + 1000L).otherwise($"cents").as("cents"))
+        .unionByName(base.filter($"k" % 13 === 0)
+          .select(($"k" + 1000000000L).as("k"), $"cents"))
+      val b = base.filter($"k" % 11 =!= 0)
+        .select($"k",
+          when($"k" % 3 === 0, $"cents" + 2000L).otherwise($"cents").as("cents"))
+        .unionByName(base.filter($"k" % 17 === 0)
+          .select(($"k" + 2000000000L).as("k"), $"cents"))
+      val j = base.select($"k", $"cents".as("c0"))
+        .withColumn("in0", lit(true))
+        .join(a.select($"k", $"cents".as("ca")).withColumn("ina", lit(true)),
+              Seq("k"), "full_outer")
+        .join(b.select($"k", $"cents".as("cb")).withColumn("inb", lit(true)),
+              Seq("k"), "full_outer")
+        .na.fill(false, Seq("in0", "ina", "inb"))
+      val classified = j
+        .withColumn("chA", !($"ina" === $"in0" && ($"ca" <=> $"c0")))
+        .withColumn("chB", !($"inb" === $"in0" && ($"cb" <=> $"c0")))
+        .withColumn("disposition",
+          when(!$"chA" && !$"chB", "unchanged")
+            .when($"chA" && !$"chB", "a_only")
+            .when(!$"chA" && $"chB", "b_only")
+            .when($"ina" === $"inb" && ($"ca" <=> $"cb"), "both_same")
+            .otherwise("conflict"))
+        .withColumn("m_in",
+          when($"disposition" === "a_only", $"ina")
+            .when($"disposition" === "b_only", $"inb")
+            .when($"disposition" === "both_same", $"ina")
+            .when($"disposition" === "conflict", $"in0")
+            .otherwise($"in0"))
+        .withColumn("m_cents",
+          when($"disposition" === "a_only", $"ca")
+            .when($"disposition" === "b_only", $"cb")
+            .when($"disposition" === "both_same", $"ca")
+            .when($"disposition" === "conflict", $"c0")
+            .otherwise($"c0"))
+      classified.groupBy($"disposition")
+        .agg(count(lit(1)).as("n_keys"),
+             sum(when($"m_in", 1L).otherwise(0L)).as("n_merged_rows"),
+             coalesce(sum(when($"m_in", $"m_cents").otherwise(0L)), lit(0L))
+               .as("merged_cents"))
+        .orderBy($"disposition")
+    },
     "u8_snapshot_diff" -> { (s, dir) =>
       import s.implicits._
       val old = Tables(s, dir).customer
@@ -1688,6 +1751,52 @@ object Relational extends QueryPack {
       FROM m
       WHERE seq = last_seq AND NOT (op = 'D' AND first_op = 'I')
       ORDER BY c_custkey""",
+    // u13: the same three-way classification via chained FULL JOINs and
+    // IS NOT DISTINCT FROM (Spark's <=>); conflicts keep the base value
+    "u13_three_way_merge" -> """
+      WITH base AS (SELECT c_custkey AS k,
+                           CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                    FROM customer),
+      a AS (
+        SELECT k, CASE WHEN k % 5 = 0 THEN cents + 1000 ELSE cents END AS cents
+        FROM base WHERE k % 7 <> 0
+        UNION ALL SELECT k + 1000000000, cents FROM base WHERE k % 13 = 0),
+      b AS (
+        SELECT k, CASE WHEN k % 3 = 0 THEN cents + 2000 ELSE cents END AS cents
+        FROM base WHERE k % 11 <> 0
+        UNION ALL SELECT k + 2000000000, cents FROM base WHERE k % 17 = 0),
+      j AS (
+        SELECT b0.cents AS c0, a.cents AS ca, b2.cents AS cb,
+               (b0.k IS NOT NULL) AS in0, (a.k IS NOT NULL) AS ina,
+               (b2.k IS NOT NULL) AS inb
+        FROM base b0
+        FULL JOIN a ON a.k = b0.k
+        FULL JOIN b b2 ON b2.k = COALESCE(b0.k, a.k)),
+      cls AS (
+        SELECT *,
+               NOT (ina = in0 AND ca IS NOT DISTINCT FROM c0) AS chA,
+               NOT (inb = in0 AND cb IS NOT DISTINCT FROM c0) AS chB
+        FROM j),
+      d AS (
+        SELECT *, CASE WHEN NOT chA AND NOT chB THEN 'unchanged'
+                       WHEN chA AND NOT chB THEN 'a_only'
+                       WHEN NOT chA AND chB THEN 'b_only'
+                       WHEN ina = inb AND ca IS NOT DISTINCT FROM cb
+                         THEN 'both_same'
+                       ELSE 'conflict' END AS disposition
+        FROM cls),
+      m AS (
+        SELECT disposition,
+               CASE disposition WHEN 'a_only' THEN ina WHEN 'b_only' THEN inb
+                    WHEN 'both_same' THEN ina ELSE in0 END AS m_in,
+               CASE disposition WHEN 'a_only' THEN ca WHEN 'b_only' THEN cb
+                    WHEN 'both_same' THEN ca ELSE c0 END AS m_cents
+        FROM d)
+      SELECT disposition, COUNT(*)::BIGINT AS n_keys,
+             SUM(CASE WHEN m_in THEN 1 ELSE 0 END)::BIGINT AS n_merged_rows,
+             COALESCE(SUM(CASE WHEN m_in THEN m_cents ELSE 0 END), 0)::BIGINT
+               AS merged_cents
+      FROM m GROUP BY disposition ORDER BY disposition""",
     "u9_changelog_apply" -> """
       WITH old AS (SELECT c_custkey, c_name, c_acctbal FROM customer)
       SELECT c_custkey, c_name,

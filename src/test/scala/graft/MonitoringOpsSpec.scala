@@ -496,6 +496,46 @@ class MonitoringOpsSpec extends AnyFunSuite {
       "per-source gram occurrences must re-add to the corpus gram count")
   }
 
+  test("u13: three-way merge equals a plain-Scala per-key classification") {
+    val out = SparkEntry.queries("u13_three_way_merge")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val base = Tables(spark, sf).customer
+      .select(col("c_custkey"),
+        expr("cast(round(c_acctbal * 100) as bigint)").as("cents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def snapA = base.collect {
+      case (k, c) if k % 7 != 0 => k -> (if (k % 5 == 0) c + 1000 else c)
+    } ++ base.collect { case (k, c) if k % 13 == 0 => (k + 1000000000L) -> c }
+    def snapB = base.collect {
+      case (k, c) if k % 11 != 0 => k -> (if (k % 3 == 0) c + 2000 else c)
+    } ++ base.collect { case (k, c) if k % 17 == 0 => (k + 2000000000L) -> c }
+    val (a, b) = (snapA.toMap, snapB.toMap)
+    val twin = (base.keySet ++ a.keySet ++ b.keySet).toSeq.map { k =>
+      val (c0, ca, cb) = (base.get(k), a.get(k), b.get(k))
+      val (chA, chB) = (ca != c0, cb != c0)
+      val disp =
+        if (!chA && !chB) "unchanged"
+        else if (chA && !chB) "a_only"
+        else if (!chA && chB) "b_only"
+        else if (ca == cb) "both_same"
+        else "conflict"
+      val merged = disp match {
+        case "a_only" => ca
+        case "b_only" => cb
+        case "both_same" => ca
+        case _ => c0
+      }
+      (disp, merged)
+    }.groupBy(_._1).map { case (d, xs) =>
+      d -> (xs.length.toLong, xs.count(_._2.isDefined).toLong,
+            xs.flatMap(_._2).sum)
+    }
+    assert(out == twin, "merge report diverged from the per-key twin")
+    assert(out.keySet == Set("unchanged", "a_only", "b_only", "both_same",
+      "conflict"), "fixture must witness all five dispositions")
+  }
+
   test("d20: sweep identities hold; the shipped geometry's candidates cover d2's pairs") {
     import spark.implicits._
     val rows = SparkEntry.queries("d20_band_sweep")(spark, sf).collect()
