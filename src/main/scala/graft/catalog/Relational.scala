@@ -594,6 +594,36 @@ object Relational extends QueryPack {
         .select($"from_type", $"to_type", $"n_trans", $"n_users", $"share_bp")
         .orderBy($"from_type", $"to_type")
     },
+    // w16: TIME-TO-CONVERT DISTRIBUTION — w11 counts funnel COMPLETION;
+    // the product question is the LATENCY: days from a user's first view
+    // to their first purchase at-or-after it, as a histogram with an
+    // integer-bp cumulative curve ("X% convert within N days"). Scale
+    // shape: two user-keyed aggregates (first view, first qualifying
+    // purchase) on the user_id shuffle, then the corpus reduces to a
+    // ≤span-days histogram; the cumulative window runs over THAT
+    // calendar-bounded frame (dq10's allowlisted class), never data.
+    "w16_conversion_lag" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      val firstView = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"us").as("v_us"))
+      val conv = ev.filter($"event_type" === "purchase")
+        .join(firstView, Seq("user_id"))
+        .filter($"us" >= $"v_us")
+        .groupBy($"user_id", $"v_us").agg(min($"us").as("p_us"))
+      val hist = conv
+        .select(expr("(p_us - v_us) div 86400000000").as("latency_days"))
+        .groupBy($"latency_days").agg(count(lit(1)).as("n_users"))
+      val tot = hist.agg(sum($"n_users").as("n_tot"))
+      val wCum = Window.orderBy($"latency_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.crossJoin(broadcast(tot))
+        .withColumn("cum_users", sum($"n_users").over(wCum))
+        .withColumn("cum_bp", expr("cum_users * 10000 div n_tot"))
+        .select($"latency_days", $"n_users", $"cum_users", $"cum_bp")
+        .orderBy($"latency_days")
+    },
     // w8: percent_rank / cume_dist (rank-normalized window statistics)
     "w8_percent_cume" -> { (s, dir) =>
       import s.implicits._
@@ -2409,6 +2439,29 @@ object Relational extends QueryPack {
     // w14: identical integer credit arithmetic — U-shaped bp split with
     // div-remainder to the earliest middles, decay shares cents·wt//Σwt
     // with the residue on the first touch
+    // w16: first-view/first-qualifying-purchase per user, day-bucketed
+    // latency histogram with the cumulative share over the day frame
+    "w16_conversion_lag" -> """
+      WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      fv AS (SELECT user_id, MIN(us) AS v_us FROM ev
+             WHERE event_type = 'view' GROUP BY 1),
+      conv AS (
+        SELECT e.user_id, fv.v_us, MIN(e.us) AS p_us
+        FROM ev e JOIN fv USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.us >= fv.v_us
+        GROUP BY e.user_id, fv.v_us),
+      hist AS (
+        SELECT (p_us - v_us) // 86400000000 AS latency_days,
+               COUNT(*)::BIGINT AS n_users
+        FROM conv GROUP BY 1),
+      tot AS (SELECT SUM(n_users)::BIGINT AS n_tot FROM hist)
+      SELECT latency_days, n_users,
+             SUM(n_users) OVER (ORDER BY latency_days
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users,
+             (SUM(n_users) OVER (ORDER BY latency_days
+                ROWS UNBOUNDED PRECEDING) * 10000
+               // (SELECT n_tot FROM tot))::BIGINT AS cum_bp
+      FROM hist ORDER BY latency_days""",
     // w15: adjacent-pair counts via lead(); share is integer bp of the
     // from-row total — both engines' window order pinned by (ts, event_id)
     "w15_markov_transitions" -> """

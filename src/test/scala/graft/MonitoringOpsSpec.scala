@@ -496,6 +496,22 @@ class MonitoringOpsSpec extends AnyFunSuite {
       "per-source gram occurrences must re-add to the corpus gram count")
   }
 
+  test("w16: latency histogram conserves converters; the cumulative curve closes at 10000 bp") {
+    val rows = SparkEntry.queries("w16_conversion_lag")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // cum_users is the running sum; the last bucket closes at 10000 bp
+    var run = 0L
+    rows.foreach { case (_, n, cum, bp) =>
+      run += n
+      assert(cum == run)
+      assert(bp == cum * 10000 / rows.map(_._2).sum)
+    }
+    assert(rows.last._4 == 10000L)
+    assert(rows.forall(_._1 >= 0L), "latency cannot precede the first view")
+  }
+
   test("u13: three-way merge equals a plain-Scala per-key classification") {
     val out = SparkEntry.queries("u13_three_way_merge")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -41,7 +41,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // g19's class→window offset cumsum runs over the ≤513-row class frame
     // (one row per harmonic length class), never documents. c7 composes
     // the same binPack stage, so it inherits the same class-frame window.
-    "g19_boundary_pack" -> 1, "c7_release_gate" -> 1)
+    "g19_boundary_pack" -> 1, "c7_release_gate" -> 1,
+    // w16's cumulative runs over the latency-day HISTOGRAM (≤ corpus span
+    // in days — dq10's calendar-bounded class), after the user-keyed
+    // data-scale aggregates.
+    "w16_conversion_lag" -> 1)
 
   test("no data-scale unpartitioned Window in any query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
