@@ -119,6 +119,32 @@ object Quality extends QueryPack {
                 $"last_day_n", $"daily_avg", $"rate_ratio_bp")
         .orderBy($"event_type")
     },
+    // c13: COMPOSED OPS-HEALTH GATE — c9's release-suite pattern applied
+    // to the MONITORING family: one verdict over freshness (dq16's SLA
+    // flag per feed), distribution drift (dq12's per-bin chi-square
+    // contribution, red when one bin carries ≥ half the ppm mass), and
+    // revenue anomalies (dq10's 3-sigma rolling flag per day) — the page
+    // an on-call reads before letting the nightly pipeline run. Each leg
+    // runs AS SHIPPED (composition adds no shuffle the standalone
+    // entries lack); the verdict is a 1-row min over the unioned flags.
+    "c13_ops_health" -> { (s, dir) =>
+      import s.implicits._
+      val fresh = queries("dq16_freshness_sla")(s, dir)
+        .select(lit("freshness").as("stage"), $"event_type".as("item"),
+                ($"sla_ok" === 1L).as("pass"))
+      val drift = queries("dq12_drift_chi2")(s, dir)
+        .select(lit("drift").as("stage"), $"bin".cast("string").as("item"),
+                ($"contrib_ppm" <= 500000L).as("pass"))
+      val anom = queries("dq10_rolling_anomaly")(s, dir)
+        .select(lit("anomaly").as("stage"),
+                date_format($"o_orderdate", "yyyy-MM-dd").as("item"),
+                (!$"is_anomaly").as("pass"))
+      val u = fresh.unionByName(drift).unionByName(anom)
+      val verdict = u.agg(min($"pass".cast("int")).as("mn"))
+        .select(lit("verdict").as("stage"), lit("all").as("item"),
+                ($"mn" === 1).as("pass"))
+      u.unionByName(verdict).orderBy($"stage", $"item")
+    },
     "dq1_quality_audit" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
@@ -737,8 +763,81 @@ object Quality extends QueryPack {
           "FROM a, b").mkString(" UNION ALL ")}) u
       ORDER BY col_name"""
 
+  private lazy val dq16Sql: String = """
+      WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+      now_t AS (SELECT MAX(us) AS now_us FROM ev),
+      per AS (
+        SELECT event_type, COUNT(*)::BIGINT AS n_events,
+               MAX(us) AS last_us, MIN(us) AS first_us,
+               (SELECT now_us FROM now_t) AS now_us,
+               SUM(CASE WHEN us >= (SELECT now_us FROM now_t)
+                                   - 86400000000 THEN 1 ELSE 0 END)::BIGINT
+                 AS last_day_n
+        FROM ev GROUP BY event_type)
+      SELECT event_type, n_events,
+             (now_us - last_us)::BIGINT AS lag_us,
+             (CASE WHEN now_us - last_us <= 21600000000
+                   THEN 1 ELSE 0 END)::BIGINT AS sla_ok,
+             last_day_n,
+             (n_events * 86400000000
+                // GREATEST(now_us - first_us, 1))::BIGINT AS daily_avg,
+             (last_day_n * 10000
+                // GREATEST(n_events * 86400000000
+                             // GREATEST(now_us - first_us, 1), 1))::BIGINT
+               AS rate_ratio_bp
+      FROM per ORDER BY event_type"""
+
+  private lazy val dq12Sql: String = """
+      WITH binned AS (
+        SELECT LEAST(9, CAST(round(value * 100) AS BIGINT) // 5000) AS bin,
+               SUM(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END)::HUGEINT AS n_base,
+               SUM(CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END)::HUGEINT AS n_new
+        FROM events GROUP BY bin),
+      tot AS (
+        SELECT SUM(n_base)::HUGEINT AS tot_base, SUM(n_new)::HUGEINT AS tot_new
+        FROM binned)
+      SELECT bin, n_base::BIGINT AS n_base, n_new::BIGINT AS n_new,
+             (((n_base * tot_new - n_new * tot_base) *
+               (n_base * tot_new - n_new * tot_base) * 1000000::HUGEINT)
+              // (tot_base * tot_new * (n_base + n_new)))::BIGINT AS contrib_ppm
+      FROM binned, tot ORDER BY bin"""
+
+  private lazy val dq10Sql: String = """
+      WITH daily AS (
+        SELECT o_orderdate,
+               SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+        FROM orders GROUP BY 1),
+      w AS (
+        SELECT o_orderdate, cents,
+               COUNT(*) OVER win AS n,
+               SUM(cents::HUGEINT) OVER win AS s,
+               SUM(cents::HUGEINT * cents::HUGEINT) OVER win AS sq
+        FROM daily
+        WINDOW win AS (ORDER BY o_orderdate
+                       ROWS BETWEEN 27 PRECEDING AND CURRENT ROW))
+      SELECT o_orderdate, cents,
+             (n::HUGEINT * cents - s) * (n::HUGEINT * cents - s)
+               > 9 * (n::HUGEINT * sq - s * s) AS is_anomaly
+      FROM w WHERE n = 28 ORDER BY o_orderdate"""
+
   val oracle: Map[String, String] = Map(
     // c9: the three stage SQLs verbatim (the extracted vals), one verdict
+    // c13: the three monitor oracles unioned as shipped; one bool_and
+    "c13_ops_health" -> s"""
+      WITH u AS (
+        SELECT 'freshness' AS stage, event_type AS item,
+               (sla_ok = 1) AS pass FROM ($dq16Sql) f
+        UNION ALL
+        SELECT 'drift', CAST(bin AS VARCHAR), contrib_ppm <= 500000
+        FROM ($dq12Sql) d
+        UNION ALL
+        SELECT 'anomaly', strftime(o_orderdate, '%Y-%m-%d'), NOT is_anomaly
+        FROM ($dq10Sql) a)
+      SELECT * FROM (
+        SELECT stage, item, pass FROM u
+        UNION ALL
+        SELECT 'verdict', 'all', (SELECT bool_and(pass) FROM u)) t
+      ORDER BY stage, item""",
     "c9_quality_suite" -> s"""
       WITH u AS (
         SELECT 'audit' AS stage, rule AS item, pass FROM ($dq1Sql) a
@@ -799,29 +898,7 @@ object Quality extends QueryPack {
       FROM dev JOIN mad USING (grp)
       GROUP BY grp ORDER BY grp""",
     // dq16: now = max(ts) corpus-wide; integer-micros lag and rate math
-    "dq16_freshness_sla" -> """
-      WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
-      now_t AS (SELECT MAX(us) AS now_us FROM ev),
-      per AS (
-        SELECT event_type, COUNT(*)::BIGINT AS n_events,
-               MAX(us) AS last_us, MIN(us) AS first_us,
-               (SELECT now_us FROM now_t) AS now_us,
-               SUM(CASE WHEN us >= (SELECT now_us FROM now_t)
-                                   - 86400000000 THEN 1 ELSE 0 END)::BIGINT
-                 AS last_day_n
-        FROM ev GROUP BY event_type)
-      SELECT event_type, n_events,
-             (now_us - last_us)::BIGINT AS lag_us,
-             (CASE WHEN now_us - last_us <= 21600000000
-                   THEN 1 ELSE 0 END)::BIGINT AS sla_ok,
-             last_day_n,
-             (n_events * 86400000000
-                // GREATEST(now_us - first_us, 1))::BIGINT AS daily_avg,
-             (last_day_n * 10000
-                // GREATEST(n_events * 86400000000
-                             // GREATEST(now_us - first_us, 1), 1))::BIGINT
-               AS rate_ratio_bp
-      FROM per ORDER BY event_type""",
+    "dq16_freshness_sla" -> dq16Sql,
     "dq13_inferred_rules" -> dq13Sql,
     "dq1_quality_audit" -> dq1Sql,
     "dq4_profile_drift" -> """
@@ -874,20 +951,7 @@ object Quality extends QueryPack {
     // dq12: HUGEINT keeps every product exact; // is floor division on
     // non-negative operands — same ppm integers as Spark's DECIMAL(38,0)
     // `div` path
-    "dq12_drift_chi2" -> """
-      WITH binned AS (
-        SELECT LEAST(9, CAST(round(value * 100) AS BIGINT) // 5000) AS bin,
-               SUM(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END)::HUGEINT AS n_base,
-               SUM(CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END)::HUGEINT AS n_new
-        FROM events GROUP BY bin),
-      tot AS (
-        SELECT SUM(n_base)::HUGEINT AS tot_base, SUM(n_new)::HUGEINT AS tot_new
-        FROM binned)
-      SELECT bin, n_base::BIGINT AS n_base, n_new::BIGINT AS n_new,
-             (((n_base * tot_new - n_new * tot_base) *
-               (n_base * tot_new - n_new * tot_base) * 1000000::HUGEINT)
-              // (tot_base * tot_new * (n_base + n_new)))::BIGINT AS contrib_ppm
-      FROM binned, tot ORDER BY bin""",
+    "dq12_drift_chi2" -> dq12Sql,
     "dq11_k_anonymity" -> s"""
       SELECT lang, source, n_chars // 100 AS len_bucket,
              COUNT(*)::BIGINT AS n_docs,
@@ -895,23 +959,7 @@ object Quality extends QueryPack {
       FROM documents
       GROUP BY lang, source, len_bucket
       ORDER BY lang, source, len_bucket""",
-    "dq10_rolling_anomaly" -> """
-      WITH daily AS (
-        SELECT o_orderdate,
-               SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
-        FROM orders GROUP BY 1),
-      w AS (
-        SELECT o_orderdate, cents,
-               COUNT(*) OVER win AS n,
-               SUM(cents::HUGEINT) OVER win AS s,
-               SUM(cents::HUGEINT * cents::HUGEINT) OVER win AS sq
-        FROM daily
-        WINDOW win AS (ORDER BY o_orderdate
-                       ROWS BETWEEN 27 PRECEDING AND CURRENT ROW))
-      SELECT o_orderdate, cents,
-             (n::HUGEINT * cents - s) * (n::HUGEINT * cents - s)
-               > 9 * (n::HUGEINT * sq - s * s) AS is_anomaly
-      FROM w WHERE n = 28 ORDER BY o_orderdate""",
+    "dq10_rolling_anomaly" -> dq10Sql,
     "dq9_unknown_member" -> """
       SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
              COUNT(*) AS n_orders,

@@ -496,6 +496,21 @@ class MonitoringOpsSpec extends AnyFunSuite {
       "per-source gram occurrences must re-add to the corpus gram count")
   }
 
+  test("c13: composed health gate carries each monitor as shipped; verdict = AND") {
+    val rows = SparkEntry.queries("c13_ops_health")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    val byStage = rows.groupBy(_._1)
+    assert(byStage("freshness").length ==
+      SparkEntry.queries("dq16_freshness_sla")(spark, sf).count())
+    assert(byStage("drift").length ==
+      SparkEntry.queries("dq12_drift_chi2")(spark, sf).count())
+    assert(byStage("anomaly").length ==
+      SparkEntry.queries("dq10_rolling_anomaly")(spark, sf).count())
+    val verdict = byStage("verdict").head._3
+    assert(verdict == rows.filter(_._1 != "verdict").forall(_._3),
+      "verdict must be the conjunction of every monitor flag")
+  }
+
   test("w16: latency histogram conserves converters; the cumulative curve closes at 10000 bp") {
     val rows = SparkEntry.queries("w16_conversion_lag")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
