@@ -458,6 +458,38 @@ object Analytics extends QueryPack {
                 ($"full_epochs" * $"nc" + $"partial_chars").as("planned_chars"))
         .orderBy($"lang")
     },
+    // g22: PARETO FRONTIER (2-D skyline) — the multi-objective selection
+    // question budgeted curation keeps asking: which docs pack MORE clean
+    // content (d19's integer clean-char score, maximize) into FEWER
+    // characters (minimize) than every alternative? A doc is on the
+    // frontier iff no other doc weakly dominates it (≤ chars, ≥ quality,
+    // one strict). The naive form is an all-pairs anti-join; the sorted
+    // 1-D reduction is exact: per-length maxima Meq(c), then a running
+    // strict-prior max Mlt(c) — a point survives iff q = Meq(c) AND
+    // q > Mlt(c). Scale shape (100 TB): ONE map-side-combined groupBy
+    // reduces the corpus to ≤|distinct lengths| rows; the dominance
+    // window runs over THAT bounded value domain (dq10's allowlisted
+    // class), and the survivors semi-join back via a broadcast. No
+    // all-pairs, no global sort of data.
+    "g22_pareto_frontier" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+        .select($"doc_id", $"n_chars",
+          expr(s"cast(${Dedup.cleanCharsSql(spark = true)} as bigint)").as("q"))
+      val meq = docs.groupBy($"n_chars").agg(max($"q").as("meq"))
+      val wLt = org.apache.spark.sql.expressions.Window
+        .orderBy($"n_chars").rowsBetween(Long.MinValue, -1)
+      val front = meq
+        .withColumn("mlt", coalesce(max($"meq").over(wLt), lit(-1L)))
+        .filter($"meq" > $"mlt")
+        .select($"n_chars", $"meq")
+      docs.join(broadcast(front), Seq("n_chars"))
+        .filter($"q" === $"meq")
+        .groupBy($"n_chars", $"meq")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("exemplar"))
+        .select($"n_chars", $"meq".as("clean_chars"), $"n_docs", $"exemplar")
+        .orderBy($"n_chars")
+    },
     // g7: Z-ORDER LAYOUT for data skipping — the multi-dimensional
     // clustering a 100 TB store applies so that per-file min/max zone maps
     // prune scans for predicates on EITHER dimension (the Delta/Iceberg
@@ -1169,6 +1201,24 @@ object Analytics extends QueryPack {
       FROM part GROUP BY p_brand ORDER BY p_brand""",
     "g1_array_agg" -> """
       SELECT s_nationkey, array_to_string(list_sort(list(s_name)), ',') AS names, COUNT(*) AS n
-      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey"""
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+    // g22: the serial statement of the skyline reduction — per-length
+    // maxima, strict-prior running max, survivors joined back.
+    "g22_pareto_frontier" -> s"""
+      WITH d AS (
+        SELECT doc_id, n_chars,
+               CAST(${Dedup.cleanCharsSql(spark = false)} AS BIGINT) AS q
+        FROM documents),
+      meq AS (SELECT n_chars, MAX(q) AS meq FROM d GROUP BY 1),
+      th AS (
+        SELECT n_chars, meq,
+               COALESCE(MAX(meq) OVER (ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS mlt
+        FROM meq)
+      SELECT d.n_chars, d.q AS clean_chars, COUNT(*)::BIGINT AS n_docs,
+             MIN(doc_id)::BIGINT AS exemplar
+      FROM d JOIN th ON th.n_chars = d.n_chars
+                    AND d.q = th.meq AND th.meq > th.mlt
+      GROUP BY 1, 2 ORDER BY 1"""
   )
 }

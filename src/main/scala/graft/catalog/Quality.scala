@@ -554,6 +554,29 @@ object Quality extends QueryPack {
         .withColumn("released", $"n_docs" >= KAnon)
         .orderBy($"lang", $"source", $"len_bucket")
     },
+    // dq17: L-DIVERSITY AUDIT — k-anonymity's (dq11) known failure mode:
+    // a quasi-identifier group can be large (k-anonymous) yet carry ONE
+    // sensitive value, so membership still discloses it (the homogeneity
+    // attack). Per quasi-id group (priority × order month) count the
+    // DISTINCT sensitive values (order status); the group releases only
+    // with ≥2. Shape follows dq2's two-level-aggregate convention: a
+    // groupBy on (group, status) collapses map-side to the bounded cell
+    // table (never an Expand over the fact scan), then a second tiny
+    // aggregate per group. At 100 TB the shuffle carries |cells| rows —
+    // quasi-id × status cardinality, scale-free.
+    "dq17_l_diversity" -> { (s, dir) =>
+      import s.implicits._
+      val cells = Tables(s, dir).orders
+        .select($"o_orderpriority",
+                expr("cast(year(o_orderdate) * 100 + month(o_orderdate) as bigint)").as("ym"),
+                $"o_orderstatus")
+        .groupBy($"o_orderpriority", $"ym", $"o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+      cells.groupBy($"o_orderpriority", $"ym")
+        .agg(sum($"n").as("n_rows"), count(lit(1)).as("n_status"))
+        .withColumn("l_ok", $"n_status" >= 2)
+        .orderBy($"o_orderpriority", $"ym")
+    },
     "dq10_rolling_anomaly" -> { (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.types.DecimalType
@@ -959,6 +982,16 @@ object Quality extends QueryPack {
       FROM documents
       GROUP BY lang, source, len_bucket
       ORDER BY lang, source, len_bucket""",
+    "dq17_l_diversity" -> """
+      WITH cells AS (
+        SELECT o_orderpriority,
+               year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+               o_orderstatus, COUNT(*)::BIGINT AS n
+        FROM orders GROUP BY 1, 2, 3)
+      SELECT o_orderpriority, ym, SUM(n)::BIGINT AS n_rows,
+             COUNT(*)::BIGINT AS n_status,
+             COUNT(*) >= 2 AS l_ok
+      FROM cells GROUP BY 1, 2 ORDER BY 1, 2""",
     "dq10_rolling_anomaly" -> dq10Sql,
     "dq9_unknown_member" -> """
       SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,

@@ -624,6 +624,54 @@ object Relational extends QueryPack {
         .select($"latency_days", $"n_users", $"cum_users", $"cum_bp")
         .orderBy($"latency_days")
     },
+    // w17: SURVIVAL ANALYSIS (Kaplan-Meier life table with right-
+    // censoring) — w16's latency histogram only counts users who DID
+    // convert; the statistically honest view also carries the ones who
+    // hadn't converted yet when observation ended (censored at the last
+    // event in the log). Conversion = first QUALIFYING purchase
+    // (value ≥ 100 — a pure comparison, no float arithmetic), which
+    // leaves a real censored population in the fixture (the plain-
+    // purchase event converts every viewer — a life table with zero
+    // censoring never exercises the operator's defining branch). Per
+    // duration day: the risk set (users still unconverted and
+    // uncensored entering that day), events, censors, and the discrete
+    // hazard d/n in integer bp — the life table every retention model
+    // starts from. Scale shape: per-user entry/convert are the w16
+    // aggregates on the user_id shuffle; the corpus then reduces to a
+    // ≤span-days table, and the risk-set running sum is a window over
+    // THAT calendar-bounded frame (dq10's allowlisted class). Hazard is
+    // integer division — engine-identical, no float.
+    "w17_survival_hazard" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_type", $"value", unix_micros($"ts").as("us"))
+      val entry = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"us").as("v_us"))
+      val conv = ev.filter($"event_type" === "purchase" && $"value" >= 100.0)
+        .join(entry, Seq("user_id"))
+        .filter($"us" >= $"v_us")
+        .groupBy($"user_id").agg(min($"us").as("p_us"))
+      val mx = ev.agg(max($"us").as("m_us"))
+      val dur = entry.join(conv, Seq("user_id"), "left")
+        .crossJoin(broadcast(mx))
+        .select(
+          when($"p_us".isNotNull, expr("(p_us - v_us) div 86400000000"))
+            .otherwise(expr("(m_us - v_us) div 86400000000")).as("d"),
+          $"p_us".isNotNull.as("observed"))
+      val hist = dur.groupBy($"d")
+        .agg(sum(when($"observed", 1L).otherwise(0L)).as("n_events"),
+             sum(when(!$"observed", 1L).otherwise(0L)).as("n_censored"))
+      val tot = dur.agg(count(lit(1)).as("n_total"))
+      val wPrior = Window.orderBy($"d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hist.crossJoin(broadcast(tot))
+        .withColumn("n_at_risk", $"n_total" -
+          coalesce(sum($"n_events" + $"n_censored").over(wPrior), lit(0L)))
+        .withColumn("hazard_bp", expr("n_events * 10000 div n_at_risk"))
+        .select($"d".as("duration_days"), $"n_at_risk",
+                $"n_events", $"n_censored", $"hazard_bp")
+        .orderBy($"duration_days")
+    },
     // w8: percent_rank / cume_dist (rank-normalized window statistics)
     "w8_percent_cume" -> { (s, dir) =>
       import s.implicits._
@@ -1261,6 +1309,47 @@ object Relational extends QueryPack {
                .as("merged_cents"))
         .orderBy($"disposition")
     },
+    // u14: INCREMENTAL JOIN-VIEW MAINTENANCE — the delta rule for a
+    // materialized join view, the mechanism behind every "refresh the
+    // dashboard without rescanning the lake" system. V = Γ(O ⋈ L); a
+    // batch arrives as ΔO (new orders) and ΔL (their lines PLUS late
+    // lines for orders already in the base — the case naive "join the
+    // new orders to the new lines" refreshes silently drop). The exact
+    // delta is Δ(O⋈L) = ΔO⋈L₀ ∪ O₀⋈ΔL ∪ ΔO⋈ΔL (no term double-counts:
+    // a joined row is in exactly one term by which side(s) are new),
+    // and because the view's measures are SUMs, the refreshed view is
+    // the key-wise sum of V₀'s stored partials and the delta's. At
+    // 100 TB the payoff is the join shape: the base fact is only ever
+    // probed BY the (small) delta — broadcast on the delta side, no
+    // base shuffle, while the oracle's full recompute scans everything.
+    // A green row proves refresh(V₀, Δ) == recompute(base ∪ Δ).
+    "u14_join_view_delta" -> { (s, dir) =>
+      import s.implicits._
+      val t = Tables(s, dir)
+      val o = t.orders.select($"o_orderkey", $"o_orderpriority")
+      val l = t.lineitem.select($"l_orderkey", $"l_suppkey",
+                                dec2($"l_extendedprice").as("price"))
+      val oOld = o.filter($"o_orderkey" % 10 =!= 7)
+      val oNew = o.filter($"o_orderkey" % 10 === 7)
+      val lOld = l.filter($"l_orderkey" % 10 =!= 7 && $"l_suppkey" % 13 =!= 0)
+      val lNew = l.filter($"l_orderkey" % 10 === 7 ||
+                          ($"l_orderkey" % 10 =!= 7 && $"l_suppkey" % 13 === 0))
+      def joined(a: DataFrame, b: DataFrame): DataFrame =
+        a.join(b, $"l_orderkey" === $"o_orderkey")
+          .select($"o_orderpriority", $"price")
+      val v0 = joined(oOld, lOld)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum($"price").as("rev"))
+      val dV = joined(broadcast(oNew), lOld)
+        .unionByName(joined(oOld, broadcast(lNew)))
+        .unionByName(joined(broadcast(oNew), broadcast(lNew)))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum($"price").as("rev"))
+      v0.unionByName(dV)
+        .groupBy($"o_orderpriority")
+        .agg(sum($"n").as("n_items"), asDbl(sum($"rev"), 2).as("revenue"))
+        .orderBy($"o_orderpriority")
+    },
     "u8_snapshot_diff" -> { (s, dir) =>
       import s.implicits._
       val old = Tables(s, dir).customer
@@ -1827,6 +1916,12 @@ object Relational extends QueryPack {
              COALESCE(SUM(CASE WHEN m_in THEN m_cents ELSE 0 END), 0)::BIGINT
                AS merged_cents
       FROM m GROUP BY disposition ORDER BY disposition""",
+    "u14_join_view_delta" -> """
+      SELECT o_orderpriority, COUNT(*)::BIGINT AS n_items,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1""",
     "u9_changelog_apply" -> """
       WITH old AS (SELECT c_custkey, c_name, c_acctbal FROM customer)
       SELECT c_custkey, c_name,
@@ -2462,6 +2557,37 @@ object Relational extends QueryPack {
                 ROWS UNBOUNDED PRECEDING) * 10000
                // (SELECT n_tot FROM tot))::BIGINT AS cum_bp
       FROM hist ORDER BY latency_days""",
+    "w17_survival_hazard" -> """
+      WITH ev AS (SELECT user_id, event_type, value, epoch_us(ts) AS us
+                  FROM events),
+      entry AS (SELECT user_id, MIN(us) AS v_us FROM ev
+                WHERE event_type = 'view' GROUP BY 1),
+      conv AS (
+        SELECT e.user_id, MIN(e.us) AS p_us
+        FROM ev e JOIN entry USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.value >= 100.0
+          AND e.us >= entry.v_us
+        GROUP BY e.user_id),
+      mx AS (SELECT MAX(us) AS m_us FROM ev),
+      dur AS (
+        SELECT CASE WHEN p_us IS NOT NULL THEN (p_us - v_us) // 86400000000
+                    ELSE (m_us - v_us) // 86400000000 END AS d,
+               p_us IS NOT NULL AS observed
+        FROM entry LEFT JOIN conv USING (user_id) CROSS JOIN mx),
+      hist AS (
+        SELECT d, SUM(CASE WHEN observed THEN 1 ELSE 0 END)::BIGINT AS n_events,
+               SUM(CASE WHEN NOT observed THEN 1 ELSE 0 END)::BIGINT AS n_censored
+        FROM dur GROUP BY 1),
+      tot AS (SELECT COUNT(*)::BIGINT AS n_total FROM dur),
+      risk AS (
+        SELECT d, n_events, n_censored,
+               (n_total - COALESCE(SUM(n_events + n_censored) OVER
+                  (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0))::BIGINT AS n_at_risk
+        FROM hist CROSS JOIN tot)
+      SELECT d AS duration_days, n_at_risk, n_events, n_censored,
+             ((n_events * 10000) // n_at_risk)::BIGINT AS hazard_bp
+      FROM risk ORDER BY duration_days""",
     // w15: adjacent-pair counts via lead(); share is integer bp of the
     // from-row total — both engines' window order pinned by (ts, event_id)
     "w15_markov_transitions" -> """

@@ -792,6 +792,51 @@ object Similarity extends QueryPack {
         .select($"id".as("vec_id"), $"lbl".as("community"), $"community_size")
         .orderBy($"vec_id")
     },
+    // v25: PERSONALIZED PAGERANK (seed-teleport power iteration,
+    // integer-exact) — v7 measures GLOBAL centrality ("which nodes are
+    // hubs"); the retrieval question is PERSONALIZED relevance: random
+    // walks that restart at a query SEED SET rank nodes by multi-hop
+    // proximity to the seeds — graph-structural expansion beyond what
+    // one beam walk (v16) reaches, the classic recommendation /
+    // related-docs primitive. Three unrolled iterations of
+    // r' = 0.15·[id ∈ S]/|S| + 0.85·Σ r(u)/deg(u) over the STORED kNN
+    // edges (v5's table), 1e12-scaled BIGINT with `div` — each node's
+    // contribution is divided ONCE on the source side, so both engines
+    // truncate identically and ranks match bit-for-bit. Unlike v7's
+    // dense vector, the PPR mass is SPARSE: only the seeds' k-hop ball
+    // ever holds rank, and the zero-contribution filter keeps each
+    // iteration's shuffle at |reachable ball| rows, not |V| — at 100 TB
+    // the cost tracks the seed neighborhood, not the corpus. Teleport
+    // is rebuilt per round from the seed frame (a full-outer merge), so
+    // untouched nodes never materialize at all.
+    "v25_pagerank" -> { (s, dir) =>
+      import s.implicits._
+      val edges = stagedKnnGraph(s, dir)
+        .select($"src_id".as("src"), $"neighbor_id".as("dst"))
+      val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+      val seeds = deg.filter($"src" < 10).select($"src".as("id"))
+      val nS = seeds.agg(count(lit(1)).as("ns"))
+      val r0 = seeds.crossJoin(broadcast(nS))
+        .select($"id", expr("1000000000000 div ns").as("rank"))
+      def step(r: DataFrame): DataFrame = {
+        val c = r.join(deg.select($"src".as("id"), $"outdeg"), Seq("id"))
+          .select($"id".as("src"),
+                  expr("(85 * rank) div (100 * outdeg)").as("c"))
+          .filter($"c" > 0)
+        val in = edges.join(c, Seq("src"))
+          .groupBy($"dst".as("id")).agg(sum($"c").as("in_c"))
+        val tele = seeds.crossJoin(broadcast(nS))
+          .select($"id", expr("150000000000 div ns").as("t"))
+        tele.join(in, Seq("id"), "full_outer")
+          .select($"id",
+            (coalesce($"t", lit(0L)) + coalesce($"in_c", lit(0L))).as("rank"))
+      }
+      step(step(step(r0)))
+        .filter($"id" >= 10)
+        .select($"id".as("vec_id"), $"rank".as("rank_scaled"))
+        .orderBy($"rank_scaled".desc, $"vec_id")
+        .limit(20)
+    },
     // v16: GRAPH-BASED ANN SEARCH — the retrieval step that completes the
     // graph-index lifecycle (v5 build → v9 maintain → v16 SEARCH → v11-style
     // evaluate): greedy beam search over the STORED edge table, the
@@ -2006,7 +2051,44 @@ object Similarity extends QueryPack {
         FROM s1 LEFT JOIN n2 USING (id)),
       sizes AS (SELECT lbl, COUNT(*)::BIGINT AS community_size FROM s2 GROUP BY lbl)
       SELECT s2.id AS vec_id, s2.lbl::BIGINT AS community, sizes.community_size
-      FROM s2 JOIN sizes USING (lbl) ORDER BY vec_id"""
+      FROM s2 JOIN sizes USING (lbl) ORDER BY vec_id""",
+    "v25_pagerank" -> s"""
+      WITH $knnCtes,
+      edges AS MATERIALIZED (
+        SELECT src_id AS src, neighbor_id AS dst FROM knn),
+      deg AS (SELECT src, COUNT(*)::BIGINT AS outdeg FROM edges GROUP BY 1),
+      seeds AS (SELECT src AS id FROM deg WHERE src < 10),
+      ns AS (SELECT COUNT(*)::BIGINT AS ns FROM seeds),
+      tele AS (SELECT id, 150000000000 // ns AS t FROM seeds CROSS JOIN ns),
+      r0 AS (SELECT id, 1000000000000 // ns AS rank
+             FROM seeds CROSS JOIN ns),
+      c1 AS (SELECT * FROM (
+               SELECT r0.id AS src, (85 * rank) // (100 * outdeg) AS c
+               FROM r0 JOIN deg ON deg.src = r0.id) z WHERE c > 0),
+      i1 AS (SELECT e.dst AS id, SUM(c)::BIGINT AS in_c
+             FROM edges e JOIN c1 USING (src) GROUP BY 1),
+      r1 AS (SELECT COALESCE(t.id, i1.id) AS id,
+                    COALESCE(t.t, 0) + COALESCE(i1.in_c, 0) AS rank
+             FROM tele t FULL JOIN i1 ON i1.id = t.id),
+      c2 AS (SELECT * FROM (
+               SELECT r1.id AS src, (85 * rank) // (100 * outdeg) AS c
+               FROM r1 JOIN deg ON deg.src = r1.id) z WHERE c > 0),
+      i2 AS (SELECT e.dst AS id, SUM(c)::BIGINT AS in_c
+             FROM edges e JOIN c2 USING (src) GROUP BY 1),
+      r2 AS (SELECT COALESCE(t.id, i2.id) AS id,
+                    COALESCE(t.t, 0) + COALESCE(i2.in_c, 0) AS rank
+             FROM tele t FULL JOIN i2 ON i2.id = t.id),
+      c3 AS (SELECT * FROM (
+               SELECT r2.id AS src, (85 * rank) // (100 * outdeg) AS c
+               FROM r2 JOIN deg ON deg.src = r2.id) z WHERE c > 0),
+      i3 AS (SELECT e.dst AS id, SUM(c)::BIGINT AS in_c
+             FROM edges e JOIN c3 USING (src) GROUP BY 1),
+      r3 AS (SELECT COALESCE(t.id, i3.id) AS id,
+                    COALESCE(t.t, 0) + COALESCE(i3.in_c, 0) AS rank
+             FROM tele t FULL JOIN i3 ON i3.id = t.id)
+      SELECT id AS vec_id, rank::BIGINT AS rank_scaled
+      FROM r3 WHERE id >= 10
+      ORDER BY rank_scaled DESC, vec_id LIMIT 20"""
   )
 
   private[catalog] lazy val v1Sql = s"""

@@ -589,6 +589,48 @@ object Text extends QueryPack {
         .orderBy($"lift".desc, $"w1", $"w2")
         .limit(20)
     },
+    // x27: KEYPHRASE EXTRACTION (RAKE) — x24 ranks word PAIRS by lift;
+    // RAKE extracts multi-word PHRASES: candidate phrases are maximal
+    // stopword-free token runs (stopwords delimit), each phrase TYPE
+    // scored by Σ_w deg(w)/freq(w) over its words, where freq counts a
+    // word's phrase occurrences and deg sums the lengths of phrases
+    // containing it (longer-phrase words score higher — RAKE's core
+    // heuristic). The ratio is kept integer (deg·10⁴ div freq summed
+    // per word) so both engines truncate identically. Scale shape: the
+    // phrase-id running count is a PER-DOC window (bounded, co-located);
+    // word stats and phrase types are map-side-combined groupBys; the
+    // word-stats join fans out only phrase TYPES, not occurrences.
+    // Top-20 is a k-row TakeOrderedAndProject.
+    "x27_keyphrases" -> { (s, dir) =>
+      import s.implicits._
+      val toks = Tables(s, dir).documents
+        .select($"doc_id", posexplode(expr(Tx.wsExpr)))
+        .withColumnRenamed("col", "tok")
+      val wD = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"pos")
+      val phr = toks
+        .withColumn("is_stop", $"tok".isInCollection(stopwords))
+        .withColumn("pid", sum(when($"is_stop", 1L).otherwise(0L)).over(wD))
+        .filter(!$"is_stop" && length($"tok") > 0)
+        .groupBy($"doc_id", $"pid")
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok), ' ')").as("phrase"),
+             count(lit(1)).as("len"))
+      val wst = phr.select(explode(split($"phrase", " ")).as("w"), $"len")
+        .groupBy($"w")
+        .agg(count(lit(1)).as("freq"), sum($"len").as("deg"))
+      val ptype = phr.groupBy($"phrase", $"len")
+        .agg(count(lit(1)).as("n_occ"))
+      ptype
+        .select($"phrase", $"len", $"n_occ",
+                explode(split($"phrase", " ")).as("w"))
+        .join(broadcast(wst), Seq("w"))
+        .groupBy($"phrase", $"len", $"n_occ")
+        .agg(sum(expr("(deg * 10000) div freq")).as("score_bp"))
+        .filter($"n_occ" >= 3)
+        .select($"phrase", $"len".as("n_words"), $"n_occ", $"score_bp")
+        .orderBy($"score_bp".desc, $"phrase")
+        .limit(20)
+    },
     "x21_bm25_topk" -> { (s, dir) =>
       import s.implicits._
       // everything derives from ONE tokenize pass: tf is the only operator
@@ -1115,6 +1157,42 @@ object Text extends QueryPack {
       FROM bgc JOIN un a ON a.w = w1 JOIN un b ON b.w = w2
       CROSS JOIN nt CROSS JOIN nb
       ORDER BY lift DESC, w1, w2 LIMIT 20""",
+    // x27: phrase runs replayed with the same per-doc stopword running
+    // count; string_agg(ORDER BY pos) rebuilds the phrase serially.
+    "x27_keyphrases" -> s"""
+      WITH toks AS (
+        SELECT doc_id, i AS pos, ws[i] AS tok
+        FROM (SELECT doc_id, ${Tx.wsSql} AS ws FROM documents) t0,
+             unnest(range(1, len(ws) + 1)) AS t(i)),
+      marked AS (
+        SELECT doc_id, pos, tok,
+               tok IN (${stopwords.map(w => s"'$w'").mkString(", ")}) AS is_stop
+        FROM toks),
+      pidd AS (
+        SELECT doc_id, pos, tok, is_stop,
+               SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+        FROM marked),
+      phr AS (
+        SELECT doc_id, pid, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+               COUNT(*)::BIGINT AS len
+        FROM pidd WHERE NOT is_stop AND length(tok) > 0
+        GROUP BY 1, 2),
+      wst AS (
+        SELECT w, COUNT(*)::BIGINT AS freq, SUM(len)::BIGINT AS deg
+        FROM (SELECT unnest(string_split(phrase, ' ')) AS w, len FROM phr) e
+        GROUP BY 1),
+      ptype AS (
+        SELECT phrase, len, COUNT(*)::BIGINT AS n_occ FROM phr GROUP BY 1, 2),
+      scored AS (
+        SELECT phrase, len, n_occ, SUM((deg * 10000) // freq)::BIGINT AS score_bp
+        FROM (SELECT phrase, len, n_occ,
+                     unnest(string_split(phrase, ' ')) AS w FROM ptype) e
+        JOIN wst USING (w)
+        GROUP BY 1, 2, 3)
+      SELECT phrase, len AS n_words, n_occ, score_bp
+      FROM scored WHERE n_occ >= 3
+      ORDER BY score_bp DESC, phrase LIMIT 20""",
     "x21_bm25_topk" -> s"""
       WITH toks AS (
         SELECT doc_id, tok FROM (

@@ -176,4 +176,60 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(out.filter($"n_kept" * 2 < $"n_total").count() == 0,
       "fewer than half the docs at-or-above the median")
   }
+
+  test("g22: the windowed skyline equals the brute-force dominance check") {
+    import spark.implicits._
+    val pts = Tables(spark, sf).documents
+      .select($"doc_id", $"n_chars",
+        expr(s"cast(${graft.catalog.Dedup.cleanCharsExpr} as bigint)").as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // frontier by definition: no other point with <= chars, >= quality,
+    // one strict — O(n^2) on the 500-doc fixture
+    val frontier = pts.filter { case (_, c, q) =>
+      !pts.exists { case (_, c2, q2) =>
+        c2 <= c && q2 >= q && (c2 < c || q2 > q) }
+    }
+    val want = frontier.groupBy(p => (p._2, p._3)).toSeq.map { case ((c, q), g) =>
+      (c, q, g.length.toLong, g.map(_._1).min)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("g22_pareto_frontier")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty && got.length < pts.length,
+      "frontier must prune — a full-corpus frontier means the reduction is broken")
+  }
+
+  test("x27: RAKE scores equal a serial plain-Scala twin") {
+    import spark.implicits._
+    val stop = graft.catalog.Text.stopwords.toSet
+    val texts = Tables(spark, sf).documents.select($"text").collect()
+      .map(_.getString(0))
+    // candidate phrases: maximal stopword-free token runs, per doc
+    val phrases = texts.flatMap { text =>
+      val toks = text.toLowerCase.replaceAll("[^a-z ]", "").trim.split(" +")
+      val runs = scala.collection.mutable.Buffer[List[String]]()
+      var cur = List.empty[String]
+      for (t <- toks) {
+        if (stop(t)) { if (cur.nonEmpty) runs += cur.reverse; cur = Nil }
+        else if (t.nonEmpty) cur = t :: cur
+      }
+      if (cur.nonEmpty) runs += cur.reverse
+      runs
+    }
+    val freq = phrases.flatten.groupBy(identity).view.mapValues(_.length.toLong)
+    val deg = phrases.flatMap(p => p.map(w => w -> p.length.toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    val want = phrases.groupBy(identity).toSeq
+      .map { case (p, g) =>
+        (p.mkString(" "), p.length.toLong, g.length.toLong,
+         p.map(w => deg(w) * 10000L / freq(w)).sum)
+      }
+      .filter(_._3 >= 3)
+      .sortBy { case (ph, _, _, sc) => (-sc, ph) }
+      .take(20)
+    val got = SparkEntry.queries("x27_keyphrases")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(got.exists(_._2 > 1), "no multi-word keyphrase on the fixture")
+  }
 }

@@ -151,4 +151,36 @@ class GraphAnnSpec extends AnyFunSuite {
         s"v24 emitted a non-exact cosine for (${r.getLong(0)}, ${r.getLong(2)})")
     }
   }
+
+  test("v25: personalized ranks equal a serial integer twin; mass stays in the seed ball") {
+    import spark.implicits._
+    val edges = SparkEntry.queries("v5_knn_graph")(spark, sf)
+      .select("src_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val outdeg = edges.groupBy(_._1).map { case (k, g) => k -> g.length.toLong }
+    val adj = edges.groupBy(_._1).map { case (k, g) => k -> g.map(_._2) }
+    val seeds = outdeg.keys.filter(_ < 10).toSeq.sorted
+    val ns = seeds.size.toLong
+    var rank: Map[Long, Long] = seeds.map(s => s -> 1000000000000L / ns).toMap
+    for (_ <- 1 to 3) {
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((id, r) <- rank) {
+        val c = (85L * r) / (100L * outdeg(id))
+        if (c > 0) adj(id).foreach(d => in(d) += c)
+      }
+      rank = (seeds.map(s => s -> 0L).toMap.keySet ++ in.keySet).iterator
+        .map(id => id ->
+          ((if (id < 10) 150000000000L / ns else 0L) + in(id))).toMap
+    }
+    val want = rank.toSeq.filter(_._1 >= 10)
+      .sortBy { case (id, r) => (-r, id) }.take(20)
+    val got = SparkEntry.queries("v25_pagerank")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, "PPR diverged from the serial integer twin")
+    // personalization is real: nonzero mass reaches only the seeds' 3-hop
+    // ball, a strict subset of the graph's nodes
+    assert(rank.keySet.size < outdeg.keys.size,
+      "PPR mass covered every node — not personalized on this fixture")
+    assert(got.nonEmpty && got.forall(_._2 > 0))
+  }
 }

@@ -612,4 +612,80 @@ class MonitoringOpsSpec extends AnyFunSuite {
     assert(replay.size < log.map(_._1).distinct.length ||
            log.forall(_._3 != "D") == false)
   }
+
+  test("u14: the three delta-rule terms partition the refreshed join exactly") {
+    import spark.implicits._
+    val t = Tables(spark, sf)
+    val o = t.orders.select($"o_orderkey", $"o_orderpriority")
+    val l = t.lineitem.select($"l_orderkey", $"l_suppkey")
+    val oOld = o.filter($"o_orderkey" % 10 =!= 7)
+    val oNew = o.filter($"o_orderkey" % 10 === 7)
+    val lOld = l.filter($"l_orderkey" % 10 =!= 7 && $"l_suppkey" % 13 =!= 0)
+    val lNew = l.filter($"l_orderkey" % 10 === 7 ||
+                        ($"l_orderkey" % 10 =!= 7 && $"l_suppkey" % 13 === 0))
+    def n(a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame): Long =
+      a.join(b, $"l_orderkey" === $"o_orderkey").count()
+    // ΔO⋈L₀ ∪ O₀⋈ΔL ∪ ΔO⋈ΔL covers the refresh with no overlap: the
+    // term counts plus the base view's rows sum to the full recompute.
+    val full = n(o, l)
+    val parts = n(oOld, lOld) + n(oNew, lOld) + n(oOld, lNew) + n(oNew, lNew)
+    assert(parts == full, s"delta terms double-count or drop rows: $parts != $full")
+    // and every split side is non-trivial on the fixture
+    assert(oNew.count() > 0 && lNew.count() > 0 && n(oOld, lNew) > 0)
+  }
+
+  test("w17: life-table conservation, risk-set recurrence, censoring witnessed") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("w17_survival_hazard")(spark, sf).collect()
+    val nViewers = Tables(spark, sf).events
+      .filter($"event_type" === "view").select($"user_id").distinct().count()
+    // every viewer leaves the table exactly once (event or censor)
+    val leavers = rows.map(r =>
+      r.getAs[Long]("n_events") + r.getAs[Long]("n_censored")).sum
+    assert(leavers == nViewers)
+    assert(rows.head.getAs[Long]("n_at_risk") == nViewers)
+    // risk set obeys the life-table recurrence n(t+1) = n(t) - d(t) - c(t)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_at_risk") ==
+          a.getAs[Long]("n_at_risk") - a.getAs[Long]("n_events") -
+            a.getAs[Long]("n_censored"))
+      case _ =>
+    }
+    rows.foreach { r =>
+      val h = r.getAs[Long]("hazard_bp")
+      assert(h >= 0 && h <= 10000)
+    }
+    // the value>=100 qualifier must leave a real censored population
+    assert(rows.map(_.getAs[Long]("n_censored")).sum > 0,
+      "fixture has no censoring — the operator's defining branch is dead")
+  }
+
+  test("dq17: group sizes and distinct-l match a plain-Scala recount") {
+    import spark.implicits._
+    val got = SparkEntry.queries("dq17_l_diversity")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_status"),
+         r.getAs[Boolean]("l_ok"))).toMap
+    val utc = java.time.ZoneOffset.UTC
+    val want = Tables(spark, sf).orders
+      .select($"o_orderpriority", $"o_orderdate", $"o_orderstatus").collect()
+      .map { r =>
+        val d = r.get(1) match {
+          case t: java.sql.Timestamp => t.toInstant.atZone(utc).toLocalDateTime
+          case l: java.time.LocalDateTime => l
+        }
+        ((r.getString(0), (d.getYear * 100 + d.getMonthValue).toLong),
+         r.getString(2))
+      }
+      .groupBy(_._1).map { case (k, g) =>
+        val sts = g.map(_._2)
+        k -> (sts.length.toLong, sts.distinct.length.toLong,
+              sts.distinct.length >= 2)
+      }
+    assert(got == want)
+    // homogeneous groups exist on the fixture (the attack the audit finds)
+    assert(got.values.exists(!_._3) && got.values.exists(_._3))
+  }
 }

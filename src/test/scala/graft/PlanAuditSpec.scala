@@ -45,7 +45,19 @@ class PlanAuditSpec extends AnyFunSuite {
     // w16's cumulative runs over the latency-day HISTOGRAM (≤ corpus span
     // in days — dq10's calendar-bounded class), after the user-keyed
     // data-scale aggregates.
-    "w16_conversion_lag" -> 1)
+    "w16_conversion_lag" -> 1,
+    // w17's risk-set running sum runs over the same duration-day histogram
+    // as w16 (≤ corpus span in days), after the user-keyed aggregates.
+    "w17_survival_hazard" -> 1,
+    // g22's dominance running max runs over the per-n_chars maxima frame
+    // (≤ distinct doc lengths ≈ hundreds, a bounded value domain), after
+    // the data-scale per-length aggregate.
+    "g22_pareto_frontier" -> 1,
+    // c13 composes dq10 as shipped; dq10's one calendar-bounded window
+    // appears TWICE in the logical plan because the verdict leg
+    // re-references the unioned flag subtree (same window, two plan
+    // occurrences — physical exchange reuse collapses them).
+    "c13_ops_health" -> 2)
 
   test("no data-scale unpartitioned Window in any query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
