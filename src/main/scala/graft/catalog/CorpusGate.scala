@@ -417,6 +417,50 @@ object CorpusGate extends QueryPack {
         .select(lit("digest_index").as("store"), $"n_before", $"n_after",
                 $"n_residual")
       aud1.unionByName(aud2).unionByName(aud3).orderBy($"store")
+    },
+    // c14: DATASET CARD — the datasheet a corpus release ships with
+    // (Datasheets for Datasets / model-card convention): one row per
+    // language plus a TOTAL row, each carrying the release-review
+    // numbers — doc count, distinct texts under d1's canonical digest
+    // (the SAME canonicalization the dedup index uses, so the card's
+    // dup rate IS the dedup pipeline's), duplication bp, token count
+    // (empty-token-filtered ws tokens), character volume and corpus
+    // share. The TOTAL row recomputes distinct digests over the WHOLE
+    // corpus — cross-language duplicates make it less than the
+    // per-language sum, which is exactly what the card must reveal.
+    // Scale shape (100 TB): one corpus scan; the distinct-digest
+    // aggregates are Catalyst's two-phase distinct rewrite (shuffle
+    // carries (lang, digest) pairs — digests, never text); everything
+    // after is |langs|-row metadata.
+    "c14_dataset_card" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+        .select($"lang", $"n_chars", expr(Dedup.digestExpr).as("digest"),
+          expr(s"cast(size(filter(${Tx.wsExpr}, t -> length(t) > 0)) as bigint)")
+            .as("n_tok"))
+      val per = docs.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct($"digest").as("n_distinct_texts"),
+             sum($"n_tok").as("n_tokens"),
+             sum($"n_chars").as("n_chars"))
+      val tot = per.agg(sum($"n_chars").as("tot_chars"))
+      val card = per.crossJoin(broadcast(tot))
+        .withColumn("dup_bp",
+          expr("(n_docs - n_distinct_texts) * 10000 div n_docs"))
+        .withColumn("share_bp", expr("n_chars * 10000 div tot_chars"))
+        .select($"lang", $"n_docs", $"n_distinct_texts", $"dup_bp",
+                $"n_tokens", $"n_chars", $"share_bp")
+      val total = docs
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct($"digest").as("n_distinct_texts"),
+             sum($"n_tok").as("n_tokens"),
+             sum($"n_chars").as("n_chars"))
+        .withColumn("dup_bp",
+          expr("(n_docs - n_distinct_texts) * 10000 div n_docs"))
+        .select(lit("TOTAL").as("lang"), $"n_docs", $"n_distinct_texts",
+                $"dup_bp", $"n_tokens", $"n_chars",
+                lit(10000L).as("share_bp"))
+      card.unionByName(total).orderBy($"lang")
     }
   )
 
@@ -504,6 +548,33 @@ object CorpusGate extends QueryPack {
       WHERE rank <= ${Similarity.K} ORDER BY q_id, rank"""
 
   val oracle: Map[String, String] = Map(
+    // c14: the card restated — per-lang aggregates plus the corpus-wide
+    // TOTAL whose distinct-digest count is computed over ALL docs.
+    "c14_dataset_card" -> s"""
+      WITH d AS (
+        SELECT lang, n_chars,
+               md5(trim(regexp_replace(lower(text), '[^a-z ]', '', 'g')))
+                 AS digest,
+               len(list_filter($wsSql, t -> length(t) > 0))::BIGINT AS n_tok
+        FROM documents),
+      per AS (
+        SELECT lang, COUNT(*)::BIGINT AS n_docs,
+               COUNT(DISTINCT digest)::BIGINT AS n_distinct_texts,
+               SUM(n_tok)::BIGINT AS n_tokens,
+               SUM(n_chars)::BIGINT AS n_chars
+        FROM d GROUP BY 1),
+      tot AS (SELECT SUM(n_chars)::BIGINT AS tot_chars FROM per)
+      SELECT lang, n_docs, n_distinct_texts,
+             ((n_docs - n_distinct_texts) * 10000 // n_docs)::BIGINT AS dup_bp,
+             n_tokens, n_chars,
+             (n_chars * 10000 // tot_chars)::BIGINT AS share_bp
+      FROM per CROSS JOIN tot
+      UNION ALL
+      SELECT 'TOTAL', COUNT(*)::BIGINT, COUNT(DISTINCT digest)::BIGINT,
+             ((COUNT(*) - COUNT(DISTINCT digest)) * 10000 // COUNT(*))::BIGINT,
+             SUM(n_tok)::BIGINT, SUM(n_chars)::BIGINT, 10000::BIGINT
+      FROM d
+      ORDER BY lang""",
     // c8: ground truth of the takedown per store; residuals pinned to 0
     "c8_compliance_delete" -> """
       WITH dg AS (

@@ -423,6 +423,53 @@ object Dedup extends QueryPack {
                   expr("n_hit * 1000 div greatest(n_cand, 1)").as("precision_pm"))
       }.reduce(_ unionByName _).orderBy($"n_bands")
     },
+    // d21: FUZZY JOIN (record linkage) — the d-family's pair detectors
+    // (d2/d4/d15) find duplicates WITHIN one corpus; the integration
+    // question is CROSS-CATALOG: every record of a dirty feed (here:
+    // middle slices of documents, the partial-text case ETL actually
+    // sees) must be ASSIGNED its best match in the clean catalog — a
+    // fuzzy LEFT JOIN with exactly one winner per probe, not a pair
+    // list. Blocking is d4's machinery verbatim (hashed 4-token
+    // shingles, groupBy df-cap with anti join — a viral shingle never
+    // concentrates); scoring is CONTAINMENT (|∩| / |probe|, integer bp)
+    // because a slice's shingles are a subset of its origin's — plain
+    // Jaccard would punish the length mismatch the operator exists to
+    // tolerate. Winner = one row_number over the probe-keyed window
+    // (data-scale partitioned). Scale shape (100 TB): probes explode
+    // only |batch| × shingles rows against the df-capped catalog index;
+    // candidates concentrate on shared informative shingles, and the
+    // per-probe window is bounded by that candidate count. Probes with
+    // <3 shingles carry no signal and are dropped (documented contract).
+    "d21_fuzzy_join" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val a0 = docs.select($"doc_id".as("a_id"),
+          array_distinct(TextKernels.shingleHashesUdf($"text")).as("hs"))
+        .select($"a_id", size($"hs").cast("long").as("n_a"),
+                explode($"hs").as("h"))
+      val hot = a0.groupBy($"h").agg(count(lit(1)).as("df"))
+        .filter($"df" > MaxDf).select($"h")
+      val ea = a0.join(hot, Seq("h"), "left_anti")
+      val eb = docs.filter($"doc_id" % 7 === 3)
+        .select(($"doc_id" + 1000000000L).as("b_id"),
+          array_distinct(
+            TextKernels.shingleHashesUdf(substring($"text", 21, 160))).as("hs"))
+        .filter(size($"hs") >= 3)
+        .select($"b_id", size($"hs").cast("long").as("n_b"),
+                explode($"hs").as("h"))
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy($"b_id")
+        .orderBy(expr("(n_inter * 10000) div n_b").desc, $"a_id")
+      eb.join(ea, Seq("h"))
+        .groupBy($"b_id", $"a_id", $"n_b", $"n_a")
+        .agg(count(lit(1)).as("n_inter"))
+        .withColumn("rk", row_number().over(wB))
+        .filter($"rk" === 1)
+        .select($"b_id", $"a_id", $"n_inter",
+                expr("(n_inter * 10000) div n_b").as("cont_bp"),
+                ($"a_id" === $"b_id" - 1000000000L).as("is_origin"))
+        .orderBy($"b_id")
+    },
     // d3: per-doc 32-bit simhash signature (frequency-weighted tokens).
     // Near-dup pairing at scale joins on 16-bit signature halves.
     "d3_simhash" -> { (s, dir) =>
@@ -860,6 +907,34 @@ object Dedup extends QueryPack {
       WHERE jaccard >= 0.5 ORDER BY d1, d2"""
 
   val oracle: Map[String, String] = Map(
+    // d21: the same blocked containment join replayed — the df cap is
+    // d4's QUALIFY form, the winner the identical (score DESC, a_id) rank.
+    "d21_fuzzy_join" -> s"""
+      WITH a0 AS (
+        SELECT doc_id AS a_id, list_distinct($shingleHashesSql) AS hs
+        FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0),
+      ea AS (
+        SELECT a_id, n_a, h FROM (
+          SELECT a_id, len(hs)::BIGINT AS n_a, unnest(hs) AS h FROM a0) t
+        QUALIFY COUNT(*) OVER (PARTITION BY h) <= $MaxDf),
+      b0 AS (
+        SELECT doc_id + 1000000000 AS b_id, list_distinct($shingleHashesSql) AS hs
+        FROM (SELECT doc_id, $wsSql AS ws
+              FROM (SELECT doc_id, substring(text, 21, 160) AS text
+                    FROM documents WHERE doc_id % 7 = 3) s0) t0),
+      eb AS (
+        SELECT b_id, len(hs)::BIGINT AS n_b, unnest(hs) AS h
+        FROM b0 WHERE len(hs) >= 3),
+      pairs AS (
+        SELECT b_id, a_id, n_b, n_a, COUNT(*)::BIGINT AS n_inter
+        FROM eb JOIN ea USING (h) GROUP BY 1, 2, 3, 4)
+      SELECT b_id, a_id, n_inter,
+             ((n_inter * 10000) // n_b)::BIGINT AS cont_bp,
+             (a_id = b_id - 1000000000) AS is_origin
+      FROM pairs
+      QUALIFY row_number() OVER (PARTITION BY b_id
+        ORDER BY (n_inter * 10000) // n_b DESC, a_id) = 1
+      ORDER BY b_id""",
     "d13_substr_dedup" -> """
       WITH grams AS (
         SELECT doc_id, i, md5(substr(t, i, 32)) AS h

@@ -272,6 +272,67 @@ object Formats extends QueryPack {
         .select(lit(v.toLong).as("version"), $"n_rows", $"sum_cents")
       snap(1).unionByName(snap(2)).orderBy($"version")
     },
+    // k21: INCREMENTAL SNAPSHOT READ (changelog-free CDC off the
+    // lakehouse) — the consumer question k13's time travel doesn't
+    // answer: "give me exactly what arrived between v1 and v2 without
+    // re-reading the base". Manifest entries carry an OPERATION tag
+    // (data | rewrite | append); v2 both APPENDS a new-orders dir and
+    // REWRITES the min-year dir (compaction: same rows, new files).
+    // The incremental read consumes only `append` entries — a
+    // file-level diff (all dirs new in v2) would re-emit every
+    // compacted row as fresh data, the classic incremental-consumer
+    // bug (FormatSpec witnesses it); the op tag is what separates data
+    // change from layout change, exactly Iceberg's incremental-scan
+    // contract. The query emits the incremental batch's aggregate NEXT
+    // TO the v2−v1 snapshot delta: a green row proves
+    // increment == logical diff. At 100 TB the incremental read scans
+    // |appended files| only — never the base, never the compaction.
+    "k21_incremental_scan" -> { (s, dir) =>
+      import s.implicits._
+      val root = Scratch.staged(s"orders_inc#$dir", "inc_orders") { p =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+        val orders = Tables(s, dir).orders
+          .withColumn("yr", year($"o_orderdate"))
+        val base = orders.filter($"o_orderkey" % 10 =!= 7)
+        val years = base.select($"yr").distinct()
+          .collect().map(_.getInt(0)).sorted
+        years.foreach { y =>
+          base.filter($"yr" === y)
+            .write.mode("overwrite").parquet(s"$p/y${y}_v1")
+        }
+        val minYr = years.min
+        base.filter($"yr" === minYr).coalesce(1)
+          .write.mode("overwrite").parquet(s"$p/y${minYr}_compact")
+        orders.filter($"o_orderkey" % 10 === 7).drop("yr")
+          .write.mode("overwrite").parquet(s"$p/append_1")
+        val v1 = years.map(y => s"data|$p/y${y}_v1")
+        val v2 = years.map(y =>
+          if (y == minYr) s"rewrite|$p/y${y}_compact"
+          else s"data|$p/y${y}_v1") :+ s"append|$p/append_1"
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$p/manifest_1.txt"), v1.mkString("\n"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$p/manifest_2.txt"), v2.mkString("\n"))
+      }
+      def entries(v: Int): Seq[(String, String)] = java.nio.file.Files
+        .readString(java.nio.file.Paths.get(s"$root/manifest_$v.txt"))
+        .split("\n").toSeq.map { l =>
+          val Array(op, d) = l.split("\\|", 2); (op, d)
+        }
+      val cents = expr("cast(round(o_totalprice * 100) as bigint)")
+      val inc = s.read
+        .parquet(entries(2).filter(_._1 == "append").map(_._2): _*)
+        .agg(count(lit(1)).as("n_rows"), sum(cents).as("cents"))
+        .select(lit("incremental").as("src"), $"n_rows", $"cents")
+      val a1 = s.read.parquet(entries(1).map(_._2): _*)
+        .agg(count(lit(1)).as("n1"), sum(cents).as("c1"))
+      val a2 = s.read.parquet(entries(2).map(_._2): _*)
+        .agg(count(lit(1)).as("n2"), sum(cents).as("c2"))
+      val diff = a2.crossJoin(broadcast(a1))
+        .select(lit("diff").as("src"),
+                ($"n2" - $"n1").as("n_rows"), ($"c2" - $"c1").as("cents"))
+      inc.unionByName(diff).orderBy($"src")
+    },
     // k16: SNAPSHOT EXPIRATION (vacuum) — the lifecycle twin of k13's
     // time travel: versions accumulate immutable files forever unless a
     // retention policy physically reclaims them. Three manifest versions
@@ -1121,6 +1182,18 @@ object Formats extends QueryPack {
         UNION ALL
         SELECT 4::BIGINT, (-1)::BIGINT, (-1)::BIGINT) t
       ORDER BY version""",
+    // k21: both the op-tagged incremental read and the snapshot delta
+    // reduce to the appended partition — the oracle states that
+    // equivalence directly from the base table.
+    "k21_incremental_scan" -> """
+      SELECT 'diff' AS src, COUNT(*)::BIGINT AS n_rows,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS cents
+      FROM orders WHERE o_orderkey % 10 = 7
+      UNION ALL
+      SELECT 'incremental', COUNT(*)::BIGINT,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+      FROM orders WHERE o_orderkey % 10 = 7
+      ORDER BY src""",
     "k13_time_travel" -> """
       WITH my AS (SELECT min(year(o_orderdate)) AS y FROM orders)
       SELECT 1::BIGINT AS version, COUNT(*)::BIGINT AS n_rows,

@@ -232,4 +232,54 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.exists(_._2 > 1), "no multi-word keyphrase on the fixture")
   }
+
+  test("d21: linkage recovers the origin for nearly every probe; one winner per probe") {
+    val rows = SparkEntry.queries("d21_fuzzy_join")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // winner uniqueness: one row per probe id
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "a probe matched twice")
+    // a middle slice shares most of its shingles with its origin — the
+    // containment argmax must recover it for the vast majority of probes
+    val originRate = rows.count(_.getAs[Boolean]("is_origin")).toDouble / rows.length
+    assert(originRate >= 0.8, s"origin recovery collapsed: $originRate")
+    // containment is a valid bp and intersection never exceeds the probe set
+    rows.foreach { r =>
+      val bp = r.getAs[Long]("cont_bp")
+      assert(bp >= 0 && bp <= 10000)
+    }
+  }
+
+  test("c14: card arithmetic closes; planted dups and cross-lang copies surface") {
+    import spark.implicits._
+    val out = SparkEntry.queries("c14_dataset_card")(spark, sf).collect()
+    val total = out.find(_.getString(0) == "TOTAL").get
+    val per = out.filterNot(_.getString(0) == "TOTAL")
+    assert(per.map(_.getAs[Long]("n_docs")).sum == total.getAs[Long]("n_docs"))
+    assert(per.map(_.getAs[Long]("n_chars")).sum == total.getAs[Long]("n_chars"))
+    // truncated shares still close to within one bp per language
+    val shares = per.map(_.getAs[Long]("share_bp")).sum
+    assert(shares <= 10000 && shares >= 10000 - per.length)
+    // planted fixture: exact dups inside a language and one text copied
+    // ACROSS languages — the card must show dup_bp > 0 for the dup lang
+    // and a TOTAL distinct count below the per-language sum
+    val tmp = graft.Scratch.dir("card_fixture").toString
+    Seq(
+      (1L, "alpha beta gamma delta", "en", "w", 22L),
+      (2L, "alpha beta gamma delta", "en", "w", 22L),
+      (3L, "unique english text here", "en", "w", 24L),
+      (4L, "alpha beta gamma delta", "de", "w", 22L),
+      (5L, "einzigartiger text", "de", "w", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val card = SparkEntry.queries("c14_dataset_card")(spark, tmp).collect()
+    val en = card.find(_.getString(0) == "en").get
+    val tot2 = card.find(_.getString(0) == "TOTAL").get
+    assert(en.getAs[Long]("n_docs") == 3 && en.getAs[Long]("n_distinct_texts") == 2)
+    assert(en.getAs[Long]("dup_bp") == 10000L / 3)
+    val perDistinct = card.filterNot(_.getString(0) == "TOTAL")
+      .map(_.getAs[Long]("n_distinct_texts")).sum
+    assert(tot2.getAs[Long]("n_distinct_texts") == 3 && perDistinct == 4,
+      "cross-language copy did not collapse in the TOTAL row")
+  }
 }

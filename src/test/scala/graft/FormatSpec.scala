@@ -196,4 +196,32 @@ class FormatSpec extends AnyFunSuite {
     val bac = v3("bac", Seq("b", "a", "c"))
     assert(abc == bac, s"final table diverged by commit order: $abc vs $bac")
   }
+
+  test("k21: op tags separate data change from layout change (the compaction trap)") {
+    val sf = TestSpark.sf
+    // run the query once so the staged manifests exist
+    val out = SparkEntry.queries("k21_incremental_scan")(spark, sf).collect()
+    val inc = out.find(_.getString(0) == "incremental").get
+    val diff = out.find(_.getString(0) == "diff").get
+    assert(inc.getLong(1) == diff.getLong(1) && inc.getLong(2) == diff.getLong(2),
+      "incremental read diverged from the snapshot delta")
+    // the staged root is memoized per-JVM under this key — the query run
+    // above filled it, so the write lambda must never fire here
+    val root = graft.Scratch.staged(s"orders_inc#$sf", "inc_orders") { _ =>
+      fail("k21 staging was not memoized by the query run")
+    }
+    def dirs(v: Int) = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$root/manifest_$v.txt"))
+      .split("\n").toSeq
+      .map { l => val Array(op, d) = l.split("\\|", 2); (op, d) }
+    val v1Dirs = dirs(1).map(_._2).toSet
+    val fileLevelNew = dirs(2).filter(e => !v1Dirs.contains(e._2))
+    // the file-level diff contains BOTH the append and the compaction
+    assert(fileLevelNew.map(_._1).toSet == Set("append", "rewrite"),
+      s"fixture lost the compaction decoy: $fileLevelNew")
+    // a consumer reading every new dir would re-emit the compacted rows
+    val naive = spark.read.parquet(fileLevelNew.map(_._2): _*).count()
+    assert(naive > inc.getLong(1),
+      "the compaction decoy is empty — the op tag is not load-bearing")
+  }
 }
