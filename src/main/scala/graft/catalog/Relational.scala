@@ -672,6 +672,74 @@ object Relational extends QueryPack {
                 $"n_events", $"n_censored", $"hazard_bp")
         .orderBy($"duration_days")
     },
+    // w18: MARKOV REMOVAL-EFFECT ATTRIBUTION — the principled multi-touch
+    // model w14's position/decay heuristics approximate: journeys are
+    // user event sequences truncated at first purchase (START → events →
+    // purchase | END), reduced to a transition matrix; a channel's credit
+    // is its REMOVAL EFFECT — how much the chain's conversion probability
+    // drops when walks through that channel dead-end. Conversion-within-8-
+    // hops is computed by an unrolled integer recursion over the matrix:
+    // c_k(s) = (Σ_t p_ppm(s,t) · v_{k-1}(t)) div 10⁶ with v(purchase)=10⁶,
+    // v(END)=0 — one truncating division per (state, iteration), so both
+    // engines round at the identical point; removal = excluding the
+    // channel's row (walks INTO it then contribute 0). Removal can only
+    // drop conversion, so effects are non-negative by construction
+    // (MonitoringOpsSpec pins it). Scale shape (100 TB): the corpus
+    // reduces to the |types|² matrix via ONE user-partitioned window +
+    // map-side-combined groupBy (w15's shape); the matrix — bounded model
+    // state, ≤36 ppm integers, the quantizer-centroid precedent — is then
+    // collected and the 8-hop recursion runs on the driver; no data-scale
+    // work follows the reduction.
+    "w18_markov_attribution" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_id", $"ts", $"event_type")
+      val wU = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val ranked = ev.withColumn("rk", row_number().over(wU))
+      val fp = ranked.filter($"event_type" === "purchase")
+        .groupBy($"user_id").agg(min($"rk").as("prk"))
+      val kept = ranked.join(fp, Seq("user_id"), "left")
+        .filter($"prk".isNull || $"rk" <= $"prk")
+      val wK = Window.partitionBy($"user_id").orderBy($"rk")
+      val trans = kept
+        .withColumn("to_type",
+          coalesce(lead($"event_type", 1).over(wK), lit("END")))
+        .filter($"event_type" =!= "purchase")
+        .select($"event_type".as("s"), $"to_type".as("t"))
+      val starts = kept.filter($"rk" === 1)
+        .select(lit("START").as("s"), $"event_type".as("t"))
+      val m0 = trans.unionByName(starts)
+        .groupBy($"s", $"t").agg(count(lit(1)).as("n"))
+      val rt = m0.groupBy($"s").agg(sum($"n").as("ns"))
+      // bounded model state: ≤ (|types|+1)² ppm integers
+      val p: Map[(String, String), Long] = m0.join(rt, Seq("s"))
+        .select($"s", $"t", expr("n * 1000000 div ns").as("p_ppm"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val states = p.keys.map(_._1).toSeq.distinct
+      def converge(removed: Option[String]): Long = {
+        val act = states.filterNot(removed.contains)
+        var c = act.map(_ -> 0L).toMap
+        for (_ <- 1 to 8) {
+          c = act.map { st =>
+            val sum = p.collect {
+              case ((`st`, t), pp) =>
+                pp * (if (t == "purchase") 1000000L else c.getOrElse(t, 0L))
+            }.sum
+            st -> sum / 1000000L
+          }.toMap
+        }
+        c.getOrElse("START", 0L)
+      }
+      val base = converge(None)
+      val channels = states.filter(st => st != "START").sorted
+      val rows = channels.map { ch => (ch, base, converge(Some(ch))) }
+      val totEff = math.max(rows.map { case (_, b, r) => b - r }.sum, 1L)
+      rows.map { case (ch, b, r) =>
+        (ch, b, r, b - r, (b - r) * 10000L / totEff)
+      }.toDF("channel", "base_ppm", "removed_ppm", "effect_ppm", "credit_bp")
+        .orderBy($"channel")
+    },
     // w8: percent_rank / cume_dist (rank-normalized window statistics)
     "w8_percent_cume" -> { (s, dir) =>
       import s.implicits._
@@ -1751,7 +1819,80 @@ object Relational extends QueryPack {
     }
   )
 
+  /** w18's per-scenario unrolled conversion recursion, DuckDB side: 8 CTEs
+    * c1_tag..c8_tag over the matrix CTE `m(s, t, p)`; `removed` excludes
+    * that channel's row so walks into it dead-end (COALESCE → 0). */
+  private def markovScenSql(tag: String, removed: Option[String]): String = {
+    val guard = removed.map(x => s"AND m.s <> '$x'").getOrElse("")
+    (1 to 8).map { k =>
+      val prevJoin =
+        if (k == 1) "LEFT JOIN (SELECT 'x' AS s, 0::BIGINT AS c WHERE 1=0) p2 ON p2.s = m.t"
+        else s"LEFT JOIN c${k - 1}_$tag p2 ON p2.s = m.t"
+      s"""c${k}_$tag AS (
+        SELECT m.s, SUM(m.p * CASE WHEN m.t = 'purchase' THEN 1000000
+                                   ELSE COALESCE(p2.c, 0) END) // 1000000 AS c
+        FROM m $prevJoin WHERE 1=1 $guard GROUP BY m.s)"""
+    }.mkString(",\n      ")
+  }
+
   val oracle: Map[String, String] = Map(
+    "w18_markov_attribution" -> s"""
+      WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS rk FROM ev),
+      fp AS (SELECT user_id, MIN(rk) AS prk FROM ranked
+             WHERE event_type = 'purchase' GROUP BY 1),
+      kept AS (
+        SELECT r.* FROM ranked r LEFT JOIN fp USING (user_id)
+        WHERE prk IS NULL OR rk <= prk),
+      trans AS (
+        SELECT s, t FROM (
+          SELECT event_type AS s,
+                 COALESCE(lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY rk), 'END') AS t
+          FROM kept) z
+        WHERE s <> 'purchase'),
+      starts AS (SELECT 'START' AS s, event_type AS t FROM kept WHERE rk = 1),
+      m0 AS (SELECT s, t, COUNT(*)::BIGINT AS n FROM (
+               SELECT * FROM trans UNION ALL SELECT * FROM starts) u
+             GROUP BY 1, 2),
+      rt AS (SELECT s, SUM(n)::BIGINT AS ns FROM m0 GROUP BY 1),
+      -- MATERIALIZED: m is referenced by all 40 scenario CTEs; inlining
+      -- would replay the whole window+aggregate chain per reference
+      m AS MATERIALIZED (SELECT m0.s, m0.t, (n * 1000000) // ns AS p
+            FROM m0 JOIN rt USING (s)),
+      ${markovScenSql("base", None)},
+      ${markovScenSql("click", Some("click"))},
+      ${markovScenSql("error", Some("error"))},
+      ${markovScenSql("signup", Some("signup"))},
+      ${markovScenSql("view", Some("view"))},
+      eff AS (
+        SELECT * FROM (
+          SELECT 'click' AS channel,
+                 (SELECT c FROM c8_base WHERE s = 'START') AS base_ppm,
+                 (SELECT c FROM c8_click WHERE s = 'START') AS removed_ppm
+          UNION ALL
+          SELECT 'error',
+                 (SELECT c FROM c8_base WHERE s = 'START'),
+                 (SELECT c FROM c8_error WHERE s = 'START')
+          UNION ALL
+          SELECT 'signup',
+                 (SELECT c FROM c8_base WHERE s = 'START'),
+                 (SELECT c FROM c8_signup WHERE s = 'START')
+          UNION ALL
+          SELECT 'view',
+                 (SELECT c FROM c8_base WHERE s = 'START'),
+                 (SELECT c FROM c8_view WHERE s = 'START')) e
+        WHERE channel IN (SELECT s FROM m WHERE s <> 'START')),
+      eff2 AS (SELECT channel, base_ppm, removed_ppm,
+                      base_ppm - removed_ppm AS effect_ppm FROM eff),
+      tot AS (SELECT greatest(SUM(effect_ppm), 1) AS te FROM eff2)
+      SELECT channel, base_ppm::BIGINT AS base_ppm,
+             removed_ppm::BIGINT AS removed_ppm,
+             effect_ppm::BIGINT AS effect_ppm,
+             ((effect_ppm * 10000) // te)::BIGINT AS credit_bp
+      FROM eff2 CROSS JOIN tot ORDER BY channel""",
     "u7_union_by_name" -> """
       SELECT o_orderkey, o_custkey, o_totalprice FROM (
         SELECT o_orderkey, o_custkey, o_totalprice

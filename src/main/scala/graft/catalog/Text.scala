@@ -631,6 +631,42 @@ object Text extends QueryPack {
         .orderBy($"score_bp".desc, $"phrase")
         .limit(20)
     },
+    // x28: VOCABULARY GROWTH CURVE (Heaps-law profile) — how fast the
+    // corpus keeps yielding NEW token types as it grows, the statistic
+    // that tells a crawl team whether more of the same source still buys
+    // vocabulary (and the sanity check on x19's coverage numbers). The
+    // corpus is cut into 10 doc_id-range slices; each token type is
+    // charged to the FIRST slice containing it (one min-aggregate per
+    // type — order-sensitive distinct growth WITHOUT any ordered scan),
+    // then cumulative tokens/vocab and the type-token ratio in bp run
+    // over the 10-row slice frame. Scale shape (100 TB): one token
+    // explosion into two map-side-combined groupBys (per-slice counts,
+    // per-type min-slice — the shuffle carries |vocab| rows, never
+    // positions); the cumulative window is the bounded 10-row bucket
+    // domain (dq10's allowlisted class).
+    "x28_vocab_growth" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+        .select($"doc_id", expr(Tx.wsExpr).as("ws"))
+      val mx = docs.agg(max($"doc_id").as("mx"))
+      val toks = docs.crossJoin(broadcast(mx))
+        .select(expr("least(9, doc_id * 10 div (mx + 1))").as("b"),
+                explode($"ws").as("tok"))
+        .filter(length($"tok") > 0)
+      val perB = toks.groupBy($"b").agg(count(lit(1)).as("n_tok"))
+      val firstB = toks.groupBy($"tok").agg(min($"b").as("b"))
+        .groupBy($"b").agg(count(lit(1)).as("n_new"))
+      val wC = org.apache.spark.sql.expressions.Window
+        .orderBy($"b").rowsBetween(Long.MinValue, 0)
+      perB.join(firstB, Seq("b"), "left")
+        .na.fill(0L, Seq("n_new"))
+        .withColumn("cum_tokens", sum($"n_tok").over(wC))
+        .withColumn("cum_vocab", sum($"n_new").over(wC))
+        .withColumn("ttr_bp", expr("cum_vocab * 10000 div cum_tokens"))
+        .select($"b".as("bucket"), $"n_tok", $"n_new",
+                $"cum_tokens", $"cum_vocab", $"ttr_bp")
+        .orderBy($"bucket")
+    },
     "x21_bm25_topk" -> { (s, dir) =>
       import s.implicits._
       // everything derives from ONE tokenize pass: tf is the only operator
@@ -1193,6 +1229,24 @@ object Text extends QueryPack {
       SELECT phrase, len AS n_words, n_occ, score_bp
       FROM scored WHERE n_occ >= 3
       ORDER BY score_bp DESC, phrase LIMIT 20""",
+    "x28_vocab_growth" -> s"""
+      WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+      toks AS (
+        SELECT least(9, doc_id * 10 // (mx + 1)) AS b, tok
+        FROM (SELECT doc_id, unnest($wsSql) AS tok FROM documents) t, mx
+        WHERE length(tok) > 0),
+      perb AS (SELECT b, COUNT(*)::BIGINT AS n_tok FROM toks GROUP BY 1),
+      firstb AS (
+        SELECT b, COUNT(*)::BIGINT AS n_new FROM (
+          SELECT tok, MIN(b) AS b FROM toks GROUP BY 1) z GROUP BY 1),
+      j AS (SELECT p.b, p.n_tok, COALESCE(f.n_new, 0) AS n_new
+            FROM perb p LEFT JOIN firstb f USING (b))
+      SELECT b AS bucket, n_tok, n_new,
+             SUM(n_tok) OVER w::BIGINT AS cum_tokens,
+             SUM(n_new) OVER w::BIGINT AS cum_vocab,
+             (SUM(n_new) OVER w * 10000 // SUM(n_tok) OVER w)::BIGINT AS ttr_bp
+      FROM j WINDOW w AS (ORDER BY b ROWS UNBOUNDED PRECEDING)
+      ORDER BY bucket""",
     "x21_bm25_topk" -> s"""
       WITH toks AS (
         SELECT doc_id, tok FROM (

@@ -282,4 +282,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(tot2.getAs[Long]("n_distinct_texts") == 3 && perDistinct == 4,
       "cross-language copy did not collapse in the TOTAL row")
   }
+
+  test("x28: growth curve conserves tokens and vocabulary exactly") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("x28_vocab_growth")(spark, sf).collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val toks = Tables(spark, sf).documents
+      .select(explode(expr(graft.catalog.Tx.wsExpr)).as("tok"))
+      .filter(length($"tok") > 0)
+    val nTok = toks.count()
+    val nVocab = toks.distinct().count()
+    // each token occurrence lands in exactly one slice; each type is
+    // charged to exactly one first slice
+    assert(rows.map(_.getAs[Long]("n_tok")).sum == nTok)
+    assert(rows.map(_.getAs[Long]("n_new")).sum == nVocab)
+    assert(rows.last.getAs[Long]("cum_tokens") == nTok)
+    assert(rows.last.getAs[Long]("cum_vocab") == nVocab)
+    // growth must actually decelerate relative to volume on real text:
+    // the final type-token ratio is below the first slice's
+    assert(rows.last.getAs[Long]("ttr_bp") < rows.head.getAs[Long]("ttr_bp"))
+  }
 }

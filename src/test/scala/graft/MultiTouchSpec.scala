@@ -29,4 +29,28 @@ class MultiTouchSpec extends AnyFunSuite {
     // both touch types must appear or the split test is vacuous
     assert(out.map(_.getString(0)).toSet == Set("click", "view"))
   }
+
+  test("w18: removal effects are non-negative, credits close, channels complete") {
+    val rows = SparkEntry.queries("w18_markov_attribution")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet ==
+      Set("click", "error", "signup", "view"))
+    val base = rows.map(_.getAs[Long]("base_ppm")).distinct
+    assert(base.length == 1, "base conversion must be scenario-independent")
+    assert(base.head > 0 && base.head <= 1000000L)
+    rows.foreach { r =>
+      // removing a channel can only dead-end walks: removed <= base,
+      // effect = base - removed >= 0 (monotonicity of the recursion)
+      assert(r.getAs[Long]("removed_ppm") <= r.getAs[Long]("base_ppm"))
+      assert(r.getAs[Long]("effect_ppm") ==
+        r.getAs[Long]("base_ppm") - r.getAs[Long]("removed_ppm"))
+      assert(r.getAs[Long]("effect_ppm") >= 0)
+    }
+    // truncated credit shares close to within one bp per channel
+    val credits = rows.map(_.getAs[Long]("credit_bp")).sum
+    assert(credits <= 10000 && credits >= 10000 - rows.length,
+      s"credits do not close: $credits")
+    // every channel must matter on the fixture (dead channels would make
+    // the removal machinery untested)
+    assert(rows.forall(_.getAs[Long]("effect_ppm") > 0))
+  }
 }

@@ -57,7 +57,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // appears TWICE in the logical plan because the verdict leg
     // re-references the unioned flag subtree (same window, two plan
     // occurrences — physical exchange reuse collapses them).
-    "c13_ops_health" -> 2)
+    "c13_ops_health" -> 2,
+    // x28's cumulative runs over the 10-row slice frame (bucket domain),
+    // after the data-scale token aggregates.
+    "x28_vocab_growth" -> 1)
 
   test("no data-scale unpartitioned Window in any query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
