@@ -461,6 +461,45 @@ object CorpusGate extends QueryPack {
                 $"dup_bp", $"n_tokens", $"n_chars",
                 lit(10000L).as("share_bp"))
       card.unionByName(total).orderBy($"lang")
+    },
+    // c15: CURATION A/B REPORT — before swapping a release gate, the
+    // curation team diffs TWO candidate configs on the same corpus:
+    // config A keeps by quality (clean-char ratio ≥ 80% bp), config B
+    // keeps by mid-length (100–400 chars). Per (config, language): what
+    // each keeps (docs, chars, mean quality bp) plus the per-language
+    // agreement (shared survivors, survivor-set Jaccard bp) — the
+    // breakdown that shows WHERE the configs disagree, not just how
+    // much. Scale shape (100 TB): both gates are pure row predicates
+    // evaluated in ONE scan; the whole report is a single map-side-
+    // combined groupBy(lang) of conditional sums projected twice —
+    // adding a config adds a column, never a pass.
+    "c15_curation_ab" -> { (s, dir) =>
+      import s.implicits._
+      val q = Tables(s, dir).documents
+        .select($"doc_id", $"lang", $"n_chars",
+          expr(s"cast(${Dedup.cleanCharsExpr} as bigint) * 10000" +
+               " div greatest(length(text), 1)").as("qbp"))
+        .withColumn("ina", $"qbp" >= 8000)
+        .withColumn("inb", $"n_chars".between(100, 400))
+      val g = q.groupBy($"lang").agg(
+        sum(when($"ina", 1L).otherwise(0L)).as("n_a"),
+        sum(when($"ina", $"n_chars").otherwise(0L)).as("chars_a"),
+        sum(when($"ina", $"qbp").otherwise(0L)).as("q_a"),
+        sum(when($"inb", 1L).otherwise(0L)).as("n_b"),
+        sum(when($"inb", $"n_chars").otherwise(0L)).as("chars_b"),
+        sum(when($"inb", $"qbp").otherwise(0L)).as("q_b"),
+        sum(when($"ina" && $"inb", 1L).otherwise(0L)).as("n_both"))
+        .withColumn("jaccard_bp",
+          expr("n_both * 10000 div greatest(n_a + n_b - n_both, 1)"))
+      val rowA = g.select(lit("config_a").as("cfg"), $"lang",
+        $"n_a".as("n_kept"), $"chars_a".as("kept_chars"),
+        expr("q_a div greatest(n_a, 1)").as("mean_q_bp"),
+        $"n_both", $"jaccard_bp")
+      val rowB = g.select(lit("config_b").as("cfg"), $"lang",
+        $"n_b".as("n_kept"), $"chars_b".as("kept_chars"),
+        expr("q_b div greatest(n_b, 1)").as("mean_q_bp"),
+        $"n_both", $"jaccard_bp")
+      rowA.unionByName(rowB).orderBy($"cfg", $"lang")
     }
   )
 
@@ -548,6 +587,40 @@ object CorpusGate extends QueryPack {
       WHERE rank <= ${Similarity.K} ORDER BY q_id, rank"""
 
   val oracle: Map[String, String] = Map(
+    // c15: the same one-scan conditional-sum report; clean-char quality
+    // restated with DuckDB's regexp flags
+    "c15_curation_ab" -> s"""
+      WITH q AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(${graft.catalog.Dedup.cleanCharsSql(spark = false)} AS BIGINT)
+                 * 10000 // greatest(length(text), 1) AS qbp
+        FROM documents),
+      f AS (SELECT *, qbp >= 8000 AS ina,
+                   n_chars BETWEEN 100 AND 400 AS inb FROM q),
+      g AS (
+        SELECT lang,
+               SUM(CASE WHEN ina THEN 1 ELSE 0 END)::BIGINT AS n_a,
+               SUM(CASE WHEN ina THEN n_chars ELSE 0 END)::BIGINT AS chars_a,
+               SUM(CASE WHEN ina THEN qbp ELSE 0 END)::BIGINT AS q_a,
+               SUM(CASE WHEN inb THEN 1 ELSE 0 END)::BIGINT AS n_b,
+               SUM(CASE WHEN inb THEN n_chars ELSE 0 END)::BIGINT AS chars_b,
+               SUM(CASE WHEN inb THEN qbp ELSE 0 END)::BIGINT AS q_b,
+               SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END)::BIGINT AS n_both
+        FROM f GROUP BY 1),
+      g2 AS (SELECT *, (n_both * 10000 // greatest(n_a + n_b - n_both, 1))
+                         AS jaccard_bp FROM g)
+      SELECT cfg, lang, n_kept, kept_chars, mean_q_bp, n_both,
+             jaccard_bp::BIGINT AS jaccard_bp
+      FROM (
+        SELECT 'config_a' AS cfg, lang, n_a AS n_kept, chars_a AS kept_chars,
+               (q_a // greatest(n_a, 1))::BIGINT AS mean_q_bp, n_both,
+               jaccard_bp
+        FROM g2
+        UNION ALL
+        SELECT 'config_b', lang, n_b, chars_b,
+               (q_b // greatest(n_b, 1))::BIGINT, n_both, jaccard_bp
+        FROM g2) u
+      ORDER BY cfg, lang""",
     // c14: the card restated — per-lang aggregates plus the corpus-wide
     // TOTAL whose distinct-digest count is computed over ALL docs.
     "c14_dataset_card" -> s"""

@@ -672,6 +672,42 @@ object Relational extends QueryPack {
                 $"n_events", $"n_censored", $"hazard_bp")
         .orderBy($"duration_days")
     },
+    // w19: COHORT LTV CURVES — w12 counts cohort RETENTION; the revenue
+    // team's question is cumulative VALUE: users grouped by first-seen
+    // month (cohort), monthly revenue laid out by cohort AGE, and the
+    // running lifetime value per cohort member in integer cents ("a
+    // March user is worth N cents by month 3"). Month arithmetic is a
+    // zero-based index (year·12 + month − 1) so ages are exact integer
+    // differences across year boundaries. Scale shape (100 TB): the
+    // cohort assignment is one user-keyed min-aggregate; the corpus
+    // then reduces to a |cohorts|×|ages| cell table (both calendar-
+    // bounded), and the cumulative window runs per cohort over THAT
+    // frame. LTV is integer division — engine-identical.
+    "w19_cohort_ltv" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_type", $"value",
+          expr("cast(year(ts) * 12 + month(ts) - 1 as bigint)").as("em"))
+      val cohort = ev.groupBy($"user_id").agg(min($"em").as("cm"))
+      val cs = cohort.groupBy($"cm")
+        .agg(count(lit(1)).as("cohort_n"))
+      val cell = ev.join(cohort, Seq("user_id"))
+        .withColumn("age", $"em" - $"cm")
+        .groupBy($"cm", $"age")
+        .agg(countDistinct($"user_id").as("n_active"),
+             sum(when($"event_type" === "purchase",
+               expr("cast(round(value * 100) as bigint)")).otherwise(0L))
+               .as("rev_cents"))
+      val wC = Window.partitionBy($"cm").orderBy($"age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      cell.join(broadcast(cs), Seq("cm"))
+        .withColumn("cum_rev_cents", sum($"rev_cents").over(wC))
+        .withColumn("ltv_cents", expr("cum_rev_cents div cohort_n"))
+        .select(expr("(cm div 12) * 100 + (cm % 12) + 1").as("cohort_ym"),
+                $"age", $"cohort_n", $"n_active", $"rev_cents",
+                $"cum_rev_cents", $"ltv_cents")
+        .orderBy($"cohort_ym", $"age")
+    },
     // w18: MARKOV REMOVAL-EFFECT ATTRIBUTION — the principled multi-touch
     // model w14's position/decay heuristics approximate: journeys are
     // user event sequences truncated at first purchase (START → events →
@@ -1836,6 +1872,28 @@ object Relational extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    "w19_cohort_ltv" -> """
+      WITH ev AS (
+        SELECT user_id, event_type, value,
+               (year(ts) * 12 + month(ts) - 1)::BIGINT AS em
+        FROM events),
+      cohort AS (SELECT user_id, MIN(em) AS cm FROM ev GROUP BY 1),
+      cs AS (SELECT cm, COUNT(*)::BIGINT AS cohort_n FROM cohort GROUP BY 1),
+      cell AS (
+        SELECT cm, em - cm AS age,
+               COUNT(DISTINCT e.user_id)::BIGINT AS n_active,
+               SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT
+                 AS rev_cents
+        FROM ev e JOIN cohort USING (user_id)
+        GROUP BY 1, 2)
+      SELECT (cm // 12) * 100 + (cm % 12) + 1 AS cohort_ym, age,
+             cohort_n, n_active, rev_cents,
+             SUM(rev_cents) OVER w::BIGINT AS cum_rev_cents,
+             (SUM(rev_cents) OVER w // cohort_n)::BIGINT AS ltv_cents
+      FROM cell JOIN cs USING (cm)
+      WINDOW w AS (PARTITION BY cm ORDER BY age ROWS UNBOUNDED PRECEDING)
+      ORDER BY cohort_ym, age""",
     "w18_markov_attribution" -> s"""
       WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events),
       ranked AS (

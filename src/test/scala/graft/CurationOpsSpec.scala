@@ -302,4 +302,39 @@ class CurationOpsSpec extends AnyFunSuite {
     // the final type-token ratio is below the first slice's
     assert(rows.last.getAs[Long]("ttr_bp") < rows.head.getAs[Long]("ttr_bp"))
   }
+
+  test("c15: A/B report equals a plain-Scala recount; configs genuinely disagree") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("c15_curation_ab")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("kept_chars"),
+         r.getAs[Long]("mean_q_bp"), r.getAs[Long]("n_both"),
+         r.getAs[Long]("jaccard_bp"))).toMap
+    val docs = Tables(spark, sf).documents
+      .select($"lang", $"n_chars", $"text").collect()
+      .map { r =>
+        val text = r.getString(2)
+        val clean = math.max(0L,
+          text.length
+            - 2L * (text.length - text.replaceAll("[^a-zA-Z0-9 ]", "").length)
+            - (text.length - text.replaceAll("[0-9]", "").length))
+        val qbp = clean * 10000L / math.max(text.length, 1)
+        (r.getString(0), r.getLong(1), qbp)
+      }
+    val want = docs.groupBy(_._1).flatMap { case (lang, g) =>
+      val a = g.filter(_._3 >= 8000)
+      val b = g.filter(d => d._2 >= 100 && d._2 <= 400)
+      val both = g.count(d => d._3 >= 8000 && d._2 >= 100 && d._2 <= 400).toLong
+      val jac = both * 10000L / math.max(a.length + b.length - both, 1)
+      Seq(
+        ("config_a", lang) -> (a.length.toLong, a.map(_._2).sum,
+          a.map(_._3).sum / math.max(a.length, 1), both, jac),
+        ("config_b", lang) -> (b.length.toLong, b.map(_._2).sum,
+          b.map(_._3).sum / math.max(b.length, 1), both, jac))
+    }
+    assert(rows == want)
+    // the report is only useful if the gates actually disagree somewhere
+    assert(rows.exists { case ((_, _), (n, _, _, both, _)) => n > both },
+      "configs keep identical sets — the A/B comparison is vacuous")
+  }
 }

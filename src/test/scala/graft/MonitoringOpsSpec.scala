@@ -688,4 +688,32 @@ class MonitoringOpsSpec extends AnyFunSuite {
     // homogeneous groups exist on the fixture (the attack the audit finds)
     assert(got.values.exists(!_._3) && got.values.exists(_._3))
   }
+
+  test("w19: cohort LTV conserves users, revenue, and the running sum") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("w19_cohort_ltv")(spark, sf).collect()
+    val ev = Tables(spark, sf).events
+    val nUsers = ev.select($"user_id").distinct().count()
+    val totCents = ev.filter($"event_type" === "purchase")
+      .agg(sum(expr("cast(round(value * 100) as bigint)"))).head().getLong(0)
+    // each user belongs to exactly one cohort
+    val byCohort = rows.groupBy(_.getAs[Long]("cohort_ym"))
+    assert(byCohort.values.map(_.head.getAs[Long]("cohort_n")).sum == nUsers)
+    // all purchase cents land in exactly one (cohort, age) cell
+    assert(rows.map(_.getAs[Long]("rev_cents")).sum == totCents)
+    byCohort.values.foreach { cells =>
+      val sorted = cells.sortBy(_.getAs[Long]("age"))
+      // age-0 cell exists and every cohort member is active in it
+      assert(sorted.head.getAs[Long]("age") == 0)
+      assert(sorted.head.getAs[Long]("n_active") ==
+        sorted.head.getAs[Long]("cohort_n"))
+      // cum_rev is the exact running sum; ltv is its integer quotient
+      var run = 0L
+      sorted.foreach { c =>
+        run += c.getAs[Long]("rev_cents")
+        assert(c.getAs[Long]("cum_rev_cents") == run)
+        assert(c.getAs[Long]("ltv_cents") == run / c.getAs[Long]("cohort_n"))
+      }
+    }
+  }
 }
