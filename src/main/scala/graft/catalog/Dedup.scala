@@ -470,6 +470,50 @@ object Dedup extends QueryPack {
                 ($"a_id" === $"b_id" - 1000000000L).as("is_origin"))
         .orderBy($"b_id")
     },
+    // d22: LINKAGE BLOCKING-RECALL EVAL — the self-evaluation convention
+    // (v11 scores v2, d14 scores d2, c11 scores c6) applied to d21: the
+    // only approximations in the blocked fuzzy join are the MaxDf
+    // stop-shingle cut and the <3-shingle probe drop, so the EXACT
+    // assignment (same containment argmax, NO df cap) is recomputed for
+    // a bounded eval sample (probes with doc_id < 100 — v1's eval-set
+    // convention; exact truth stays |eval|-bounded at any corpus size)
+    // and d21's winners are scored against it: agreement rate plus both
+    // sides' origin-recovery counts, the number a linkage deployment
+    // reads before trusting the cap.
+    "d22_linkage_eval" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+      val ea = docs.select($"doc_id".as("a_id"),
+          array_distinct(TextKernels.shingleHashesUdf($"text")).as("hs"))
+        .select($"a_id", explode($"hs").as("h"))
+      val eb = docs.filter($"doc_id" % 7 === 3 && $"doc_id" < 100)
+        .select(($"doc_id" + 1000000000L).as("b_id"),
+          array_distinct(
+            TextKernels.shingleHashesUdf(substring($"text", 21, 160))).as("hs"))
+        .filter(size($"hs") >= 3)
+        .select($"b_id", size($"hs").cast("long").as("n_b"),
+                explode($"hs").as("h"))
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy($"b_id")
+        .orderBy(expr("(n_inter * 10000) div n_b").desc, $"a_id")
+      val exact = eb.join(ea, Seq("h"))
+        .groupBy($"b_id", $"a_id", $"n_b").agg(count(lit(1)).as("n_inter"))
+        .withColumn("rk", row_number().over(wB)).filter($"rk" === 1)
+        .select($"b_id", $"a_id".as("exact_a"))
+      val blocked = queries("d21_fuzzy_join")(s, dir)
+        .filter($"b_id" - 1000000000L < 100)
+        .select($"b_id", $"a_id".as("blocked_a"))
+      exact.join(blocked, Seq("b_id"), "left")
+        .agg(count(lit(1)).as("n_eval"),
+             sum(when($"blocked_a" <=> $"exact_a", 1L).otherwise(0L))
+               .as("n_agree"),
+             sum(when($"exact_a" === $"b_id" - 1000000000L, 1L).otherwise(0L))
+               .as("n_origin_exact"),
+             sum(when($"blocked_a" === $"b_id" - 1000000000L, 1L).otherwise(0L))
+               .as("n_origin_blocked"))
+        .withColumn("agree_bp",
+          expr("n_agree * 10000 div greatest(n_eval, 1)"))
+    },
     // d3: per-doc 32-bit simhash signature (frequency-weighted tokens).
     // Near-dup pairing at scale joins on 16-bit signature halves.
     "d3_simhash" -> { (s, dir) =>
@@ -863,6 +907,35 @@ object Dedup extends QueryPack {
     }
   )
 
+  /** d21's oracle, extracted so d22 can nest the blocked winners verbatim
+    * (the d2Sql/d14 pattern). */
+  private val d21Sql = s"""
+      WITH a0 AS (
+        SELECT doc_id AS a_id, list_distinct($shingleHashesSql) AS hs
+        FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0),
+      ea AS (
+        SELECT a_id, n_a, h FROM (
+          SELECT a_id, len(hs)::BIGINT AS n_a, unnest(hs) AS h FROM a0) t
+        QUALIFY COUNT(*) OVER (PARTITION BY h) <= $MaxDf),
+      b0 AS (
+        SELECT doc_id + 1000000000 AS b_id, list_distinct($shingleHashesSql) AS hs
+        FROM (SELECT doc_id, $wsSql AS ws
+              FROM (SELECT doc_id, substring(text, 21, 160) AS text
+                    FROM documents WHERE doc_id % 7 = 3) s0) t0),
+      eb AS (
+        SELECT b_id, len(hs)::BIGINT AS n_b, unnest(hs) AS h
+        FROM b0 WHERE len(hs) >= 3),
+      pairs AS (
+        SELECT b_id, a_id, n_b, n_a, COUNT(*)::BIGINT AS n_inter
+        FROM eb JOIN ea USING (h) GROUP BY 1, 2, 3, 4)
+      SELECT b_id, a_id, n_inter,
+             ((n_inter * 10000) // n_b)::BIGINT AS cont_bp,
+             (a_id = b_id - 1000000000) AS is_origin
+      FROM pairs
+      QUALIFY row_number() OVER (PARTITION BY b_id
+        ORDER BY (n_inter * 10000) // n_b DESC, a_id) = 1
+      ORDER BY b_id"""
+
   /** d2's oracle, extracted so d14 can nest it verbatim (v11's v1Sql/v2Sql
     * pattern). */
   private val d2Sql = s"""
@@ -909,32 +982,43 @@ object Dedup extends QueryPack {
   val oracle: Map[String, String] = Map(
     // d21: the same blocked containment join replayed — the df cap is
     // d4's QUALIFY form, the winner the identical (score DESC, a_id) rank.
-    "d21_fuzzy_join" -> s"""
-      WITH a0 AS (
+    "d21_fuzzy_join" -> d21Sql,
+    // d22: exact truth (NO df cap) for the bounded eval probes, d21's
+    // blocked winners nested verbatim; winners compared per probe.
+    "d22_linkage_eval" -> s"""
+      WITH xa0 AS (
         SELECT doc_id AS a_id, list_distinct($shingleHashesSql) AS hs
         FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0),
-      ea AS (
-        SELECT a_id, n_a, h FROM (
-          SELECT a_id, len(hs)::BIGINT AS n_a, unnest(hs) AS h FROM a0) t
-        QUALIFY COUNT(*) OVER (PARTITION BY h) <= $MaxDf),
-      b0 AS (
+      xea AS (SELECT a_id, unnest(hs) AS h FROM xa0),
+      xb0 AS (
         SELECT doc_id + 1000000000 AS b_id, list_distinct($shingleHashesSql) AS hs
         FROM (SELECT doc_id, $wsSql AS ws
               FROM (SELECT doc_id, substring(text, 21, 160) AS text
-                    FROM documents WHERE doc_id % 7 = 3) s0) t0),
-      eb AS (
-        SELECT b_id, len(hs)::BIGINT AS n_b, unnest(hs) AS h
-        FROM b0 WHERE len(hs) >= 3),
-      pairs AS (
-        SELECT b_id, a_id, n_b, n_a, COUNT(*)::BIGINT AS n_inter
-        FROM eb JOIN ea USING (h) GROUP BY 1, 2, 3, 4)
-      SELECT b_id, a_id, n_inter,
-             ((n_inter * 10000) // n_b)::BIGINT AS cont_bp,
-             (a_id = b_id - 1000000000) AS is_origin
-      FROM pairs
-      QUALIFY row_number() OVER (PARTITION BY b_id
-        ORDER BY (n_inter * 10000) // n_b DESC, a_id) = 1
-      ORDER BY b_id""",
+                    FROM documents
+                    WHERE doc_id % 7 = 3 AND doc_id < 100) s0) t0),
+      xeb AS (SELECT b_id, len(hs)::BIGINT AS n_b, unnest(hs) AS h
+              FROM xb0 WHERE len(hs) >= 3),
+      ex AS (
+        SELECT b_id, a_id FROM (
+          SELECT b_id, a_id, n_b, COUNT(*)::BIGINT AS n_inter
+          FROM xeb JOIN xea USING (h) GROUP BY 1, 2, 3) p
+        QUALIFY row_number() OVER (PARTITION BY b_id
+          ORDER BY (n_inter * 10000) // n_b DESC, a_id) = 1),
+      bl AS (SELECT b_id, a_id AS blocked_a FROM ($d21Sql) d
+             WHERE b_id - 1000000000 < 100),
+      j AS (SELECT ex.b_id, ex.a_id AS exact_a, bl.blocked_a
+            FROM ex LEFT JOIN bl USING (b_id))
+      SELECT COUNT(*)::BIGINT AS n_eval,
+             SUM(CASE WHEN blocked_a IS NOT DISTINCT FROM exact_a
+                 THEN 1 ELSE 0 END)::BIGINT AS n_agree,
+             SUM(CASE WHEN exact_a = b_id - 1000000000
+                 THEN 1 ELSE 0 END)::BIGINT AS n_origin_exact,
+             SUM(CASE WHEN blocked_a = b_id - 1000000000
+                 THEN 1 ELSE 0 END)::BIGINT AS n_origin_blocked,
+             (SUM(CASE WHEN blocked_a IS NOT DISTINCT FROM exact_a
+                  THEN 1 ELSE 0 END) * 10000
+               // greatest(COUNT(*), 1))::BIGINT AS agree_bp
+      FROM j""",
     "d13_substr_dedup" -> """
       WITH grams AS (
         SELECT doc_id, i, md5(substr(t, i, 32)) AS h

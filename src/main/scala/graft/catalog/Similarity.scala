@@ -811,31 +811,35 @@ object Similarity extends QueryPack {
     // untouched nodes never materialize at all.
     "v25_pagerank" -> { (s, dir) =>
       import s.implicits._
-      val edges = stagedKnnGraph(s, dir)
-        .select($"src_id".as("src"), $"neighbor_id".as("dst"))
-      val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
-      val seeds = deg.filter($"src" < 10).select($"src".as("id"))
-      val nS = seeds.agg(count(lit(1)).as("ns"))
-      val r0 = seeds.crossJoin(broadcast(nS))
-        .select($"id", expr("1000000000000 div ns").as("rank"))
-      def step(r: DataFrame): DataFrame = {
-        val c = r.join(deg.select($"src".as("id"), $"outdeg"), Seq("id"))
-          .select($"id".as("src"),
-                  expr("(85 * rank) div (100 * outdeg)").as("c"))
-          .filter($"c" > 0)
-        val in = edges.join(c, Seq("src"))
-          .groupBy($"dst".as("id")).agg(sum($"c").as("in_c"))
-        val tele = seeds.crossJoin(broadcast(nS))
-          .select($"id", expr("150000000000 div ns").as("t"))
-        tele.join(in, Seq("id"), "full_outer")
-          .select($"id",
-            (coalesce($"t", lit(0L)) + coalesce($"in_c", lit(0L))).as("rank"))
-      }
-      step(step(step(r0)))
+      pprRanks(s, dir, iters = 3)
         .filter($"id" >= 10)
         .select($"id".as("vec_id"), $"rank".as("rank_scaled"))
         .orderBy($"rank_scaled".desc, $"vec_id")
         .limit(20)
+    },
+    // v27: PPR ITERATION-DEPTH SWEEP — the measured-dial convention
+    // (v22 probes, v26 hops, d20 bands) applied to v25's one free
+    // parameter: how many power iterations until the personalized
+    // top-20 stops moving? Each depth's non-seed top-20 is scored
+    // against the 4-iteration reference (overlap out of 20) next to
+    // the reached-ball size — the dial a deployment reads before
+    // fixing its fixpoint threshold. Reuses pprRanks verbatim (v25's
+    // defaults unchanged); cost is ≤4 sparse iterations, each a
+    // seed-ball-bounded join like v25's own.
+    "v27_ppr_sweep" -> { (s, dir) =>
+      import s.implicits._
+      def top20(k: Int): DataFrame = pprRanks(s, dir, k)
+        .filter($"id" >= 10)
+        .orderBy($"rank".desc, $"id").limit(20).select($"id")
+      val ref = top20(4)
+      (1 to 3).map { k =>
+        pprRanks(s, dir, k).filter($"id" >= 10)
+          .agg(count(lit(1)).as("n_reached"))
+          .crossJoin(broadcast(
+            top20(k).join(ref, Seq("id")).agg(count(lit(1)).as("n_hits"))))
+          .select(lit(k.toLong).as("iters"), $"n_reached", $"n_hits",
+                  expr("n_hits * 10000 div 20").as("overlap_bp"))
+      }.reduce(_ unionByName _).orderBy($"iters")
     },
     // v16: GRAPH-BASED ANN SEARCH — the retrieval step that completes the
     // graph-index lifecycle (v5 build → v9 maintain → v16 SEARCH → v11-style
@@ -1156,6 +1160,35 @@ object Similarity extends QueryPack {
       (entry.map(med) :+ qid).map(vid => (qid, vid))
     }
     seeds.toSeq.toDF("q_id", "vec_id")
+  }
+
+  /** v25/v27's shared seed-teleport PPR: `iters` sparse power iterations
+    * over the stored kNN edges, 1e12-scaled BIGINT with one source-side
+    * `div` per node per round (see the v25 entry comment). Returns the
+    * final sparse (id, rank) frame — seeds ∪ the reached ball. */
+  private def pprRanks(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    import s.implicits._
+    val edges = stagedKnnGraph(s, dir)
+      .select($"src_id".as("src"), $"neighbor_id".as("dst"))
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val seeds = deg.filter($"src" < 10).select($"src".as("id"))
+    val nS = seeds.agg(count(lit(1)).as("ns"))
+    val r0 = seeds.crossJoin(broadcast(nS))
+      .select($"id", expr("1000000000000 div ns").as("rank"))
+    def step(r: DataFrame): DataFrame = {
+      val c = r.join(deg.select($"src".as("id"), $"outdeg"), Seq("id"))
+        .select($"id".as("src"),
+                expr("(85 * rank) div (100 * outdeg)").as("c"))
+        .filter($"c" > 0)
+      val in = edges.join(c, Seq("src"))
+        .groupBy($"dst".as("id")).agg(sum($"c").as("in_c"))
+      val tele = seeds.crossJoin(broadcast(nS))
+        .select($"id", expr("150000000000 div ns").as("t"))
+      tele.join(in, Seq("id"), "full_outer")
+        .select($"id",
+          (coalesce($"t", lit(0L)) + coalesce($"in_c", lit(0L))).as("rank"))
+    }
+    (1 to iters).foldLeft(r0)((r, _) => step(r))
   }
 
   /** v5's graph persisted to scratch parquet once per session — the stored
@@ -2053,7 +2086,32 @@ object Similarity extends QueryPack {
       SELECT s2.id AS vec_id, s2.lbl::BIGINT AS community, sizes.community_size
       FROM s2 JOIN sizes USING (lbl) ORDER BY vec_id""",
     "v25_pagerank" -> s"""
-      WITH $knnCtes,
+      WITH $pprPrefixSql,
+      ${pprItersSql(3)}
+      SELECT id AS vec_id, rank::BIGINT AS rank_scaled
+      FROM r3 WHERE id >= 10
+      ORDER BY rank_scaled DESC, vec_id LIMIT 20""",
+    // v27: the same generated chain to depth 4; per-depth top-20 CTEs
+    // scored against the depth-4 reference.
+    "v27_ppr_sweep" -> s"""
+      WITH $pprPrefixSql,
+      ${pprItersSql(4)},
+      ${(1 to 4).map { k =>
+        s"""t$k AS (SELECT id FROM r$k WHERE id >= 10
+            QUALIFY row_number() OVER (ORDER BY rank DESC, id) <= 20)"""
+      }.mkString(",\n      ")}
+      ${(1 to 3).map { k =>
+        s"""SELECT ${k}::BIGINT AS iters,
+             (SELECT COUNT(*) FROM r$k WHERE id >= 10)::BIGINT AS n_reached,
+             (SELECT COUNT(*) FROM t$k JOIN t4 USING (id))::BIGINT AS n_hits,
+             ((SELECT COUNT(*) FROM t$k JOIN t4 USING (id)) * 10000 // 20)::BIGINT
+               AS overlap_bp"""
+      }.mkString("\n      UNION ALL\n      ")}
+      ORDER BY iters"""
+  )
+
+  /** v25/v27's PPR oracle scaffolding — prefix CTEs shared by both. */
+  private def pprPrefixSql: String = s"""$knnCtes,
       edges AS MATERIALIZED (
         SELECT src_id AS src, neighbor_id AS dst FROM knn),
       deg AS (SELECT src, COUNT(*)::BIGINT AS outdeg FROM edges GROUP BY 1),
@@ -2061,35 +2119,19 @@ object Similarity extends QueryPack {
       ns AS (SELECT COUNT(*)::BIGINT AS ns FROM seeds),
       tele AS (SELECT id, 150000000000 // ns AS t FROM seeds CROSS JOIN ns),
       r0 AS (SELECT id, 1000000000000 // ns AS rank
-             FROM seeds CROSS JOIN ns),
-      c1 AS (SELECT * FROM (
-               SELECT r0.id AS src, (85 * rank) // (100 * outdeg) AS c
-               FROM r0 JOIN deg ON deg.src = r0.id) z WHERE c > 0),
-      i1 AS (SELECT e.dst AS id, SUM(c)::BIGINT AS in_c
-             FROM edges e JOIN c1 USING (src) GROUP BY 1),
-      r1 AS (SELECT COALESCE(t.id, i1.id) AS id,
-                    COALESCE(t.t, 0) + COALESCE(i1.in_c, 0) AS rank
-             FROM tele t FULL JOIN i1 ON i1.id = t.id),
-      c2 AS (SELECT * FROM (
-               SELECT r1.id AS src, (85 * rank) // (100 * outdeg) AS c
-               FROM r1 JOIN deg ON deg.src = r1.id) z WHERE c > 0),
-      i2 AS (SELECT e.dst AS id, SUM(c)::BIGINT AS in_c
-             FROM edges e JOIN c2 USING (src) GROUP BY 1),
-      r2 AS (SELECT COALESCE(t.id, i2.id) AS id,
-                    COALESCE(t.t, 0) + COALESCE(i2.in_c, 0) AS rank
-             FROM tele t FULL JOIN i2 ON i2.id = t.id),
-      c3 AS (SELECT * FROM (
-               SELECT r2.id AS src, (85 * rank) // (100 * outdeg) AS c
-               FROM r2 JOIN deg ON deg.src = r2.id) z WHERE c > 0),
-      i3 AS (SELECT e.dst AS id, SUM(c)::BIGINT AS in_c
-             FROM edges e JOIN c3 USING (src) GROUP BY 1),
-      r3 AS (SELECT COALESCE(t.id, i3.id) AS id,
-                    COALESCE(t.t, 0) + COALESCE(i3.in_c, 0) AS rank
-             FROM tele t FULL JOIN i3 ON i3.id = t.id)
-      SELECT id AS vec_id, rank::BIGINT AS rank_scaled
-      FROM r3 WHERE id >= 10
-      ORDER BY rank_scaled DESC, vec_id LIMIT 20"""
-  )
+             FROM seeds CROSS JOIN ns)"""
+
+  /** k unrolled sparse PPR iterations (c/i/r per round). */
+  private def pprItersSql(n: Int): String = (1 to n).map { k =>
+    s"""c$k AS (SELECT * FROM (
+               SELECT r${k - 1}.id AS src, (85 * rank) // (100 * outdeg) AS c
+               FROM r${k - 1} JOIN deg ON deg.src = r${k - 1}.id) z WHERE c > 0),
+      i$k AS (SELECT e.dst AS id, SUM(c)::BIGINT AS in_c
+             FROM edges e JOIN c$k USING (src) GROUP BY 1),
+      r$k AS (SELECT COALESCE(t.id, i$k.id) AS id,
+                    COALESCE(t.t, 0) + COALESCE(i$k.in_c, 0) AS rank
+             FROM tele t FULL JOIN i$k ON i$k.id = t.id)"""
+  }.mkString(",\n      ")
 
   private[catalog] lazy val v1Sql = s"""
       WITH e AS (

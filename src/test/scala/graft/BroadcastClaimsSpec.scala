@@ -122,4 +122,21 @@ class BroadcastClaimsSpec extends AnyFunSuite {
     assert(p22.contains("BroadcastNestedLoopJoin"),
       s"q22's scalar mean must be a broadcast 1-row cross join:\n$p22")
   }
+
+  test("u14: every delta-rule term broadcasts its delta side; the base never shuffles") {
+    val p = plan("u14_join_view_delta")
+    assert(p.contains("BroadcastHashJoin"),
+      s"u14's delta joins must broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"u14 must not degrade to a nested-loop join:\n$p")
+  }
+
+  test("d21/g22: blocked linkage and skyline stay hash/broadcast, never NLJ") {
+    val pd = plan("d21_fuzzy_join")
+    assert(!pd.contains("BroadcastNestedLoopJoin"),
+      s"d21's shingle blocking must stay a hash join:\n$pd")
+    val pg = plan("g22_pareto_frontier")
+    assert(pg.contains("BroadcastHashJoin"),
+      s"g22's frontier must broadcast back to the corpus:\n$pg")
+  }
 }

