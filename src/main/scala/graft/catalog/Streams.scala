@@ -870,6 +870,47 @@ object Streams extends QueryPack {
                 $"day_n", $"daily_avg", $"rate_ratio_bp")
         .orderBy($"event_type")
     },
+    // e32: STREAMING CONVERSION-LAG MONITOR — w17's conversion definition
+    // (first view → first QUALIFYING purchase, value ≥ 100) kept
+    // continuously: ONE complete-mode per-user aggregate whose state is
+    // the user's min view time plus the list of their qualifying
+    // purchase times (bounded by a user's PURCHASES, not their events —
+    // the conditional collect_list keeps only qualifiers). The
+    // at-or-after-first-view pick runs OFF the final state table
+    // (array_min over the filtered list — order-independent, so
+    // micro-batch arrival order cannot change it; e20/e25/e31's
+    // post-stream-arithmetic convention), then w16's histogram +
+    // cumulative-bp curve. Out-of-order safety is structural: a late
+    // view that LOWERS v_us re-qualifies earlier purchases because the
+    // purchase list is retained, the trap a (min view, min purchase ≥
+    // view) two-scalar state gets wrong. Oracle = the aligned batch
+    // definition, so green pins that micro-batched state upkeep changed
+    // nothing.
+    "e32_stream_conversion_lag" -> { (s, dir) =>
+      import s.implicits._
+      val st = runToTable(eventsStream(s, dir)
+          .select($"user_id", $"event_type", $"value",
+                  unix_micros($"ts").as("us"))
+          .groupBy($"user_id")
+          .agg(min(when($"event_type" === "view", $"us")).as("v_us"),
+               collect_list(when($"event_type" === "purchase" &&
+                 $"value" >= 100.0, $"us")).as("ps")),
+        OutputMode.Complete())
+      val hist = st.filter($"v_us".isNotNull)
+        .withColumn("p_us", expr("array_min(filter(ps, p -> p >= v_us))"))
+        .filter($"p_us".isNotNull)
+        .select(expr("(p_us - v_us) div 86400000000").as("latency_days"))
+        .groupBy($"latency_days").agg(count(lit(1)).as("n_users"))
+      val tot = hist.agg(sum($"n_users").as("n_tot"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .orderBy($"latency_days")
+        .rowsBetween(Long.MinValue, 0)
+      hist.crossJoin(broadcast(tot))
+        .withColumn("cum_users", sum($"n_users").over(wCum))
+        .withColumn("cum_bp", expr("cum_users * 10000 div n_tot"))
+        .select($"latency_days", $"n_users", $"cum_users", $"cum_bp")
+        .orderBy($"latency_days")
+    },
     // e20: STREAMING VOCABULARY maintenance — x11's corpus heavy hitters
     // kept continuously: complete-mode token counts over the documents
     // stream (state = one row per vocabulary entry — bounded by the
@@ -1568,6 +1609,30 @@ object Streams extends QueryPack {
               // (tot_base * tot_new * (n_base + n_new)))::BIGINT AS contrib_ppm
       FROM binned, tot ORDER BY bin""",
     // e19: the batch recomputation of the streamed running checksum
+    // e32: the aligned batch definition of the qualifying-conversion lag
+    "e32_stream_conversion_lag" -> """
+      WITH ev AS (SELECT user_id, event_type, value, epoch_us(ts) AS us
+                  FROM events),
+      fv AS (SELECT user_id, MIN(us) AS v_us FROM ev
+             WHERE event_type = 'view' GROUP BY 1),
+      conv AS (
+        SELECT e.user_id, MIN(e.us) AS p_us
+        FROM ev e JOIN fv USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.value >= 100.0
+          AND e.us >= fv.v_us
+        GROUP BY e.user_id),
+      hist AS (
+        SELECT (p_us - v_us) // 86400000000 AS latency_days,
+               COUNT(*)::BIGINT AS n_users
+        FROM fv JOIN conv USING (user_id) GROUP BY 1),
+      tot AS (SELECT SUM(n_users)::BIGINT AS n_tot FROM hist)
+      SELECT latency_days, n_users,
+             SUM(n_users) OVER (ORDER BY latency_days
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users,
+             (SUM(n_users) OVER (ORDER BY latency_days
+                ROWS UNBOUNDED PRECEDING) * 10000
+               // (SELECT n_tot FROM tot))::BIGINT AS cum_bp
+      FROM hist ORDER BY latency_days""",
     // e31: the batch replay of the hour-bucketed freshness report — the
     // aligned 24-bucket rate window stated relationally
     "e31_stream_freshness" -> """

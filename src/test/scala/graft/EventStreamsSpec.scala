@@ -190,4 +190,28 @@ class EventStreamsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 6L -> 6L))
   }
+
+  test("e32: qualifying-conversion semantics on a planted fixture") {
+    // user 1 converts 2 days after first view; user 2's only qualifying
+    // purchase PRECEDES their first view (must not count — the at-or-after
+    // contract); user 3's later purchase is below the value qualifier.
+    val day = 86400000000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val rows = Seq(
+      (1L, ts(10L * day), 1L, "view", 0.0, "{}"),
+      (2L, ts(12L * day), 1L, "purchase", 150.0, "{}"),
+      (3L, ts(9L * day), 2L, "purchase", 200.0, "{}"),
+      (4L, ts(10L * day), 2L, "view", 0.0, "{}"),
+      (5L, ts(10L * day), 3L, "view", 0.0, "{}"),
+      (6L, ts(11L * day), 3L, "purchase", 50.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = graft.Scratch.dir("e32fix").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("e32_stream_conversion_lag")(spark, dir)
+      .collect()
+    assert(out.length == 1, s"expected exactly one latency bucket: ${out.toSeq}")
+    assert(out.head.getAs[Long]("latency_days") == 2L)
+    assert(out.head.getAs[Long]("n_users") == 1L)
+    assert(out.head.getAs[Long]("cum_bp") == 10000L)
+  }
 }

@@ -60,7 +60,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "c13_ops_health" -> 2,
     // x28's cumulative runs over the 10-row slice frame (bucket domain),
     // after the data-scale token aggregates.
-    "x28_vocab_growth" -> 1)
+    "x28_vocab_growth" -> 1,
+    // e32's cumulative runs over the latency-day histogram (w16's
+    // allowlisted class), off the final stream-state table.
+    "e32_stream_conversion_lag" -> 1)
 
   test("no data-scale unpartitioned Window in any query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
