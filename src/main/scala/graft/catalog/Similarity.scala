@@ -828,15 +828,18 @@ object Similarity extends QueryPack {
     // seed-ball-bounded join like v25's own.
     "v27_ppr_sweep" -> { (s, dir) =>
       import s.implicits._
-      def top20(k: Int): DataFrame = pprRanks(s, dir, k)
-        .filter($"id" >= 10)
+      // each depth's ranks are the previous depth's plus one step —
+      // pprRanksAll materializes each level once and feeds it into the
+      // next step instead of replaying the whole chain per sweep point
+      val levels = pprRanksAll(s, dir, 4)
+      def top20(r: DataFrame): DataFrame = r.filter($"id" >= 10)
         .orderBy($"rank".desc, $"id").limit(20).select($"id")
-      val ref = top20(4)
+      val ref = top20(levels(3))
       (1 to 3).map { k =>
-        pprRanks(s, dir, k).filter($"id" >= 10)
+        levels(k - 1).filter($"id" >= 10)
           .agg(count(lit(1)).as("n_reached"))
-          .crossJoin(broadcast(
-            top20(k).join(ref, Seq("id")).agg(count(lit(1)).as("n_hits"))))
+          .crossJoin(broadcast(top20(levels(k - 1)).join(ref, Seq("id"))
+            .agg(count(lit(1)).as("n_hits"))))
           .select(lit(k.toLong).as("iters"), $"n_reached", $"n_hits",
                   expr("n_hits * 10000 div 20").as("overlap_bp"))
       }.reduce(_ unionByName _).orderBy($"iters")
@@ -1166,7 +1169,8 @@ object Similarity extends QueryPack {
     * over the stored kNN edges, 1e12-scaled BIGINT with one source-side
     * `div` per node per round (see the v25 entry comment). Returns the
     * final sparse (id, rank) frame — seeds ∪ the reached ball. */
-  private def pprRanks(s: SparkSession, dir: String, iters: Int): DataFrame = {
+  private def pprParts(s: SparkSession,
+                       dir: String): (DataFrame, DataFrame => DataFrame) = {
     import s.implicits._
     val edges = stagedKnnGraph(s, dir)
       .select($"src_id".as("src"), $"neighbor_id".as("dst"))
@@ -1188,7 +1192,23 @@ object Similarity extends QueryPack {
         .select($"id",
           (coalesce($"t", lit(0L)) + coalesce($"in_c", lit(0L))).as("rank"))
     }
+    (r0, step)
+  }
+
+  private def pprRanks(s: SparkSession, dir: String, iters: Int): DataFrame = {
+    val (r0, step) = pprParts(s, dir)
     (1 to iters).foldLeft(r0)((r, _) => step(r))
+  }
+
+  /** The ranks after EACH of 1..n iterations, each level materialized
+    * (x21's localCheckpoint convention) and fed into the next step — so
+    * v27's sweep pays n steps total, not a fresh 1..k replay per level. */
+  private def pprRanksAll(s: SparkSession, dir: String, n: Int): Seq[DataFrame] = {
+    val (r0, step) = pprParts(s, dir)
+    val out = Seq.newBuilder[DataFrame]
+    var cur = r0
+    for (_ <- 1 to n) { cur = step(cur).localCheckpoint(true); out += cur }
+    out.result()
   }
 
   /** v5's graph persisted to scratch parquet once per session — the stored
