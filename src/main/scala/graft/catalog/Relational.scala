@@ -233,6 +233,51 @@ object Relational extends QueryPack {
         s.catalog.dropTempView(vo)
       }
     },
+    // j12: SPATIAL RADIUS JOIN (grid-cell blocking) — the spatial class
+    // the equi/range/as-of families don't cover: which points fall
+    // within distance R of each of K fixed centers (the geofence /
+    // catchment question), WITHOUT the points × centers cross join.
+    // Points carry LCG-derived integer coordinates (the g5 permutation
+    // convention — deterministic on both engines); the blocking is the
+    // standard grid trick: cell side = R, so any point within R of a
+    // center lies in the center's 3×3 cell neighborhood — the CENTER
+    // side (bounded: K·9 rows) explodes its neighborhood and
+    // BROADCASTS, the equi-join on the composed cell id yields each
+    // candidate exactly once (a point's single cell meets a center's
+    // neighborhood at most once), and the EXACT integer dx²+dy² ≤ R²
+    // check verifies — no sqrt, no float, bitwise-identical engines.
+    // Scale shape (100 TB): the points scan never shuffles (broadcast
+    // probe), the per-center aggregate map-side combines, output is K
+    // rows at any corpus size. A pair-join variant is the same
+    // machinery with the neighborhood on one side of a self-join and
+    // d2's MaxBucket cap on dense cells; this entry keeps the output
+    // density-independent so the gate is non-vacuous at every SF.
+    "j12_spatial_join" -> { (s, dir) =>
+      import s.implicits._
+      val R = 50000L
+      val pts = Tables(s, dir).customer
+        .select($"c_custkey".as("id"),
+          expr(s"(c_custkey * 48271 + 7) % ${Tx.P} % 1000000").as("x"),
+          expr(s"(c_custkey * 16807 + 11) % ${Tx.P} % 1000000").as("y"))
+      val withCell = pts
+        .withColumn("cell", expr(s"(x div $R) * 4096 + (y div $R)"))
+      val centers = pts.filter($"id" < 100)
+        .select($"id".as("cid"), $"x".as("xc"), $"y".as("yc"),
+                expr(s"x div $R").as("ccx"), expr(s"y div $R").as("ccy"))
+      val probe = centers.select($"cid", $"xc", $"yc", explode(expr(
+          "flatten(transform(sequence(-1, 1), dx -> " +
+            "transform(sequence(-1, 1), dy -> (ccx + dx) * 4096 + ccy + dy)))"))
+          .as("cell"))
+      val hits = withCell.join(broadcast(probe), Seq("cell"))
+        .withColumn("d2",
+          ($"x" - $"xc") * ($"x" - $"xc") + ($"y" - $"yc") * ($"y" - $"yc"))
+        .filter($"d2" <= R * R)
+        .groupBy($"cid")
+        .agg(count(lit(1)).as("n_within"), sum($"d2").as("sum_d2"))
+      centers.select($"cid").join(hits, Seq("cid"), "left")
+        .na.fill(0L, Seq("n_within", "sum_d2"))
+        .orderBy($"cid")
+    },
     "a5_grouping_sets" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir).orders
@@ -1872,6 +1917,35 @@ object Relational extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    // j12: the identical grid construction — the centers' 3×3
+    // neighborhoods as a lateral 9-row expansion, exact integer distance
+    "j12_spatial_join" -> s"""
+      WITH pts AS (
+        SELECT c_custkey AS id,
+               (c_custkey * 48271 + 7) % ${Tx.P} % 1000000 AS x,
+               (c_custkey * 16807 + 11) % ${Tx.P} % 1000000 AS y
+        FROM customer),
+      wc AS (SELECT id, x, y, (x // 50000) * 4096 + (y // 50000) AS cell
+             FROM pts),
+      centers AS (
+        SELECT id AS cid, x AS xc, y AS yc,
+               x // 50000 AS ccx, y // 50000 AS ccy
+        FROM pts WHERE id < 100),
+      probe AS (
+        SELECT cid, xc, yc, (ccx + dx.d) * 4096 + ccy + dy.d AS cell
+        FROM centers,
+             (SELECT unnest(range(-1, 2)) AS d) dx,
+             (SELECT unnest(range(-1, 2)) AS d) dy),
+      hits AS (
+        SELECT cid, COUNT(*)::BIGINT AS n_within,
+               SUM((x - xc) * (x - xc) + (y - yc) * (y - yc))::BIGINT AS sum_d2
+        FROM wc JOIN probe USING (cell)
+        WHERE (x - xc) * (x - xc) + (y - yc) * (y - yc) <= 2500000000
+        GROUP BY cid)
+      SELECT c.cid, COALESCE(h.n_within, 0) AS n_within,
+             COALESCE(h.sum_d2, 0) AS sum_d2
+      FROM centers c LEFT JOIN hits h USING (cid)
+      ORDER BY c.cid""",
     "w19_cohort_ltv" -> """
       WITH ev AS (
         SELECT user_id, event_type, value,

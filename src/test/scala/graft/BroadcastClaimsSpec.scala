@@ -131,6 +131,12 @@ class BroadcastClaimsSpec extends AnyFunSuite {
       s"u14 must not degrade to a nested-loop join:\n$p")
   }
 
+  test("j12: the exploded center neighborhoods broadcast; points never shuffle") {
+    val p = plan("j12_spatial_join")
+    assert(p.contains("BroadcastHashJoin"),
+      s"j12's cell probe must broadcast the K*9 center rows:\n$p")
+  }
+
   test("d21/g22: blocked linkage and skyline stay hash/broadcast, never NLJ") {
     val pd = plan("d21_fuzzy_join")
     assert(!pd.contains("BroadcastNestedLoopJoin"),

@@ -689,6 +689,27 @@ class MonitoringOpsSpec extends AnyFunSuite {
     assert(got.values.exists(!_._3) && got.values.exists(_._3))
   }
 
+  test("j12: grid-blocked geofence equals the brute-force radius scan") {
+    import spark.implicits._
+    val pts = Tables(spark, sf).customer
+      .select($"c_custkey",
+        expr(s"(c_custkey * 48271 + 7) % ${graft.catalog.Tx.P} % 1000000"),
+        expr(s"(c_custkey * 16807 + 11) % ${graft.catalog.Tx.P} % 1000000"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val centers = pts.filter(_._1 < 100)
+    val want = centers.map { case (cid, xc, yc) =>
+      val in = pts.map { case (_, x, y) =>
+        (x - xc) * (x - xc) + (y - yc) * (y - yc)
+      }.filter(_ <= 2500000000L)
+      (cid, in.length.toLong, in.sum)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("j12_spatial_join")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want,
+      "grid blocking missed or fabricated a radius hit vs brute force")
+    assert(got.exists(_._2 > 0), "no center has any point in range — vacuous")
+  }
+
   test("w19: cohort LTV conserves users, revenue, and the running sum") {
     import spark.implicits._
     val rows = SparkEntry.queries("w19_cohort_ltv")(spark, sf).collect()
