@@ -554,6 +554,39 @@ object Quality extends QueryPack {
         .withColumn("released", $"n_docs" >= KAnon)
         .orderBy($"lang", $"source", $"len_bucket")
     },
+    // dq18: BENFORD FIRST-DIGIT AUDIT — the classic fabricated-numbers
+    // screen: naturally-occurring amounts follow P(d) = log10(1+1/d);
+    // ledgers that were invented, capped, or unit-converted don't. The
+    // expected shares are FIXED integer-ppm constants (the published
+    // Benford table — no log evaluation at query time, so both engines
+    // carry identical integers); the observed first digit comes from the
+    // decimal string of the cents value (engine-identical for positive
+    // BIGINTs). Output: per digit 1-9, observed count/ppm, expected ppm,
+    // absolute deviation ppm. ONE map-side-combined 9-group aggregate;
+    // the deviation arithmetic runs on the 9-row frame. A real audit
+    // thresholds the max deviation; the full profile is what the
+    // investigator reads.
+    "dq18_benford_audit" -> { (s, dir) =>
+      import s.implicits._
+      val benford = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+                        66947L, 57992L, 51153L, 45757L)
+      val expCase = "CASE digit " + benford.zipWithIndex.map {
+        case (p, i) => s"WHEN ${i + 1} THEN ${p}L"
+      }.mkString(" ") + " END"
+      val obs = Tables(s, dir).orders
+        .select(expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        .filter($"cents" > 0)
+        .select(expr("cast(substring(cast(cents as string), 1, 1) as bigint)")
+          .as("digit"))
+        .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+      val tot = obs.agg(sum($"n_obs").as("n_total"))
+      obs.crossJoin(broadcast(tot))
+        .withColumn("obs_ppm", expr("n_obs * 1000000 div n_total"))
+        .withColumn("exp_ppm", expr(expCase))
+        .withColumn("abs_dev_ppm", abs($"obs_ppm" - $"exp_ppm"))
+        .select($"digit", $"n_obs", $"obs_ppm", $"exp_ppm", $"abs_dev_ppm")
+        .orderBy($"digit")
+    },
     // dq17: L-DIVERSITY AUDIT — k-anonymity's (dq11) known failure mode:
     // a quasi-identifier group can be large (k-anonymous) yet carry ONE
     // sensitive value, so membership still discloses it (the homogeneity
@@ -982,6 +1015,25 @@ object Quality extends QueryPack {
       FROM documents
       GROUP BY lang, source, len_bucket
       ORDER BY lang, source, len_bucket""",
+    "dq18_benford_audit" -> """
+      WITH obs AS (
+        SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+               COUNT(*)::BIGINT AS n_obs
+        FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders) t
+        WHERE cents > 0 GROUP BY 1),
+      tot AS (SELECT SUM(n_obs)::BIGINT AS n_total FROM obs),
+      e AS (
+        SELECT digit, n_obs, (n_obs * 1000000) // n_total AS obs_ppm,
+               CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                 WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+                 WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                 WHEN 9 THEN 45757 END AS exp_ppm
+        FROM obs CROSS JOIN tot)
+      SELECT digit, n_obs, obs_ppm::BIGINT AS obs_ppm,
+             exp_ppm::BIGINT AS exp_ppm,
+             abs(obs_ppm - exp_ppm)::BIGINT AS abs_dev_ppm
+      FROM e ORDER BY digit""",
     "dq17_l_diversity" -> """
       WITH cells AS (
         SELECT o_orderpriority,

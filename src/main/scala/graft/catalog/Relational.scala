@@ -109,6 +109,26 @@ object Relational extends QueryPack {
              count(lit(1)).as("n_items"))
         .orderBy($"revenue".desc, $"n_name")
     },
+    // a13: GROUP MODE (most-frequent value, deterministic tiebreak) —
+    // the categorical central tendency the avg/percentile family lacks.
+    // Shape is dq2's two-level aggregate: groupBy(group, value) collapses
+    // map-side to the distinct-pair table, then ONE max(struct(n, -qty))
+    // argmax per group — largest count, smallest value on ties (the
+    // negation keeps the whole pick inside one ordered struct — q23's
+    // min-cost-supplier convention, never a window over a data-scale
+    // key). Shuffle carries |group × distinct value| rows at any scale.
+    "a13_group_mode" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).lineitem
+        .select($"l_returnflag", expr("cast(l_quantity as bigint)").as("qty"))
+        .groupBy($"l_returnflag", $"qty").agg(count(lit(1)).as("n"))
+        .groupBy($"l_returnflag")
+        .agg(max(struct($"n", (-$"qty").as("negq"))).as("m"),
+             sum($"n").as("n_rows"))
+        .select($"l_returnflag", (-$"m.negq").as("mode_qty"),
+                $"m.n".as("n_mode"), $"n_rows")
+        .orderBy($"l_returnflag")
+    },
     "a1_rollup" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
@@ -1917,6 +1937,20 @@ object Relational extends QueryPack {
   }
 
   val oracle: Map[String, String] = Map(
+    "a13_group_mode" -> """
+      WITH c AS (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+               COUNT(*)::BIGINT AS n
+        FROM lineitem GROUP BY 1, 2),
+      pick AS (
+        SELECT l_returnflag, qty AS mode_qty, n AS n_mode
+        FROM c
+        QUALIFY row_number() OVER (PARTITION BY l_returnflag
+          ORDER BY n DESC, qty ASC) = 1),
+      tot AS (SELECT l_returnflag, SUM(n)::BIGINT AS n_rows FROM c GROUP BY 1)
+      SELECT p.l_returnflag, p.mode_qty, p.n_mode, t.n_rows
+      FROM pick p JOIN tot t USING (l_returnflag)
+      ORDER BY p.l_returnflag""",
     // j12: the identical grid construction — the centers' 3×3
     // neighborhoods as a lateral 9-row expansion, exact integer distance
     "j12_spatial_join" -> s"""

@@ -50,6 +50,35 @@ object Temporal extends QueryPack {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // r11: TIME-WEIGHTED AVERAGE (TWAP) — the signal-average question
+    // plain AVG gets wrong on irregular samples: a value holds from its
+    // event until the NEXT event, so each sample weights by its holding
+    // DURATION. Per user: Σ cents·dt_s div Σ dt_s over consecutive-event
+    // intervals ((ts, event_id)-ordered lead window — per-user bounded,
+    // co-located), integer throughout (cents ≤ 5e4 × dt_s ≤ 8e6 keeps
+    // every product far under int64). Users with one event carry no
+    // interval and are excluded by the lead-null filter — the documented
+    // contract. Scale shape (100 TB): one user-keyed window + one
+    // map-side-combined aggregate; output ∝ |users|.
+    "r11_time_weighted_avg" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      Tables(s, dir).events
+        .select($"user_id", $"event_id",
+                expr("cast(round(value * 100) as bigint)").as("cents"),
+                unix_micros($"ts").as("us"))
+        .withColumn("next_us", lead($"us", 1).over(w))
+        .filter($"next_us".isNotNull)
+        .withColumn("dt_s", expr("(next_us - us) div 1000000"))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+             sum($"dt_s").as("total_s"),
+             sum($"cents" * $"dt_s").as("wsum"))
+        .filter($"total_s" > 0)
+        .withColumn("twa_cents", expr("wsum div total_s"))
+        .select($"user_id", $"n_intervals", $"total_s", $"twa_cents")
+        .orderBy($"user_id")
+    },
     // r1: for each click, the most recent error at-or-before it per user
     "r1_asof_join" -> { (s, dir) =>
       import s.implicits._
@@ -302,6 +331,25 @@ object Temporal extends QueryPack {
   )
 
   val oracle: Map[String, String] = Map(
+    "r11_time_weighted_avg" -> """
+      WITH ev AS (
+        SELECT user_id, event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               epoch_us(ts) AS us
+        FROM events),
+      iv AS (
+        SELECT user_id, cents,
+               (lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                 - us) // 1000000 AS dt_s
+        FROM ev),
+      g AS (
+        SELECT user_id, COUNT(*)::BIGINT AS n_intervals,
+               SUM(dt_s)::BIGINT AS total_s,
+               SUM(cents * dt_s)::BIGINT AS wsum
+        FROM iv WHERE dt_s IS NOT NULL GROUP BY 1)
+      SELECT user_id, n_intervals, total_s,
+             (wsum // total_s)::BIGINT AS twa_cents
+      FROM g WHERE total_s > 0 ORDER BY user_id""",
     "r10_bitemporal_snapshot" -> """
       WITH vers AS (
         SELECT o_orderkey, o_orderstatus, v::BIGINT AS tx_seq,

@@ -689,6 +689,65 @@ class MonitoringOpsSpec extends AnyFunSuite {
     assert(got.values.exists(!_._3) && got.values.exists(_._3))
   }
 
+  test("r11: time-weighted averages equal a serial per-user replay") {
+    import spark.implicits._
+    val ev = Tables(spark, sf).events
+      .select($"user_id", $"event_id",
+        expr("cast(round(value * 100) as bigint)").as("cents"),
+        unix_micros($"ts").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).flatMap { case (uid, g) =>
+      val ordered = g.sortBy(e => (e._4, e._2))
+      val ivs = ordered.zip(ordered.drop(1)).map { case (a, b) =>
+        (a._3, (b._4 - a._4) / 1000000L)
+      }
+      val totalS = ivs.map(_._2).sum
+      if (ivs.isEmpty || totalS <= 0) None
+      else Some(uid -> (ivs.length.toLong, totalS,
+        ivs.map { case (c, d) => c * d }.sum / totalS))
+    }
+    val got = SparkEntry.queries("r11_time_weighted_avg")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want.toMap)
+    assert(got.nonEmpty)
+  }
+
+  test("dq18: Benford table closes; observed digits partition the ledger") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("dq18_benford_audit")(spark, sf).collect()
+    // the hardcoded expected table is a probability distribution in ppm
+    val expSum = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+                     66947L, 57992L, 51153L, 45757L).sum
+    assert(expSum == 1000000L, s"Benford ppm constants drifted: $expSum")
+    assert(rows.forall(r => r.getAs[Long]("digit") >= 1 &&
+                            r.getAs[Long]("digit") <= 9))
+    val nPos = Tables(spark, sf).orders
+      .filter(expr("cast(round(o_totalprice * 100) as bigint) > 0")).count()
+    assert(rows.map(_.getAs[Long]("n_obs")).sum == nPos)
+    val obsSum = rows.map(_.getAs[Long]("obs_ppm")).sum
+    assert(obsSum <= 1000000L && obsSum >= 1000000L - rows.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("abs_dev_ppm") ==
+        math.abs(r.getAs[Long]("obs_ppm") - r.getAs[Long]("exp_ppm")))
+    }
+  }
+
+  test("a13: group mode equals a plain recount with the smallest-value tiebreak") {
+    import spark.implicits._
+    val data = Tables(spark, sf).lineitem
+      .select($"l_returnflag", expr("cast(l_quantity as bigint)").as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = data.groupBy(_._1).map { case (f, g) =>
+      val counts = g.groupBy(_._2).map { case (q, o) => (q, o.length.toLong) }
+      val (mq, mn) = counts.toSeq.sortBy { case (q, n) => (-n, q) }.head
+      f -> (mq, mn, g.length.toLong)
+    }
+    val got = SparkEntry.queries("a13_group_mode")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == want)
+  }
+
   test("j12: grid-blocked geofence equals the brute-force radius scan") {
     import spark.implicits._
     val pts = Tables(spark, sf).customer
