@@ -773,6 +773,46 @@ object Relational extends QueryPack {
                 $"cum_rev_cents", $"ltv_cents")
         .orderBy($"cohort_ym", $"age")
     },
+    // c16: COMPOSED GROWTH REPORT — c13's one-verdict pattern applied to
+    // the GROWTH family: the dashboard a product review opens with, four
+    // shipped entries each contributing its headline number — w16's
+    // 7-day conversion completion (cum bp), w17's peak-hazard day and
+    // rate (when users convert fastest), w18's top credited channel
+    // (removal-effect winner), and w19's mature LTV (the first cohort's
+    // final cents-per-member). Each leg runs AS SHIPPED (composition
+    // adds no shuffle the standalone entries lack); the report reduces
+    // every leg to (stage, item, value) rows via bounded argmax/extrema
+    // over the legs' already-small outputs.
+    "c16_growth_report" -> { (s, dir) =>
+      import s.implicits._
+      val conv = queries("w16_conversion_lag")(s, dir)
+        .filter($"latency_days" <= 7)
+        .agg(coalesce(max($"cum_bp"), lit(0L)).as("v"))
+        .select(lit("conversion").as("stage"), lit("d7_cum_bp").as("item"),
+                $"v".as("value"))
+      val hzAgg = queries("w17_survival_hazard")(s, dir)
+        .agg(max(struct($"hazard_bp".as("h"), (-$"duration_days").as("negd")))
+          .as("m"))
+      val hz = hzAgg
+        .select(lit("hazard").as("stage"), lit("peak_day").as("item"),
+                (-$"m.negd").as("value"))
+        .unionByName(hzAgg.select(lit("hazard").as("stage"),
+          lit("peak_bp").as("item"), $"m.h".as("value")))
+      val at = queries("w18_markov_attribution")(s, dir)
+        .orderBy($"credit_bp".desc, $"channel").limit(1)
+        .select(lit("attribution").as("stage"), $"channel".as("item"),
+                $"credit_bp".as("value"))
+      val lt = queries("w19_cohort_ltv")(s, dir)
+      val ltv = lt
+        .join(broadcast(lt.agg(min($"cohort_ym").as("c0"))),
+              $"cohort_ym" === $"c0")
+        .agg(max(struct($"age", $"ltv_cents".as("l"))).as("m"))
+        .select(lit("ltv").as("stage"),
+                lit("first_cohort_final_cents").as("item"),
+                $"m.l".as("value"))
+      conv.unionByName(hz).unionByName(at).unionByName(ltv)
+        .orderBy($"stage", $"item")
+    },
     // w18: MARKOV REMOVAL-EFFECT ATTRIBUTION — the principled multi-touch
     // model w14's position/decay heuristics approximate: journeys are
     // user event sequences truncated at first purchase (START → events →
@@ -1936,73 +1976,61 @@ object Relational extends QueryPack {
     }.mkString(",\n      ")
   }
 
-  val oracle: Map[String, String] = Map(
-    "a13_group_mode" -> """
-      WITH c AS (
-        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
-               COUNT(*)::BIGINT AS n
-        FROM lineitem GROUP BY 1, 2),
-      pick AS (
-        SELECT l_returnflag, qty AS mode_qty, n AS n_mode
-        FROM c
-        QUALIFY row_number() OVER (PARTITION BY l_returnflag
-          ORDER BY n DESC, qty ASC) = 1),
-      tot AS (SELECT l_returnflag, SUM(n)::BIGINT AS n_rows FROM c GROUP BY 1)
-      SELECT p.l_returnflag, p.mode_qty, p.n_mode, t.n_rows
-      FROM pick p JOIN tot t USING (l_returnflag)
-      ORDER BY p.l_returnflag""",
-    // j12: the identical grid construction — the centers' 3×3
-    // neighborhoods as a lateral 9-row expansion, exact integer distance
-    "j12_spatial_join" -> s"""
-      WITH pts AS (
-        SELECT c_custkey AS id,
-               (c_custkey * 48271 + 7) % ${Tx.P} % 1000000 AS x,
-               (c_custkey * 16807 + 11) % ${Tx.P} % 1000000 AS y
-        FROM customer),
-      wc AS (SELECT id, x, y, (x // 50000) * 4096 + (y // 50000) AS cell
-             FROM pts),
-      centers AS (
-        SELECT id AS cid, x AS xc, y AS yc,
-               x // 50000 AS ccx, y // 50000 AS ccy
-        FROM pts WHERE id < 100),
-      probe AS (
-        SELECT cid, xc, yc, (ccx + dx.d) * 4096 + ccy + dy.d AS cell
-        FROM centers,
-             (SELECT unnest(range(-1, 2)) AS d) dx,
-             (SELECT unnest(range(-1, 2)) AS d) dy),
-      hits AS (
-        SELECT cid, COUNT(*)::BIGINT AS n_within,
-               SUM((x - xc) * (x - xc) + (y - yc) * (y - yc))::BIGINT AS sum_d2
-        FROM wc JOIN probe USING (cell)
-        WHERE (x - xc) * (x - xc) + (y - yc) * (y - yc) <= 2500000000
-        GROUP BY cid)
-      SELECT c.cid, COALESCE(h.n_within, 0) AS n_within,
-             COALESCE(h.sum_d2, 0) AS sum_d2
-      FROM centers c LEFT JOIN hits h USING (cid)
-      ORDER BY c.cid""",
-    "w19_cohort_ltv" -> """
-      WITH ev AS (
-        SELECT user_id, event_type, value,
-               (year(ts) * 12 + month(ts) - 1)::BIGINT AS em
-        FROM events),
-      cohort AS (SELECT user_id, MIN(em) AS cm FROM ev GROUP BY 1),
-      cs AS (SELECT cm, COUNT(*)::BIGINT AS cohort_n FROM cohort GROUP BY 1),
-      cell AS (
-        SELECT cm, em - cm AS age,
-               COUNT(DISTINCT e.user_id)::BIGINT AS n_active,
-               SUM(CASE WHEN event_type = 'purchase'
-                   THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT
-                 AS rev_cents
-        FROM ev e JOIN cohort USING (user_id)
-        GROUP BY 1, 2)
-      SELECT (cm // 12) * 100 + (cm % 12) + 1 AS cohort_ym, age,
-             cohort_n, n_active, rev_cents,
-             SUM(rev_cents) OVER w::BIGINT AS cum_rev_cents,
-             (SUM(rev_cents) OVER w // cohort_n)::BIGINT AS ltv_cents
-      FROM cell JOIN cs USING (cm)
-      WINDOW w AS (PARTITION BY cm ORDER BY age ROWS UNBOUNDED PRECEDING)
-      ORDER BY cohort_ym, age""",
-    "w18_markov_attribution" -> s"""
+  /** w16/w17/w18/w19 oracle statements, extracted so c16 can nest each
+    * leg verbatim (the d21Sql/d22 pattern). */
+  private lazy val w16Sql: String = """
+      WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      fv AS (SELECT user_id, MIN(us) AS v_us FROM ev
+             WHERE event_type = 'view' GROUP BY 1),
+      conv AS (
+        SELECT e.user_id, fv.v_us, MIN(e.us) AS p_us
+        FROM ev e JOIN fv USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.us >= fv.v_us
+        GROUP BY e.user_id, fv.v_us),
+      hist AS (
+        SELECT (p_us - v_us) // 86400000000 AS latency_days,
+               COUNT(*)::BIGINT AS n_users
+        FROM conv GROUP BY 1),
+      tot AS (SELECT SUM(n_users)::BIGINT AS n_tot FROM hist)
+      SELECT latency_days, n_users,
+             SUM(n_users) OVER (ORDER BY latency_days
+               ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users,
+             (SUM(n_users) OVER (ORDER BY latency_days
+                ROWS UNBOUNDED PRECEDING) * 10000
+               // (SELECT n_tot FROM tot))::BIGINT AS cum_bp
+      FROM hist ORDER BY latency_days"""
+  private lazy val w17Sql: String = """
+      WITH ev AS (SELECT user_id, event_type, value, epoch_us(ts) AS us
+                  FROM events),
+      entry AS (SELECT user_id, MIN(us) AS v_us FROM ev
+                WHERE event_type = 'view' GROUP BY 1),
+      conv AS (
+        SELECT e.user_id, MIN(e.us) AS p_us
+        FROM ev e JOIN entry USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.value >= 100.0
+          AND e.us >= entry.v_us
+        GROUP BY e.user_id),
+      mx AS (SELECT MAX(us) AS m_us FROM ev),
+      dur AS (
+        SELECT CASE WHEN p_us IS NOT NULL THEN (p_us - v_us) // 86400000000
+                    ELSE (m_us - v_us) // 86400000000 END AS d,
+               p_us IS NOT NULL AS observed
+        FROM entry LEFT JOIN conv USING (user_id) CROSS JOIN mx),
+      hist AS (
+        SELECT d, SUM(CASE WHEN observed THEN 1 ELSE 0 END)::BIGINT AS n_events,
+               SUM(CASE WHEN NOT observed THEN 1 ELSE 0 END)::BIGINT AS n_censored
+        FROM dur GROUP BY 1),
+      tot AS (SELECT COUNT(*)::BIGINT AS n_total FROM dur),
+      risk AS (
+        SELECT d, n_events, n_censored,
+               (n_total - COALESCE(SUM(n_events + n_censored) OVER
+                  (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0))::BIGINT AS n_at_risk
+        FROM hist CROSS JOIN tot)
+      SELECT d AS duration_days, n_at_risk, n_events, n_censored,
+             ((n_events * 10000) // n_at_risk)::BIGINT AS hazard_bp
+      FROM risk ORDER BY duration_days"""
+  private lazy val w18Sql: String = s"""
       WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events),
       ranked AS (
         SELECT *, row_number() OVER (PARTITION BY user_id
@@ -2058,7 +2086,104 @@ object Relational extends QueryPack {
              removed_ppm::BIGINT AS removed_ppm,
              effect_ppm::BIGINT AS effect_ppm,
              ((effect_ppm * 10000) // te)::BIGINT AS credit_bp
-      FROM eff2 CROSS JOIN tot ORDER BY channel""",
+      FROM eff2 CROSS JOIN tot ORDER BY channel"""
+  private lazy val w19Sql: String = """
+      WITH ev AS (
+        SELECT user_id, event_type, value,
+               (year(ts) * 12 + month(ts) - 1)::BIGINT AS em
+        FROM events),
+      cohort AS (SELECT user_id, MIN(em) AS cm FROM ev GROUP BY 1),
+      cs AS (SELECT cm, COUNT(*)::BIGINT AS cohort_n FROM cohort GROUP BY 1),
+      cell AS (
+        SELECT cm, em - cm AS age,
+               COUNT(DISTINCT e.user_id)::BIGINT AS n_active,
+               SUM(CASE WHEN event_type = 'purchase'
+                   THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)::BIGINT
+                 AS rev_cents
+        FROM ev e JOIN cohort USING (user_id)
+        GROUP BY 1, 2)
+      SELECT (cm // 12) * 100 + (cm % 12) + 1 AS cohort_ym, age,
+             cohort_n, n_active, rev_cents,
+             SUM(rev_cents) OVER w::BIGINT AS cum_rev_cents,
+             (SUM(rev_cents) OVER w // cohort_n)::BIGINT AS ltv_cents
+      FROM cell JOIN cs USING (cm)
+      WINDOW w AS (PARTITION BY cm ORDER BY age ROWS UNBOUNDED PRECEDING)
+      ORDER BY cohort_ym, age"""
+
+  val oracle: Map[String, String] = Map(
+    // c16: each leg's full oracle nested verbatim; the report reduces
+    // them to the same (stage, item, value) headline rows
+    "c16_growth_report" -> s"""
+      WITH conv AS (SELECT * FROM ($w16Sql) w),
+      hz AS (SELECT * FROM ($w17Sql) w),
+      att AS (SELECT * FROM ($w18Sql) w),
+      lt AS (SELECT * FROM ($w19Sql) w)
+      SELECT stage, item, value FROM (
+        SELECT 'conversion' AS stage, 'd7_cum_bp' AS item,
+               COALESCE((SELECT MAX(cum_bp) FROM conv
+                         WHERE latency_days <= 7), 0)::BIGINT AS value
+        UNION ALL
+        SELECT 'hazard', 'peak_day',
+               (SELECT duration_days FROM hz
+                ORDER BY hazard_bp DESC, duration_days LIMIT 1)::BIGINT
+        UNION ALL
+        SELECT 'hazard', 'peak_bp', (SELECT MAX(hazard_bp) FROM hz)::BIGINT
+        UNION ALL
+        SELECT 'attribution',
+               (SELECT channel FROM att ORDER BY credit_bp DESC, channel LIMIT 1),
+               (SELECT credit_bp FROM att
+                ORDER BY credit_bp DESC, channel LIMIT 1)::BIGINT
+        UNION ALL
+        SELECT 'ltv', 'first_cohort_final_cents',
+               (SELECT ltv_cents FROM lt
+                WHERE cohort_ym = (SELECT MIN(cohort_ym) FROM lt)
+                ORDER BY age DESC LIMIT 1)::BIGINT) u
+      ORDER BY stage, item""",
+    "a13_group_mode" -> """
+      WITH c AS (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+               COUNT(*)::BIGINT AS n
+        FROM lineitem GROUP BY 1, 2),
+      pick AS (
+        SELECT l_returnflag, qty AS mode_qty, n AS n_mode
+        FROM c
+        QUALIFY row_number() OVER (PARTITION BY l_returnflag
+          ORDER BY n DESC, qty ASC) = 1),
+      tot AS (SELECT l_returnflag, SUM(n)::BIGINT AS n_rows FROM c GROUP BY 1)
+      SELECT p.l_returnflag, p.mode_qty, p.n_mode, t.n_rows
+      FROM pick p JOIN tot t USING (l_returnflag)
+      ORDER BY p.l_returnflag""",
+    // j12: the identical grid construction — the centers' 3×3
+    // neighborhoods as a lateral 9-row expansion, exact integer distance
+    "j12_spatial_join" -> s"""
+      WITH pts AS (
+        SELECT c_custkey AS id,
+               (c_custkey * 48271 + 7) % ${Tx.P} % 1000000 AS x,
+               (c_custkey * 16807 + 11) % ${Tx.P} % 1000000 AS y
+        FROM customer),
+      wc AS (SELECT id, x, y, (x // 50000) * 4096 + (y // 50000) AS cell
+             FROM pts),
+      centers AS (
+        SELECT id AS cid, x AS xc, y AS yc,
+               x // 50000 AS ccx, y // 50000 AS ccy
+        FROM pts WHERE id < 100),
+      probe AS (
+        SELECT cid, xc, yc, (ccx + dx.d) * 4096 + ccy + dy.d AS cell
+        FROM centers,
+             (SELECT unnest(range(-1, 2)) AS d) dx,
+             (SELECT unnest(range(-1, 2)) AS d) dy),
+      hits AS (
+        SELECT cid, COUNT(*)::BIGINT AS n_within,
+               SUM((x - xc) * (x - xc) + (y - yc) * (y - yc))::BIGINT AS sum_d2
+        FROM wc JOIN probe USING (cell)
+        WHERE (x - xc) * (x - xc) + (y - yc) * (y - yc) <= 2500000000
+        GROUP BY cid)
+      SELECT c.cid, COALESCE(h.n_within, 0) AS n_within,
+             COALESCE(h.sum_d2, 0) AS sum_d2
+      FROM centers c LEFT JOIN hits h USING (cid)
+      ORDER BY c.cid""",
+    "w19_cohort_ltv" -> w19Sql,
+    "w18_markov_attribution" -> w18Sql,
     "u7_union_by_name" -> """
       SELECT o_orderkey, o_custkey, o_totalprice FROM (
         SELECT o_orderkey, o_custkey, o_totalprice
@@ -2843,58 +2968,8 @@ object Relational extends QueryPack {
     // with the residue on the first touch
     // w16: first-view/first-qualifying-purchase per user, day-bucketed
     // latency histogram with the cumulative share over the day frame
-    "w16_conversion_lag" -> """
-      WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-      fv AS (SELECT user_id, MIN(us) AS v_us FROM ev
-             WHERE event_type = 'view' GROUP BY 1),
-      conv AS (
-        SELECT e.user_id, fv.v_us, MIN(e.us) AS p_us
-        FROM ev e JOIN fv USING (user_id)
-        WHERE e.event_type = 'purchase' AND e.us >= fv.v_us
-        GROUP BY e.user_id, fv.v_us),
-      hist AS (
-        SELECT (p_us - v_us) // 86400000000 AS latency_days,
-               COUNT(*)::BIGINT AS n_users
-        FROM conv GROUP BY 1),
-      tot AS (SELECT SUM(n_users)::BIGINT AS n_tot FROM hist)
-      SELECT latency_days, n_users,
-             SUM(n_users) OVER (ORDER BY latency_days
-               ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_users,
-             (SUM(n_users) OVER (ORDER BY latency_days
-                ROWS UNBOUNDED PRECEDING) * 10000
-               // (SELECT n_tot FROM tot))::BIGINT AS cum_bp
-      FROM hist ORDER BY latency_days""",
-    "w17_survival_hazard" -> """
-      WITH ev AS (SELECT user_id, event_type, value, epoch_us(ts) AS us
-                  FROM events),
-      entry AS (SELECT user_id, MIN(us) AS v_us FROM ev
-                WHERE event_type = 'view' GROUP BY 1),
-      conv AS (
-        SELECT e.user_id, MIN(e.us) AS p_us
-        FROM ev e JOIN entry USING (user_id)
-        WHERE e.event_type = 'purchase' AND e.value >= 100.0
-          AND e.us >= entry.v_us
-        GROUP BY e.user_id),
-      mx AS (SELECT MAX(us) AS m_us FROM ev),
-      dur AS (
-        SELECT CASE WHEN p_us IS NOT NULL THEN (p_us - v_us) // 86400000000
-                    ELSE (m_us - v_us) // 86400000000 END AS d,
-               p_us IS NOT NULL AS observed
-        FROM entry LEFT JOIN conv USING (user_id) CROSS JOIN mx),
-      hist AS (
-        SELECT d, SUM(CASE WHEN observed THEN 1 ELSE 0 END)::BIGINT AS n_events,
-               SUM(CASE WHEN NOT observed THEN 1 ELSE 0 END)::BIGINT AS n_censored
-        FROM dur GROUP BY 1),
-      tot AS (SELECT COUNT(*)::BIGINT AS n_total FROM dur),
-      risk AS (
-        SELECT d, n_events, n_censored,
-               (n_total - COALESCE(SUM(n_events + n_censored) OVER
-                  (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                  0))::BIGINT AS n_at_risk
-        FROM hist CROSS JOIN tot)
-      SELECT d AS duration_days, n_at_risk, n_events, n_censored,
-             ((n_events * 10000) // n_at_risk)::BIGINT AS hazard_bp
-      FROM risk ORDER BY duration_days""",
+    "w16_conversion_lag" -> w16Sql,
+    "w17_survival_hazard" -> w17Sql,
     // w15: adjacent-pair counts via lead(); share is integer bp of the
     // from-row total — both engines' window order pinned by (ts, event_id)
     "w15_markov_transitions" -> """

@@ -53,4 +53,30 @@ class MultiTouchSpec extends AnyFunSuite {
     // the removal machinery untested)
     assert(rows.forall(_.getAs[Long]("effect_ppm") > 0))
   }
+
+  test("c16: every headline equals its standalone leg's recomputation") {
+    val rep = SparkEntry.queries("c16_growth_report")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val w16 = SparkEntry.queries("w16_conversion_lag")(spark, sf).collect()
+    val d7 = w16.filter(_.getAs[Long]("latency_days") <= 7)
+      .map(_.getAs[Long]("cum_bp")).maxOption.getOrElse(0L)
+    assert(rep(("conversion", "d7_cum_bp")) == d7)
+    val w17 = SparkEntry.queries("w17_survival_hazard")(spark, sf).collect()
+    val peak = w17.maxBy(r =>
+      (r.getAs[Long]("hazard_bp"), -r.getAs[Long]("duration_days")))
+    assert(rep(("hazard", "peak_day")) == peak.getAs[Long]("duration_days"))
+    assert(rep(("hazard", "peak_bp")) == peak.getAs[Long]("hazard_bp"))
+    val topAsc = SparkEntry.queries("w18_markov_attribution")(spark, sf)
+      .collect()
+      .sortBy(r => (-r.getAs[Long]("credit_bp"), r.getString(0))).head
+    assert(rep(("attribution", topAsc.getString(0))) ==
+      topAsc.getAs[Long]("credit_bp"))
+    val w19 = SparkEntry.queries("w19_cohort_ltv")(spark, sf).collect()
+    val c0 = w19.map(_.getAs[Long]("cohort_ym")).min
+    val mature = w19.filter(_.getAs[Long]("cohort_ym") == c0)
+      .maxBy(_.getAs[Long]("age"))
+    assert(rep(("ltv", "first_cohort_final_cents")) ==
+      mature.getAs[Long]("ltv_cents"))
+    assert(rep.size == 5)
+  }
 }
