@@ -63,7 +63,12 @@ class PlanAuditSpec extends AnyFunSuite {
     "x28_vocab_growth" -> 1,
     // e32's cumulative runs over the latency-day histogram (w16's
     // allowlisted class), off the final stream-state table.
-    "e32_stream_conversion_lag" -> 1)
+    "e32_stream_conversion_lag" -> 1,
+    // c16 composes w16 + w17 as shipped — both calendar-bounded
+    // histogram windows appear (w17's contributes twice: the peak
+    // argmax re-references the risk-set subtree, c13's plan-occurrence
+    // situation; physical exchange reuse collapses them).
+    "c16_growth_report" -> 3)
 
   test("no data-scale unpartitioned Window in any query plan") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
