@@ -427,9 +427,12 @@ object Dedup extends QueryPack {
     // (d2/d4/d15) find duplicates WITHIN one corpus; the integration
     // question is CROSS-CATALOG: every record of a dirty feed (here:
     // middle slices of documents, the partial-text case ETL actually
-    // sees) must be ASSIGNED its best match in the clean catalog — a
-    // fuzzy LEFT JOIN with exactly one winner per probe, not a pair
-    // list. Blocking is d4's machinery verbatim (hashed 4-token
+    // sees) is ASSIGNED its best match in the clean catalog — an INNER
+    // fuzzy join with exactly one winner per probe, not a pair list
+    // (probes whose shingles are all df-capped or match no candidate
+    // emit nothing; a deployment wanting them surfaced left-joins the
+    // probe set back — round-9 advice pinned this wording to the code).
+    // Blocking is d4's machinery verbatim (hashed 4-token
     // shingles, groupBy df-cap with anti join — a viral shingle never
     // concentrates); scoring is CONTAINMENT (|∩| / |probe|, integer bp)
     // because a slice's shingles are a subset of its origin's — plain

@@ -296,12 +296,16 @@ object Formats extends QueryPack {
         val base = orders.filter($"o_orderkey" % 10 =!= 7)
         val years = base.select($"yr").distinct()
           .collect().map(_.getInt(0)).sorted
+        // drop the staging-only yr column before writing: every manifest
+        // entry must share ONE schema — append_1 has no yr, and a mixed-
+        // schema multi-dir read without mergeSchema picks a file-order-
+        // dependent schema (round-9 advice)
         years.foreach { y =>
-          base.filter($"yr" === y)
+          base.filter($"yr" === y).drop("yr")
             .write.mode("overwrite").parquet(s"$p/y${y}_v1")
         }
         val minYr = years.min
-        base.filter($"yr" === minYr).coalesce(1)
+        base.filter($"yr" === minYr).drop("yr").coalesce(1)
           .write.mode("overwrite").parquet(s"$p/y${minYr}_compact")
         orders.filter($"o_orderkey" % 10 === 7).drop("yr")
           .write.mode("overwrite").parquet(s"$p/append_1")
@@ -332,6 +336,213 @@ object Formats extends QueryPack {
         .select(lit("diff").as("src"),
                 ($"n2" - $"n1").as("n_rows"), ($"c2" - $"c1").as("cents"))
       inc.unionByName(diff).orderBy($"src")
+    },
+    // k22: SPEC-DRIVEN DATASOURCE V2 SCAN — the FileSpec system exposed as
+    // a Spark TableProvider (sources/SpecCsvTable.scala scaladoc): spec-
+    // declared all-string schema, the mapping's filter_rules applied
+    // INSIDE the scan with the reference's skip semantics (here: skip
+    // o_orderstatus = 'P' — dynamic.py:57-82 polarity), Catalyst filters
+    // pushed down (the isin → In filter evaluates while parsing; rejected
+    // rows never allocate), columns pruned to the 3 the query touches,
+    // one partition per globbed CSV file. Oracle recomputes the same
+    // gate + aggregate from the original parquet, so a green row pins
+    // spec parsing, CSV decode, skip rules, pushdown AND projection.
+    // SpecSourceSpec pins the plan (PushedFilters/ReadSchema on the
+    // custom scan), the partition count, and the engine-twin equality.
+    "k22_dsv2_spec_source" -> { (s, dir) =>
+      import s.implicits._
+      val feed = Scratch.staged(s"k22_csv#$dir", "k22_csv") { p =>
+        Tables(s, dir).orders
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+          .repartition(4, $"o_orderkey")
+          // escape=" → RFC-4180 doubled quotes, the reference's csv dialect
+          .write.mode("overwrite").option("header", true)
+          .option("escape", "\"").csv(p)
+      }
+      s.read.format("graft.sources.SpecCsvTable")
+        .option("spec", k22SpecJson)
+        .option("mapping", k22MappingJson)
+        .option("path", s"$feed/*.csv")
+        .load()
+        .filter($"o_orderkey".contains("7"))
+        .select($"o_orderstatus", $"o_totalprice")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+             sum(expr("cast(round(cast(o_totalprice as double) * 100) as bigint)"))
+               .as("sum_cents"))
+        .orderBy($"o_orderstatus")
+    },
+    // k24: EXCEL (.xlsx) ROUND-TRIP — the reference's top "Additional Data
+    // Sources" roadmap row (ROADMAP.md:40 "Excel files (.xlsx, .xls)"),
+    // shipped as a genuine custom source: no spreadsheet library on this
+    // classpath, so graft.sources.XlsxTable hand-rolls the OOXML zip
+    // (inline-string SpreadsheetML, one part-NNNNN.xlsx per partition)
+    // and StAX-parses it back, the AvroTable pattern. Oracle aggregates
+    // the ORIGINAL parquet — a green row pins the whole encode/escape/
+    // decode path, not just "files exist". Money crosses as exact BIGINT
+    // cents (floats through decimal text would be the classic xlsx data
+    // bug). Scale shape: per-partition encode/decode, no shuffle; an
+    // .xlsx zip is not block-splittable, so parallelism = file count,
+    // which mirrors write parallelism like the Avro source.
+    "k24_xlsx_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      val proj = Tables(s, dir).orders.select(
+        $"o_orderkey", $"o_orderstatus",
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      val tmp = Scratch.staged(s"k24_xlsx#$dir", "k24_xlsx") { p =>
+        graft.sources.XlsxTable.write(proj, p)
+      }
+      graft.sources.XlsxTable.read(s, tmp, proj.schema)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+             sum($"cents").as("sum_cents"),
+             sum($"o_orderkey").as("sum_keys"))
+        .orderBy($"o_orderstatus")
+    },
+    // k26: SCHEMA INTROSPECTION — reference ROADMAP.md:33 ("Schema
+    // introspection for automatic column detection"): infer each raw CSV
+    // column's ColumnType (models.py:10-17's vocabulary — integer/float/
+    // date/datetime/boolean/string) from the DATA. One pass: the
+    // all-string frame unpivots via stack() to (col, value) — dq2's
+    // one-pass profile shape, shuffle keyed on the BOUNDED column list —
+    // then per-column counts of regex-shaped values decide the type by
+    // priority CASE (all-bool → boolean, all-int → integer, int+frac →
+    // float, …). Deterministic regex rules, replayed verbatim by the
+    // oracle, so both engines infer the same spec. Scale shape (100 TB):
+    // introspection is ONE map-side-combined aggregate; production
+    // samples N rows first — same plan with a LIMIT pushed to the scan.
+    "k26_schema_introspect" -> { (s, dir) =>
+      import s.implicits._
+      val feed = Scratch.staged(s"k26_csv#$dir", "k26_csv") { p =>
+        Tables(s, dir).orders
+          .withColumn("cents", expr("cast(round(o_totalprice * 100) as bigint)"))
+          .select(
+          $"o_orderkey".cast("string").as("id_col"),
+          // decimal text built from exact cents — double→string rendering
+          // must not differ between the engines' oracle replays
+          concat(expr("cast(cents div 100 as string)"), lit("."),
+                 lpad(expr("cast(cents % 100 as string)"), 2, "0")).as("price_col"),
+          date_format($"o_orderdate", "yyyy-MM-dd").as("date_col"),
+          date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("dt_col"),
+          when(pmod($"o_orderkey", lit(2)) === 0, "true").otherwise("false")
+            .as("flag_col"),
+          $"o_orderstatus".as("status_col"))
+          .repartition(2)
+          .write.mode("overwrite").option("header", true).csv(p)
+      }
+      val spec = graft.spec.FileSpec(id = "k26", name = "k26", columns =
+        Seq("id_col", "price_col", "date_col", "dt_col", "flag_col", "status_col")
+          .map(graft.spec.ColumnSpec(_)))
+      val raw = graft.engine.CsvSource.read(s, s"$feed/*.csv", spec)
+      val long = raw.selectExpr(
+        """stack(6, 'id_col', id_col, 'price_col', price_col,
+                    'date_col', date_col, 'dt_col', dt_col,
+                    'flag_col', flag_col, 'status_col', status_col)
+           as (col, value)""")
+      long.filter($"value" =!= "")
+        .groupBy($"col")
+        .agg(count(lit(1)).as("n_values"),
+             countDistinct($"value").as("n_distinct"),
+             sum(when($"value".rlike("^-?[0-9]+$"), 1L).otherwise(0L)).as("ni"),
+             sum(when($"value".rlike("^-?[0-9]+\\.[0-9]+$"), 1L).otherwise(0L)).as("nf"),
+             sum(when($"value".rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"), 1L).otherwise(0L)).as("nd"),
+             sum(when($"value".rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}$"), 1L).otherwise(0L)).as("ndt"),
+             sum(when($"value".isin("true", "false"), 1L).otherwise(0L)).as("nb"))
+        .select($"col",
+          when($"nb" === $"n_values", "boolean")
+            .when($"ni" === $"n_values", "integer")
+            .when($"ni" + $"nf" === $"n_values" && $"nf" > 0, "float")
+            .when($"nd" === $"n_values", "date")
+            .when($"ndt" === $"n_values", "datetime")
+            .otherwise("string").as("inferred_type"),
+          $"n_values", $"n_distinct")
+        .orderBy($"col")
+    },
+    // k27: TRANSACTION ROLLBACK ON ERROR — reference ROADMAP.md:36
+    // ("Transaction support with rollback on errors"), the JDBC twin of
+    // K3's fail_on_error gate (Runner's two-phase validate→write): a
+    // batch whose ANY row violates the destination's PK must leave the
+    // table EXACTLY as before — no partial rows. Staged once: preload
+    // (% 10 = 0 keys) → a single-transaction insert of ALL keyed rows
+    // (deliberately including the preloaded dupes; first violation
+    // aborts, rollback) → snapshot proves post_failure == preload →
+    // clean retry inserting only the new keys commits. The entry emits
+    // the three phase snapshots; the oracle recomputes each from
+    // parquet, so a green row pins ATOMICITY (any partial insert
+    // surviving the rollback breaks 'post_failure'). Scale note: the
+    // all-or-nothing single transaction IS the reference's conversion
+    // semantics; at warehouse scale the same code runs per-partition
+    // transactions with per-partition retry (k23's executor loop).
+    "k27_jdbc_transaction" -> { (s, dir) =>
+      import s.implicits._
+      val root = jdbcTxnRoot(s, dir)
+      val snaps = s.read.option("header", true)
+        .schema("phase STRING, n_rows LONG, sum_cents LONG")
+        .csv(s"$root/snapshots.csv")
+      val fin = s.read.jdbc(s"jdbc:derby:$root/db", "ORDERS_K27", derbyProps)
+        .agg(count(lit(1)).as("n_rows"), sum($"CENTS").as("sum_cents"))
+        .select(lit("z_final").as("phase"), $"n_rows", $"sum_cents")
+      snaps.unionByName(fin).orderBy($"phase")
+    },
+    // k25: XML ROUND-TRIP — reference ROADMAP.md:41 ("XML files"), the
+    // third hand-rolled interchange source (sources/XmlTable.scala:
+    // record-oriented <rows>/<row>/<col> documents, StAX both ways,
+    // name-matched elements so column order never matters, omitted
+    // elements = null). Oracle aggregates the ORIGINAL parquet; money
+    // crosses as BIGINT cents like k24. Scale shape: per-partition
+    // encode/decode, parallelism = file count (XML isn't splittable).
+    "k25_xml_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      val proj = Tables(s, dir).customer.select(
+        $"c_custkey", $"c_mktsegment",
+        expr("cast(round(c_acctbal * 100) as bigint)").as("bal_cents"))
+      val tmp = Scratch.staged(s"k25_xml#$dir", "k25_xml") { p =>
+        graft.sources.XmlTable.write(proj, p)
+      }
+      graft.sources.XmlTable.read(s, tmp, proj.schema)
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+             sum($"bal_cents").as("sum_cents"),
+             sum($"c_custkey").as("sum_keys"))
+        .orderBy($"c_mktsegment")
+    },
+    // k23: JDBC ROUND-TRIP + BATCH UPSERT — the OLTP leg the lakehouse
+    // entries don't cover (reference ROADMAP.md:19-36, its top-ranked
+    // planned feature: "database destinations"). An embedded Derby server
+    // (the JDBC engine on this classpath) stands in for the warehouse:
+    //   1. BULK LOAD: Spark's native JDBC sink appends the base projection
+    //      (l_orderkey % 10 ≠ 7, money as exact BIGINT cents — Derby
+    //      DECIMAL caps at 31 digits, so the repo's cents convention IS
+    //      the interchange type) into a PK(l_orderkey, l_linenumber)
+    //      table created up front — batched inserts per input partition,
+    //      no shuffle, parallel by split.
+    //   2. BATCH UPSERT (u6's MERGE shape pointed at JDBC): the update
+    //      feed = doubled quantities for % 10 = 3 keys (hit existing PKs)
+    //      UNION the held-out % 10 = 7 rows (new PKs). Derby 10.16 has no
+    //      MERGE statement, so each executor partition runs the classic
+    //      prepared UPDATE-then-INSERT-if-zero loop in JDBC batches —
+    //      exactly how production Spark jobs upsert into Postgres/MySQL.
+    //   3. PARALLEL READ-BACK: spark.read.jdbc partitioned on l_orderkey
+    //      (8 range predicates → 8 concurrent result sets), then the
+    //      aggregate; the oracle recomputes the merged end-state from the
+    //      original parquet, so a green row pins load + upsert + read.
+    // Scale shape (100 TB): the relational side holds the OLTP working
+    // set, not the corpus; Spark touches it only through partitioned
+    // range scans and per-partition batched statements — no driver-side
+    // row loop anywhere (the driver issues DDL only).
+    "k23_jdbc_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      val url = jdbcUpsertedUrl(s, dir)
+      val props = derbyProps
+      val bounds = Tables(s, dir).lineitem
+        .agg(min($"l_orderkey"), max($"l_orderkey")).head()
+      val back = s.read.jdbc(url, "LINEITEM_K23", "L_ORDERKEY",
+        bounds.getLong(0), bounds.getLong(1) + 1, 8, props)
+      back.groupBy($"L_RETURNFLAG".as("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+             sum($"QTY").as("sum_qty"),
+             sum($"CENTS").as("sum_cents"))
+        .orderBy($"l_returnflag")
     },
     // k16: SNAPSHOT EXPIRATION (vacuum) — the lifecycle twin of k13's
     // time travel: versions accumulate immutable files forever unless a
@@ -1019,6 +1230,167 @@ object Formats extends QueryPack {
     }
   }
 
+  /** k22's spec + mapping, in the reference store's JSON format — parsed
+    * back by the connector itself (SpecStore), so the option round-trips
+    * the same serializer the spec CRUD surface uses. */
+  private[catalog] val k22SpecJson: String = graft.spec.SpecJson.dumps(
+    graft.spec.SpecJson.fileSpecDict(graft.spec.FileSpec(
+      id = "orders_feed", name = "orders feed",
+      columns = Seq(
+        graft.spec.ColumnSpec("o_orderkey"),
+        graft.spec.ColumnSpec("o_orderstatus"),
+        graft.spec.ColumnSpec("o_totalprice")))))
+
+  private[catalog] val k22MappingJson: String = graft.spec.SpecJson.dumps(
+    graft.spec.SpecJson.etlMappingDict(graft.spec.ETLMapping(
+      id = "m_orders", name = "orders gate",
+      sourceId = "orders_feed", destinationId = "none",
+      filterRules = Seq(graft.spec.FilterRule(
+        field = "o_orderstatus", operator = "equals", value = Some("P"))))))
+
+  /** k27's staged database + phase snapshots (scaladoc on the entry):
+    * preload → failed all-or-nothing transaction (rollback) → snapshot →
+    * clean commit. Returns the staging root holding `db` and
+    * `snapshots.csv`. */
+  private def jdbcTxnRoot(s: SparkSession, dir: String): String =
+    Scratch.staged(s"k27_derby#$dir", "k27_derby") { p =>
+      import s.implicits._
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+      System.setProperty("derby.system.home", p)
+      val url = s"jdbc:derby:$p/db;create=true"
+      val c0 = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c0.createStatement()
+        st.executeUpdate("""CREATE TABLE ORDERS_K27 (
+          O_ORDERKEY BIGINT NOT NULL PRIMARY KEY, CENTS BIGINT)""")
+        st.close()
+      } finally c0.close()
+      val rows = Tables(s, dir).orders.select(
+        $"o_orderkey".as("O_ORDERKEY"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("CENTS"))
+      rows.filter($"O_ORDERKEY" % 10 === 0)
+        .write.mode("append").jdbc(url, "ORDERS_K27", derbyProps)
+      def snapshot(): (Long, Long) = {
+        val c = java.sql.DriverManager.getConnection(s"jdbc:derby:$p/db")
+        try {
+          val rs = c.createStatement().executeQuery(
+            "SELECT COUNT(*), COALESCE(SUM(CENTS), 0) FROM ORDERS_K27")
+          rs.next(); (rs.getLong(1), rs.getLong(2))
+        } finally c.close()
+      }
+      val pre = snapshot()
+      // the failing pass: ONE transaction over the whole batch (the
+      // reference's all-or-nothing conversion semantics) — a planted PK
+      // violation aborts it, and the rollback must erase every row the
+      // transaction already inserted
+      val dbPath = s"$p/db"
+      rows.coalesce(1).foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val c = java.sql.DriverManager.getConnection(s"jdbc:derby:$dbPath")
+        try {
+          c.setAutoCommit(false)
+          val ins = c.prepareStatement("INSERT INTO ORDERS_K27 VALUES (?, ?)")
+          try {
+            it.foreach { r =>
+              ins.setLong(1, r.getLong(0)); ins.setLong(2, r.getLong(1))
+              ins.executeUpdate()
+            }
+            c.commit() // unreachable with the planted dupes
+          } catch {
+            case _: java.sql.SQLException => c.rollback()
+          } finally ins.close()
+        } finally c.close()
+      }
+      val post = snapshot()
+      // clean retry: only the new keys, Spark's batched JDBC append
+      rows.filter($"O_ORDERKEY" % 10 =!= 0)
+        .write.mode("append").jdbc(s"jdbc:derby:$dbPath", "ORDERS_K27", derbyProps)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$p/snapshots.csv"),
+        s"phase,n_rows,sum_cents\na_preload,${pre._1},${pre._2}\n" +
+          s"b_post_failure,${post._1},${post._2}\n")
+    }
+
+  /** Spark-side JDBC properties for the embedded Derby engine. */
+  private def derbyProps: java.util.Properties = {
+    val p = new java.util.Properties()
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    p
+  }
+
+  /** k23's staged end-state: an embedded Derby database holding the bulk
+    * load plus the applied upsert batch, built ONCE per (JVM, dir) — the
+    * entry then only pays the partitioned read-back it is measuring.
+    * Returns the database's JDBC url (scaladoc on the k23 entry). */
+  private def jdbcUpsertedUrl(s: SparkSession, dir: String): String = {
+    val home = Scratch.staged(s"k23_derby#$dir", "k23_derby") { p =>
+      import s.implicits._
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+      // keep derby.log under scratch (only effective before first boot;
+      // harmless after — db paths below are absolute either way)
+      System.setProperty("derby.system.home", p)
+      val url = s"jdbc:derby:$p/db;create=true"
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        st.executeUpdate("""CREATE TABLE LINEITEM_K23 (
+          L_ORDERKEY BIGINT NOT NULL, L_LINENUMBER INT NOT NULL,
+          L_RETURNFLAG VARCHAR(1), QTY BIGINT, CENTS BIGINT,
+          PRIMARY KEY (L_ORDERKEY, L_LINENUMBER))""")
+        st.close()
+      } finally conn.close()
+      // the synthetic lineitem is NOT unique on (orderkey, linenumber), so
+      // the OLTP projection keys itself by one aggregate first — exactly
+      // what a load into a PK'd table does with an event-grained feed
+      val rows = Tables(s, dir).lineitem
+        .groupBy($"l_orderkey".as("L_ORDERKEY"),
+                 $"l_linenumber".cast("int").as("L_LINENUMBER"))
+        .agg(min($"l_returnflag").as("L_RETURNFLAG"),
+             sum(expr("cast(round(l_quantity) as bigint)")).as("QTY"),
+             sum(expr("cast(round(l_extendedprice * 100) as bigint)")).as("CENTS"))
+      // bulk load: Spark's JDBC sink, batched inserts per input partition
+      rows.filter($"L_ORDERKEY" % 10 =!= 7)
+        .write.mode("append").jdbc(url, "LINEITEM_K23", derbyProps)
+      // upsert feed: updates hit existing PKs, the held-out rows are new
+      val upserts = rows.filter($"L_ORDERKEY" % 10 === 3)
+          .withColumn("QTY", $"QTY" * 2)
+        .unionByName(rows.filter($"L_ORDERKEY" % 10 === 7))
+      val dbPath = s"$p/db"
+      upserts.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          // embedded engine, same JVM: one connection per task, UPDATE-
+          // then-INSERT-if-zero in JDBC batches with per-chunk commits
+          val c = java.sql.DriverManager.getConnection(s"jdbc:derby:$dbPath")
+          try {
+            c.setAutoCommit(false)
+            val up = c.prepareStatement(
+              """UPDATE LINEITEM_K23 SET L_RETURNFLAG = ?, QTY = ?, CENTS = ?
+                 WHERE L_ORDERKEY = ? AND L_LINENUMBER = ?""")
+            val ins = c.prepareStatement(
+              "INSERT INTO LINEITEM_K23 VALUES (?, ?, ?, ?, ?)")
+            it.grouped(500).foreach { chunk =>
+              chunk.foreach { r =>
+                up.setString(1, r.getString(2)); up.setLong(2, r.getLong(3))
+                up.setLong(3, r.getLong(4)); up.setLong(4, r.getLong(0))
+                up.setInt(5, r.getInt(1)); up.addBatch()
+              }
+              val counts = up.executeBatch()
+              chunk.iterator.zip(counts.iterator)
+                .filter(_._2 == 0).map(_._1).foreach { r =>
+                  ins.setLong(1, r.getLong(0)); ins.setInt(2, r.getInt(1))
+                  ins.setString(3, r.getString(2)); ins.setLong(4, r.getLong(3))
+                  ins.setLong(5, r.getLong(4)); ins.addBatch()
+                }
+              ins.executeBatch()
+              c.commit()
+            }
+            up.close(); ins.close()
+          } finally c.close()
+        }
+      }
+    }
+    s"jdbc:derby:$home/db"
+  }
+
   private val qtySql = """
       SELECT l_returnflag, COUNT(*) AS n,
              CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS DOUBLE) AS sum_qty
@@ -1026,6 +1398,98 @@ object Formats extends QueryPack {
 
   val oracle: Map[String, String] = Map(
     "k14_corrupt_quarantine" -> corruptAuditSql,
+    // k23: the merged end-state recomputed from the original parquet —
+    // base load (% 10 ≠ 7) + doubled-qty updates (% 10 = 3) + inserted
+    // held-out rows (% 10 = 7) collapses to "all rows, qty doubled where
+    // % 10 = 3"; a green row pins bulk load + upsert + partitioned read.
+    // k22: the scan-side gate (skip P) + pushed filter (key contains '7')
+    // + aggregate recomputed from the original parquet
+    "k22_dsv2_spec_source" -> """
+      SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS sum_cents
+      FROM orders
+      WHERE o_orderstatus <> 'P'
+        AND contains(CAST(o_orderkey AS VARCHAR), '7')
+      GROUP BY 1 ORDER BY 1""",
+    // k26: the staged raw strings re-derived inline, the same regex rules
+    // and priority CASE — both engines must infer the same spec
+    "k26_schema_introspect" -> """
+      WITH raw AS (
+        SELECT CAST(o_orderkey AS VARCHAR) AS id_col,
+               (cents // 100)::VARCHAR || '.' || lpad((cents % 100)::VARCHAR, 2, '0')
+                 AS price_col,
+               strftime(o_orderdate, '%Y-%m-%d') AS date_col,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS dt_col,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'true' ELSE 'false' END AS flag_col,
+               o_orderstatus AS status_col
+        FROM (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders) o),
+      long AS (
+        SELECT 'id_col' AS col, id_col AS value FROM raw
+        UNION ALL SELECT 'price_col', price_col FROM raw
+        UNION ALL SELECT 'date_col', date_col FROM raw
+        UNION ALL SELECT 'dt_col', dt_col FROM raw
+        UNION ALL SELECT 'flag_col', flag_col FROM raw
+        UNION ALL SELECT 'status_col', status_col FROM raw),
+      agg AS (
+        SELECT col, COUNT(*)::BIGINT AS n_values,
+               COUNT(DISTINCT value)::BIGINT AS n_distinct,
+               SUM(CASE WHEN regexp_full_match(value, '-?[0-9]+') THEN 1 ELSE 0 END) AS ni,
+               SUM(CASE WHEN regexp_full_match(value, '-?[0-9]+\.[0-9]+') THEN 1 ELSE 0 END) AS nf,
+               SUM(CASE WHEN regexp_full_match(value, '[0-9]{4}-[0-9]{2}-[0-9]{2}') THEN 1 ELSE 0 END) AS nd,
+               SUM(CASE WHEN regexp_full_match(value, '[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}') THEN 1 ELSE 0 END) AS ndt,
+               SUM(CASE WHEN value IN ('true', 'false') THEN 1 ELSE 0 END) AS nb
+        FROM long WHERE value <> '' GROUP BY col)
+      SELECT col,
+             CASE WHEN nb = n_values THEN 'boolean'
+                  WHEN ni = n_values THEN 'integer'
+                  WHEN ni + nf = n_values AND nf > 0 THEN 'float'
+                  WHEN nd = n_values THEN 'date'
+                  WHEN ndt = n_values THEN 'datetime'
+                  ELSE 'string' END AS inferred_type,
+             n_values, n_distinct
+      FROM agg ORDER BY col""",
+    // k27: every phase recomputed from parquet — 'b_post_failure' equal
+    // to 'a_preload' IS the rollback-atomicity pin
+    "k27_jdbc_transaction" -> """
+      WITH k AS (SELECT o_orderkey,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders)
+      SELECT 'a_preload' AS phase, COUNT(*)::BIGINT AS n_rows,
+             SUM(cents)::BIGINT AS sum_cents FROM k WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT 'b_post_failure', COUNT(*)::BIGINT, SUM(cents)::BIGINT
+      FROM k WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT 'z_final', COUNT(*)::BIGINT, SUM(cents)::BIGINT FROM k
+      ORDER BY phase""",
+    // k25: value preservation across the XML encode/decode
+    "k25_xml_roundtrip" -> """
+      SELECT c_mktsegment, COUNT(*)::BIGINT AS n,
+             SUM(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT AS sum_cents,
+             SUM(c_custkey)::BIGINT AS sum_keys
+      FROM customer GROUP BY 1 ORDER BY 1""",
+    // k24: value preservation across the xlsx encode/decode
+    "k24_xlsx_roundtrip" -> """
+      SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS sum_cents,
+             SUM(o_orderkey)::BIGINT AS sum_keys
+      FROM orders GROUP BY 1 ORDER BY 1""",
+    "k23_jdbc_roundtrip" -> """
+      WITH keyed AS (
+        SELECT l_orderkey, l_linenumber,
+               MIN(l_returnflag) AS l_returnflag,
+               SUM(CAST(round(l_quantity) AS BIGINT))::BIGINT AS qty,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS cents
+        FROM lineitem GROUP BY 1, 2),
+      fin AS (
+        SELECT l_returnflag,
+               CASE WHEN l_orderkey % 10 = 3 THEN qty * 2 ELSE qty END AS qty,
+               cents
+        FROM keyed)
+      SELECT l_returnflag, COUNT(*)::BIGINT AS n_rows,
+             SUM(qty)::BIGINT AS sum_qty, SUM(cents)::BIGINT AS sum_cents
+      FROM fin GROUP BY 1 ORDER BY 1""",
     // k15: the same aggregate must hold under every codec
     "k15_codec_sweep" -> """
       SELECT codec, l_returnflag, n, sum_qty

@@ -120,7 +120,10 @@ object Relational extends QueryPack {
     "a13_group_mode" -> { (s, dir) =>
       import s.implicits._
       Tables(s, dir).lineitem
-        .select($"l_returnflag", expr("cast(l_quantity as bigint)").as("qty"))
+        // round() before the bigint cast: Spark truncates double→bigint,
+        // DuckDB rounds half-even — explicit round keeps both engines on
+        // one rule for any future non-integral fixture (round-9 advice)
+        .select($"l_returnflag", expr("cast(round(l_quantity) as bigint)").as("qty"))
         .groupBy($"l_returnflag", $"qty").agg(count(lit(1)).as("n"))
         .groupBy($"l_returnflag")
         .agg(max(struct($"n", (-$"qty").as("negq"))).as("m"),
@@ -2030,6 +2033,14 @@ object Relational extends QueryPack {
       SELECT d AS duration_days, n_at_risk, n_events, n_censored,
              ((n_events * 10000) // n_at_risk)::BIGINT AS hazard_bp
       FROM risk ORDER BY duration_days"""
+  /** w18's removable-channel universe — the ONE list the oracle's scenario
+    * CTEs and effect rows are generated from (round-9 advice: the Spark
+    * side derives channels from data, so a fixture gaining a new pre-
+    * purchase event type must be added HERE or the engines diverge; the
+    * IN-subquery guard below can only drop listed channels absent from the
+    * data, never admit unlisted ones). */
+  private val W18Channels = Seq("click", "error", "signup", "view")
+
   private lazy val w18Sql: String = s"""
       WITH ev AS (SELECT user_id, event_id, ts, event_type FROM events),
       ranked AS (
@@ -2057,27 +2068,14 @@ object Relational extends QueryPack {
       m AS MATERIALIZED (SELECT m0.s, m0.t, (n * 1000000) // ns AS p
             FROM m0 JOIN rt USING (s)),
       ${markovScenSql("base", None)},
-      ${markovScenSql("click", Some("click"))},
-      ${markovScenSql("error", Some("error"))},
-      ${markovScenSql("signup", Some("signup"))},
-      ${markovScenSql("view", Some("view"))},
+      ${W18Channels.map(ch => markovScenSql(ch, Some(ch))).mkString(",\n      ")},
       eff AS (
         SELECT * FROM (
-          SELECT 'click' AS channel,
+          ${W18Channels.map(ch => s"""
+          SELECT '$ch' AS channel,
                  (SELECT c FROM c8_base WHERE s = 'START') AS base_ppm,
-                 (SELECT c FROM c8_click WHERE s = 'START') AS removed_ppm
-          UNION ALL
-          SELECT 'error',
-                 (SELECT c FROM c8_base WHERE s = 'START'),
-                 (SELECT c FROM c8_error WHERE s = 'START')
-          UNION ALL
-          SELECT 'signup',
-                 (SELECT c FROM c8_base WHERE s = 'START'),
-                 (SELECT c FROM c8_signup WHERE s = 'START')
-          UNION ALL
-          SELECT 'view',
-                 (SELECT c FROM c8_base WHERE s = 'START'),
-                 (SELECT c FROM c8_view WHERE s = 'START')) e
+                 (SELECT c FROM c8_$ch WHERE s = 'START') AS removed_ppm""")
+            .mkString("\n          UNION ALL")}) e
         WHERE channel IN (SELECT s FROM m WHERE s <> 'START')),
       eff2 AS (SELECT channel, base_ppm, removed_ppm,
                       base_ppm - removed_ppm AS effect_ppm FROM eff),
@@ -2141,7 +2139,7 @@ object Relational extends QueryPack {
       ORDER BY stage, item""",
     "a13_group_mode" -> """
       WITH c AS (
-        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS qty,
                COUNT(*)::BIGINT AS n
         FROM lineitem GROUP BY 1, 2),
       pick AS (

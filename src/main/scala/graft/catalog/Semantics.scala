@@ -2,7 +2,7 @@ package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.{QueryPack, Tables}
+import graft.{QueryPack, Scratch, Tables}
 
 /** Reference-core primitive semantics (SURVEY.md §2.A) pinned as oracle
   * queries over the driver's testdata tables.
@@ -152,6 +152,42 @@ object Semantics extends QueryPack {
                 when($"o_orderstatus" === "F", "final").as("maybe_final"))
         .orderBy($"o_orderkey")
     },
+    // t11: LOOKUP FROM AN EXTERNAL SOURCE — T4's config-dict lookup
+    // (dynamic.py:126-139) with the table coming from a FILE instead of
+    // the mapping JSON: reference ROADMAP.md:50 ("Lookup tables from
+    // external sources"). The staged lookup CSV carries (key, value)
+    // rows plus the reference's `_default` convention as a reserved-key
+    // ROW; the engine reads it through the same spec-driven CsvSource the
+    // ETL path uses, collects `_default` as 1-row driver state, and
+    // compiles the lookup to a BROADCAST left join + coalesce — the
+    // scale-correct form of T4's literal when-chain (a when-chain needs
+    // the table at plan-build time; an external table can be millions of
+    // keys, so it joins instead — broadcast while it fits, shuffle-join
+    // past that, same line of code). Incomplete table (every 3rd nation
+    // missing) exercises the fallback on real rows. Oracle recomputes
+    // the staged mapping rule inline.
+    "t11_external_lookup" -> { (s, dir) =>
+      import s.implicits._
+      val lkDir = Scratch.staged(s"t11_lookup#$dir", "t11_lookup") { p =>
+        Tables(s, dir).nation
+          .filter(pmod($"n_nationkey", lit(3)) =!= 1)
+          .select($"n_name".as("key"),
+                  upper(substring($"n_name", 1, 3)).as("value"))
+          .unionByName(Seq(("_default", "XX")).toDF("key", "value"))
+          .coalesce(1).write.mode("overwrite").option("header", true).csv(p)
+      }
+      val spec = graft.spec.FileSpec(id = "lk", name = "lookup",
+        columns = Seq(graft.spec.ColumnSpec("key"), graft.spec.ColumnSpec("value")))
+      val lk = graft.engine.CsvSource.read(s, s"$lkDir/*.csv", spec)
+      val default = lk.filter($"key" === "_default").head().getString(1)
+      val table = lk.filter($"key" =!= "_default")
+      Tables(s, dir).customer
+        .join(broadcast(Tables(s, dir).nation), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(table), $"n_name" === $"key", "left")
+        .select($"c_custkey", coalesce($"value", lit(default)).as("code"))
+        .groupBy($"code").agg(count(lit(1)).as("n_customers"))
+        .orderBy($"code")
+    },
     // C1 condition mini-language as its own driver entry (round-4 missing
     // #5): gated suffix/prefix fields compiled through the REAL
     // TransformCompiler.compileField path — `==`, `!=`, `in [..]` gates,
@@ -262,6 +298,15 @@ object Semantics extends QueryPack {
                   ELSE 'small' END AS size_class,
              CASE WHEN o_orderstatus = 'F' THEN 'final' END AS maybe_final
       FROM orders ORDER BY o_orderkey""",
+    // t11: the staged external table is (filtered nations → 3-letter code,
+    // '_default' → 'XX'); replayed inline as the CASE the staging derives
+    "t11_external_lookup" -> """
+      SELECT CASE WHEN n_nationkey % 3 <> 1
+                  THEN upper(substring(n_name, 1, 3))
+                  ELSE 'XX' END AS code,
+             COUNT(*)::BIGINT AS n_customers
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1 ORDER BY 1""",
     "t10_condition_gate" -> """
       SELECT doc_id, lang, source,
              CASE WHEN lang = 'en' THEN source || '-en' ELSE source END AS suffixed,

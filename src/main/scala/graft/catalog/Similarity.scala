@@ -1068,9 +1068,22 @@ object Similarity extends QueryPack {
     (out, touched)
   }
 
-  /** v23's coarse-descent depth — unrolled like BeamHops; ≈ the top-3
-    * centroid graph's log diameter at the SFs this repo drives. */
-  private val RouteHops = 4
+  /** v23's coarse-descent depth is DERIVED from the trained centroid
+    * count: ceil(log2 k) + 1 ≈ the top-3 centroid graph's log diameter —
+    * the round-8 constant 4 could not grow with k (round-9 advice #5).
+    * Integer-exact on both engines: Scala uses numberOfLeadingZeros,
+    * DuckDB `length(bin(k-1))` — no floating log2 whose low bits could
+    * disagree at exact powers of two. The oracle's CTE chain is unrolled
+    * statically to RouteHopsMax with each hop GATED on the in-SQL derived
+    * depth (an inactive hop carries the previous route through unchanged,
+    * a fixed point of the monotone descent), so one static SQL string
+    * replays any depth ≤ the cap. */
+  private val RouteHopsMax = 12
+
+  /** ceil(log2(max(k,2))) + 1, clamped to the oracle's static unroll. */
+  private[graft] def routeHopsFor(k: Int): Int =
+    math.min(RouteHopsMax,
+      (32 - Integer.numberOfLeadingZeros(math.max(k, 2) - 1)) + 1)
 
   /** The stored v5 edge table (v16/v23's base layer). */
   private[graft] def v5Edges(s: SparkSession, dir: String): DataFrame =
@@ -1103,7 +1116,8 @@ object Similarity extends QueryPack {
     * arithmetic is the serial-fold dot + IEEE sqrt/divide the SQL twin
     * uses, with (cos desc, cell asc) tiebreaks — the oracle replays the
     * descent relationally and matches bitwise. */
-  private[graft] def hierRouteSeed(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def hierRouteSeed(s: SparkSession, dir: String,
+      hopsOverride: Option[Int] = None): DataFrame = {
     import s.implicits._
     val e = Tables(s, dir).embeddings
       .withColumn("v", $"embedding".cast("array<double>"))
@@ -1149,7 +1163,7 @@ object Similarity extends QueryPack {
       }
       var route = entryCell
       var vis = Set(route)
-      (1 to RouteHops).foreach { _ =>
+      (1 to hopsOverride.getOrElse(routeHopsFor(cents.length))).foreach { _ =>
         val cand = (Seq(route) ++ cg(route)).distinct
         vis ++= cand
         route = cand.map(c => (c, ccos(c)))
@@ -1565,14 +1579,19 @@ object Similarity extends QueryPack {
 
   /** v23 oracle coarse hop i: candidate cells = current ∪ its centroid-
     * graph neighbors; the next route cell is the best-ccos candidate. */
+  /** MATERIALIZED is load-bearing here: rcand$i references r${i-1} twice,
+    * so un-materialized CTEs would inline into a 2^hops expression tree —
+    * harmless at the old constant 4, exponential at the derived-depth
+    * unroll cap. */
   private def routeHopSql(i: Int): String = s"""
-      rcand$i AS (
+      rcand$i AS MATERIALIZED (
         SELECT DISTINCT q_id, cell FROM (
           SELECT q_id, cell FROM r${i - 1}
           UNION ALL
           SELECT r.q_id, g.nb_cell AS cell
-          FROM r${i - 1} r JOIN cg g ON g.src_cell = r.cell) u),
-      r$i AS (
+          FROM r${i - 1} r JOIN cg g ON g.src_cell = r.cell
+          WHERE $i <= (SELECT h FROM dh)) u),
+      r$i AS MATERIALIZED (
         SELECT q_id, cell FROM (
           SELECT c.q_id, c.cell,
                  row_number() OVER (PARTITION BY c.q_id
@@ -1860,11 +1879,13 @@ object Similarity extends QueryPack {
                ${dotSql("rq.qv", "c.cv")}
                  / (sqrt(rq.qn) * sqrt(c.cnorm2)) AS ccos
         FROM rq CROSS JOIN kmc c),
-      r0 AS (SELECT q_id, (SELECT min(cell) FROM kmc) AS cell FROM rq)
-      ${(1 to RouteHops).map(routeHopSql).mkString(",", ",", "")},
+      r0 AS (SELECT q_id, (SELECT min(cell) FROM kmc) AS cell FROM rq),
+      dh AS MATERIALIZED (
+        SELECT length(bin(greatest(COUNT(*), 2) - 1)) + 1 AS h FROM kmc)
+      ${(1 to RouteHopsMax).map(routeHopSql).mkString(",", ",", "")},
       rvis AS (SELECT DISTINCT q_id, cell FROM (
         SELECT q_id, cell FROM r0
-        ${(1 to RouteHops)
+        ${(1 to RouteHopsMax)
           .map(i => s"UNION ALL SELECT q_id, cell FROM rcand$i").mkString(" ")}) u),
       entry AS (
         SELECT q_id, cell FROM (

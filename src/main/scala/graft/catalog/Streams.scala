@@ -368,6 +368,162 @@ object Streams extends QueryPack {
     * (digest/sig/band/id shuffles only; text feeds per-row kernels,
     * never a shuffle key); stores are append-only parquet (table-format
     * commits — k13/k17's manifests — in a deployment). */
+  /** c10/c12's shared store state, materialized ONCE per (JVM, dir): the
+    * curation run is deterministic on the staged feed, so the corpus
+    * report (c10) and the lineage audit (c12) read ONE run's stores
+    * instead of each paying a full streaming pass (round-9 advice #4).
+    * Returns (quarantine, digest-index, lsh-index, corpus) paths.
+    * StreamCurationSpec still drives runContinuousCuration directly with
+    * private stores for the replay-idempotence pin. */
+  private[graft] def curationStores(
+      s: SparkSession, dir: String): (String, String, String, String) = {
+    val root = Scratch.staged(s"c10_stores#$dir", "c10_stores") { p =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+      runContinuousCuration(s, dir, Some((s"$p/q", s"$p/d", s"$p/l", s"$p/c")))
+      ()
+    }
+    (s"$root/q", s"$root/d", s"$root/l", s"$root/c")
+  }
+
+  /** e33's per-epoch commit: the k13/k17 manifest protocol driven from
+    * inside foreachBatch — the composition that turns Structured
+    * Streaming's at-least-once batch delivery into EXACTLY-ONCE visible
+    * output on shared table storage (e12's parquet sink gets this from a
+    * file-system-private metadata log; here the commit is the lakehouse's
+    * own, so ANY reader — other engines included — sees each epoch once).
+    *
+    *   1. replay guard: the current manifest already lists epochId → no-op
+    *      (at-least-once re-delivery appends nothing);
+    *   2. store write: the batch lands in an epoch-KEYED dir, mode
+    *      overwrite — a torn prior attempt (crash after data, before
+    *      commit) is harmlessly rewritten, because readers only reach
+    *      data THROUGH a committed manifest, never by listing dirs;
+    *   3. manifest commit: CAS-create manifest_{v+1} = entries(v) ∪ this
+    *      epoch (k17's createFile CAS; single-writer locally, but the
+    *      loop is the multi-writer protocol so a concurrent compactor
+    *      fits without change).
+    * Crash between 2 and 3 ⇒ the source checkpoint has NOT committed the
+    * batch, so restart re-delivers it and step 2 overwrites the orphan —
+    * FormatSpec races both the torn store and the double delivery.
+    * Scale shape (100 TB): the batch write is a straight parallel parquet
+    * append; the manifest is O(epochs) metadata on the driver — exactly
+    * Delta's commit-log shape (a deployment compacts old epochs with k10
+    * and expires manifests with k16, both already shipped). */
+  private[graft] def commitEpoch(batch: DataFrame, epochId: Long,
+      root: String): Unit = {
+    import java.nio.file.{Files => F, Paths}
+    def curVer: Int = {
+      val ls = F.list(Paths.get(root))
+      try {
+        var mx = 0
+        val it = ls.iterator()
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.startsWith("manifest_"))
+            mx = math.max(mx,
+              n.stripPrefix("manifest_").stripSuffix(".txt").toInt)
+        }
+        mx
+      } finally ls.close()
+    }
+    def entriesOf(v: Int): Seq[(Long, String)] =
+      if (v == 0) Nil
+      else F.readString(Paths.get(s"$root/manifest_$v.txt")).split("\n")
+        .toSeq.filter(_.nonEmpty)
+        .map { l => val a = l.split("\t", 2); (a(0).toLong, a(1)) }
+    if (entriesOf(curVer).exists(_._1 == epochId)) return
+    val d = s"$root/epoch_$epochId"
+    batch.write.mode("overwrite").parquet(d)
+    var done = false
+    while (!done) {
+      val v = curVer
+      val e = entriesOf(v)
+      if (e.exists(_._1 == epochId)) done = true
+      else {
+        val next = Paths.get(s"$root/manifest_${v + 1}.txt")
+        val ok = try { F.createFile(next); true }
+          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        if (ok) {
+          F.writeString(next, (e :+ (epochId -> d))
+            .map { case (id, dd) => s"$id\t$dd" }.mkString("\n"))
+          done = true
+        } // CAS lost → loop, re-read
+      }
+    }
+  }
+
+  /** e33's run body, store/checkpoint injectable so FormatSpec can pre-tear
+    * the store and re-run over the same checkpoint. Stages 3 orderkey-range
+    * parquet files (pinned mtimes: stream order == range order, the e18
+    * convention), streams them one file per trigger through commitEpoch,
+    * then reads the result back THROUGH the final manifest — per-epoch
+    * aggregates over a bounded (≤ epochs) manifest loop. */
+  private[graft] def runLakehouseSink(s: SparkSession, dir: String,
+      root: String, ckpt: String): DataFrame = {
+    import s.implicits._
+    val feed = Scratch.staged(s"e33_ingest#$dir", "e33_ingest") { p =>
+      val orders = Tables(s, dir).orders.select($"o_orderkey", $"o_totalprice")
+      val rp = java.nio.file.Paths.get(p)
+      java.nio.file.Files.createDirectories(rp)
+      val ids = orders.agg(min($"o_orderkey"), max($"o_orderkey")).head()
+      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+      val step = (hi - lo) / 3 + 1
+      (0 until 3).foreach { i =>
+        val stage = Scratch.dir(s"e33r$i")
+        orders.filter($"o_orderkey" >= lo + i * step &&
+                      $"o_orderkey" < lo + (i + 1) * step)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val ls = java.nio.file.Files.list(stage)
+        val part = try {
+          ls.filter(q => q.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+        } finally ls.close()
+        val dst = rp.resolve(f"range_$i%02d.parquet")
+        java.nio.file.Files.copy(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
+    }
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 4)
+    try {
+      val st = s.readStream.schema(s.read.parquet(feed).schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+      val q = st.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          commitEpoch(batch, epochId, root)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val live = {
+      val ls = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      try {
+        var mx = 0
+        val it = ls.iterator()
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.startsWith("manifest_"))
+            mx = math.max(mx,
+              n.stripPrefix("manifest_").stripSuffix(".txt").toInt)
+        }
+        mx
+      } finally ls.close()
+    }
+    val entries = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"$root/manifest_$live.txt"))
+      .split("\n").toSeq.filter(_.nonEmpty)
+      .map { l => val a = l.split("\t", 2); (a(0).toLong, a(1)) }
+    entries.map { case (ep, d) =>
+      s.read.parquet(d)
+        .agg(count(lit(1)).as("n_rows"),
+             sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+        .select(lit(ep).as("epoch"), $"n_rows", $"cents")
+    }.reduce(_ unionByName _).orderBy($"epoch")
+  }
+
   private[graft] def runContinuousCuration(s: SparkSession, dir: String,
       storesOpt: Option[(String, String, String, String)] = None): DataFrame = {
     import s.implicits._
@@ -1225,8 +1381,17 @@ object Streams extends QueryPack {
     // c10: CONTINUOUS END-TO-END CURATION (runContinuousCuration
     // scaladoc) — quarantine → exact gate → near-dup gate → redact in ONE
     // streaming job over shared persistent stores; the batch chain is the
-    // oracle and full replay is byte-identical (StreamCurationSpec).
-    "c10_continuous_curation" -> { (s, dir) => runContinuousCuration(s, dir) },
+    // oracle and full replay is byte-identical (StreamCurationSpec). The
+    // stores are materialized once per (JVM, dir) and SHARED with c12's
+    // lineage audit — the audit is a read over the same run's state, not
+    // a second pipeline execution (round-9 advice #4).
+    "c10_continuous_curation" -> { (s, dir) =>
+      import s.implicits._
+      val (_, _, _, corpus) = curationStores(s, dir)
+      s.read.parquet(corpus)
+        .select($"doc_id", $"digest", $"red_digest", $"n_tokens")
+        .orderBy($"doc_id")
+    },
     // c12: CURATION LINEAGE AUDIT — the "why was my doc dropped" query a
     // pipeline owner runs against c10's PERSISTED STORES: every input doc
     // accounted for exactly once with its disposition and evidence —
@@ -1242,13 +1407,10 @@ object Streams extends QueryPack {
     // stores already carry it.
     "c12_curation_lineage" -> { (s, dir) =>
       import s.implicits._
-      val stores = (
-        Scratch.dir("c12_quar").resolve("q").toString,
-        Scratch.dir("c12_idx").resolve("d").toString,
-        Scratch.dir("c12_lsh").resolve("l").toString,
-        Scratch.dir("c12_corpus").resolve("c").toString)
-      runContinuousCuration(s, dir, Some(stores))
-      val (qS, idxS, lshS, corpS) = stores
+      // read c10's staged stores — ONE curation run feeds both entries
+      // (exactly how a deployment audits: against the pipeline's real
+      // state, not a private replay)
+      val (qS, idxS, lshS, corpS) = curationStores(s, dir)
       val quarantined = s.read.parquet(qS)
         .select(regexp_extract($"raw_line", "^x?([0-9]+)", 1)
           .cast("long").as("doc_id"),
@@ -1274,6 +1436,18 @@ object Streams extends QueryPack {
       quarantined.unionByName(exactDups).unionByName(nearDups)
         .unionByName(released)
         .orderBy($"doc_id")
+    },
+    // e33: EXACTLY-ONCE STREAMING COMMIT INTO THE LAKEHOUSE (commitEpoch /
+    // runLakehouseSink scaladocs) — e12's parquet sink composed with
+    // k13/k17's manifest protocol: each micro-batch lands in an
+    // epoch-keyed dir and becomes visible via ONE CAS manifest commit, so
+    // at-least-once delivery + idempotent epoch commits = exactly-once
+    // visible output for ANY manifest reader. Oracle = the same 3
+    // orderkey ranges recomputed as batch epochs.
+    "e33_stream_lakehouse_sink" -> { (s, dir) =>
+      val work = Scratch.dir("e33")
+      runLakehouseSink(s, dir, work.resolve("store").toString,
+        work.resolve("ckpt").toString)
     },
     // e28: STREAMING SEQUENCE PACKING (runStreamSeqPack scaladoc) — the
     // ingest leg of the pretrain-packing pipeline: g18's context-window
@@ -1505,6 +1679,17 @@ object Streams extends QueryPack {
     // ground-truth partition of the planted corruption rule (one shared
     // SQL, so the batch and streaming twins cannot drift)
     "e30_stream_quarantine" -> Formats.corruptAuditSql,
+    // e33: epoch i == orderkey range i (pinned mtimes, one file per
+    // trigger); the committed store must hold exactly the batch split
+    "e33_stream_lakehouse_sink" -> """
+      WITH b AS (SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi
+                 FROM orders),
+      a AS (SELECT (o_orderkey - lo) // ((hi - lo) // 3 + 1) AS epoch,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders CROSS JOIN b)
+      SELECT epoch::BIGINT AS epoch, COUNT(*)::BIGINT AS n_rows,
+             SUM(cents)::BIGINT AS cents
+      FROM a GROUP BY 1 ORDER BY 1""",
     // e24: the batch assignment of the whole new partition to the same
     // trained centroids (v9's CTE shapes) — the streamed postings index
     // must aggregate to exactly this

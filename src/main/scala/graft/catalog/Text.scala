@@ -757,8 +757,155 @@ object Text extends QueryPack {
         .select($"vec_id", $"v")
         .join(t.documents.select($"doc_id".as("vec_id"), $"lang"), Seq("vec_id"))
       centroidClassify(labeled, dim = 64)
+    },
+    // x29: MODEL-BASED QUALITY FILTER — distributed logistic regression,
+    // the production curation stage x2's hand-set heuristic and x23's
+    // embedding-centroid router don't cover: a LEARNED filter over cheap
+    // text statistics (the FastText/"quality classifier" slot in every
+    // published pretraining pipeline). Features are x2's proven-parity
+    // integer counts turned into 5 bounded doubles (bias, tokens/256,
+    // punct ratio, digit ratio, stopword ratio); the training label is an
+    // INTEGER predicate (stop_cnt·4 ≥ n_tokens ∧ punct_cnt·10 ≤ len —
+    // "stopword-rich, punctuation-light prose"), so no float boundary can
+    // flip a label between engines. Training = 3 unrolled full-batch
+    // gradient-descent iterations (w₀ = 0, η = 2⁻⁴ — an exact binary
+    // fraction): each iteration is ONE map-side-combined aggregate
+    // computing the 5 gradient sums with per-doc contributions quantized
+    // to round(g·2²⁴) BIGINT (the Quantizer/x23 fixed-point discipline —
+    // exact under any partition order; double-exact to ~5·10⁸ docs, past
+    // that drop the scale); the 5-weight model updates on the DRIVER
+    // (w18's bounded-model convention) and re-enters the next iteration
+    // as literals. The sigmoid is the RATIONAL fast-sigmoid
+    // 0.5 + 0.5·z/(1+|z|) — add/mul/div/abs only, so every score is
+    // IEEE-bitwise identical in DuckDB, which replays all 3 iterations as
+    // unrolled CTEs (exp() would be libm-dependent). Output = the
+    // (label × predicted) confusion with fixed-point score sums — wrong
+    // weights anywhere flip cells. Scale shape (100 TB): 3 corpus scans,
+    // each a 5-number aggregate; scoring is a shuffle-free projection;
+    // nothing data-scale ever reaches the driver. LrQualitySpec pins the
+    // distributed run against a plain-Scala serial-GD twin bitwise.
+    "x29_lr_quality_filter" -> { (s, dir) =>
+      import s.implicits._
+      val (w, f) = trainLrQuality(s, dir)
+      val z = lrZ(w)
+      val sgm = lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z))
+      f.groupBy($"y".cast("bigint").as("y_label"),
+                when(z >= 0.0, 1L).otherwise(0L).as("predicted"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(round(sgm * LrScale).cast("long")).as("sum_score_fp"))
+        .orderBy($"y_label", $"predicted")
     }
   )
+
+  /** x29's fixed-point scale (the Quantizer's 2²⁴). */
+  private[graft] val LrScale = 16777216.0
+
+  /** x29's linear term over the feature frame, serial-fold order — the
+    * SQL twin writes the same left-assoc parenthesization. */
+  private[graft] def lrZ(w: Array[Double]): org.apache.spark.sql.Column =
+    lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+      lit(w(3)) * col("x3") + lit(w(4)) * col("x4")
+
+  /** x29's feature frame: (doc_id, x1..x4, y) — x2's integer counts as
+    * bounded doubles plus the integer-predicate label (entry scaladoc). */
+  private[graft] def lrFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir).documents
+      .withColumn("qc",
+        graft.functions.TextKernels.qualityCountsUdf(stopwords.toSet)($"text"))
+      .withColumn("ln", greatest(length($"text"), lit(1)))
+      .select(
+        $"doc_id",
+        ($"qc.n_tokens".cast("double") / 256.0).as("x1"),
+        ($"qc.punct_cnt".cast("double") / $"ln".cast("double")).as("x2"),
+        ($"qc.digit_cnt".cast("double") / $"ln".cast("double")).as("x3"),
+        ($"qc.stop_cnt".cast("double") / $"qc.n_tokens".cast("double")).as("x4"),
+        when($"qc.stop_cnt" * 4 >= $"qc.n_tokens" &&
+             $"qc.punct_cnt" * 10 <= $"ln", 1.0).otherwise(0.0).as("y"))
+  }
+
+  /** x29's training loop: 3 unrolled GD iterations, gradients as exact
+    * fixed-point BIGINT aggregates, weight updates on the driver with the
+    * exact double expression the oracle CTEs replay. Returns the final
+    * weights and the feature frame. */
+  private[graft] def trainLrQuality(
+      s: SparkSession, dir: String): (Array[Double], DataFrame) = {
+    import s.implicits._
+    val f = lrFeatures(s, dir)
+    val n = f.count().toDouble
+    var w = Array.fill(5)(0.0)
+    for (_ <- 1 to LrIters) {
+      val z = lrZ(w)
+      val d = lit(0.5) + lit(0.5) * z / (lit(1.0) + abs(z)) - $"y"
+      val g = f.agg(
+        sum(round(d * LrScale).cast("long")).as("g0"),
+        sum(round(d * $"x1" * LrScale).cast("long")).as("g1"),
+        sum(round(d * $"x2" * LrScale).cast("long")).as("g2"),
+        sum(round(d * $"x3" * LrScale).cast("long")).as("g3"),
+        sum(round(d * $"x4" * LrScale).cast("long")).as("g4")).head()
+      w = Array.tabulate(5)(j =>
+        w(j) - LrEta * ((g.getLong(j).toDouble / LrScale) / n))
+    }
+    (w, f)
+  }
+
+  private[graft] val LrIters = 3
+  private[graft] val LrEta = 0.0625
+  private val LrScaleSql = "16777216.0"
+  private val LrEtaSql = "0.0625"
+
+  /** x29's DuckDB twin: the feature CTE is x2's proven fragment; each GD
+    * iteration is (z-projection, 5 fixed-point gradient sums, a 1-row
+    * weight CTE) with the weight/score arithmetic written in the exact
+    * left-assoc parenthesization the Spark side folds. */
+  private lazy val lrQualitySql: String = {
+    def zSql = "((((w.w0 + w.w1 * x1) + w.w2 * x2) + w.w3 * x3) + w.w4 * x4)"
+    def sgm(z: String) = s"(0.5 + 0.5 * $z / (1.0 + abs($z)))"
+    val s0 = sgm("z")
+    val iterCtes = (1 to LrIters).map { t =>
+      s"""
+      zt$t AS (SELECT y, x1, x2, x3, x4, $zSql AS z
+               FROM f CROSS JOIN wi${t - 1} w),
+      gt$t AS (SELECT
+          SUM(CAST(round(($s0 - y) * $LrScaleSql) AS BIGINT)) AS g0,
+          SUM(CAST(round(($s0 - y) * x1 * $LrScaleSql) AS BIGINT)) AS g1,
+          SUM(CAST(round(($s0 - y) * x2 * $LrScaleSql) AS BIGINT)) AS g2,
+          SUM(CAST(round(($s0 - y) * x3 * $LrScaleSql) AS BIGINT)) AS g3,
+          SUM(CAST(round(($s0 - y) * x4 * $LrScaleSql) AS BIGINT)) AS g4
+        FROM zt$t),
+      wi$t AS (SELECT
+          ${(0 to 4).map(j =>
+            s"w.w$j - $LrEtaSql * ((CAST(g.g$j AS DOUBLE) / $LrScaleSql) / n.n) AS w$j")
+            .mkString(",\n          ")}
+        FROM wi${t - 1} w CROSS JOIN gt$t g CROSS JOIN n0 n)"""
+    }.mkString(",", ",", "")
+    s"""
+      WITH f AS (
+        SELECT doc_id,
+               CAST(n_tokens AS DOUBLE) / 256.0 AS x1,
+               CAST(punct_cnt AS DOUBLE) / CAST(ln AS DOUBLE) AS x2,
+               CAST(digit_cnt AS DOUBLE) / CAST(ln AS DOUBLE) AS x3,
+               CAST(stop_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS x4,
+               CASE WHEN stop_cnt * 4 >= n_tokens AND punct_cnt * 10 <= ln
+                    THEN 1.0 ELSE 0.0 END AS y
+        FROM (
+          SELECT doc_id,
+                 greatest(len(ws), 1) AS n_tokens,
+                 length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct_cnt,
+                 length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_cnt,
+                 len(list_filter(ws, t -> ${inList("t", stopwords)})) AS stop_cnt,
+                 greatest(length(text), 1) AS ln
+          FROM (SELECT doc_id, text, $wsSql AS ws FROM documents) t0) t),
+      n0 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM f),
+      wi0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)
+      $iterCtes,
+      scored AS (SELECT y, $zSql AS z FROM f CROSS JOIN wi$LrIters w)
+      SELECT CAST(y AS BIGINT) AS y_label,
+             (CASE WHEN z >= 0.0 THEN 1 ELSE 0 END)::BIGINT AS predicted,
+             COUNT(*)::BIGINT AS n_docs,
+             SUM(CAST(round($s0 * $LrScaleSql) AS BIGINT))::BIGINT AS sum_score_fp
+      FROM scored GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
 
   /** x23's core over any (vec_id, v: array<double>, lang) frame — factored
     * so the spec can drive it with planted separable classes. Train on
@@ -1006,6 +1153,10 @@ object Text extends QueryPack {
       SELECT true_lang, pred_lang, COUNT(*)::BIGINT AS n
       FROM pred GROUP BY true_lang, pred_lang
       ORDER BY true_lang, pred_lang""",
+    // x29: all 3 GD iterations replayed as unrolled CTEs — same fixed-
+    // point BIGINT gradient sums, same IEEE weight/score arithmetic
+    // (rational sigmoid: no exp(), so no libm divergence)
+    "x29_lr_quality_filter" -> lrQualitySql,
     // x26: the eval-lens replay — distinct eval grams left-joined to the
     // distinct training-hit set; integer-bp fraction and the dirty flag
     "x26_contamination_report" -> s"""

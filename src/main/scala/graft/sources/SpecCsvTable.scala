@@ -1,0 +1,315 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.spec.{FileSpec, FilterRule, SpecStore}
+
+/** DataSource V2 connector for the FileSpec system — the reference's
+  * declarative source model (models.py:67-102 `FileSpec`: columns,
+  * delimiter, encoding, has_header) exposed as a first-class Spark table
+  * (SURVEY §7 claimed no custom source was needed; v2 deployment shapes
+  * and the spec store argue otherwise — round-9 advice #1).
+  *
+  * Options: `spec` = FileSpec JSON (the store's on-disk format,
+  * SpecStore.parseFileSpec), `path` = file/glob, optional `mapping` =
+  * ETLMapping JSON whose filter_rules run INSIDE the scan with the
+  * reference's exact skip semantics (dynamic.py:57-82 — the literal
+  * `not_in` polarity Q1 included, same cases as compile/FilterCompiler).
+  *
+  * Pushdown: Catalyst filters Spark offers are split into the string-
+  * comparison subset this source evaluates natively while parsing
+  * (EqualTo/In/StringContains/StartsWith/EndsWith/IsNull/Not/And/Or over
+  * the all-string spec schema) and a remainder Spark keeps; handled ones
+  * are reported via `pushedFilters()` and surfaced in the scan's
+  * `description()` as `PushedFilters: [...]` so the repo's plan-pin
+  * convention (k7/BroadcastClaimsSpec) applies to this source too.
+  * Column pruning (`SupportsPushDownRequiredColumns`) reaches the row
+  * builder: non-required columns are parsed past but never materialized
+  * into rows. Partitions are reported from the driver-side glob — one
+  * per CSV file (a header-per-file layout is what the reference's batch
+  * runner globs too, O2), so read parallelism = file count and each task
+  * streams its file through an RFC-4180 record parser (quotes, doubled
+  * quotes, embedded newlines) in the spec's encoding.
+  *
+  * Scale shape (100 TB): planning touches only file metadata; filters and
+  * projection run where the bytes are read — rows that the mapping's skip
+  * rules or the pushed filters reject never allocate an InternalRow, and
+  * a 2-column projection of a 40-column spec builds 2-slot rows. CSV
+  * files are not block-splittable under embedded newlines, so per-file
+  * tasks are the correct granularity (the layout controls parallelism,
+  * exactly like the Avro/xlsx sources).
+  */
+class SpecCsvTable extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SpecCsvTable.schemaOf(SpecCsvTable.specOf(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SpecCsvRelation(new CaseInsensitiveStringMap(properties))
+}
+
+object SpecCsvTable {
+  private[sources] def specOf(options: CaseInsensitiveStringMap): FileSpec = {
+    val json = options.get("spec")
+    require(json != null, "SpecCsvTable requires a 'spec' option (FileSpec JSON)")
+    SpecStore.parseFileSpec(json)
+  }
+
+  /** Spec-declared schema: one nullable string field per spec column (the
+    * reference's runtime rows are dict[str, str]; typed casts are
+    * downstream concerns, exactly like engine/CsvSource). */
+  private[sources] def schemaOf(spec: FileSpec): StructType =
+    StructType(spec.columns.map(c => StructField(c.name, StringType, nullable = true)))
+
+  /** The v1-Filter subset this source evaluates natively. */
+  private[sources] def evaluable(f: Filter): Boolean = f match {
+    case _: EqualTo | _: In | _: StringContains | _: StringStartsWith |
+         _: StringEndsWith | _: IsNull | _: IsNotNull => true
+    case Not(c)    => evaluable(c)
+    case And(l, r) => evaluable(l) && evaluable(r)
+    case Or(l, r)  => evaluable(l) && evaluable(r)
+    case _         => false
+  }
+
+  /** Evaluate a pushed filter against the parsed record. Cells are ""
+    * for empty/missing (the CsvSource.read convention — Python's
+    * DictReader never yields None for a present column), so IsNull is
+    * vacuously false on this source. */
+  private[sources] def evalFilter(f: Filter, get: String => String): Boolean = f match {
+    case EqualTo(a, v)          => get(a) == String.valueOf(v)
+    case In(a, vs)              => vs.exists(v => get(a) == String.valueOf(v))
+    case StringContains(a, v)   => get(a).contains(v)
+    case StringStartsWith(a, v) => get(a).startsWith(v)
+    case StringEndsWith(a, v)   => get(a).endsWith(v)
+    case IsNull(_)              => false
+    case IsNotNull(_)           => true
+    case Not(c)                 => !evalFilter(c, get)
+    case And(l, r)              => evalFilter(l, get) && evalFilter(r, get)
+    case Or(l, r)               => evalFilter(l, get) || evalFilter(r, get)
+    case _                      => true
+  }
+
+  /** The reference's skip semantics over an Option cell (None = the rule
+    * names a column absent from the spec — Python `row.get(field)`);
+    * mirrors compile/FilterCompiler.rulePredicate case for case. */
+  private[sources] def ruleMatches(r: FilterRule, cell: Option[String]): Boolean =
+    r.operator match {
+      case "equals"       => cell == r.value
+      case "not_equals"   => cell != r.value
+      case "in"           => cell.exists(r.values.contains)
+      case "not_in"       => if (r.values.isEmpty) true else !cell.exists(r.values.contains)
+      case "is_empty"     => cell.forall(_ == "")
+      case "is_not_empty" => !cell.forall(_ == "")
+      case "contains" =>
+        r.value.exists(v => v.nonEmpty && cell.getOrElse("None").contains(v))
+      case _ => false
+    }
+}
+
+private[sources] class SpecCsvRelation(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val spec = SpecCsvTable.specOf(options)
+  private val path = {
+    val p = options.get("path")
+    require(p != null, "SpecCsvTable requires a 'path' option")
+    p
+  }
+  private val rules: Seq[FilterRule] =
+    Option(options.get("mapping"))
+      .map(j => SpecStore.parseMapping(j).filterRules).getOrElse(Nil)
+
+  override def name(): String = s"graft_spec(${spec.id})"
+  override def schema(): StructType = SpecCsvTable.schemaOf(spec)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new SpecCsvScanBuilder(spec, path, rules)
+}
+
+private[sources] class SpecCsvScanBuilder(spec: FileSpec, path: String,
+    rules: Seq[FilterRule]) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = SpecCsvTable.schemaOf(spec)
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, unsup) = filters.partition(SpecCsvTable.evaluable)
+    pushed = sup
+    unsup // fully handled filters never re-evaluate in Spark
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new SpecCsvScan(spec, path, rules, pushed, required)
+}
+
+private[sources] class SpecCsvScan(spec: FileSpec, path: String,
+    rules: Seq[FilterRule], pushed: Array[Filter], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SpecCsv spec=${spec.id} ReadSchema: [${required.fieldNames.mkString(", ")}], " +
+      s"PushedFilters: [${pushed.mkString(", ")}], SkipRules: ${rules.size}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    val files = matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+      else Array(st)
+    }.map(_.getPath.toString).sorted
+    files.map(f => SpecCsvPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val entries = SparkSession.active.sparkContext.hadoopConfiguration
+      .iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+    // drop the raw JSON objects (VectorMap — not Java-serializable, and
+    // the reader only evaluates the typed fields)
+    new SpecCsvReaderFactory(spec, rules.map(_.copy(raw = Map.empty)),
+      pushed, required, entries)
+  }
+}
+
+private[sources] case class SpecCsvPartition(file: String) extends InputPartition
+
+private[sources] class SpecCsvReaderFactory(spec: FileSpec,
+    rules: Seq[FilterRule], pushed: Array[Filter], required: StructType,
+    confEntries: Array[(String, String)]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new SpecCsvReader(partition.asInstanceOf[SpecCsvPartition].file,
+      spec, rules, pushed, required, confEntries)
+}
+
+private[sources] class SpecCsvReader(file: String, spec: FileSpec,
+    rules: Seq[FilterRule], pushed: Array[Filter], required: StructType,
+    confEntries: Array[(String, String)]) extends PartitionReader[InternalRow] {
+
+  private val reader = {
+    val conf = new Configuration(false)
+    confEntries.foreach { case (k, v) => conf.set(k, v) }
+    val p = new Path(file)
+    new java.io.BufferedReader(new java.io.InputStreamReader(
+      p.getFileSystem(conf).open(p), spec.encoding))
+  }
+  private val records = new CsvRecords(reader, spec.delimiter.head)
+
+  // source-name → record index, resolved from the header (or spec order)
+  private val srcNames: Seq[String] =
+    spec.columns.map(c => c.sourceName.getOrElse(c.name))
+  private val header: Seq[String] =
+    if (spec.hasHeader && records.hasNext) records.next() else srcNames
+  private val specIdx: Array[Int] = srcNames.map(header.indexOf).toArray
+  private val colPos: Map[String, Int] =
+    spec.columns.map(_.name).zipWithIndex.toMap
+  // required-field → spec column ordinal (row builder touches only these)
+  private val outSpec: Array[Int] = required.fieldNames.map(colPos)
+
+  private def cellOf(rec: IndexedSeq[String], specOrd: Int): String = {
+    val i = specIdx(specOrd)
+    if (i >= 0 && i < rec.length) rec(i) else ""
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    current = null
+    while (current == null && records.hasNext) {
+      val rec = records.next()
+      if (!(rec.length == 1 && rec.head.isEmpty)) { // blank line
+        def get(field: String): String =
+          colPos.get(field).map(cellOf(rec, _)).getOrElse("")
+        def cell(field: String): Option[String] =
+          colPos.get(field).map(cellOf(rec, _))
+        val skipped = rules.exists(r => SpecCsvTable.ruleMatches(r, cell(r.field)))
+        if (!skipped && pushed.forall(SpecCsvTable.evalFilter(_, get))) {
+          val vals = new Array[Any](outSpec.length)
+          var i = 0
+          while (i < outSpec.length) {
+            vals(i) = UTF8String.fromString(cellOf(rec, outSpec(i)))
+            i += 1
+          }
+          current = new GenericInternalRow(vals)
+        }
+      }
+    }
+    current != null
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
+
+/** Streaming RFC-4180 record iterator: fields split on `delim` outside
+  * quotes, doubled quotes inside quotes are literal, records end at a
+  * newline outside quotes (embedded newlines stay inside the field). */
+private[sources] class CsvRecords(in: java.io.Reader, delim: Char)
+    extends Iterator[IndexedSeq[String]] {
+  private var nextRec: IndexedSeq[String] = _
+  private var eof = false
+  advance()
+
+  private def advance(): Unit = {
+    nextRec = null
+    if (eof) return
+    val fields = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var sawAny = false
+    var done = false
+    while (!done) {
+      val ci = in.read()
+      if (ci < 0) {
+        eof = true
+        if (sawAny || cur.nonEmpty) { fields += cur.result(); nextRec = fields.result() }
+        done = true
+      } else {
+        val c = ci.toChar
+        sawAny = true
+        if (inQ) {
+          if (c == '"') {
+            // peek for a doubled quote
+            in.mark(1)
+            val n = in.read()
+            if (n == '"') cur.append('"')
+            else { inQ = false; if (n >= 0) in.reset() }
+          } else cur.append(c)
+        } else c match {
+          case '"' => inQ = true
+          case `delim` => fields += cur.result(); cur.clear()
+          case '\r' => // swallow; \n closes the record
+          case '\n' =>
+            fields += cur.result()
+            nextRec = fields.result()
+            done = true
+          case other => cur.append(other)
+        }
+      }
+    }
+  }
+
+  override def hasNext: Boolean = nextRec != null
+  override def next(): IndexedSeq[String] = {
+    val r = nextRec; advance(); r
+  }
+}

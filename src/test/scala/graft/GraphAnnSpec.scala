@@ -96,6 +96,27 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(t23 < t17, s"routing did not reduce touched edges: $t23 >= $t17")
   }
 
+  test("v23: derived descent depth does not lose recall vs the old constant 4") {
+    // round-9 advice #5: RouteHops is now ceil(log2 k)+1 from the trained
+    // centroid count. The derived-depth seed must route at least as well
+    // as the retired constant-4 run — a deeper monotone descent can only
+    // grow the visited cell set, so equality is the floor, regression a bug.
+    val exact = SparkEntry.queries("v1_brute_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOfSeed(seed: org.apache.spark.sql.DataFrame): Double = {
+      val (out, _) = catalog.Similarity.beamWalk(spark, sf,
+        catalog.Similarity.v5Edges(spark, sf), Some(seed), countTouched = false)
+      val got = out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val rDerived = recallOfSeed(catalog.Similarity.hierRouteSeed(spark, sf))
+    val rConst4 = recallOfSeed(
+      catalog.Similarity.hierRouteSeed(spark, sf, hopsOverride = Some(4)))
+    info(f"recall@10: derived-depth=$rDerived%.2f constant-4=$rConst4%.2f")
+    assert(rDerived >= rConst4,
+      s"derived descent depth lost recall: $rDerived < $rConst4")
+  }
+
   test("v26: hop-recall sweep is monotone; the 3-hop point equals v16's recall") {
     val sweep = SparkEntry.queries("v26_hop_recall_sweep")(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(3)).sortBy(_._1)

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DSv2 FileSpec connector (sources/SpecCsvTable): plan pins
+  * (PushedFilters + pruned ReadSchema on the custom scan), partition
+  * reporting from the glob, reference skip semantics, and equality with
+  * the engine's CsvSource + FilterCompiler path. */
+class SpecSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val feedDir: String = {
+    val dir = Scratch.dir("specsrc").toString
+    Seq(
+      ("1", "F", "10.25", "keep"),
+      ("7", "O", "20.50", "quoted \"x\",y"),
+      ("17", "P", "30.75", "skipped by rule"),
+      ("27", "F", "40.00", "multi\nline"),
+      ("8", "O", "50.00", "no seven")
+    ).toDF("o_orderkey", "o_orderstatus", "o_totalprice", "note")
+      .repartition(2, $"o_orderkey")
+      // escape=" writes RFC-4180 doubled quotes — what Python's csv module
+      // (the reference) and the connector's record parser speak
+      .write.mode("overwrite").option("header", true)
+      .option("escape", "\"").csv(dir)
+    dir
+  }
+
+  private def load() = spark.read.format("graft.sources.SpecCsvTable")
+    .option("spec", graft.spec.SpecJson.dumps(graft.spec.SpecJson.fileSpecDict(
+      graft.spec.FileSpec(id = "t", name = "t", columns = Seq(
+        graft.spec.ColumnSpec("o_orderkey"), graft.spec.ColumnSpec("o_orderstatus"),
+        graft.spec.ColumnSpec("o_totalprice"), graft.spec.ColumnSpec("note"))))))
+    .option("mapping", graft.spec.SpecJson.dumps(graft.spec.SpecJson.etlMappingDict(
+      graft.spec.ETLMapping(id = "m", name = "m", sourceId = "t",
+        destinationId = "n", filterRules = Seq(graft.spec.FilterRule(
+          field = "o_orderstatus", operator = "equals", value = Some("P")))))))
+    .option("path", s"$feedDir/*.csv")
+    .load()
+
+  test("k22: skip rule + pushed filter + pruning produce the right rows") {
+    val got = load()
+      .filter($"o_orderkey".contains("7"))
+      .select($"o_orderkey", $"note")
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    // 17 is P (skip rule), 1/8 lack a '7'; 7 and 27 survive with their
+    // quoted/embedded-newline notes intact
+    assert(got == Seq(("27", "multi\nline"), ("7", "quoted \"x\",y")), got.toString)
+  }
+
+  test("k22: plan shows PushedFilters and the pruned ReadSchema on the custom scan") {
+    val df = load().filter($"o_orderkey".contains("7")).select($"o_orderstatus")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches(
+      "(?s).*PushedFilters: \\[[^\\]]*StringContains\\(o_orderkey,7\\).*"),
+      s"filter not pushed to the spec scan:\n$plan")
+    // the filter is FULLY consumed by the source: no Filter node survives,
+    // and with it gone even o_orderkey drops out of the required columns
+    assert(!plan.contains("+- *(1) Filter"), s"Spark re-filtered:\n$plan")
+    assert(plan.matches("(?s).*ReadSchema: \\[o_orderstatus\\].*"),
+      s"columns not pruned to the required set:\n$plan")
+    assert(!plan.contains("note"), s"pruning leaked unused columns:\n$plan")
+  }
+
+  test("k22: partitions are reported from the glob (one per CSV file)") {
+    val n = load().rdd.getNumPartitions
+    assert(n == 2, s"expected one partition per part file, got $n")
+  }
+
+  test("k22: connector equals the engine's CsvSource + FilterCompiler path") {
+    // plain fixture: CsvSource.read is the splittable fast path (Spark CSV,
+    // no embedded newlines by contract) — quoting/newline handling is
+    // pinned by the first test against the connector's own parser
+    val dir = Scratch.dir("specsrc_plain").toString
+    Tables(spark, TestSpark.sf).orders
+      .select($"o_orderkey".cast("string"), $"o_orderstatus",
+              $"o_totalprice".cast("string"))
+      .repartition(3)
+      .write.mode("overwrite").option("header", true).csv(dir)
+    val spec = graft.spec.FileSpec(id = "t", name = "t", columns = Seq(
+      graft.spec.ColumnSpec("o_orderkey"), graft.spec.ColumnSpec("o_orderstatus"),
+      graft.spec.ColumnSpec("o_totalprice")))
+    val rules = Seq(graft.spec.FilterRule(
+      field = "o_orderstatus", operator = "equals", value = Some("P")))
+    val twin = graft.engine.CsvSource.read(spark, s"$dir/*.csv", spec)
+      .filter(graft.compile.FilterCompiler.keepPredicate(rules,
+        Set("o_orderkey", "o_orderstatus", "o_totalprice")))
+      .collect().map(_.toSeq.map(String.valueOf)).toSet
+    val got = spark.read.format("graft.sources.SpecCsvTable")
+      .option("spec", graft.spec.SpecJson.dumps(
+        graft.spec.SpecJson.fileSpecDict(spec)))
+      .option("mapping", graft.spec.SpecJson.dumps(
+        graft.spec.SpecJson.etlMappingDict(graft.spec.ETLMapping(
+          id = "m", name = "m", sourceId = "t", destinationId = "n",
+          filterRules = rules))))
+      .option("path", s"$dir/*.csv")
+      .load()
+      .collect().map(_.toSeq.map(String.valueOf)).toSet
+    assert(got == twin && got.nonEmpty,
+      s"connector diverged from the engine path (sizes ${got.size}/${twin.size})")
+  }
+}
