@@ -571,11 +571,16 @@ object Analytics extends QueryPack {
     // zone-map gate as g14.
     "g17_hilbert_layout" -> { (s, dir) =>
       import s.implicits._
+      // persisted: the ~60-op Hilbert bit chain feeds BOTH the boundary
+      // scan and the final file-assignment pass — cache the 4-column
+      // result instead of running the chain twice (d16's precedent;
+      // ContextCleaner reclaims it)
       val pts = hilbertIndex(
         Tables(s, dir).events.select(
           expr("user_id % 256").as("x"),
           expr("(hour(ts) * 60 + minute(ts)) div 6").as("y"),
           expr("least(255L, cast(round(value * 100) as bigint) div 192)").as("w")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bounds = ScaleOps.orderStats(pts.withColumn("g", lit(1)), "g", "h",
           (1 to 15).map(k => (f"b$k%02d", s"((n - 1) * $k) div 16")))
         .groupBy().agg(sort_array(collect_list($"value")).as("bs"))

@@ -228,11 +228,14 @@ object CorpusGate extends QueryPack {
       import s.implicits._
       import graft.functions.TextKernels
       val chunks = Text.chunked(Tables(s, dir).documents)
+      // persisted: feeds the df count AND the capped join — the chunk +
+      // shingle-hash UDF pass would otherwise run twice (d16's precedent)
       val csh = chunks
         .select($"doc_id", $"chunk_idx",
           TextKernels.shingleHashesUdf($"chunk").as("hs"))
         .select($"doc_id", $"chunk_idx", size($"hs").cast("long").as("c_nsh"),
           explode($"hs").as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // df cap as groupBy + anti join vs the tiny hot-shingle list (d4/d15's
       // converged shape) — a window over h would concentrate a viral
       // shingle's rows on one partition before the cap discards them
@@ -355,9 +358,12 @@ object CorpusGate extends QueryPack {
         .withColumn("pick", row_number().over(wPick).cast("long"))
         .filter($"pick" <= Quantizer.CellTarget / 4)
         .select($"vec_id".as("doc_id"), $"cell", $"pick")
+      // persisted: feeds binPack AND the join back — without the cache the
+      // whole decontam∩dedup∩balance chain runs twice (d16's precedent)
       val released = balanced.join(
         Tables(s, dir).documents.select($"doc_id",
           expr(s"size(${Tx.wsExpr})").cast("long").as("n_tok")), Seq("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Analytics.binPack(released.select($"doc_id", $"n_tok"))
         .join(released.select($"doc_id", $"cell", $"pick"), Seq("doc_id"))
         .select($"doc_id", $"cell", $"pick", $"n_tok", $"cls", $"win_id",

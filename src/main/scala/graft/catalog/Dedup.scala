@@ -387,8 +387,12 @@ object Dedup extends QueryPack {
     // sampled stratum (d4's cap already bounds it).
     "d14_lsh_eval" -> { (s, dir) =>
       import s.implicits._
+      // persists: truth and candidates each feed the hit join AND their
+      // own count (d16/g17/d20's multi-consumer precedent)
       val truth = queries("d4_ngram_jaccard")(s, dir).select($"d1", $"d2")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = queries("d2_minhash_lsh")(s, dir).select($"d1", $"d2")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       truth.join(cand, Seq("d1", "d2")).agg(count(lit(1)).as("n_hit"))
         .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
         .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
@@ -409,9 +413,15 @@ object Dedup extends QueryPack {
     // UDF); the bucket cap is the hot-key-safe groupBy+semi shape.
     "d20_band_sweep" -> { (s, dir) =>
       import s.implicits._
+      // persists: the exact-Jaccard truth set feeds all 3 sweep points and
+      // each config's candidate set feeds both its recall join and its
+      // count — without the caches the d4 pair join re-runs 3× and each
+      // band chain 2× (d16/g17's precedent)
       val truth = queries("d4_ngram_jaccard")(s, dir).select($"d1", $"d2")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Seq((2, 8), (4, 4), (8, 2)).map { case (nb, rpb) =>
         val cand = bandCandidates(s, dir, nb, rpb)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         truth.join(cand.withColumn("hit", lit(1L)), Seq("d1", "d2"), "left")
           .agg(count(lit(1)).as("n_truth"),
                sum(coalesce($"hit", lit(0L))).as("n_hit"))
@@ -546,10 +556,15 @@ object Dedup extends QueryPack {
       val sh = Tables(s, dir).documents
         .select($"doc_id", TextKernels.shingleHashesUdf($"text").as("hs"))
         .select($"doc_id", size($"hs").cast("long").as("n_sh"), $"hs")
+      // persists: ex0 feeds the df count and the capped set; ex feeds BOTH
+      // sides of the self-join — without the caches the shingle-hash UDF
+      // pass runs up to 4× (d16/g17's multi-consumer precedent)
       val ex0 = sh.select($"doc_id", $"n_sh", explode($"hs").as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val hot = ex0.groupBy($"h").agg(count(lit(1)).as("df"))
         .filter($"df" > MaxDf).select($"h")
       val ex = ex0.join(hot, Seq("h"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       ex.as("a").join(ex.as("b"), $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
         .groupBy($"a.doc_id".as("d1"), $"b.doc_id".as("d2"),
                  $"a.n_sh".as("n1"), $"b.n_sh".as("n2"))
@@ -586,12 +601,17 @@ object Dedup extends QueryPack {
         .select($"doc_id",
           array_distinct(TextKernels.shingleHashesUdf($"text")).as("hs"))
         .select($"doc_id", size($"hs").cast("long").as("n_sh"), $"hs")
+      // persists: ex feeds the df count, the prefix build, and both
+      // verify-side joins; prefix feeds both sides of the candidate
+      // self-join (d16/d4's multi-consumer precedent)
       val ex = sh.select($"doc_id", $"n_sh", explode($"hs").as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dft = ex.groupBy($"h").agg(count(lit(1)).as("df"))
       val prefix = ex.join(dft, Seq("h"))
         .withColumn("rk", row_number().over(wDoc))
         .filter($"rk" <= expr("n_sh div 2 + 1"))
         .select($"doc_id", $"n_sh", $"h")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = prefix.as("a").join(prefix.as("b"),
           $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
             $"a.n_sh" <= $"b.n_sh" * 2 && $"b.n_sh" <= $"a.n_sh" * 2)
@@ -639,11 +659,17 @@ object Dedup extends QueryPack {
       val wDoc = org.apache.spark.sql.expressions.Window
         .partitionBy($"doc_id").orderBy($"df", $"h")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      // persisted: the shingle-explode + polyhash pass feeds FOUR
+      // consumers (norms, df counts, both prefix sides) — without the
+      // cache the regex tokenize + hash kernel re-runs per consumer (the
+      // Quantizer's eq persist precedent; ContextCleaner reclaims it once
+      // the returned plan is released)
       val tf = Tables(s, dir).documents
         .select($"doc_id", expr(Tx.wsExpr).as("ws"))
         .select($"doc_id", explode(expr(Tx.shinglesAllExpr(4))).as("sg"))
         .select($"doc_id", expr(Tx.polyHash("sg")).as("h"))
         .groupBy($"doc_id", $"h").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ex = tf.join(
         tf.groupBy($"doc_id").agg(sum($"tf" * $"tf").as("n2")), Seq("doc_id"))
       val dft = tf.groupBy($"h").agg(count(lit(1)).as("df"))
@@ -651,6 +677,7 @@ object Dedup extends QueryPack {
         .withColumn("pre2", coalesce(sum($"tf" * $"tf").over(wDoc), lit(0L)))
         .filter(($"n2" - $"pre2") * 100 >= $"n2" * 81)
         .select($"doc_id", $"h")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = prefix.as("a").join(prefix.as("b"),
           $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("d1"), $"b.doc_id".as("d2"))

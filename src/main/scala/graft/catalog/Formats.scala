@@ -399,6 +399,64 @@ object Formats extends QueryPack {
              sum($"o_orderkey").as("sum_keys"))
         .orderBy($"o_orderstatus")
     },
+    // k28: MANIFEST ZONE-MAP SKIPPING — the FILE-level data-skipping leg
+    // the lakehouse suite was missing (k7 prunes hive PARTITIONS at
+    // planning time; Iceberg/Delta additionally carry per-file column
+    // min/max in the MANIFEST so a reader prunes files by predicate
+    // BEFORE touching storage). Staged: orders split into 8 orderkey-
+    // range files; the manifest records each entry as
+    // `lo<TAB>hi<TAB>dir` (stats computed AT WRITE TIME — the write
+    // already has the rows in hand, stats cost nothing extra). The query
+    // answers a key-range predicate two ways: scanning ONLY the manifest-
+    // overlapping files vs scanning everything with the filter — and
+    // emits both aggregates PLUS the file counts, so a green row pins
+    // that skipping changed the I/O (files_read 8 → overlap count, a
+    // deterministic function of the staged ranges) without changing the
+    // answer. At 100 TB this is THE scan-cost lever after partition
+    // pruning: zone maps reject files whose [min,max] misses the
+    // predicate, and the manifest read is metadata-only.
+    "k28_zonemap_skip" -> { (s, dir) =>
+      import s.implicits._
+      val root = Scratch.staged(s"k28_zones#$dir", "k28_zones") { p =>
+        import java.nio.file.{Files => F, Paths}
+        F.createDirectories(Paths.get(p))
+        val orders = Tables(s, dir).orders
+        val ids = orders.agg(min($"o_orderkey"), max($"o_orderkey")).head()
+        val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+        val step = (hi - lo) / 8 + 1
+        val entries = (0 until 8).map { i =>
+          val (flo, fhi) = (lo + i * step, math.min(lo + (i + 1) * step - 1, hi))
+          val d = s"$p/f$i"
+          orders.filter($"o_orderkey" >= flo && $"o_orderkey" <= fhi)
+            .write.mode("overwrite").parquet(d)
+          s"$flo\t$fhi\t$d"
+        }
+        F.writeString(Paths.get(s"$p/manifest.txt"), entries.mkString("\n"))
+      }
+      val entries = java.nio.file.Files
+        .readString(java.nio.file.Paths.get(s"$root/manifest.txt"))
+        .split("\n").toSeq.map { l =>
+          val a = l.split("\t"); (a(0).toLong, a(1).toLong, a(2))
+        }
+      // the predicate: middle half of the key space
+      val bounds = Tables(s, dir).orders
+        .agg(min($"o_orderkey"), max($"o_orderkey")).head()
+      val (qlo, qhi) = {
+        val span = bounds.getLong(1) - bounds.getLong(0)
+        (bounds.getLong(0) + span / 4, bounds.getLong(0) + span / 2)
+      }
+      val overlap = entries.filter { case (flo, fhi, _) => fhi >= qlo && flo <= qhi }
+      val cents = expr("cast(round(o_totalprice * 100) as bigint)")
+      def agg(df: DataFrame, src: String, filesRead: Int): DataFrame =
+        df.filter($"o_orderkey" >= qlo && $"o_orderkey" <= qhi)
+          .agg(count(lit(1)).as("n_rows"), sum(cents).as("sum_cents"))
+          .select(lit(src).as("src"), $"n_rows", $"sum_cents",
+                  lit(filesRead.toLong).as("files_read"))
+      agg(s.read.parquet(overlap.map(_._3): _*), "pruned", overlap.size)
+        .unionByName(
+          agg(s.read.parquet(entries.map(_._3): _*), "full", entries.size))
+        .orderBy($"src")
+    },
     // k26: SCHEMA INTROSPECTION — reference ROADMAP.md:33 ("Schema
     // introspection for automatic column detection"): infer each raw CSV
     // column's ColumnType (models.py:10-17's vocabulary — integer/float/
@@ -414,48 +472,63 @@ object Formats extends QueryPack {
     "k26_schema_introspect" -> { (s, dir) =>
       import s.implicits._
       val feed = Scratch.staged(s"k26_csv#$dir", "k26_csv") { p =>
-        Tables(s, dir).orders
-          .withColumn("cents", expr("cast(round(o_totalprice * 100) as bigint)"))
-          .select(
-          $"o_orderkey".cast("string").as("id_col"),
-          // decimal text built from exact cents — double→string rendering
-          // must not differ between the engines' oracle replays
-          concat(expr("cast(cents div 100 as string)"), lit("."),
-                 lpad(expr("cast(cents % 100 as string)"), 2, "0")).as("price_col"),
-          date_format($"o_orderdate", "yyyy-MM-dd").as("date_col"),
-          date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("dt_col"),
-          when(pmod($"o_orderkey", lit(2)) === 0, "true").otherwise("false")
-            .as("flag_col"),
-          $"o_orderstatus".as("status_col"))
-          .repartition(2)
-          .write.mode("overwrite").option("header", true).csv(p)
+        stageK26Feed(s, dir, p)
       }
       val spec = graft.spec.FileSpec(id = "k26", name = "k26", columns =
         Seq("id_col", "price_col", "date_col", "dt_col", "flag_col", "status_col")
           .map(graft.spec.ColumnSpec(_)))
       val raw = graft.engine.CsvSource.read(s, s"$feed/*.csv", spec)
-      val long = raw.selectExpr(
-        """stack(6, 'id_col', id_col, 'price_col', price_col,
-                    'date_col', date_col, 'dt_col', dt_col,
-                    'flag_col', flag_col, 'status_col', status_col)
-           as (col, value)""")
-      long.filter($"value" =!= "")
-        .groupBy($"col")
-        .agg(count(lit(1)).as("n_values"),
-             countDistinct($"value").as("n_distinct"),
-             sum(when($"value".rlike("^-?[0-9]+$"), 1L).otherwise(0L)).as("ni"),
-             sum(when($"value".rlike("^-?[0-9]+\\.[0-9]+$"), 1L).otherwise(0L)).as("nf"),
-             sum(when($"value".rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"), 1L).otherwise(0L)).as("nd"),
-             sum(when($"value".rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}$"), 1L).otherwise(0L)).as("ndt"),
-             sum(when($"value".isin("true", "false"), 1L).otherwise(0L)).as("nb"))
+      inferTypes(raw, spec.columns.map(_.name)).orderBy($"col")
+    },
+    // dq19: FEED SCHEMA-DRIFT AUDIT — k26's introspection applied to TWO
+    // versions of a CSV feed and diffed: v2 widens date_col to datetime
+    // (type_changed), drops status_col (removed), adds region_col
+    // (added); everything else must read 'unchanged'. This is the alarm
+    // a production loader raises BEFORE a drifted feed corrupts a typed
+    // table — the reference's introspection (ROADMAP.md:33) pointed at
+    // its real operational use. Both versions run the SHARED inference
+    // (inferTypes — one scan each), and the diff is a full-outer join on
+    // the BOUNDED column list.
+    "dq19_schema_drift" -> { (s, dir) =>
+      import s.implicits._
+      val cols1 = Seq("id_col", "price_col", "date_col", "dt_col",
+        "flag_col", "status_col")
+      val cols2 = Seq("id_col", "price_col", "date_col", "dt_col",
+        "flag_col", "region_col")
+      val feed1 = Scratch.staged(s"k26_csv#$dir", "k26_csv") { p =>
+        stageK26Feed(s, dir, p)
+      }
+      val feed2 = Scratch.staged(s"dq19_csv#$dir", "dq19_csv") { p =>
+        Tables(s, dir).orders
+          .withColumn("cents", expr("cast(round(o_totalprice * 100) as bigint)"))
+          .select(
+            $"o_orderkey".cast("string").as("id_col"),
+            concat(expr("cast(cents div 100 as string)"), lit("."),
+                   lpad(expr("cast(cents % 100 as string)"), 2, "0")).as("price_col"),
+            date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("date_col"),
+            date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("dt_col"),
+            when(pmod($"o_orderkey", lit(2)) === 0, "true").otherwise("false")
+              .as("flag_col"),
+            $"o_orderpriority".as("region_col"))
+          .repartition(2)
+          .write.mode("overwrite").option("header", true).csv(p)
+      }
+      def spec(cols: Seq[String]) = graft.spec.FileSpec(id = "d", name = "d",
+        columns = cols.map(graft.spec.ColumnSpec(_)))
+      val t1 = inferTypes(
+        graft.engine.CsvSource.read(s, s"$feed1/*.csv", spec(cols1)), cols1)
+        .select($"col", $"inferred_type".as("t1"))
+      val t2 = inferTypes(
+        graft.engine.CsvSource.read(s, s"$feed2/*.csv", spec(cols2)), cols2)
+        .select($"col", $"inferred_type".as("t2"))
+      t1.join(t2, Seq("col"), "full_outer")
         .select($"col",
-          when($"nb" === $"n_values", "boolean")
-            .when($"ni" === $"n_values", "integer")
-            .when($"ni" + $"nf" === $"n_values" && $"nf" > 0, "float")
-            .when($"nd" === $"n_values", "date")
-            .when($"ndt" === $"n_values", "datetime")
-            .otherwise("string").as("inferred_type"),
-          $"n_values", $"n_distinct")
+          coalesce($"t1", lit("absent")).as("v1_type"),
+          coalesce($"t2", lit("absent")).as("v2_type"),
+          when($"t1".isNull, "added")
+            .when($"t2".isNull, "removed")
+            .when($"t1" =!= $"t2", "type_changed")
+            .otherwise("unchanged").as("change"))
         .orderBy($"col")
     },
     // k27: TRANSACTION ROLLBACK ON ERROR — reference ROADMAP.md:36
@@ -1248,6 +1321,105 @@ object Formats extends QueryPack {
       filterRules = Seq(graft.spec.FilterRule(
         field = "o_orderstatus", operator = "equals", value = Some("P"))))))
 
+  /** k26's feed staging (also dq19's v1) — price text built from exact
+    * cents so double→string rendering can't differ between the engines'
+    * oracle replays. */
+  private def stageK26Feed(s: SparkSession, dir: String, p: String): Unit = {
+    import s.implicits._
+    Tables(s, dir).orders
+      .withColumn("cents", expr("cast(round(o_totalprice * 100) as bigint)"))
+      .select(
+        $"o_orderkey".cast("string").as("id_col"),
+        concat(expr("cast(cents div 100 as string)"), lit("."),
+               lpad(expr("cast(cents % 100 as string)"), 2, "0")).as("price_col"),
+        date_format($"o_orderdate", "yyyy-MM-dd").as("date_col"),
+        date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("dt_col"),
+        when(pmod($"o_orderkey", lit(2)) === 0, "true").otherwise("false")
+          .as("flag_col"),
+        $"o_orderstatus".as("status_col"))
+      .repartition(2)
+      .write.mode("overwrite").option("header", true).csv(p)
+  }
+
+  /** k26's staged raw strings re-derived in SQL (shared with dq19). */
+  private val k26RawSql = """
+        SELECT CAST(o_orderkey AS VARCHAR) AS id_col,
+               (cents // 100)::VARCHAR || '.' || lpad((cents % 100)::VARCHAR, 2, '0')
+                 AS price_col,
+               strftime(o_orderdate, '%Y-%m-%d') AS date_col,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS dt_col,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'true' ELSE 'false' END AS flag_col,
+               o_orderstatus AS status_col
+        FROM (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders) o"""
+
+  /** dq19's v2 feed: date_col widened to datetime (type change),
+    * status_col dropped, region_col added. */
+  private val dq19RawSql = """
+        SELECT CAST(o_orderkey AS VARCHAR) AS id_col,
+               (cents // 100)::VARCHAR || '.' || lpad((cents % 100)::VARCHAR, 2, '0')
+                 AS price_col,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS date_col,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS dt_col,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'true' ELSE 'false' END AS flag_col,
+               o_orderpriority AS region_col
+        FROM (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders) o"""
+
+  /** k26/dq19's type inference over an all-string frame: unpivot to
+    * (col, value), per-column counts of regex-shaped values, priority
+    * CASE → ColumnType name (k26 entry scaladoc). Shared so the drift
+    * audit reuses the EXACT same rules. */
+  private[catalog] def inferTypes(raw: org.apache.spark.sql.DataFrame,
+      cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val stackExpr = s"stack(${cols.length}, " +
+      cols.map(c => s"'$c', $c").mkString(", ") + ") as (col, value)"
+    raw.selectExpr(stackExpr)
+      .filter(col("value") =!= "")
+      .groupBy(col("col"))
+      .agg(count(lit(1)).as("n_values"),
+           countDistinct(col("value")).as("n_distinct"),
+           sum(when(col("value").rlike("^-?[0-9]+$"), 1L).otherwise(0L)).as("ni"),
+           sum(when(col("value").rlike("^-?[0-9]+\\.[0-9]+$"), 1L).otherwise(0L)).as("nf"),
+           sum(when(col("value").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"), 1L).otherwise(0L)).as("nd"),
+           sum(when(col("value").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}$"), 1L).otherwise(0L)).as("ndt"),
+           sum(when(col("value").isin("true", "false"), 1L).otherwise(0L)).as("nb"))
+      .select(col("col"),
+        when(col("nb") === col("n_values"), "boolean")
+          .when(col("ni") === col("n_values"), "integer")
+          .when(col("ni") + col("nf") === col("n_values") && col("nf") > 0, "float")
+          .when(col("nd") === col("n_values"), "date")
+          .when(col("ndt") === col("n_values"), "datetime")
+          .otherwise("string").as("inferred_type"),
+        col("n_values"), col("n_distinct"))
+  }
+
+  /** The SQL twin of inferTypes: `rawRel` must expose the listed string
+    * columns; returns a SELECT producing (col, inferred_type, n_values,
+    * n_distinct). */
+  private[catalog] def inferTypesSql(cols: Seq[String], rawRel: String): String = s"""
+      SELECT col,
+             CASE WHEN nb = n_values THEN 'boolean'
+                  WHEN ni = n_values THEN 'integer'
+                  WHEN ni + nf = n_values AND nf > 0 THEN 'float'
+                  WHEN nd = n_values THEN 'date'
+                  WHEN ndt = n_values THEN 'datetime'
+                  ELSE 'string' END AS inferred_type,
+             n_values, n_distinct
+      FROM (
+        SELECT col, COUNT(*)::BIGINT AS n_values,
+               COUNT(DISTINCT value)::BIGINT AS n_distinct,
+               SUM(CASE WHEN regexp_full_match(value, '-?[0-9]+') THEN 1 ELSE 0 END) AS ni,
+               SUM(CASE WHEN regexp_full_match(value, '-?[0-9]+\\.[0-9]+') THEN 1 ELSE 0 END) AS nf,
+               SUM(CASE WHEN regexp_full_match(value, '[0-9]{4}-[0-9]{2}-[0-9]{2}') THEN 1 ELSE 0 END) AS nd,
+               SUM(CASE WHEN regexp_full_match(value, '[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}') THEN 1 ELSE 0 END) AS ndt,
+               SUM(CASE WHEN value IN ('true', 'false') THEN 1 ELSE 0 END) AS nb
+        FROM (
+          ${cols.map(c => s"SELECT '$c' AS col, $c AS value FROM $rawRel")
+            .mkString("\n          UNION ALL ")})
+        WHERE value <> '' GROUP BY col) agg"""
+
   /** k27's staged database + phase snapshots (scaladoc on the entry):
     * preload → failed all-or-nothing transaction (rollback) → snapshot →
     * clean commit. Returns the staging root holding `db` and
@@ -1311,7 +1483,7 @@ object Formats extends QueryPack {
     }
 
   /** Spark-side JDBC properties for the embedded Derby engine. */
-  private def derbyProps: java.util.Properties = {
+  private[catalog] def derbyProps: java.util.Properties = {
     val p = new java.util.Properties()
     p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
     p
@@ -1411,44 +1583,50 @@ object Formats extends QueryPack {
       WHERE o_orderstatus <> 'P'
         AND contains(CAST(o_orderkey AS VARCHAR), '7')
       GROUP BY 1 ORDER BY 1""",
+    // k28: both scan paths must agree on the answer; files_read for the
+    // pruned path is the closed-form overlap count of the staged ranges
+    "k28_zonemap_skip" -> """
+      WITH b AS (SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM orders),
+      q AS (SELECT lo + (hi - lo) // 4 AS qlo, lo + (hi - lo) // 2 AS qhi,
+                   (hi - lo) // 8 + 1 AS step, lo, hi FROM b),
+      files AS (SELECT lo + i * step AS flo,
+                       least(lo + (i + 1) * step - 1, hi) AS fhi, qlo, qhi
+                FROM q CROSS JOIN (SELECT unnest(range(0, 8)) AS i) r),
+      nf AS (SELECT COUNT(*)::BIGINT AS n_overlap FROM files
+             WHERE fhi >= qlo AND flo <= qhi),
+      a AS (SELECT COUNT(*)::BIGINT AS n_rows,
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS sum_cents
+            FROM orders CROSS JOIN q
+            WHERE o_orderkey >= qlo AND o_orderkey <= qhi)
+      SELECT 'full' AS src, n_rows, sum_cents, 8::BIGINT AS files_read FROM a
+      UNION ALL
+      SELECT 'pruned', n_rows, sum_cents, n_overlap FROM a CROSS JOIN nf
+      ORDER BY src""",
     // k26: the staged raw strings re-derived inline, the same regex rules
-    // and priority CASE — both engines must infer the same spec
-    "k26_schema_introspect" -> """
-      WITH raw AS (
-        SELECT CAST(o_orderkey AS VARCHAR) AS id_col,
-               (cents // 100)::VARCHAR || '.' || lpad((cents % 100)::VARCHAR, 2, '0')
-                 AS price_col,
-               strftime(o_orderdate, '%Y-%m-%d') AS date_col,
-               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS dt_col,
-               CASE WHEN o_orderkey % 2 = 0 THEN 'true' ELSE 'false' END AS flag_col,
-               o_orderstatus AS status_col
-        FROM (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-              FROM orders) o),
-      long AS (
-        SELECT 'id_col' AS col, id_col AS value FROM raw
-        UNION ALL SELECT 'price_col', price_col FROM raw
-        UNION ALL SELECT 'date_col', date_col FROM raw
-        UNION ALL SELECT 'dt_col', dt_col FROM raw
-        UNION ALL SELECT 'flag_col', flag_col FROM raw
-        UNION ALL SELECT 'status_col', status_col FROM raw),
-      agg AS (
-        SELECT col, COUNT(*)::BIGINT AS n_values,
-               COUNT(DISTINCT value)::BIGINT AS n_distinct,
-               SUM(CASE WHEN regexp_full_match(value, '-?[0-9]+') THEN 1 ELSE 0 END) AS ni,
-               SUM(CASE WHEN regexp_full_match(value, '-?[0-9]+\.[0-9]+') THEN 1 ELSE 0 END) AS nf,
-               SUM(CASE WHEN regexp_full_match(value, '[0-9]{4}-[0-9]{2}-[0-9]{2}') THEN 1 ELSE 0 END) AS nd,
-               SUM(CASE WHEN regexp_full_match(value, '[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}') THEN 1 ELSE 0 END) AS ndt,
-               SUM(CASE WHEN value IN ('true', 'false') THEN 1 ELSE 0 END) AS nb
-        FROM long WHERE value <> '' GROUP BY col)
-      SELECT col,
-             CASE WHEN nb = n_values THEN 'boolean'
-                  WHEN ni = n_values THEN 'integer'
-                  WHEN ni + nf = n_values AND nf > 0 THEN 'float'
-                  WHEN nd = n_values THEN 'date'
-                  WHEN ndt = n_values THEN 'datetime'
-                  ELSE 'string' END AS inferred_type,
-             n_values, n_distinct
-      FROM agg ORDER BY col""",
+    // and priority CASE (inferTypesSql — shared with dq19's drift audit)
+    "k26_schema_introspect" -> s"""
+      WITH raw AS ($k26RawSql)
+      ${inferTypesSql(Seq("id_col", "price_col", "date_col", "dt_col",
+        "flag_col", "status_col"), "raw")}
+      ORDER BY col""",
+    // dq19: both versions inferred with the SHARED rules, full-outer
+    // joined — added/removed/type_changed/unchanged per column
+    "dq19_schema_drift" -> s"""
+      WITH raw1 AS ($k26RawSql),
+      raw2 AS ($dq19RawSql),
+      t1 AS (${inferTypesSql(Seq("id_col", "price_col", "date_col", "dt_col",
+        "flag_col", "status_col"), "raw1")}),
+      t2 AS (${inferTypesSql(Seq("id_col", "price_col", "date_col", "dt_col",
+        "flag_col", "region_col"), "raw2")})
+      SELECT COALESCE(t1.col, t2.col) AS col,
+             COALESCE(t1.inferred_type, 'absent') AS v1_type,
+             COALESCE(t2.inferred_type, 'absent') AS v2_type,
+             CASE WHEN t1.col IS NULL THEN 'added'
+                  WHEN t2.col IS NULL THEN 'removed'
+                  WHEN t1.inferred_type <> t2.inferred_type THEN 'type_changed'
+                  ELSE 'unchanged' END AS change
+      FROM t1 FULL OUTER JOIN t2 ON t1.col = t2.col
+      ORDER BY col""",
     // k27: every phase recomputed from parquet — 'b_post_failure' equal
     // to 'a_preload' IS the rollback-atomicity pin
     "k27_jdbc_transaction" -> """

@@ -60,6 +60,38 @@ object Multimodal extends QueryPack {
                 $"width", $"height", $"sample_rate_hz", $"n_frames")
         .orderBy($"media_id")
     },
+    // m14: MULTIMODAL QUALITY RULE GATE — x30's published-pipeline rule
+    // table pointed at media: per-kind integer rules over the DECODED
+    // catalog metadata (small image, low-rate audio, short video, tiny
+    // payload — each fires on a real slice of the synthetic fixture),
+    // unpivoted to per-(kind, rule) counts plus the per-kind all-pass
+    // row. The Spark side reads what the CODECS decoded; the oracle
+    // recomputes the same fields from the payload closed forms — so a
+    // green row pins decode AND gate. Scale: one metadata-only pass
+    // (payload column pruned at the scan), a bounded (kind × rule)
+    // aggregate.
+    "m14_media_rule_gate" -> { (s, dir) =>
+      import s.implicits._
+      val st = Media.catalogStats(stagedMedia(s, dir)).toDF()
+      st.select($"kind",
+          ($"kind" === "image" && ($"width" < 128 || $"height" < 96))
+            .as("small_image"),
+          ($"kind" === "audio" && $"sample_rate_hz" < 16000).as("low_rate"),
+          ($"kind" === "video" && $"n_frames" < 12).as("short_video"),
+          ($"n_bytes" < 20000).as("tiny_payload"))
+        .withColumn("zz_pass",
+          !($"small_image" || $"low_rate" || $"short_video" || $"tiny_payload"))
+        .selectExpr("kind",
+          """stack(5, 'small_image', small_image, 'low_rate', low_rate,
+                      'short_video', short_video, 'tiny_payload', tiny_payload,
+                      'zz_pass', zz_pass) as (rule, flagged)""")
+        .groupBy($"kind", $"rule")
+        .agg(sum(when($"flagged", 1L).otherwise(0L)).as("n_docs"),
+             count(lit(1)).as("n_kind"))
+        .select($"kind", $"rule", $"n_docs",
+                expr("n_docs * 10000 div n_kind").as("rate_bp"))
+        .orderBy($"kind", $"rule")
+    },
     // m2: frame sampling — container parse skips unsampled frames, only
     // every 4th frame pays the PNG decode; output is the DECODED frame's
     // dims + pixel checksum.
@@ -379,6 +411,48 @@ object Multimodal extends QueryPack {
       LEFT JOIN vids vd ON vd.doc_id = d.doc_id
       LEFT JOIN vchk ON vchk.doc_id = d.doc_id
       ORDER BY media_id""",
+    // m14: metadata closed forms + the same rule CASEs, stacked by kind
+    "m14_media_rule_gate" -> s"""
+      WITH $imgCtes,
+      $audCtes,
+      $vidCtes,
+      meta AS (
+        SELECT d.doc_id,
+               (['image','audio','video'])[(d.doc_id % 3) + 1] AS kind,
+               CASE WHEN d.doc_id % 3 = 0 THEN (i.w * i.h * 3)::BIGINT
+                    WHEN d.doc_id % 3 = 1 THEN (a.n * 2)::BIGINT
+                    ELSE (vd.nf * ${Media.FrameW * Media.FrameH * 3})::BIGINT
+                 END AS n_bytes,
+               (64 + (d.doc_id % 16) * 16) AS width,
+               (48 + (d.doc_id % 9) * 16) AS height,
+               (8000 + (d.doc_id % 5) * 8000) AS sample_rate_hz,
+               (8 + (d.doc_id % 24)) AS n_frames
+        FROM documents d
+        LEFT JOIN imgs i ON i.doc_id = d.doc_id
+        LEFT JOIN auds a ON a.doc_id = d.doc_id
+        LEFT JOIN vids vd ON vd.doc_id = d.doc_id),
+      f AS (
+        SELECT kind,
+               kind = 'image' AND (width < 128 OR height < 96) AS small_image,
+               kind = 'audio' AND sample_rate_hz < 16000 AS low_rate,
+               kind = 'video' AND n_frames < 12 AS short_video,
+               n_bytes < 20000 AS tiny_payload
+        FROM meta),
+      f2 AS (
+        SELECT *, NOT (small_image OR low_rate OR short_video OR tiny_payload)
+                    AS zz_pass
+        FROM f),
+      long AS (
+        SELECT kind, 'small_image' AS rule, small_image AS flagged FROM f2
+        UNION ALL SELECT kind, 'low_rate', low_rate FROM f2
+        UNION ALL SELECT kind, 'short_video', short_video FROM f2
+        UNION ALL SELECT kind, 'tiny_payload', tiny_payload FROM f2
+        UNION ALL SELECT kind, 'zz_pass', zz_pass FROM f2)
+      SELECT kind, rule,
+             SUM(CASE WHEN flagged THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+             (SUM(CASE WHEN flagged THEN 1 ELSE 0 END) * 10000 // COUNT(*))::BIGINT
+               AS rate_bp
+      FROM long GROUP BY 1, 2 ORDER BY kind, rule""",
     "m2_frame_sample" -> s"""
       WITH $imgCtes,
       $vidCtes

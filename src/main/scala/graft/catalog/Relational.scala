@@ -132,6 +132,30 @@ object Relational extends QueryPack {
                 $"m.n".as("n_mode"), $"n_rows")
         .orderBy($"l_returnflag")
     },
+    // a15: EXACT WEIGHTED MEDIAN — the order statistic a7's approx
+    // percentile and q6's unweighted percentiles both miss: the qty at
+    // which HALF THE REVENUE sits (weight = exact cents). Two-level
+    // shape like a13: collapse to the distinct (flag, qty) weight table
+    // map-side first, then a cumulative window over that BOUNDED domain
+    // (≤ |flags|×|distinct qty| rows — never the fact table), and the
+    // pick is min qty with 2·cum ≥ total. All-integer, so the tie
+    // behavior (exactly half) is engine-identical by construction.
+    "a15_weighted_median" -> { (s, dir) =>
+      import s.implicits._
+      val c = Tables(s, dir).lineitem
+        .select($"l_returnflag",
+                expr("cast(round(l_quantity) as bigint)").as("qty"),
+                expr("cast(round(l_extendedprice * 100) as bigint)").as("w0"))
+        .groupBy($"l_returnflag", $"qty").agg(sum($"w0").as("w"))
+      val t = c.groupBy($"l_returnflag").agg(sum($"w").as("tw"))
+      val wC = Window.partitionBy($"l_returnflag").orderBy($"qty")
+      c.join(t, Seq("l_returnflag"))
+        .withColumn("cw", sum($"w").over(wC))
+        .filter($"cw" * 2 >= $"tw")
+        .groupBy($"l_returnflag")
+        .agg(min($"qty").as("w_median_qty"), min($"tw").as("total_cents"))
+        .orderBy($"l_returnflag")
+    },
     "a1_rollup" -> { (s, dir) =>
       import s.implicits._
       val t = Tables(s, dir)
@@ -793,9 +817,12 @@ object Relational extends QueryPack {
         .agg(coalesce(max($"cum_bp"), lit(0L)).as("v"))
         .select(lit("conversion").as("stage"), lit("d7_cum_bp").as("item"),
                 $"v".as("value"))
+      // persisted: both the peak_day and peak_bp rows read this 1-row agg —
+      // without the cache the whole w17 chain runs twice (d16's precedent)
       val hzAgg = queries("w17_survival_hazard")(s, dir)
         .agg(max(struct($"hazard_bp".as("h"), (-$"duration_days").as("negd")))
           .as("m"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val hz = hzAgg
         .select(lit("hazard").as("stage"), lit("peak_day").as("item"),
                 (-$"m.negd").as("value"))
@@ -805,7 +832,9 @@ object Relational extends QueryPack {
         .orderBy($"credit_bp".desc, $"channel").limit(1)
         .select(lit("attribution").as("stage"), $"channel".as("item"),
                 $"credit_bp".as("value"))
+      // persisted: consumed by the min-cohort probe AND the final pick
       val lt = queries("w19_cohort_ltv")(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ltv = lt
         .join(broadcast(lt.agg(min($"cohort_ym").as("c0"))),
               $"cohort_ym" === $"c0")
@@ -815,6 +844,42 @@ object Relational extends QueryPack {
                 $"m.l".as("value"))
       conv.unionByName(hz).unionByName(at).unionByName(ltv)
         .orderBy($"stage", $"item")
+    },
+    // w20: DIFF-IN-DIFF UPLIFT — the causal-analytics leg next to the
+    // descriptive w-family (c15 A/Bs the CURATION; this measures a
+    // TREATMENT on users): users split by parity into treat/control,
+    // event-months split at the integer midpoint into pre/post, metric =
+    // exact purchase cents; the effect is the classic double difference
+    // (post_t − pre_t) − (post_c − pre_c), which cancels both the group
+    // baseline and the common time trend. One scan → 4 bounded cells +
+    // one conditional-sum row; everything integer, so the oracle matches
+    // bitwise. Scale: a 2×2 aggregate is free at any corpus size; the
+    // cut month is 2 driver-held integers (min/max — metadata).
+    "w20_diff_in_diff" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir).events
+        .select($"user_id", $"event_type", $"value",
+                (year($"ts") * 12 + month($"ts") - 1).cast("long").as("em"))
+      val b = ev.agg(min($"em"), max($"em")).head()
+      val cut = (b.getLong(0) + b.getLong(1) + 1) / 2
+      val cells = ev.filter($"event_type" === "purchase")
+        .select(
+          when($"user_id" % 2 === 0, "treat").otherwise("control").as("grp"),
+          when($"em" >= cut, "post").otherwise("pre").as("period"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .groupBy($"grp", $"period")
+        .agg(count(lit(1)).as("n_purchases"), sum($"cents").as("cents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val did = cells.agg(
+          sum($"n_purchases").as("n_purchases"),
+          sum(when($"grp" === "treat" && $"period" === "post", $"cents")
+            .when($"grp" === "control" && $"period" === "pre", $"cents")
+            .otherwise(-$"cents")).as("cents"))
+        .select(lit("zz_did").as("grp"), lit("effect").as("period"),
+                $"n_purchases", $"cents")
+      cells.select($"grp", $"period", $"n_purchases", $"cents")
+        .unionByName(did)
+        .orderBy($"grp", $"period")
     },
     // w18: MARKOV REMOVAL-EFFECT ATTRIBUTION — the principled multi-touch
     // model w14's position/decay heuristics approximate: journeys are
@@ -2137,6 +2202,20 @@ object Relational extends QueryPack {
                 WHERE cohort_ym = (SELECT MIN(cohort_ym) FROM lt)
                 ORDER BY age DESC LIMIT 1)::BIGINT) u
       ORDER BY stage, item""",
+    // a15: same two-level collapse + cumulative pick, all integers
+    "a15_weighted_median" -> """
+      WITH c AS (
+        SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS qty,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS w
+        FROM lineitem GROUP BY 1, 2),
+      t AS (SELECT l_returnflag, SUM(w)::BIGINT AS tw FROM c GROUP BY 1),
+      r AS (SELECT c.l_returnflag, c.qty, t.tw,
+                   SUM(c.w) OVER (PARTITION BY c.l_returnflag
+                                  ORDER BY c.qty)::BIGINT AS cw
+            FROM c JOIN t USING (l_returnflag))
+      SELECT l_returnflag, MIN(qty)::BIGINT AS w_median_qty,
+             MIN(tw)::BIGINT AS total_cents
+      FROM r WHERE cw * 2 >= tw GROUP BY 1 ORDER BY 1""",
     "a13_group_mode" -> """
       WITH c AS (
         SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS qty,
@@ -2182,6 +2261,27 @@ object Relational extends QueryPack {
       ORDER BY c.cid""",
     "w19_cohort_ltv" -> w19Sql,
     "w18_markov_attribution" -> w18Sql,
+    // w20: the 2×2 cells + the conditional double-difference row
+    "w20_diff_in_diff" -> """
+      WITH ev AS (SELECT user_id, event_type, value,
+                         (year(ts) * 12 + month(ts) - 1)::BIGINT AS em
+                  FROM events),
+      b AS (SELECT (MIN(em) + MAX(em) + 1) // 2 AS cut FROM ev),
+      p AS (SELECT CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'control' END AS grp,
+                   CASE WHEN em >= cut THEN 'post' ELSE 'pre' END AS period,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM ev CROSS JOIN b WHERE event_type = 'purchase'),
+      cells AS (SELECT grp, period, COUNT(*)::BIGINT AS n_purchases,
+                       SUM(cents)::BIGINT AS cents
+                FROM p GROUP BY 1, 2)
+      SELECT grp, period, n_purchases, cents FROM cells
+      UNION ALL
+      SELECT 'zz_did', 'effect',
+             (SELECT SUM(n_purchases) FROM cells)::BIGINT,
+             (SELECT SUM(CASE WHEN grp = 'treat' AND period = 'post' THEN cents
+                              WHEN grp = 'control' AND period = 'pre' THEN cents
+                              ELSE -cents END) FROM cells)::BIGINT
+      ORDER BY grp, period""",
     "u7_union_by_name" -> """
       SELECT o_orderkey, o_custkey, o_totalprice FROM (
         SELECT o_orderkey, o_custkey, o_totalprice

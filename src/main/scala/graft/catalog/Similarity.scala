@@ -503,7 +503,12 @@ object Similarity extends QueryPack {
         .withColumn("sim",
           graft.functions.VectorExprs.cosine($"av", $"bv", $"an", $"bn"))
         .select($"q_id", $"a_id".as("vec_id"), $"b_id", $"sim")
+        // persisted: K²-per-query rows, but every unrolled MMR round
+        // re-reads them — without the cache each round replays the full
+        // brute-force scan chain (d16's multi-consumer precedent)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val c0 = cand.select($"q_id", $"vec_id", $"rel")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def pick(scored: DataFrame): DataFrame = {
         val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
         scored.withColumn("rk", row_number().over(w)).filter($"rk" === 1)

@@ -385,6 +385,76 @@ object Streams extends QueryPack {
     (s"$root/q", s"$root/d", s"$root/l", s"$root/c")
   }
 
+  /** e34's run body: e16's update-mode running counts streamed into an
+    * embedded Derby table through k23's executor-side upsert loop — the
+    * OLTP SERVING sink (dashboards, feature stores) next to e16's
+    * table-storage merge and e33's lakehouse commit. Update mode emits
+    * each trigger's changed users with their CUMULATIVE counts, so the
+    * upsert SETs absolute values — naturally idempotent under
+    * at-least-once re-delivery (a replayed batch re-writes the same
+    * totals). Scale shape (100 TB): per-batch work is |changed users|
+    * batched statements per partition, never a table rewrite; the JDBC
+    * side holds the serving working set, not the corpus. */
+  private[graft] def runJdbcUpsertStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ingest = Scratch.staged(s"e34_ingest#$dir", "e34_ingest") { p =>
+      s.read.parquet(s"$dir/events.parquet")
+        .select($"event_id", $"user_id").repartition(4, $"event_id")
+        .write.mode("overwrite").parquet(p)
+    }
+    val work = Scratch.dir("e34_db")
+    val dbPath = work.resolve("db").toString
+    System.setProperty("derby.system.home", work.toString)
+    val c0 = java.sql.DriverManager.getConnection(s"jdbc:derby:$dbPath;create=true")
+    try {
+      c0.createStatement().executeUpdate("""CREATE TABLE USER_COUNTS_E34 (
+        USER_ID BIGINT NOT NULL PRIMARY KEY, N BIGINT)""")
+    } finally c0.close()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 4)
+    try {
+      val st = s.readStream.schema(s.read.parquet(ingest).schema)
+        .option("maxFilesPerTrigger", 1).parquet(ingest)
+      val counts = st.groupBy($"user_id").agg(count(lit(1)).as("n"))
+      val q = counts.writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            if (it.hasNext) {
+              val c = java.sql.DriverManager.getConnection(s"jdbc:derby:$dbPath")
+              try {
+                c.setAutoCommit(false)
+                val up = c.prepareStatement(
+                  "UPDATE USER_COUNTS_E34 SET N = ? WHERE USER_ID = ?")
+                val ins = c.prepareStatement(
+                  "INSERT INTO USER_COUNTS_E34 VALUES (?, ?)")
+                it.grouped(500).foreach { chunk =>
+                  chunk.foreach { r =>
+                    up.setLong(1, r.getLong(1)); up.setLong(2, r.getLong(0))
+                    up.addBatch()
+                  }
+                  val n = up.executeBatch()
+                  chunk.iterator.zip(n.iterator).filter(_._2 == 0).map(_._1)
+                    .foreach { r =>
+                      ins.setLong(1, r.getLong(0)); ins.setLong(2, r.getLong(1))
+                      ins.addBatch()
+                    }
+                  ins.executeBatch()
+                  c.commit()
+                }
+                up.close(); ins.close()
+              } finally c.close()
+            }
+          }
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.jdbc(s"jdbc:derby:$dbPath", "USER_COUNTS_E34", Formats.derbyProps)
+      .select($"USER_ID".as("user_id"), $"N".as("n"))
+      .orderBy($"user_id")
+  }
+
   /** e33's per-epoch commit: the k13/k17 manifest protocol driven from
     * inside foreachBatch — the composition that turns Structured
     * Streaming's at-least-once batch delivery into EXACTLY-ONCE visible
@@ -1449,6 +1519,84 @@ object Streams extends QueryPack {
       runLakehouseSink(s, dir, work.resolve("store").toString,
         work.resolve("ckpt").toString)
     },
+    // e35: DSV2 SPEC SOURCE AS A STREAM — k22's FileSpec connector read
+    // through ITS OWN MicroBatchStream (SpecCsvMicroBatch: file-count
+    // offsets over the lexicographic glob, 1 file per trigger via the
+    // source's default admission limit, AvailableNow pins the universe
+    // at prepare) and committed exactly-once through e33's manifest CAS
+    // — the reference's watch-folder (O2 glob) made continuous, end to
+    // end on engine surfaces this repo built. Epoch i == range file i,
+    // so the oracle is e33's 3-way range split; a green row pins the
+    // custom source's offset bookkeeping, admission control AND the
+    // sink protocol in one pass.
+    "e35_stream_spec_source" -> { (s, dir) =>
+      import s.implicits._
+      val feed = Scratch.staged(s"e35_csv#$dir", "e35_csv") { p =>
+        val orders = Tables(s, dir).orders
+          .select($"o_orderkey", $"o_totalprice")
+        val rp = java.nio.file.Paths.get(p)
+        java.nio.file.Files.createDirectories(rp)
+        val ids = orders.agg(min($"o_orderkey"), max($"o_orderkey")).head()
+        val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+        val step = (hi - lo) / 3 + 1
+        (0 until 3).foreach { i =>
+          val stage = Scratch.dir(s"e35r$i")
+          orders.filter($"o_orderkey" >= lo + i * step &&
+                        $"o_orderkey" < lo + (i + 1) * step)
+            .coalesce(1).write.mode("overwrite")
+            .option("header", true).csv(stage.toString)
+          val ls = java.nio.file.Files.list(stage)
+          val part = try {
+            ls.filter(q => q.getFileName.toString.endsWith(".csv"))
+              .findFirst().get()
+          } finally ls.close()
+          java.nio.file.Files.copy(part, rp.resolve(f"range_$i%02d.csv"))
+        }
+      }
+      val specJson = graft.spec.SpecJson.dumps(
+        graft.spec.SpecJson.fileSpecDict(graft.spec.FileSpec(
+          id = "orders_stream", name = "orders stream",
+          columns = Seq(graft.spec.ColumnSpec("o_orderkey"),
+                        graft.spec.ColumnSpec("o_totalprice")))))
+      val work = Scratch.dir("e35")
+      val root = work.resolve("store").toString
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", 4)
+      try {
+        val st = s.readStream.format("graft.sources.SpecCsvTable")
+          .option("spec", specJson)
+          .option("path", s"$feed/*.csv")
+          .load()
+        val q = st.writeStream.outputMode("append")
+          .option("checkpointLocation", work.resolve("ckpt").toString)
+          .foreachBatch { (batch: DataFrame, epochId: Long) =>
+            commitEpoch(batch, epochId, root)
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val live = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+        .toArray.map(_.toString.split("/").last)
+        .filter(_.startsWith("manifest_"))
+        .map(_.stripPrefix("manifest_").stripSuffix(".txt").toInt).max
+      val entries = java.nio.file.Files
+        .readString(java.nio.file.Paths.get(s"$root/manifest_$live.txt"))
+        .split("\n").toSeq.filter(_.nonEmpty)
+        .map { l => val a = l.split("\t", 2); (a(0).toLong, a(1)) }
+      entries.map { case (ep, d) =>
+        s.read.parquet(d)
+          .agg(count(lit(1)).as("n_rows"),
+               sum(expr("cast(round(cast(o_totalprice as double) * 100) as bigint)"))
+                 .as("cents"))
+          .select(lit(ep).as("epoch"), $"n_rows", $"cents")
+      }.reduce(_ unionByName _).orderBy($"epoch")
+    },
+    // e34: STREAMING UPSERT INTO JDBC (runJdbcUpsertStream scaladoc) —
+    // update-mode running counts served into an embedded Derby table via
+    // k23's executor upsert loop; absolute-value SETs make re-delivery
+    // idempotent. Oracle = the batch per-user counts.
+    "e34_stream_jdbc_upsert" -> { (s, dir) => runJdbcUpsertStream(s, dir) },
     // e28: STREAMING SEQUENCE PACKING (runStreamSeqPack scaladoc) — the
     // ingest leg of the pretrain-packing pipeline: g18's context-window
     // map maintained across micro-batches, output-as-state, idempotent
@@ -1679,6 +1827,20 @@ object Streams extends QueryPack {
     // ground-truth partition of the planted corruption rule (one shared
     // SQL, so the batch and streaming twins cannot drift)
     "e30_stream_quarantine" -> Formats.corruptAuditSql,
+    // e35: same 3-way range split as e33 — epoch i == range file i
+    "e35_stream_spec_source" -> """
+      WITH b AS (SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi
+                 FROM orders),
+      a AS (SELECT (o_orderkey - lo) // ((hi - lo) // 3 + 1) AS epoch,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders CROSS JOIN b)
+      SELECT epoch::BIGINT AS epoch, COUNT(*)::BIGINT AS n_rows,
+             SUM(cents)::BIGINT AS cents
+      FROM a GROUP BY 1 ORDER BY 1""",
+    // e34: the served table must equal the batch per-user counts
+    "e34_stream_jdbc_upsert" -> """
+      SELECT user_id, COUNT(*)::BIGINT AS n
+      FROM events GROUP BY 1 ORDER BY 1""",
     // e33: epoch i == orderkey range i (pinned mtimes, one file per
     // trigger); the committed store must hold exactly the batch split
     "e33_stream_lakehouse_sink" -> """

@@ -758,6 +758,50 @@ object Text extends QueryPack {
         .join(t.documents.select($"doc_id".as("vec_id"), $"lang"), Seq("vec_id"))
       centroidClassify(labeled, dim = 64)
     },
+    // x30: GOPHER-STYLE QUALITY RULE TABLE — the published-pipeline
+    // heuristic gate (Rae et al. 2021's document filters; C4/CCNet carry
+    // similar rule sets) as ONE auditable table: six integer-exact rules
+    // (short doc, mean word length out of [3,10], symbol-heavy,
+    // too-few stopwords, >25% duplicate words, top-bigram dominance)
+    // evaluated per doc from the proven x1/x2/x8 kernels in one pass,
+    // then unpivoted (stack — dq2's shape, shuffle keyed on the BOUNDED
+    // rule list) into per-rule violation counts + the all-rules-pass
+    // row a curation team reads before shipping the gate. Every
+    // threshold is an integer cross-multiplication — no float compare
+    // can disagree between engines. Scale: one corpus scan, one 7-row
+    // aggregate; the rule table costs the same at any corpus size.
+    "x30_gopher_rules" -> { (s, dir) =>
+      import s.implicits._
+      val k = graft.functions.TextKernels
+      val flags = Tables(s, dir).documents
+        .withColumn("ts", k.tokenStatsUdf($"text"))
+        .withColumn("qc", k.qualityCountsUdf(stopwords.toSet)($"text"))
+        .withColumn("rc", k.repetitionUdf($"text"))
+        .withColumn("ln", greatest(length($"text"), lit(1)))
+        .select(
+          ($"rc.n_words" < 30).as("r1_short"),
+          ($"ts.sum_token_len" < $"ts.n_tokens" * 3 ||
+            $"ts.sum_token_len" > $"ts.n_tokens" * 10).as("r2_word_len"),
+          ($"qc.punct_cnt" * 10 > $"ln").as("r3_symbol_heavy"),
+          ($"qc.stop_cnt" < 2).as("r4_few_stopwords"),
+          (($"rc.n_words" - $"rc.n_distinct") * 4 > $"rc.n_words").as("r5_dup_words"),
+          ($"rc.top_bigram_n" * 5 > $"rc.n_words").as("r6_top_bigram"))
+        .withColumn("zz_all_pass",
+          !($"r1_short" || $"r2_word_len" || $"r3_symbol_heavy" ||
+            $"r4_few_stopwords" || $"r5_dup_words" || $"r6_top_bigram"))
+      flags.selectExpr(
+        """stack(7, 'r1_short', r1_short, 'r2_word_len', r2_word_len,
+                    'r3_symbol_heavy', r3_symbol_heavy,
+                    'r4_few_stopwords', r4_few_stopwords,
+                    'r5_dup_words', r5_dup_words, 'r6_top_bigram', r6_top_bigram,
+                    'zz_all_pass', zz_all_pass) as (rule, flagged)""")
+        .groupBy($"rule")
+        .agg(sum(when($"flagged", 1L).otherwise(0L)).as("n_docs"),
+             count(lit(1)).as("n_total"))
+        .select($"rule", $"n_docs",
+                expr("n_docs * 10000 div n_total").as("rate_bp"))
+        .orderBy($"rule")
+    },
     // x29: MODEL-BASED QUALITY FILTER — distributed logistic regression,
     // the production curation stage x2's hand-set heuristic and x23's
     // embedding-centroid router don't cover: a LEARNED filter over cheap
@@ -1157,6 +1201,49 @@ object Text extends QueryPack {
     // point BIGINT gradient sums, same IEEE weight/score arithmetic
     // (rational sigmoid: no exp(), so no libm divergence)
     "x29_lr_quality_filter" -> lrQualitySql,
+    // x30: the same six integer rules + all-pass, unpivoted via UNION ALL
+    "x30_gopher_rules" -> s"""
+      WITH w AS (SELECT doc_id, text, $wsSql AS ws FROM documents),
+      base AS (
+        SELECT doc_id,
+               len(ws)::BIGINT AS n_words,
+               len(list_distinct(ws))::BIGINT AS n_distinct,
+               list_reduce(list_prepend(0, list_transform(ws, t -> length(t))),
+                           (a, x) -> a + x)::BIGINT AS sum_len,
+               length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                 AS punct_cnt,
+               len(list_filter(ws, t -> ${inList("t", stopwords)})) AS stop_cnt,
+               greatest(length(text), 1) AS ln,
+               list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS bgs
+        FROM w),
+      mx AS (
+        SELECT doc_id, MAX(c)::BIGINT AS top_bigram_n
+        FROM (SELECT doc_id, b, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(bgs) AS b FROM base) t GROUP BY 1, 2) t2
+        GROUP BY doc_id),
+      f AS (
+        SELECT b.n_words < 30 AS r1_short,
+               b.sum_len < b.n_words * 3 OR b.sum_len > b.n_words * 10 AS r2_word_len,
+               b.punct_cnt * 10 > b.ln AS r3_symbol_heavy,
+               b.stop_cnt < 2 AS r4_few_stopwords,
+               (b.n_words - b.n_distinct) * 4 > b.n_words AS r5_dup_words,
+               COALESCE(m.top_bigram_n, 0) * 5 > b.n_words AS r6_top_bigram
+        FROM base b LEFT JOIN mx m ON m.doc_id = b.doc_id),
+      long AS (
+        SELECT 'r1_short' AS rule, r1_short AS flagged FROM f
+        UNION ALL SELECT 'r2_word_len', r2_word_len FROM f
+        UNION ALL SELECT 'r3_symbol_heavy', r3_symbol_heavy FROM f
+        UNION ALL SELECT 'r4_few_stopwords', r4_few_stopwords FROM f
+        UNION ALL SELECT 'r5_dup_words', r5_dup_words FROM f
+        UNION ALL SELECT 'r6_top_bigram', r6_top_bigram FROM f
+        UNION ALL SELECT 'zz_all_pass',
+          NOT (r1_short OR r2_word_len OR r3_symbol_heavy OR
+               r4_few_stopwords OR r5_dup_words OR r6_top_bigram) FROM f)
+      SELECT rule,
+             SUM(CASE WHEN flagged THEN 1 ELSE 0 END)::BIGINT AS n_docs,
+             (SUM(CASE WHEN flagged THEN 1 ELSE 0 END) * 10000 // COUNT(*))::BIGINT
+               AS rate_bp
+      FROM long GROUP BY rule ORDER BY rule""",
     // x26: the eval-lens replay — distinct eval grams left-joined to the
     // distinct training-hit set; integer-bp fraction and the dirty flag
     "x26_contamination_report" -> s"""

@@ -137,7 +137,7 @@ private[sources] class SpecCsvRelation(options: CaseInsensitiveStringMap)
   override def name(): String = s"graft_spec(${spec.id})"
   override def schema(): StructType = SpecCsvTable.schemaOf(spec)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new SpecCsvScanBuilder(spec, path, rules)
 }
@@ -168,20 +168,28 @@ private[sources] class SpecCsvScan(spec: FileSpec, path: String,
     s"SpecCsv spec=${spec.id} ReadSchema: [${required.fieldNames.mkString(", ")}], " +
       s"PushedFilters: [${pushed.mkString(", ")}], SkipRules: ${rules.size}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val spark = SparkSession.active
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
-    val files = matched.flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
-      else Array(st)
-    }.map(_.getPath.toString).sorted
-    files.map(f => SpecCsvPartition(f): InputPartition).toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    SpecCsvScan.listFiles(path)
+      .map(f => SpecCsvPartition(f): InputPartition).toArray
 
-  override def createReaderFactory(): PartitionReaderFactory = {
+  override def createReaderFactory(): PartitionReaderFactory =
+    SpecCsvScan.readerFactory(spec, rules, pushed, required)
+
+  /** The watch-folder leg (reference O2's per-source batch glob made
+    * CONTINUOUS): each micro-batch admits the next not-yet-consumed file
+    * in lexicographic order (default read limit = 1 file/trigger,
+    * honoring maxFiles read limits), the offset is simply how many files
+    * of that order have been consumed, and restart resumes from the
+    * checkpointed count. Filters/pruning flow through unchanged — the
+    * streaming scan runs the same pushed-down reader as the batch scan. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SpecCsvMicroBatch(spec, path, rules, pushed, required)
+}
+
+private[sources] object SpecCsvScan {
+  def readerFactory(spec: FileSpec, rules: Seq[FilterRule],
+      pushed: Array[Filter], required: StructType): PartitionReaderFactory = {
     val entries = SparkSession.active.sparkContext.hadoopConfiguration
       .iterator().asScala.map(e => e.getKey -> e.getValue).toArray
     // drop the raw JSON objects (VectorMap — not Java-serializable, and
@@ -189,6 +197,66 @@ private[sources] class SpecCsvScan(spec: FileSpec, path: String,
     new SpecCsvReaderFactory(spec, rules.map(_.copy(raw = Map.empty)),
       pushed, required, entries)
   }
+
+  /** Driver-side glob, lexicographically sorted — the stream's admission
+    * order (and the batch scan's partition order). */
+  def listFiles(path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
+    matched.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+      else Array(st)
+    }.map(_.getPath.toString).sorted.toSeq
+  }
+}
+
+private[sources] case class FileCountOffset(n: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
+}
+
+private[sources] class SpecCsvMicroBatch(spec: FileSpec, path: String,
+    rules: Seq[FilterRule], pushed: Array[Filter], required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit, ReadMaxFiles}
+
+  // AvailableNow pins the file universe at prepare time so a file landing
+  // mid-run doesn't extend the drain target (the built-in file source's
+  // contract)
+  @volatile private var target: Option[Seq[String]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    target = Some(SpecCsvScan.listFiles(path))
+  private def available: Seq[String] =
+    target.getOrElse(SpecCsvScan.listFiles(path))
+
+  override def initialOffset(): SOffset = FileCountOffset(0)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxFiles(1)
+  override def latestOffset(): SOffset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: use latestOffset(start, limit)")
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+    val s = start.asInstanceOf[FileCountOffset].n
+    val step = limit match {
+      case mf: ReadMaxFiles => math.max(mf.maxFiles(), 1)
+      case _                => available.size // allAvailable
+    }
+    FileCountOffset(math.min(available.size, s + step))
+  }
+  override def reportLatestOffset(): SOffset = FileCountOffset(available.size)
+  override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] =
+    available.slice(start.asInstanceOf[FileCountOffset].n,
+                    end.asInstanceOf[FileCountOffset].n)
+      .map(f => SpecCsvPartition(f): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    SpecCsvScan.readerFactory(spec, rules, pushed, required)
+  override def deserializeOffset(json: String): SOffset =
+    FileCountOffset(json.trim.toInt)
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class SpecCsvPartition(file: String) extends InputPartition

@@ -69,6 +69,45 @@ class SpecSourceSpec extends AnyFunSuite {
     assert(n == 2, s"expected one partition per part file, got $n")
   }
 
+  test("e35: streaming offsets resume from the checkpoint; one file per trigger") {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = Scratch.dir("specstream")
+    val feed = work.resolve("feed")
+    java.nio.file.Files.createDirectories(feed)
+    def addFile(name: String, rows: Seq[(String, String)]): Unit =
+      java.nio.file.Files.writeString(feed.resolve(name),
+        "k,v\n" + rows.map { case (a, b) => s"$a,$b" }.mkString("\n") + "\n")
+    addFile("a.csv", Seq(("1", "x"), ("2", "y")))
+    addFile("b.csv", Seq(("3", "z")))
+    val specJson = graft.spec.SpecJson.dumps(graft.spec.SpecJson.fileSpecDict(
+      graft.spec.FileSpec(id = "s", name = "s", columns =
+        Seq(graft.spec.ColumnSpec("k"), graft.spec.ColumnSpec("v")))))
+    val ckpt = work.resolve("ckpt").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.sources.SpecCsvTable")
+        .option("spec", specJson).option("path", s"$feed/*.csv").load()
+        .writeStream.outputMode("append").option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          seen.add((id, b.count())); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    val first = seen.toArray(Array.empty[(Long, Long)]).toSeq.sortBy(_._1)
+    // admission control: one file per trigger → 2 batches of 2 and 1 rows
+    assert(first.map(_._2) == Seq(2L, 1L),
+      s"expected one file per batch, got $first")
+    seen.clear()
+    addFile("c.csv", Seq(("4", "w"), ("5", "u"), ("6", "t")))
+    drain()
+    val second = seen.toArray(Array.empty[(Long, Long)]).toSeq.sortBy(_._1)
+    // restart resumed from the checkpointed file count: ONLY c.csv batches
+    assert(second.map(_._2) == Seq(3L),
+      s"restart did not resume from the checkpoint: $second")
+  }
+
   test("k22: connector equals the engine's CsvSource + FilterCompiler path") {
     // plain fixture: CsvSource.read is the splittable fast path (Spark CSV,
     // no embedded newlines by contract) — quoting/newline handling is
