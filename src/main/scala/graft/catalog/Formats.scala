@@ -457,6 +457,33 @@ object Formats extends QueryPack {
           agg(s.read.parquet(entries.map(_._3): _*), "full", entries.size))
         .orderBy($"src")
     },
+    // k30: SPEC-DRIVEN DATASOURCE V2 SINK — k22's connector closing the
+    // loop on the DESTINATION side (the reference's K1/K2 sink semantics
+    // as a V2 `SupportsWrite`): header + column ORDER from the spec,
+    // RFC-4180 quoting, per-task write-then-rename so failed tasks never
+    // leave readable partials, `overwrite` = V2 truncate. The round trip
+    // goes OUT through the custom writer and BACK through the custom
+    // reader; the oracle aggregates the original parquet, so a green row
+    // pins the writer's rendering (typed longs through toString, quoted
+    // strings) against an engine that never saw the files.
+    "k30_dsv2_spec_sink" -> { (s, dir) =>
+      import s.implicits._
+      val feed = Scratch.staged(s"k30_csv#$dir", "k30_csv") { p =>
+        Tables(s, dir).customer
+          .select($"c_custkey", $"c_mktsegment", $"c_name")
+          .repartition(4)
+          .write.format("graft.sources.SpecCsvTable")
+          .option("spec", k30SpecJson).option("path", p)
+          .mode("overwrite").save()
+      }
+      s.read.format("graft.sources.SpecCsvTable")
+        .option("spec", k30SpecJson).option("path", s"$feed/*.csv").load()
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+             sum(expr("cast(c_custkey as bigint)")).as("sum_keys"),
+             sum(length($"c_name")).as("sum_name_len"))
+        .orderBy($"c_mktsegment")
+    },
     // k26: SCHEMA INTROSPECTION — reference ROADMAP.md:33 ("Schema
     // introspection for automatic column detection"): infer each raw CSV
     // column's ColumnType (models.py:10-17's vocabulary — integer/float/
@@ -1321,6 +1348,14 @@ object Formats extends QueryPack {
       filterRules = Seq(graft.spec.FilterRule(
         field = "o_orderstatus", operator = "equals", value = Some("P"))))))
 
+  private[catalog] val k30SpecJson: String = graft.spec.SpecJson.dumps(
+    graft.spec.SpecJson.fileSpecDict(graft.spec.FileSpec(
+      id = "cust_sink", name = "customer sink",
+      columns = Seq(
+        graft.spec.ColumnSpec("c_custkey"),
+        graft.spec.ColumnSpec("c_mktsegment"),
+        graft.spec.ColumnSpec("c_name")))))
+
   /** k26's feed staging (also dq19's v1) — price text built from exact
     * cents so double→string rendering can't differ between the engines'
     * oracle replays. */
@@ -1602,6 +1637,13 @@ object Formats extends QueryPack {
       UNION ALL
       SELECT 'pruned', n_rows, sum_cents, n_overlap FROM a CROSS JOIN nf
       ORDER BY src""",
+    // k30: out through the custom V2 writer, back through the custom
+    // reader, checked against parquet the files never touched
+    "k30_dsv2_spec_sink" -> """
+      SELECT c_mktsegment, COUNT(*)::BIGINT AS n,
+             SUM(c_custkey)::BIGINT AS sum_keys,
+             SUM(length(c_name))::BIGINT AS sum_name_len
+      FROM customer GROUP BY 1 ORDER BY 1""",
     // k26: the staged raw strings re-derived inline, the same regex rules
     // and priority CASE (inferTypesSql — shared with dq19's drift audit)
     "k26_schema_introspect" -> s"""

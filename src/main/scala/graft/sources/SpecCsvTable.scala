@@ -123,7 +123,8 @@ object SpecCsvTable {
 }
 
 private[sources] class SpecCsvRelation(options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private val spec = SpecCsvTable.specOf(options)
   private val path = {
     val p = options.get("path")
@@ -137,9 +138,14 @@ private[sources] class SpecCsvRelation(options: CaseInsensitiveStringMap)
   override def name(): String = s"graft_spec(${spec.id})"
   override def schema(): StructType = SpecCsvTable.schemaOf(spec)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new SpecCsvScanBuilder(spec, path, rules)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new SpecCsvWriteBuilder(spec, path, info.schema())
 }
 
 private[sources] class SpecCsvScanBuilder(spec: FileSpec, path: String,
@@ -210,6 +216,127 @@ private[sources] object SpecCsvScan {
       else Array(st)
     }.map(_.getPath.toString).sorted.toSeq
   }
+}
+
+/** The DESTINATION side of the spec system as a V2 sink (the reference's
+  * K1/K2 semantics: header and column ORDER come from the spec, values
+  * render per the spec's delimiter/encoding with RFC-4180 quoting —
+  * doubled quotes, fields quoted only when they need it). Each task
+  * streams its partition into `part-<p>-<t>.csv` via write-then-rename
+  * (an in-progress suffix until the task commits, so a failed task never
+  * leaves a readable partial file); `mode(overwrite)` maps to V2
+  * truncate, which clears prior part files up front on the driver.
+  * Input columns map to spec columns BY NAME — a spec column absent from
+  * the input writes empty (the engine's dict[str,str] convention); any
+  * primitive input type renders through its string form. */
+private[sources] class SpecCsvWriteBuilder(spec: FileSpec, path: String,
+    inSchema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
+        if (doTruncate) {
+          val p = new Path(path)
+          val fs = p.getFileSystem(
+            SparkSession.active.sparkContext.hadoopConfiguration)
+          if (fs.exists(p))
+            fs.listStatus(p).filter(_.getPath.getName.endsWith(".csv"))
+              .foreach(st => fs.delete(st.getPath, false))
+        }
+        val entries = SparkSession.active.sparkContext.hadoopConfiguration
+          .iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+        new SpecCsvBatchWrite(spec, path, inSchema, entries)
+      }
+    }
+}
+
+private[sources] class SpecCsvBatchWrite(spec: FileSpec, path: String,
+    inSchema: StructType, confEntries: Array[(String, String)])
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new SpecCsvWriterFactory(spec, path, inSchema, confEntries)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] class SpecCsvWriterFactory(spec: FileSpec, path: String,
+    inSchema: StructType, confEntries: Array[(String, String)])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new SpecCsvDataWriter(spec, path, inSchema, confEntries, partitionId, taskId)
+}
+
+private[sources] class SpecCsvDataWriter(spec: FileSpec, path: String,
+    inSchema: StructType, confEntries: Array[(String, String)],
+    partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.spark.sql.connector.write.WriterCommitMessage
+
+  private val conf = {
+    val c = new Configuration(false)
+    confEntries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  private val fs = new Path(path).getFileSystem(conf)
+  private val finalPath =
+    new Path(path, f"part-$partitionId%05d-$taskId.csv")
+  private val tmpPath =
+    new Path(path, f".part-$partitionId%05d-$taskId.csv.inprogress")
+  private val out = new java.io.BufferedWriter(
+    new java.io.OutputStreamWriter(fs.create(tmpPath, true), spec.encoding))
+
+  // spec column -> input schema ordinal (by name; -1 = absent -> "")
+  private val srcIdx: Array[Int] =
+    spec.columns.map(c => inSchema.fieldNames.indexOf(c.name)).toArray
+  private val delim = spec.delimiter.head
+
+  private def quoteIfNeeded(s: String): String =
+    if (s.indexOf(delim) >= 0 || s.indexOf('"') >= 0 ||
+        s.indexOf('\n') >= 0 || s.indexOf('\r') >= 0)
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
+
+  if (spec.hasHeader)
+    out.write(spec.columns.map(c => quoteIfNeeded(c.name))
+      .mkString(spec.delimiter) + "\n")
+
+  override def write(row: InternalRow): Unit = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < srcIdx.length) {
+      if (i > 0) sb.append(delim)
+      val j = srcIdx(i)
+      if (j >= 0 && !row.isNullAt(j)) {
+        val v = inSchema.fields(j).dataType match {
+          case StringType => row.getUTF8String(j).toString
+          case dt => row.get(j, dt).toString
+        }
+        sb.append(quoteIfNeeded(v))
+      }
+      i += 1
+    }
+    sb.append('\n')
+    out.write(sb.toString)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    fs.rename(tmpPath, finalPath)
+    new WriterCommitMessage {}
+  }
+  override def abort(): Unit = {
+    try out.close() catch { case _: java.io.IOException => () }
+    fs.delete(tmpPath, false)
+    ()
+  }
+  override def close(): Unit = ()
 }
 
 private[sources] case class FileCountOffset(n: Int)

@@ -108,6 +108,40 @@ class SpecSourceSpec extends AnyFunSuite {
       s"restart did not resume from the checkpoint: $second")
   }
 
+  test("k30: V2 writer round-trips quoting; spec orders columns; overwrite truncates") {
+    val out = Scratch.dir("specsink").toString
+    val specJson = graft.spec.SpecJson.dumps(graft.spec.SpecJson.fileSpecDict(
+      graft.spec.FileSpec(id = "w", name = "w", columns = Seq(
+        graft.spec.ColumnSpec("k"), graft.spec.ColumnSpec("v"),
+        graft.spec.ColumnSpec("missing")))))
+    // input column order (v, k) differs from the spec's (k, v, missing);
+    // values carry the full quoting gauntlet; `missing` isn't in the input
+    val df = Seq(("embedded \"q\",comma", "1"), ("multi\nline", "2"))
+      .toDF("v", "k").coalesce(1)
+    df.write.format("graft.sources.SpecCsvTable")
+      .option("spec", specJson).option("path", out).mode("append").save()
+    val back = spark.read.format("graft.sources.SpecCsvTable")
+      .option("spec", specJson).option("path", s"$out/*.csv").load()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(back == Seq(
+      ("1", "embedded \"q\",comma", ""), ("2", "multi\nline", "")), back.toString)
+    // header is the SPEC's order, and files carry RFC doubled quotes
+    val f = new java.io.File(out).listFiles().filter(_.getName.endsWith(".csv")).head
+    val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    assert(text.startsWith("k,v,missing\n"), text.take(40))
+    assert(text.contains("\"embedded \"\"q\"\",comma\""), text)
+    // overwrite truncates: one row replaces both
+    Seq(("9", "z")).toDF("k", "v").coalesce(1)
+      .write.format("graft.sources.SpecCsvTable")
+      .option("spec", specJson).option("path", out).mode("overwrite").save()
+    val after = spark.read.format("graft.sources.SpecCsvTable")
+      .option("spec", specJson).option("path", s"$out/*.csv").load().collect()
+    assert(after.length == 1 && after.head.getString(0) == "9", after.toSeq.toString)
+    // no in-progress partials survive
+    assert(!new java.io.File(out).listFiles().exists(_.getName.endsWith(".inprogress")))
+  }
+
   test("k22: connector equals the engine's CsvSource + FilterCompiler path") {
     // plain fixture: CsvSource.read is the splittable fast path (Spark CSV,
     // no embedded newlines by contract) — quoting/newline handling is
