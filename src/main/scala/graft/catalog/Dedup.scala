@@ -934,6 +934,45 @@ object Dedup extends QueryPack {
         .withColumn("n_members", count(lit(1)).over(wC))
         .select($"doc_id", $"cluster", $"n_members")
         .orderBy($"doc_id")
+    },
+    // g25: LEAKAGE-SAFE TRAIN/EVAL SPLIT — the ML-pipeline operator a
+    // naive hash split gets WRONG: near-duplicate documents must never
+    // straddle the train/eval boundary or the eval set leaks training
+    // data (the published dedup papers' core motivation). The split key
+    // is the doc's d7 CLUSTER id (exact ∪ LSH-near components), so a
+    // whole dup cluster lands on one side by construction; the entry
+    // audits BOTH policies — the cluster split's straddling count (must
+    // be 0) next to the naive doc-hash split's (the measured leak it
+    // fixes). Scale shape: labels are d7's machinery (band shuffles +
+    // bounded CC rounds); the audits are two bounded aggregates.
+    "g25_leakage_safe_split" -> { (s, dir) =>
+      import s.implicits._
+      val labels = queries("d7_dup_clusters")(s, dir)
+        .select($"doc_id", $"cluster")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def assign(key: org.apache.spark.sql.Column) =
+        labels.withColumn("split",
+          when(pmod(key, lit(10)) < 8, "train").otherwise("eval"))
+      val byCluster = assign($"cluster")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def straddling(a: DataFrame, method: String): DataFrame =
+        a.groupBy($"cluster").agg(countDistinct($"split").as("ns"))
+          .filter($"ns" > 1)
+          .agg(count(lit(1)).as("value"))
+          .select(lit(method).as("method"), lit("straddling").as("item"),
+                  $"value")
+      val docs = byCluster.groupBy($"split")
+        .agg(count(lit(1)).as("value"))
+        .select(lit("cluster").as("method"),
+                concat($"split", lit("_docs")).as("item"), $"value")
+      val clusters = byCluster.groupBy($"split")
+        .agg(countDistinct($"cluster").as("value"))
+        .select(lit("cluster").as("method"),
+                concat($"split", lit("_clusters")).as("item"), $"value")
+      docs.unionByName(clusters)
+        .unionByName(straddling(byCluster, "cluster"))
+        .unionByName(straddling(assign($"doc_id"), "naive"))
+        .orderBy($"method", $"item")
     }
   )
 
@@ -1416,7 +1455,41 @@ object Dedup extends QueryPack {
       FROM documents d LEFT JOIN mn m ON m.doc_id = d.doc_id
       ORDER BY d.doc_id""",
     "d7_dup_clusters" -> s"""
-      WITH RECURSIVE sig AS (
+      WITH RECURSIVE $d7Ctes
+      SELECT doc_id, cluster,
+             COUNT(*) OVER (PARTITION BY cluster) AS n_members
+      FROM lab ORDER BY doc_id""",
+    // g25: d7's labels re-derived, then both split policies audited —
+    // the cluster-keyed split must have ZERO straddling clusters and the
+    // naive doc-hash split's straddling count shows the leak it fixes
+    "g25_leakage_safe_split" -> s"""
+      WITH RECURSIVE $d7Ctes,
+      a AS (SELECT doc_id, cluster,
+                   CASE WHEN cluster % 10 < 8 THEN 'train' ELSE 'eval' END AS split
+            FROM lab),
+      nv AS (SELECT doc_id, cluster,
+                    CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'eval' END AS split
+             FROM lab)
+      SELECT 'cluster' AS method, split || '_docs' AS item,
+             COUNT(*)::BIGINT AS value FROM a GROUP BY 2
+      UNION ALL
+      SELECT 'cluster', split || '_clusters', COUNT(DISTINCT cluster)::BIGINT
+      FROM a GROUP BY 2
+      UNION ALL
+      SELECT 'cluster', 'straddling', COUNT(*)::BIGINT FROM (
+        SELECT cluster FROM a GROUP BY cluster
+        HAVING COUNT(DISTINCT split) > 1) z
+      UNION ALL
+      SELECT 'naive', 'straddling', COUNT(*)::BIGINT FROM (
+        SELECT cluster FROM nv GROUP BY cluster
+        HAVING COUNT(DISTINCT split) > 1) z2
+      ORDER BY method, item"""
+  )
+
+  /** d7's whole cluster derivation (shared with g25): signatures → band
+    * buckets → est-Jaccard near pairs ∪ exact-digest edges → recursive
+    * min-reachable-id labels in `lab`. */
+  private lazy val d7Ctes: String = s"""sig AS (
         SELECT doc_id, ${sigSql("hs")} AS sig
         FROM (SELECT doc_id, $shingleHashesSql AS hs
               FROM (SELECT doc_id, $wsSql AS ws FROM documents) t0) t1),
@@ -1451,9 +1524,5 @@ object Dedup extends QueryPack {
         SELECT doc_id, doc_id FROM documents
         UNION
         SELECT e.d2, reach.r FROM edges e JOIN reach ON e.d1 = reach.v),
-      lab AS (SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v)
-      SELECT doc_id, cluster,
-             COUNT(*) OVER (PARTITION BY cluster) AS n_members
-      FROM lab ORDER BY doc_id"""
-  )
+      lab AS (SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v)"""
 }
