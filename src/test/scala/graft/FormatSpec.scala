@@ -230,6 +230,34 @@ class FormatSpec extends AnyFunSuite {
     assert(back == want, s"xlsx round-trip diverged: $back")
   }
 
+  test("k25: xml round-trips escaped text, nulls, and element order") {
+    val dir = Scratch.dir("xmlrt").toString
+    val df = Seq(
+      (1L, Option("a<b&c> d"), Option(2.5)),
+      (2L, Option.empty[String], Option(1.0)),
+      (3L, Option("ümlaut & <tag>"), Option.empty[Double])
+    ).toDF("id", "s", "x").repartition(2)
+    graft.sources.XmlTable.write(df, dir)
+    val back = graft.sources.XmlTable.read(spark, dir, df.schema)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.toString),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+      .sortBy(_._1).toSeq
+    assert(back == Seq(
+      (1L, Some("a<b&c> d"), Some(2.5)),
+      (2L, None, Some(1.0)),
+      (3L, Some("ümlaut & <tag>"), None)), back.toString)
+    // name-matching, not position: a reader schema with reordered fields
+    // still lands values in the right slots
+    val reordered = org.apache.spark.sql.types.StructType(Seq(
+      df.schema("x"), df.schema("id"), df.schema("s")))
+    val re = graft.sources.XmlTable.read(spark, dir, reordered)
+      .collect().map(r => (r.getLong(1),
+        Option(r.get(2)).map(_.toString))).sortBy(_._1).toSeq
+    assert(re == Seq((1L, Some("a<b&c> d")), (2L, None),
+      (3L, Some("ümlaut & <tag>"))), re.toString)
+  }
+
   test("e33: torn commit replays to convergence; re-delivery appends nothing") {
     import org.apache.spark.sql.functions._
     val sf = TestSpark.sf
