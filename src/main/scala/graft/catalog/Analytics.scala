@@ -241,6 +241,31 @@ object Analytics extends QueryPack {
         .select($"doc_id", expr(s"size(${Tx.wsExpr})").cast("long").as("n_tok")))
         .orderBy($"doc_id")
     },
+    // g26: CONTEXT-WINDOW UTILIZATION SWEEP — the measured dial for
+    // max_seq_len (the sweep convention: v22 probes, v26 hops, d20
+    // bands): g19's boundary-respecting class packing run at 256/512/
+    // 1024-token windows, each reporting window count and token
+    // utilization (packed tokens ÷ window capacity, integer bp; oversize
+    // docs occupy one window and count capacity-capped — truncation is
+    // the downstream trainer's call, the waste is what this measures).
+    // Small windows waste less padding but cost more sequence breaks;
+    // the sweep is the number a pretraining team reads before fixing W.
+    // One persisted token-count scan feeds all three sweep points; each
+    // point is g19's plan (bounded class windows, never data-scale).
+    "g26_window_sweep" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir).documents
+        .select($"doc_id", expr(s"size(${Tx.wsExpr})").cast("long").as("n_tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Seq(256, 512, 1024).map { w =>
+        binPack(docs, w)
+          .agg(count(lit(1)).as("n_docs"),
+               countDistinct($"win_id").as("n_windows"),
+               sum(least($"n_tok", lit(w.toLong))).as("packed_tok"))
+          .select(lit(w.toLong).as("window"), $"n_docs", $"n_windows",
+                  expr(s"packed_tok * 10000 div (n_windows * $w)").as("util_bp"))
+      }.reduce(_ unionByName _).orderBy($"window")
+    },
     // g20: CELL-BALANCED DIVERSITY SAMPLE — semantic-coverage subsetting
     // (the cluster-balanced selection diversity-aware curation uses):
     // uniform sampling reproduces the corpus's cluster imbalance, so
@@ -857,10 +882,10 @@ object Analytics extends QueryPack {
     * so SequencePackingSpec can feed synthetic lengths (oversize, empty)
     * beyond what the fixture holds. See the g19 entry comment for the
     * algorithm and scale shape. */
-  private[graft] def binPack(docsIn: DataFrame): DataFrame = {
+  private[graft] def binPack(docsIn: DataFrame, w: Int = 512): DataFrame = {
     import docsIn.sparkSession.implicits._
     val docs = docsIn.withColumn("cls", expr(
-      "case when n_tok > 512 then 0L else 512 div greatest(n_tok, 1) end"))
+      s"case when n_tok > $w then 0L else $w div greatest(n_tok, 1) end"))
     val bounds = docs.agg(min($"doc_id").as("_lo"), max($"doc_id").as("_hi"))
     val bucketed = docs.crossJoin(broadcast(bounds))
       .withColumn("_bkt",
@@ -894,11 +919,11 @@ object Analytics extends QueryPack {
   /** g19/c7's shared serial oracle: class-pack over any relation providing
     * (doc_id, n_tok) — returns a parenthesized subquery emitting
     * (doc_id, n_tok, cls, win_id, slot). */
-  private[catalog] def binPackSql(src: String): String = s"""
+  private[catalog] def binPackSql(src: String, w: Int = 512): String = s"""
       (WITH d AS (
         SELECT doc_id, n_tok,
-               CASE WHEN n_tok > 512 THEN 0
-                    ELSE 512 // greatest(n_tok, 1) END AS cls
+               CASE WHEN n_tok > $w THEN 0
+                    ELSE $w // greatest(n_tok, 1) END AS cls
         FROM $src t0),
       r AS (
         SELECT doc_id, n_tok, cls,
@@ -1166,6 +1191,16 @@ object Analytics extends QueryPack {
       FROM ${binPackSql(s"""(SELECT doc_id, len(${Tx.wsSql})::BIGINT AS n_tok
               FROM documents)""")} bp
       ORDER BY doc_id""",
+    // g26: the same class packing at each window size, aggregated
+    "g26_window_sweep" -> Seq(256, 512, 1024).map { w =>
+      s"""
+      SELECT ${w}::BIGINT AS "window", COUNT(*)::BIGINT AS n_docs,
+             COUNT(DISTINCT win_id)::BIGINT AS n_windows,
+             (SUM(least(n_tok, $w)) * 10000
+                // (COUNT(DISTINCT win_id) * $w))::BIGINT AS util_bp
+      FROM ${binPackSql(s"""(SELECT doc_id, len(${Tx.wsSql})::BIGINT AS n_tok
+              FROM documents)""", w)} bp$w"""
+    }.mkString("", "\n      UNION ALL", "\n      ORDER BY \"window\""),
     "q9_quantile_filter" -> """
       WITH med AS (
         SELECT lang, quantile_cont(n_chars, 0.5) AS p50

@@ -58,6 +58,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // re-references the unioned flag subtree (same window, two plan
     // occurrences — physical exchange reuse collapses them).
     "c13_ops_health" -> 2,
+    // g26 composes binPack at three window sizes — three occurrences of
+    // g19's allowlisted class-frame cumsum (≤ |length classes| rows per
+    // sweep point, never documents).
+    "g26_window_sweep" -> 3,
     // x28's cumulative runs over the 10-row slice frame (bucket domain),
     // after the data-scale token aggregates.
     "x28_vocab_growth" -> 1,
