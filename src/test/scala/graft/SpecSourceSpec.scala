@@ -69,6 +69,28 @@ class SpecSourceSpec extends AnyFunSuite {
     assert(n == 2, s"expected one partition per part file, got $n")
   }
 
+  test("k22: source_name maps header columns to spec names; EOF without newline") {
+    val dir = Scratch.dir("specsrcmap")
+    // header uses the EXTERNAL names; the spec renames via source_name
+    // (models.py ColumnSpec.source_name); last record has no trailing \n
+    java.nio.file.Files.writeString(dir.resolve("f.csv"),
+      "Order Id,Status Code\n10,F\n11,O")
+    val spec = graft.spec.FileSpec(id = "m", name = "m", columns = Seq(
+      graft.spec.ColumnSpec("order_id", sourceName = Some("Order Id")),
+      graft.spec.ColumnSpec("status", sourceName = Some("Status Code"))))
+    val got = spark.read.format("graft.sources.SpecCsvTable")
+      .option("spec", graft.spec.SpecJson.dumps(
+        graft.spec.SpecJson.fileSpecDict(spec)))
+      .option("path", s"$dir/*.csv").load()
+    assert(got.columns.toSeq == Seq("order_id", "status"))
+    val rows = got.collect().map(r => (r.getString(0), r.getString(1)))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq(("10", "F"), ("11", "O")), rows.toString)
+    // filters pushed against the SPEC name still hit the mapped column
+    val f = got.filter(col("status") === "F").collect()
+    assert(f.length == 1 && f.head.getString(0) == "10")
+  }
+
   test("e35: streaming offsets resume from the checkpoint; one file per trigger") {
     import org.apache.spark.sql.streaming.Trigger
     val work = Scratch.dir("specstream")
