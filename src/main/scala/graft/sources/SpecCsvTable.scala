@@ -68,7 +68,14 @@ object SpecCsvTable {
   private[sources] def specOf(options: CaseInsensitiveStringMap): FileSpec = {
     val json = options.get("spec")
     require(json != null, "SpecCsvTable requires a 'spec' option (FileSpec JSON)")
-    SpecStore.parseFileSpec(json)
+    val spec = SpecStore.parseFileSpec(json)
+    // Python's csv module (the reference's parser) rejects multi-char
+    // delimiters outright; reader and writer here parse/quote on a single
+    // char, so enforce the same contract up front rather than emit a file
+    // whose header and rows disagree (round-10 advice).
+    require(spec.delimiter.length == 1,
+      s"spec '${spec.id}': delimiter must be a single character, got '${spec.delimiter}'")
+    spec
   }
 
   /** Spec-declared schema: one nullable string field per spec column (the
@@ -77,9 +84,15 @@ object SpecCsvTable {
   private[sources] def schemaOf(spec: FileSpec): StructType =
     StructType(spec.columns.map(c => StructField(c.name, StringType, nullable = true)))
 
-  /** The v1-Filter subset this source evaluates natively. */
+  /** The v1-Filter subset this source evaluates natively. Filters carrying
+    * a null comparison value are REJECTED (Spark keeps them): this source's
+    * cells are plain strings, and stringifying a null literal would match
+    * the literal text "null" where Catalyst's null semantics say
+    * never-match (round-10 advice). */
   private[sources] def evaluable(f: Filter): Boolean = f match {
-    case _: EqualTo | _: In | _: StringContains | _: StringStartsWith |
+    case EqualTo(_, v)               => v != null
+    case In(_, vs)                   => vs != null && !vs.contains(null)
+    case _: StringContains | _: StringStartsWith |
          _: StringEndsWith | _: IsNull | _: IsNotNull => true
     case Not(c)    => evaluable(c)
     case And(l, r) => evaluable(l) && evaluable(r)
@@ -92,8 +105,10 @@ object SpecCsvTable {
     * DictReader never yields None for a present column), so IsNull is
     * vacuously false on this source. */
   private[sources] def evalFilter(f: Filter, get: String => String): Boolean = f match {
-    case EqualTo(a, v)          => get(a) == String.valueOf(v)
-    case In(a, vs)              => vs.exists(v => get(a) == String.valueOf(v))
+    // null comparison values never reach here (evaluable rejects them);
+    // belt-and-braces: a null still never matches, per Catalyst semantics
+    case EqualTo(a, v)          => v != null && get(a) == String.valueOf(v)
+    case In(a, vs)              => vs != null && vs.exists(v => v != null && get(a) == String.valueOf(v))
     case StringContains(a, v)   => get(a).contains(v)
     case StringStartsWith(a, v) => get(a).startsWith(v)
     case StringEndsWith(a, v)   => get(a).endsWith(v)
@@ -204,15 +219,24 @@ private[sources] object SpecCsvScan {
       pushed, required, entries)
   }
 
+  /** A name Spark's own file sources treat as non-data: dotfiles (incl.
+    * this sink's .part-*.csv.inprogress temps) and _metadata-style files
+    * must never be read back as rows (round-10 advice). */
+  private def hidden(name: String): Boolean =
+    name.startsWith(".") || name.startsWith("_")
+
   /** Driver-side glob, lexicographically sorted — the stream's admission
-    * order (and the batch scan's partition order). */
+    * order (and the batch scan's partition order). Hidden/temp files are
+    * excluded both at the glob match and inside listed directories. */
   def listFiles(path: String): Seq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(
       SparkSession.active.sparkContext.hadoopConfiguration)
     val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
     matched.flatMap { st =>
-      if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).filter(s => s.isFile && !hidden(s.getPath.getName))
+      else if (hidden(st.getPath.getName)) Array.empty[org.apache.hadoop.fs.FileStatus]
       else Array(st)
     }.map(_.getPath.toString).sorted.toSeq
   }
@@ -262,7 +286,19 @@ private[sources] class SpecCsvBatchWrite(spec: FileSpec, path: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new SpecCsvWriterFactory(spec, path, inSchema, confEntries)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  /** Driver-side abort: sweep any leftover task temp files so a failed or
+    * killed write never leaves .inprogress litter (task-level abort handles
+    * its own file; this catches tasks that died without running it). */
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration(false)
+    confEntries.foreach { case (k, v) => conf.set(k, v) }
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    if (fs.exists(dir))
+      fs.listStatus(dir)
+        .filter(_.getPath.getName.endsWith(".inprogress"))
+        .foreach(st => fs.delete(st.getPath, false))
+  }
 }
 
 private[sources] class SpecCsvWriterFactory(spec: FileSpec, path: String,
@@ -328,7 +364,11 @@ private[sources] class SpecCsvDataWriter(spec: FileSpec, path: String,
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    fs.rename(tmpPath, finalPath)
+    // a false return (stale destination, dead FS) must fail the task so
+    // Spark retries it — reporting success with no output file is silent
+    // partition loss (round-10 advice)
+    if (!fs.rename(tmpPath, finalPath))
+      throw new java.io.IOException(s"rename $tmpPath -> $finalPath failed")
     new WriterCommitMessage {}
   }
   override def abort(): Unit = {
@@ -339,9 +379,21 @@ private[sources] class SpecCsvDataWriter(spec: FileSpec, path: String,
   override def close(): Unit = ()
 }
 
-private[sources] case class FileCountOffset(n: Int)
+/** Streaming offset = the SET of consumed file paths (JSON array, sorted).
+  * A count-based offset over a re-sorted glob loses data when a new file
+  * sorts before already-consumed ones (the indexing shifts: the new file is
+  * skipped and an old one re-delivered) — Spark's built-in file source
+  * tracks seen paths for exactly this reason (round-10 advice, medium).
+  * Offset size grows with the consumed-file count; the watch-folder use
+  * this stream serves (reference O2's per-source batch glob) is bounded by
+  * directory listing anyway, and the built-in source carries the same
+  * per-path ledger (with log compaction as the scale lever). */
+private[sources] case class ConsumedFilesOffset(consumed: Set[String])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = n.toString
+  override def json(): String =
+    consumed.toSeq.sorted.map { f =>
+      "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("[", ",", "]")
 }
 
 private[sources] class SpecCsvMicroBatch(spec: FileSpec, path: String,
@@ -360,28 +412,46 @@ private[sources] class SpecCsvMicroBatch(spec: FileSpec, path: String,
   private def available: Seq[String] =
     target.getOrElse(SpecCsvScan.listFiles(path))
 
-  override def initialOffset(): SOffset = FileCountOffset(0)
+  private def consumedOf(o: SOffset): Set[String] =
+    o.asInstanceOf[ConsumedFilesOffset].consumed
+  /** Not-yet-consumed files in lexicographic admission order — late
+    * arrivals that sort before consumed files are still unseen here. */
+  private def pending(consumed: Set[String]): Seq[String] =
+    available.filterNot(consumed)
+
+  override def initialOffset(): SOffset = ConsumedFilesOffset(Set.empty)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxFiles(1)
   override def latestOffset(): SOffset =
     throw new UnsupportedOperationException(
       "admission-controlled source: use latestOffset(start, limit)")
   override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
-    val s = start.asInstanceOf[FileCountOffset].n
+    val consumed = consumedOf(start)
     val step = limit match {
       case mf: ReadMaxFiles => math.max(mf.maxFiles(), 1)
-      case _                => available.size // allAvailable
+      case _                => Int.MaxValue // allAvailable
     }
-    FileCountOffset(math.min(available.size, s + step))
+    ConsumedFilesOffset(consumed ++ pending(consumed).take(step))
   }
-  override def reportLatestOffset(): SOffset = FileCountOffset(available.size)
+  override def reportLatestOffset(): SOffset =
+    ConsumedFilesOffset(available.toSet)
   override def planInputPartitions(start: SOffset, end: SOffset): Array[InputPartition] =
-    available.slice(start.asInstanceOf[FileCountOffset].n,
-                    end.asInstanceOf[FileCountOffset].n)
+    (consumedOf(end) -- consumedOf(start)).toSeq.sorted
       .map(f => SpecCsvPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     SpecCsvScan.readerFactory(spec, rules, pushed, required)
-  override def deserializeOffset(json: String): SOffset =
-    FileCountOffset(json.trim.toInt)
+  override def deserializeOffset(json: String): SOffset = {
+    val t = json.trim
+    if (t.startsWith("[")) {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(t)
+      val b = Set.newBuilder[String]
+      node.elements().forEachRemaining(e => b += e.asText())
+      ConsumedFilesOffset(b.result())
+    } else {
+      // legacy count checkpoint (pre round-11): the old contract was "first
+      // n files of the current sorted listing have been consumed"
+      ConsumedFilesOffset(SpecCsvScan.listFiles(path).take(t.toInt).toSet)
+    }
+  }
   override def commit(end: SOffset): Unit = ()
   override def stop(): Unit = ()
 }

@@ -29,10 +29,14 @@ object XmlTable {
   private def esc(s: String): String = {
     val b = new StringBuilder(s.length + 8)
     s.foreach {
-      case '&' => b.append("&amp;")
-      case '<' => b.append("&lt;")
-      case '>' => b.append("&gt;")
-      case c   => b.append(c)
+      case '&'  => b.append("&amp;")
+      case '<'  => b.append("&lt;")
+      case '>'  => b.append("&gt;")
+      // values are element text today, but quote-escaping here keeps the
+      // escaper attribute-safe if one is ever emitted (round-10 verdict nit)
+      case '"'  => b.append("&quot;")
+      case '\'' => b.append("&apos;")
+      case c    => b.append(c)
     }
     b.result()
   }

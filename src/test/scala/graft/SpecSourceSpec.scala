@@ -130,6 +130,72 @@ class SpecSourceSpec extends AnyFunSuite {
       s"restart did not resume from the checkpoint: $second")
   }
 
+  test("e35: a late file that sorts BEFORE consumed files is still read exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val work = Scratch.dir("specstream_late")
+    val feed = work.resolve("feed")
+    java.nio.file.Files.createDirectories(feed)
+    def addFile(name: String, rows: Seq[(String, String)]): Unit =
+      java.nio.file.Files.writeString(feed.resolve(name),
+        "k,v\n" + rows.map { case (a, b) => s"$a,$b" }.mkString("\n") + "\n")
+    // consume m.csv and z.csv first; then a.csv arrives, sorting before both
+    addFile("m.csv", Seq(("1", "x")))
+    addFile("z.csv", Seq(("2", "y")))
+    val specJson = graft.spec.SpecJson.dumps(graft.spec.SpecJson.fileSpecDict(
+      graft.spec.FileSpec(id = "s", name = "s", columns =
+        Seq(graft.spec.ColumnSpec("k"), graft.spec.ColumnSpec("v")))))
+    val ckpt = work.resolve("ckpt").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.sources.SpecCsvTable")
+        .option("spec", specJson).option("path", s"$feed/*.csv").load()
+        .writeStream.outputMode("append").option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => seen.add(r.getString(0))); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(seen.toArray.toSeq.map(_.toString).sorted == Seq("1", "2"))
+    seen.clear()
+    addFile("a.csv", Seq(("3", "w")))
+    drain()
+    // with a count offset this delivered m.csv again and never read a.csv;
+    // the consumed-set offset delivers exactly the new file
+    val second = seen.toArray.toSeq.map(_.toString).sorted
+    assert(second == Seq("3"), s"late-sorting file mishandled: $second")
+  }
+
+  test("k22/e35: hidden and in-progress files are never read as data") {
+    val dir = Scratch.dir("specsrc_hidden")
+    java.nio.file.Files.writeString(dir.resolve("good.csv"), "k,v\n1,x\n")
+    java.nio.file.Files.writeString(
+      dir.resolve(".part-00000-7.csv.inprogress"), "k,v\n9,poison\n")
+    java.nio.file.Files.writeString(dir.resolve("_meta.csv"), "k,v\n8,meta\n")
+    val specJson = graft.spec.SpecJson.dumps(graft.spec.SpecJson.fileSpecDict(
+      graft.spec.FileSpec(id = "h", name = "h", columns =
+        Seq(graft.spec.ColumnSpec("k"), graft.spec.ColumnSpec("v")))))
+    // directory listing form AND glob form both exclude hidden names
+    val viaDir = spark.read.format("graft.sources.SpecCsvTable")
+      .option("spec", specJson).option("path", dir.toString).load().collect()
+    assert(viaDir.map(_.getString(0)).toSeq == Seq("1"), viaDir.toSeq.toString)
+    val viaGlob = spark.read.format("graft.sources.SpecCsvTable")
+      .option("spec", specJson).option("path", s"$dir/*").load().collect()
+    assert(viaGlob.map(_.getString(0)).toSeq == Seq("1"), viaGlob.toSeq.toString)
+  }
+
+  test("k22: multi-char delimiter specs are rejected up front") {
+    val specJson = graft.spec.SpecJson.dumps(graft.spec.SpecJson.fileSpecDict(
+      graft.spec.FileSpec(id = "bad", name = "bad", delimiter = "||",
+        columns = Seq(graft.spec.ColumnSpec("k")))))
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.SpecCsvTable")
+        .option("spec", specJson).option("path", "/nonexistent").load()
+    }
+    assert(e.getMessage.contains("delimiter"), e.getMessage)
+  }
+
   test("k30: V2 writer round-trips quoting; spec orders columns; overwrite truncates") {
     val out = Scratch.dir("specsink").toString
     val specJson = graft.spec.SpecJson.dumps(graft.spec.SpecJson.fileSpecDict(
