@@ -215,6 +215,57 @@ object Semantics extends QueryPack {
             Map("value" -> "-none", "condition" -> "nosuch == 'None'"))).as("none_gate"))
         .orderBy($"doc_id")
     },
+    // t12: AGGREGATION TRANSFORMS IN THE MAPPING DSL — reference
+    // ROADMAP.md:51 ("sum, count, average" as a transform_type), the last
+    // named config-driven ETL feature (round-10 verdict item 1). The
+    // mapping JSON below goes through the REAL spec path: SpecStore
+    // .parseMapping → Runner.aggregatePlan, which compiles group keys via
+    // TransformCompiler, skips rows by the mapping's filter rules FIRST,
+    // H5-parses the aggregate inputs (strip commas, unparsable/empty →
+    // 0.0), accumulates in DECIMAL(38,12) (order-independent under partial
+    // aggregation — the 1000-executor requirement), and renders §1.3.2
+    // money format on the way out. Fixture: staged CSV from lineitem with
+    // comma-grouped quantities, every-97th "n/a" (H5 → 0.0), every-53rd
+    // empty price (count skips it, avg folds it as 0.0), and an 'N'-flag
+    // skip rule. Oracle replays the derivation inline.
+    "t12_aggregate_mapping" -> { (s, dir) =>
+      import s.implicits._
+      val csvDir = Scratch.staged(s"t12_agg#$dir", "t12_agg") { p =>
+        Tables(s, dir).lineitem
+          .select($"l_returnflag".as("flag"), $"l_linestatus".as("status"),
+            when(pmod($"l_orderkey", lit(97)) === 0, "n/a")
+              .otherwise(concat(lit("1,"),
+                format_string("%03d", $"l_quantity".cast("int")))).as("qty_raw"),
+            when(pmod($"l_orderkey", lit(53)) === 0, "")
+              .otherwise(Q.dec2($"l_extendedprice").cast("string")).as("price"))
+          .coalesce(1).write.mode("overwrite").option("header", true).csv(p)
+      }
+      val spec = graft.spec.FileSpec(id = "li", name = "li", columns = Seq(
+        graft.spec.ColumnSpec("flag"), graft.spec.ColumnSpec("status"),
+        graft.spec.ColumnSpec("qty_raw"), graft.spec.ColumnSpec("price")))
+      val mapping = graft.spec.SpecStore.parseMapping("""{
+        "id": "agg", "name": "agg", "source_id": "li", "destination_id": "out",
+        "field_mappings": [
+          {"destination_field": "return_flag", "source_field": "flag",
+           "transform_type": "direct", "transform_config": {}},
+          {"destination_field": "line_status", "source_field": "status",
+           "transform_type": "direct", "transform_config": {}},
+          {"destination_field": "sum_qty", "source_field": "qty_raw",
+           "transform_type": "aggregate",
+           "transform_config": {"group_by": ["return_flag", "line_status"], "agg": "sum"}},
+          {"destination_field": "avg_price", "source_field": "price",
+           "transform_type": "aggregate",
+           "transform_config": {"group_by": ["return_flag", "line_status"], "agg": "avg"}},
+          {"destination_field": "n_priced", "source_field": "price",
+           "transform_type": "aggregate",
+           "transform_config": {"group_by": ["return_flag", "line_status"], "agg": "count"}}
+        ],
+        "filter_rules": [{"field": "flag", "operator": "equals", "value": "N"}]
+      }""")
+      val src = graft.engine.CsvSource.read(s, s"$csvDir/*.csv", spec)
+      graft.engine.Runner.aggregatePlan(src, mapping)
+        .orderBy($"return_flag", $"line_status")
+    },
     // H5 lenient float parse: strip commas, unparsable → 0.0
     "h5_lenient_float" -> { (s, dir) =>
       import s.implicits._
@@ -315,6 +366,27 @@ object Semantics extends QueryPack {
              source AS unparsable,
              source || '-none' AS none_gate
       FROM documents ORDER BY doc_id""",
+    // t12: replay the staged derivation (comma-grouped qty, n/a and empty
+    // plants, 'N'-flag skip rule), then the engine's defined aggregate
+    // semantics — H5 parse, DECIMAL(38,12) accumulation, §1.3.2 formatting
+    "t12_aggregate_mapping" -> """
+      WITH src AS (
+        SELECT l_returnflag AS flag, l_linestatus AS status,
+               CASE WHEN l_orderkey % 97 = 0 THEN 'n/a'
+                    ELSE '1,' || printf('%03d', CAST(l_quantity AS INT)) END AS qty_raw,
+               CASE WHEN l_orderkey % 53 = 0 THEN ''
+                    ELSE CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) END AS price
+        FROM lineitem
+        WHERE NOT (l_returnflag = 'N'))
+      SELECT flag AS return_flag, status AS line_status,
+             rtrim(rtrim(printf('%.8f',
+               CAST(sum(CAST(COALESCE(TRY_CAST(replace(qty_raw, ',', '') AS DOUBLE), 0.0)
+                   AS DECIMAL(38,12))) AS DOUBLE)), '0'), '.') AS sum_qty,
+             rtrim(rtrim(printf('%.8f',
+               CAST(sum(CAST(COALESCE(TRY_CAST(price AS DOUBLE), 0.0)
+                   AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)), '0'), '.') AS avg_price,
+             CAST(COUNT(*) FILTER (WHERE price <> '') AS VARCHAR) AS n_priced
+      FROM src GROUP BY 1, 2 ORDER BY 1, 2""",
     "h5_lenient_float" -> """
       SELECT p_partkey, raw, COALESCE(TRY_CAST(replace(raw, ',', '') AS DOUBLE), 0.0) AS parsed
       FROM (SELECT p_partkey, '1,' || printf('%03.0f', CAST(p_size AS DOUBLE)) AS raw FROM part) t

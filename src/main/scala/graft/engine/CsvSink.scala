@@ -20,6 +20,12 @@ object CsvSink {
   private val pyFloatUdf = udf((d: java.lang.Double) =>
     if (d == null) null else PyFormat.pyFloatStr(d))
 
+  /** §1.3.2 money format as a Column (exact CPython `f"{v:.8f}"` rounding —
+    * HALF_EVEN on the binary value — then trailing-zero/dot strip; a
+    * format-boundary UDF like pyFloatUdf, not a hot-path kernel). */
+  val money8Udf = udf((d: java.lang.Double) =>
+    if (d == null) null else PyFormat.money8(d))
+
   /** str(value) per Python semantics, as a Column. */
   def pyStringify(df: DataFrame, name: String): Column = {
     val c = col(s"`$name`")

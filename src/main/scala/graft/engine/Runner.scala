@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.spec.ETLMapping
 import graft.compile.TransformCompiler
@@ -98,6 +98,94 @@ object Runner {
   def validate(df: DataFrame, m: ETLMapping): TransformResult =
     summarize(plan(df, m), m, collectErrors = true)._1
 
+  // --- t12: aggregation transforms in the mapping DSL -----------------------
+  // Reference ROADMAP.md:51 plans `sum/count/avg` as a transform type but
+  // never implemented it, so the semantics here are defined by this engine
+  // (documented, oracle-pinned):
+  //   * `transform_type: "aggregate"`, config
+  //     `{group_by: [dest fields...], agg: "sum"|"count"|"avg"}` +
+  //     the FieldMapping's own source_field as the aggregated input;
+  //   * filter rules skip rows FIRST (pre-aggregation), row-level transforms
+  //     build the group keys, and every aggregate entry in one mapping must
+  //     declare the same group_by;
+  //   * sum/avg parse the source with H5 leniency (strip commas,
+  //     empty/unparsable -> 0.0) and ACCUMULATE IN DECIMAL(38,12) so the
+  //     result is order-independent — a float fold would differ run-to-run
+  //     under Spark's partial aggregation (and at 1000 executors); avg =
+  //     decimal sum cast double / row count (exact IEEE division);
+  //   * count counts truthy source values (non-empty, the engine's falsy
+  //     convention), or all surviving rows when source_field is absent;
+  //   * outputs render per §1.3.2 (`%.8f` then strip — money8), counts as
+  //     plain integers; row-level destinations not named in group_by have
+  //     no defined post-aggregation value and are dropped.
+  // Scale shape: one hash aggregation with map-side partial combine on the
+  // group keys — the same plan TPC-H q1 runs; no extra shuffle beyond the
+  // groupBy exchange.
+
+  def hasAggregates(m: ETLMapping): Boolean =
+    m.fieldMappings.exists(_.transformType == "aggregate")
+
+  /** Grouped output frame for a mapping with aggregate fields: group keys +
+    * formatted aggregate strings, columns in field_mappings order. */
+  def aggregatePlan(df: DataFrame, m: ETLMapping): DataFrame = {
+    import graft.spec.FieldMapping
+    val (aggFms, rowFms) = m.fieldMappings.partition(_.transformType == "aggregate")
+    require(aggFms.nonEmpty, "aggregatePlan needs at least one aggregate field")
+    val schema = df.columns.toSet - LINE
+    val groupBys = aggFms.map(_.config.get("group_by") match {
+      case Some(l: List[_]) => l.map(String.valueOf)
+      case Some(s: String)  => Seq(s)
+      case _                => Nil
+    })
+    val groupBy = groupBys.head
+    require(groupBys.forall(_ == groupBy),
+      s"all aggregate fields must share one group_by; saw ${groupBys.distinct}")
+    val cm = TransformCompiler.compile(m.copy(fieldMappings = rowFms), schema)
+    val rowDests = cm.destOrder.toSet
+    require(groupBy.forall(rowDests.contains),
+      s"group_by names destination fields; missing: ${groupBy.filterNot(rowDests.contains)}")
+
+    def srcOf(fm: FieldMapping): Column =
+      TransformCompiler.compileField(fm.copy(transformType = "direct"), schema).value
+    // H5 lenient float (revolut_stocks.py:104-111): strip commas, 0.0 fallback
+    def h5(c: Column): Column =
+      coalesce(regexp_replace(c.cast("string"), ",", "").try_cast("double"), lit(0.0))
+
+    val keyCols = cm.fields.filter { case (d, _) => groupBy.contains(d) }
+      .map { case (d, c) => c.as(d) }
+    val aggIns = aggFms.zipWithIndex.map { case (fm, i) =>
+      srcOf(fm).as(s"__agg_in_$i")
+    }
+    val base = df.filter(!cm.skip).select(keyCols ++ aggIns: _*)
+
+    val dec = "decimal(38,12)"
+    val aggExprs = aggFms.zipWithIndex.map { case (fm, i) =>
+      val in = col(s"__agg_in_$i")
+      fm.config.get("agg").map(String.valueOf).getOrElse("count") match {
+        case "sum" =>
+          CsvSink.money8Udf(coalesce(sum(h5(in).cast(dec)), lit(0).cast(dec))
+            .cast("double")).as(fm.destinationField)
+        case "avg" =>
+          CsvSink.money8Udf(coalesce(sum(h5(in).cast(dec)), lit(0).cast(dec))
+            .cast("double") / count(lit(1))).as(fm.destinationField)
+        case "count" =>
+          (if (fm.sourceField.isEmpty) count(lit(1))
+           else sum(when(in.isNotNull && in =!= "", 1L).otherwise(0L)))
+            .cast("string").as(fm.destinationField)
+        case other =>
+          throw new IllegalArgumentException(
+            s"aggregate field '${fm.destinationField}': unknown agg '$other'")
+      }
+    }
+    val grouped = base.groupBy(groupBy.map(col): _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    // output order = field_mappings first-occurrence order over the
+    // surviving destinations (§1.3.4 header convention)
+    val outOrder = m.fieldMappings.map(_.destinationField).distinct
+      .filter(d => groupBy.contains(d) || aggFms.exists(_.destinationField == d))
+    grouped.select(outOrder.map(col): _*)
+  }
+
   /** Transform + conditional write (reference transform_file,
     * dynamic.py:267-278, 334-343): output written only when there are
     * surviving rows AND (no errors OR !failOnError); errored rows are still
@@ -117,8 +205,21 @@ object Runner {
       val anyRows = fields.nonEmpty && (counts.total - counts.skipped) > 0
       val shouldWrite = anyRows && (result.errorCount == 0 || !failOnError)
       if (shouldWrite) {
-        val kept = planned.filter(!col(SKIP))
-        CsvSink.writeSingleFile(kept.select(fields.map(col): _*), fields, outFile)
+        if (hasAggregates(m)) {
+          // t12: the written output is the grouped frame (header = its
+          // field_mappings-ordered columns), sorted by group key so the
+          // single-file output is deterministic; the gate/counters above
+          // stay row-level, computed on the pre-aggregation plan
+          val out = aggregatePlan(df, m)
+          val keys = out.columns.filterNot(c =>
+            m.fieldMappings.exists(fm =>
+              fm.destinationField == c && fm.transformType == "aggregate"))
+          val sorted = if (keys.isEmpty) out else out.orderBy(keys.map(col): _*)
+          CsvSink.writeSingleFile(sorted, out.columns.toSeq, outFile)
+        } else {
+          val kept = planned.filter(!col(SKIP))
+          CsvSink.writeSingleFile(kept.select(fields.map(col): _*), fields, outFile)
+        }
         result.copy(written = true)
       } else result
     } finally planned.unpersist()
