@@ -266,6 +266,60 @@ object Semantics extends QueryPack {
       graft.engine.Runner.aggregatePlan(src, mapping)
         .orderBy($"return_flag", $"line_status")
     },
+    // c17: DECLARATIVE MULTI-STEP PIPELINE CHAIN — reference ROADMAP.md:53
+    // ("destination of mapping A feeding mapping B"), round-10 verdict
+    // item 2. Two mappings parsed from pipeline-store JSON compose into ONE
+    // Catalyst plan via engine.Pipeline.compose: m1 skips 'P' orders and
+    // reshapes (direct + date_format month bucket), m2 rolls the chain up
+    // with t12 aggregates. No materialization between steps — the chain is
+    // a single filter→project→hashAggregate pipeline (PipelineChainSpec
+    // pins chain == sequential-converts byte-for-byte, both gate
+    // polarities). Oracle replays both stages inline.
+    "c17_pipeline_chain" -> { (s, dir) =>
+      import s.implicits._
+      val csvDir = Scratch.staged(s"c17_chain#$dir", "c17_chain") { p =>
+        Tables(s, dir).orders
+          .select($"o_orderkey".cast("string").as("okey"),
+            $"o_orderstatus".as("status"),
+            date_format($"o_orderdate", "yyyy-MM-dd").as("odate"),
+            Q.dec2($"o_totalprice").cast("string").as("price"))
+          .coalesce(1).write.mode("overwrite").option("header", true).csv(p)
+      }
+      val m1 = graft.spec.SpecStore.parseMapping("""{
+        "id": "m1", "name": "m1", "source_id": "s", "destination_id": "mid",
+        "field_mappings": [
+          {"destination_field": "status", "source_field": "status",
+           "transform_type": "direct", "transform_config": {}},
+          {"destination_field": "month", "source_field": "odate",
+           "transform_type": "date_format",
+           "transform_config": {"input_format": "%Y-%m-%d",
+                                "output_format": "%Y-%m"}},
+          {"destination_field": "price", "source_field": "price",
+           "transform_type": "direct", "transform_config": {}}
+        ],
+        "filter_rules": [{"field": "status", "operator": "equals", "value": "P"}]
+      }""")
+      val m2 = graft.spec.SpecStore.parseMapping("""{
+        "id": "m2", "name": "m2", "source_id": "mid", "destination_id": "out",
+        "field_mappings": [
+          {"destination_field": "status", "source_field": "status",
+           "transform_type": "direct", "transform_config": {}},
+          {"destination_field": "month", "source_field": "month",
+           "transform_type": "direct", "transform_config": {}},
+          {"destination_field": "total", "source_field": "price",
+           "transform_type": "aggregate",
+           "transform_config": {"group_by": ["status", "month"], "agg": "sum"}},
+          {"destination_field": "n_orders", "source_field": "price",
+           "transform_type": "aggregate",
+           "transform_config": {"group_by": ["status", "month"], "agg": "count"}}
+        ], "filter_rules": []}""")
+      val spec = graft.spec.FileSpec(id = "o", name = "o", columns = Seq(
+        graft.spec.ColumnSpec("okey"), graft.spec.ColumnSpec("status"),
+        graft.spec.ColumnSpec("odate"), graft.spec.ColumnSpec("price")))
+      val src = graft.engine.CsvSource.read(s, s"$csvDir/*.csv", spec)
+      graft.engine.Pipeline.compose(src, Seq(m1, m2))
+        .orderBy($"status", $"month")
+    },
     // H5 lenient float parse: strip commas, unparsable → 0.0
     "h5_lenient_float" -> { (s, dir) =>
       import s.implicits._
@@ -387,6 +441,19 @@ object Semantics extends QueryPack {
                    AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)), '0'), '.') AS avg_price,
              CAST(COUNT(*) FILTER (WHERE price <> '') AS VARCHAR) AS n_priced
       FROM src GROUP BY 1, 2 ORDER BY 1, 2""",
+    // c17: both chain stages replayed inline — m1's skip rule + month
+    // bucket, then m2's t12 aggregate semantics (DECIMAL(38,12), money8)
+    "c17_pipeline_chain" -> """
+      WITH mid AS (
+        SELECT o_orderstatus AS status, strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price
+        FROM orders WHERE NOT (o_orderstatus = 'P'))
+      SELECT status, month,
+             rtrim(rtrim(printf('%.8f',
+               CAST(sum(CAST(COALESCE(TRY_CAST(replace(price, ',', '') AS DOUBLE), 0.0)
+                   AS DECIMAL(38,12))) AS DOUBLE)), '0'), '.') AS total,
+             CAST(COUNT(*) FILTER (WHERE price <> '') AS VARCHAR) AS n_orders
+      FROM mid GROUP BY 1, 2 ORDER BY 1, 2""",
     "h5_lenient_float" -> """
       SELECT p_partkey, raw, COALESCE(TRY_CAST(replace(raw, ',', '') AS DOUBLE), 0.0) AS parsed
       FROM (SELECT p_partkey, '1,' || printf('%03.0f', CAST(p_size AS DOUBLE)) AS raw FROM part) t

@@ -39,9 +39,9 @@ object Runner {
     * input cannot OOM the driver through the compat path. */
   val MaxCollectedErrors = 100000
 
-  private val LINE = "__line_number"
-  private val SKIP = "__skip"
-  private val ERRS = "__errors"
+  private[engine] val LINE = "__line_number"
+  private[engine] val SKIP = "__skip"
+  private[engine] val ERRS = "__errors"
   private val ERR_TYPE = "array<struct<field:string,error_message:string,source_value:string>>"
 
   /** Annotated plan: all input rows, plus skip flag, destination values and
@@ -60,9 +60,9 @@ object Runner {
   def destFields(m: ETLMapping): Seq[String] =
     TransformCompiler.compile(m, Set.empty).destOrder
 
-  private final case class Counts(skipped: Long, clean: Long, errs: Long, total: Long)
+  private[engine] final case class Counts(skipped: Long, clean: Long, errs: Long, total: Long)
 
-  private def summarize(planned: DataFrame, m: ETLMapping,
+  private[engine] def summarize(planned: DataFrame, m: ETLMapping,
                         collectErrors: Boolean): (TransformResult, Counts) = {
     val emptyMapping = m.fieldMappings.isEmpty
     val agg = planned.agg(

@@ -73,3 +73,20 @@ final case class ETLMapping(
     description: String = "",
     fieldMappings: Seq[FieldMapping] = Nil,
     filterRules: Seq[FilterRule] = Nil)
+
+/** One step of a declarative mapping chain (reference ROADMAP.md:53
+  * "multi-step pipelines" — planned, never implemented there; semantics
+  * defined by this engine at graft.engine.Pipeline). `failOnError`
+  * carries the K3 gate to the stage boundary. */
+final case class PipelineStep(
+    mappingId: String,
+    failOnError: Boolean = true)
+
+/** A pipeline: ordered mapping ids, destination of step N feeding step
+  * N+1's source. Stored in the SpecStore's keyed-JSON format
+  * (`pipelines.json`) like sources/destinations/mappings. */
+final case class PipelineSpec(
+    id: String,
+    name: String,
+    description: String = "",
+    steps: Seq[PipelineStep] = Nil)

@@ -128,6 +128,19 @@ object SpecJson {
     "field_mappings" -> m.fieldMappings.map(fieldMappingDict),
     "filter_rules" -> m.filterRules.map(filterRuleDict))
 
+  def pipelineStepDict(s: PipelineStep): VectorMap[String, Any] = VectorMap(
+    "mapping_id" -> s.mappingId,
+    "fail_on_error" -> s.failOnError)
+
+  def pipelineSpecDict(p: PipelineSpec): VectorMap[String, Any] = VectorMap(
+    "id" -> p.id,
+    "name" -> p.name,
+    "description" -> p.description,
+    "steps" -> p.steps.map(pipelineStepDict))
+
+  def dumpPipelines(ps: collection.Map[String, PipelineSpec]): String =
+    dumps(ps.map { case (k, v) => k -> pipelineSpecDict(v) })
+
   def dumpFileSpecs(specs: collection.Map[String, FileSpec]): String =
     dumps(specs.map { case (k, v) => k -> fileSpecDict(v) })
 

@@ -73,6 +73,16 @@ object SpecStore {
     fieldMappings = arr(n, "field_mappings").map(fieldMapping),
     filterRules = arr(n, "filter_rules").map(filterRule))
 
+  def pipelineStep(n: JsonNode): PipelineStep = PipelineStep(
+    mappingId = text(n, "mapping_id"),
+    failOnError = bool(n, "fail_on_error", d = true))
+
+  def pipelineSpec(n: JsonNode): PipelineSpec = PipelineSpec(
+    id = text(n, "id"),
+    name = text(n, "name"),
+    description = text(n, "description"),
+    steps = arr(n, "steps").map(pipelineStep))
+
   private def readKeyed[T](path: String, f: JsonNode => T): Map[String, T] = {
     val root = mapper.readTree(Files.readString(Paths.get(path)))
     VectorMap.from(root.properties.iterator.asScala.map(e => e.getKey -> f(e.getValue)))
@@ -83,8 +93,12 @@ object SpecStore {
   def loadMappings(path: String): Map[String, ETLMapping] =
     if (Files.exists(Paths.get(path))) readKeyed(path, etlMapping) else VectorMap.empty
 
+  def loadPipelines(path: String): Map[String, PipelineSpec] =
+    if (Files.exists(Paths.get(path))) readKeyed(path, pipelineSpec) else VectorMap.empty
+
   def parseMapping(json: String): ETLMapping = etlMapping(mapper.readTree(json))
   def parseFileSpec(json: String): FileSpec = fileSpec(mapper.readTree(json))
+  def parsePipeline(json: String): PipelineSpec = pipelineSpec(mapper.readTree(json))
   /** Generic JSON → plain Scala tree (VectorMap/List/primitives). */
   def parseAny(json: String): Any = anyOf(mapper.readTree(json))
 
@@ -117,6 +131,18 @@ object SpecStore {
 
   def upsertMapping(path: String, m: ETLMapping): Unit =
     saveMappings(path, upsertOrdered(loadMappings(path), m.id, m))
+
+  def savePipelines(path: String, ps: collection.Map[String, PipelineSpec]): Unit =
+    Files.writeString(Paths.get(path), SpecJson.dumpPipelines(ps))
+
+  def upsertPipeline(path: String, p: PipelineSpec): Unit =
+    savePipelines(path, upsertOrdered(loadPipelines(path), p.id, p))
+
+  def deletePipeline(path: String, id: String): Boolean = {
+    val ps = loadPipelines(path)
+    if (!ps.contains(id)) false
+    else { savePipelines(path, ps - id); true }
+  }
 
   def deleteMapping(path: String, id: String): Boolean = {
     val ms = loadMappings(path)
