@@ -68,6 +68,30 @@ object Formats extends QueryPack {
                            ELSE 0 END) AS BIGINT) AS sum_cents
       FROM orders"""
 
+  // ---- k31 fixture: an in-process paginated JSON endpoint serving the
+  // customer table (sorted by key, 250 rows/page), memoized per (JVM, dir)
+  // like Scratch.staged fixtures; lives until JVM exit. The collect is the
+  // bounded FIXTURE side (dimension-table scale) — the source under test
+  // never buffers rows on the driver.
+  private val restServers =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.http.PagedJsonApi]()
+
+  private[catalog] def restCustomerApi(s: SparkSession, dir: String): graft.http.PagedJsonApi =
+    restServers.computeIfAbsent(dir, _ => {
+      import s.implicits._
+      val rows = Tables(s, dir).customer
+        .select($"c_custkey", $"c_name", $"c_acctbal", $"c_nationkey")
+        .orderBy($"c_custkey")
+        .collect().map(r => scala.collection.immutable.VectorMap[String, Any](
+          "c_custkey" -> r.getLong(0), "c_name" -> r.getString(1),
+          "c_acctbal" -> r.getDouble(2), "c_nationkey" -> r.getInt(3).toLong))
+        .toIndexedSeq
+      new graft.http.PagedJsonApi(rows, pageSize = 250).start()
+    })
+
+  private[catalog] val restCustomerDdl =
+    "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE, c_nationkey INT"
+
   private def qtyAgg(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
     df.groupBy($"l_returnflag")
@@ -630,6 +654,27 @@ object Formats extends QueryPack {
     // set, not the corpus; Spark touches it only through partitioned
     // range scans and per-partition batched statements — no driver-side
     // row loop anywhere (the driver issues DDL only).
+    // k31: REST API SOURCE — reference ROADMAP.md:43 ("REST API
+    // endpoints"), round-10 verdict item 3. A paginated JSON endpoint
+    // served in-process (http.PagedJsonApi, the Dashboard's JDK-HttpServer
+    // shape) is read through the DSv2 RestTable connector: the driver
+    // fetches one page for total_pages, then ONE PARTITION PER PAGE
+    // fetches/parses in parallel on the executors; column pruning reaches
+    // the row builder; the streaming leg resumes from page-number offsets
+    // (RestSourceSpec pins kill-between-pages → no duplicate, no gap).
+    // Oracle runs on the backing parquet the endpoint serves.
+    "k31_rest_source" -> { (s, dir) =>
+      import s.implicits._
+      val api = restCustomerApi(s, dir)
+      s.read.format("graft.sources.RestTable")
+        .option("url", api.url)
+        .option("schema", restCustomerDdl)
+        .load()
+        .groupBy($"c_nationkey")
+        .agg(count(lit(1)).as("n_customers"),
+             sum(expr("cast(round(c_acctbal * 100) as bigint)")).as("bal_cents"))
+        .orderBy($"c_nationkey")
+    },
     "k23_jdbc_roundtrip" -> { (s, dir) =>
       import s.implicits._
       val url = jdbcUpsertedUrl(s, dir)
@@ -1695,6 +1740,11 @@ object Formats extends QueryPack {
              SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS sum_cents,
              SUM(o_orderkey)::BIGINT AS sum_keys
       FROM orders GROUP BY 1 ORDER BY 1""",
+    // k31: the endpoint serves customer verbatim — aggregate the parquet
+    "k31_rest_source" -> """
+      SELECT c_nationkey, COUNT(*)::BIGINT AS n_customers,
+             SUM(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT AS bal_cents
+      FROM customer GROUP BY 1 ORDER BY 1""",
     "k23_jdbc_roundtrip" -> """
       WITH keyed AS (
         SELECT l_orderkey, l_linenumber,
