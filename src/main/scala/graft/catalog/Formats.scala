@@ -1639,8 +1639,22 @@ object Formats extends QueryPack {
           } finally c.close()
         }
       }
+      // k32: the connection string lives in the SPEC STORE as a template,
+      // not inline — the db location is an env reference resolved at use
+      // time; a (redacted-on-write) secret slot documents the contract
+      graft.spec.SpecStore.upsertConnection(s"$p/connections.json",
+        graft.spec.ConnectionSpec(
+          id = "k23_derby", name = "embedded derby (k23)",
+          url = "jdbc:derby:${GRAFT_K23_DB}",
+          properties = scala.collection.immutable.VectorMap(
+            "user" -> "app", "password" -> "${GRAFT_K23_PASSWORD}")))
     }
-    s"jdbc:derby:$home/db"
+    // resolve from the store: process env first, then the staged fixture's
+    // values (a sandbox JVM cannot export env vars to itself)
+    val conn = graft.spec.SpecStore.loadConnections(s"$home/connections.json")("k23_derby")
+    val fallback = Map("GRAFT_K23_DB" -> s"$home/db", "GRAFT_K23_PASSWORD" -> "app")
+    graft.spec.Connections.resolveUrl(conn,
+      k => sys.env.get(k).orElse(fallback.get(k)))
   }
 
   private val qtySql = """

@@ -406,7 +406,16 @@ object Streams extends QueryPack {
     val work = Scratch.dir("e34_db")
     val dbPath = work.resolve("db").toString
     System.setProperty("derby.system.home", work.toString)
-    val c0 = java.sql.DriverManager.getConnection(s"jdbc:derby:$dbPath;create=true")
+    // k32: the serving sink's connection string comes from the spec store
+    // (env-reference template, resolved at use time) — same contract k23
+    // reads its bulk/upsert URL through
+    graft.spec.SpecStore.upsertConnection(s"$work/connections.json",
+      graft.spec.ConnectionSpec(id = "e34_serving", name = "serving store (e34)",
+        url = "jdbc:derby:${GRAFT_E34_DB}"))
+    val servingUrl = graft.spec.Connections.resolveUrl(
+      graft.spec.SpecStore.loadConnections(s"$work/connections.json")("e34_serving"),
+      k => sys.env.get(k).orElse(if (k == "GRAFT_E34_DB") Some(dbPath) else None))
+    val c0 = java.sql.DriverManager.getConnection(s"$servingUrl;create=true")
     try {
       c0.createStatement().executeUpdate("""CREATE TABLE USER_COUNTS_E34 (
         USER_ID BIGINT NOT NULL PRIMARY KEY, N BIGINT)""")
@@ -421,7 +430,7 @@ object Streams extends QueryPack {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           batch.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
             if (it.hasNext) {
-              val c = java.sql.DriverManager.getConnection(s"jdbc:derby:$dbPath")
+              val c = java.sql.DriverManager.getConnection(servingUrl)
               try {
                 c.setAutoCommit(false)
                 val up = c.prepareStatement(
@@ -450,7 +459,7 @@ object Streams extends QueryPack {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    s.read.jdbc(s"jdbc:derby:$dbPath", "USER_COUNTS_E34", Formats.derbyProps)
+    s.read.jdbc(servingUrl, "USER_COUNTS_E34", Formats.derbyProps)
       .select($"USER_ID".as("user_id"), $"N".as("n"))
       .orderBy($"user_id")
   }

@@ -74,6 +74,20 @@ final case class ETLMapping(
     fieldMappings: Seq[FieldMapping] = Nil,
     filterRules: Seq[FilterRule] = Nil)
 
+/** A named database/endpoint connection (reference ROADMAP.md database
+  * features — k32): `url` and property VALUES may embed `${ENV_VAR}`
+  * references resolved at use time (spec.Connections.resolve*). Keys
+  * listed in `secretKeys` are REDACTED when the store writes the spec to
+  * disk unless their value is itself an env reference — a literal secret
+  * never round-trips through connections.json. */
+final case class ConnectionSpec(
+    id: String,
+    name: String,
+    description: String = "",
+    url: String = "",
+    properties: Map[String, String] = Map.empty,
+    secretKeys: Seq[String] = Seq("password"))
+
 /** One step of a declarative mapping chain (reference ROADMAP.md:53
   * "multi-step pipelines" — planned, never implemented there; semantics
   * defined by this engine at graft.engine.Pipeline). `failOnError`

@@ -128,6 +128,23 @@ object SpecJson {
     "field_mappings" -> m.fieldMappings.map(fieldMappingDict),
     "filter_rules" -> m.filterRules.map(filterRuleDict))
 
+  /** k32 redaction pin: a secret-keyed property whose value is NOT an env
+    * reference is replaced by the redaction marker — literal secrets never
+    * reach connections.json; env references pass through verbatim. */
+  def connectionSpecDict(c: ConnectionSpec): VectorMap[String, Any] = VectorMap(
+    "id" -> c.id,
+    "name" -> c.name,
+    "description" -> c.description,
+    "url" -> c.url,
+    "properties" -> VectorMap.from(c.properties.map { case (k, v) =>
+      k -> (if (c.secretKeys.contains(k) && !Connections.hasRef(v))
+              Connections.Redacted else v)
+    }),
+    "secret_keys" -> c.secretKeys.toList)
+
+  def dumpConnections(cs: collection.Map[String, ConnectionSpec]): String =
+    dumps(cs.map { case (k, v) => k -> connectionSpecDict(v) })
+
   def pipelineStepDict(s: PipelineStep): VectorMap[String, Any] = VectorMap(
     "mapping_id" -> s.mappingId,
     "fail_on_error" -> s.failOnError)

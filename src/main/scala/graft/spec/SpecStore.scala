@@ -73,6 +73,20 @@ object SpecStore {
     fieldMappings = arr(n, "field_mappings").map(fieldMapping),
     filterRules = arr(n, "filter_rules").map(filterRule))
 
+  def connectionSpec(n: JsonNode): ConnectionSpec = ConnectionSpec(
+    id = text(n, "id"),
+    name = text(n, "name"),
+    description = text(n, "description"),
+    url = text(n, "url"),
+    properties = Option(n.get("properties")).filterNot(_.isNull)
+      .map(p => VectorMap.from(p.properties.iterator.asScala
+        .map(e => e.getKey -> e.getValue.asText)))
+      .getOrElse(VectorMap.empty),
+    secretKeys = {
+      val ks = arr(n, "secret_keys").map(_.asText)
+      if (n.has("secret_keys")) ks else Seq("password")
+    })
+
   def pipelineStep(n: JsonNode): PipelineStep = PipelineStep(
     mappingId = text(n, "mapping_id"),
     failOnError = bool(n, "fail_on_error", d = true))
@@ -95,6 +109,9 @@ object SpecStore {
 
   def loadPipelines(path: String): Map[String, PipelineSpec] =
     if (Files.exists(Paths.get(path))) readKeyed(path, pipelineSpec) else VectorMap.empty
+
+  def loadConnections(path: String): Map[String, ConnectionSpec] =
+    if (Files.exists(Paths.get(path))) readKeyed(path, connectionSpec) else VectorMap.empty
 
   def parseMapping(json: String): ETLMapping = etlMapping(mapper.readTree(json))
   def parseFileSpec(json: String): FileSpec = fileSpec(mapper.readTree(json))
@@ -134,6 +151,18 @@ object SpecStore {
 
   def savePipelines(path: String, ps: collection.Map[String, PipelineSpec]): Unit =
     Files.writeString(Paths.get(path), SpecJson.dumpPipelines(ps))
+
+  def saveConnections(path: String, cs: collection.Map[String, ConnectionSpec]): Unit =
+    Files.writeString(Paths.get(path), SpecJson.dumpConnections(cs))
+
+  def upsertConnection(path: String, c: ConnectionSpec): Unit =
+    saveConnections(path, upsertOrdered(loadConnections(path), c.id, c))
+
+  def deleteConnection(path: String, id: String): Boolean = {
+    val cs = loadConnections(path)
+    if (!cs.contains(id)) false
+    else { saveConnections(path, cs - id); true }
+  }
 
   def upsertPipeline(path: String, p: PipelineSpec): Unit =
     savePipelines(path, upsertOrdered(loadPipelines(path), p.id, p))
