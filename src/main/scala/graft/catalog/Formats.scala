@@ -675,6 +675,34 @@ object Formats extends QueryPack {
              sum(expr("cast(round(c_acctbal * 100) as bigint)")).as("bal_cents"))
         .orderBy($"c_nationkey")
     },
+    // k33: MAPPING FILTER RULES PUSHED INTO THE JDBC SCAN — the spec
+    // system's skip rules (dynamic.py:57-82 semantics via FilterCompiler
+    // .keepPredicate) compiled onto a JDBC read: Catalyst translates the
+    // keep predicate to v1 filters (Not(EqualNullSafe(...))), Spark's JDBC
+    // source compiles those into the issued SELECT's WHERE clause, and the
+    // database — not the engine — drops the skipped rows. The plan pin
+    // (JdbcPushdownSpec, SpecSourceSpec:53 convention) asserts
+    // PushedFilters on the JDBC scan node with no surviving post-scan
+    // Filter. 100 TB shape: against a real warehouse the WHERE prunes at
+    // the source's indexes/partitions; rows the mapping would skip never
+    // cross the wire.
+    "k33_jdbc_pushdown" -> { (s, dir) =>
+      import s.implicits._
+      val url = jdbcUpsertedUrl(s, dir)
+      val rules = graft.spec.SpecStore.parseMapping("""{
+        "id": "k33", "name": "k33", "source_id": "db", "destination_id": "out",
+        "field_mappings": [
+          {"destination_field": "L_RETURNFLAG", "source_field": "L_RETURNFLAG",
+           "transform_type": "direct", "transform_config": {}}],
+        "filter_rules": [
+          {"field": "L_RETURNFLAG", "operator": "equals", "value": "N"}]
+      }""").filterRules
+      val tbl = s.read.jdbc(url, "LINEITEM_K23", derbyProps)
+      tbl.filter(graft.compile.FilterCompiler.keepPredicate(rules, tbl.columns.toSet))
+        .groupBy($"L_RETURNFLAG".as("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), sum($"QTY").as("sum_qty"))
+        .orderBy($"l_returnflag")
+    },
     "k23_jdbc_roundtrip" -> { (s, dir) =>
       import s.implicits._
       val url = jdbcUpsertedUrl(s, dir)
@@ -1759,6 +1787,19 @@ object Formats extends QueryPack {
       SELECT c_nationkey, COUNT(*)::BIGINT AS n_customers,
              SUM(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT AS bal_cents
       FROM customer GROUP BY 1 ORDER BY 1""",
+    // k33: k23's upserted table, minus the mapping-skipped flag, aggregated
+    "k33_jdbc_pushdown" -> """
+      WITH keyed AS (
+        SELECT l_orderkey, l_linenumber,
+               MIN(l_returnflag) AS l_returnflag,
+               SUM(CAST(round(l_quantity) AS BIGINT))::BIGINT AS qty
+        FROM lineitem GROUP BY 1, 2),
+      fin AS (
+        SELECT l_returnflag,
+               CASE WHEN l_orderkey % 10 = 3 THEN qty * 2 ELSE qty END AS qty
+        FROM keyed)
+      SELECT l_returnflag, COUNT(*)::BIGINT AS n_rows, SUM(qty)::BIGINT AS sum_qty
+      FROM fin WHERE NOT (l_returnflag = 'N') GROUP BY 1 ORDER BY 1""",
     "k23_jdbc_roundtrip" -> """
       WITH keyed AS (
         SELECT l_orderkey, l_linenumber,
