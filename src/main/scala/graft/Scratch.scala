@@ -28,29 +28,46 @@ object Scratch {
     * callers block rather than observe a half-written dir). */
   private val stagedPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val stagedLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  def staged(key: String, prefix: String)(write: String => Unit): String =
-    stagedPaths.computeIfAbsent(key, _ => {
+  def staged(key: String, prefix: String)(write: String => Unit): String = {
+    val hit = stagedPaths.get(key)
+    if (hit != null) return hit
+    // per-key monitor instead of computeIfAbsent: `write` bodies NEST
+    // staged calls (a drained stream stages its ingest dir first), and
+    // ConcurrentHashMap throws "Recursive update" on any map mutation from
+    // inside a compute — distinct keys lock independently here, and a
+    // same-key re-entry is impossible (the inner call would have to be the
+    // memo computing itself)
+    val lock = stagedLocks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val again = stagedPaths.get(key)
+      if (again != null) return again
       // retry once into a FRESH path: a transient first-write failure (FS
       // hiccup mid-bench) otherwise leaves the memo empty and every later
       // caller re-pays the full staging cost inside its own timing window
       val p = dir(prefix).resolve("data").toString
-      try { write(p); p }
-      catch {
-        case scala.util.control.NonFatal(e1) =>
-          // drop the half-written first dir now (not at JVM shutdown), and
-          // if the retry also fails keep the ORIGINAL failure visible
-          try deleteRecursively(Path.of(p).getParent)
-          catch { case scala.util.control.NonFatal(_) => () }
-          val p2 = dir(prefix).resolve("data").toString
-          try { write(p2); p2 }
-          catch {
-            case scala.util.control.NonFatal(e2) =>
-              e2.addSuppressed(e1)
-              throw e2
-          }
-      }
-    })
+      val done =
+        try { write(p); p }
+        catch {
+          case scala.util.control.NonFatal(e1) =>
+            // drop the half-written first dir now (not at JVM shutdown), and
+            // if the retry also fails keep the ORIGINAL failure visible
+            try deleteRecursively(Path.of(p).getParent)
+            catch { case scala.util.control.NonFatal(_) => () }
+            val p2 = dir(prefix).resolve("data").toString
+            try { write(p2); p2 }
+            catch {
+              case scala.util.control.NonFatal(e2) =>
+                e2.addSuppressed(e1)
+                throw e2
+            }
+        }
+      stagedPaths.put(key, done)
+      done
+    }
+  }
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {

@@ -338,7 +338,11 @@ object Similarity extends QueryPack {
     // against adjacent cells, the v3 probe shape.
     "v5_knn_graph" -> { (s, dir) =>
       import s.implicits._
-      knnGraph(s, dir).orderBy($"src_id", $"rank")
+      // served from the staged edge table (built once per (JVM, dir),
+      // shared with v7/v9/v14/v24) — a deployment builds the graph at
+      // index time and every consumer, including the "show me the graph"
+      // query itself, reads the persisted edges
+      stagedKnnGraph(s, dir).orderBy($"src_id", $"rank")
     },
     // v7: CENTRALITY over the kNN graph — PageRank-style power iteration
     // (2 rounds, damping 0.85) as a graph-structural quality signal (the
@@ -763,6 +767,44 @@ object Similarity extends QueryPack {
                 coalesce($"krank", lit(0L)).as("kw_rank"),
                 coalesce($"erank", lit(0L)).as("em_rank"), $"rrf")
         .orderBy($"q_id", $"rank")
+    },
+    // v28: TRIANGLE COUNTING on the kNN graph — the local-density signal
+    // (clustering structure) a curation pipeline reads next to v7's
+    // centrality and v14's communities: a vector in many triangles sits in
+    // a tight semantic clique (redundancy candidate); triangle-free nodes
+    // are isolates/bridges. DEGREE-ORDERED orientation (Schank–Wagner /
+    // Cohen's MapReduce form): each undirected edge points from its
+    // lower-(degree, id) endpoint, so every wedge enumerates at the
+    // triangle's LOWEST-degree apex and total wedge work is O(m^1.5)
+    // instead of Σdeg² — the hub-safe bound that survives skewed degree
+    // distributions at 100 TB. Closure is an equi-join against the
+    // canonical (min,max) edge table; every join carries 8-byte ids only.
+    // The oracle recomputes triangles order-free as a<b<c joins.
+    "v28_triangle_count" -> { (s, dir) =>
+      import s.implicits._
+      val g = stagedKnnGraph(s, dir).select($"src_id", $"neighbor_id")
+      val und = g.select(least($"src_id", $"neighbor_id").as("a"),
+                         greatest($"src_id", $"neighbor_id").as("b"))
+        .filter($"a" =!= $"b").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = und.select(explode(array($"a", $"b")).as("v"))
+        .groupBy($"v").agg(count(lit(1)).as("d"))
+      val or = und
+        .join(deg.select($"v".as("a"), $"d".as("da")), Seq("a"))
+        .join(deg.select($"v".as("b"), $"d".as("db")), Seq("b"))
+        .select(when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"),
+            struct($"a".as("s"), $"b".as("t")))
+          .otherwise(struct($"b".as("s"), $"a".as("t"))).as("e"))
+        .select($"e.s".as("s"), $"e.t".as("t"))
+      val wedges = or.as("x").join(or.as("y"),
+          col("x.s") === col("y.s") && col("x.t") < col("y.t"))
+        .select(col("x.s").as("va"), col("x.t").as("vb"), col("y.t").as("vc"))
+      val tri = wedges.join(und,
+          least($"vb", $"vc") === $"a" && greatest($"vb", $"vc") === $"b")
+        .select($"va", $"vb", $"vc")
+      tri.select(explode(array($"va", $"vb", $"vc")).as("vec_id"))
+        .groupBy($"vec_id").agg(count(lit(1)).as("n_triangles"))
+        .orderBy($"vec_id")
     },
     // v14: COMMUNITY DETECTION on the kNN graph — bounded-round min-label
     // propagation over the STORED edge table (v5's graph, read from
@@ -2108,6 +2150,25 @@ object Similarity extends QueryPack {
     // inline replays the whole Lloyd-training chain behind `knn`, which
     // at the 10× soak spilled >78 GB; materializing the ~150 k-edge
     // frame evaluates it once. Values are unchanged.
+    // v28: triangles order-free — canonical a<b edges, a<b<c joins; the
+    // degree orientation is a Spark-side WORK bound, not a semantics
+    // change, so the oracle skips it
+    "v28_triangle_count" -> s"""
+      WITH $knnCtes,
+      und AS MATERIALIZED (
+        SELECT DISTINCT least(src_id, neighbor_id) AS a,
+                        greatest(src_id, neighbor_id) AS b
+        FROM knn WHERE src_id <> neighbor_id),
+      tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+      SELECT vec_id, COUNT(*)::BIGINT AS n_triangles
+      FROM (SELECT x AS vec_id FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri) t
+      GROUP BY vec_id ORDER BY vec_id""",
     "v14_label_prop" -> s"""
       WITH $knnCtes,
       und AS MATERIALIZED (

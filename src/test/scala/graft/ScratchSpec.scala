@@ -38,6 +38,29 @@ class ScratchSpec extends AnyFunSuite {
     assert(again == got && attempts.get() == 2)
   }
 
+  test("staged is reentrant: a staging body may stage its own dependency") {
+    // the round-11 drain-staged regression: e28's drained output stages its
+    // ingest dir INSIDE the drain's write body; computeIfAbsent-based
+    // memoization threw "Recursive update" on exactly this shape
+    val innerWrites = new AtomicInteger(0)
+    val kOuter = s"spec_outer_${System.nanoTime()}"
+    val kInner = s"spec_inner_${System.nanoTime()}"
+    val outer = Scratch.staged(kOuter, "scratchspec") { p =>
+      val dep = Scratch.staged(kInner, "scratchspec") { q =>
+        innerWrites.incrementAndGet()
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(q))
+      }
+      assert(dep.nonEmpty)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+    }
+    assert(outer.nonEmpty && innerWrites.get() == 1)
+    // both memos hold independently afterwards
+    val innerAgain = Scratch.staged(kInner, "scratchspec") { _ =>
+      innerWrites.incrementAndGet()
+    }
+    assert(innerWrites.get() == 1 && innerAgain.nonEmpty)
+  }
+
   test("a write that keeps failing propagates and leaves the memo empty") {
     val attempts = new AtomicInteger(0)
     val key = s"spec_fail_${System.nanoTime()}"
