@@ -43,6 +43,88 @@ object Quality extends QueryPack {
   private val Dq13Cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // dq20: DECLARATIVE EXPECTATION SUITE — dq1's audits with the rules
+    // moved OUT of code into the reference's native medium: a JSON spec
+    // (SpecStore.parseExpectationSuite — the config-file format of
+    // models.py:174-267 pointed at data quality, the dbt-tests /
+    // Great-Expectations slot). ExpectationCompiler turns the whole suite
+    // into ONE aggregate pass: every rule is a counting aggregate over the
+    // same scan (unique rides along as a distinct aggregate), so a
+    // 50-rule suite over a 100 TB table costs one scan — no per-rule
+    // jobs. Value checks skip NULLs (only not_null counts them; the
+    // model's composability contract). Suite below mixes passing and
+    // failing rules so the audit is non-vacuous: l_linestatus 'F'-only
+    // fails on 'O' rows, the anchored returnflag regex fails on 'R' rows,
+    // unique(l_orderkey) fails on multi-line orders.
+    "dq20_expectation_suite" -> { (s, dir) =>
+      import s.implicits._
+      val suite = graft.spec.SpecStore.parseExpectationSuite("""{
+        "id": "li_suite", "name": "lineitem checks", "table": "lineitem",
+        "expectations": [
+          {"column": "l_shipdate",   "check": "not_null"},
+          {"column": "l_quantity",   "check": "range", "lo": 1, "hi": 50},
+          {"column": "l_discount",   "check": "range", "lo": 0, "hi": 0.05},
+          {"column": "l_returnflag", "check": "accepted_values",
+           "values": ["A", "N", "R"]},
+          {"column": "l_linestatus", "check": "accepted_values",
+           "values": ["F"]},
+          {"column": "l_returnflag", "check": "regex_match",
+           "pattern": "^[AN]$"},
+          {"column": "l_orderkey",   "check": "unique"}
+        ]}""")
+      graft.compile.ExpectationCompiler.audit(Tables(s, dir).lineitem, suite)
+        .orderBy($"col_name", $"check_name")
+    },
+    // c18: BACKFILL PLANNER — the ops question every 100 TB pipeline
+    // owner asks after a logic change or a late-data burst: WHICH
+    // partitions must re-run, and how big are they? The staged store is a
+    // per-day rollup with a partition MANIFEST carrying each day's
+    // logic_version and row count (written at build time, the k28/k13
+    // manifest discipline); the pipeline is now at version 2 but only
+    // day-of-month % 3 = 0 partitions were built with it, and a late feed
+    // (event_id % 997 = 0, withheld from the build) has arrived since.
+    // The plan = version-stale days ∪ late-touched days, each with reason
+    // and both row counts (recompute cost estimate). Scale shape: the
+    // manifest is METADATA (one row per partition — KBs at 100 TB), the
+    // late feed aggregates by day before the join, and the store itself
+    // is never rescanned — planning cost is O(|late batch| + |manifest|),
+    // independent of store size.
+    "c18_backfill_plan" -> { (s, dir) =>
+      import s.implicits._
+      val root = Scratch.staged(s"c18_store#$dir", "c18_store") { p =>
+        import java.nio.file.{Files => F, Paths}
+        F.createDirectories(Paths.get(p))
+        val daily = Tables(s, dir).events
+          .filter(pmod($"event_id", lit(997)) =!= 0)
+          .groupBy(date_format($"ts", "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n_rows"))
+        daily.write.mode("overwrite").parquet(s"$p/store")
+        val entries = daily
+          .withColumn("version",
+            when(pmod(dayofmonth(to_date($"day")), lit(3)) === 0, 2)
+              .otherwise(1))
+          .select(concat_ws("\t", $"day", $"version", $"n_rows"))
+          .collect().map(_.getString(0)).sorted // one line per PARTITION
+        F.writeString(Paths.get(s"$p/manifest.tsv"), entries.mkString("\n"))
+      }
+      val manifest = s.read.option("sep", "\t")
+        .schema("day string, version int, n_rows long")
+        .csv(s"$root/manifest.tsv")
+      val late = Tables(s, dir).events
+        .filter(pmod($"event_id", lit(997)) === 0)
+        .groupBy(date_format($"ts", "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n_late"))
+      manifest.join(late, Seq("day"), "full")
+        .withColumn("stale", coalesce($"version", lit(0)) < 2)
+        .withColumn("is_late", $"n_late".isNotNull)
+        .filter($"stale" || $"is_late")
+        .select($"day",
+          when($"stale" && $"is_late", "both")
+            .when($"stale", "stale").otherwise("late").as("reason"),
+          coalesce($"n_rows", lit(0L)).as("store_rows"),
+          coalesce($"n_late", lit(0L)).as("late_rows"))
+        .orderBy($"day")
+    },
     // dq13: INFERRED-EXPECTATION AUDIT — dq1 audits rules someone wrote;
     // dq13 DERIVES them from an accepted reference partition and audits
     // the incoming one against its own history (the expectation-suite
@@ -877,6 +959,56 @@ object Quality extends QueryPack {
       FROM w WHERE n = 28 ORDER BY o_orderdate"""
 
   val oracle: Map[String, String] = Map(
+    // c18: the staged manifest replayed (on-time daily counts + the
+    // version rule) full-joined with the late feed's day counts
+    "c18_backfill_plan" -> """
+      WITH ontime AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*)::BIGINT AS n_rows
+        FROM events WHERE event_id % 997 <> 0 GROUP BY 1),
+      m AS (
+        SELECT day,
+               CASE WHEN date_part('day', CAST(day AS DATE)) % 3 = 0
+                    THEN 2 ELSE 1 END AS version, n_rows
+        FROM ontime),
+      lt AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*)::BIGINT AS n_late
+        FROM events WHERE event_id % 997 = 0 GROUP BY 1)
+      SELECT COALESCE(m.day, lt.day) AS day,
+             CASE WHEN COALESCE(m.version, 0) < 2 AND lt.day IS NOT NULL
+                    THEN 'both'
+                  WHEN COALESCE(m.version, 0) < 2 THEN 'stale'
+                  ELSE 'late' END AS reason,
+             COALESCE(m.n_rows, 0)::BIGINT AS store_rows,
+             COALESCE(lt.n_late, 0)::BIGINT AS late_rows
+      FROM m FULL JOIN lt ON m.day = lt.day
+      WHERE COALESCE(m.version, 0) < 2 OR lt.day IS NOT NULL
+      ORDER BY day""",
+    // dq20: the suite's rules replayed as one aggregate + literal unpivot
+    "dq20_expectation_suite" -> """
+      WITH a AS (SELECT
+        count(*) FILTER (WHERE l_shipdate IS NULL) AS v0,
+        count(*) FILTER (WHERE l_quantity IS NOT NULL
+          AND (l_quantity < 1 OR l_quantity > 50)) AS v1,
+        count(*) FILTER (WHERE l_discount IS NOT NULL
+          AND (l_discount < 0 OR l_discount > 0.05)) AS v2,
+        count(*) FILTER (WHERE l_returnflag IS NOT NULL
+          AND l_returnflag NOT IN ('A','N','R')) AS v3,
+        count(*) FILTER (WHERE l_linestatus IS NOT NULL
+          AND l_linestatus NOT IN ('F')) AS v4,
+        count(*) FILTER (WHERE l_returnflag IS NOT NULL
+          AND NOT regexp_matches(l_returnflag, '^[AN]$')) AS v5,
+        count(l_orderkey) - count(DISTINCT l_orderkey) AS v6
+        FROM lineitem)
+      SELECT * FROM (
+        SELECT 'not_null' AS check_name, 'l_shipdate' AS col_name,
+               v0 AS n_violations, v0 = 0 AS pass FROM a
+        UNION ALL SELECT 'range', 'l_quantity', v1, v1 = 0 FROM a
+        UNION ALL SELECT 'range', 'l_discount', v2, v2 = 0 FROM a
+        UNION ALL SELECT 'accepted_values', 'l_returnflag', v3, v3 = 0 FROM a
+        UNION ALL SELECT 'accepted_values', 'l_linestatus', v4, v4 = 0 FROM a
+        UNION ALL SELECT 'regex_match', 'l_returnflag', v5, v5 = 0 FROM a
+        UNION ALL SELECT 'unique', 'l_orderkey', v6, v6 = 0 FROM a) t
+      ORDER BY col_name, check_name""",
     // c9: the three stage SQLs verbatim (the extracted vals), one verdict
     // c13: the three monitor oracles unioned as shipped; one bool_and
     "c13_ops_health" -> s"""

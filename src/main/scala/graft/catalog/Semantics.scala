@@ -320,6 +320,42 @@ object Semantics extends QueryPack {
       graft.engine.Pipeline.compose(src, Seq(m1, m2))
         .orderBy($"status", $"month")
     },
+    // t13: AUTO-MAPPING SUGGESTION — reference ROADMAP.md:34 ("schema
+    // introspection for automatic column detection"): k26 introspects the
+    // source schema; this entry turns introspected names into the mapping
+    // seed the visual editor (ROADMAP.md:8) would pre-fill. For each
+    // destination field, the best-scoring source column by normalized
+    // name similarity: lowercase, strip one table-alias prefix ([a-z]_),
+    // strip non-alnum, then integer basis-point score
+    // 10000 − lev·10000 div max(len) (Levenshtein is a builtin in BOTH
+    // engines, so the oracle mirrors it exactly); ties break on source
+    // name, < 5000 bp ⇒ unmatched. Scale shape: pure METADATA — a
+    // |dest|×|src| broadcast nested loop over column-name strings (a
+    // catalog of thousands of tables is still KBs); zero data rows read.
+    "t13_automap_suggest" -> { (s, dir) =>
+      import s.implicits._
+      val dests = Seq("customer_key", "order_date", "order_key",
+        "order_status", "ship_priority", "total_price", "comment_text",
+        "unmapped_field").toDF("dest_field")
+      val srcs = Tables(s, dir).orders.columns.toSeq.toDF("source_col")
+      def norm(c: org.apache.spark.sql.Column) =
+        regexp_replace(regexp_replace(lower(c), "^[a-z]_", ""), "[^a-z0-9]", "")
+      val wPick = org.apache.spark.sql.expressions.Window
+        .partitionBy($"dest_field").orderBy($"score_bp".desc, $"source_col")
+      dests.crossJoin(broadcast(srcs)) // 8×9 column-name rows: metadata
+        .withColumn("nd", norm($"dest_field"))
+        .withColumn("ns", norm($"source_col"))
+        .withColumn("score_bp", expr(
+          "10000L - (cast(levenshtein(nd, ns) as bigint) * 10000L)" +
+            " div greatest(length(nd), length(ns))"))
+        .withColumn("rn", row_number().over(wPick))
+        .filter($"rn" === 1)
+        .select($"dest_field",
+          when($"score_bp" >= 5000, $"source_col").otherwise("(none)")
+            .as("suggested_source"),
+          $"score_bp", ($"score_bp" >= 5000).as("matched"))
+        .orderBy($"dest_field")
+    },
     // H5 lenient float parse: strip commas, unparsable → 0.0
     "h5_lenient_float" -> { (s, dir) =>
       import s.implicits._
@@ -454,6 +490,34 @@ object Semantics extends QueryPack {
                    AS DECIMAL(38,12))) AS DOUBLE)), '0'), '.') AS total,
              CAST(COUNT(*) FILTER (WHERE price <> '') AS VARCHAR) AS n_orders
       FROM mid GROUP BY 1, 2 ORDER BY 1, 2""",
+    // t13: same normalization + levenshtein scoring over the introspected
+    // schema (DESCRIBE) and the literal destination list
+    "t13_automap_suggest" -> """
+      WITH dests(dest_field) AS (VALUES ('customer_key'), ('order_date'),
+        ('order_key'), ('order_status'), ('ship_priority'), ('total_price'),
+        ('comment_text'), ('unmapped_field')),
+      srcs AS (SELECT column_name AS source_col
+               FROM (DESCRIBE SELECT * FROM orders)),
+      scored AS (
+        SELECT dest_field, source_col,
+               10000 - (levenshtein(nd, ns) * 10000 //
+                        greatest(length(nd), length(ns))) AS score_bp
+        FROM (SELECT dest_field, source_col,
+                     regexp_replace(regexp_replace(lower(dest_field),
+                       '^[a-z]_', ''), '[^a-z0-9]', '', 'g') AS nd,
+                     regexp_replace(regexp_replace(lower(source_col),
+                       '^[a-z]_', ''), '[^a-z0-9]', '', 'g') AS ns
+              FROM dests CROSS JOIN srcs) t),
+      best AS (
+        SELECT dest_field, source_col, score_bp,
+               row_number() OVER (PARTITION BY dest_field
+                 ORDER BY score_bp DESC, source_col) AS rn
+        FROM scored)
+      SELECT dest_field,
+             CASE WHEN score_bp >= 5000 THEN source_col
+                  ELSE '(none)' END AS suggested_source,
+             score_bp, (score_bp >= 5000) AS matched
+      FROM best WHERE rn = 1 ORDER BY dest_field""",
     "h5_lenient_float" -> """
       SELECT p_partkey, raw, COALESCE(TRY_CAST(replace(raw, ',', '') AS DOUBLE), 0.0) AS parsed
       FROM (SELECT p_partkey, '1,' || printf('%03.0f', CAST(p_size AS DOUBLE)) AS raw FROM part) t

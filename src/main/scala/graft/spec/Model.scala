@@ -104,3 +104,26 @@ final case class PipelineSpec(
     name: String,
     description: String = "",
     steps: Seq[PipelineStep] = Nil)
+
+/** One declarative data-quality expectation (dq20). `check` ∈ {not_null,
+  * unique, accepted_values, range, regex_match}. NULL handling follows the
+  * composable convention: only `not_null` counts NULLs — value checks
+  * (accepted_values / range / regex_match) skip NULL cells so each rule
+  * audits exactly one property. `unique` counts surplus rows per repeated
+  * non-null value (n − n_distinct). */
+final case class Expectation(
+    column: String,
+    check: String,
+    values: Seq[String] = Nil,
+    lo: Option[Double] = None,
+    hi: Option[Double] = None,
+    pattern: Option[String] = None)
+
+/** A named expectation suite over one table — the reference's config-file
+  * idea (declarative JSON the dashboard edits) pointed at data quality;
+  * stored keyed-by-id like sources/destinations/mappings. */
+final case class ExpectationSuite(
+    id: String,
+    name: String,
+    table: String = "",
+    expectations: Seq[Expectation] = Nil)

@@ -97,6 +97,20 @@ object SpecStore {
     description = text(n, "description"),
     steps = arr(n, "steps").map(pipelineStep))
 
+  def expectation(n: JsonNode): Expectation = Expectation(
+    column = text(n, "column"),
+    check = text(n, "check"),
+    values = arr(n, "values").map(_.asText),
+    lo = Option(n.get("lo")).filterNot(_.isNull).map(_.asDouble),
+    hi = Option(n.get("hi")).filterNot(_.isNull).map(_.asDouble),
+    pattern = optText(n, "pattern"))
+
+  def expectationSuite(n: JsonNode): ExpectationSuite = ExpectationSuite(
+    id = text(n, "id"),
+    name = text(n, "name"),
+    table = text(n, "table"),
+    expectations = arr(n, "expectations").map(expectation))
+
   private def readKeyed[T](path: String, f: JsonNode => T): Map[String, T] = {
     val root = mapper.readTree(Files.readString(Paths.get(path)))
     VectorMap.from(root.properties.iterator.asScala.map(e => e.getKey -> f(e.getValue)))
@@ -113,7 +127,13 @@ object SpecStore {
   def loadConnections(path: String): Map[String, ConnectionSpec] =
     if (Files.exists(Paths.get(path))) readKeyed(path, connectionSpec) else VectorMap.empty
 
+  def loadExpectationSuites(path: String): Map[String, ExpectationSuite] =
+    if (Files.exists(Paths.get(path))) readKeyed(path, expectationSuite)
+    else VectorMap.empty
+
   def parseMapping(json: String): ETLMapping = etlMapping(mapper.readTree(json))
+  def parseExpectationSuite(json: String): ExpectationSuite =
+    expectationSuite(mapper.readTree(json))
   def parseFileSpec(json: String): FileSpec = fileSpec(mapper.readTree(json))
   def parsePipeline(json: String): PipelineSpec = pipelineSpec(mapper.readTree(json))
   /** Generic JSON → plain Scala tree (VectorMap/List/primitives). */
