@@ -423,6 +423,59 @@ object Formats extends QueryPack {
              sum($"o_orderkey").as("sum_keys"))
         .orderBy($"o_orderstatus")
     },
+    // k34: HIDDEN PARTITIONING (Iceberg-style partition TRANSFORMS) — k7
+    // prunes when the user filters on the partition COLUMN; real tables
+    // partition on TRANSFORMS of data columns (months(ts), bucket(N, key))
+    // and the user should never have to know. Staged: orders laid out by
+    // (p_month = months(o_orderdate), p_bucket = o_custkey mod 8), one
+    // file per partition dir (repartition by the partition cols before
+    // write). The query filters only RAW columns — a month-aligned date
+    // range + a custkey equality — and the transform-aware rewrite derives
+    // the partition predicates (month list from the range, bucket from the
+    // key) that Spark's planning-time pruning turns into a directory-list
+    // cut. Evidence is FALSIFIABLE: files_read comes from the actual
+    // pruned scan's distinct input_file_name() (partition predicates match
+    // whole dirs, so no row of a listed file is filtered away), pinned
+    // against the full scan's count; both paths must agree on the answer.
+    // At 100 TB the transform rewrite is the difference between reading 3
+    // directories and listing 700 months × 8 buckets.
+    "k34_hidden_partitioning" -> { (s, dir) =>
+      import s.implicits._
+      val root = Scratch.staged(s"k34_hp#$dir", "k34_hp") { p =>
+        Tables(s, dir).orders
+          .withColumn("p_month", date_format($"o_orderdate", "yyyy-MM"))
+          .withColumn("p_bucket", pmod($"o_custkey", lit(8)).cast("int"))
+          .repartition($"p_month", $"p_bucket")
+          .write.mode("overwrite").partitionBy("p_month", "p_bucket")
+          .parquet(p)
+      }
+      val t = s.read.parquet(root)
+      val (d1, d2) = ("1995-03-01", "1995-06-01")
+      // the probed key: busiest customer of the window (deterministic
+      // tiebreak) — a bounded 1-row pick, mirrored by the oracle
+      val k = Tables(s, dir).orders
+        .filter($"o_orderdate" >= d1 && $"o_orderdate" < d2)
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"o_custkey").head().getLong(0)
+      val months = Seq("1995-03", "1995-04", "1995-05")
+      def rawPred(df: DataFrame) =
+        df.filter($"o_orderdate" >= d1 && $"o_orderdate" < d2 &&
+                  $"o_custkey" === k)
+      // the hidden-partitioning rewrite: raw predicates imply these
+      // partition predicates (months(range) / bucket(key))
+      val prunedScan = t.filter($"p_month".isin(months: _*) &&
+                                $"p_bucket" === (k % 8).toInt)
+      val cents = expr("cast(round(o_totalprice * 100) as bigint)")
+      def leg(scan: DataFrame, src: String): DataFrame = {
+        val filesRead = scan.select(input_file_name()).distinct().count()
+        rawPred(scan)
+          .agg(count(lit(1)).as("n_rows"),
+               coalesce(sum(cents), lit(0L)).as("sum_cents"))
+          .select(lit(src).as("src"), $"n_rows", $"sum_cents",
+                  lit(filesRead).as("files_read"))
+      }
+      leg(t, "full").unionByName(leg(prunedScan, "pruned")).orderBy($"src")
+    },
     // k28: MANIFEST ZONE-MAP SKIPPING — the FILE-level data-skipping leg
     // the lakehouse suite was missing (k7 prunes hive PARTITIONS at
     // planning time; Iceberg/Delta additionally carry per-file column
@@ -479,6 +532,68 @@ object Formats extends QueryPack {
       agg(s.read.parquet(overlap.map(_._3): _*), "pruned", overlap.size)
         .unionByName(
           agg(s.read.parquet(entries.map(_._3): _*), "full", entries.size))
+        .orderBy($"src")
+    },
+    // k35: PER-FILE BLOOM-FILTER SKIPPING — the data-skipping leg zone
+    // maps CANNOT cover: k28's [min,max] prunes range predicates on the
+    // CLUSTERED column, but a point predicate on an UNCORRELATED column
+    // (o_custkey inside orderkey-range files) overlaps every zone. The
+    // write side builds, per file, a 4096-bit Bloom bitmap over o_custkey
+    // (3 affine hashes mod P mod 4096; the set-bit list IS the manifest
+    // entry — stats at write time, the k28 discipline), and the read side
+    // probes the manifest with the key's 3 positions: only files whose
+    // bitmap has ALL THREE bits set are scanned. False positives are part
+    // of the pin — the oracle recomputes per-file bit membership exactly,
+    // so files_read is the TRUE bloom answer (≥ files containing the key,
+    // ≤ all 8), not an idealized one. Both paths must agree on the
+    // answer. At 100 TB bloom sidecars are the standard point-lookup
+    // rescue for high-cardinality non-sort columns (Parquet/Iceberg ship
+    // exactly this); the manifest probe is metadata-only.
+    "k35_bloom_skip" -> { (s, dir) =>
+      import s.implicits._
+      val Bits = 4096
+      val hashes = Seq((48271L, 11L), (16807L, 23L), (69621L, 37L))
+      def posCols = array(hashes.map { case (a, b) =>
+        expr(s"((o_custkey * $a + $b) % 2147483647) % $Bits")
+      }: _*)
+      val root = Scratch.staged(s"k35_bloom#$dir", "k35_bloom") { p =>
+        import java.nio.file.{Files => F, Paths}
+        F.createDirectories(Paths.get(p))
+        val orders = Tables(s, dir).orders
+        val ids = orders.agg(min($"o_orderkey"), max($"o_orderkey")).head()
+        val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+        val step = (hi - lo) / 8 + 1
+        val entries = (0 until 8).map { i =>
+          val (flo, fhi) = (lo + i * step, math.min(lo + (i + 1) * step - 1, hi))
+          val part = orders.filter($"o_orderkey" >= flo && $"o_orderkey" <= fhi)
+          val d = s"$p/f$i"
+          part.write.mode("overwrite").parquet(d)
+          // the file's bloom = its distinct set bit positions (≤ 4096
+          // ints — manifest-sized, computed distributively then listed)
+          val bits = part.select(explode(posCols).as("pos"))
+            .distinct().orderBy($"pos").collect().map(_.getLong(0))
+          s"$d\t${bits.mkString(",")}"
+        }
+        F.writeString(Paths.get(s"$p/manifest.tsv"), entries.mkString("\n"))
+      }
+      val manifest = java.nio.file.Files
+        .readString(java.nio.file.Paths.get(s"$root/manifest.tsv"))
+        .split("\n").toSeq.map { l =>
+          val a = l.split("\t")
+          (a(0), a(1).split(",").map(_.toLong).toSet)
+        }
+      val k = Tables(s, dir).orders.agg(min($"o_custkey")).head().getLong(0)
+      val kPos = hashes.map { case (a, b) => ((k * a + b) % 2147483647L) % Bits }
+      val hit = manifest.filter { case (_, bits) => kPos.forall(bits.contains) }
+      val cents = expr("cast(round(o_totalprice * 100) as bigint)")
+      def leg(df: DataFrame, src: String, filesRead: Int): DataFrame =
+        df.filter($"o_custkey" === k)
+          .agg(count(lit(1)).as("n_rows"),
+               coalesce(sum(cents), lit(0L)).as("sum_cents"))
+          .select(lit(src).as("src"), $"n_rows", $"sum_cents",
+                  lit(filesRead.toLong).as("files_read"))
+      leg(s.read.parquet(manifest.map(_._1): _*), "full", manifest.size)
+        .unionByName(leg(s.read.parquet(hit.map(_._1): _*), "pruned", hit.size))
         .orderBy($"src")
     },
     // k30: SPEC-DRIVEN DATASOURCE V2 SINK — k22's connector closing the
@@ -1705,6 +1820,66 @@ object Formats extends QueryPack {
       WHERE o_orderstatus <> 'P'
         AND contains(CAST(o_orderkey AS VARCHAR), '7')
       GROUP BY 1 ORDER BY 1""",
+    // k34: both paths agree on the answer; files_read is the closed-form
+    // directory count — full = all (month, bucket) combos present, pruned
+    // = months-in-range present under the key's bucket (1 file per dir)
+    "k34_hidden_partitioning" -> """
+      WITH pick AS (
+        SELECT o_custkey AS k FROM orders
+        WHERE o_orderdate >= DATE '1995-03-01'
+          AND o_orderdate <  DATE '1995-06-01'
+        GROUP BY o_custkey ORDER BY COUNT(*) DESC, o_custkey LIMIT 1),
+      a AS (
+        SELECT COUNT(*)::BIGINT AS n_rows,
+               COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT)), 0)::BIGINT AS sum_cents
+        FROM orders, pick
+        WHERE o_orderdate >= DATE '1995-03-01'
+          AND o_orderdate <  DATE '1995-06-01' AND o_custkey = k),
+      fp AS (
+        SELECT COUNT(DISTINCT strftime(o_orderdate, '%Y-%m'))::BIGINT AS n
+        FROM orders, pick
+        WHERE o_custkey % 8 = k % 8
+          AND strftime(o_orderdate, '%Y-%m') IN ('1995-03','1995-04','1995-05')),
+      ff AS (
+        SELECT COUNT(DISTINCT strftime(o_orderdate, '%Y-%m') || '#'
+                     || (o_custkey % 8))::BIGINT AS n
+        FROM orders)
+      SELECT 'full' AS src, n_rows, sum_cents, ff.n AS files_read FROM a, ff
+      UNION ALL
+      SELECT 'pruned', n_rows, sum_cents, fp.n FROM a, fp
+      ORDER BY src""",
+    // k35: per-file bloom membership replayed exactly — file assignment
+    // from the k28 range formula, 3 affine bit positions, a file survives
+    // iff ALL of the probe key's bits are set by SOME row of the file
+    // (false positives included, as the bloom truly answers)
+    "k35_bloom_skip" -> """
+      WITH b AS (SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi,
+                        MIN(o_custkey) AS k FROM orders),
+      q AS (SELECT lo, hi, k, (hi - lo) // 8 + 1 AS step FROM b),
+      r AS (SELECT o_orderkey, o_custkey, k,
+                   (o_orderkey - lo) // step AS f
+            FROM orders CROSS JOIN q),
+      hits AS (
+        SELECT f,
+          MAX(CASE WHEN ((o_custkey*48271+11) % 2147483647) % 4096
+                      = ((k*48271+11) % 2147483647) % 4096
+                   THEN 1 ELSE 0 END) AS h1,
+          MAX(CASE WHEN ((o_custkey*16807+23) % 2147483647) % 4096
+                      = ((k*16807+23) % 2147483647) % 4096
+                   THEN 1 ELSE 0 END) AS h2,
+          MAX(CASE WHEN ((o_custkey*69621+37) % 2147483647) % 4096
+                      = ((k*69621+37) % 2147483647) % 4096
+                   THEN 1 ELSE 0 END) AS h3
+        FROM r GROUP BY f),
+      pf AS (SELECT COUNT(*)::BIGINT AS n FROM hits
+             WHERE h1 = 1 AND h2 = 1 AND h3 = 1),
+      a AS (SELECT COUNT(*)::BIGINT AS n_rows,
+                   COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT)), 0)::BIGINT AS sum_cents
+            FROM orders CROSS JOIN q WHERE o_custkey = k)
+      SELECT 'full' AS src, n_rows, sum_cents, 8::BIGINT AS files_read FROM a
+      UNION ALL
+      SELECT 'pruned', n_rows, sum_cents, pf.n FROM a CROSS JOIN pf
+      ORDER BY src""",
     // k28: both scan paths must agree on the answer; files_read for the
     // pruned path is the closed-form overlap count of the staged ranges
     "k28_zonemap_skip" -> """

@@ -132,6 +132,36 @@ object Multimodal extends QueryPack {
         .select($"media_id", $"ahash", $"scale_invariant", $"n_same_hash")
         .orderBy($"media_id")
     },
+    // m15: CROSS-MODAL PAIR GATE — the LAION-style image–text alignment
+    // filter: per-modality signatures joined on the pair id, a bitwise
+    // similarity score, a keep threshold. The image signature is m5's
+    // 64-bit aHash of the DECODED pixels (real PNG decode on the Spark
+    // side, closed-form tile math in the oracle); the text signature is
+    // d3's 32-bit simhash of the paired document — deterministic stand-ins
+    // for the learned CLIP embeddings (this container ships no model), so
+    // the GATE MECHANISM is fully real and oracle-pinned end to end:
+    // signature computation, id-keyed join, per-bit agreement score,
+    // threshold keep. Scale shape: one equi-join on the pair id carrying
+    // two fixed-width signatures (12 B/row), one projection — embeddings
+    // would swap the signature columns, nothing else.
+    "m15_cross_modal_gate" -> { (s, dir) =>
+      import s.implicits._
+      val img = Media.perceptualHash(stagedMedia(s, dir)).toDF()
+        .select($"media_id", $"ahash")
+      val txt = Tables(s, dir).documents
+        .select($"doc_id",
+          graft.functions.TextKernels.simhashUdf($"text").as("simhash"))
+        .select($"doc_id", expr(
+          "concat_ws('', transform(sequence(31, 0, -1)," +
+            " j -> cast((shiftright(simhash, j) & 1) as string)))").as("tbits"))
+      img.join(txt, img("media_id") === txt("doc_id"))
+        .withColumn("align_score", expr(
+          "32 - cast(size(filter(sequence(1, 32)," +
+            " i -> substring(ahash, i, 1) <> substring(tbits, i, 1))) as bigint)"))
+        .select($"media_id", $"align_score",
+                ($"align_score" >= 17).as("keep"))
+        .orderBy($"media_id")
+    },
     // m6: AUDIO perceptual fingerprint — the aHash analog over the DECODED
     // PCM: 8 chunk energies of the first 400 samples, bit = chunk above the
     // mean. Pins the WAV decode (two's-complement → unsigned recovery) and
@@ -364,6 +394,41 @@ object Multimodal extends QueryPack {
              (COUNT(*) OVER (PARTITION BY f.afp))::BIGINT AS n_same_fp
       FROM auds a JOIN fp f USING (doc_id)
       ORDER BY media_id""",
+    // m15: image aHash from the tile closed form (m5's CTEs), text simhash
+    // from d3's fold, per-bit agreement over the first 32 hash positions
+    "m15_cross_modal_gate" -> s"""
+      WITH $imgCtes,
+      grid AS (
+        SELECT a.x, b.y FROM (SELECT unnest(range(0, 8)) AS x) a
+        CROSS JOIN (SELECT unnest(range(0, 8)) AS y) b),
+      samp AS (
+        SELECT i.doc_id, g.x, g.y,
+               ${rgbSum("i.doc_id", "(((g.x * i.w) // 8) % 16)",
+                        "(((g.y * i.h) // 8) % 16)")} AS s
+        FROM imgs i CROSS JOIN grid g),
+      tot AS (SELECT doc_id, SUM(s) AS total FROM samp GROUP BY doc_id),
+      hsh AS (
+        SELECT s.doc_id,
+               string_agg(CASE WHEN s.s * 64 > t.total THEN '1' ELSE '0' END,
+                          '' ORDER BY s.y, s.x) AS ahash
+        FROM samp s JOIN tot t USING (doc_id) GROUP BY s.doc_id),
+      sh AS (
+        SELECT doc_id, (${Dedup.simhashSql("hs")})::BIGINT AS simhash
+        FROM (SELECT doc_id, list_transform(ws, t -> ${Tx.polyHashSql("t")}) AS hs
+              FROM (SELECT doc_id, ${Tx.wsSql} AS ws FROM documents) t0) t1),
+      tb AS (
+        SELECT sh.doc_id,
+               string_agg(((sh.simhash >> b.j) & 1)::VARCHAR,
+                          '' ORDER BY b.j DESC) AS tbits
+        FROM sh CROSS JOIN (SELECT unnest(range(0, 32)) AS j) b
+        GROUP BY sh.doc_id),
+      sc AS (
+        SELECT h.doc_id,
+               (32 - len(list_filter(range(1, 33),
+                 i -> h.ahash[i] <> t.tbits[i])))::BIGINT AS align_score
+        FROM hsh h JOIN tb t USING (doc_id))
+      SELECT doc_id AS media_id, align_score, align_score >= 17 AS keep
+      FROM sc ORDER BY media_id""",
     "m5_phash_dedup" -> s"""
       WITH $imgCtes,
       grid AS (
