@@ -73,6 +73,33 @@ object Formats extends QueryPack {
   // like Scratch.staged fixtures; lives until JVM exit. The collect is the
   // bounded FIXTURE side (dimension-table scale) — the source under test
   // never buffers rows on the driver.
+  // k34/k36 shared fixture: the month×bucket hidden-partitioned store, the
+  // literal probe window, and the deterministic probe key
+  private[catalog] val HpLo = "1995-03-01"
+  private[catalog] val HpHi = "1995-06-01"
+  private[catalog] val HpMonths = Seq("1995-03", "1995-04", "1995-05")
+
+  private[graft] def hiddenPartStore(s: SparkSession, dir: String): String =
+    Scratch.staged(s"k34_hp#$dir", "k34_hp") { p =>
+      import s.implicits._
+      Tables(s, dir).orders
+        .withColumn("p_month", date_format($"o_orderdate", "yyyy-MM"))
+        .withColumn("p_bucket", pmod($"o_custkey", lit(8)).cast("int"))
+        .repartition($"p_month", $"p_bucket")
+        .write.mode("overwrite").partitionBy("p_month", "p_bucket")
+        .parquet(p)
+    }
+
+  /** the probed key: busiest customer of the window (deterministic
+    * tiebreak) — a bounded 1-row pick, mirrored by the oracle. */
+  private[graft] def hiddenPartPick(s: SparkSession, dir: String): Long = {
+    import s.implicits._
+    Tables(s, dir).orders
+      .filter($"o_orderdate" >= HpLo && $"o_orderdate" < HpHi)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"o_custkey").head().getLong(0)
+  }
+
   private val restServers =
     new java.util.concurrent.ConcurrentHashMap[String, graft.http.PagedJsonApi]()
 
@@ -441,23 +468,11 @@ object Formats extends QueryPack {
     // directories and listing 700 months × 8 buckets.
     "k34_hidden_partitioning" -> { (s, dir) =>
       import s.implicits._
-      val root = Scratch.staged(s"k34_hp#$dir", "k34_hp") { p =>
-        Tables(s, dir).orders
-          .withColumn("p_month", date_format($"o_orderdate", "yyyy-MM"))
-          .withColumn("p_bucket", pmod($"o_custkey", lit(8)).cast("int"))
-          .repartition($"p_month", $"p_bucket")
-          .write.mode("overwrite").partitionBy("p_month", "p_bucket")
-          .parquet(p)
-      }
+      val root = hiddenPartStore(s, dir)
       val t = s.read.parquet(root)
-      val (d1, d2) = ("1995-03-01", "1995-06-01")
-      // the probed key: busiest customer of the window (deterministic
-      // tiebreak) — a bounded 1-row pick, mirrored by the oracle
-      val k = Tables(s, dir).orders
-        .filter($"o_orderdate" >= d1 && $"o_orderdate" < d2)
-        .groupBy($"o_custkey").agg(count(lit(1)).as("n"))
-        .orderBy($"n".desc, $"o_custkey").head().getLong(0)
-      val months = Seq("1995-03", "1995-04", "1995-05")
+      val (d1, d2) = (HpLo, HpHi)
+      val k = hiddenPartPick(s, dir)
+      val months = HpMonths
       def rawPred(df: DataFrame) =
         df.filter($"o_orderdate" >= d1 && $"o_orderdate" < d2 &&
                   $"o_custkey" === k)
@@ -533,6 +548,52 @@ object Formats extends QueryPack {
         .unionByName(
           agg(s.read.parquet(entries.map(_._3): _*), "full", entries.size))
         .orderBy($"src")
+    },
+    // k36: HIDDEN PARTITIONING AS A CATALYST OPTIMIZER RULE — k34's
+    // rewrite moved from the query site into the ENGINE
+    // (plans/HiddenPartitions.Rule, installed via
+    // experimental.extraOptimizations): the table registers its transforms
+    // (months(o_orderdate) → p_month, o_custkey mod 8 → p_bucket) and the
+    // rule derives the partition conjuncts from the query's RAW-column
+    // predicates during optimization — the user never references a
+    // partition column, exactly how a lakehouse table format prunes. The
+    // entry runs the SAME raw-predicate query twice — rule-derived vs
+    // hand-written partition predicates — and emits each leg's answer AND
+    // its scan's actual `numFiles` metric: a green row pins that the rule
+    // derived exactly the hand rewrite's pruning (3 directories, not
+    // 600+), falsifiable on both the answer and the I/O.
+    // HiddenPartitionRuleSpec pins the optimized-plan shape, idempotence
+    // under the fixed-point batch, and the unregistered-relation no-op.
+    "k36_hidden_partition_rule" -> { (s, dir) =>
+      import s.implicits._
+      val root = hiddenPartStore(s, dir)
+      graft.plans.HiddenPartitions.install(s)
+      graft.plans.HiddenPartitions.register(root, Seq(
+        graft.plans.HiddenPartitions.MonthOf("o_orderdate", "p_month"),
+        graft.plans.HiddenPartitions.BucketOf("o_custkey", "p_bucket", 8)))
+      val t = s.read.parquet(root)
+      val k = hiddenPartPick(s, dir)
+      val cents = expr("cast(round(o_totalprice * 100) as bigint)")
+      def leg(df: DataFrame, src: String): DataFrame = {
+        val prev = s.conf.get("spark.sql.adaptive.enabled")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        try {
+          val agg = df.agg(count(lit(1)).as("n_rows"),
+                           coalesce(sum(cents), lit(0L)).as("sum_cents"))
+          val row = agg.collect()(0) // execute: populates the scan metrics
+          val files = agg.queryExecution.executedPlan.collect {
+            case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+              sc.metrics("numFiles").value
+          }.sum
+          Seq((src, row.getLong(0), row.getLong(1), files))
+            .toDF("src", "n_rows", "sum_cents", "files_read")
+        } finally s.conf.set("spark.sql.adaptive.enabled", prev)
+      }
+      val raw = t.filter($"o_orderdate" >= HpLo && $"o_orderdate" < HpHi &&
+                         $"o_custkey" === k)
+      val manual = raw.filter($"p_month".isin(HpMonths: _*) &&
+                              $"p_bucket" === (k % 8).toInt)
+      leg(raw, "auto").unionByName(leg(manual, "manual")).orderBy($"src")
     },
     // k35: PER-FILE BLOOM-FILTER SKIPPING — the data-skipping leg zone
     // maps CANNOT cover: k28's [min,max] prunes range predicates on the
@@ -1847,6 +1908,29 @@ object Formats extends QueryPack {
       SELECT 'full' AS src, n_rows, sum_cents, ff.n AS files_read FROM a, ff
       UNION ALL
       SELECT 'pruned', n_rows, sum_cents, fp.n FROM a, fp
+      ORDER BY src""",
+    // k36: both legs must agree with the raw-predicate answer AND with the
+    // closed-form pruned-directory count (k34's fp CTE)
+    "k36_hidden_partition_rule" -> """
+      WITH pick AS (
+        SELECT o_custkey AS k FROM orders
+        WHERE o_orderdate >= DATE '1995-03-01'
+          AND o_orderdate <  DATE '1995-06-01'
+        GROUP BY o_custkey ORDER BY COUNT(*) DESC, o_custkey LIMIT 1),
+      a AS (
+        SELECT COUNT(*)::BIGINT AS n_rows,
+               COALESCE(SUM(CAST(round(o_totalprice * 100) AS BIGINT)), 0)::BIGINT AS sum_cents
+        FROM orders, pick
+        WHERE o_orderdate >= DATE '1995-03-01'
+          AND o_orderdate <  DATE '1995-06-01' AND o_custkey = k),
+      fp AS (
+        SELECT COUNT(DISTINCT strftime(o_orderdate, '%Y-%m'))::BIGINT AS n
+        FROM orders, pick
+        WHERE o_custkey % 8 = k % 8
+          AND strftime(o_orderdate, '%Y-%m') IN ('1995-03','1995-04','1995-05'))
+      SELECT 'auto' AS src, n_rows, sum_cents, fp.n AS files_read FROM a, fp
+      UNION ALL
+      SELECT 'manual', n_rows, sum_cents, fp.n FROM a, fp
       ORDER BY src""",
     // k35: per-file bloom membership replayed exactly — file assignment
     // from the k28 range formula, 3 affine bit positions, a file survives

@@ -1,0 +1,127 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
+
+/** Hidden partitioning as a real Catalyst optimizer rule (k36; k34 is the
+  * same mechanism hand-inlined at the query site). Iceberg's core idea: the
+  * table is PHYSICALLY laid out by transforms of data columns — here
+  * months(ts_col) and value mod N — and the reader's planner, not the
+  * user, derives the partition predicates from the query's predicates on
+  * the RAW columns. Tables opt in via `register(rootPath, transforms)`;
+  * the rule matches a Filter directly over a registered parquet relation,
+  * derives partition conjuncts from raw-column conjuncts it recognizes
+  * (timestamp range → month IN list, key equality → bucket equality), and
+  * injects them so Spark's ordinary planning-time partition pruning turns
+  * them into a directory-list cut. Idempotent (derived conjuncts already
+  * present are not re-added — the extraOptimizations batch runs to fixed
+  * point), and a no-op on every unregistered relation.
+  *
+  * At 100 TB this is the difference between the user needing to know the
+  * layout (and silently full-scanning when they don't) and the engine
+  * listing 3 directories instead of 5,600 — the transform registry is the
+  * metadata a lakehouse table format carries in its spec.
+  */
+object HiddenPartitions {
+
+  sealed trait Transform
+  /** partition col `part` = date_format(raw, 'yyyy-MM') (UTC). */
+  final case class MonthOf(raw: String, part: String) extends Transform
+  /** partition col `part` = raw mod n. */
+  final case class BucketOf(raw: String, part: String, n: Int) extends Transform
+
+  private val registry =
+    new scala.collection.concurrent.TrieMap[String, Seq[Transform]]()
+
+  def register(rootPath: String, transforms: Seq[Transform]): Unit =
+    registry.put(normalize(rootPath), transforms)
+
+  private def normalize(p: String): String =
+    p.stripSuffix("/").replaceFirst("^file:", "")
+
+  private def transformsFor(plan: LogicalPlan): Option[Seq[Transform]] =
+    plan match {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location.rootPaths.iterator
+          .map(rp => normalize(rp.toUri.getPath))
+          .collectFirst { case p if registry.contains(p) => registry(p) }
+      case _ => None
+    }
+
+  /** months(raw) partition values covered by [loMicros, hiMicros) in UTC. */
+  private[plans] def monthsBetween(loMicros: Long, hiMicros: Long): Seq[String] = {
+    import java.time.{Instant, ZoneOffset}
+    if (hiMicros <= loMicros) return Nil
+    def ym(micros: Long) = Instant.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
+      .atZone(ZoneOffset.UTC).toLocalDate.withDayOfMonth(1)
+    val last = ym(hiMicros - 1)
+    Iterator.iterate(ym(loMicros))(_.plusMonths(1))
+      .takeWhile(!_.isAfter(last))
+      .map(d => f"${d.getYear}%04d-${d.getMonthValue}%02d")
+      .toSeq
+  }
+
+  /** derive partition conjuncts from recognized raw-column conjuncts. */
+  private def derive(cond: Expression, out: Seq[Attribute],
+                     transforms: Seq[Transform]): Seq[Expression] = {
+    val conjuncts = splitAnd(cond)
+    def attr(name: String): Option[Attribute] = out.find(_.name == name)
+    transforms.flatMap {
+      case MonthOf(raw, part) =>
+        // a timestamp range [lo, hi) on `raw` → part IN (covered months);
+        // both timestamp flavors carry epoch micros (NTZ values are UTC
+        // wall-clock micros, matching the store's UTC-formatted p_month)
+        def isTs(t: DataType) = t == TimestampType || t == TimestampNTZType
+        val lo = conjuncts.collectFirst {
+          case GreaterThanOrEqual(a: Attribute, Literal(v: Long, t))
+            if a.name == raw && isTs(t) => v
+        }
+        val hi = conjuncts.collectFirst {
+          case LessThan(a: Attribute, Literal(v: Long, t))
+            if a.name == raw && isTs(t) => v
+        }
+        for (l <- lo; h <- hi; p <- attr(part); ms = monthsBetween(l, h)
+             if ms.nonEmpty)
+          yield In(p, ms.map(Literal.create(_, StringType)))
+      case BucketOf(raw, part, n) =>
+        val k = conjuncts.collectFirst {
+          case EqualTo(a: Attribute, Literal(v: Long, LongType))
+            if a.name == raw => v
+          case EqualTo(Literal(v: Long, LongType), a: Attribute)
+            if a.name == raw => v
+        }
+        for (v <- k; p <- attr(part))
+          yield EqualTo(p, Literal(Math.floorMod(v, n.toLong).toInt, IntegerType))
+    }
+  }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  object Rule extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case f @ Filter(cond, child) =>
+        transformsFor(child) match {
+          case Some(ts) =>
+            val have = splitAnd(cond)
+            val add = derive(cond, child.output, ts)
+              .filterNot(d => have.exists(_.semanticEquals(d)))
+            if (add.isEmpty) f
+            else Filter((cond +: add).reduce(And), child)
+          case None => f
+        }
+    }
+  }
+
+  /** install once per session (extraOptimizations is a plain Seq var). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(Rule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ Rule
+}
