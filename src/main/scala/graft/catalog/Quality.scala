@@ -43,7 +43,8 @@ object Quality extends QueryPack {
   private val Dq13Cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // dq20: DECLARATIVE EXPECTATION SUITE — dq1's audits with the rules
+    // dq20: DECLARATIVE EXPECTATION SUITE — reference ROADMAP.md:49 ("Data
+    // validation rules"): dq1's audits with the rules
     // moved OUT of code into the reference's native medium: a JSON spec
     // (SpecStore.parseExpectationSuite — the config-file format of
     // models.py:174-267 pointed at data quality, the dbt-tests /

@@ -320,6 +320,45 @@ object Semantics extends QueryPack {
       graft.engine.Pipeline.compose(src, Seq(m1, m2))
         .orderBy($"status", $"month")
     },
+    // c19: SCHEDULE PLANNER — reference ROADMAP.md:48 ("Scheduled/
+    // automated conversions"), the last ETL-enhancements row with no
+    // declarative surface (e35's watch-folder covers the EVENT-driven
+    // half; this is the TIME-driven half). Schedules are a spec type
+    // (spec.ScheduleSpec, `schedules.json` keyed JSON like every other
+    // store); spec.Schedules derives exact fire instants in a half-open
+    // UTC window — anchor alignment (sub-daily → window start, daily →
+    // `at` HH:MM, weekly → +`dow`), fixed steps, no clock reads anywhere
+    // so the plan is replayable. The entry plans a January-2024 window for
+    // three schedules against per-schedule last_run state: fires in
+    // window, due fires (> last_run), and the CATCH-UP COLLAPSE fire —
+    // of the missed slots, run ONCE at the latest (a day-long outage must
+    // not replay 240 six-hour conversions). Scale shape: pure metadata —
+    // the plan is |schedules| rows regardless of data volume; the runs it
+    // triggers are the K2/c17 conversions, costed where they execute.
+    "c19_schedule_plan" -> { (s, dir) =>
+      import s.implicits._
+      val (w0, w1) = ("2024-01-01 00:00:00", "2024-02-01 00:00:00")
+      val specs = Seq(
+        """{"id": "s1", "mapping_id": "m_hourly", "every": "6 hours"}""",
+        """{"id": "s2", "mapping_id": "m_daily", "every": "1 day", "at": "03:30"}""",
+        """{"id": "s3", "mapping_id": "m_weekly", "every": "1 week", "at": "09:00", "dow": 1}"""
+      ).map(graft.spec.SpecStore.parseSchedule)
+      val lastRun = Seq(
+        ("s1", "2024-01-31 06:00:00"),
+        ("s2", "2024-01-29 03:30:00"),
+        ("s3", "2024-01-10 09:00:00")).toDF("id", "last_run")
+      val fires = specs
+        .map(sp => (sp.id, sp.mappingId, graft.spec.Schedules.fires(sp, w0, w1)))
+        .toDF("id", "mapping_id", "fires")
+      fires.join(lastRun, Seq("id"))
+        .select($"id", $"mapping_id", explode($"fires").as("fire"), $"last_run")
+        .groupBy($"id", $"mapping_id")
+        .agg(count(lit(1)).as("n_fires"),
+             min($"fire").as("first_fire"), max($"fire").as("last_fire"),
+             sum(when($"fire" > $"last_run", 1L).otherwise(0L)).as("n_due"),
+             max(when($"fire" > $"last_run", $"fire")).as("catchup_fire"))
+        .orderBy($"id")
+    },
     // t13: AUTO-MAPPING SUGGESTION — reference ROADMAP.md:34 ("schema
     // introspection for automatic column detection"): k26 introspects the
     // source schema; this entry turns introspected names into the mapping
@@ -470,11 +509,11 @@ object Semantics extends QueryPack {
         WHERE NOT (l_returnflag = 'N'))
       SELECT flag AS return_flag, status AS line_status,
              rtrim(rtrim(printf('%.8f',
-               CAST(sum(CAST(COALESCE(TRY_CAST(replace(qty_raw, ',', '') AS DOUBLE), 0.0)
-                   AS DECIMAL(38,12))) AS DOUBLE)), '0'), '.') AS sum_qty,
+               CAST(CAST(sum(CAST(COALESCE(TRY_CAST(replace(qty_raw, ',', '') AS DOUBLE), 0.0)
+                   AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)), '0'), '.') AS sum_qty,
              rtrim(rtrim(printf('%.8f',
-               CAST(sum(CAST(COALESCE(TRY_CAST(price AS DOUBLE), 0.0)
-                   AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)), '0'), '.') AS avg_price,
+               CAST(CAST(sum(CAST(COALESCE(TRY_CAST(price AS DOUBLE), 0.0)
+                   AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) / COUNT(*)), '0'), '.') AS avg_price,
              CAST(COUNT(*) FILTER (WHERE price <> '') AS VARCHAR) AS n_priced
       FROM src GROUP BY 1, 2 ORDER BY 1, 2""",
     // c17: both chain stages replayed inline — m1's skip rule + month
@@ -486,10 +525,38 @@ object Semantics extends QueryPack {
         FROM orders WHERE NOT (o_orderstatus = 'P'))
       SELECT status, month,
              rtrim(rtrim(printf('%.8f',
-               CAST(sum(CAST(COALESCE(TRY_CAST(replace(price, ',', '') AS DOUBLE), 0.0)
-                   AS DECIMAL(38,12))) AS DOUBLE)), '0'), '.') AS total,
+               CAST(CAST(sum(CAST(COALESCE(TRY_CAST(replace(price, ',', '') AS DOUBLE), 0.0)
+                   AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)), '0'), '.') AS total,
              CAST(COUNT(*) FILTER (WHERE price <> '') AS VARCHAR) AS n_orders
       FROM mid GROUP BY 1, 2 ORDER BY 1, 2""",
+    // c19: the three schedules' aligned fire series replayed as timestamp
+    // ranges (the anchors ARE the alignment closed form: the window opens
+    // at midnight on Monday 2024-01-01, so daily@03:30 anchors same-day
+    // and weekly@Mon 09:00 anchors day one)
+    "c19_schedule_plan" -> """
+      WITH f AS (
+        SELECT 's1' AS id, 'm_hourly' AS mapping_id,
+               TIMESTAMP '2024-01-31 06:00:00' AS last_run,
+               unnest(range(TIMESTAMP '2024-01-01 00:00:00',
+                            TIMESTAMP '2024-02-01 00:00:00',
+                            INTERVAL 6 HOUR)) AS fire
+        UNION ALL
+        SELECT 's2', 'm_daily', TIMESTAMP '2024-01-29 03:30:00',
+               unnest(range(TIMESTAMP '2024-01-01 03:30:00',
+                            TIMESTAMP '2024-02-01 00:00:00',
+                            INTERVAL 1 DAY))
+        UNION ALL
+        SELECT 's3', 'm_weekly', TIMESTAMP '2024-01-10 09:00:00',
+               unnest(range(TIMESTAMP '2024-01-01 09:00:00',
+                            TIMESTAMP '2024-02-01 00:00:00',
+                            INTERVAL 7 DAY)))
+      SELECT id, mapping_id, COUNT(*)::BIGINT AS n_fires,
+             strftime(MIN(fire), '%Y-%m-%d %H:%M:%S') AS first_fire,
+             strftime(MAX(fire), '%Y-%m-%d %H:%M:%S') AS last_fire,
+             (COUNT(*) FILTER (WHERE fire > last_run))::BIGINT AS n_due,
+             strftime(MAX(fire) FILTER (WHERE fire > last_run),
+                      '%Y-%m-%d %H:%M:%S') AS catchup_fire
+      FROM f GROUP BY 1, 2 ORDER BY id""",
     // t13: same normalization + levenshtein scoring over the introspected
     // schema (DESCRIBE) and the literal destination list
     "t13_automap_suggest" -> """

@@ -105,6 +105,19 @@ final case class PipelineSpec(
     description: String = "",
     steps: Seq[PipelineStep] = Nil)
 
+/** One conversion schedule (reference ROADMAP.md:48 "Scheduled/automated
+  * conversions" — planned, never implemented there; semantics defined by
+  * this engine at spec.Schedules). `every` is the step ("6 hours",
+  * "1 day", "7 days"); `at` ("HH:MM") aligns daily+ steps within the day;
+  * `dow` (1 = Monday .. 7 = Sunday) aligns weekly steps. Stored in the
+  * SpecStore's keyed-JSON format (`schedules.json`). */
+final case class ScheduleSpec(
+    id: String,
+    mappingId: String,
+    every: String,
+    at: Option[String] = None,
+    dow: Option[Int] = None)
+
 /** One declarative data-quality expectation (dq20). `check` ∈ {not_null,
   * unique, accepted_values, range, regex_match}. NULL handling follows the
   * composable convention: only `not_null` counts NULLs — value checks

@@ -97,6 +97,13 @@ object SpecStore {
     description = text(n, "description"),
     steps = arr(n, "steps").map(pipelineStep))
 
+  def scheduleSpec(n: JsonNode): ScheduleSpec = ScheduleSpec(
+    id = text(n, "id"),
+    mappingId = text(n, "mapping_id"),
+    every = text(n, "every"),
+    at = optText(n, "at"),
+    dow = Option(n.get("dow")).filterNot(_.isNull).map(_.asInt))
+
   def expectation(n: JsonNode): Expectation = Expectation(
     column = text(n, "column"),
     check = text(n, "check"),
@@ -126,6 +133,12 @@ object SpecStore {
 
   def loadConnections(path: String): Map[String, ConnectionSpec] =
     if (Files.exists(Paths.get(path))) readKeyed(path, connectionSpec) else VectorMap.empty
+
+  def loadSchedules(path: String): Map[String, ScheduleSpec] =
+    if (Files.exists(Paths.get(path))) readKeyed(path, scheduleSpec)
+    else VectorMap.empty
+  def parseSchedule(json: String): ScheduleSpec =
+    scheduleSpec(mapper.readTree(json))
 
   def loadExpectationSuites(path: String): Map[String, ExpectationSuite] =
     if (Files.exists(Paths.get(path))) readKeyed(path, expectationSuite)
