@@ -184,6 +184,11 @@ object CorpusGate extends QueryPack {
         .select($"doc_id", $"lang", $"cell",
           expr("stop_cnt * 1000 div n_tokens").as("stop_pm"),
           $"n_tokens".as("n_tok"))
+        // consumed by BOTH the bounds aggregate and the bucketed pack —
+        // without the persist the x2+d17 join subtree executes twice
+        // (the round-10 multi-consumer discipline); survivor rows are
+        // id+smallint-width, bounded by the corpus
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bounds = surv.agg(min($"doc_id").as("_lo"), max($"doc_id").as("_hi"))
       val bucketed = surv.crossJoin(broadcast(bounds))
         .withColumn("_bkt",

@@ -879,6 +879,44 @@ object Formats extends QueryPack {
         .agg(count(lit(1)).as("n_rows"), sum($"QTY").as("sum_qty"))
         .orderBy($"l_returnflag")
     },
+    // k37: SOURCE-SIDE QUERY BUILDER — reference ROADMAP.md:35 ("Query
+    // builder for source data selection"), the last database-features
+    // row: a declarative query spec (columns + skip rules + total order +
+    // limit, parsed by SpecStore like every other spec) compiles to ONE
+    // SQL string (spec.QueryBuilder: validated identifiers, escaped
+    // literals — the spec file cannot inject) that the DATABASE executes
+    // as the JDBC dbtable subquery, so selection/filter/order/limit all
+    // run at the source and only ≤limit rows ever cross the wire. Rules
+    // whose SQL would diverge from engine semantics (`contains` carries
+    // the Python str(None) quirk) come back as RESIDUALS and run through
+    // the real FilterCompiler after the read — the k22 claim-only-what-
+    // the-source-handled convention. The pin: the read-back is exactly
+    // the ordered top-100 minus residual drops, matched against DuckDB
+    // replaying the upserted end-state on the original parquet.
+    "k37_query_builder" -> { (s, dir) =>
+      import s.implicits._
+      val url = jdbcUpsertedUrl(s, dir)
+      val q = graft.spec.SpecStore.parseQuery("""{
+        "id": "qb", "table": "LINEITEM_K23",
+        "columns": ["L_ORDERKEY", "L_LINENUMBER", "L_RETURNFLAG",
+                    "QTY", "CENTS"],
+        "filters": [
+          {"field": "L_RETURNFLAG", "operator": "equals", "value": "N"},
+          {"field": "L_RETURNFLAG", "operator": "contains", "value": "A"}],
+        "order_by": [{"field": "CENTS", "dir": "desc"},
+                     {"field": "L_ORDERKEY"}, {"field": "L_LINENUMBER"}],
+        "limit": 100}""")
+      val (sql, residual) = graft.spec.QueryBuilder.compile(q)
+      val pushed = s.read.jdbc(url, s"($sql) QB", derbyProps)
+      pushed
+        .filter(graft.compile.FilterCompiler
+          .keepPredicate(residual, pushed.columns.toSet))
+        .select($"L_ORDERKEY".as("l_orderkey"),
+                $"L_LINENUMBER".cast("long").as("l_linenumber"),
+                $"L_RETURNFLAG".as("l_returnflag"),
+                $"QTY".as("qty"), $"CENTS".as("cents"))
+        .orderBy($"cents".desc, $"l_orderkey", $"l_linenumber")
+    },
     "k23_jdbc_roundtrip" -> { (s, dir) =>
       import s.implicits._
       val url = jdbcUpsertedUrl(s, dir)
@@ -2059,6 +2097,28 @@ object Formats extends QueryPack {
         FROM keyed)
       SELECT l_returnflag, COUNT(*)::BIGINT AS n_rows, SUM(qty)::BIGINT AS sum_qty
       FROM fin WHERE NOT (l_returnflag = 'N') GROUP BY 1 ORDER BY 1""",
+    // k37: the upserted end-state replayed (k23's CTEs), then the spec's
+    // pushed query (skip N, order, top-100) and the residual contains rule
+    "k37_query_builder" -> """
+      WITH keyed AS (
+        SELECT l_orderkey, l_linenumber,
+               MIN(l_returnflag) AS l_returnflag,
+               SUM(CAST(round(l_quantity) AS BIGINT))::BIGINT AS qty,
+               SUM(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS cents
+        FROM lineitem GROUP BY 1, 2),
+      fin AS (
+        SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber, l_returnflag,
+               CASE WHEN l_orderkey % 10 = 3 THEN qty * 2 ELSE qty END AS qty,
+               cents
+        FROM keyed),
+      lim AS (
+        SELECT * FROM fin
+        WHERE NOT (l_returnflag = 'N')
+        ORDER BY cents DESC, l_orderkey, l_linenumber
+        LIMIT 100)
+      SELECT l_orderkey, l_linenumber, l_returnflag, qty, cents
+      FROM lim WHERE NOT (l_returnflag LIKE '%A%')
+      ORDER BY cents DESC, l_orderkey, l_linenumber""",
     "k23_jdbc_roundtrip" -> """
       WITH keyed AS (
         SELECT l_orderkey, l_linenumber,

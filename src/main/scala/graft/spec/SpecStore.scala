@@ -97,6 +97,15 @@ object SpecStore {
     description = text(n, "description"),
     steps = arr(n, "steps").map(pipelineStep))
 
+  def querySpec(n: JsonNode): QuerySpec = QuerySpec(
+    id = text(n, "id"),
+    table = text(n, "table"),
+    columns = arr(n, "columns").map(_.asText),
+    filters = arr(n, "filters").map(filterRule),
+    orderBy = arr(n, "order_by").map(o =>
+      OrderKey(text(o, "field"), text(o, "dir", "asc"))),
+    limit = Option(n.get("limit")).filterNot(_.isNull).map(_.asLong))
+
   def scheduleSpec(n: JsonNode): ScheduleSpec = ScheduleSpec(
     id = text(n, "id"),
     mappingId = text(n, "mapping_id"),
@@ -139,6 +148,7 @@ object SpecStore {
     else VectorMap.empty
   def parseSchedule(json: String): ScheduleSpec =
     scheduleSpec(mapper.readTree(json))
+  def parseQuery(json: String): QuerySpec = querySpec(mapper.readTree(json))
 
   def loadExpectationSuites(path: String): Map[String, ExpectationSuite] =
     if (Files.exists(Paths.get(path))) readKeyed(path, expectationSuite)
