@@ -1082,6 +1082,36 @@ object Streams extends QueryPack {
     // reconciliation a 100 TB ingest pipeline keeps next to its sink; ts
     // stays out of the canon string (timestamp FORMATTING is engine-
     // specific; integer/string columns are not).
+    // e36: CONTINUOUS EXPECTATION ENFORCEMENT — dq20's declarative suite
+    // (spec JSON → ExpectationCompiler, ROADMAP.md:49's validation rules)
+    // maintained BY THE STREAM: every check compiles to a mergeable
+    // counting aggregate, so the running audit is one stateful
+    // aggregation in COMPLETE mode — the quality gate a 100 TB ingest
+    // keeps beside its sink instead of re-scanning the table nightly.
+    // The streamable subset is a REAL boundary, not a convenience:
+    // `unique` needs a distinct aggregate, which streaming cannot
+    // maintain incrementally (StreamCurationSpec's sibling pin asserts
+    // it fails fast) — the suite here carries the four mergeable check
+    // kinds, mixing passing rules (user_id not_null) with violating
+    // ones (value range, the 'error' event_type, multi-digit props).
+    // Final trigger must equal the batch audit the oracle recomputes.
+    "e36_stream_expectations" -> { (s, dir) =>
+      import s.implicits._
+      val suite = graft.spec.SpecStore.parseExpectationSuite("""{
+        "id": "ev", "name": "event checks", "table": "events",
+        "expectations": [
+          {"column": "user_id",    "check": "not_null"},
+          {"column": "value",      "check": "range", "lo": 0, "hi": 100},
+          {"column": "event_type", "check": "accepted_values",
+           "values": ["click", "view", "purchase", "signup"]},
+          {"column": "props",      "check": "regex_match",
+           "pattern": "^\\{\"k\": [0-9]\\}$"}
+        ]}""")
+      val audited = graft.compile.ExpectationCompiler
+        .audit(eventsStream(s, dir), suite)
+      runToTable(audited, OutputMode.Complete())
+        .orderBy($"col_name", $"check_name")
+    },
     "e19_stream_checksum" -> { (s, dir) =>
       import s.implicits._
       val hashed = eventsStream(s, dir)
@@ -2041,6 +2071,24 @@ object Streams extends QueryPack {
                              // GREATEST(now_us - first_us, 1), 1))::BIGINT
                AS rate_ratio_bp
       FROM per ORDER BY event_type""",
+    // e36: the streamed audit's final trigger == the batch audit
+    "e36_stream_expectations" -> ("""
+      WITH a AS (SELECT
+        count(*) FILTER (WHERE user_id IS NULL) AS v0,
+        count(*) FILTER (WHERE value IS NOT NULL
+          AND (value < 0 OR value > 100)) AS v1,
+        count(*) FILTER (WHERE event_type IS NOT NULL
+          AND event_type NOT IN ('click','view','purchase','signup')) AS v2,
+        count(*) FILTER (WHERE props IS NOT NULL
+          AND NOT regexp_matches(props, '^\{"k": [0-9]\}""" + "$" + """')) AS v3
+        FROM events)
+      SELECT * FROM (
+        SELECT 'not_null' AS check_name, 'user_id' AS col_name,
+               v0 AS n_violations, v0 = 0 AS pass FROM a
+        UNION ALL SELECT 'range', 'value', v1, v1 = 0 FROM a
+        UNION ALL SELECT 'accepted_values', 'event_type', v2, v2 = 0 FROM a
+        UNION ALL SELECT 'regex_match', 'props', v3, v3 = 0 FROM a) t
+      ORDER BY col_name, check_name"""),
     "e19_stream_checksum" -> s"""
       SELECT event_type, COUNT(*) AS n_rows, SUM(h)::BIGINT AS checksum
       FROM (SELECT event_type, ${Quality.hexToLong("m", 8, spark = false)} AS h

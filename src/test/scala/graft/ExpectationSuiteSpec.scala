@@ -56,6 +56,41 @@ class ExpectationSuiteSpec extends AnyFunSuite {
     }
   }
 
+  test("e36: the streamed audit's final trigger equals the batch audit") {
+    import spark.implicits._
+    val streamed = SparkEntry.queries("e36_stream_expectations")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val suite = graft.spec.SpecStore.parseExpectationSuite("""{
+      "id": "ev", "name": "ev", "table": "events",
+      "expectations": [
+        {"column": "user_id",    "check": "not_null"},
+        {"column": "value",      "check": "range", "lo": 0, "hi": 100},
+        {"column": "event_type", "check": "accepted_values",
+         "values": ["click", "view", "purchase", "signup"]},
+        {"column": "props",      "check": "regex_match",
+         "pattern": "^\\{\"k\": [0-9]\\}$"}
+      ]}""")
+    val batch = graft.compile.ExpectationCompiler
+      .audit(Tables(spark, TestSpark.sf).events, suite)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    // non-vacuous: the suite mixes passing and violating rules
+    assert(batch.exists(_._3 == 0L) && batch.exists(_._3 > 0L))
+  }
+
+  test("unique on a stream fails fast (distinct aggregates are not mergeable)") {
+    val rate = spark.readStream.format("rate").load()
+    val suite = graft.spec.ExpectationSuite("u", "u", "t",
+      Seq(graft.spec.Expectation("value", "unique")))
+    val audited = graft.compile.ExpectationCompiler.audit(rate, suite)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      val q = audited.writeStream.format("memory")
+        .queryName("u_" + System.nanoTime()).outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+  }
+
   test("whole suite compiles to ONE scan of the audited table") {
     val audit = SparkEntry.queries("dq20_expectation_suite")(spark, TestSpark.sf)
     val plan = audit.queryExecution.executedPlan.toString
