@@ -26,6 +26,10 @@ object ExpectationCompiler {
       case "unique" =>
         count(c) - countDistinct(c)
       case "accepted_values" =>
+        // an empty list would flag every non-null row — that is a spec
+        // authoring error, not a data-quality finding
+        require(e.values.nonEmpty,
+          s"accepted_values ${e.column}: empty value list")
         sum(when(c.isNotNull &&
           !c.cast("string").isin(e.values: _*), 1L).otherwise(0L))
       case "range" =>

@@ -50,9 +50,14 @@ object QueryBuilder {
     r.operator match {
       case "equals"       => Some(s"$f = ${lit(r.value.getOrElse(""))}")
       case "not_equals"   => Some(s"$f <> ${lit(r.value.getOrElse(""))}")
-      case "in"           => Some(s"$f IN (${r.values.map(lit).mkString(", ")})")
+      case "in" =>
+        // an empty list would render `IN ()` — invalid SQL; fail at build
+        require(r.values.nonEmpty, s"in rule on ${r.field}: empty value list")
+        Some(s"$f IN (${r.values.map(lit).mkString(", ")})")
       // Q1 literal polarity: skip if NOT in the list
-      case "not_in"       => Some(s"$f NOT IN (${r.values.map(lit).mkString(", ")})")
+      case "not_in" =>
+        require(r.values.nonEmpty, s"not_in rule on ${r.field}: empty value list")
+        Some(s"$f NOT IN (${r.values.map(lit).mkString(", ")})")
       case "is_empty"     => Some(s"($f IS NULL OR $f = '')")
       case "is_not_empty" => Some(s"($f IS NOT NULL AND $f <> '')")
       case _              => None // contains (str(None) quirk) etc: residual

@@ -38,7 +38,12 @@ object Schedules {
       val Array(h, m) = s.split(":"); (h.toInt, m.toInt)
     }
     at match {
-      case None => start
+      case None =>
+        // a dow with no at-time has no defined alignment — reject rather
+        // than silently ignoring the field
+        require(sp.dow.isEmpty,
+          s"schedule ${sp.id}: dow requires an 'at' time")
+        start
       case Some((h, m)) =>
         var a = start.toLocalDate.atTime(h, m)
         if (a.isBefore(start)) a = a.plusDays(1)

@@ -54,6 +54,14 @@ class ExpectationSuiteSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.compile.ExpectationCompiler.audit(df, bad)
     }
+    // an empty accepted_values list is a spec authoring error (it would
+    // flag every non-null row), rejected at compile time
+    val empty = graft.spec.SpecStore.parseExpectationSuite(
+      """{"id":"e","name":"e","expectations":
+           [{"column":"b","check":"accepted_values","values":[]}]}""")
+    intercept[IllegalArgumentException] {
+      graft.compile.ExpectationCompiler.audit(df, empty)
+    }
   }
 
   test("e36: the streamed audit's final trigger equals the batch audit") {

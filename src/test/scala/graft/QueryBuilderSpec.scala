@@ -56,5 +56,10 @@ class QueryBuilderSpec extends AnyFunSuite {
       QuerySpec("q", "T", Seq("A"), limit = Some(0L))))
     intercept[IllegalArgumentException](QueryBuilder.compile(
       QuerySpec("q", "T", Seq("A"), orderBy = Seq(OrderKey("A", "sideways")))))
+    // empty IN lists would render invalid SQL — rejected at build time
+    intercept[IllegalArgumentException](QueryBuilder.compile(
+      QuerySpec("q", "T", Seq("A"), filters = Seq(FilterRule("A", "in")))))
+    intercept[IllegalArgumentException](QueryBuilder.compile(
+      QuerySpec("q", "T", Seq("A"), filters = Seq(FilterRule("A", "not_in")))))
   }
 }

@@ -38,4 +38,10 @@ class ScheduleSpecTest extends AnyFunSuite {
     val sp = ScheduleSpec("s", "m", "1 day", at = Some("23:00"))
     assert(Schedules.fires(sp, "2024-01-01 23:30:00", "2024-01-02 22:00:00").isEmpty)
   }
+
+  test("a dow with no at-time is rejected, not silently ignored") {
+    val sp = ScheduleSpec("s", "m", "1 week", dow = Some(1))
+    intercept[IllegalArgumentException](
+      Schedules.fires(sp, "2024-01-01 00:00:00", "2024-02-01 00:00:00"))
+  }
 }
