@@ -1066,9 +1066,28 @@ object Streams extends QueryPack {
       s.read.parquet(path)
     }
 
+  // Round-11 advice: dispatch staging on an EXPLICIT marker, not the first
+  // letter of the name (a future non-streaming entry starting with 'e'
+  // would silently get staged + coalesce(1)). Every entry this object
+  // exports IS a stream-running entry by construction — `_stream` in the
+  // name is the catalog-wide convention Bench partitions on too — so the
+  // assertion fails class-init (every spec, Verify, Bench) the moment an
+  // entry that breaks the convention lands here, instead of mis-staging it.
+  private lazy val streamEntries: Set[String] = {
+    val marked = rawQueries.keySet.filter(_.contains("_stream"))
+    // c10/c12 run real micro-batch streams too but serve MULTIPLE probes of
+    // one shared store per run (their own staging discipline) — they bypass
+    // drainStaged by design and Bench still orders them with the streams
+    val unstaged = Set("c10_continuous_curation", "c12_curation_lineage")
+    require(marked ++ unstaged == rawQueries.keySet,
+      s"Streams.rawQueries entry is neither '_stream'-named nor in the " +
+        s"unstaged allowlist: ${(rawQueries.keySet -- marked -- unstaged).mkString(", ")}")
+    marked
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = rawQueries
     .map { case (name, fn) =>
-      name -> (if (name.startsWith("e")) drainStaged(name, fn) else fn)
+      name -> (if (streamEntries(name)) drainStaged(name, fn) else fn)
     }
 
   private lazy val rawQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

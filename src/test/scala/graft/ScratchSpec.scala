@@ -61,6 +61,71 @@ class ScratchSpec extends AnyFunSuite {
     assert(innerWrites.get() == 1 && innerAgain.nonEmpty)
   }
 
+  test("a same-thread staging cycle fails fast instead of recursing") {
+    // round-11 advice: per-key monitors are reentrant, so a cyclic nesting
+    // (outer stages k, k's write stages outer) would re-enter the outer
+    // synchronized block and run the outer write AGAIN — unbounded
+    // recursion where computeIfAbsent used to throw. The thread-local
+    // in-flight set turns it into an immediate, named error.
+    val kA = s"spec_cycle_a_${System.nanoTime()}"
+    val kB = s"spec_cycle_b_${System.nanoTime()}"
+    val e = intercept[IllegalStateException] {
+      Scratch.staged(kA, "scratchspec") { _ =>
+        Scratch.staged(kB, "scratchspec") { _ =>
+          Scratch.staged(kA, "scratchspec") { _ => () }
+        }
+      }
+    }
+    assert(e.getMessage.contains(kA) && e.getMessage.contains("cycle"))
+    // the failed cycle does not poison either key
+    val ok = Scratch.staged(kA, "scratchspec") { p =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+    }
+    assert(ok.nonEmpty)
+  }
+
+  test("soak: 8 threads × mixed first/late access over 3 keys — one write per key, no deadlock") {
+    // round-11 verdict item 6: drain staging + per-key monitors back most
+    // of the bench; pin them under real contention. Each key's write is
+    // slow (forces overlap) and NESTS a shared upstream key — the exact
+    // drains/media/graph shape — from threads hitting the keys in
+    // different orders.
+    val tag = System.nanoTime()
+    val writes = new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
+    def stage(key: String): String =
+      Scratch.staged(key, "scratchsoak") { p =>
+        writes.computeIfAbsent(key, _ => new AtomicInteger).incrementAndGet()
+        // nested upstream dependency shared by every key
+        Scratch.staged(s"soak_upstream_$tag", "scratchsoak") { q =>
+          writes.computeIfAbsent("up", _ => new AtomicInteger).incrementAndGet()
+          Thread.sleep(30)
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(q))
+        }
+        Thread.sleep(50)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p))
+      }
+    val keys = (1 to 3).map(i => s"soak_k${i}_$tag")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = (0 until 8).flatMap { t =>
+        // rotate the key order per thread so lock acquisition orders cross
+        val order = keys.drop(t % 3) ++ keys.take(t % 3)
+        order.map(k => pool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String = stage(k)
+        }))
+      }
+      futs.foreach(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      // every caller of a given key observes the SAME memoized path
+      keys.foreach { k =>
+        val paths = (0 until 8).map(_ => stage(k)).distinct
+        assert(paths.size == 1, s"$k returned ${paths.size} distinct paths")
+      }
+      assert(keys.forall(k => writes.get(k).get() == 1),
+        s"some key staged more than once: ${writes}")
+      assert(writes.get("up").get() == 1, s"upstream staged ${writes.get("up")}×")
+    } finally pool.shutdownNow()
+  }
+
   test("a write that keeps failing propagates and leaves the memo empty") {
     val attempts = new AtomicInteger(0)
     val key = s"spec_fail_${System.nanoTime()}"
