@@ -40,14 +40,21 @@ object CsvSink {
   private def prepared(df: DataFrame, fieldOrder: Seq[String]): DataFrame =
     df.select(fieldOrder.map(n => pyStringify(df, n).as(n)): _*)
 
-  private def writer(df: DataFrame, delimiter: String) =
+  private def writer(df: DataFrame, delimiter: String) = {
+    // csv.writer quirk: an empty (or None) value in a ONE-column row is
+    // written as `""` — a quoted empty — so the record is distinguishable
+    // from a blank line; in multi-column rows empties stay unquoted.
+    // univocity substitutes empty/nullValue BEFORE quote processing, so the
+    // two-char `""` lands raw, exactly as Python emits it.
+    val lone = if (df.columns.length == 1) "\"\"" else ""
     df.write
       .option("header", value = true)
       .option("sep", delimiter)
-      .option("escape", "\"")     // RFC-4180 doubled quotes, like csv module
-      .option("emptyValue", "")   // '' unquoted, like DictWriter
-      .option("nullValue", "")
+      .option("escape", "\"")       // RFC-4180 doubled quotes, like csv module
+      .option("emptyValue", lone)   // like DictWriter
+      .option("nullValue", lone)
       .mode("overwrite")
+  }
 
   /** Scale path: parallel multi-part CSV directory. */
   def write(df: DataFrame, fieldOrder: Seq[String], outDir: String,

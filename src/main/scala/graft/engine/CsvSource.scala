@@ -30,6 +30,10 @@ object CsvSource {
       .option("sep", spec.delimiter)
       .option("encoding", spec.encoding)
       .option("inferSchema", value = false)
+      // csv-module dialect: quotes escape by DOUBLING, not backslash
+      // (Spark's default escape '\' leaves `"say ""hi"""` unparsed — the
+      // round-12 fuzz suite caught it)
+      .option("escape", "\"")
       .option("mode", "PERMISSIVE")
       .csv(path))
 
@@ -50,12 +54,21 @@ object CsvSource {
     val df = spark.createDataFrame(lines).toDF("__line", "__line_number")
     val header = df.filter($"__line_number" === 1).head().getString(0)
     val colNames = parseHeader(header, spec.delimiter)
-    val schema = StructType(colNames.map(StructField(_, StringType, nullable = true)))
-    val opts = Map("sep" -> spec.delimiter)
+    // Parse with the csv-module-exact splitter instead of from_csv: the
+    // reference's DictReader distinguishes a MISSING trailing cell (row
+    // shorter than the header → None) from a PRESENT empty cell ("") —
+    // lookup's error condition and null-safe filters observe the
+    // difference — and unescapes doubled quotes. Spark's CSV parser folds
+    // both to null (and needs escape wiring for `""`). A deterministic
+    // scalar UDF on this compat/provenance path only; fully distributed
+    // (per-line map, no shuffle), and `read` stays the codegen'd fast path.
+    val d = spec.delimiter.head
+    val parseUdf = udf((line: String) => parseLine(line, d))
     df.filter($"__line_number" > 1 && $"__line" =!= "")
-      .withColumn("__parsed", from_csv($"__line", schema, opts))
+      .withColumn("__fields", parseUdf($"__line"))
       .select(col("__line_number") +:
-        colNames.map(n => coalesce(col(s"__parsed.`$n`"), lit("")).as(n)): _*)
+        colNames.zipWithIndex.map { case (n, i) =>
+          try_element_at(col("__fields"), lit(i + 1)).as(n) }: _*)
   }
 
   /** Record-ordinal provenance path: the reference's "line numbers" are
@@ -73,6 +86,7 @@ object CsvSource {
       .option("encoding", spec.encoding)
       .option("multiLine", value = true)
       .option("inferSchema", value = false)
+      .option("escape", "\"") // csv-module doubled-quote dialect
       .option("mode", "PERMISSIVE")
       .csv(path)
     val withOrd = base.rdd.zipWithIndex().map { case (r, i) =>
@@ -85,23 +99,40 @@ object CsvSource {
       base.columns.toSeq.map(c => coalesce(col(s"`$c`"), lit("")).as(c)): _*)
   }
 
-  private[engine] def parseHeader(header: String, delimiter: String): Seq[String] = {
-    // minimal RFC-4180 header split (quotes + doubled quotes)
+  private[engine] def parseHeader(header: String, delimiter: String): Seq[String] =
+    parseLine(header, delimiter.head)
+
+  /** Python-csv-module-exact single-line field split (dialect `excel`,
+    * non-strict): a quote is special only at FIELD START; inside a quoted
+    * field `""` unescapes to one quote; text after a closing quote is
+    * appended literally (`"a"b` → `ab`); quotes inside an unquoted field
+    * are literal (`say "hi"` stays). Returns exactly the fields PRESENT on
+    * the line — callers map absent trailing columns to null (DictReader's
+    * None) and present-but-empty ones to "". */
+  private[engine] def parseLine(line: String, d: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
-    var inQ = false
+    // 0 = field start, 1 = in unquoted, 2 = in quoted, 3 = after a quote
+    // seen inside a quoted field (closing-or-escape decision pending)
+    var state = 0
     var i = 0
-    val d = delimiter.head
-    while (i < header.length) {
-      val c = header.charAt(i)
-      if (inQ) {
-        if (c == '"' && i + 1 < header.length && header.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
-        else if (c == '"') inQ = false
-        else cur.append(c)
-      } else {
-        if (c == '"') inQ = true
-        else if (c == d) { out += cur.toString; cur.clear() }
-        else cur.append(c)
+    while (i < line.length) {
+      val c = line.charAt(i)
+      state match {
+        case 0 =>
+          if (c == '"') state = 2
+          else if (c == d) out += { val s = cur.toString; cur.clear(); s }
+          else { cur.append(c); state = 1 }
+        case 1 =>
+          if (c == d) { out += cur.toString; cur.clear(); state = 0 }
+          else cur.append(c)
+        case 2 =>
+          if (c == '"') state = 3
+          else cur.append(c)
+        case 3 =>
+          if (c == '"') { cur.append('"'); state = 2 }
+          else if (c == d) { out += cur.toString; cur.clear(); state = 0 }
+          else { cur.append(c); state = 1 }
       }
       i += 1
     }

@@ -1,0 +1,227 @@
+#!/usr/bin/env python3
+"""Seeded differential fuzzer vs the EXECUTED reference engine (round-11
+verdict item 2).
+
+Generates N pseudo-random (input CSV, ETLMapping, fail_on_error) triples —
+random filter rules (including the Q1 not_in literal polarity and
+missing-`value` rules), nested transform configs, duplicate destination
+fields, missing/None source fields, empty mappings, short rows — runs the
+reference DynamicTransformer (dynamic.py:239-348) on each, and records the
+result as goldens under src/test/resources/golden/fuzz/:
+
+  case_NNN.csv           the generated input
+  case_NNN.mapping.json  the generated mapping
+  case_NNN.fail_on_error "True" | "False"
+  case_NNN.result.json   reference counts + error set + write gate
+  case_NNN.out.csv       reference output bytes (when the gate wrote)
+  cases.json             index of generated case names
+
+FuzzParitySpec then replays every case through the Spark engine and
+compares counts, error sets, the write gate, and output bytes. Determinism:
+every case derives from random.Random(BASE_SEED + i), so a regenerate
+produces identical fixtures.
+
+Run: python3 tools/fuzz_golden.py [N]   (default 200)
+"""
+import csv
+import io
+import json
+import random
+import sys
+from pathlib import Path
+
+sys.path.insert(0, "/root/reference/src")
+from converter.transformers.dynamic import DynamicTransformer  # noqa: E402
+
+ROOT = Path(__file__).resolve().parent.parent
+OUT = ROOT / "src/test/resources/golden/fuzz"
+OUT.mkdir(parents=True, exist_ok=True)
+
+BASE_SEED = 74000
+
+# distinct names, none a substring of another (the reference's formula
+# evaluator replaces field names by SUBSTRING — colliding names would pin
+# pure replacement-order pathology rather than mapping semantics)
+COL_POOL = ["qty", "price", "status", "flag", "note", "datev", "code",
+            "amount", "label", "extra"]
+
+# cell pool: numerics (plain, comma-grouped, negative), falsy forms, dates
+# in several dialects, junk dates, text with CSV-hostile chars, the
+# literal strings "None" and "_default" (both are reference quirks)
+CELL_POOL = [
+    "", "0", "1", "2", "3.5", "-4", "10.25", "1,5", "2,000.50", "bogus",
+    "active", "inactive", "unknown", "x", "spark inside", "A", "B", "ZZ",
+    "None", "_default", "o'brien, jr.", 'say "hi"', "café",
+    "2024-01-15T10:30:00Z", "2024-01-15T10:30:00.123Z",
+    "2024-02-20 08:00:00", "2024-03-05", "15/03/2024",
+    "Feb 3, 2020, 9:18:39 AM", "bad-date", "2024-13-40",
+]
+
+IN_FORMATS = ["%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d",
+              "%d/%m/%Y", "%b %d, %Y, %I:%M:%S %p"]
+OUT_FORMATS = ["%Y-%m-%d", "%d/%m/%Y", "%Y/%m/%d %H:%M", "%d-%b-%Y"]
+
+CONST_POOL = [0, 1, -3, 2.5, 12.0, "fixed", "", None]
+
+DEST_POOL = ["d_a", "d_b", "d_c", "d_d", "d_e", "d_f", "d_g", "d_h"]
+
+
+def gen_condition(rng, cols):
+    f = rng.choice(cols)
+    v = rng.choice(["active", "x", "A", "None", "0", "nope"])
+    kind = rng.randrange(4)
+    if kind == 0:
+        return f"{f} == '{v}'"
+    if kind == 1:
+        return f"{f} != '{v}'"
+    if kind == 2:
+        v2 = rng.choice(["inactive", "B", "1", "z"])
+        return f"{f} in ['{v}', '{v2}']"
+    return "?? not a condition"
+
+
+def gen_field_mapping(rng, cols, dests_used):
+    # duplicate destinations on purpose ~15% of the time
+    if dests_used and rng.random() < 0.15:
+        dest = rng.choice(sorted(dests_used))
+    else:
+        dest = rng.choice(DEST_POOL)
+    dests_used.add(dest)
+    r = rng.random()
+    if r < 0.10:
+        source = None
+    elif r < 0.20:
+        source = "ghost_col"  # never in the schema → row.get → None
+    else:
+        source = rng.choice(cols)
+    t = rng.choices(
+        ["direct", "constant", "date_format", "lookup", "suffix", "prefix",
+         "formula", "conditional", "wat"],
+        weights=[20, 10, 15, 15, 10, 10, 10, 10, 3])[0]
+    cfg = {}
+    if t == "constant":
+        cfg = {"value": rng.choice(CONST_POOL)}
+    elif t == "date_format":
+        cfg = {}
+        if rng.random() < 0.85:
+            cfg["input_format"] = rng.choice(IN_FORMATS)
+        if rng.random() < 0.85:
+            cfg["output_format"] = rng.choice(OUT_FORMATS)
+    elif t == "lookup":
+        keys = rng.sample(["A", "B", "active", "x", "0", "None", "bogus"],
+                          rng.randrange(1, 4))
+        cfg = {k: rng.choice(["Apple", "Banana", "ACT", None, "1"])
+               for k in keys}
+        dflt = rng.randrange(3)
+        if dflt == 0:
+            cfg["_default"] = "Other"
+        elif dflt == 1:
+            cfg["_default"] = None
+        # dflt == 2: no _default key at all
+    elif t in ("suffix", "prefix"):
+        cfg = {"value": rng.choice(["-X", ">>", "", "™"])}
+        if rng.random() < 0.5:
+            cfg["condition"] = gen_condition(rng, cols)
+    elif t == "formula":
+        a, b = rng.choice(cols), rng.choice(cols)
+        cfg = {"expression": rng.choice([
+            f"{a} * {b}", f"{a} + 2", f"{a} - {b}", f"({a} + {b}) * 2",
+            f"{a} * missing_col", f"{a} / {b}", f"{a} + {b} + 0.1",
+        ])}
+    elif t == "conditional":
+        conds = []
+        for _ in range(rng.randrange(1, 3)):
+            conds.append({"if": gen_condition(rng, cols),
+                          "then": rng.choice(CONST_POOL)})
+        if rng.random() < 0.7:
+            conds.append({"else": rng.choice(CONST_POOL)})
+        cfg = {"conditions": conds}
+    return {"destination_field": dest, "source_field": source,
+            "transform_type": t, "transform_config": cfg}
+
+
+def gen_filter_rule(rng, cols):
+    f = "ghost_col" if rng.random() < 0.1 else rng.choice(cols)
+    op = rng.choice(["equals", "not_equals", "in", "not_in", "is_empty",
+                     "is_not_empty", "contains", "junk_op"])
+    rule = {"field": f, "operator": op}
+    if op in ("equals", "not_equals", "contains"):
+        if rng.random() < 0.12:
+            pass  # missing `value` → reference compares against None
+        else:
+            rule["value"] = rng.choice(
+                ["active", "x", "", "None", "0", "spark", "A"])
+    elif op in ("in", "not_in"):
+        rule["values"] = rng.sample(
+            ["active", "inactive", "x", "A", "B", "", "0", "None"],
+            rng.randrange(1, 4))
+    return rule
+
+
+def gen_case(rng):
+    cols = rng.sample(COL_POOL, rng.randrange(3, 8))
+    nrows = rng.randrange(4, 13)
+    rows = []
+    for _ in range(nrows):
+        row = [rng.choice(CELL_POOL) for _ in cols]
+        if rng.random() < 0.12:  # short row: DictReader pads with None
+            row = row[:rng.randrange(1, len(cols))]
+        rows.append(row)
+    buf = io.StringIO()
+    w = csv.writer(buf, lineterminator="\n")
+    w.writerow(cols)
+    w.writerows(rows)
+
+    dests_used = set()
+    nfm = 0 if rng.random() < 0.05 else rng.randrange(1, 7)
+    mapping = {
+        "id": "fuzz", "name": "Fuzz", "source_id": "s", "destination_id": "d",
+        "field_mappings": [gen_field_mapping(rng, cols, dests_used)
+                           for _ in range(nfm)],
+        "filter_rules": [gen_filter_rule(rng, cols)
+                         for _ in range(rng.randrange(0, 4))],
+    }
+    return buf.getvalue(), mapping, rng.random() < 0.5
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    names = []
+    for i in range(n):
+        rng = random.Random(BASE_SEED + i)
+        csv_text, mapping, fail_on_error = gen_case(rng)
+        name = f"case_{i:03d}"
+        src = OUT / f"{name}.csv"
+        src.write_text(csv_text, encoding="utf-8")
+        (OUT / f"{name}.mapping.json").write_text(
+            json.dumps(mapping, indent=1, ensure_ascii=False), encoding="utf-8")
+        (OUT / f"{name}.fail_on_error").write_text(str(fail_on_error))
+        out = OUT / f"{name}.out.csv"
+        if out.exists():
+            out.unlink()
+        t = DynamicTransformer(mapping)
+        r = t.transform_file(src, out, fail_on_error=fail_on_error)
+        golden = {
+            "success_count": r.success_count,
+            "skipped_count": r.skipped_count,
+            "error_count": r.error_count,
+            "written": out.exists(),
+            "errors": [
+                {"line_number": e.line_number, "field": e.field,
+                 "source_value": None if e.source_value is None
+                 else str(e.source_value)}
+                for e in r.errors
+            ],
+        }
+        (OUT / f"{name}.result.json").write_text(
+            json.dumps(golden, indent=1, ensure_ascii=False), encoding="utf-8")
+        names.append(name)
+    (OUT / "cases.json").write_text(json.dumps(names))
+    written = sum(1 for c in names if (OUT / f"{c}.out.csv").exists())
+    errs = sum(json.loads((OUT / f"{c}.result.json").read_text())["error_count"]
+               for c in names)
+    print(f"{n} cases; {written} wrote output; {errs} total field errors")
+
+
+if __name__ == "__main__":
+    main()
