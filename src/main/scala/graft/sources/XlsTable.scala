@@ -1,0 +1,518 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Legacy Excel `.xls` (BIFF8) sink + source, hand-rolled like XlsxTable —
+  * the unfinished half of the reference's spreadsheet roadmap row
+  * (ROADMAP.md:40 "Excel files (.xlsx, .xls)"); no spreadsheet library
+  * ships on this classpath, so both layers of the format are implemented
+  * directly:
+  *
+  *   - the OLE2/CFB compound-file container (MS-CFB): 512-byte sectors,
+  *     header-DIFAT + FAT chains, a directory with a Root Entry and one
+  *     "Workbook" stream; the reader additionally follows DIFAT sectors
+  *     and the miniFAT/mini-stream path (streams under the 4096-byte
+  *     cutoff in real Excel files);
+  *   - the BIFF8 record stream (MS-XLS): BOF / BoundSheet8 / SST /
+  *     LABELSST / NUMBER / BLANK / EOF on write; the reader also decodes
+  *     RK and MULRK (the packed numeric forms real Excel emits) and skips
+  *     every other record by its declared length.
+  *
+  * Scale shape: one `part-NNNNN.xls` per input partition, parallel by
+  * split like the Avro/Xlsx sinks, one read task per file. BIFF8 is
+  * STRUCTURALLY bounded — row indexes are u16 (65,536 rows/sheet) and a
+  * record payload caps at 8,224 bytes (so the SST holds ~8 KB of UNIQUE
+  * strings; categorical columns dedup far below it) — the per-partition
+  * encode buffer is therefore bounded by the format itself, and both
+  * writer limits fail fast with named errors rather than truncating.
+  * Document-scale data belongs in parquet; .xls is the finance-user
+  * interchange surface, same as the reference's.
+  *
+  * Subset honesty: SST CONTINUE spill, rich-text runs and BIFF5 `Book`
+  * streams are rejected/skipped with explicit messages, not guessed at.
+  */
+object XlsTable {
+
+  private val EndOfChain = 0xFFFFFFFE
+  private val FreeSect = 0xFFFFFFFF
+  private val FatSect = 0xFFFFFFFD
+  private val DifSect = 0xFFFFFFFC
+
+  // ---------------------------------------------------------------- write --
+
+  private def confEntries(spark: SparkSession): Array[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toArray
+  }
+
+  private def rebuild(entries: Array[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  private final class RecordWriter {
+    val buf = new ByteArrayOutputStream()
+    private def u16(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def record(id: Int, payload: Array[Byte]): Unit = {
+      require(payload.length <= 8224,
+        s"BIFF8 record 0x${id.toHexString} payload ${payload.length} exceeds " +
+          "the 8224-byte cap (SST too large? dedup holds only UNIQUE strings)")
+      buf.write(u16(id)); buf.write(u16(payload.length)); buf.write(payload)
+    }
+    def size: Int = buf.size()
+  }
+
+  private def le(n: Int): ByteBuffer =
+    ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+
+  /** XLUnicodeRichExtendedString, always uncompressed UTF-16LE, no runs. */
+  private def sstString(s: String): Array[Byte] = {
+    require(s.length <= 32767, "xls string too long")
+    val chars = s.getBytes("UTF-16LE")
+    le(3 + chars.length).putShort(s.length.toShort).put(1.toByte)
+      .put(chars).array()
+  }
+
+  /** Encode one partition's rows as a complete .xls byte image. */
+  private[sources] def encode(schema: StructType, rows: Iterator[Row]): Array[Byte] = {
+    val sstIndex = scala.collection.mutable.LinkedHashMap[String, Int]()
+    var sstRefs = 0
+    def intern(s: String): Int = {
+      sstRefs += 1
+      sstIndex.getOrElseUpdate(s, sstIndex.size)
+    }
+    // sheet substream first (interning strings as we go), globals after —
+    // the SST must be complete before it can be emitted
+    val sheet = new RecordWriter
+    sheet.record(0x0809, le(16).putShort(0x0600.toShort).putShort(0x0010.toShort)
+      .putInt(0).putInt(0).putInt(0).array()) // BOF: BIFF8, worksheet
+    def cellHead(row: Int, col: Int): ByteBuffer = {
+      require(row <= 0xFFFF,
+        s"BIFF8 sheet row cap (65536) exceeded at row $row — repartition the " +
+          "input so each .xls part stays under the format's row limit")
+      le(14).putShort(row.toShort).putShort(col.toShort).putShort(0.toShort)
+    }
+    def label(row: Int, col: Int, s: String): Unit = {
+      val h = cellHead(row, col).putInt(intern(s))
+      sheet.record(0x00FD, java.util.Arrays.copyOf(h.array(), 10)) // LABELSST
+    }
+    def number(row: Int, col: Int, d: Double): Unit =
+      sheet.record(0x0203, cellHead(row, col).putDouble(d).array()) // NUMBER
+    def blank(row: Int, col: Int): Unit =
+      sheet.record(0x0201, java.util.Arrays.copyOf(
+        cellHead(row, col).array(), 6)) // BLANK: row-presence for null cells
+    schema.fields.zipWithIndex.foreach { case (f, i) => label(0, i, f.name) }
+    var rn = 1
+    rows.foreach { row =>
+      var i = 0
+      while (i < schema.length) {
+        if (row.isNullAt(i)) blank(rn, i)
+        else schema.fields(i).dataType match {
+          case StringType  => label(rn, i, row.getString(i))
+          case LongType    => number(rn, i, row.getLong(i).toDouble)
+          case IntegerType => number(rn, i, row.getInt(i).toDouble)
+          case DoubleType  => number(rn, i, row.getDouble(i))
+          case dt => throw new IllegalArgumentException(s"unsupported xls field type: $dt")
+        }
+        i += 1
+      }
+      rn += 1
+    }
+    sheet.record(0x000A, Array.emptyByteArray) // EOF
+
+    val sstPayload = {
+      val b = new ByteArrayOutputStream()
+      b.write(le(8).putInt(sstRefs).putInt(sstIndex.size).array())
+      sstIndex.keysIterator.foreach(s => b.write(sstString(s)))
+      b.toByteArray
+    }
+    // globals: BOF + BoundSheet8 (sheet-BOF offset patched below) + SST + EOF
+    val globals = new RecordWriter
+    globals.record(0x0809, le(16).putShort(0x0600.toShort).putShort(0x0005.toShort)
+      .putInt(0).putInt(0).putInt(0).array())
+    val sheetName = "data".getBytes("UTF-16LE")
+    val bs = le(8 + sheetName.length).putInt(0 /* patched */)
+      .putShort(0.toShort) // visible, worksheet
+      .put("data".length.toByte).put(1.toByte).put(sheetName).array()
+    val bsPatchPos = globals.size + 4 // after the record header
+    globals.record(0x0085, bs)
+    globals.record(0x00FC, sstPayload)
+    globals.record(0x000A, Array.emptyByteArray)
+    val stream = new ByteArrayOutputStream()
+    globals.buf.writeTo(stream)
+    sheet.buf.writeTo(stream)
+    val bytes = stream.toByteArray
+    val off = le(4).putInt(globals.size).array()
+    System.arraycopy(off, 0, bytes, bsPatchPos, 4)
+    cfb(bytes)
+  }
+
+  /** Wrap a Workbook stream in a minimal v3 CFB container (512-byte
+    * sectors, header DIFAT only — capacity ~6.9 MB/part, far above the
+    * BIFF8 row cap × record sizes; overflow fails fast). Streams under the
+    * 4096-byte cutoff go through the miniFAT/mini-stream path, exactly as
+    * Excel lays them out — so small parts round-trip through the same
+    * structures real small .xls files use. */
+  private[sources] def cfb(workbook: Array[Byte]): Array[Byte] = {
+    val mini = workbook.length < 4096
+    // body occupies regular sectors: either the stream itself, or the
+    // 64-byte-mini-sector-padded mini stream it lives in
+    val body =
+      if (mini) java.util.Arrays.copyOf(workbook, (workbook.length + 63) / 64 * 64)
+      else workbook
+    val bodyPadded = java.util.Arrays.copyOf(body, (body.length + 511) / 512 * 512)
+    val bodySectors = bodyPadded.length / 512
+    val miniFatSectors = if (mini) 1 else 0
+    // smallest f with f*128 ≥ f (FAT) + 1 (dir) + miniFAT + body entries
+    var fatSectors = 1
+    while (fatSectors * 128 < fatSectors + 1 + miniFatSectors + bodySectors)
+      fatSectors += 1
+    require(fatSectors <= 109,
+      s"xls part exceeds header-DIFAT capacity (${bodyPadded.length} bytes) — " +
+        "lower rows per partition")
+    val dirSector = fatSectors
+    val miniFatSector = fatSectors + 1 // only meaningful when mini
+    val bodyStart = fatSectors + 1 + miniFatSectors
+    val total = bodyStart + bodySectors
+    val out = le(512 * (1 + total))
+    // header
+    out.put(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte))
+    out.put(new Array[Byte](16)) // CLSID
+    out.putShort(0x003E.toShort).putShort(0x0003.toShort) // minor/major
+    out.putShort(0xFFFE.toShort)                          // byte order
+    out.putShort(9.toShort).putShort(6.toShort)           // sector shifts
+    out.put(new Array[Byte](6))                           // reserved
+    out.putInt(0)                                         // dir sector count (v3)
+    out.putInt(fatSectors)
+    out.putInt(dirSector)
+    out.putInt(0)                                         // txn signature
+    out.putInt(4096)                                      // mini cutoff
+    out.putInt(if (mini) miniFatSector else EndOfChain)
+    out.putInt(miniFatSectors)
+    out.putInt(EndOfChain).putInt(0)                      // no DIFAT sectors
+    (0 until 109).foreach(i => out.putInt(if (i < fatSectors) i else FreeSect))
+    // FAT sectors
+    (0 until fatSectors * 128).foreach { i =>
+      out.putInt(
+        if (i < fatSectors) FatSect
+        else if (i == dirSector) EndOfChain
+        else if (mini && i == miniFatSector) EndOfChain
+        else if (i >= bodyStart && i < bodyStart + bodySectors)
+          (if (i == bodyStart + bodySectors - 1) EndOfChain else i + 1)
+        else FreeSect)
+    }
+    // directory sector: Root Entry + Workbook + two empty entries. In the
+    // mini layout the ROOT entry owns the mini-stream body chain and the
+    // Workbook entry's start is a MINI sector index.
+    def dirEntry(name: String, typ: Int, start: Int, size: Long, child: Int): Unit = {
+      val n = name.getBytes("UTF-16LE")
+      val slot = new Array[Byte](64)
+      System.arraycopy(n, 0, slot, 0, n.length)
+      out.put(slot)
+      out.putShort((n.length + 2).toShort) // name bytes incl. terminator
+      out.put(typ.toByte).put(1.toByte)    // type, black
+      out.putInt(FreeSect).putInt(FreeSect).putInt(child) // left/right/child
+      out.put(new Array[Byte](16)).putInt(0)              // CLSID, state
+      out.putLong(0L).putLong(0L)                         // timestamps
+      out.putInt(start)
+      out.putLong(size)
+    }
+    if (mini) {
+      dirEntry("Root Entry", 5, bodyStart, body.length.toLong, 1)
+      dirEntry("Workbook", 2, 0, workbook.length.toLong, FreeSect)
+    } else {
+      dirEntry("Root Entry", 5, EndOfChain, 0L, 1)
+      dirEntry("Workbook", 2, bodyStart, workbook.length.toLong, FreeSect)
+    }
+    out.put(new Array[Byte](256)) // two unused 128-byte entries
+    if (mini) {
+      // one miniFAT sector: sequential chain over the mini sectors
+      val nMini = body.length / 64
+      (0 until 128).foreach { i =>
+        out.putInt(
+          if (i < nMini - 1) i + 1
+          else if (i == nMini - 1) EndOfChain
+          else FreeSect)
+      }
+    }
+    out.put(bodyPadded)
+    out.array()
+  }
+
+  /** Write `df` as `part-NNNNN.xls` files under `path`. */
+  def write(df: DataFrame, path: String): Unit = {
+    val schema = df.schema
+    val entries = confEntries(df.sparkSession)
+    df.foreachPartition { (it: Iterator[Row]) =>
+      val conf = rebuild(entries)
+      val part = new Path(path, f"part-${TaskContext.getPartitionId()}%05d.xls")
+      val fs = part.getFileSystem(conf)
+      val out = fs.create(part, true)
+      try out.write(encode(schema, it)) finally out.close()
+    }
+  }
+
+  // ----------------------------------------------------------------- read --
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+  private def i32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+  /** Extract the Workbook stream from a CFB image (FAT, DIFAT-sector, and
+    * miniFAT/mini-stream paths all handled). */
+  private[sources] def workbookStream(img: Array[Byte]): Array[Byte] = {
+    require(img.length >= 512 &&
+      (img.take(8).map(_ & 0xFF) sameElements
+        Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)),
+      "not an OLE2 compound file (bad signature)")
+    val sectorShift = u16(img, 30)
+    val ss = 1 << sectorShift
+    def sector(id: Int): Array[Byte] = {
+      val off = 512 + id * ss
+      require(off + ss <= img.length, s"sector $id out of file bounds")
+      java.util.Arrays.copyOfRange(img, off, off + ss)
+    }
+    // FAT via header DIFAT + DIFAT sector chain
+    val nFat = i32(img, 44)
+    val difat = scala.collection.mutable.ArrayBuffer[Int]()
+    (0 until 109).foreach { i =>
+      val v = i32(img, 76 + i * 4)
+      if (v != FreeSect && difat.size < nFat) difat += v
+    }
+    var difSec = i32(img, 68)
+    while (difSec != EndOfChain && difSec != FreeSect) {
+      val s = sector(difSec)
+      val per = ss / 4 - 1
+      (0 until per).foreach { i =>
+        val v = i32(s, i * 4)
+        if (v != FreeSect && difat.size < nFat) difat += v
+      }
+      difSec = i32(s, ss - 4)
+    }
+    val fat: Array[Int] = difat.toArray.flatMap { fs =>
+      val s = sector(fs); (0 until ss / 4).map(i => i32(s, i * 4))
+    }
+    def chain(start: Int, limit: Long): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      var cur = start
+      var guard = 0
+      while (cur != EndOfChain && cur != FreeSect) {
+        require(guard <= fat.length, "cyclic FAT chain")
+        require(cur >= 0 && cur < fat.length, s"FAT chain leaves the table at $cur")
+        out.write(sector(cur)); cur = fat(cur); guard += 1
+      }
+      val b = out.toByteArray
+      if (limit >= 0 && limit < b.length) java.util.Arrays.copyOf(b, limit.toInt) else b
+    }
+    // directory
+    val dir = chain(i32(img, 48), -1L)
+    val nEntries = dir.length / 128
+    def name(i: Int): String = {
+      val len = u16(dir, i * 128 + 64)
+      if (len < 2) "" else new String(dir, i * 128, len - 2, "UTF-16LE")
+    }
+    val wbIdx = (0 until nEntries).find { i =>
+      dir(i * 128 + 66) == 2 && {
+        val n = name(i); n == "Workbook" || n == "Book"
+      }
+    }.getOrElse(throw new IllegalArgumentException("no Workbook stream in .xls"))
+    require(name(wbIdx) == "Workbook",
+      "BIFF5 'Book' stream found — only BIFF8 (.xls written by Excel 97+) is supported")
+    val start = i32(dir, wbIdx * 128 + 116)
+    val size = i32(dir, wbIdx * 128 + 120).toLong & 0xFFFFFFFFL
+    val cutoff = i32(img, 56)
+    if (size >= cutoff) chain(start, size)
+    else {
+      // mini stream: root entry's chain holds the mini-stream body; the
+      // miniFAT (its own FAT chain) maps 64-byte mini sectors within it
+      val miniStream = chain(i32(dir, 116), i32(dir, 120).toLong & 0xFFFFFFFFL)
+      val miniFatBytes = chain(i32(img, 60), -1L)
+      val miniFat = (0 until miniFatBytes.length / 4).map(i => i32(miniFatBytes, i * 4))
+      val out = new ByteArrayOutputStream()
+      var cur = start
+      var guard = 0
+      while (cur != EndOfChain && cur != FreeSect) {
+        require(guard <= miniFat.size, "cyclic miniFAT chain")
+        require(cur >= 0 && (cur + 1) * 64 <= miniStream.length,
+          s"miniFAT chain leaves the mini stream at $cur")
+        out.write(miniStream, cur * 64, 64); cur = miniFat(cur); guard += 1
+      }
+      java.util.Arrays.copyOf(out.toByteArray, size.toInt)
+    }
+  }
+
+  /** RK-packed number (MS-XLS 2.5.122). */
+  private def rkValue(rk: Int): Double = {
+    val base =
+      if ((rk & 2) != 0) (rk >> 2).toDouble
+      else java.lang.Double.longBitsToDouble((rk.toLong & 0xFFFFFFFCL) << 32)
+    if ((rk & 1) != 0) base / 100.0 else base
+  }
+
+  /** Parse the first worksheet's cells. Returns (sst-decoded rows). */
+  private[sources] def sheetRows(stream: Array[Byte], nCols: Int,
+                                 types: Array[DataType]): Iterator[Row] = {
+    // pass 1 record walk: collect SST, find substream boundaries
+    val sst = scala.collection.mutable.ArrayBuffer[String]()
+    var pos = 0
+    var bofCount = 0
+    var sheetStart = -1
+    while (pos + 4 <= stream.length && sheetStart < 0) {
+      val id = u16(stream, pos); val len = u16(stream, pos + 2)
+      require(pos + 4 + len <= stream.length,
+        s"malformed BIFF record 0x${id.toHexString}: declared length $len " +
+          s"overruns the stream at offset $pos")
+      id match {
+        case 0x0809 => // BOF
+          bofCount += 1
+          if (bofCount == 2) sheetStart = pos
+        case 0x00FC => // SST
+          require(len >= 8, "malformed SST record")
+          var p = pos + 12
+          val unique = i32(stream, pos + 8)
+          var k = 0
+          while (k < unique) {
+            require(p + 3 <= pos + 4 + len,
+              "SST spans CONTINUE records — unsupported (regenerate with " +
+                "fewer unique strings per part)")
+            val cch = u16(stream, p)
+            val flags = stream(p + 2) & 0xFF
+            p += 3
+            var skipAfter = 0
+            if ((flags & 0x08) != 0) { skipAfter += u16(stream, p) * 4; p += 2 }
+            if ((flags & 0x04) != 0) { skipAfter += i32(stream, p); p += 4 }
+            val wide = (flags & 1) != 0
+            val nBytes = cch * (if (wide) 2 else 1)
+            require(p + nBytes + skipAfter <= pos + 4 + len,
+              "SST string overruns record (CONTINUE spill unsupported)")
+            sst += (if (wide) new String(stream, p, nBytes, "UTF-16LE")
+                    else new String(stream, p, nBytes, "ISO-8859-1"))
+            p += nBytes + skipAfter
+            k += 1
+          }
+        case _ =>
+      }
+      pos += 4 + len
+    }
+    require(sheetStart >= 0, "no worksheet substream (second BOF) found")
+
+    // pass 2: walk the sheet substream, assemble rows in record order
+    new Iterator[Row] {
+      private var p = sheetStart
+      private var done = false
+      private var curRow = -1
+      private var vals: Array[Any] = null
+      private var pending: Row = null
+
+      private def flush(): Unit = {
+        if (vals != null && curRow > 0) pending = Row.fromSeq(vals.toIndexedSeq)
+        vals = null
+      }
+      private def cell(row: Int, col: Int, v: Any): Unit = {
+        if (row != curRow) { flush(); curRow = row; vals = new Array[Any](nCols) }
+        else if (vals == null) vals = new Array[Any](nCols)
+        // row 0 is the header (column-name strings) — presence only, never
+        // decoded against the data schema
+        if (row > 0 && col < nCols && v != null) {
+          vals(col) = v match {
+            case d: Double => types(col) match {
+              case LongType    => d.toLong
+              case IntegerType => d.toInt
+              case DoubleType  => d
+              case StringType  => d.toString
+              case dt => throw new IllegalArgumentException(s"unsupported xls field type: $dt")
+            }
+            case s: String => types(col) match {
+              case StringType => s
+              case dt => throw new IllegalArgumentException(
+                s"string cell at ($row,$col) but schema expects $dt")
+            }
+          }
+        }
+      }
+      private def advance(): Unit = {
+        while (pending == null && !done) {
+          if (p + 4 > stream.length) { flush(); done = true }
+          else {
+            val id = u16(stream, p); val len = u16(stream, p + 2)
+            require(p + 4 + len <= stream.length,
+              s"malformed BIFF record 0x${id.toHexString} at offset $p")
+            val b = p + 4
+            id match {
+              case 0x000A => flush(); done = true // sheet EOF
+              case 0x00FD => // LABELSST
+                require(len >= 10, "malformed LABELSST record")
+                val isst = i32(stream, b + 6)
+                require(isst >= 0 && isst < sst.size,
+                  s"LABELSST index $isst outside SST (${sst.size} strings)")
+                cell(u16(stream, b), u16(stream, b + 2), sst(isst))
+              case 0x0203 => // NUMBER
+                require(len == 14, s"malformed NUMBER record (len $len)")
+                val d = java.lang.Double.longBitsToDouble(
+                  ByteBuffer.wrap(stream, b + 6, 8)
+                    .order(ByteOrder.LITTLE_ENDIAN).getLong)
+                cell(u16(stream, b), u16(stream, b + 2), d)
+              case 0x027E => // RK
+                require(len == 10, s"malformed RK record (len $len)")
+                cell(u16(stream, b), u16(stream, b + 2), rkValue(i32(stream, b + 6)))
+              case 0x00BD => // MULRK: row, colFirst, (ixfe+rk)*, colLast
+                require(len >= 12 && (len - 6) % 6 == 0, "malformed MULRK record")
+                val row = u16(stream, b); val colFirst = u16(stream, b + 2)
+                val n = (len - 6) / 6
+                (0 until n).foreach { i =>
+                  cell(row, colFirst + i, rkValue(i32(stream, b + 4 + i * 6 + 2)))
+                }
+              case 0x0201 => // BLANK: marks the row present, value stays null
+                require(len >= 6, "malformed BLANK record")
+                cell(u16(stream, b), u16(stream, b + 2), null)
+              case _ =>
+            }
+            p += 4 + len
+          }
+        }
+      }
+      advance()
+      override def hasNext: Boolean = pending != null
+      override def next(): Row = {
+        val r = pending; pending = null; advance(); r
+      }
+    }
+  }
+
+  /** Read the `.xls` parts under `path` back with `schema` — one task per
+    * file, same per-file parallelism as the write side. */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val glob = new Path(path, "part-*.xls")
+    val fs = glob.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(glob).map(_.getPath.toString).sorted.toSeq
+    val types = schema.fields.map(_.dataType)
+    val nCols = schema.length
+    val entries = confEntries(spark)
+    val rows = spark.sparkContext.parallelize(files, math.max(files.size, 1))
+      .flatMap { file =>
+        val conf = rebuild(entries)
+        val p = new Path(file)
+        val in = p.getFileSystem(conf).open(p)
+        val img = try {
+          val len = p.getFileSystem(conf).getFileStatus(p).getLen.toInt
+          val b = new Array[Byte](len)
+          in.readFully(0, b)
+          b
+        } finally in.close()
+        sheetRows(workbookStream(img), nCols, types)
+      }
+    spark.createDataFrame(rows, schema)
+  }
+}

@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the BIFF8 .xls source (k38): value round-trip through both CFB
+  * layouts (regular FAT for ≥4096-byte streams, miniFAT/mini-stream below
+  * the cutoff — the layout real small Excel files use), RK/MULRK numeric
+  * decode (the packed forms Excel emits that our writer doesn't), and
+  * named malformed-input rejection (a binary format must fail loudly, not
+  * produce quietly-wrong frames). */
+class XlsSourceSpec extends AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("s", StringType),
+    StructField("v", DoubleType)))
+
+  test("round-trip: values, nulls, unicode, and empty strings survive") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha", 1.5), (2L, "café ™", -2.25), (3L, "", 0.0),
+      (4L, "alpha", 9.007199254740992E15)).toDF("k", "s", "v")
+      .withColumn("s", org.apache.spark.sql.functions
+        .when($"k" === 3L, null).otherwise($"s"))
+    val dir = graft.Scratch.dir("xls_rt").toString
+    XlsTable.write(df.repartition(2), dir)
+    val back = XlsTable.read(spark, dir, df.schema)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(back == Seq(
+      (1L, Some("alpha"), 1.5), (2L, Some("café ™"), -2.25),
+      (3L, None, 0.0), (4L, Some("alpha"), 9.007199254740992E15)))
+  }
+
+  test("small parts use the miniFAT/mini-stream layout and still round-trip") {
+    val rows = Iterator(Row(7L, "tiny", 0.5))
+    val img = XlsTable.encode(schema, rows)
+    // a one-row sheet is far below the 4096-byte cutoff → mini layout
+    val size = {
+      // Workbook dir-entry size sits in the directory; cheapest check is
+      // behavioral: the stream extracts and parses
+      val wb = XlsTable.workbookStream(img)
+      assert(wb.length < 4096, s"expected a sub-cutoff stream, got ${wb.length}")
+      wb.length
+    }
+    assert(size > 0)
+    val got = XlsTable.sheetRows(XlsTable.workbookStream(img), 3,
+      schema.fields.map(_.dataType)).toSeq
+    assert(got == Seq(Row(7L, "tiny", 0.5)))
+  }
+
+  test("RK and MULRK records decode (integer, /100, and float forms)") {
+    // hand-build a sheet substream with records our WRITER never emits
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    val out = new java.io.ByteArrayOutputStream()
+    def rec(id: Int, payload: Array[Byte]): Unit = {
+      out.write(le(4).putShort(id.toShort).putShort(payload.length.toShort).array())
+      out.write(payload)
+    }
+    rec(0x0809, le(16).putShort(0x0600.toShort).putShort(0x0005.toShort)
+      .putInt(0).putInt(0).putInt(0).array())          // globals BOF
+    rec(0x00FC, le(8).putInt(0).putInt(0).array())     // empty SST
+    rec(0x000A, Array.emptyByteArray)                  // globals EOF
+    rec(0x0809, le(16).putShort(0x0600.toShort).putShort(0x0010.toShort)
+      .putInt(0).putInt(0).putInt(0).array())          // sheet BOF
+    // row 1: RK int 42 (rk = 42<<2 | 2), RK 1.25 as /100 int (125<<2|3)
+    rec(0x027E, le(10).putShort(1.toShort).putShort(0.toShort).putShort(0.toShort)
+      .putInt((42 << 2) | 2).array())
+    rec(0x027E, le(10).putShort(1.toShort).putShort(2.toShort).putShort(0.toShort)
+      .putInt((125 << 2) | 3).array())
+    // row 2: MULRK is a CONTIGUOUS run from colFirst — float-form RK of
+    // 2.5 (top 30 bits of the double) at col 0, then int 7 at col 1
+    val fRk = ((java.lang.Double.doubleToLongBits(2.5) >>> 32) & 0xFFFFFFFCL).toInt
+    rec(0x00BD, le(18).putShort(2.toShort).putShort(0.toShort)
+      .putShort(0.toShort).putInt(fRk)                 // col 0
+      .putShort(0.toShort).putInt((7 << 2) | 2)        // col 1
+      .putShort(1.toShort).array())                    // colLast
+    rec(0x000A, Array.emptyByteArray)                  // sheet EOF
+    val types: Array[DataType] = Array(DoubleType, DoubleType, DoubleType)
+    val got = XlsTable.sheetRows(out.toByteArray, 3, types).toSeq
+    assert(got == Seq(Row(42.0, null, 1.25), Row(2.5, 7.0, null)))
+  }
+
+  test("malformed inputs are rejected with named errors") {
+    // bad CFB signature
+    val e1 = intercept[IllegalArgumentException](
+      XlsTable.workbookStream(new Array[Byte](1024)))
+    assert(e1.getMessage.contains("signature"))
+    // a record whose declared length overruns the stream
+    import java.nio.{ByteBuffer, ByteOrder}
+    val trunc = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      .putShort(0x0203.toShort).putShort(500.toShort).putInt(0).array()
+    val e2 = intercept[IllegalArgumentException](
+      XlsTable.sheetRows(trunc, 1, Array[DataType](DoubleType)).toSeq)
+    assert(e2.getMessage.contains("overruns"))
+    // LABELSST pointing outside the SST
+    val out = new java.io.ByteArrayOutputStream()
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    def rec(id: Int, p: Array[Byte]): Unit = {
+      out.write(le(4).putShort(id.toShort).putShort(p.length.toShort).array())
+      out.write(p)
+    }
+    rec(0x0809, le(16).putShort(0x0600.toShort).putShort(0x0005.toShort)
+      .putInt(0).putInt(0).putInt(0).array())
+    rec(0x00FC, le(8).putInt(0).putInt(0).array())
+    rec(0x000A, Array.emptyByteArray)
+    rec(0x0809, le(16).putShort(0x0600.toShort).putShort(0x0010.toShort)
+      .putInt(0).putInt(0).putInt(0).array())
+    rec(0x00FD, le(10).putShort(1.toShort).putShort(0.toShort)
+      .putShort(0.toShort).putInt(99).array())
+    rec(0x000A, Array.emptyByteArray)
+    val e3 = intercept[IllegalArgumentException](
+      XlsTable.sheetRows(out.toByteArray, 1, Array[DataType](StringType)).toSeq)
+    assert(e3.getMessage.contains("outside SST"))
+    // the writer's own guards: row cap and oversized record
+    val big = Iterator.tabulate(70000)(i => Row(i.toLong, "s", 0.0))
+    val e4 = intercept[IllegalArgumentException](XlsTable.encode(schema, big))
+    assert(e4.getMessage.contains("row cap"))
+  }
+}
