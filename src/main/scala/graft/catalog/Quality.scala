@@ -76,6 +76,68 @@ object Quality extends QueryPack {
       graft.compile.ExpectationCompiler.audit(Tables(s, dir).lineitem, suite)
         .orderBy($"col_name", $"check_name")
     },
+    // dq21: RUN-HISTORY STORE — the reference ROADMAP's "Conversion
+    // history and logs" UI row (round-11 verdict item 4) as a durable
+    // SpecStore type: app.py:215-224 holds per-run counters only in the
+    // volatile Flask session; here every convert appends a RunRecord to
+    // runs.json (E3's counter semantics, caller-injected timestamps so
+    // nothing reads a clock). Staged: orders rendered to three input CSVs
+    // (split by o_orderkey mod 3) and run through a mapping whose filter
+    // skips 'F' rows and whose lookup errors on 'P' (no _default) — so
+    // each run's success/skipped/error counters are all non-vacuous. The
+    // query serves the STORE; the oracle recomputes every counter from
+    // the raw orders table — a green row proves the persisted history
+    // agrees with what the engine actually did. Scale shape: the store is
+    // METADATA (one row per run, KBs at 100 TB); the runs themselves are
+    // ordinary distributed converts.
+    "dq21_run_history" -> { (s, dir) =>
+      import s.implicits._
+      val store = Scratch.staged(s"dq21_runs#$dir", "dq21_runs") { p =>
+        import java.nio.file.{Files => F, Paths}
+        F.createDirectories(Paths.get(p))
+        val src = Tables(s, dir).orders.select(
+          $"o_orderkey".cast("string").as("okey"),
+          $"o_orderstatus".as("status"))
+        val mapping = graft.spec.SpecStore.parseMapping("""{
+          "id": "runs_m", "name": "Runs demo",
+          "source_id": "s", "destination_id": "d",
+          "field_mappings": [
+            {"destination_field": "okey", "source_field": "okey",
+             "transform_type": "direct", "transform_config": {}},
+            {"destination_field": "status_name", "source_field": "status",
+             "transform_type": "lookup", "transform_config": {"O": "open"}}],
+          "filter_rules": [
+            {"field": "status", "operator": "equals", "value": "F"}]}""")
+        val runsJson = s"$p/runs.json"
+        (0 until 3).foreach { b =>
+          val inFile = s"$p/in_$b.csv"
+          graft.engine.CsvSink.writeSingleFile(
+            src.filter(pmod($"okey".cast("long"), lit(3)) === b),
+            Seq("okey", "status"), inFile)
+          val df = graft.engine.CsvSource.read(s, inFile,
+            graft.spec.FileSpec("s", "s"))
+          val r = graft.engine.Runner.convert(df, mapping, s"$p/out_$b.csv",
+            failOnError = false)
+          graft.spec.SpecStore.appendRun(runsJson, graft.spec.RunRecord(
+            id = s"run_${b + 1}", mappingId = mapping.id, kind = "convert",
+            inputFile = s"in_$b.csv",
+            outputFile = if (r.written) Some(s"out_$b.csv") else None,
+            successCount = r.successCount, skippedCount = r.skippedCount,
+            errorCount = r.errorCount, written = r.written,
+            startedAt = s"2026-01-01T00:00:0${b}Z",
+            finishedAt = s"2026-01-01T00:00:0${b}Z"))
+        }
+      }
+      // the served frame IS the persisted store (driver-side parse of
+      // run METADATA — one row per run, never data-scale)
+      val runs = graft.spec.SpecStore.loadRuns(s"$store/runs.json")
+      s.createDataFrame(runs.toSeq.map { case (id, r) =>
+        (id, r.mappingId, r.successCount, r.skippedCount, r.errorCount,
+          r.written)
+      }).toDF("run_id", "mapping_id", "n_success", "n_skipped", "n_errors",
+              "written")
+        .orderBy($"run_id")
+    },
     // c18: BACKFILL PLANNER — the ops question every 100 TB pipeline
     // owner asks after a logic change or a late-data burst: WHICH
     // partitions must re-run, and how big are they? The staged store is a
@@ -985,6 +1047,16 @@ object Quality extends QueryPack {
       WHERE COALESCE(m.version, 0) < 2 OR lt.day IS NOT NULL
       ORDER BY day""",
     // dq20: the suite's rules replayed as one aggregate + literal unpivot
+    // dq21: every persisted counter recomputed from raw orders — skip
+    // rule (status F), lookup success (O), lookup error (P, no _default)
+    "dq21_run_history" -> """
+      SELECT 'run_' || CAST((o_orderkey % 3) + 1 AS VARCHAR) AS run_id,
+             'runs_m' AS mapping_id,
+             (count(*) FILTER (WHERE o_orderstatus = 'O'))::BIGINT AS n_success,
+             (count(*) FILTER (WHERE o_orderstatus = 'F'))::BIGINT AS n_skipped,
+             (count(*) FILTER (WHERE o_orderstatus = 'P'))::BIGINT AS n_errors,
+             TRUE AS written
+      FROM orders GROUP BY 1, 2 ORDER BY 1""",
     "dq20_expectation_suite" -> """
       WITH a AS (SELECT
         count(*) FILTER (WHERE l_shipdate IS NULL) AS v0,

@@ -8,7 +8,7 @@ import scala.collection.immutable.VectorMap
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import graft.engine.{Api, RowEdit, RowError, TransformResult}
-import graft.spec.{ETLMapping, FileSpec, SpecJson, SpecStore, Templates}
+import graft.spec.{ETLMapping, FileSpec, RunRecord, SpecJson, SpecStore, Templates}
 
 /** Thin JSON-over-HTTP shim over the engine — the reference dashboard's API
   * surface (app.py) without the HTML rendering. Closes the EP2/EP3 loop
@@ -34,7 +34,10 @@ import graft.spec.{ETLMapping, FileSpec, SpecJson, SpecStore, Templates}
   *   POST /api/process/{source}         (all files, :161-231)
   */
 final class Dashboard(spark: SparkSession, configDir: String,
-                      inputDir: String, outputDir: String, port: Int = 0) {
+                      inputDir: String, outputDir: String, port: Int = 0,
+                      // injected so run-history timestamps are
+                      // deterministic under test (engine reads no clock)
+                      clock: () => String = () => java.time.Instant.now().toString) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   server.createContext("/", (ex: HttpExchange) => handle(ex))
@@ -46,6 +49,25 @@ final class Dashboard(spark: SparkSession, configDir: String,
   private def sourcesPath = s"$configDir/sources.json"
   private def destinationsPath = s"$configDir/destinations.json"
   private def mappingsPath = s"$configDir/mappings.json"
+  private def runsPath = s"$configDir/runs.json"
+  private def templatesPath = s"$configDir/templates.json"
+
+  /** D5 run history: persist one run's summary; ids are monotonically
+    * appended (`run_N`). Store size is one row per run — metadata, never
+    * data-scale. */
+  private def recordRun(kind: String, mapping: ETLMapping, input: String,
+                        out: Option[String], r: TransformResult,
+                        startedAt: String): RunRecord = {
+    val runs = SpecStore.loadRuns(runsPath)
+    val rec = graft.spec.RunRecord(
+      id = s"run_${runs.size + 1}", mappingId = mapping.id, kind = kind,
+      inputFile = Paths.get(input).getFileName.toString, outputFile = out,
+      successCount = r.successCount, skippedCount = r.skippedCount,
+      errorCount = r.errorCount, written = r.written,
+      startedAt = startedAt, finishedAt = clock())
+    SpecStore.appendRun(runsPath, rec)
+    rec
+  }
 
   // ---- plumbing ----
 
@@ -113,6 +135,53 @@ final class Dashboard(spark: SparkSession, configDir: String,
         convert(ex, sourceId, filename)
       case "api" :: "process" :: sourceId :: Nil if post =>
         process(ex, sourceId)
+      // D6 mapping-template library: CRUD over templates.json plus
+      // instantiate-with-rename into the mapping store
+      case "api" :: "templates" :: Nil if !post =>
+        respond(ex, 200, SpecStore.loadTemplates(templatesPath)
+          .map { case (k, v) => k -> SpecJson.etlMappingDict(v) })
+      case "api" :: "templates" :: Nil =>
+        val t = SpecStore.parseMapping(readBody(ex))
+        SpecStore.upsertTemplate(templatesPath, t)
+        respond(ex, 200, VectorMap("success" -> true, "id" -> t.id))
+      case "api" :: "templates" :: id :: "delete" :: Nil if post =>
+        respond(ex, 200, VectorMap(
+          "success" -> SpecStore.deleteTemplate(templatesPath, id)))
+      case "api" :: "templates" :: id :: "instantiate" :: Nil if post =>
+        SpecStore.loadTemplates(templatesPath).get(id) match {
+          case None => err(ex, 404, "Template not found")
+          case Some(t) =>
+            val data = SpecStore.parseAny(readBody(ex)).asInstanceOf[Map[String, Any]]
+            def field(k: String, d: String) = data.get(k).map(String.valueOf).getOrElse(d)
+            val m = Templates.instantiate(t,
+              newId = field("id", s"${id}_copy"),
+              newName = field("name", t.name),
+              sourceId = field("source_id", t.sourceId),
+              destinationId = field("destination_id", t.destinationId))
+            SpecStore.upsertMapping(mappingsPath, m)
+            respond(ex, 200, VectorMap("success" -> true, "id" -> m.id))
+        }
+      // save an existing mapping back into the library
+      case "api" :: "mappings" :: id :: "save_template" :: Nil if post =>
+        SpecStore.loadMappings(mappingsPath).get(id) match {
+          case None => err(ex, 404, "Mapping not found")
+          case Some(m) =>
+            val data = SpecStore.parseAny(readBody(ex)).asInstanceOf[Map[String, Any]]
+            val tid = data.get("template_id").map(String.valueOf).getOrElse(s"${id}_template")
+            val tname = data.get("name").map(String.valueOf).getOrElse(m.name)
+            SpecStore.upsertTemplate(templatesPath, m.copy(id = tid, name = tname))
+            respond(ex, 200, VectorMap("success" -> true, "id" -> tid))
+        }
+      case "templates" :: Nil if !post =>
+        html(ex, Pages.templateList(SpecStore.loadTemplates(templatesPath)))
+      // D5 run history: the durable twin of the reference's session-held
+      // conversion counters (app.py:215-224)
+      case "api" :: "runs" :: Nil if !post =>
+        respond(ex, 200, SpecStore.loadRuns(runsPath)
+          .map { case (k, v) => k -> SpecJson.runRecordDict(v) })
+      case "runs" :: Nil if !post =>
+        html(ex, Pages.runList(SpecStore.loadRuns(runsPath),
+          SpecStore.loadMappings(mappingsPath)))
       // ---- server-rendered pages (reference app.py:53-101, :237-448,
       // :492-513; original markup in Pages.scala, state from SpecStore) ----
       case ("" :: Nil | Nil) if !post =>
@@ -406,7 +475,10 @@ final class Dashboard(spark: SparkSession, configDir: String,
       val data = SpecStore.parseAny(readBody(ex)).asInstanceOf[Map[String, Any]]
       val mappingId = data.get("mapping_id").map(String.valueOf)
       withMappingDest(ex, mappingId) { (mapping, destination) =>
+        val startedAt = clock()
         val (result, outName) = convertOne(source, path, mapping, destination)
+        recordRun("convert", mapping, path,
+          if (result.written) Some(outName) else None, result, startedAt)
         if (result.errorCount > 0)
           respond(ex, 400, VectorMap[String, Any](
             "success" -> false,
@@ -446,7 +518,10 @@ final class Dashboard(spark: SparkSession, configDir: String,
           var (success, skipped, errors) = (0L, 0L, 0L)
           val allErrors = List.newBuilder[VectorMap[String, Any]]
           files.foreach { f =>
-            val (r, _) = convertOne(source, f.toString, mapping, destination)
+            val startedAt = clock()
+            val (r, outName) = convertOne(source, f.toString, mapping, destination)
+            recordRun("process", mapping, f.toString,
+              if (r.written) Some(outName) else None, r, startedAt)
             success += r.successCount; skipped += r.skippedCount
             errors += r.errorCount
             // reference app.py:209 carries the raw row dict per error;

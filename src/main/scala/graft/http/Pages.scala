@@ -1,6 +1,6 @@
 package graft.http
 
-import graft.spec.{ETLMapping, FileSpec}
+import graft.spec.{ETLMapping, FileSpec, RunRecord}
 
 /** Server-rendered HTML over the dashboard state — the reference's primary
   * UX (app.py:53-101 index, :237-448 spec/mapping pages, :492-513 preview;
@@ -85,6 +85,37 @@ object Pages {
     page("Mappings",
       s"""<table><tr><th>id</th><th>name</th><th>source</th><th>destination</th>
          |<th>fields</th><th></th></tr>$rows</table>""".stripMargin)
+  }
+
+  /** D6 template-library page: saved mapping templates with their shape
+    * and the instantiate endpoint each one answers to. */
+  def templateList(templates: Map[String, ETLMapping]): String = {
+    val rows = templates.toSeq.sortBy(_._1).map { case (id, t) =>
+      s"""<tr><td>${esc(id)}</td><td>${esc(t.name)}</td>
+         |<td>${t.fieldMappings.length}</td><td>${t.filterRules.length}</td>
+         |<td><code>POST /api/templates/${esc(id)}/instantiate</code></td></tr>""".stripMargin
+    }.mkString
+    page("Mapping templates",
+      s"""<table><tr><th>id</th><th>name</th><th>fields</th><th>filters</th>
+         |<th>instantiate</th></tr>$rows</table>""".stripMargin)
+  }
+
+  /** D5 run-history page: every recorded convert/process run, newest last
+    * (store order = append order), with its mapping name and counters. */
+  def runList(runs: Map[String, RunRecord],
+              mappings: Map[String, ETLMapping]): String = {
+    val rows = runs.toSeq.map { case (id, r) =>
+      val mname = mappings.get(r.mappingId).map(_.name).getOrElse(r.mappingId)
+      s"""<tr><td>${esc(id)}</td><td>${esc(r.kind)}</td><td>${esc(mname)}</td>
+         |<td>${esc(r.inputFile)}</td><td>${esc(r.outputFile.getOrElse(""))}</td>
+         |<td>${r.successCount}</td><td>${r.skippedCount}</td><td>${r.errorCount}</td>
+         |<td>${if (r.written) "yes" else "no"}</td>
+         |<td>${esc(r.startedAt)}</td><td>${esc(r.finishedAt)}</td></tr>""".stripMargin
+    }.mkString
+    page("Run history",
+      s"""<table><tr><th>run</th><th>kind</th><th>mapping</th><th>input</th>
+         |<th>output</th><th>ok</th><th>skipped</th><th>errors</th>
+         |<th>written</th><th>started</th><th>finished</th></tr>$rows</table>""".stripMargin)
   }
 
   /** Visual mapping editor: source columns on the left, destination fields

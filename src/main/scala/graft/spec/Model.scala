@@ -140,3 +140,23 @@ final case class ExpectationSuite(
     name: String,
     table: String = "",
     expectations: Seq[Expectation] = Nil)
+
+/** One convert/validate/process run's persisted summary (D5 run history —
+  * reference ROADMAP's "Conversion history and logs" UI row; app.py:215-224
+  * aggregates these counts into the volatile Flask session, this store
+  * makes them durable and queryable as a `runs.json` SpecStore type).
+  * Timestamps are CALLER-injected ISO-8601 strings — the engine never reads
+  * a clock (deterministic specs/oracles; the Dashboard injects real time
+  * through its clock parameter). */
+final case class RunRecord(
+    id: String,
+    mappingId: String,
+    kind: String, // "convert" | "validate" | "process"
+    inputFile: String,
+    outputFile: Option[String],
+    successCount: Long,
+    skippedCount: Long,
+    errorCount: Long,
+    written: Boolean,
+    startedAt: String,
+    finishedAt: String)

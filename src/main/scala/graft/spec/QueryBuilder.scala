@@ -44,20 +44,41 @@ object QueryBuilder {
   private def lit(v: String): String = "'" + v.replace("'", "''") + "'"
 
   /** one rule's MATCH predicate (the skip condition), or None if the rule
-    * must stay engine-side. */
+    * must stay engine-side.
+    *
+    * NULL handling mirrors FilterCompiler's null-safe `<=>` semantics
+    * EXACTLY (round-11 advice: the naive `f = 'x'` / `f IN (...)` render
+    * evaluates UNKNOWN on NULL inside `NOT(...)` and DROPS rows the engine
+    * keeps). Three-valued logic is defused with explicit IS [NOT] NULL
+    * conjuncts instead of boolean literals, so the SQL stays portable to
+    * dialects without TRUE/FALSE:
+    *   - equals 'x':      matches iff f IS NOT NULL AND f = 'x'
+    *   - equals  ∅:       value absent → engine compares `c <=> NULL`,
+    *                      i.e. matches iff f IS NULL (pushable, not '')
+    *   - not_equals 'x':  matches iff f IS NULL OR f <> 'x'
+    *   - not_equals ∅:    matches iff f IS NOT NULL
+    *   - in (…):          matches iff f IS NOT NULL AND f IN (…)
+    *   - not_in (…):      matches iff f IS NULL OR f NOT IN (…)  (Q1 polarity)
+    */
   private def matchSql(r: FilterRule): Option[String] = {
     val f = ident(r.field)
     r.operator match {
-      case "equals"       => Some(s"$f = ${lit(r.value.getOrElse(""))}")
-      case "not_equals"   => Some(s"$f <> ${lit(r.value.getOrElse(""))}")
+      case "equals" => Some(r.value match {
+        case Some(v) => s"($f IS NOT NULL AND $f = ${lit(v)})"
+        case None    => s"$f IS NULL"
+      })
+      case "not_equals" => Some(r.value match {
+        case Some(v) => s"($f IS NULL OR $f <> ${lit(v)})"
+        case None    => s"$f IS NOT NULL"
+      })
       case "in" =>
         // an empty list would render `IN ()` — invalid SQL; fail at build
         require(r.values.nonEmpty, s"in rule on ${r.field}: empty value list")
-        Some(s"$f IN (${r.values.map(lit).mkString(", ")})")
+        Some(s"($f IS NOT NULL AND $f IN (${r.values.map(lit).mkString(", ")}))")
       // Q1 literal polarity: skip if NOT in the list
       case "not_in" =>
         require(r.values.nonEmpty, s"not_in rule on ${r.field}: empty value list")
-        Some(s"$f NOT IN (${r.values.map(lit).mkString(", ")})")
+        Some(s"($f IS NULL OR $f NOT IN (${r.values.map(lit).mkString(", ")}))")
       case "is_empty"     => Some(s"($f IS NULL OR $f = '')")
       case "is_not_empty" => Some(s"($f IS NOT NULL AND $f <> '')")
       case _              => None // contains (str(None) quirk) etc: residual

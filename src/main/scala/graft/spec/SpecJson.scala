@@ -158,6 +158,22 @@ object SpecJson {
   def dumpPipelines(ps: collection.Map[String, PipelineSpec]): String =
     dumps(ps.map { case (k, v) => k -> pipelineSpecDict(v) })
 
+  def runRecordDict(r: RunRecord): VectorMap[String, Any] = VectorMap(
+    "id" -> r.id,
+    "mapping_id" -> r.mappingId,
+    "kind" -> r.kind,
+    "input_file" -> r.inputFile,
+    "output_file" -> r.outputFile.orNull,
+    "success_count" -> r.successCount,
+    "skipped_count" -> r.skippedCount,
+    "error_count" -> r.errorCount,
+    "written" -> r.written,
+    "started_at" -> r.startedAt,
+    "finished_at" -> r.finishedAt)
+
+  def dumpRuns(rs: collection.Map[String, RunRecord]): String =
+    dumps(rs.map { case (k, v) => k -> runRecordDict(v) })
+
   def dumpFileSpecs(specs: collection.Map[String, FileSpec]): String =
     dumps(specs.map { case (k, v) => k -> fileSpecDict(v) })
 

@@ -127,6 +127,19 @@ object SpecStore {
     table = text(n, "table"),
     expectations = arr(n, "expectations").map(expectation))
 
+  def runRecord(n: JsonNode): RunRecord = RunRecord(
+    id = text(n, "id"),
+    mappingId = text(n, "mapping_id"),
+    kind = text(n, "kind", "convert"),
+    inputFile = text(n, "input_file"),
+    outputFile = optText(n, "output_file"),
+    successCount = Option(n.get("success_count")).filterNot(_.isNull).map(_.asLong).getOrElse(0L),
+    skippedCount = Option(n.get("skipped_count")).filterNot(_.isNull).map(_.asLong).getOrElse(0L),
+    errorCount = Option(n.get("error_count")).filterNot(_.isNull).map(_.asLong).getOrElse(0L),
+    written = bool(n, "written", d = false),
+    startedAt = text(n, "started_at"),
+    finishedAt = text(n, "finished_at"))
+
   private def readKeyed[T](path: String, f: JsonNode => T): Map[String, T] = {
     val root = mapper.readTree(Files.readString(Paths.get(path)))
     VectorMap.from(root.properties.iterator.asScala.map(e => e.getKey -> f(e.getValue)))
@@ -215,6 +228,38 @@ object SpecStore {
     if (!ps.contains(id)) false
     else { savePipelines(path, ps - id); true }
   }
+
+  // ---- D6 mapping-template library: templates.json holds UNBOUND mappings
+  // (same wire shape as mappings.json — ETLMapping's codec/serializer are
+  // reused byte-for-byte); instantiation copies a template into the mapping
+  // store under new identity/bindings (Templates.instantiate) ----
+
+  def loadTemplates(path: String): Map[String, ETLMapping] = loadMappings(path)
+
+  def saveTemplates(path: String, ts: collection.Map[String, ETLMapping]): Unit =
+    saveMappings(path, ts)
+
+  def upsertTemplate(path: String, t: ETLMapping): Unit =
+    saveTemplates(path, upsertOrdered(loadTemplates(path), t.id, t))
+
+  def deleteTemplate(path: String, id: String): Boolean = {
+    val ts = loadTemplates(path)
+    if (!ts.contains(id)) false
+    else { saveTemplates(path, ts - id); true }
+  }
+
+  def loadRuns(path: String): Map[String, RunRecord] =
+    if (Files.exists(Paths.get(path))) readKeyed(path, runRecord) else VectorMap.empty
+
+  def saveRuns(path: String, rs: collection.Map[String, RunRecord]): Unit =
+    Files.writeString(Paths.get(path), SpecJson.dumpRuns(rs))
+
+  /** Append one run (ids are caller-unique; an existing id keeps position —
+    * the CPython dict upsert all stores share). */
+  def appendRun(path: String, r: RunRecord): Unit =
+    saveRuns(path, upsertOrdered(loadRuns(path), r.id, r))
+
+  def parseRun(json: String): RunRecord = runRecord(mapper.readTree(json))
 
   def deleteMapping(path: String, id: String): Boolean = {
     val ms = loadMappings(path)

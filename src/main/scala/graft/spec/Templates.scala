@@ -30,6 +30,15 @@ object Templates {
       Seq(spec.columns.map(_.name), spec.columns.map(dummyValue)), delim)
   }
 
+  /** D6 mapping-template instantiation: copy a saved template into a
+    * concrete mapping under a new identity and source/destination binding.
+    * Field mappings and filter rules carry over verbatim — a template is
+    * exactly an unbound mapping (ROADMAP's "Mapping templates library"). */
+  def instantiate(template: ETLMapping, newId: String, newName: String,
+                  sourceId: String, destinationId: String): ETLMapping =
+    template.copy(id = newId, name = newName,
+      sourceId = sourceId, destinationId = destinationId)
+
   /** Create `baseDir/default_directory` and write the template file (no-ops
     * mirror the reference: no directory configured, or no columns). Returns
     * the written path, if any. */

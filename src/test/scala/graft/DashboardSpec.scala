@@ -265,4 +265,92 @@ class DashboardSpec extends AnyFunSuite {
         s"row_data must be the errored line's cells, got $rd")
     }
   }
+  test("D5 run history: converts append durable RunRecords served by /api/runs and /runs") {
+    // fresh isolated dashboard with a DETERMINISTIC clock — run ids and
+    // timestamps must be stable regardless of what other tests ran
+    val cfg = Files.createTempDirectory("dash-cfg5")
+    val in5 = Files.createTempDirectory("dash-in5")
+    val out5 = Files.createTempDirectory("dash-out5")
+    Seq("sources.json", "destinations.json", "mappings.json").foreach(f =>
+      Files.copy(Paths.get(cfgSrc, f), cfg.resolve(f)))
+    val d = in5.resolve("revolut_stocks")
+    Files.createDirectories(d)
+    Files.write(d.resolve("a.csv"),
+      ("Date,Ticker,Type,Quantity,Price per share,Total Amount,Currency\r\n" +
+       "2024-01-15T10:30:00,AAPL,BUY,10,185.5,1855.0,USD\r\n")
+        .getBytes(StandardCharsets.UTF_8))
+    var tick = 0
+    val dash = new Dashboard(TestSpark.spark, cfg.toString, in5.toString,
+      out5.toString, clock = () => { tick += 1; s"t$tick" })
+    dash.start()
+    try {
+      val b = s"http://127.0.0.1:${dash.boundPort}"
+      def post5(path: String, body: String) =
+        client.send(HttpRequest.newBuilder(URI.create(s"$b$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      def get5(path: String) =
+        client.send(HttpRequest.newBuilder(URI.create(s"$b$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      val mapping = """{
+        "id": "hist_m", "name": "History Mapping",
+        "source_id": "revolut_stocks", "destination_id": "ghostfolio",
+        "description": "", "filter_rules": [],
+        "field_mappings": [
+          {"destination_field": "date", "source_field": "Date",
+           "transform_type": "direct", "transform_config": {}}]}"""
+      assert(post5("/api/mappings", mapping).statusCode() == 200)
+      assert(post5("/api/preview/revolut_stocks/a.csv/convert",
+        """{"mapping_id": "hist_m"}""").statusCode() == 200)
+      assert(post5("/api/process/revolut_stocks",
+        """{"mapping_id": "hist_m"}""").statusCode() == 200)
+      // store on disk: run_1 (convert) + run_2 (process over the one file)
+      val runs = SpecStore.loadRuns(cfg.resolve("runs.json").toString)
+      assert(runs.keysIterator.toSeq == Seq("run_1", "run_2"))
+      assert(runs("run_1").kind == "convert" && runs("run_2").kind == "process")
+      assert(runs("run_1").successCount == 1L && runs("run_1").written)
+      assert(runs("run_1").startedAt == "t1" && runs("run_1").finishedAt == "t2")
+      // JSON API serves the same records
+      val api = asMap(get5("/api/runs").body())
+      assert(api.keySet == Set("run_1", "run_2"))
+      val r1 = api("run_1").asInstanceOf[Map[String, Any]]
+      assert(r1("success_count") == 1L && r1("written") == true &&
+        r1("output_file") == "a_ghostfolio.csv")
+      // HTML history page names the mapping and the counters
+      val page = get5("/runs").body()
+      assert(page.contains("History Mapping") && page.contains("run_2") &&
+        page.contains("a.csv"))
+    } finally dash.stop()
+  }
+
+  test("D6 template library: CRUD + instantiate-with-rename over HTTP") {
+    val template = """{
+      "id": "tpl_direct", "name": "Direct Template",
+      "source_id": "", "destination_id": "",
+      "description": "", "filter_rules": [],
+      "field_mappings": [
+        {"destination_field": "date", "source_field": "Date",
+         "transform_type": "direct", "transform_config": {}}]}"""
+    assert(asMap(post("/api/templates", template)._2)("success") == true)
+    // listed by the API and rendered on the library page
+    assert(asMap(get("/api/templates")._2).contains("tpl_direct"))
+    val page = get("/templates")._2
+    assert(page.contains("tpl_direct") && page.contains("Direct Template"))
+    // instantiate into the MAPPING store under a new identity/binding
+    val (ic, ib) = post("/api/templates/tpl_direct/instantiate",
+      """{"id": "from_tpl", "name": "From Template",
+         "source_id": "revolut_stocks", "destination_id": "ghostfolio"}""")
+    assert(ic == 200 && asMap(ib)("id") == "from_tpl")
+    val ms = asMap(get("/api/mappings")._2)
+    val m = ms("from_tpl").asInstanceOf[Map[String, Any]]
+    assert(m("source_id") == "revolut_stocks" && m("name") == "From Template")
+    // save an existing mapping back into the library, then delete both
+    assert(asMap(post("/api/mappings/from_tpl/save_template",
+      """{"template_id": "tpl_back", "name": "Saved Back"}""")._2)("success") == true)
+    assert(asMap(get("/api/templates")._2).contains("tpl_back"))
+    assert(asMap(post("/api/templates/tpl_back/delete", "")._2)("success") == true)
+    assert(asMap(post("/api/templates/tpl_back/delete", "")._2)("success") == false)
+    assert(post("/api/templates/ghost/instantiate", "{}")._1 == 404)
+    assert(asMap(post("/api/mappings/from_tpl/delete", "")._2)("success") == true)
+  }
 }

@@ -79,4 +79,46 @@ class JdbcPushdownSpec extends AnyFunSuite {
       assert(viaDb == local, s"rules $rules: pushed=$viaDb local=$local")
     }
   }
+
+  test("k37: QueryBuilder SQL executed on Derby == FilterCompiler on NULL-bearing rows") {
+    // round-11 advice (medium): the pushed WHERE must keep exactly the rows
+    // the engine keeps when the filtered column holds SQL NULL. Run the
+    // compiled query ON the database and compare with the engine-side
+    // keepPredicate over the raw read, for every pushable rule shape —
+    // including the missing-`value` forms the old render defaulted to ''.
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE T_NULLS (ID BIGINT NOT NULL PRIMARY KEY, FLAG VARCHAR(4))")
+      st.executeUpdate(
+        "INSERT INTO T_NULLS VALUES (1,'N'),(2,'A'),(3,NULL),(4,''),(5,'R')")
+      st.close()
+    } finally c.close()
+    val tbl = spark.read.jdbc(url, "T_NULLS", derbyProps)
+    val ruleSets = Seq(
+      Seq(graft.spec.FilterRule("FLAG", "equals", Some("N"))),
+      Seq(graft.spec.FilterRule("FLAG", "not_equals", Some("N"))),
+      Seq(graft.spec.FilterRule("FLAG", "in", values = Seq("A", "R"))),
+      Seq(graft.spec.FilterRule("FLAG", "not_in", values = Seq("A", "R"))),
+      Seq(graft.spec.FilterRule("FLAG", "is_empty")),
+      Seq(graft.spec.FilterRule("FLAG", "is_not_empty")),
+      Seq(graft.spec.FilterRule("FLAG", "equals", None)),
+      Seq(graft.spec.FilterRule("FLAG", "not_equals", None)),
+      Seq(graft.spec.FilterRule("FLAG", "equals", Some("N")),
+          graft.spec.FilterRule("FLAG", "not_in", values = Seq("A"))))
+    for (rules <- ruleSets) {
+      val q = graft.spec.QuerySpec("p", "T_NULLS", Seq("ID", "FLAG"),
+        filters = rules)
+      val (sql, residual) = graft.spec.QueryBuilder.compile(q)
+      assert(residual.isEmpty, s"unexpected residual for $rules")
+      val pushed = spark.read.jdbc(url, s"($sql) P", derbyProps)
+        .select($"ID").collect().map(_.getLong(0)).sorted.toSeq
+      val engine = tbl.filter(graft.compile.FilterCompiler
+          .keepPredicate(rules, tbl.columns.toSet))
+        .select($"ID").collect().map(_.getLong(0)).sorted.toSeq
+      assert(pushed == engine,
+        s"rules $rules: pushed=$pushed engine=$engine\nsql=$sql")
+    }
+  }
 }

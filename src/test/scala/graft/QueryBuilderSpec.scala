@@ -20,9 +20,34 @@ class QueryBuilderSpec extends AnyFunSuite {
     val (sql, residual) = QueryBuilder.compile(q)
     assert(sql ==
       """SELECT "A", "B" FROM "T"""" +
-      """ WHERE NOT ("A" = 'x' OR "B" NOT IN ('p', 'q'))""" +
+      """ WHERE NOT (("A" IS NOT NULL AND "A" = 'x')""" +
+      """ OR ("B" IS NULL OR "B" NOT IN ('p', 'q')))""" +
       """ ORDER BY "B" DESC, "A" ASC FETCH FIRST 10 ROWS ONLY""")
     assert(residual.isEmpty)
+  }
+
+  test("null-safe render mirrors FilterCompiler: NULL rows survive NOT(equals/in)") {
+    // engine: equals/in never match a NULL cell (`c <=> v`), so NOT(skip)
+    // KEEPS null rows; not_equals/not_in DO match NULL, so it drops them
+    val eq = QueryBuilder.compile(QuerySpec("q", "T", Seq("A"), filters = Seq(
+      FilterRule("A", "equals", Some("x")),
+      FilterRule("B", "in", values = Seq("p")))))._1
+    assert(eq.contains("""("A" IS NOT NULL AND "A" = 'x')"""))
+    assert(eq.contains("""("B" IS NOT NULL AND "B" IN ('p'))"""))
+    val ne = QueryBuilder.compile(QuerySpec("q", "T", Seq("A"), filters = Seq(
+      FilterRule("A", "not_equals", Some("x")))))._1
+    assert(ne.contains("""("A" IS NULL OR "A" <> 'x')"""))
+  }
+
+  test("a missing value compiles to the engine's null comparison, not ''") {
+    // FilterCompiler builds `c <=> NULL` when value is absent — skip iff
+    // the cell is NULL; the old render compared against '' instead
+    val eqNull = QueryBuilder.compile(QuerySpec("q", "T", Seq("A"),
+      filters = Seq(FilterRule("A", "equals", None))))._1
+    assert(eqNull == """SELECT "A" FROM "T" WHERE NOT ("A" IS NULL)""")
+    val neNull = QueryBuilder.compile(QuerySpec("q", "T", Seq("A"),
+      filters = Seq(FilterRule("A", "not_equals", None))))._1
+    assert(neNull == """SELECT "A" FROM "T" WHERE NOT ("A" IS NOT NULL)""")
   }
 
   test("contains rules are returned as residuals, not mistranslated") {
@@ -30,7 +55,8 @@ class QueryBuilderSpec extends AnyFunSuite {
       FilterRule("A", "equals", Some("x")),
       FilterRule("A", "contains", Some("z"))))
     val (sql, residual) = QueryBuilder.compile(q)
-    assert(sql == """SELECT "A" FROM "T" WHERE NOT ("A" = 'x')""")
+    assert(sql ==
+      """SELECT "A" FROM "T" WHERE NOT (("A" IS NOT NULL AND "A" = 'x'))""")
     assert(residual.map(_.operator) == Seq("contains"))
   }
 

@@ -123,3 +123,58 @@ class SurfaceSpec extends AnyFunSuite {
       === new String(Files.readAllBytes(work), StandardCharsets.UTF_8))
   }
 }
+
+/** D5 run-history + D6 template-library store pins: byte round-trips
+  * against CPython json.dumps(..., indent=2) and the CRUD contract. */
+class RunTemplateStoreSpec extends AnyFunSuite {
+
+  private val r1 = RunRecord("run_1", "m1", "convert", "a.csv", Some("a_out.csv"),
+    2L, 1L, 0L, written = true, "2026-01-01T00:00:00Z", "2026-01-01T00:00:01Z")
+  private val r2 = RunRecord("run_2", "m1", "process", "b.csv", None,
+    0L, 3L, 2L, written = false, "2026-01-01T00:01:00Z", "2026-01-01T00:01:05Z")
+
+  // CPython: json.dumps({...}, indent=2) over the same two records
+  private val pyGolden =
+    "{\n  \"run_1\": {\n    \"id\": \"run_1\",\n    \"mapping_id\": \"m1\",\n    \"kind\": \"convert\",\n    \"input_file\": \"a.csv\",\n    \"output_file\": \"a_out.csv\",\n    \"success_count\": 2,\n    \"skipped_count\": 1,\n    \"error_count\": 0,\n    \"written\": true,\n    \"started_at\": \"2026-01-01T00:00:00Z\",\n    \"finished_at\": \"2026-01-01T00:00:01Z\"\n  },\n  \"run_2\": {\n    \"id\": \"run_2\",\n    \"mapping_id\": \"m1\",\n    \"kind\": \"process\",\n    \"input_file\": \"b.csv\",\n    \"output_file\": null,\n    \"success_count\": 0,\n    \"skipped_count\": 3,\n    \"error_count\": 2,\n    \"written\": false,\n    \"started_at\": \"2026-01-01T00:01:00Z\",\n    \"finished_at\": \"2026-01-01T00:01:05Z\"\n  }\n}"
+
+  test("runs.json serializes byte-identically to CPython json.dumps") {
+    assert(SpecJson.dumpRuns(VectorMap("run_1" -> r1, "run_2" -> r2)) == pyGolden)
+  }
+
+  test("runs.json append + reload round-trips byte-for-byte") {
+    val p = Files.createTempFile("runs", ".json").toString
+    SpecStore.appendRun(p, r1)
+    SpecStore.appendRun(p, r2)
+    val loaded = SpecStore.loadRuns(p)
+    assert(loaded == VectorMap("run_1" -> r1, "run_2" -> r2))
+    // dump(load(x)) == x — the byte-stability every SpecStore type pins
+    assert(SpecJson.dumpRuns(loaded)
+      == new String(Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8))
+    // an existing id upserts in place (CPython dict semantics)
+    SpecStore.appendRun(p, r1.copy(errorCount = 9L))
+    val again = SpecStore.loadRuns(p)
+    assert(again.keysIterator.toSeq == Seq("run_1", "run_2"))
+    assert(again("run_1").errorCount == 9L)
+  }
+
+  test("template CRUD round-trips through the mapping codec and instantiates") {
+    val p = Files.createTempFile("templates", ".json").toString
+    val t = ETLMapping(id = "std_etl", name = "Standard ETL",
+      sourceId = "", destinationId = "",
+      fieldMappings = Seq(
+        FieldMapping("n", Some("name"), "direct", VectorMap.empty),
+        FieldMapping("c", None, "constant", VectorMap("value" -> 1L))),
+      filterRules = Seq(FilterRule("status", "equals", value = Some("dead"))))
+    SpecStore.upsertTemplate(p, t)
+    val back = SpecStore.loadTemplates(p)("std_etl")
+    assert(back.fieldMappings == t.fieldMappings &&
+      back.filterRules.map(_.operator) == Seq("equals"))
+    // instantiate-with-rename: identity/bindings change, shape carries over
+    val m = Templates.instantiate(back, "etl_a", "ETL for A", "src_a", "dst_a")
+    assert(m.id == "etl_a" && m.name == "ETL for A" &&
+      m.sourceId == "src_a" && m.destinationId == "dst_a" &&
+      m.fieldMappings == t.fieldMappings)
+    assert(SpecStore.deleteTemplate(p, "std_etl"))
+    assert(!SpecStore.deleteTemplate(p, "std_etl"))
+  }
+}
