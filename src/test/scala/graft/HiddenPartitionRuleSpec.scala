@@ -58,6 +58,32 @@ class HiddenPartitionRuleSpec extends AnyFunSuite {
     assert(!df.queryExecution.optimizedPlan.toString.contains("p_month"))
   }
 
+  test("registration through a symlink matches a read through the real path") {
+    // round-11 verdict observation: raw string keys silently missed when
+    // register and read used different aliases of the same directory; the
+    // registry now resolves real paths on both sides
+    import spark.implicits._
+    val real = store // registered above under its real path
+    val linkDir = graft.Scratch.dir("hp_link")
+    val link = linkDir.resolve("alias")
+    java.nio.file.Files.createSymbolicLink(link, java.nio.file.Path.of(real))
+    // read through the SYMLINK: the rule must still fire
+    val df = spark.read.parquet(link.toString)
+      .filter($"o_orderdate" >= "1995-03-01" && $"o_orderdate" < "1995-06-01")
+      .agg(count(lit(1)))
+    assert(df.queryExecution.optimizedPlan.toString.contains("p_month"),
+      "rule missed a symlink alias of a registered root")
+    // and the inverse: register through an alias, read through the real path
+    val link2 = linkDir.resolve("alias2")
+    java.nio.file.Files.createSymbolicLink(link2, java.nio.file.Path.of(real))
+    HiddenPartitions.register(link2.toString, Seq(
+      HiddenPartitions.MonthOf("o_orderdate", "p_month")))
+    val df2 = spark.read.parquet(real)
+      .filter($"o_orderdate" >= "1995-03-01" && $"o_orderdate" < "1995-06-01")
+      .agg(count(lit(1)))
+    assert(df2.queryExecution.optimizedPlan.toString.contains("p_month"))
+  }
+
   test("month cover: inclusive start, exclusive end, empty range") {
     def micros(s: String) =
       java.time.LocalDate.parse(s).atStartOfDay(java.time.ZoneOffset.UTC)
