@@ -474,15 +474,17 @@ object Similarity extends QueryPack {
     // k'=3 of the top-10 so each addition maximizes rel(q,c) − max_{s∈S}
     // sim(c,s) (λ=1/2 MMR with the constant dropped — same argmax). The
     // diversity-aware sampling step a curation pipeline runs after ANN.
-    // Greedy is inherently sequential, so the 3 rounds UNROLL (x13's
-    // convention): each round is an anti-join (drop selected), a join to
-    // the k²-pair sim table, a per-candidate max, and a window argmax with
-    // vec_id tiebreak. Every cosine is the serial-fold kernel and every
-    // score a single IEEE subtract, so both engines pick identical chains.
-    // Scale shape: candidate pooling is v1's broadcast + partial top-k
-    // heaps over the corpus; everything AFTER the top-k touches only
-    // k rows (and k² sims) per query — selection cost is independent of
-    // corpus size.
+    // Candidate pooling is v1's broadcast + partial top-k heaps over the
+    // corpus; after the top-k, greedy selection is PER-QUERY local work
+    // over ≤k candidates, so it runs as ONE flatMapGroups (one exchange to
+    // co-locate each query's pool) with the greedy rounds in plain Scala —
+    // round 12 replaced the 3-round unrolled join chain, whose ~15
+    // k-row shuffle exchanges dominated the entry's cost (2.4 s of
+    // scheduling for microseconds of arithmetic; the round-11 verdict's
+    // item 8). Every cosine below is the SAME serial left-to-right fold as
+    // the VectorExprs.DotProduct kernel and the oracle's list_reduce, so
+    // scores stay bitwise identical; selection stays distributed (executor-
+    // side per group — at 1M queries the groups spread over the cluster).
     "v10_mmr_diversify" -> { (s, dir) =>
       import s.implicits._
       val e = Tables(s, dir).embeddings
@@ -499,44 +501,50 @@ object Similarity extends QueryPack {
         .select($"q_id", explode($"top").as("nb"))
         .select($"q_id", $"nb.vec_id".as("vec_id"), $"nb.cos".as("rel"))
       val cand = top.join(e, Seq("vec_id"))
-      val sim = cand
-        .select($"q_id", $"vec_id".as("a_id"), $"v".as("av"), $"norm2".as("an"))
-        .join(cand.select($"q_id", $"vec_id".as("b_id"), $"v".as("bv"),
-          $"norm2".as("bn")), Seq("q_id"))
-        .filter($"a_id" =!= $"b_id")
-        .withColumn("sim",
-          graft.functions.VectorExprs.cosine($"av", $"bv", $"an", $"bn"))
-        .select($"q_id", $"a_id".as("vec_id"), $"b_id", $"sim")
-        // persisted: K²-per-query rows, but every unrolled MMR round
-        // re-reads them — without the cache each round replays the full
-        // brute-force scan chain (d16's multi-consumer precedent)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val c0 = cand.select($"q_id", $"vec_id", $"rel")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      def pick(scored: DataFrame): DataFrame = {
-        val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
-        scored.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
-          .select($"q_id", $"vec_id", $"score")
+        .select($"q_id", $"vec_id", $"rel", $"v", $"norm2")
+        .as[(Long, Long, Double, Seq[Double], Double)]
+      val picked = cand.groupByKey(_._1).flatMapGroups { (qid, it) =>
+        // serial-fold cosine, bitwise-identical to the codegen'd kernel
+        def cos(a: Seq[Double], b: Seq[Double], na: Double, nb: Double): Double = {
+          val n = math.min(a.length, b.length)
+          var acc = 0.0
+          var i = 0
+          while (i < n) { acc += a(i) * b(i); i += 1 }
+          acc / (math.sqrt(na) * math.sqrt(nb))
+        }
+        val pool = it.toArray
+        val selected = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Double)]()
+        val chosen = scala.collection.mutable.ArrayBuffer[(Long, Seq[Double], Double)]()
+        var pick = 1L
+        while (pick <= 3L && chosen.size < pool.length) {
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < pool.length) {
+            val c = pool(i)
+            if (!chosen.exists(_._1 == c._2)) {
+              // pick 1 scores pure relevance; later picks subtract the max
+              // similarity to the already-selected set (IEEE max + subtract,
+              // the same ops the unrolled plan and the oracle perform)
+              val score =
+                if (pick == 1L) c._3
+                else c._3 - chosen.iterator
+                  .map(s => cos(c._4, s._2, c._5, s._3)).max
+              if (score > bestScore ||
+                  (score == bestScore && best >= 0 && c._2 < pool(best)._2)) {
+                best = i; bestScore = score
+              }
+            }
+            i += 1
+          }
+          val b = pool(best)
+          selected += ((qid, pick, b._2, bestScore))
+          chosen += ((b._2, b._4, b._5))
+          pick += 1L
+        }
+        selected.iterator
       }
-      // marginal score of every unselected candidate vs the selected set
-      def round(selected: DataFrame): DataFrame =
-        c0.join(selected.withColumnRenamed("sel_id", "vec_id"),
-            Seq("q_id", "vec_id"), "left_anti")
-          .join(sim, Seq("q_id", "vec_id"))
-          .join(selected, Seq("q_id"))
-          .filter($"b_id" === $"sel_id")
-          .groupBy($"q_id", $"vec_id", $"rel")
-          .agg(max($"sim").as("maxsim"))
-          .select($"q_id", $"vec_id", ($"rel" - $"maxsim").as("score"))
-      val s1 = pick(c0.select($"q_id", $"vec_id", $"rel".as("score")))
-      val sel1 = s1.select($"q_id", $"vec_id".as("sel_id"))
-      val s2 = pick(round(sel1))
-      val sel2 = sel1.unionByName(s2.select($"q_id", $"vec_id".as("sel_id")))
-      val s3 = pick(round(sel2))
-      s1.withColumn("pick", lit(1L))
-        .unionByName(s2.withColumn("pick", lit(2L)))
-        .unionByName(s3.withColumn("pick", lit(3L)))
-        .select($"q_id", $"pick", $"vec_id", $"score")
+      picked.toDF("q_id", "pick", "vec_id", "score")
         .orderBy($"q_id", $"pick")
     },
     // v11: ANN RECALL EVALUATION — the index-quality monitor a deployment
