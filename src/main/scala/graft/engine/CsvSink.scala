@@ -53,6 +53,11 @@ object CsvSink {
       .option("escape", "\"")       // RFC-4180 doubled quotes, like csv module
       .option("emptyValue", lone)   // like DictWriter
       .option("nullValue", lone)
+      // Spark's CSV writer TRIMS cell whitespace by default; csv.writer
+      // preserves it verbatim (fuzz case: a value ending in '\n' lost its
+      // newline inside the quoted cell)
+      .option("ignoreLeadingWhiteSpace", value = false)
+      .option("ignoreTrailingWhiteSpace", value = false)
       .mode("overwrite")
   }
 

@@ -23,7 +23,15 @@ object CsvSource {
       coalesce(col(s"`$c`"), lit("")).as(c)): _*)
 
   /** Fast path: header-driven all-string read; scales to a directory glob
-    * (one Spark job over many files — partitioned by file splits). */
+    * (one Spark job over many files — partitioned by file splits).
+    *
+    * Boundary vs the provenance reader: Spark's native CSV parser cannot
+    * distinguish a MISSING trailing cell from a present empty one, so this
+    * path folds both to "" (pyStrings). `readWithLineNumbers` preserves
+    * the DictReader None/"" distinction that lookup errors and null-safe
+    * filter rules observe — use it wherever reference-exact error/filter
+    * semantics on SHORT ROWS matter (the parity paths do); this reader is
+    * for well-formed rectangular data at scale. */
   def read(spark: SparkSession, path: String, spec: FileSpec): DataFrame =
     pyStrings(spark.read
       .option("header", spec.hasHeader)

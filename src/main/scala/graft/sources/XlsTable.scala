@@ -458,6 +458,16 @@ object XlsTable {
                 require(isst >= 0 && isst < sst.size,
                   s"LABELSST index $isst outside SST (${sst.size} strings)")
                 cell(u16(stream, b), u16(stream, b + 2), sst(isst))
+              case 0x0204 => // LABEL: inline XLUnicodeString (pre-SST
+                // writers and some exporters emit this instead of LABELSST)
+                require(len >= 9, s"malformed LABEL record (len $len)")
+                val cch = u16(stream, b + 6)
+                val wide = (stream(b + 8) & 1) != 0
+                val nBytes = cch * (if (wide) 2 else 1)
+                require(9 + nBytes <= len, "LABEL string overruns record")
+                val s0 = if (wide) new String(stream, b + 9, nBytes, "UTF-16LE")
+                         else new String(stream, b + 9, nBytes, "ISO-8859-1")
+                cell(u16(stream, b), u16(stream, b + 2), s0)
               case 0x0203 => // NUMBER
                 require(len == 14, s"malformed NUMBER record (len $len)")
                 val d = java.lang.Double.longBitsToDouble(

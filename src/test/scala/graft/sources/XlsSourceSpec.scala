@@ -78,10 +78,17 @@ class XlsSourceSpec extends AnyFunSuite {
       .putShort(0.toShort).putInt(fRk)                 // col 0
       .putShort(0.toShort).putInt((7 << 2) | 2)        // col 1
       .putShort(1.toShort).array())                    // colLast
+    // row 3: LABEL — inline string, the pre-SST form some exporters emit
+    val txt = "inline".getBytes("ISO-8859-1")
+    rec(0x0204, le(9 + txt.length).putShort(3.toShort).putShort(1.toShort)
+      .putShort(0.toShort).putShort(txt.length.toShort).put(0.toByte)
+      .put(txt).array())
     rec(0x000A, Array.emptyByteArray)                  // sheet EOF
-    val types: Array[DataType] = Array(DoubleType, DoubleType, DoubleType)
+    val types: Array[DataType] = Array(DoubleType, StringType, DoubleType)
     val got = XlsTable.sheetRows(out.toByteArray, 3, types).toSeq
-    assert(got == Seq(Row(42.0, null, 1.25), Row(2.5, 7.0, null)))
+    // numeric cell under a string schema column renders via toString
+    assert(got == Seq(Row(42.0, null, 1.25), Row(2.5, "7.0", null),
+      Row(null, "inline", null)))
   }
 
   test("malformed inputs are rejected with named errors") {

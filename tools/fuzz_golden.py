@@ -184,13 +184,36 @@ def gen_case(rng):
     return buf.getvalue(), mapping, rng.random() < 0.5
 
 
+# cells with embedded newlines: record ordinals diverge from physical file
+# lines, the multiline-reader path (readRecordsWithOrdinals). No SHORT rows
+# here — a whole-file CSV parser cannot represent DictReader's missing/empty
+# distinction, which the line-reader family (above) already covers.
+ML_EXTRA = ["li\nne", "a\n\nb", "end\n", "say \"hi\"\nbye", "x,y\nz"]
+
+
+def gen_case_ml(rng):
+    cols = rng.sample(COL_POOL, rng.randrange(3, 6))
+    rows = [[rng.choice(CELL_POOL + ML_EXTRA) for _ in cols]
+            for _ in range(rng.randrange(4, 10))]
+    buf = io.StringIO()
+    w = csv.writer(buf, lineterminator="\n")
+    w.writerow(cols)
+    w.writerows(rows)
+    dests_used = set()
+    mapping = {
+        "id": "fuzzml", "name": "FuzzML", "source_id": "s", "destination_id": "d",
+        "field_mappings": [gen_field_mapping(rng, cols, dests_used)
+                           for _ in range(rng.randrange(1, 5))],
+        "filter_rules": [gen_filter_rule(rng, cols)
+                         for _ in range(rng.randrange(0, 3))],
+    }
+    return buf.getvalue(), mapping, rng.random() < 0.5
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
-    names = []
-    for i in range(n):
-        rng = random.Random(BASE_SEED + i)
-        csv_text, mapping, fail_on_error = gen_case(rng)
-        name = f"case_{i:03d}"
+    n_ml = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    def run_case(name, csv_text, mapping, fail_on_error):
         src = OUT / f"{name}.csv"
         src.write_text(csv_text, encoding="utf-8")
         (OUT / f"{name}.mapping.json").write_text(
@@ -215,12 +238,27 @@ def main():
         }
         (OUT / f"{name}.result.json").write_text(
             json.dumps(golden, indent=1, ensure_ascii=False), encoding="utf-8")
+        return golden
+
+    names = []
+    for i in range(n):
+        rng = random.Random(BASE_SEED + i)
+        name = f"case_{i:03d}"
+        run_case(name, *gen_case(rng))
         names.append(name)
     (OUT / "cases.json").write_text(json.dumps(names))
-    written = sum(1 for c in names if (OUT / f"{c}.out.csv").exists())
+    ml_names = []
+    for i in range(n_ml):
+        rng = random.Random(BASE_SEED + 10000 + i)
+        name = f"case_ml_{i:03d}"
+        run_case(name, *gen_case_ml(rng))
+        ml_names.append(name)
+    (OUT / "cases_ml.json").write_text(json.dumps(ml_names))
+    alln = names + ml_names
+    written = sum(1 for c in alln if (OUT / f"{c}.out.csv").exists())
     errs = sum(json.loads((OUT / f"{c}.result.json").read_text())["error_count"]
-               for c in names)
-    print(f"{n} cases; {written} wrote output; {errs} total field errors")
+               for c in alln)
+    print(f"{n}+{n_ml} cases; {written} wrote output; {errs} total field errors")
 
 
 if __name__ == "__main__":
