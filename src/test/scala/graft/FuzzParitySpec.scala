@@ -81,6 +81,14 @@ class FuzzParitySpec extends AnyFunSuite {
         mismatches += s"output bytes: $firstDiff"
       }
     }
+    // dry-run twin (reference validate_file, dynamic.py:259-265): identical
+    // counts and error set, never a write — same goldens pin both modes
+    val v = Runner.validate(df, mapping)
+    check("validate.success", v.successCount, gold.get("success_count").asLong)
+    check("validate.skipped", v.skippedCount, gold.get("skipped_count").asLong)
+    check("validate.errors", v.errorCount, gold.get("error_count").asLong)
+    check("validate.written", v.written, false)
+
     if (mismatches.isEmpty) None else Some(s"$name → ${mismatches.mkString("; ")}")
   }
 
