@@ -48,7 +48,8 @@ object CsvSource {
   /** Provenance path: attaches the reference's 1-based file line numbers
     * (header = line 1, first data row = 2 — dynamic.py:302). Built from a
     * text scan + zipWithIndex (contiguous, unlike
-    * monotonically_increasing_id) and from_csv for quoted-field parsing.
+    * monotonically_increasing_id) and the csv-module-exact `parseLine`
+    * splitter for quoted-field parsing.
     *
     * Assumes no embedded newlines inside quoted fields (same rows the
     * reference's csv.DictReader would see line-aligned); use `read` when
@@ -117,7 +118,7 @@ object CsvSource {
     * are literal (`say "hi"` stays). Returns exactly the fields PRESENT on
     * the line — callers map absent trailing columns to null (DictReader's
     * None) and present-but-empty ones to "". */
-  private[engine] def parseLine(line: String, d: Char): Seq[String] = {
+  private[graft] def parseLine(line: String, d: Char): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     // 0 = field start, 1 = in unquoted, 2 = in quoted, 3 = after a quote
