@@ -479,6 +479,32 @@ object Formats extends QueryPack {
              sum($"o_orderkey").as("sum_keys"))
         .orderBy($"o_orderstatus")
     },
+    // k39: the BIFF8 source as a DATASOURCE V2 table — k38's decode behind
+    // `spark.read.format(...)`, the k22 connector discipline extended to
+    // the binary spreadsheet format: one partition per part file, and
+    // COLUMN PRUNING pushed into the cell decode (the projection below
+    // reads 2 of 3 columns — the scan's ReadSchema is plan-pinned in
+    // XlsSourceSpec, and the dropped o_orderkey column's cells are never
+    // type-decoded). Oracle aggregates the original parquet, so a green
+    // row pins container + record decode through Spark's own planner.
+    "k39_xls_dsv2" -> { (s, dir) =>
+      import s.implicits._
+      val base = Tables(s, dir).orders.select(
+        $"o_orderkey", $"o_orderstatus",
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      val tmp = Scratch.staged(s"k38_xls#$dir", "k38_xls") { p =>
+        val parts = (base.count() / 50000L + 1L).toInt
+        graft.sources.XlsTable.write(base.repartition(parts), p)
+      }
+      s.read.format("graft.sources.XlsTableProvider")
+        .schema(base.schema)
+        .option("path", tmp)
+        .load()
+        .select($"o_orderstatus", $"cents")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+        .orderBy($"o_orderstatus")
+    },
     // k34: HIDDEN PARTITIONING (Iceberg-style partition TRANSFORMS) — k7
     // prunes when the user filters on the partition COLUMN; real tables
     // partition on TRANSFORMS of data columns (months(ts), bucket(N, key))
@@ -2113,6 +2139,11 @@ object Formats extends QueryPack {
       SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
              SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS sum_cents,
              SUM(o_orderkey)::BIGINT AS sum_keys
+      FROM orders GROUP BY 1 ORDER BY 1""",
+    // k39: the DSv2 surface over the same staged parts, pruned projection
+    "k39_xls_dsv2" -> """
+      SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS sum_cents
       FROM orders GROUP BY 1 ORDER BY 1""",
     // k38: value preservation across the BIFF8 binary encode/decode
     "k38_xls_roundtrip" -> """

@@ -361,10 +361,41 @@ object XlsTable {
     if ((rk & 1) != 0) base / 100.0 else base
   }
 
-  /** Parse the first worksheet's cells. Returns (sst-decoded rows). */
+  /** Parse the first worksheet's cells as Rows in the FULL schema. */
   private[sources] def sheetRows(stream: Array[Byte], nCols: Int,
-                                 types: Array[DataType]): Iterator[Row] = {
-    // pass 1 record walk: collect SST, find substream boundaries
+                                 types: Array[DataType]): Iterator[Row] =
+    sheetRowsPruned(stream, nCols, types, (0 until nCols).toArray, types)
+      .map(a => Row.fromSeq(a.toIndexedSeq))
+
+  /** Column names from the header row (row 0) — schema-name inference for
+    * the DSv2 surface; values are untyped so inferred columns are string. */
+  private[sources] def headerNames(stream: Array[Byte]): Seq[String] = {
+    val (sst, sheetStart) = collectSst(stream)
+    val names = scala.collection.mutable.SortedMap[Int, String]()
+    var p = sheetStart
+    var done = false
+    while (!done && p + 4 <= stream.length) {
+      val id = u16(stream, p); val len = u16(stream, p + 2)
+      require(p + 4 + len <= stream.length, s"malformed BIFF record at $p")
+      val b = p + 4
+      id match {
+        case 0x000A => done = true
+        case 0x00FD if u16(stream, b) == 0 =>
+          val isst = i32(stream, b + 6)
+          require(isst >= 0 && isst < sst.size, "LABELSST outside SST")
+          names(u16(stream, b + 2)) = sst(isst)
+        case 0x00FD | 0x0203 | 0x027E | 0x00BD | 0x0201 if u16(stream, b) > 0 =>
+          done = true // past the header row
+        case _ =>
+      }
+      p += 4 + len
+    }
+    names.values.toSeq
+  }
+
+  /** pass-1 record walk: collect the SST and locate the sheet substream. */
+  private def collectSst(stream: Array[Byte])
+      : (scala.collection.mutable.ArrayBuffer[String], Int) = {
     val sst = scala.collection.mutable.ArrayBuffer[String]()
     var pos = 0
     var bofCount = 0
@@ -407,34 +438,49 @@ object XlsTable {
       pos += 4 + len
     }
     require(sheetStart >= 0, "no worksheet substream (second BOF) found")
+    (sst, sheetStart)
+  }
+
+  /** The decode core, with COLUMN PRUNING pushed into the cell loop:
+    * `proj(slot)` names the full-schema column index feeding output slot
+    * `slot`; cells of unprojected columns mark row presence but are never
+    * type-decoded (the DSv2 surface's pruning contract). */
+  private[sources] def sheetRowsPruned(stream: Array[Byte], nColsFull: Int,
+      fullTypes: Array[DataType], proj: Array[Int],
+      projTypes: Array[DataType]): Iterator[Array[Any]] = {
+    val (sst, sheetStart) = collectSst(stream)
+    // full column index → output slot (-1 = pruned away)
+    val slotOf = Array.fill(nColsFull)(-1)
+    proj.zipWithIndex.foreach { case (c, slot) => slotOf(c) = slot }
 
     // pass 2: walk the sheet substream, assemble rows in record order
-    new Iterator[Row] {
+    new Iterator[Array[Any]] {
       private var p = sheetStart
       private var done = false
       private var curRow = -1
       private var vals: Array[Any] = null
-      private var pending: Row = null
+      private var pending: Array[Any] = null
 
       private def flush(): Unit = {
-        if (vals != null && curRow > 0) pending = Row.fromSeq(vals.toIndexedSeq)
+        if (vals != null && curRow > 0) pending = vals
         vals = null
       }
       private def cell(row: Int, col: Int, v: Any): Unit = {
-        if (row != curRow) { flush(); curRow = row; vals = new Array[Any](nCols) }
-        else if (vals == null) vals = new Array[Any](nCols)
+        if (row != curRow) { flush(); curRow = row; vals = new Array[Any](proj.length) }
+        else if (vals == null) vals = new Array[Any](proj.length)
         // row 0 is the header (column-name strings) — presence only, never
         // decoded against the data schema
-        if (row > 0 && col < nCols && v != null) {
-          vals(col) = v match {
-            case d: Double => types(col) match {
+        val slot = if (col < nColsFull) slotOf(col) else -1
+        if (row > 0 && slot >= 0 && v != null) {
+          vals(slot) = v match {
+            case d: Double => projTypes(slot) match {
               case LongType    => d.toLong
               case IntegerType => d.toInt
               case DoubleType  => d
               case StringType  => d.toString
               case dt => throw new IllegalArgumentException(s"unsupported xls field type: $dt")
             }
-            case s: String => types(col) match {
+            case s: String => projTypes(slot) match {
               case StringType => s
               case dt => throw new IllegalArgumentException(
                 s"string cell at ($row,$col) but schema expects $dt")
@@ -495,7 +541,7 @@ object XlsTable {
       }
       advance()
       override def hasNext: Boolean = pending != null
-      override def next(): Row = {
+      override def next(): Array[Any] = {
         val r = pending; pending = null; advance(); r
       }
     }

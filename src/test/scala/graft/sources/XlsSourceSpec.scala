@@ -91,6 +91,33 @@ class XlsSourceSpec extends AnyFunSuite {
       Row(null, "inline", null)))
   }
 
+  test("DSv2 surface: format read, pruning reaches the scan, names infer") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5))
+      .toDF("k", "s", "v")
+    val dir = graft.Scratch.dir("xls_dsv2").toString
+    XlsTable.write(df.repartition(2), dir)
+    val read = spark.read.format("graft.sources.XlsTableProvider")
+      .schema(df.schema).option("path", dir).load()
+    // full round-trip through Spark's planner
+    assert(read.orderBy($"k").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      == Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5)))
+    // column pruning lands in the scan's ReadSchema (k22's plan-pin style)
+    val pruned = read.select($"s", $"v")
+    val phys = pruned.queryExecution.executedPlan.toString
+    assert(phys.contains("ReadSchema: [s, v]"),
+      s"pruned columns did not reach the scan:\n$phys")
+    assert(pruned.collect().map(_.getString(0)).sorted.toSeq == Seq("a", "a", "b"))
+    // schema inference: names from the header row, all-string values
+    val inferred = spark.read.format("graft.sources.XlsTableProvider")
+      .option("path", dir).load()
+    assert(inferred.schema.fieldNames.toSeq == Seq("k", "s", "v"))
+    assert(inferred.schema.fields.forall(_.dataType == StringType))
+    // numeric cells under the untyped string view render via Double.toString
+    assert(inferred.filter($"s" === "b").select($"k").head().getString(0) == "2.0")
+  }
+
   test("malformed inputs are rejected with named errors") {
     // bad CFB signature
     val e1 = intercept[IllegalArgumentException](
