@@ -6,7 +6,7 @@ import graft.spec.{FileSpec, SpecStore}
 import graft.engine.{CsvSource, Runner}
 
 /** Differential fuzz parity vs the EXECUTED reference engine (round-11
-  * verdict item 2). tools/fuzz_golden.py derives 200 deterministic
+  * verdict item 2). tools/fuzz_golden.py derives 330 deterministic
   * pseudo-random (CSV, mapping, fail_on_error) triples — random filter
   * rules (Q1 polarity, missing-`value` rules, unknown operators), nested
   * transform configs, duplicate destination fields, missing/None source

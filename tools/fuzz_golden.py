@@ -2,7 +2,7 @@
 """Seeded differential fuzzer vs the EXECUTED reference engine (round-11
 verdict item 2).
 
-Generates N pseudo-random (input CSV, ETLMapping, fail_on_error) triples —
+Generates N (default 300, +30 multiline) pseudo-random (input CSV, ETLMapping, fail_on_error) triples —
 random filter rules (including the Q1 not_in literal polarity and
 missing-`value` rules), nested transform configs, duplicate destination
 fields, missing/None source fields, empty mappings, short rows — runs the
@@ -21,7 +21,7 @@ compares counts, error sets, the write gate, and output bytes. Determinism:
 every case derives from random.Random(BASE_SEED + i), so a regenerate
 produces identical fixtures.
 
-Run: python3 tools/fuzz_golden.py [N]   (default 200)
+Run: python3 tools/fuzz_golden.py [N] [N_ml]   (defaults 300 30)
 """
 import csv
 import io
@@ -211,7 +211,7 @@ def gen_case_ml(rng):
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     n_ml = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     def run_case(name, csv_text, mapping, fail_on_error):
         src = OUT / f"{name}.csv"
