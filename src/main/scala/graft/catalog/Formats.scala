@@ -79,6 +79,24 @@ object Formats extends QueryPack {
   private[catalog] val HpHi = "1995-06-01"
   private[catalog] val HpMonths = Seq("1995-03", "1995-04", "1995-05")
 
+  /** The ONE staged .xls fixture k38 (object API) and k39 (DSv2) both read:
+    * shared under one memo key through one lambda, so an edit can never
+    * desynchronize the two entries depending on run order (round-12 review).
+    * Orders projected to (key, status, cents), repartitioned under BIFF8's
+    * u16 sheet-row cap. Returns (path, projected schema). */
+  private def stagedXlsOrders(s: SparkSession, dir: String)
+      : (String, org.apache.spark.sql.types.StructType) = {
+    import s.implicits._
+    val base = Tables(s, dir).orders.select(
+      $"o_orderkey", $"o_orderstatus",
+      expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val tmp = Scratch.staged(s"k38_xls#$dir", "k38_xls") { p =>
+      val parts = (base.count() / 50000L + 1L).toInt
+      graft.sources.XlsTable.write(base.repartition(parts), p)
+    }
+    (tmp, base.schema)
+  }
+
   private[graft] def hiddenPartStore(s: SparkSession, dir: String): String =
     Scratch.staged(s"k34_hp#$dir", "k34_hp") { p =>
       import s.implicits._
@@ -465,14 +483,8 @@ object Formats extends QueryPack {
     // = file count on both sides, like the xlsx/Avro sources.
     "k38_xls_roundtrip" -> { (s, dir) =>
       import s.implicits._
-      val base = Tables(s, dir).orders.select(
-        $"o_orderkey", $"o_orderstatus",
-        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
-      val tmp = Scratch.staged(s"k38_xls#$dir", "k38_xls") { p =>
-        val parts = (base.count() / 50000L + 1L).toInt
-        graft.sources.XlsTable.write(base.repartition(parts), p)
-      }
-      graft.sources.XlsTable.read(s, tmp, base.schema)
+      val (tmp, schema) = stagedXlsOrders(s, dir)
+      graft.sources.XlsTable.read(s, tmp, schema)
         .groupBy($"o_orderstatus")
         .agg(count(lit(1)).as("n"),
              sum($"cents").as("sum_cents"),
@@ -489,15 +501,9 @@ object Formats extends QueryPack {
     // row pins container + record decode through Spark's own planner.
     "k39_xls_dsv2" -> { (s, dir) =>
       import s.implicits._
-      val base = Tables(s, dir).orders.select(
-        $"o_orderkey", $"o_orderstatus",
-        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
-      val tmp = Scratch.staged(s"k38_xls#$dir", "k38_xls") { p =>
-        val parts = (base.count() / 50000L + 1L).toInt
-        graft.sources.XlsTable.write(base.repartition(parts), p)
-      }
+      val (tmp, schema) = stagedXlsOrders(s, dir)
       s.read.format("graft.sources.XlsTableProvider")
-        .schema(base.schema)
+        .schema(schema)
         .option("path", tmp)
         .load()
         .select($"o_orderstatus", $"cents")

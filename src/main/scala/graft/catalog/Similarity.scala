@@ -537,6 +537,19 @@ object Similarity extends QueryPack {
             }
             i += 1
           }
+          // all-NaN round (a zero-norm vector makes cosine 0/0): no score
+          // compares greater, so argmax never fired — fall back to the
+          // lowest-vec_id unchosen candidate, matching the replaced
+          // Window row_number's NaN-sorts-largest + vec_id tiebreak
+          if (best < 0) {
+            var j = 0
+            while (j < pool.length) {
+              if (!chosen.exists(_._1 == pool(j)._2) &&
+                  (best < 0 || pool(j)._2 < pool(best)._2)) best = j
+              j += 1
+            }
+            bestScore = Double.NaN
+          }
           val b = pool(best)
           selected += ((qid, pick, b._2, bestScore))
           chosen += ((b._2, b._4, b._5))

@@ -17,7 +17,9 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   */
 object CsvSink {
 
-  private val pyFloatUdf = udf((d: java.lang.Double) =>
+  /** CPython str(float) as a Column-level UDF — the single shared instance
+    * (TransformCompiler's formula render uses it too). */
+  val pyFloatUdf = udf((d: java.lang.Double) =>
     if (d == null) null else PyFormat.pyFloatStr(d))
 
   /** §1.3.2 money format as a Column (exact CPython `f"{v:.8f}"` rounding —

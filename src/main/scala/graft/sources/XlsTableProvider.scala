@@ -2,8 +2,6 @@ package graft.sources
 
 import java.util
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
@@ -40,15 +38,10 @@ class XlsTableProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = options.get("path")
     require(path != null, "XlsTableProvider requires a 'path' option")
-    val files = XlsDsv2.listFiles(path)
-    require(files.nonEmpty, s"no .xls parts under $path")
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val p = new Path(files.head)
-    val in = p.getFileSystem(conf).open(p)
-    val img = try {
-      val len = p.getFileSystem(conf).getFileStatus(p).getLen.toInt
-      val b = new Array[Byte](len); in.readFully(0, b); b
-    } finally in.close()
+    val files = XlsTable.listParts(path, conf)
+    require(files.nonEmpty, s"no .xls parts under $path")
+    val img = XlsTable.readBytes(files.head, conf)
     // header row = row 0's string cells, in column order; values are
     // untyped in BIFF8 so inference yields all-string columns
     val names = XlsTable.headerNames(XlsTable.workbookStream(img))
@@ -59,19 +52,6 @@ class XlsTableProvider extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new XlsDsv2Table(schema, new CaseInsensitiveStringMap(properties).get("path"))
-}
-
-private[sources] object XlsDsv2 {
-  def listFiles(path: String): Seq[String] = {
-    val p = new Path(path, "part-*.xls")
-    val fs = p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
-    Option(fs.globStatus(p)).getOrElse(Array.empty)
-      .map(_.getPath.toString).sorted.toSeq
-  }
-
-  def confEntries(): Array[(String, String)] =
-    SparkSession.active.sparkContext.hadoopConfiguration
-      .iterator().asScala.map(e => e.getKey -> e.getValue).toArray
 }
 
 private[sources] class XlsDsv2Table(schema0: StructType, path: String)
@@ -100,9 +80,12 @@ private[sources] class XlsScan(full: StructType, required: StructType,
   override def description(): String =
     s"GraftXls ReadSchema: [${required.fieldNames.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
-    XlsDsv2.listFiles(path).map(f => XlsPartition(f): InputPartition).toArray
+    XlsTable.listParts(path,
+      SparkSession.active.sparkContext.hadoopConfiguration)
+      .map(f => XlsPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new XlsReaderFactory(full, required, XlsDsv2.confEntries())
+    new XlsReaderFactory(full, required,
+      XlsTable.confEntries(SparkSession.active))
 }
 
 private[sources] case class XlsPartition(file: String) extends InputPartition
@@ -112,15 +95,7 @@ private[sources] class XlsReaderFactory(full: StructType, required: StructType,
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[XlsPartition].file
-    val conf = new Configuration(false)
-    confEntries.foreach { case (k, v) => conf.set(k, v) }
-    val p = new Path(file)
-    val fs = p.getFileSystem(conf)
-    val in = fs.open(p)
-    val img = try {
-      val b = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-      in.readFully(0, b); b
-    } finally in.close()
+    val img = XlsTable.readBytes(file, XlsTable.rebuild(confEntries))
     // decode with the FULL schema's column positions, but materialize only
     // the required columns (pruning pushed into the cell decode)
     val fullIdx = full.fieldNames.zipWithIndex.toMap

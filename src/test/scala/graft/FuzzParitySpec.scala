@@ -57,15 +57,18 @@ class FuzzParitySpec extends AnyFunSuite {
     check("error_count", result.errorCount, gold.get("error_count").asLong)
     check("written", result.written, gold.get("written").asBoolean)
 
+    // source_value compares as Option — None (reference null) and "" are
+    // DIFFERENT values here, since pinning the DictReader missing/empty
+    // distinction in error payloads is part of this suite's purpose
     val goldErrs = {
       import scala.jdk.CollectionConverters._
       gold.get("errors").elements.asScala.map { e =>
         (e.get("line_number").asLong, e.get("field").asText,
-         Option(e.get("source_value")).filterNot(_.isNull).map(_.asText).getOrElse(""))
+         Option(e.get("source_value")).filterNot(_.isNull).map(_.asText))
       }.toSet
     }
     val ourErrs = result.errors
-      .map(e => (e.line_number, e.field, Option(e.source_value).getOrElse(""))).toSet
+      .map(e => (e.line_number, e.field, Option(e.source_value))).toSet
     if (ourErrs != goldErrs)
       mismatches += s"errors: engine-only=${ourErrs -- goldErrs} reference-only=${goldErrs -- ourErrs}"
 
