@@ -51,7 +51,13 @@ object Bench {
         val raw = (System.nanoTime() - t0) / 1e9
         (raw - (Scratch.stagingSeconds - s0)).max(0.0)
       }
-      catch { case _: Throwable => -((System.nanoTime() - t0) / 1e9).max(1e-3) }
+      catch { case _: Throwable =>
+        // failure sentinel nets staging too (round-12 advice): a query that
+        // staged a fixture and THEN failed would otherwise report a
+        // magnitude inconsistent with its successful neighbors
+        val raw = (System.nanoTime() - t0) / 1e9
+        -(raw - (Scratch.stagingSeconds - s0)).max(1e-3)
+      }
     }
     // Optional comma-separated query filter (dev iterations on one plan);
     // the driver invokes with no args → full suite, contract unchanged.

@@ -530,25 +530,21 @@ object Similarity extends QueryPack {
                 if (pick == 1L) c._3
                 else c._3 - chosen.iterator
                   .map(s => cos(c._4, s._2, c._5, s._3)).max
-              if (score > bestScore ||
-                  (score == bestScore && best >= 0 && c._2 < pool(best)._2)) {
+              // argmax under the oracle's SORT order (row_number OVER
+              // ORDER BY score DESC, vec_id): NaN sorts LARGEST — a
+              // zero-norm candidate (cosine 0/0) must beat every real
+              // score even in a MIXED round, not only the all-NaN one
+              // (round-12 advice). java.lang.Double.compare is exactly
+              // that total order with NaN on top; fold -0.0 into 0.0
+              // first so the IEEE tie stays a vec_id tiebreak like SQL's.
+              val sk = if (score == 0.0) 0.0 else score
+              val bk = if (bestScore == 0.0) 0.0 else bestScore
+              val c0 = if (best < 0) 1 else java.lang.Double.compare(sk, bk)
+              if (c0 > 0 || (c0 == 0 && best >= 0 && c._2 < pool(best)._2)) {
                 best = i; bestScore = score
               }
             }
             i += 1
-          }
-          // all-NaN round (a zero-norm vector makes cosine 0/0): no score
-          // compares greater, so argmax never fired — fall back to the
-          // lowest-vec_id unchosen candidate, matching the replaced
-          // Window row_number's NaN-sorts-largest + vec_id tiebreak
-          if (best < 0) {
-            var j = 0
-            while (j < pool.length) {
-              if (!chosen.exists(_._1 == pool(j)._2) &&
-                  (best < 0 || pool(j)._2 < pool(best)._2)) best = j
-              j += 1
-            }
-            bestScore = Double.NaN
           }
           val b = pool(best)
           selected += ((qid, pick, b._2, bestScore))

@@ -527,7 +527,12 @@ final class Dashboard(spark: SparkSession, configDir: String,
           // whole store would be O(files × history) (round-12 review); the
           // single-threaded HTTP server keeps ids monotonic
           var runs = SpecStore.loadRuns(runsPath)
-          files.foreach { f =>
+          // persist whatever accumulated even if a later file's convert
+          // throws (round-12 advice): completed files' run records must
+          // survive a mid-batch failure like the single-file endpoint's do.
+          // The finally-save reuses the already-loaded map, keeping the
+          // O(files × history) fix intact.
+          try files.foreach { f =>
             val startedAt = clock()
             val (r, outName) = convertOne(source, f.toString, mapping, destination)
             val rec = runRecordOf(runs.size, "process", mapping, f.toString,
@@ -552,7 +557,7 @@ final class Dashboard(spark: SparkSession, configDir: String,
                   .to(VectorMap))
             }
           }
-          SpecStore.saveRuns(runsPath, runs)
+          finally SpecStore.saveRuns(runsPath, runs)
           val errList = allErrors.result()
           // divergence note: the reference also carries per-file log lines;
           // this engine keeps counts + errors only
