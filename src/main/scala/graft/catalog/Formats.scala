@@ -97,6 +97,33 @@ object Formats extends QueryPack {
     (tmp, base.schema)
   }
 
+  /** k40's staged fixture: orders re-encoded as .xls with the record
+    * shapes REAL exporters emit that our production writer never does —
+    * FORMULA cells caching a numeric (o_orderkey), a string
+    * (o_orderstatus, via the trailing STRING record), a boolean (even)
+    * and a blank-string (~1% of blankish) result, plus a per-row-unique
+    * memo column whose interned strings force the SST past one 8,224-byte
+    * record into CONTINUE spill at the production budget. 20k rows/part
+    * keeps each CFB image under the header-DIFAT capacity. */
+  private def stagedXlsFormulaOrders(s: SparkSession, dir: String)
+      : (String, org.apache.spark.sql.types.StructType) = {
+    import s.implicits._
+    val base = Tables(s, dir).orders.select(
+      $"o_orderkey", $"o_orderstatus",
+      expr("cast(round(o_totalprice * 100) as bigint)").as("cents"),
+      expr("cast(o_orderkey % 2 = 0 as bigint)").as("even"),
+      expr("concat(o_orderstatus, '-', cast(o_orderkey as string), " +
+        "repeat('→', cast(o_orderkey % 7 as int)))").as("memo"),
+      expr("case when o_orderkey % 97 = 0 then '' else 'p' end").as("blankish"))
+    val tmp = Scratch.staged(s"k40_xls_formula#$dir", "k40_xlsf") { p =>
+      val parts = (base.count() / 20000L + 1L).toInt
+      graft.sources.XlsTable.writeFixture(base.repartition(parts), p,
+        formulaCols = Set("o_orderkey", "o_orderstatus", "blankish"),
+        boolCols = Set("even"), sstBudget = 8224)
+    }
+    (tmp, base.schema)
+  }
+
   private[graft] def hiddenPartStore(s: SparkSession, dir: String): String =
     Scratch.staged(s"k34_hp#$dir", "k34_hp") { p =>
       import s.implicits._
@@ -509,6 +536,30 @@ object Formats extends QueryPack {
         .select($"o_orderstatus", $"cents")
         .groupBy($"o_orderstatus")
         .agg(count(lit(1)).as("n"), sum($"cents").as("sum_cents"))
+        .orderBy($"o_orderstatus")
+    },
+    // k40: FORMULA CACHED VALUES + SST CONTINUE SPILL (round-12 verdict
+    // items 2+3) — real .xls exports carry formula cells (whose cached
+    // results the reader must surface, not silently null) and SSTs spilled
+    // across CONTINUE records. The staged fixture (doc above) emits every
+    // cached-value tag the format defines — numeric, string-via-STRING-
+    // record, boolean, blank — plus a forced multi-record SST; the oracle
+    // recomputes the aggregate from the ORIGINAL parquet, so a green row
+    // pins all four decode paths AND the segment-cursor SST walk. Error-
+    // valued formula cells stay rejected by name (XlsSourceSpec pins the
+    // negative case). Scale shape = k38's: parallelism is file count,
+    // bounded by the format's own u16 row cap.
+    "k40_xls_formula" -> { (s, dir) =>
+      import s.implicits._
+      val (tmp, schema) = stagedXlsFormulaOrders(s, dir)
+      graft.sources.XlsTable.read(s, tmp, schema)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+             sum($"o_orderkey").as("sum_keys"),
+             sum($"cents").as("sum_cents"),
+             sum($"even").as("n_even"),
+             sum(length($"memo")).as("memo_chars"),
+             sum(when($"blankish" === "", 1L).otherwise(0L)).as("n_blank"))
         .orderBy($"o_orderstatus")
     },
     // k34: HIDDEN PARTITIONING (Iceberg-style partition TRANSFORMS) — k7
@@ -2156,6 +2207,17 @@ object Formats extends QueryPack {
       SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
              SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS sum_cents,
              SUM(o_orderkey)::BIGINT AS sum_keys
+      FROM orders GROUP BY 1 ORDER BY 1""",
+    // k40: every FORMULA cached-value tag + the spilled SST, recomputed
+    // from the original parquet
+    "k40_xls_formula" -> """
+      SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
+             SUM(o_orderkey)::BIGINT AS sum_keys,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS sum_cents,
+             SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_even,
+             SUM(length(o_orderstatus || '-' || CAST(o_orderkey AS VARCHAR) ||
+                 repeat('→', CAST(o_orderkey % 7 AS INT))))::BIGINT AS memo_chars,
+             SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_blank
       FROM orders GROUP BY 1 ORDER BY 1""",
     // k31: the endpoint serves customer verbatim — aggregate the parquet
     "k31_rest_source" -> """

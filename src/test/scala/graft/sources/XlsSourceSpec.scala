@@ -154,4 +154,129 @@ class XlsSourceSpec extends AnyFunSuite {
     val e4 = intercept[IllegalArgumentException](XlsTable.encode(schema, big))
     assert(e4.getMessage.contains("row cap"))
   }
+
+  test("SST CONTINUE spill round-trips: mid-string splits, narrow+wide+empty") {
+    // a tiny per-record budget forces many CONTINUEs and mid-string splits
+    // on small data — the same decode path real >8224-byte exports hit
+    val strs = Seq(
+      "a" * 37,                        // narrow, splits mid-string
+      "é→" + ("☃" * 29),               // wide, splits mid-string
+      "",                              // empty string survives interning
+      "short", "b" * 90, "mixed-" + ("ß" * 40))
+    val rows = strs.zipWithIndex.map { case (s, i) => Row(i.toLong, s, i / 2.0) }
+    val img = XlsTable.encode(schema, rows.iterator,
+      Set.empty, Set.empty, sstBudget = 40)
+    val got = XlsTable.sheetRows(XlsTable.workbookStream(img), 3,
+      schema.fields.map(_.dataType)).toSeq
+    assert(got == rows, s"spilled SST did not round-trip:\n$got")
+    // and through the full distributed read at the production budget with
+    // enough unique strings to exceed one 8224-byte record
+    import spark.implicits._
+    val many = (0 until 600).map(i => (i.toLong, s"unique-string-$i-" + "x" * 20, i * 0.5))
+    val df = many.toDF("k", "s", "v")
+    val dir = graft.Scratch.dir("xls_spill").toString
+    XlsTable.write(df.coalesce(1), dir)
+    val back = XlsTable.read(spark, dir, df.schema).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(back == many)
+  }
+
+  test("FORMULA cached values decode: numeric, string, boolean, blank") {
+    import spark.implicits._
+    val fSchema = StructType(Seq(
+      StructField("k", LongType), StructField("fs", StringType),
+      StructField("fn", DoubleType), StructField("fb", LongType)))
+    val rows = Seq(
+      Row(1L, "cached-str", 2.5, 1L),
+      Row(2L, "", -0.75, 0L),          // empty string → blank tag 3
+      Row(3L, "wide-™-☃", 1.0E15, 1L))
+    val img = XlsTable.encode(fSchema, rows.iterator,
+      formulaCols = Set("fs", "fn"), boolCols = Set("fb"), sstBudget = 8224)
+    val got = XlsTable.sheetRows(XlsTable.workbookStream(img), 4,
+      fSchema.fields.map(_.dataType)).toSeq
+    assert(got == rows, s"formula cells did not decode:\n$got")
+    // distributed end-to-end through writeFixture + read
+    val df = rows.map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+      r.getLong(3))).toDF("k", "fs", "fn", "fb")
+    val dir = graft.Scratch.dir("xls_formula").toString
+    XlsTable.writeFixture(df.coalesce(1), dir, Set("fs", "fn"), Set("fb"), 8224)
+    val back = XlsTable.read(spark, dir, df.schema).collect()
+      .map(r => Row(r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_.getLong(0)).toSeq
+    assert(back == rows)
+  }
+
+  test("FORMULA's STRING record is found past SHRFMLA; errors reject by name") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    def build(valueTag: Int, after: Seq[(Int, Array[Byte])]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def rec(id: Int, p: Array[Byte]): Unit = {
+        out.write(le(4).putShort(id.toShort).putShort(p.length.toShort).array())
+        out.write(p)
+      }
+      rec(0x0809, le(16).putShort(0x0600.toShort).putShort(0x0005.toShort)
+        .putInt(0).putInt(0).putInt(0).array())
+      rec(0x00FC, le(8).putInt(0).putInt(0).array())
+      rec(0x000A, Array.emptyByteArray)
+      rec(0x0809, le(16).putShort(0x0600.toShort).putShort(0x0010.toShort)
+        .putInt(0).putInt(0).putInt(0).array())
+      // row 1 col 0: FORMULA with a tagged (non-double) cached value
+      rec(0x0006, le(22).putShort(1.toShort).putShort(0.toShort).putShort(0.toShort)
+        .put(valueTag.toByte).put(0.toByte).put(7.toByte).put(new Array[Byte](3))
+        .putShort(0xFFFF.toShort).putShort(0.toShort).putInt(0)
+        .putShort(0.toShort).array())
+      after.foreach { case (id, p) => rec(id, p) }
+      rec(0x000A, Array.emptyByteArray)
+      out.toByteArray
+    }
+    val txt = "fx".getBytes("ISO-8859-1")
+    val strRec = le(3 + txt.length).putShort(2.toShort).put(0.toByte).put(txt).array()
+    // SHRFMLA definition sits between FORMULA and STRING — must be skipped
+    val ok = build(0, Seq((0x04BC, new Array[Byte](10)), (0x0207, strRec)))
+    val got = XlsTable.sheetRows(ok, 1, Array[DataType](StringType)).toSeq
+    assert(got == Seq(Row("fx")))
+    // error-valued formula cell (tag 2, value byte 0x07 = #DIV/0!) rejects
+    val err = build(2, Nil)
+    val e1 = intercept[IllegalArgumentException](
+      XlsTable.sheetRows(err, 1, Array[DataType](StringType)).toSeq)
+    assert(e1.getMessage.contains("ERROR value 0x07"))
+    // string-cached FORMULA with no STRING record following rejects
+    val noStr = build(0, Nil)
+    val e2 = intercept[IllegalArgumentException](
+      XlsTable.sheetRows(noStr, 1, Array[DataType](StringType)).toSeq)
+    assert(e2.getMessage.contains("STRING record"))
+  }
+
+  test("header inference decodes inline LABEL cells and rejects empty headers") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    def stream(withHeader: Boolean): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def rec(id: Int, p: Array[Byte]): Unit = {
+        out.write(le(4).putShort(id.toShort).putShort(p.length.toShort).array())
+        out.write(p)
+      }
+      rec(0x0809, le(16).putShort(0x0600.toShort).putShort(0x0005.toShort)
+        .putInt(0).putInt(0).putInt(0).array())
+      rec(0x00FC, le(8).putInt(0).putInt(0).array())
+      rec(0x000A, Array.emptyByteArray)
+      rec(0x0809, le(16).putShort(0x0600.toShort).putShort(0x0010.toShort)
+        .putInt(0).putInt(0).putInt(0).array())
+      if (withHeader) {
+        val n = "col_a".getBytes("ISO-8859-1")
+        rec(0x0204, le(9 + n.length).putShort(0.toShort).putShort(0.toShort)
+          .putShort(0.toShort).putShort(n.length.toShort).put(0.toByte)
+          .put(n).array())
+      }
+      rec(0x0203, le(14).putShort(1.toShort).putShort(0.toShort)
+        .putShort(0.toShort).putDouble(3.5).array())
+      rec(0x000A, Array.emptyByteArray)
+      out.toByteArray
+    }
+    assert(XlsTable.headerNames(stream(withHeader = true)) == Seq("col_a"))
+    val e = intercept[IllegalArgumentException](
+      XlsTable.headerNames(stream(withHeader = false)))
+    assert(e.getMessage.contains("no column names"))
+  }
 }
