@@ -24,6 +24,23 @@ object Revolut {
   /** f"{v:.8f}".rstrip("0").rstrip(".") — ghostfolio.py:48-51. */
   private val money8 = udf((d: Double) => PyFormat.money8(d))
 
+  /** The extractors read columns via `row.get(name, "")` — a column missing
+    * from the export entirely behaves exactly like an empty cell
+    * (extractors/revolut_stocks.py:20-27). Mirror that: fill absent
+    * expected columns with nulls so the plans' coalesce-to-"" takes over
+    * (fuzz-found: a dropped Currency/Fees column crashed the plan where
+    * the reference defaulted it). */
+  private def withExpected(raw: DataFrame, names: Seq[String]): DataFrame =
+    names.foldLeft(raw)((df, n) =>
+      if (df.columns.contains(n)) df
+      else df.withColumn(n, lit(null).cast("string")))
+
+  /** Python str.strip() parity: strips ALL ASCII whitespace, not just the
+    * space character Spark's trim() removes (fuzz-found on tab-padded
+    * cells). */
+  private def pyStrip(c: Column): Column =
+    regexp_replace(c, "^\\s+|\\s+$", "")
+
   // ---- shared lenient parsers -------------------------------------------
 
   /** H5 — revolut_stocks.py:104-111: strip commas; empty/bad → 0.0. */
@@ -60,27 +77,40 @@ object Revolut {
     when(c.rlike(fullRegex), try_to_timestamp(normalized, lit(javaFmt)))
 
   def parseDateStocks(c: Column): Column = {
-    val iso = "yyyy-MM-dd'T'HH:mm:ss"
+    // strptime field leniency (CPython _strptime regexes): %Y is exactly 4
+    // digits but %m/%d/%H/%M/%S accept UNPADDED 1-2 digit values — so
+    // "2024-1-5" parses where a zero-padded-only pattern would pass it
+    // through (fuzz-found). Single-letter Java pattern fields accept both.
+    val iso = "yyyy-M-d'T'H:m:s"
     val parsed = coalesce(
-      tryFmt(c, "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{1,6}Z$",
+      tryFmt(c, "^\\d{4}-\\d{1,2}-\\d{1,2}T\\d{1,2}:\\d{1,2}:\\d{1,2}\\.\\d{1,6}Z$",
         regexp_replace(c, "\\.\\d+Z$", ""), iso),
-      tryFmt(c, "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}Z$",
+      tryFmt(c, "^\\d{4}-\\d{1,2}-\\d{1,2}T\\d{1,2}:\\d{1,2}:\\d{1,2}Z$",
         regexp_replace(c, "Z$", ""), iso),
-      tryFmt(c, "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}$", c, iso),
-      tryFmt(c, "^\\d{4}-\\d{2}-\\d{2}$", c, "yyyy-MM-dd"),
-      tryFmt(c, "^\\d{2}/\\d{2}/\\d{4}$", c, "dd/MM/yyyy"))
+      tryFmt(c, "^\\d{4}-\\d{1,2}-\\d{1,2}T\\d{1,2}:\\d{1,2}:\\d{1,2}$", c, iso),
+      tryFmt(c, "^\\d{4}-\\d{1,2}-\\d{1,2}$", c, "yyyy-M-d"),
+      tryFmt(c, "^\\d{1,2}/\\d{1,2}/\\d{4}$", c, "d/M/yyyy"))
     when(parsed.isNotNull, date_format(parsed, "yyyy-MM-dd")).otherwise(c)
   }
 
   def parseDateCrypto(c: Column): Column = {
+    // strptime matches month names and AM/PM case-insensitively (CPython
+    // compiles its locale regexes with IGNORECASE); Java's formatter is
+    // case-sensitive — normalize the month token to Titlecase and the
+    // meridiem to upper before parsing (fuzz-found on "feb … am"). Field
+    // padding leniency as in parseDateStocks.
+    val monNorm = concat(
+      initcap(lower(regexp_extract(c, "^([A-Za-z]+)", 1))),
+      regexp_extract(c, "^[A-Za-z]+(.*?)[AaPp][Mm]$", 1),
+      upper(regexp_extract(c, "([AaPp][Mm])$", 1)))
     val parsed = coalesce(
-      tryFmt(c, "^[A-Za-z]{3} \\d{1,2}, \\d{4}, \\d{1,2}:\\d{2}:\\d{2} [AP]M$",
-        c, "MMM d, yyyy, h:mm:ss a"),
-      tryFmt(c, "^[A-Za-z]{4,9} \\d{1,2}, \\d{4}, \\d{1,2}:\\d{2}:\\d{2} [AP]M$",
-        c, "MMMM d, yyyy, h:mm:ss a"),
-      tryFmt(c, "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}\\.\\d{1,6}Z$",
-        regexp_replace(c, "\\.\\d+Z$", ""), "yyyy-MM-dd'T'HH:mm:ss"),
-      tryFmt(c, "^\\d{4}-\\d{2}-\\d{2}$", c, "yyyy-MM-dd"))
+      tryFmt(c, "^[A-Za-z]{3} \\d{1,2}, \\d{4}, \\d{1,2}:\\d{1,2}:\\d{1,2} [AaPp][Mm]$",
+        monNorm, "MMM d, yyyy, h:m:s a"),
+      tryFmt(c, "^[A-Za-z]{4,9} \\d{1,2}, \\d{4}, \\d{1,2}:\\d{1,2}:\\d{1,2} [AaPp][Mm]$",
+        monNorm, "MMMM d, yyyy, h:m:s a"),
+      tryFmt(c, "^\\d{4}-\\d{1,2}-\\d{1,2}T\\d{1,2}:\\d{1,2}:\\d{1,2}\\.\\d{1,6}Z$",
+        regexp_replace(c, "\\.\\d+Z$", ""), "yyyy-M-d'T'H:m:s"),
+      tryFmt(c, "^\\d{4}-\\d{1,2}-\\d{1,2}$", c, "yyyy-M-d"))
     when(parsed.isNotNull, date_format(parsed, "yyyy-MM-dd")).otherwise(c)
   }
 
@@ -125,10 +155,12 @@ object Revolut {
     * export header. Output: the 9 Ghostfolio columns as formatted strings,
     * plus any `keep` columns carried through (e.g. file provenance for the
     * glob-mode writer). */
-  def stocksPlan(raw: DataFrame, accountName: String = "Revolut Stocks",
+  def stocksPlan(raw0: DataFrame, accountName: String = "Revolut Stocks",
                  keep: Seq[String] = Nil): DataFrame = {
-    // S3 extractor trim + Currency default (extractors/revolut_stocks.py:20-27)
-    def f(name: String) = trim(coalesce(col(name), lit("")))
+    // S3 extractor strip + Currency default (extractors/revolut_stocks.py:20-27)
+    val raw = withExpected(raw0, Seq(
+      "Date", "Ticker", "Type", "Quantity", "Price per share", "Currency"))
+    def f(name: String) = pyStrip(coalesce(col(name), lit("")))
     val currency = when(f("Currency") === "", "USD").otherwise(f("Currency"))
     val typeUpper = upper(f("Type"))
     raw
@@ -192,9 +224,11 @@ object Revolut {
 
   /** Full crypto plan over a raw all-string CSV frame (`keep` as in
     * stocksPlan). */
-  def cryptoPlan(raw: DataFrame, accountName: String = "Revolut Crypto",
+  def cryptoPlan(raw0: DataFrame, accountName: String = "Revolut Crypto",
                  keep: Seq[String] = Nil): DataFrame = {
-    def f(name: String) = trim(coalesce(col(name), lit("")))
+    val raw = withExpected(raw0, Seq(
+      "Symbol", "Type", "Quantity", "Price", "Value", "Fees", "Date"))
+    def f(name: String) = pyStrip(coalesce(col(name), lit("")))
     val typeUpper = upper(f("Type"))
     raw
       .filter(!typeUpper.isin(CryptoSkipTypes: _*))
