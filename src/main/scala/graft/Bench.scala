@@ -100,22 +100,30 @@ object Bench {
     // emit decimal COMMAS on some JVMs and corrupt the JSON line
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def line(kv: Seq[(String, String)]): String = {
+    // Per-key staging seconds (round-12 verdict item 7): a future staging
+    // regression names its fixture directly. Sorted descending; the stdout
+    // short line carries the top 8, the file artifact the full map.
+    val stagingByKey = Scratch.stagingSecondsByKey.toSeq.sortBy(-_._2)
+    def sbk(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+    def line(kv: Seq[(String, String)], sbkStr: String): String = {
       val qs = kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","nqueries":${results.size},"failed":$fl,"staging_s":${r3(stagingTotal)},"gc_s":${r3(gcTotal)}}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","nqueries":${results.size},"failed":$fl,"staging_s":${r3(stagingTotal)},"staging_by_key":$sbkStr,"gc_s":${r3(gcTotal)}}"""
     }
     // Full-name per-query times → a file (the driver's stdout tail capture is
     // ~2 KB; at 200+ queries even short-key lines front-truncate out of the
     // window → BENCH_r05 parsed:null). Stdout gets ONE SHORT FINAL line:
     // the parseable total plus only the 10 slowest queries.
-    val full = line(results.map { case (k, v) => k -> r3(v) })
+    val full = line(results.map { case (k, v) => k -> r3(v) }, sbk(stagingByKey))
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         "BENCH_LOCAL.json")), full + "\n")
     catch { case _: Throwable => () }
     val slowest = results.sortBy(-_._2).take(10)
-    val shortLine = line(slowest.map { case (k, v) => k -> r3(v) })
+    val shortLine = line(slowest.map { case (k, v) => k -> r3(v) },
+      sbk(stagingByKey.take(8)))
     // Stop Spark BEFORE printing: session teardown logs WARNs (state-store
     // unload, temp-checkpoint cleanup) to stderr, and if the driver merges
     // streams those lines would land after the metric JSON. With the

@@ -44,6 +44,18 @@ object Scratch {
   private val stagingDepth = ThreadLocal.withInitial[Integer](() => 0)
   def stagingSeconds: Double = stagingNanosAcc.get() / 1e9
 
+  // Per-key staging clock (round-12 verdict item 7): each key's OWN wall
+  // time, including lock waits and nested upstream staging — a staging
+  // regression names its fixture instead of requiring a bisect. Because
+  // nested keys overlap their parent's window, this map can sum to MORE
+  // than stagingSeconds (which counts outermost frames only).
+  private val stagingNanosByKey =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def stagingSecondsByKey: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    stagingNanosByKey.asScala.map { case (k, v) => k -> v.toDouble / 1e9 }.toMap
+  }
+
   def staged(key: String, prefix: String)(write: String => Unit): String = {
     val hit = stagedPaths.get(key)
     if (hit != null) return hit
@@ -53,7 +65,9 @@ object Scratch {
     finally {
       val d = stagingDepth.get - 1
       stagingDepth.set(d)
-      if (d == 0) stagingNanosAcc.addAndGet(System.nanoTime() - t0)
+      val dt = System.nanoTime() - t0
+      stagingNanosByKey.merge(key, Long.box(dt), (a, b) => Long.box(a + b))
+      if (d == 0) stagingNanosAcc.addAndGet(dt)
     }
   }
 
