@@ -115,4 +115,61 @@ class FuzzParitySpec extends AnyFunSuite {
         s"${divergences.size} divergent case(s):\n${divergences.mkString("\n")}")
     }
   }
+
+  private def namedCases(index: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    mapper.readTree(read(index)).elements.asScala.map(_.asText).toSeq
+  }
+
+  // Q3 family (quirk: a source value literally "_default" reads the
+  // default entry, dynamic.py:127-129): goldens from the STOCK reference —
+  // these pin AGREEMENT, collision and no-collision sub-cases alike
+  for (block <- namedCases("cases_q3.json").grouped(20).zipWithIndex.toSeq) {
+    val (names, idx) = block
+    test(f"fuzz parity Q3 _default-collision block ${idx}%02d") {
+      val divergences = names.flatMap(diverge(_))
+      assert(divergences.isEmpty,
+        s"${divergences.size} divergent case(s):\n${divergences.mkString("\n")}")
+    }
+  }
+
+  // Q2 family (quirk: the reference substitutes formula field names by
+  // SUBSTRING, dynamic.py:224-231; this engine implements the intended
+  // identifier-wise semantics — SURVEY §2.A Q2): goldens come from the
+  // reference with an identifier-safe evaluator patched in, and each case
+  // carries the STOCK reference's twin + a ref_diverged flag. The engine
+  // must match the INTENDED goldens, and every flagged case's twin must
+  // really differ — the divergence-by-design is asserted, never skipped.
+  for (block <- namedCases("cases_q2.json").grouped(20).zipWithIndex.toSeq) {
+    val (names, idx) = block
+    test(f"fuzz parity Q2 substring-hazard block ${idx}%02d") {
+      val divergences = names.flatMap(diverge(_))
+      assert(divergences.isEmpty,
+        s"${divergences.size} divergent case(s):\n${divergences.mkString("\n")}")
+      names.foreach { name =>
+        val gold = mapper.readTree(read(s"$name.result.json"))
+        val ref = mapper.readTree(read(s"$name.ref.result.json"))
+        def core(n: com.fasterxml.jackson.databind.JsonNode) =
+          (n.get("success_count").asLong, n.get("skipped_count").asLong,
+           n.get("error_count").asLong, n.get("written").asBoolean,
+           n.get("errors").toString)
+        val refOut = Paths.get(s"$dir/$name.ref.out.csv")
+        val intOut = Paths.get(s"$dir/$name.out.csv")
+        val bytesDiffer = Files.exists(refOut) != Files.exists(intOut) ||
+          (Files.exists(refOut) &&
+            read(s"$name.ref.out.csv") != read(s"$name.out.csv"))
+        val actuallyDiverged = core(gold) != core(ref) || bytesDiffer
+        assert(actuallyDiverged == gold.get("ref_diverged").asBoolean,
+          s"$name: ref_diverged flag does not match the committed twins")
+      }
+    }
+  }
+
+  test("Q2 family exercises the hazard: a real share of cases diverge") {
+    val n = namedCases("cases_q2.json").count { name =>
+      mapper.readTree(read(s"$name.result.json")).get("ref_diverged").asBoolean
+    }
+    assert(n >= 10, s"only $n/40 Q2 cases diverge from the stock reference — " +
+      "the family is not reaching the substring-replacement hazard")
+  }
 }

@@ -210,6 +210,106 @@ def gen_case_ml(rng):
     return buf.getvalue(), mapping, rng.random() < 0.5
 
 
+# ---- Q2 family: formula substring-replacement hazard --------------------
+# Field names that PREFIX other field names (dynamic.py:224-231 replaces by
+# plain substring, so a field named `q` corrupts `qty2` references). The
+# engine implements the INTENDED semantics (identifier-wise substitution,
+# SURVEY §2.A Q2) — so these goldens are produced by the reference with an
+# identifier-safe evaluator patched in, and the STOCK reference's output is
+# recorded alongside with a ref_diverged flag. FuzzParitySpec asserts the
+# engine matches the intended goldens AND that the flagged cases really do
+# diverge from the stock reference — divergence-by-design as pinned data.
+Q2_COLS = ["q", "qty", "qty2", "pr", "price", "price2", "amt", "amount"]
+Q2_CELLS = ["", "0", "1", "2", "3.5", "-4", "1,5", "bogus", "2.5", "None"]
+
+IDENT_RE = __import__("re").compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def intended_eval_formula(self, row, expression):
+    """dynamic.py:221-237 with IDENTIFIER-wise substitution — the intended
+    semantics the Spark engine implements (same per-field float/0 coercion,
+    same empty eval env, same exception→None)."""
+    def repl(m):
+        name = m.group(0)
+        if name in row:
+            value = row[name]
+            try:
+                return str(float(value) if value else 0)
+            except (ValueError, TypeError):
+                return "0"
+        return name  # unknown identifier → NameError at eval → None
+    try:
+        return eval(IDENT_RE.sub(repl, expression), {"__builtins__": {}}, {})
+    except Exception:
+        return None
+
+
+def q2_expr(rng, cols):
+    a, b = rng.choice(cols), rng.choice(cols)
+    return rng.choice([
+        f"{a} * {b}", f"{a} + {b}", f"{a} - {b}", f"({a} + {b}) * 2",
+        f"{a} / {b}", f"{a} % {b}", f"{a} + 2", f"{a} * 3 + {b}",
+    ])
+
+
+def gen_case_q2(rng):
+    cols = rng.sample(Q2_COLS, rng.randrange(3, 7))
+    nrows = rng.randrange(4, 11)
+    rows = [[rng.choice(Q2_CELLS) for _ in cols] for _ in range(nrows)]
+    buf = io.StringIO()
+    w = csv.writer(buf, lineterminator="\n")
+    w.writerow(cols)
+    w.writerows(rows)
+    fms = []
+    for i in range(rng.randrange(1, 4)):
+        fms.append({"destination_field": f"f_{i}",
+                    "source_field": rng.choice(cols),
+                    "transform_type": "formula",
+                    "transform_config": {"expression": q2_expr(rng, cols)}})
+    if rng.random() < 0.5:  # a direct passthrough for output texture
+        fms.append({"destination_field": "d_raw",
+                    "source_field": rng.choice(cols),
+                    "transform_type": "direct", "transform_config": {}})
+    mapping = {"id": "fq2", "name": "FuzzQ2", "source_id": "s",
+               "destination_id": "d", "field_mappings": fms,
+               "filter_rules": []}
+    return buf.getvalue(), mapping, rng.random() < 0.3
+
+
+# ---- Q3 family: lookup `_default` key collision --------------------------
+# A source value literally equal to "_default" reads the default entry
+# (dynamic.py:127-129) — the engine reproduces this exactly (TransformCompiler
+# "quirk Q3"), so these goldens come from the STOCK reference and pin
+# AGREEMENT: collision-with-default, collision-with-null-default (no error —
+# "_default" counts as a table key), and collision-without-default (error).
+def gen_case_q3(rng):
+    cols = rng.sample(COL_POOL, rng.randrange(3, 6))
+    nrows = rng.randrange(5, 12)
+    cells = CELL_POOL + ["_default"] * 6  # make collisions common
+    rows = [[rng.choice(cells) for _ in cols] for _ in range(nrows)]
+    buf = io.StringIO()
+    w = csv.writer(buf, lineterminator="\n")
+    w.writerow(cols)
+    w.writerows(rows)
+    fms = []
+    for i in range(rng.randrange(1, 4)):
+        keys = rng.sample(["A", "active", "_default", "x", "None"],
+                          rng.randrange(1, 3))
+        cfg = {k: rng.choice(["Apple", "ACT", None, "1"]) for k in keys}
+        dflt = rng.randrange(3)
+        if dflt == 0:
+            cfg["_default"] = "Other"
+        elif dflt == 1:
+            cfg["_default"] = None
+        fms.append({"destination_field": f"l_{i}",
+                    "source_field": rng.choice(cols),
+                    "transform_type": "lookup", "transform_config": cfg})
+    mapping = {"id": "fq3", "name": "FuzzQ3", "source_id": "s",
+               "destination_id": "d", "field_mappings": fms,
+               "filter_rules": []}
+    return buf.getvalue(), mapping, rng.random() < 0.5
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     n_ml = int(sys.argv[2]) if len(sys.argv) > 2 else 30
@@ -254,7 +354,47 @@ def main():
         run_case(name, *gen_case_ml(rng))
         ml_names.append(name)
     (OUT / "cases_ml.json").write_text(json.dumps(ml_names))
-    alln = names + ml_names
+
+    # Q3 family: stock reference, pinning AGREEMENT on _default collisions
+    q3_names = []
+    for i in range(40):
+        rng = random.Random(BASE_SEED + 20000 + i)
+        name = f"case_q3_{i:03d}"
+        run_case(name, *gen_case_q3(rng))
+        q3_names.append(name)
+    (OUT / "cases_q3.json").write_text(json.dumps(q3_names))
+
+    # Q2 family: intended-semantics goldens (identifier-safe evaluator
+    # patched into the reference) + the STOCK reference's run recorded as a
+    # .ref twin with a divergence flag
+    q2_names = []
+    n_div = 0
+    stock_eval = DynamicTransformer._evaluate_formula
+    for i in range(40):
+        rng = random.Random(BASE_SEED + 30000 + i)
+        name = f"case_q2_{i:03d}"
+        csv_text, mapping, foe = gen_case_q2(rng)
+        ref_golden = run_case(f"{name}.ref", csv_text, mapping, foe)
+        DynamicTransformer._evaluate_formula = intended_eval_formula
+        try:
+            golden = run_case(name, csv_text, mapping, foe)
+        finally:
+            DynamicTransformer._evaluate_formula = stock_eval
+        ref_out = OUT / f"{name}.ref.out.csv"
+        int_out = OUT / f"{name}.out.csv"
+        diverged = (golden != ref_golden) or \
+            (ref_out.exists() != int_out.exists()) or \
+            (ref_out.exists() and ref_out.read_bytes() != int_out.read_bytes())
+        golden["ref_diverged"] = diverged
+        (OUT / f"{name}.result.json").write_text(
+            json.dumps(golden, indent=1, ensure_ascii=False), encoding="utf-8")
+        n_div += diverged
+        q2_names.append(name)
+    (OUT / "cases_q2.json").write_text(json.dumps(q2_names))
+    print(f"q2: {n_div}/{len(q2_names)} diverge from stock reference; "
+          f"q3: {len(q3_names)} agreement cases")
+
+    alln = names + ml_names + q3_names + q2_names
     written = sum(1 for c in alln if (OUT / f"{c}.out.csv").exists())
     errs = sum(json.loads((OUT / f"{c}.result.json").read_text())["error_count"]
                for c in alln)
