@@ -259,6 +259,34 @@ object SpecStore {
   def appendRun(path: String, r: RunRecord): Unit =
     saveRuns(path, upsertOrdered(loadRuns(path), r.id, r))
 
+  // Store-level lock for run-id allocation (round-12 verdict item 6): id
+  // monotonicity must not depend on the HTTP server happening to be
+  // single-threaded — two concurrent converts get DISTINCT ids and both
+  // records survive. One JVM owns a config dir's stores, so an object
+  // monitor is the right scope (same assumption every SpecStore write
+  // already makes).
+  private val runsLock = new Object
+
+  /** Atomically allocate the next `run_N` id and append the built record. */
+  def appendRunNext(path: String, build: Int => RunRecord): RunRecord =
+    runsLock.synchronized {
+      val rs = loadRuns(path)
+      val rec = build(rs.size)
+      saveRuns(path, upsertOrdered(rs, rec.id, rec))
+      rec
+    }
+
+  /** Batch form for the per-directory process loop: ONE load+save for the
+    * whole batch (the O(files × history) fix stays), ids allocated
+    * contiguously under the same lock. */
+  def appendRunsNext(path: String, builds: Seq[Int => RunRecord]): Seq[RunRecord] =
+    runsLock.synchronized {
+      val rs = loadRuns(path)
+      val recs = builds.zipWithIndex.map { case (b, i) => b(rs.size + i) }
+      saveRuns(path, recs.foldLeft(rs)((m, r) => upsertOrdered(m, r.id, r)))
+      recs
+    }
+
   def parseRun(json: String): RunRecord = runRecord(mapper.readTree(json))
 
   def deleteMapping(path: String, id: String): Boolean = {
