@@ -142,11 +142,20 @@ object Strings extends QueryPack {
       sym AS (
         SELECT n1, n2, dist FROM pairs
         UNION ALL SELECT n2 AS n1, n1 AS n2, dist FROM pairs
-        UNION ALL SELECT n AS n1, n AS n2, 0 AS dist FROM names)
-      SELECT a.p_partkey AS k1, b.p_partkey AS k2,
-             a.p_name AS n1, b.p_name AS n2, s.dist::BIGINT AS dist
-      FROM part a JOIN sym s ON a.p_name = s.n1
-      JOIN part b ON s.n2 = b.p_name AND a.p_partkey < b.p_partkey
+        UNION ALL SELECT n AS n1, n AS n2, 0 AS dist FROM names),
+      expd AS MATERIALIZED (
+        SELECT a.p_partkey AS k1, a.p_name AS n1, s.n2 AS nn2, s.dist
+        FROM part a JOIN sym s ON a.p_name = s.n1)
+      -- round-13 restructure (the 10x soak's disk wall): written as
+      -- `JOIN part b ON s.n2 = b.p_name AND a.p_partkey < b.p_partkey`,
+      -- DuckDB planned a PIECEWISE_MERGE_JOIN of part x part on the
+      -- INEQUALITY alone (~2e12 pairs at 10x -> >75 GB spill). The
+      -- MATERIALIZED fence pins the name-equality join order, and the
+      -- least()-form keeps the key filter non-sargable so the planner
+      -- hash-joins on the equality and filters the probe stream.
+      SELECT e.k1, b.p_partkey AS k2, e.n1, b.p_name AS n2, e.dist::BIGINT AS dist
+      FROM expd e JOIN part b ON e.nn2 = b.p_name
+      WHERE least(e.k1, b.p_partkey) = e.k1 AND e.k1 <> b.p_partkey
       ORDER BY k1, k2""",
     "x5_regexp_extract" -> """
       SELECT p_partkey, array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',') AS words,
