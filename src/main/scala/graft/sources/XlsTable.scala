@@ -23,10 +23,11 @@ import org.apache.spark.sql.types._
   *   - the BIFF8 record stream (MS-XLS): BOF / BoundSheet8 / SST (with
   *     CONTINUE spill) / LABELSST / NUMBER / BLANK / EOF on write; the
   *     reader also decodes RK and MULRK (the packed numeric forms real
-  *     Excel emits), inline LABEL, SST CONTINUE spill, and FORMULA cached
-  *     values (numeric / string-via-STRING-record / boolean / blank —
-  *     error-valued formula cells are rejected by name), and skips every
-  *     other record by its declared length.
+  *     Excel emits), inline LABEL, BOOLERR (booleans decode, error cells
+  *     reject by name), SST CONTINUE spill, and FORMULA cached values
+  *     (numeric / string-via-STRING-record / boolean / blank — error-
+  *     valued formula cells reject like BOOLERR's), and skips every other
+  *     record by its declared length.
   *
   * Scale shape: one `part-NNNNN.xls` per input partition, parallel by
   * split like the Avro/Xlsx sinks, one read task per file. BIFF8 is
@@ -561,8 +562,8 @@ object XlsTable {
           names(u16(stream, b + 2)) =
             if (wide) new String(stream, b + 9, nBytes, "UTF-16LE")
             else new String(stream, b + 9, nBytes, "ISO-8859-1")
-        case 0x00FD | 0x0204 | 0x0203 | 0x027E | 0x00BD | 0x0201 | 0x0006
-            if u16(stream, b) > 0 =>
+        case 0x00FD | 0x0204 | 0x0203 | 0x027E | 0x00BD | 0x0201 | 0x0006 |
+             0x0205 if u16(stream, b) > 0 =>
           done = true // past the header row
         case _ =>
       }
@@ -772,6 +773,18 @@ object XlsTable {
               case 0x0201 => // BLANK: marks the row present, value stays null
                 require(len >= 6, "malformed BLANK record")
                 cell(u16(stream, b), u16(stream, b + 2), null)
+              case 0x0205 => // BOOLERR: literal boolean or error cell —
+                // same honesty contract as FORMULA's cached value: booleans
+                // decode (1.0/0.0 through the schema cast), error cells
+                // reject by name instead of silently reading null
+                require(len >= 8, s"malformed BOOLERR record (len $len)")
+                val row = u16(stream, b); val col = u16(stream, b + 2)
+                if (stream(b + 7) == 0)
+                  cell(row, col, if (stream(b + 6) != 0) 1.0 else 0.0)
+                else throw new IllegalArgumentException(
+                  f"cell at ($row%d,$col%d) holds an Excel ERROR value " +
+                    f"0x${stream(b + 6) & 0xFF}%02X (#DIV/0!-class) — " +
+                    "re-export with errors resolved")
               case 0x0006 => // FORMULA: decode the CACHED result value
                 // (MS-XLS 2.4.127) — silently null-reading formula cells was
                 // the one place this reader dropped real-user data without a

@@ -248,6 +248,38 @@ class XlsSourceSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("STRING record"))
   }
 
+  test("BOOLERR cells decode booleans and reject error values by name") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    def build(value: Int, isErr: Boolean): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def rec(id: Int, p: Array[Byte]): Unit = {
+        out.write(le(4).putShort(id.toShort).putShort(p.length.toShort).array())
+        out.write(p)
+      }
+      rec(0x0809, le(16).putShort(0x0600.toShort).putShort(0x0005.toShort)
+        .putInt(0).putInt(0).putInt(0).array())
+      rec(0x00FC, le(8).putInt(0).putInt(0).array())
+      rec(0x000A, Array.emptyByteArray)
+      rec(0x0809, le(16).putShort(0x0600.toShort).putShort(0x0010.toShort)
+        .putInt(0).putInt(0).putInt(0).array())
+      rec(0x0205, le(8).putShort(1.toShort).putShort(0.toShort).putShort(0.toShort)
+        .put(value.toByte).put(if (isErr) 1.toByte else 0.toByte).array())
+      rec(0x000A, Array.emptyByteArray)
+      out.toByteArray
+    }
+    val got = XlsTable.sheetRows(build(1, isErr = false), 1,
+      Array[DataType](LongType)).toSeq
+    assert(got == Seq(Row(1L)))
+    val gotF = XlsTable.sheetRows(build(0, isErr = false), 1,
+      Array[DataType](DoubleType)).toSeq
+    assert(gotF == Seq(Row(0.0)))
+    val e = intercept[IllegalArgumentException](
+      XlsTable.sheetRows(build(0x07, isErr = true), 1,
+        Array[DataType](LongType)).toSeq)
+    assert(e.getMessage.contains("ERROR value 0x07"))
+  }
+
   test("header inference decodes inline LABEL cells and rejects empty headers") {
     import java.nio.{ByteBuffer, ByteOrder}
     def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
