@@ -8,7 +8,7 @@ import scala.collection.immutable.VectorMap
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import graft.engine.{Api, RowEdit, RowError, TransformResult}
-import graft.spec.{ETLMapping, FileSpec, RunRecord, SpecJson, SpecStore, Templates}
+import graft.spec.{Accounts, ETLMapping, FileSpec, RunRecord, SpecJson, SpecStore, Templates}
 
 /** Thin JSON-over-HTTP shim over the engine — the reference dashboard's API
   * surface (app.py) without the HTML rendering. Closes the EP2/EP3 loop
@@ -51,6 +51,80 @@ final class Dashboard(spark: SparkSession, configDir: String,
   private def mappingsPath = s"$configDir/mappings.json"
   private def runsPath = s"$configDir/runs.json"
   private def templatesPath = s"$configDir/templates.json"
+  private def usersPath = s"$configDir/users.json"
+  private def aclPath = s"$configDir/acl.json"
+  private def auditPath = s"$configDir/audit.json"
+
+  // ---- auth overlay (ROADMAP.md:31-37 "Authentication & User Management",
+  // :55-59 "Permissions & Sharing"): local-credential accounts, resource
+  // ACLs, audit log — Accounts.scala. Enforcement is on the /api control
+  // plane and turns ON when the first user registers (users.json
+  // non-empty); with no users the dashboard behaves exactly as before, so
+  // pre-auth deployments and the reference-parity surface are unchanged.
+  // Sessions are in-process (token cookie), like a dev Flask secret.
+  private val sessions = scala.collection.concurrent.TrieMap[String, String]()
+  private def authOn: Boolean = Accounts.loadUsers(usersPath).nonEmpty
+  private def cookieToken(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Cookie")).toSeq
+      .flatMap(_.split(";")).map(_.trim)
+      .collectFirst { case c if c.startsWith("session=") => c.stripPrefix("session=") }
+  private def currentUser(ex: HttpExchange): Option[String] =
+    cookieToken(ex).flatMap(sessions.get)
+  private def audit(user: Option[String], action: String, resource: String): Unit =
+    if (authOn)
+      Accounts.appendAudit(auditPath, user.getOrElse("anonymous"), action,
+        resource, clock())
+  /** Creating a resource while logged in claims it: owner = creator,
+    * private by default (the ROADMAP's stated default). */
+  private def claim(id: String, user: Option[String]): Unit =
+    user.foreach { u =>
+      if (authOn && !Accounts.loadAcls(aclPath).contains(id))
+        Accounts.upsertAcl(aclPath, id, graft.spec.Acl(u, "private", VectorMap.empty))
+    }
+  private def visibleKeys[T](m: Map[String, T], user: Option[String]): Map[String, T] =
+    if (!authOn) m
+    else {
+      val acls = Accounts.loadAcls(aclPath)
+      m.filter { case (k, _) => Accounts.canView(acls, k, user) }
+    }
+
+  /** Permission gate for the /api surface in auth mode; None = allowed.
+    * Listings pass (filtered in-branch); body-dependent upsert permission
+    * is checked in-branch too (the body can only be read once). */
+  private def authGate(segs: List[String], post: Boolean,
+                       user: Option[String]): Option[(Int, String)] = {
+    val acls = Accounts.loadAcls(aclPath)
+    def login = if (user.isDefined) None else Some(401 -> "Login required")
+    def view(id: String) =
+      if (Accounts.canView(acls, id, user)) None
+      else Some(404 -> "Not found") // invisible, not just forbidden
+    def edit(id: String) =
+      login.orElse(if (Accounts.canEdit(acls, id, user)) None
+                   else Some(403 -> "Forbidden"))
+    def owner(id: String) =
+      login.orElse(if (Accounts.isOwner(acls, id, user)) None
+                   else Some(403 -> "Owner only"))
+    segs match {
+      case "api" :: ("login" | "logout" | "users" | "me" | "acl") :: _ => None
+      case "api" :: ("sources" | "destinations" | "mappings" | "templates") ::
+           Nil if post => login
+      case "api" :: ("sources" | "destinations") :: id :: "columns" :: Nil =>
+        view(id)
+      case "api" :: ("sources" | "destinations" | "mappings" | "templates") ::
+           id :: "delete" :: Nil if post => owner(id)
+      case "api" :: "mappings" :: id :: "save" :: Nil if post => edit(id)
+      case "api" :: "mappings" :: id :: "save_template" :: Nil if post =>
+        login.orElse(view(id))
+      case "api" :: "templates" :: id :: "instantiate" :: Nil if post =>
+        login.orElse(view(id))
+      case "api" :: "preview" :: sid :: _ :: Nil => view(sid)
+      case "api" :: "preview" :: sid :: _ :: "update" :: Nil if post => edit(sid)
+      case "api" :: "preview" :: sid :: _ :: "convert" :: Nil if post => view(sid)
+      case "api" :: "process" :: sid :: Nil if post => view(sid)
+      case "api" :: ("runs" | "audit") :: Nil => login
+      case _ => None
+    }
+  }
 
   /** D5 run history: build one run's summary; ids continue from `from`
     * (`run_N`). Store size is one row per run — metadata, never
@@ -114,20 +188,34 @@ final class Dashboard(spark: SparkSession, configDir: String,
   private def route(ex: HttpExchange): Unit = {
     val segs = ex.getRequestURI.getPath.stripPrefix("/").split("/").toList
     val post = ex.getRequestMethod == "POST"
+    val user = currentUser(ex)
+    if (authOn) authGate(segs, post, user) match {
+      case Some((code, msg)) => err(ex, code, msg); return
+      case None =>
+    }
     segs match {
       case "api" :: "sources" :: rest => specRoutes(ex, post, sourcesPath, rest,
-        createDir = true)
+        createDir = true, user)
       case "api" :: "destinations" :: rest => specRoutes(ex, post, destinationsPath,
-        rest, createDir = false)
+        rest, createDir = false, user)
       case "api" :: "mappings" :: Nil if !post =>
-        respond(ex, 200, SpecStore.loadMappings(mappingsPath)
+        respond(ex, 200, visibleKeys(SpecStore.loadMappings(mappingsPath), user)
           .map { case (k, v) => k -> SpecJson.etlMappingDict(v) })
       case "api" :: "mappings" :: Nil =>
         val m = SpecStore.parseMapping(readBody(ex))
-        SpecStore.upsertMapping(mappingsPath, m)
-        respond(ex, 200, VectorMap("success" -> true, "id" -> m.id))
+        if (authOn && SpecStore.loadMappings(mappingsPath).contains(m.id) &&
+            !Accounts.canEdit(Accounts.loadAcls(aclPath), m.id, user))
+          err(ex, 403, "Forbidden")
+        else {
+          SpecStore.upsertMapping(mappingsPath, m)
+          claim(m.id, user)
+          audit(user, "save_mapping", m.id)
+          respond(ex, 200, VectorMap("success" -> true, "id" -> m.id))
+        }
       case "api" :: "mappings" :: id :: "delete" :: Nil if post =>
-        respond(ex, 200, VectorMap("success" -> SpecStore.deleteMapping(mappingsPath, id)))
+        val ok = SpecStore.deleteMapping(mappingsPath, id)
+        if (ok) { Accounts.deleteAcl(aclPath, id); audit(user, "delete_mapping", id) }
+        respond(ex, 200, VectorMap("success" -> ok))
       case "api" :: "mappings" :: id :: "save" :: Nil if post =>
         saveMappingFromEditor(ex, id)
       case "upload" :: sourceId :: Nil if post =>
@@ -139,23 +227,34 @@ final class Dashboard(spark: SparkSession, configDir: String,
       case "api" :: "preview" :: sourceId :: filename :: Nil if !post =>
         preview(ex, sourceId, filename)
       case "api" :: "preview" :: sourceId :: filename :: "update" :: Nil if post =>
+        audit(user, "row_update", s"$sourceId/$filename")
         update(ex, sourceId, filename)
       case "api" :: "preview" :: sourceId :: filename :: "convert" :: Nil if post =>
+        audit(user, "convert", s"$sourceId/$filename")
         convert(ex, sourceId, filename)
       case "api" :: "process" :: sourceId :: Nil if post =>
+        audit(user, "process", sourceId)
         process(ex, sourceId)
       // D6 mapping-template library: CRUD over templates.json plus
       // instantiate-with-rename into the mapping store
       case "api" :: "templates" :: Nil if !post =>
-        respond(ex, 200, SpecStore.loadTemplates(templatesPath)
+        respond(ex, 200, visibleKeys(SpecStore.loadTemplates(templatesPath), user)
           .map { case (k, v) => k -> SpecJson.etlMappingDict(v) })
       case "api" :: "templates" :: Nil =>
         val t = SpecStore.parseMapping(readBody(ex))
-        SpecStore.upsertTemplate(templatesPath, t)
-        respond(ex, 200, VectorMap("success" -> true, "id" -> t.id))
+        if (authOn && SpecStore.loadTemplates(templatesPath).contains(t.id) &&
+            !Accounts.canEdit(Accounts.loadAcls(aclPath), t.id, user))
+          err(ex, 403, "Forbidden")
+        else {
+          SpecStore.upsertTemplate(templatesPath, t)
+          claim(t.id, user)
+          audit(user, "save_template", t.id)
+          respond(ex, 200, VectorMap("success" -> true, "id" -> t.id))
+        }
       case "api" :: "templates" :: id :: "delete" :: Nil if post =>
-        respond(ex, 200, VectorMap(
-          "success" -> SpecStore.deleteTemplate(templatesPath, id)))
+        val ok = SpecStore.deleteTemplate(templatesPath, id)
+        if (ok) { Accounts.deleteAcl(aclPath, id); audit(user, "delete_template", id) }
+        respond(ex, 200, VectorMap("success" -> ok))
       case "api" :: "templates" :: id :: "instantiate" :: Nil if post =>
         SpecStore.loadTemplates(templatesPath).get(id) match {
           case None => err(ex, 404, "Template not found")
@@ -168,6 +267,8 @@ final class Dashboard(spark: SparkSession, configDir: String,
               sourceId = field("source_id", t.sourceId),
               destinationId = field("destination_id", t.destinationId))
             SpecStore.upsertMapping(mappingsPath, m)
+            claim(m.id, user)
+            audit(user, "instantiate_template", s"$id -> ${m.id}")
             respond(ex, 200, VectorMap("success" -> true, "id" -> m.id))
         }
       // save an existing mapping back into the library
@@ -179,6 +280,8 @@ final class Dashboard(spark: SparkSession, configDir: String,
             val tid = data.get("template_id").map(String.valueOf).getOrElse(s"${id}_template")
             val tname = data.get("name").map(String.valueOf).getOrElse(m.name)
             SpecStore.upsertTemplate(templatesPath, m.copy(id = tid, name = tname))
+            claim(tid, user)
+            audit(user, "save_template", tid)
             respond(ex, 200, VectorMap("success" -> true, "id" -> tid))
         }
       case "templates" :: Nil if !post =>
@@ -186,8 +289,15 @@ final class Dashboard(spark: SparkSession, configDir: String,
       // D5 run history: the durable twin of the reference's session-held
       // conversion counters (app.py:215-224)
       case "api" :: "runs" :: Nil if !post =>
-        respond(ex, 200, SpecStore.loadRuns(runsPath)
-          .map { case (k, v) => k -> SpecJson.runRecordDict(v) })
+        // auth mode: a run is visible when its mapping is
+        val runs0 = SpecStore.loadRuns(runsPath)
+        val runs =
+          if (!authOn) runs0
+          else {
+            val acls = Accounts.loadAcls(aclPath)
+            runs0.filter { case (_, r) => Accounts.canView(acls, r.mappingId, user) }
+          }
+        respond(ex, 200, runs.map { case (k, v) => k -> SpecJson.runRecordDict(v) })
       case "runs" :: Nil if !post =>
         html(ex, Pages.runList(SpecStore.loadRuns(runsPath),
           SpecStore.loadMappings(mappingsPath)))
@@ -245,6 +355,88 @@ final class Dashboard(spark: SparkSession, configDir: String,
             p.result.map(r => (r.successCount, r.skippedCount, r.errorCount)),
             p.rows.length.toLong))
         }
+      // ---- auth / sharing / audit (ROADMAP.md:31-37, :55-59; see the
+      // overlay notes above authGate). Registration is open (self-serve,
+      // like the reference's wished-for flow) and ENABLES enforcement on
+      // first use; login issues an in-process session cookie. ----
+      case "api" :: "users" :: Nil if post =>
+        val data = SpecStore.parseAny(readBody(ex)).asInstanceOf[Map[String, Any]]
+        val name = data.get("name").map(String.valueOf).getOrElse("")
+        val pw = data.get("password").map(String.valueOf).getOrElse("")
+        val users = Accounts.loadUsers(usersPath)
+        if (name.isEmpty || pw.isEmpty) err(ex, 400, "name and password required")
+        else if (users.values.exists(_.name == name)) err(ex, 409, "user exists")
+        else {
+          val u = Accounts.makeUser(s"user_${users.size + 1}", name, pw)
+          Accounts.upsertUser(usersPath, u)
+          audit(Some(name), "register", u.id)
+          respond(ex, 200, VectorMap("success" -> true, "id" -> u.id))
+        }
+      case "api" :: "login" :: Nil if post =>
+        val data = SpecStore.parseAny(readBody(ex)).asInstanceOf[Map[String, Any]]
+        val name = data.get("name").map(String.valueOf).getOrElse("")
+        val pw = data.get("password").map(String.valueOf).getOrElse("")
+        Accounts.loadUsers(usersPath).values.find(_.name == name) match {
+          case Some(u) if Accounts.verify(u, pw) =>
+            val token = java.util.UUID.randomUUID().toString
+            sessions.put(token, name)
+            ex.getResponseHeaders.add("Set-Cookie", s"session=$token; HttpOnly")
+            audit(Some(name), "login", u.id)
+            respond(ex, 200, VectorMap("success" -> true, "user" -> name))
+          case _ => err(ex, 401, "invalid credentials")
+        }
+      case "api" :: "logout" :: Nil if post =>
+        cookieToken(ex).foreach(sessions.remove)
+        respond(ex, 200, VectorMap("success" -> true))
+      case "api" :: "me" :: Nil if !post =>
+        respond(ex, 200, VectorMap[String, Any]("user" -> user.orNull))
+      case "api" :: "acl" :: id :: Nil if !post =>
+        Accounts.loadAcls(aclPath).get(id) match {
+          case None => err(ex, 404, "No ACL for resource")
+          case Some(a) => respond(ex, 200, VectorMap[String, Any](
+            "owner" -> a.owner, "visibility" -> a.visibility,
+            "shares" -> a.shares))
+        }
+      case "api" :: "acl" :: id :: Nil if post =>
+        val acls = Accounts.loadAcls(aclPath)
+        if (!authOn) err(ex, 400, "auth disabled - register a user first")
+        else if (user.isEmpty) err(ex, 401, "Login required")
+        else if (!Accounts.isOwner(acls, id, user)) err(ex, 403, "Owner only")
+        else {
+          val data = SpecStore.parseAny(readBody(ex)).asInstanceOf[Map[String, Any]]
+          val prev = acls.getOrElse(id,
+            graft.spec.Acl(user.get, "private", VectorMap.empty))
+          val vis = data.get("visibility").map(String.valueOf)
+            .getOrElse(prev.visibility)
+          val withShare = data.get("share") match {
+            case Some(s: Map[_, _]) =>
+              val sm = s.asInstanceOf[Map[String, Any]]
+              val level = sm.get("level").map(String.valueOf).getOrElse("view")
+              sm.get("user").map(String.valueOf) match {
+                case Some(target) if Seq("view", "edit").contains(level) =>
+                  Right(prev.shares.updated(target, level)
+                    .to(VectorMap))
+                case _ => Left("share needs user + level view|edit")
+              }
+            case _ => Right(prev.shares)
+          }
+          (withShare, Seq("private", "public").contains(vis)) match {
+            case (Left(msg), _) => err(ex, 400, msg)
+            case (_, false) => err(ex, 400, "visibility must be private|public")
+            case (Right(shares0), true) =>
+              val shares = data.get("revoke").map(String.valueOf) match {
+                case Some(target) => (shares0 - target).to(VectorMap)
+                case None => shares0
+              }
+              Accounts.upsertAcl(aclPath, id, prev.copy(
+                visibility = vis, shares = shares))
+              audit(user, "acl_update", id)
+              respond(ex, 200, VectorMap("success" -> true))
+          }
+        }
+      case "api" :: "audit" :: Nil if !post =>
+        respond(ex, 200, Accounts.loadAudit(auditPath)
+          .map { case (k, v) => k -> Accounts.auditDict(v) })
       case _ => err(ex, 404, "Not found")
     }
   }
@@ -323,22 +515,32 @@ final class Dashboard(spark: SparkSession, configDir: String,
   // ---- spec CRUD (sources + destinations share shape) ----
 
   private def specRoutes(ex: HttpExchange, post: Boolean, path: String,
-                         rest: List[String], createDir: Boolean): Unit = rest match {
+                         rest: List[String], createDir: Boolean,
+                         user: Option[String]): Unit = rest match {
     case Nil if !post =>
-      respond(ex, 200, SpecStore.loadFileSpecs(path)
+      respond(ex, 200, visibleKeys(SpecStore.loadFileSpecs(path), user)
         .map { case (k, v) => k -> SpecJson.fileSpecDict(v) })
     case Nil =>
       val spec = SpecStore.parseFileSpec(readBody(ex))
-      SpecStore.upsertFileSpec(path, spec)
-      if (createDir) Templates.createSpecDirectoryAndTemplate(spec, inputDir)
-      respond(ex, 200, VectorMap("success" -> true, "id" -> spec.id))
+      if (authOn && SpecStore.loadFileSpecs(path).contains(spec.id) &&
+          !Accounts.canEdit(Accounts.loadAcls(aclPath), spec.id, user))
+        err(ex, 403, "Forbidden")
+      else {
+        SpecStore.upsertFileSpec(path, spec)
+        if (createDir) Templates.createSpecDirectoryAndTemplate(spec, inputDir)
+        claim(spec.id, user)
+        audit(user, "save_spec", spec.id)
+        respond(ex, 200, VectorMap("success" -> true, "id" -> spec.id))
+      }
     case id :: "columns" :: Nil if !post =>
       SpecStore.loadFileSpecs(path).get(id) match {
         case None => err(ex, 404, "Source not found")
         case Some(s) => respond(ex, 200, s.columns.map(SpecJson.columnSpecDict).toList)
       }
     case id :: "delete" :: Nil if post =>
-      respond(ex, 200, VectorMap("success" -> SpecStore.deleteFileSpec(path, id)))
+      val ok = SpecStore.deleteFileSpec(path, id)
+      if (ok) { Accounts.deleteAcl(aclPath, id); audit(user, "delete_spec", id) }
+      respond(ex, 200, VectorMap("success" -> ok))
     case _ => err(ex, 404, "Not found")
   }
 

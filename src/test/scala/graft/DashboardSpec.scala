@@ -353,6 +353,103 @@ class DashboardSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("D7 auth overlay: registration enables enforcement; private/share/public; audit") {
+    // fresh isolated dashboard: registering a user flips the config dir
+    // into auth mode, which must not leak into the shared-dashboard tests
+    val cfg = Files.createTempDirectory("dash-cfg7")
+    val in7 = Files.createTempDirectory("dash-in7")
+    val out7 = Files.createTempDirectory("dash-out7")
+    Seq("sources.json", "destinations.json", "mappings.json").foreach(f =>
+      Files.copy(Paths.get(cfgSrc, f), cfg.resolve(f)))
+    var tick = 0
+    val dash = new Dashboard(TestSpark.spark, cfg.toString, in7.toString,
+      out7.toString, clock = () => { tick += 1; s"t$tick" })
+    dash.start()
+    try {
+      val b = s"http://127.0.0.1:${dash.boundPort}"
+      def req(path: String, body: Option[String], cookie: Option[String]) = {
+        val rb = HttpRequest.newBuilder(URI.create(s"$b$path"))
+        cookie.foreach(c => rb.header("Cookie", s"session=$c"))
+        body match {
+          case Some(s) => rb.POST(HttpRequest.BodyPublishers.ofString(s))
+          case None    => rb.GET()
+        }
+        client.send(rb.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      def post7(path: String, body: String, cookie: Option[String] = None) =
+        req(path, Some(body), cookie)
+      def get7(path: String, cookie: Option[String] = None) =
+        req(path, None, cookie)
+      def token(r: HttpResponse[String]): String =
+        r.headers().firstValue("Set-Cookie").get
+          .split(";")(0).stripPrefix("session=")
+
+      // open mode: no users → anonymous mutation allowed, me is null
+      assert(get7("/api/me").body().contains("null"))
+      val mapping = (id: String) => s"""{
+        "id": "$id", "name": "M $id",
+        "source_id": "revolut_stocks", "destination_id": "ghostfolio",
+        "description": "", "filter_rules": [], "field_mappings": []}"""
+      assert(post7("/api/mappings", mapping("m_open")).statusCode() == 200)
+
+      // registration flips auth ON: anonymous mutation now 401, but the
+      // PRE-AUTH resources stay visible (no ACL entry = legacy/public)
+      assert(post7("/api/users", """{"name":"alice","password":"pw1"}""")
+        .statusCode() == 200)
+      assert(post7("/api/mappings", mapping("m_anon")).statusCode() == 401)
+      assert(get7("/api/mappings").body().contains("m_open"))
+
+      // login: bad password rejected, good issues a session cookie
+      assert(post7("/api/login", """{"name":"alice","password":"nope"}""")
+        .statusCode() == 401)
+      val alice = token(post7("/api/login", """{"name":"alice","password":"pw1"}"""))
+      assert(get7("/api/me", Some(alice)).body().contains("alice"))
+
+      // alice creates a mapping → owned, private by default
+      assert(post7("/api/mappings", mapping("m_priv"), Some(alice)).statusCode() == 200)
+      val acl = asMap(get7("/api/acl/m_priv").body())
+      assert(acl("owner") == "alice" && acl("visibility") == "private")
+
+      // bob: registered, logged in — cannot see, edit, or delete m_priv
+      assert(post7("/api/users", """{"name":"bob","password":"pw2"}""").statusCode() == 200)
+      val bob = token(post7("/api/login", """{"name":"bob","password":"pw2"}"""))
+      assert(!get7("/api/mappings", Some(bob)).body().contains("m_priv"))
+      assert(post7("/api/mappings", mapping("m_priv"), Some(bob)).statusCode() == 403)
+      assert(post7("/api/mappings/m_priv/delete", "", Some(bob)).statusCode() == 403)
+
+      // view share: bob sees it but still cannot edit; edit share: can
+      assert(post7("/api/acl/m_priv",
+        """{"share":{"user":"bob","level":"view"}}""", Some(alice)).statusCode() == 200)
+      assert(get7("/api/mappings", Some(bob)).body().contains("m_priv"))
+      assert(post7("/api/mappings", mapping("m_priv"), Some(bob)).statusCode() == 403)
+      assert(post7("/api/acl/m_priv",
+        """{"share":{"user":"bob","level":"edit"}}""", Some(alice)).statusCode() == 200)
+      assert(post7("/api/mappings", mapping("m_priv"), Some(bob)).statusCode() == 200)
+      // delete stays owner-only; bob cannot grant himself more (owner-only ACL)
+      assert(post7("/api/mappings/m_priv/delete", "", Some(bob)).statusCode() == 403)
+      assert(post7("/api/acl/m_priv", """{"visibility":"public"}""", Some(bob))
+        .statusCode() == 403)
+
+      // revoke + public visibility: bob loses the share but public shows it
+      assert(post7("/api/acl/m_priv", """{"revoke":"bob"}""", Some(alice)).statusCode() == 200)
+      assert(!get7("/api/mappings", Some(bob)).body().contains("m_priv"))
+      assert(post7("/api/acl/m_priv", """{"visibility":"public"}""", Some(alice))
+        .statusCode() == 200)
+      assert(get7("/api/mappings", Some(bob)).body().contains("m_priv"))
+
+      // audit: login-gated; records the flow with the injected clock
+      assert(get7("/api/audit").statusCode() == 401)
+      val audit = get7("/api/audit", Some(alice)).body()
+      Seq("register", "login", "save_mapping", "acl_update").foreach(a =>
+        assert(audit.contains(a), s"audit missing $a:\n$audit"))
+      assert(audit.contains("\"at\": \"t"))
+
+      // owner delete succeeds and drops the ACL entry
+      assert(post7("/api/mappings/m_priv/delete", "", Some(alice)).statusCode() == 200)
+      assert(get7("/api/acl/m_priv").statusCode() == 404)
+    } finally dash.stop()
+  }
+
   test("D6 template library: CRUD + instantiate-with-rename over HTTP") {
     val template = """{
       "id": "tpl_direct", "name": "Direct Template",
