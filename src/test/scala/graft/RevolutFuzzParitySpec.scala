@@ -8,7 +8,7 @@ import graft.engine.CsvSource
 import graft.spec.FileSpec
 
 /** Differential fuzz parity for the HARDCODED Revolut pipelines (round-12
-  * verdict item 1). tools/fuzz_revolut.py generates 140 deterministic
+  * verdict item 1). tools/fuzz_revolut.py generates 280 deterministic
   * pseudo-random export CSVs — every TYPE_MAP/SKIP_TYPES key plus
   * BUY/SELL-prefix fallbacks, SYMBOL_MAP and GBX/suffix-guard edges,
   * `€$£`- and currency-code-prefixed money, every H4 date format plus
