@@ -391,8 +391,13 @@ final class Dashboard(spark: SparkSession, configDir: String,
       case "api" :: "me" :: Nil if !post =>
         respond(ex, 200, VectorMap[String, Any]("user" -> user.orNull))
       case "api" :: "acl" :: id :: Nil if !post =>
-        Accounts.loadAcls(aclPath).get(id) match {
+        val acls0 = Accounts.loadAcls(aclPath)
+        acls0.get(id) match {
           case None => err(ex, 404, "No ACL for resource")
+          // ACL metadata is only as visible as the resource itself — a
+          // private mapping must not leak its owner/share list
+          case Some(_) if authOn && !Accounts.canView(acls0, id, user) =>
+            err(ex, 404, "Not found")
           case Some(a) => respond(ex, 200, VectorMap[String, Any](
             "owner" -> a.owner, "visibility" -> a.visibility,
             "shares" -> a.shares))

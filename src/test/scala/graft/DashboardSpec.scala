@@ -405,9 +405,11 @@ class DashboardSpec extends AnyFunSuite {
       val alice = token(post7("/api/login", """{"name":"alice","password":"pw1"}"""))
       assert(get7("/api/me", Some(alice)).body().contains("alice"))
 
-      // alice creates a mapping → owned, private by default
+      // alice creates a mapping → owned, private by default; the ACL
+      // metadata itself is only as visible as the resource
       assert(post7("/api/mappings", mapping("m_priv"), Some(alice)).statusCode() == 200)
-      val acl = asMap(get7("/api/acl/m_priv").body())
+      assert(get7("/api/acl/m_priv").statusCode() == 404)
+      val acl = asMap(get7("/api/acl/m_priv", Some(alice)).body())
       assert(acl("owner") == "alice" && acl("visibility") == "private")
 
       // bob: registered, logged in — cannot see, edit, or delete m_priv
