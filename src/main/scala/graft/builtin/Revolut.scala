@@ -35,11 +35,16 @@ object Revolut {
       if (df.columns.contains(n)) df
       else df.withColumn(n, lit(null).cast("string")))
 
-  /** Python str.strip() parity: strips ALL ASCII whitespace, not just the
-    * space character Spark's trim() removes (fuzz-found on tab-padded
-    * cells). */
+  /** Python str.strip() parity: strips everything str.isspace() accepts —
+    * Java's \s is only [ \t\n\x0B\f\r], so the class adds the ASCII
+    * separators (\x1c-\x1f), NEL (\x85), NBSP (\xa0) and the Unicode
+    * space block Python also strips (round-13 review: a '\x1c'-padded
+    * ticker diverged from the reference extractor). */
   private def pyStrip(c: Column): Column =
-    regexp_replace(c, "^\\s+|\\s+$", "")
+    regexp_replace(c,
+      "^[\\s\\u001c-\\u001f\\u0085\\u00a0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000]+" +
+        "|[\\s\\u001c-\\u001f\\u0085\\u00a0\\u1680\\u2000-\\u200a\\u2028\\u2029\\u202f\\u205f\\u3000]+$",
+      "")
 
   // ---- shared lenient parsers -------------------------------------------
 

@@ -75,11 +75,24 @@ final class Dashboard(spark: SparkSession, configDir: String,
       Accounts.appendAudit(auditPath, user.getOrElse("anonymous"), action,
         resource, clock())
   /** Creating a resource while logged in claims it: owner = creator,
-    * private by default (the ROADMAP's stated default). */
+    * private by default (the ROADMAP's stated default); check-then-act is
+    * atomic at the store. */
   private def claim(id: String, user: Option[String]): Unit =
-    user.foreach { u =>
-      if (authOn && !Accounts.loadAcls(aclPath).contains(id))
-        Accounts.upsertAcl(aclPath, id, graft.spec.Acl(u, "private", VectorMap.empty))
+    user.foreach { u => if (authOn) Accounts.claimAcl(aclPath, id, u) }
+
+  /** Upsert permission: denied when the target id exists in the store OR
+    * carries an ACL entry — including a DELETE TOMBSTONE (deletes keep the
+    * ACL so a private mapping's run history cannot become everyone-visible
+    * the moment it's deleted, and so another user cannot squat the id and
+    * inherit/donate content under the old owner; round-13 self-review) —
+    * and the caller cannot edit it. Every path that writes a
+    * caller-chosen id into a store goes through this, not just the direct
+    * POST (the instantiate/save_template side doors were the review's
+    * first finding). */
+  private def upsertDenied(exists: Boolean, id: String, user: Option[String]): Boolean =
+    authOn && {
+      val acls = Accounts.loadAcls(aclPath)
+      (exists || acls.contains(id)) && !Accounts.canEdit(acls, id, user)
     }
   private def visibleKeys[T](m: Map[String, T], user: Option[String]): Map[String, T] =
     if (!authOn) m
@@ -203,8 +216,8 @@ final class Dashboard(spark: SparkSession, configDir: String,
           .map { case (k, v) => k -> SpecJson.etlMappingDict(v) })
       case "api" :: "mappings" :: Nil =>
         val m = SpecStore.parseMapping(readBody(ex))
-        if (authOn && SpecStore.loadMappings(mappingsPath).contains(m.id) &&
-            !Accounts.canEdit(Accounts.loadAcls(aclPath), m.id, user))
+        if (upsertDenied(SpecStore.loadMappings(mappingsPath).contains(m.id),
+            m.id, user))
           err(ex, 403, "Forbidden")
         else {
           SpecStore.upsertMapping(mappingsPath, m)
@@ -214,7 +227,8 @@ final class Dashboard(spark: SparkSession, configDir: String,
         }
       case "api" :: "mappings" :: id :: "delete" :: Nil if post =>
         val ok = SpecStore.deleteMapping(mappingsPath, id)
-        if (ok) { Accounts.deleteAcl(aclPath, id); audit(user, "delete_mapping", id) }
+        // the ACL entry stays as a tombstone — see upsertDenied's note
+        if (ok) audit(user, "delete_mapping", id)
         respond(ex, 200, VectorMap("success" -> ok))
       case "api" :: "mappings" :: id :: "save" :: Nil if post =>
         saveMappingFromEditor(ex, id)
@@ -242,8 +256,8 @@ final class Dashboard(spark: SparkSession, configDir: String,
           .map { case (k, v) => k -> SpecJson.etlMappingDict(v) })
       case "api" :: "templates" :: Nil =>
         val t = SpecStore.parseMapping(readBody(ex))
-        if (authOn && SpecStore.loadTemplates(templatesPath).contains(t.id) &&
-            !Accounts.canEdit(Accounts.loadAcls(aclPath), t.id, user))
+        if (upsertDenied(SpecStore.loadTemplates(templatesPath).contains(t.id),
+            t.id, user))
           err(ex, 403, "Forbidden")
         else {
           SpecStore.upsertTemplate(templatesPath, t)
@@ -253,7 +267,7 @@ final class Dashboard(spark: SparkSession, configDir: String,
         }
       case "api" :: "templates" :: id :: "delete" :: Nil if post =>
         val ok = SpecStore.deleteTemplate(templatesPath, id)
-        if (ok) { Accounts.deleteAcl(aclPath, id); audit(user, "delete_template", id) }
+        if (ok) audit(user, "delete_template", id)
         respond(ex, 200, VectorMap("success" -> ok))
       case "api" :: "templates" :: id :: "instantiate" :: Nil if post =>
         SpecStore.loadTemplates(templatesPath).get(id) match {
@@ -266,6 +280,8 @@ final class Dashboard(spark: SparkSession, configDir: String,
               newName = field("name", t.name),
               sourceId = field("source_id", t.sourceId),
               destinationId = field("destination_id", t.destinationId))
+            if (upsertDenied(SpecStore.loadMappings(mappingsPath).contains(m.id),
+                m.id, user)) { err(ex, 403, "Forbidden"); return }
             SpecStore.upsertMapping(mappingsPath, m)
             claim(m.id, user)
             audit(user, "instantiate_template", s"$id -> ${m.id}")
@@ -279,13 +295,16 @@ final class Dashboard(spark: SparkSession, configDir: String,
             val data = SpecStore.parseAny(readBody(ex)).asInstanceOf[Map[String, Any]]
             val tid = data.get("template_id").map(String.valueOf).getOrElse(s"${id}_template")
             val tname = data.get("name").map(String.valueOf).getOrElse(m.name)
+            if (upsertDenied(SpecStore.loadTemplates(templatesPath).contains(tid),
+                tid, user)) { err(ex, 403, "Forbidden"); return }
             SpecStore.upsertTemplate(templatesPath, m.copy(id = tid, name = tname))
             claim(tid, user)
             audit(user, "save_template", tid)
             respond(ex, 200, VectorMap("success" -> true, "id" -> tid))
         }
       case "templates" :: Nil if !post =>
-        html(ex, Pages.templateList(SpecStore.loadTemplates(templatesPath)))
+        html(ex, Pages.templateList(
+          visibleKeys(SpecStore.loadTemplates(templatesPath), user)))
       // D5 run history: the durable twin of the reference's session-held
       // conversion counters (app.py:215-224)
       case "api" :: "runs" :: Nil if !post =>
@@ -299,8 +318,17 @@ final class Dashboard(spark: SparkSession, configDir: String,
           }
         respond(ex, 200, runs.map { case (k, v) => k -> SpecJson.runRecordDict(v) })
       case "runs" :: Nil if !post =>
-        html(ex, Pages.runList(SpecStore.loadRuns(runsPath),
-          SpecStore.loadMappings(mappingsPath)))
+        // same visibility contract as /api/runs (anonymous page viewers
+        // see only public/legacy mappings' runs)
+        val prs0 = SpecStore.loadRuns(runsPath)
+        val prs =
+          if (!authOn) prs0
+          else {
+            val acls = Accounts.loadAcls(aclPath)
+            prs0.filter { case (_, r) => Accounts.canView(acls, r.mappingId, user) }
+          }
+        html(ex, Pages.runList(prs,
+          visibleKeys(SpecStore.loadMappings(mappingsPath), user)))
       // ---- server-rendered pages (reference app.py:53-101, :237-448,
       // :492-513; original markup in Pages.scala, state from SpecStore) ----
       case ("" :: Nil | Nil) if !post =>
@@ -363,14 +391,12 @@ final class Dashboard(spark: SparkSession, configDir: String,
         val data = SpecStore.parseAny(readBody(ex)).asInstanceOf[Map[String, Any]]
         val name = data.get("name").map(String.valueOf).getOrElse("")
         val pw = data.get("password").map(String.valueOf).getOrElse("")
-        val users = Accounts.loadUsers(usersPath)
         if (name.isEmpty || pw.isEmpty) err(ex, 400, "name and password required")
-        else if (users.values.exists(_.name == name)) err(ex, 409, "user exists")
-        else {
-          val u = Accounts.makeUser(s"user_${users.size + 1}", name, pw)
-          Accounts.upsertUser(usersPath, u)
-          audit(Some(name), "register", u.id)
-          respond(ex, 200, VectorMap("success" -> true, "id" -> u.id))
+        else Accounts.register(usersPath, name, pw) match {
+          case Left(msg) => err(ex, 409, msg)
+          case Right(u) =>
+            audit(Some(name), "register", u.id)
+            respond(ex, 200, VectorMap("success" -> true, "id" -> u.id))
         }
       case "api" :: "login" :: Nil if post =>
         val data = SpecStore.parseAny(readBody(ex)).asInstanceOf[Map[String, Any]]
@@ -527,8 +553,8 @@ final class Dashboard(spark: SparkSession, configDir: String,
         .map { case (k, v) => k -> SpecJson.fileSpecDict(v) })
     case Nil =>
       val spec = SpecStore.parseFileSpec(readBody(ex))
-      if (authOn && SpecStore.loadFileSpecs(path).contains(spec.id) &&
-          !Accounts.canEdit(Accounts.loadAcls(aclPath), spec.id, user))
+      if (upsertDenied(SpecStore.loadFileSpecs(path).contains(spec.id),
+          spec.id, user))
         err(ex, 403, "Forbidden")
       else {
         SpecStore.upsertFileSpec(path, spec)
@@ -544,7 +570,7 @@ final class Dashboard(spark: SparkSession, configDir: String,
       }
     case id :: "delete" :: Nil if post =>
       val ok = SpecStore.deleteFileSpec(path, id)
-      if (ok) { Accounts.deleteAcl(aclPath, id); audit(user, "delete_spec", id) }
+      if (ok) audit(user, "delete_spec", id)
       respond(ex, 200, VectorMap("success" -> ok))
     case _ => err(ex, 404, "Not found")
   }

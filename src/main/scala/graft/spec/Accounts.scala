@@ -114,11 +114,44 @@ object Accounts {
     Files.writeString(Paths.get(path),
       SpecJson.dumps(es.map { case (k, v) => k -> auditDict(v) }))
 
-  def upsertUser(path: String, u: User): Unit =
+  // Every load-modify-save below runs under a store lock — the same
+  // not-single-threaded-by-accident discipline as the run store: two
+  // concurrent registrations must not allocate the same user_N (one
+  // account silently destroyed), and concurrent ACL writes must not drop
+  // each other's updates (round-13 self-review finding).
+  private val usersLock = new Object
+  private val aclLock = new Object
+
+  def upsertUser(path: String, u: User): Unit = usersLock.synchronized {
     saveUsers(path, upsertOrdered(loadUsers(path), u.id, u))
-  def upsertAcl(path: String, id: String, a: Acl): Unit =
+  }
+
+  /** Atomic registration: unique-name check + id allocation + append in one
+    * locked step. Left = conflict message. */
+  def register(path: String, name: String, password: String): Either[String, User] =
+    usersLock.synchronized {
+      val users = loadUsers(path)
+      if (users.values.exists(_.name == name)) Left("user exists")
+      else {
+        val u = makeUser(s"user_${users.size + 1}", name, password)
+        saveUsers(path, upsertOrdered(users, u.id, u))
+        Right(u)
+      }
+    }
+
+  def upsertAcl(path: String, id: String, a: Acl): Unit = aclLock.synchronized {
     saveAcls(path, upsertOrdered(loadAcls(path), id, a))
-  def deleteAcl(path: String, id: String): Unit = {
+  }
+
+  /** Claim-if-absent: check-then-act under the lock. */
+  def claimAcl(path: String, id: String, owner: String): Unit =
+    aclLock.synchronized {
+      val as = loadAcls(path)
+      if (!as.contains(id))
+        saveAcls(path, upsertOrdered(as, id, Acl(owner, "private", VectorMap.empty)))
+    }
+
+  def deleteAcl(path: String, id: String): Unit = aclLock.synchronized {
     val as = loadAcls(path)
     if (as.contains(id)) saveAcls(path, as - id)
   }

@@ -439,6 +439,15 @@ class DashboardSpec extends AnyFunSuite {
         .statusCode() == 200)
       assert(get7("/api/mappings", Some(bob)).body().contains("m_priv"))
 
+      // side doors cannot overwrite someone else's resource: bob
+      // instantiates HIS OWN template onto alice's mapping id → 403
+      // (m_priv is public = viewable, but view is not edit)
+      assert(post7("/api/templates", mapping("tpl_b"), Some(bob)).statusCode() == 200)
+      assert(post7("/api/templates/tpl_b/instantiate",
+        """{"id":"m_priv"}""", Some(bob)).statusCode() == 403)
+      assert(post7("/api/mappings/tpl_b/save_template", "{}", Some(bob))
+        .statusCode() == 404) // tpl_b is a template, not a mapping
+
       // audit: login-gated; records the flow with the injected clock
       assert(get7("/api/audit").statusCode() == 401)
       val audit = get7("/api/audit", Some(alice)).body()
@@ -446,9 +455,13 @@ class DashboardSpec extends AnyFunSuite {
         assert(audit.contains(a), s"audit missing $a:\n$audit"))
       assert(audit.contains("\"at\": \"t"))
 
-      // owner delete succeeds and drops the ACL entry
+      // owner delete succeeds; the ACL stays as a TOMBSTONE — the id stays
+      // reserved to alice (no squatting) and run history stays scoped
       assert(post7("/api/mappings/m_priv/delete", "", Some(alice)).statusCode() == 200)
-      assert(get7("/api/acl/m_priv").statusCode() == 404)
+      assert(!get7("/api/mappings", Some(alice)).body().contains("m_priv"))
+      assert(asMap(get7("/api/acl/m_priv", Some(alice)).body())("owner") == "alice")
+      assert(post7("/api/mappings", mapping("m_priv"), Some(bob)).statusCode() == 403)
+      assert(post7("/api/mappings", mapping("m_priv"), Some(alice)).statusCode() == 200)
     } finally dash.stop()
   }
 

@@ -75,4 +75,13 @@ class RevolutFuzzParitySpec extends AnyFunSuite {
         s"${divergences.size} divergent case(s):\n${divergences.mkString("\n")}")
     }
   }
+
+  // exotic-whitespace micro-family: padding Python str.strip() removes but
+  // Java's \s alone would keep (\x1c-\x1f, NEL, NBSP) — pyStrip parity
+  test("stocks fuzz parity: exotic-whitespace strip family") {
+    val divergences = cases("cases_strip.json")
+      .flatMap(diverge(_, Revolut.stocksPlan(_)))
+    assert(divergences.isEmpty,
+      s"${divergences.size} divergent case(s):\n${divergences.mkString("\n")}")
+  }
 }

@@ -175,6 +175,21 @@ def main():
         ["Fees", "Value", "Price", "Quantity"],
         ETLPipeline(RevolutCryptoExtractor(), RevolutCryptoTransformer(),
                     GhostfolioCsvLoader()))
+    # micro-family: exotic whitespace Python str.strip() removes but Java's
+    # \s does not (\x1c-\x1f, NEL, NBSP, unicode spaces) — round-13 review
+    strip_pools = {
+        "Date": ["\x1c2024-03-05", "2024-03-05\x85"],
+        "Ticker": ["\x1dAAPL", "TSLA\xa0", " MSFT", "BMW\x1f"],
+        "Type": ["\x1eBUY - MARKET", "SELL - MARKET\x85", "\xa0DIVIDEND"],
+        "Quantity": ["\x1c2.5", "1 "],
+        "Price per share": ["\x85USD 3.71", "4.25\xa0"],
+        "Total Amount": ["1"], "Currency": ["\x1fUSD", "EUR ", ""],
+    }
+    strip = run_family(
+        "rstrip", 10, 93000, STOCK_COLS, strip_pools, ["Currency"],
+        ETLPipeline(RevolutStocksExtractor(), RevolutStocksTransformer(),
+                    GhostfolioCsvLoader()))
+    (OUT / "cases_strip.json").write_text(json.dumps(strip))
     (OUT / "cases_stocks.json").write_text(json.dumps(stocks))
     (OUT / "cases_crypto.json").write_text(json.dumps(crypto))
     total = sum(json.loads((OUT / f"{c}.result.json").read_text())["loaded_count"]
