@@ -59,6 +59,95 @@ class AccountsSpec extends AnyFunSuite {
     assert(!Accounts.canEdit(acls, "pub", Some("eve")))
   }
 
+  test("PBKDF2 work factor: new hashes at 210k, legacy 20k rows still verify") {
+    // new registrations carry the current OWASP-grade factor in-row
+    val u = Accounts.makeUser("user_1", "alice", "pw")
+    assert(u.iterations == 210000)
+    // a round-13 store row (no `iterations` field) must keep verifying at
+    // the constant it was hashed with — recompute that hash independently
+    val salt = "00112233445566778899aabbccddeeff"
+    val saltBytes = salt.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val spec = new javax.crypto.spec.PBEKeySpec(
+      "legacy-pw".toCharArray, saltBytes, 20000, 256)
+    val hash = javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(spec).getEncoded.map("%02x".format(_)).mkString
+    val dir = Files.createTempDirectory("accounts-legacy")
+    val path = dir.resolve("users.json").toString
+    Files.writeString(java.nio.file.Paths.get(path),
+      s"""{"user_1": {"id": "user_1", "name": "old", """ +
+        s""""password_hash": "$hash", "salt": "$salt"}}""")
+    val legacy = Accounts.loadUsers(path)("user_1")
+    assert(legacy.iterations == 20000)
+    assert(Accounts.verify(legacy, "legacy-pw"))
+    assert(!Accounts.verify(legacy, "legacy-pw "))
+    // upgraded rows round-trip their factor through the store
+    Accounts.upsertUser(path, u)
+    assert(Accounts.loadUsers(path)("user_1").iterations == 210000)
+  }
+
+  test("team principals: `team:<id>` shares expand to members") {
+    val teams = Map(
+      "team_1" -> graft.spec.Team("team_1", "eng", "alice", Vector("alice", "bob")))
+    val acls = Map(
+      "m" -> Acl("carol", "private", VectorMap("team:team_1" -> "view")),
+      "e" -> Acl("carol", "private", VectorMap("team:team_1" -> "edit")),
+      "g" -> Acl("carol", "private", VectorMap("team:ghost" -> "edit")))
+    // members (and the team owner implicitly) get the shared level
+    assert(Accounts.canView(acls, teams, "m", Some("bob")))
+    assert(!Accounts.canEdit(acls, teams, "m", Some("bob")))
+    assert(Accounts.canEdit(acls, teams, "e", Some("bob")))
+    // non-members see nothing; a share to an unknown team grants nothing
+    assert(!Accounts.canView(acls, teams, "m", Some("eve")))
+    assert(!Accounts.canView(acls, teams, "g", Some("bob")))
+    // without the team store the share is inert (the 3-arg overload)
+    assert(!Accounts.canView(acls, "m", Some("bob")))
+  }
+
+  test("team store: atomic create, unique names, member add/remove") {
+    val path = Files.createTempDirectory("teams").resolve("teams.json").toString
+    val t = Accounts.createTeam(path, "eng", "alice").toOption.get
+    assert(t.id == "team_1" && t.members == Vector("alice"))
+    assert(Accounts.createTeam(path, "eng", "bob").isLeft) // name conflict
+    assert(Accounts.createTeam(path, "ops", "bob").toOption.get.id == "team_2")
+    val t2 = Accounts.updateTeamMembers(path, "team_1",
+      add = Some("bob"), remove = None).toOption.get
+    assert(t2.members == Vector("alice", "bob"))
+    // idempotent add, then remove
+    assert(Accounts.updateTeamMembers(path, "team_1", Some("bob"), None)
+      .toOption.get.members == Vector("alice", "bob"))
+    assert(Accounts.updateTeamMembers(path, "team_1", None, Some("bob"))
+      .toOption.get.members == Vector("alice"))
+    assert(Accounts.updateTeamMembers(path, "ghost", Some("x"), None).isLeft)
+    assert(Accounts.loadTeams(path).keySet == Set("team_1", "team_2"))
+  }
+
+  test("check-and-claim is atomic: one winner under concurrent creates") {
+    val path = Files.createTempDirectory("claim").resolve("acl.json").toString
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val tasks = (1 to 16).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            start.await()
+            if (Accounts.checkAndClaim(path, "m_new", Some(s"u$i"), exists = false))
+              wins.incrementAndGet()
+          }
+        })
+      }
+      start.countDown()
+      tasks.foreach(_.get())
+      // exactly one creator wins; the claimed owner is one of the callers
+      assert(wins.get() == 1, s"expected one winner, got ${wins.get()}")
+      val owner = Accounts.loadAcls(path)("m_new").owner
+      assert(owner.startsWith("u"))
+      // the winner (and only the winner) can re-upsert
+      assert(Accounts.checkAndClaim(path, "m_new", Some(owner), exists = true))
+      assert(!Accounts.checkAndClaim(path, "m_new", Some("intruder"), exists = true))
+    } finally pool.shutdown()
+  }
+
   test("audit ids allocate atomically under concurrent appends") {
     val path = Files.createTempDirectory("audit").resolve("audit.json").toString
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)

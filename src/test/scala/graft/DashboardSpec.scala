@@ -465,6 +465,142 @@ class DashboardSpec extends AnyFunSuite {
     } finally dash.stop()
   }
 
+  test("D7 hardening: pages/files gated, audit scoped, teams, settings, cookie") {
+    val cfg = Files.createTempDirectory("dash-cfg7h")
+    val inH = Files.createTempDirectory("dash-in7h")
+    val outH = Files.createTempDirectory("dash-out7h")
+    Seq("sources.json", "destinations.json", "mappings.json").foreach(f =>
+      Files.copy(Paths.get(cfgSrc, f), cfg.resolve(f)))
+    val dash = new Dashboard(TestSpark.spark, cfg.toString, inH.toString,
+      outH.toString, clock = () => "t0")
+    dash.start()
+    try {
+      val b = s"http://127.0.0.1:${dash.boundPort}"
+      def req(path: String, body: Option[String], cookie: Option[String]) = {
+        val rb = HttpRequest.newBuilder(URI.create(s"$b$path"))
+        cookie.foreach(c => rb.header("Cookie", s"session=$c"))
+        body match {
+          case Some(s) => rb.POST(HttpRequest.BodyPublishers.ofString(s))
+          case None    => rb.GET()
+        }
+        client.send(rb.build(), HttpResponse.BodyHandlers.ofString())
+      }
+      def postH(path: String, body: String, cookie: Option[String] = None) =
+        req(path, Some(body), cookie)
+      def getH(path: String, cookie: Option[String] = None) =
+        req(path, None, cookie)
+
+      assert(postH("/api/users", """{"name":"alice","password":"pw1"}""")
+        .statusCode() == 200)
+      val loginResp = postH("/api/login", """{"name":"alice","password":"pw1"}""")
+      // session cookie hardening (round-13 verdict item 3)
+      val setCookie = loginResp.headers().firstValue("Set-Cookie").get
+      assert(setCookie.contains("HttpOnly") && setCookie.contains("SameSite=Strict"),
+        s"cookie must be HttpOnly + SameSite=Strict: $setCookie")
+      val alice = setCookie.split(";")(0).stripPrefix("session=")
+      assert(postH("/api/users", """{"name":"bob","password":"pw2"}""")
+        .statusCode() == 200)
+      val bob = postH("/api/login", """{"name":"bob","password":"pw2"}""")
+        .headers().firstValue("Set-Cookie").get.split(";")(0).stripPrefix("session=")
+
+      // alice's private mapping + private source + private destination
+      val mapping = """{
+        "id": "m_priv", "name": "Private M",
+        "source_id": "revolut_stocks", "destination_id": "ghostfolio",
+        "description": "", "filter_rules": [], "field_mappings": []}"""
+      assert(postH("/api/mappings", mapping, Some(alice)).statusCode() == 200)
+      val srcSpec = """{"id": "s_priv", "name": "S", "description": "",
+        "default_directory": "s_priv", "columns": []}"""
+      assert(postH("/api/sources", srcSpec, Some(alice)).statusCode() == 200)
+      val dstSpec = """{"id": "d_priv", "name": "D", "description": "",
+        "default_directory": "d_priv", "columns": []}"""
+      assert(postH("/api/destinations", dstSpec, Some(alice)).statusCode() == 200)
+
+      // ---- HTML pages enforce the same visibility as /api ----
+      assert(getH("/mappings", Some(bob)).body().contains("m_priv") == false)
+      assert(getH("/", Some(bob)).body().contains("s_priv") == false)
+      assert(getH("/mappings/m_priv/visual", Some(bob)).statusCode() == 404)
+      assert(getH("/mappings/m_priv/edit", Some(bob)).statusCode() == 403)
+      assert(getH("/mappings/m_priv/edit").statusCode() == 401)
+      assert(getH("/preview/s_priv/x.csv", Some(bob)).statusCode() == 404)
+      // form POST side doors are closed: anonymous 401, non-editor 403,
+      // and the stored mapping survives untouched
+      val enc = java.net.URLEncoder.encode(mapping, StandardCharsets.UTF_8)
+      assert(postH("/mappings/new", s"mapping=$enc").statusCode() == 401)
+      assert(postH("/mappings/m_priv/edit", s"mapping=$enc", Some(bob))
+        .statusCode() == 403)
+      assert(SpecStore.loadMappings(cfg.resolve("mappings.json").toString)(
+        "m_priv").name == "Private M")
+
+      // ---- file routes enforce the owning spec's ACL ----
+      assert(postH("/upload/s_priv?filename=x.csv", "a,b\r\n1,2\r\n").statusCode() == 401)
+      assert(postH("/upload/s_priv?filename=x.csv", "a,b\r\n1,2\r\n", Some(bob))
+        .statusCode() == 403)
+      assert(postH("/upload/s_priv?filename=x.csv", "a,b\r\n1,2\r\n", Some(alice))
+        .statusCode() == 200)
+      val outDir = outH.resolve("d_priv")
+      Files.createDirectories(outDir)
+      Files.write(outDir.resolve("o.csv"), "x\r\n1\r\n".getBytes(StandardCharsets.UTF_8))
+      assert(getH("/download/d_priv/o.csv").statusCode() == 404)
+      assert(getH("/download/d_priv/o.csv", Some(bob)).statusCode() == 404)
+      assert(getH("/download/d_priv/o.csv", Some(alice)).statusCode() == 200)
+      // a directory no spec claims: login required, then legacy-open
+      val legacyDir = outH.resolve("legacy")
+      Files.createDirectories(legacyDir)
+      Files.write(legacyDir.resolve("l.csv"), "y\r\n".getBytes(StandardCharsets.UTF_8))
+      assert(getH("/download/legacy/l.csv").statusCode() == 401)
+      assert(getH("/download/legacy/l.csv", Some(bob)).statusCode() == 200)
+      assert(postH("/delete/output/d_priv/o.csv", "", Some(bob)).statusCode() == 403)
+      assert(postH("/delete/input/s_priv/x.csv", "").statusCode() == 401)
+      assert(postH("/delete/output/d_priv/o.csv", "", Some(alice)).statusCode() == 200)
+
+      // ---- audit is scoped to visibility (round-13 verdict item 1) ----
+      val bobAudit = getH("/api/audit", Some(bob)).body()
+      assert(!bobAudit.contains("m_priv") && !bobAudit.contains("s_priv"),
+        s"bob must not see alice's private-resource events:\n$bobAudit")
+      assert(bobAudit.contains("bob")) // own events stay visible
+      val aliceAudit = getH("/api/audit", Some(alice)).body()
+      assert(aliceAudit.contains("m_priv") && aliceAudit.contains("save_spec"))
+
+      // ---- teams as ACL principals ----
+      assert(postH("/api/teams", """{"name":"eng"}""").statusCode() == 401)
+      val tResp = postH("/api/teams", """{"name":"eng"}""", Some(alice))
+      assert(tResp.statusCode() == 200 && asMap(tResp.body())("id") == "team_1")
+      assert(postH("/api/teams", """{"name":"eng"}""", Some(bob)).statusCode() == 409)
+      // share to the team BEFORE bob is a member → still invisible
+      assert(postH("/api/acl/m_priv",
+        """{"share":{"user":"team:team_1","level":"view"}}""", Some(alice))
+        .statusCode() == 200)
+      assert(!getH("/api/mappings", Some(bob)).body().contains("m_priv"))
+      // only the team owner manages membership
+      assert(postH("/api/teams/team_1/members", """{"add":"bob"}""", Some(bob))
+        .statusCode() == 403)
+      assert(postH("/api/teams/team_1/members", """{"add":"bob"}""", Some(alice))
+        .statusCode() == 200)
+      assert(getH("/api/mappings", Some(bob)).body().contains("m_priv"))
+      assert(getH("/api/teams", Some(bob)).body().contains("team_1"))
+      // view share does not grant edit; an edit share to the team does
+      assert(postH("/api/mappings", mapping, Some(bob)).statusCode() == 403)
+      assert(postH("/api/acl/m_priv",
+        """{"share":{"user":"team:team_1","level":"edit"}}""", Some(alice))
+        .statusCode() == 200)
+      assert(postH("/api/mappings", mapping, Some(bob)).statusCode() == 200)
+      // removal revokes the expansion; membership changes are audited
+      assert(postH("/api/teams/team_1/members", """{"remove":"bob"}""", Some(alice))
+        .statusCode() == 200)
+      assert(!getH("/api/mappings", Some(bob)).body().contains("m_priv"))
+      assert(getH("/api/audit", Some(alice)).body().contains("team_members"))
+
+      // ---- per-user settings ----
+      assert(getH("/api/me/settings").statusCode() == 401)
+      assert(postH("/api/me/settings", """{"theme":"dark","page_size":"50"}""",
+        Some(bob)).statusCode() == 200)
+      val bobSettings = asMap(getH("/api/me/settings", Some(bob)).body())
+      assert(bobSettings("theme") == "dark" && bobSettings("page_size") == "50")
+      assert(asMap(getH("/api/me/settings", Some(alice)).body()).isEmpty)
+    } finally dash.stop()
+  }
+
   test("D6 template library: CRUD + instantiate-with-rename over HTTP") {
     val template = """{
       "id": "tpl_direct", "name": "Direct Template",
