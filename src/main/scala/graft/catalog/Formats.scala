@@ -124,6 +124,36 @@ object Formats extends QueryPack {
     (tmp, base.schema)
   }
 
+  /** k41's staged fixture: string-cached FORMULA results LONGER than one
+    * 8,224-byte BIFF record, so the trailing STRING record spills into
+    * CONTINUE and the reader walks it with the SST's segment cursor
+    * (round-13 verdict item 2 — the last honest-reject in the .xls read
+    * path, now a decode path). A sparse deterministic slice of orders
+    * (1 key in 211) carries a ~9,000–17,000-char cached string: odd keys
+    * narrow (spills past ~8,221 bytes), even keys carry '→' → wide
+    * UTF-16LE (splits re-emit the flags byte mid-string), and a '#end'
+    * suffix pins that the tail past every split boundary decodes. */
+  private def stagedXlsBigStrOrders(s: SparkSession, dir: String)
+      : (String, org.apache.spark.sql.types.StructType) = {
+    import s.implicits._
+    val base = Tables(s, dir).orders
+      .filter(expr("o_orderkey % 211 = 0"))
+      .select(
+        $"o_orderkey", $"o_orderstatus",
+        expr("concat(repeat(concat(o_orderstatus, '-', " +
+          "cast(o_orderkey as string), " +
+          "case when o_orderkey % 2 = 0 then '→' else '|' end), " +
+          "1500 + cast(o_orderkey % 50 as int)), '#end')").as("big"))
+    val tmp = Scratch.staged(s"k41_xls_bigstr#$dir", "k41_xlsb") { p =>
+      // ~9–34 KB of STRING payload per row: keep each CFB image well
+      // under the header-DIFAT capacity with small row groups
+      val parts = (base.count() / 100L + 1L).toInt
+      graft.sources.XlsTable.writeFixture(base.repartition(parts), p,
+        formulaCols = Set("big"), boolCols = Set.empty, sstBudget = 8224)
+    }
+    (tmp, base.schema)
+  }
+
   private[graft] def hiddenPartStore(s: SparkSession, dir: String): String =
     Scratch.staged(s"k34_hp#$dir", "k34_hp") { p =>
       import s.implicits._
@@ -560,6 +590,23 @@ object Formats extends QueryPack {
              sum($"even").as("n_even"),
              sum(length($"memo")).as("memo_chars"),
              sum(when($"blankish" === "", 1L).otherwise(0L)).as("n_blank"))
+        .orderBy($"o_orderstatus")
+    },
+    // k41: STRING-record CONTINUE spill (round-13 verdict item 2) — the
+    // staged fixture (doc above) forces multi-record cached formula
+    // strings, narrow AND wide; the aggregate pins total length, a probe
+    // substring CROSSING the first record boundary (char 8200), and the
+    // '#end' tail, all recomputed by the oracle from the original parquet.
+    "k41_xls_bigstr" -> { (s, dir) =>
+      import s.implicits._
+      val (tmp, schema) = stagedXlsBigStrOrders(s, dir)
+      graft.sources.XlsTable.read(s, tmp, schema)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+             sum($"o_orderkey").as("sum_keys"),
+             sum(length($"big")).as("len_chars"),
+             min(expr("substring(big, 8200, 24)")).as("probe"),
+             min(expr("substring(big, length(big) - 3, 4)")).as("tail"))
         .orderBy($"o_orderstatus")
     },
     // k34: HIDDEN PARTITIONING (Iceberg-style partition TRANSFORMS) — k7
@@ -2219,6 +2266,22 @@ object Formats extends QueryPack {
                  repeat('→', CAST(o_orderkey % 7 AS INT))))::BIGINT AS memo_chars,
              SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_blank
       FROM orders GROUP BY 1 ORDER BY 1""",
+    // k41: the spilled-STRING fixture's strings recomputed from parquet —
+    // length, a probe crossing the first CONTINUE boundary, and the tail
+    "k41_xls_bigstr" -> """
+      WITH b AS (
+        SELECT o_orderkey, o_orderstatus,
+               concat(repeat(concat(o_orderstatus, '-',
+                        CAST(o_orderkey AS VARCHAR),
+                        CASE WHEN o_orderkey % 2 = 0 THEN '→' ELSE '|' END),
+                      1500 + CAST(o_orderkey % 50 AS INT)), '#end') AS big
+        FROM orders WHERE o_orderkey % 211 = 0)
+      SELECT o_orderstatus, COUNT(*)::BIGINT AS n,
+             SUM(o_orderkey)::BIGINT AS sum_keys,
+             SUM(length(big))::BIGINT AS len_chars,
+             MIN(substr(big, 8200, 24)) AS probe,
+             MIN(substr(big, length(big) - 3, 4)) AS tail
+      FROM b GROUP BY 1 ORDER BY 1""",
     // k31: the endpoint serves customer verbatim — aggregate the parquet
     "k31_rest_source" -> """
       SELECT c_nationkey, COUNT(*)::BIGINT AS n_customers,

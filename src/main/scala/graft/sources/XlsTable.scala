@@ -26,8 +26,9 @@ import org.apache.spark.sql.types._
   *     Excel emits), inline LABEL, BOOLERR (booleans decode, error cells
   *     reject by name), SST CONTINUE spill, and FORMULA cached values
   *     (numeric / string-via-STRING-record / boolean / blank — error-
-  *     valued formula cells reject like BOOLERR's), and skips every other
-  *     record by its declared length.
+  *     valued formula cells reject like BOOLERR's; a STRING record
+  *     spilled into CONTINUE decodes through the same segment cursor as
+  *     the SST), and skips every other record by its declared length.
   *
   * Scale shape: one `part-NNNNN.xls` per input partition, parallel by
   * split like the Avro/Xlsx sinks, one read task per file. BIFF8 is
@@ -211,10 +212,32 @@ object XlsTable {
       else {
         fRec(row, col)(_.put(0.toByte).put(new Array[Byte](5))
           .putShort(0xFFFF.toShort))
+        // the STRING record spills into CONTINUE under the same
+        // continuation rules as the SST (char-boundary splits, re-emitted
+        // flags byte) when the cached result exceeds one record's budget
+        require(s.length <= 32767, "xls string too long")
         val wide = s.exists(_ > 'ÿ')
-        val chars = s.getBytes(if (wide) "UTF-16LE" else "ISO-8859-1")
-        sheet.record(0x0207, le(3 + chars.length).putShort(s.length.toShort)
-          .put(if (wide) 1.toByte else 0.toByte).put(chars).array())
+        val per = if (wide) 2 else 1
+        val segs = scala.collection.mutable.ArrayBuffer[ByteArrayOutputStream]()
+        var cur = new ByteArrayOutputStream()
+        segs += cur
+        cur.write(le(3).putShort(s.length.toShort)
+          .put(if (wide) 1.toByte else 0.toByte).array())
+        var i = 0
+        while (i < s.length) {
+          var avail = (sstBudget - cur.size) / per
+          if (avail == 0) {
+            cur = new ByteArrayOutputStream(); segs += cur
+            cur.write(if (wide) 1 else 0) // continuation option-flags byte
+            avail = (sstBudget - cur.size) / per
+          }
+          val take = math.min(s.length - i, avail)
+          cur.write(s.substring(i, i + take)
+            .getBytes(if (wide) "UTF-16LE" else "ISO-8859-1"))
+          i += take
+        }
+        sheet.record(0x0207, segs.head.toByteArray)
+        segs.iterator.drop(1).foreach(seg => sheet.record(0x003C, seg.toByteArray))
       }
     val asFormula = schema.fields.map(f => formulaCols.contains(f.name))
     val asBool = schema.fields.map(f => boolCols.contains(f.name))
@@ -415,11 +438,19 @@ object XlsTable {
         Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)),
       "not an OLE2 compound file (bad signature)")
     val sectorShift = u16(img, 30)
+    // this reader lays sectors out at 512 + id*512 — the v3 (512-byte
+    // sector) geometry, which is also the only one the writer emits; a
+    // corrupt shift would otherwise make `1 << shift` wrap (fuzz find)
+    require(sectorShift == 9,
+      s"unsupported CFB sector shift $sectorShift — only 512-byte-sector " +
+        "(version 3) compound files are supported")
     val ss = 1 << sectorShift
     def sector(id: Int): Array[Byte] = {
-      val off = 512 + id * ss
-      require(off + ss <= img.length, s"sector $id out of file bounds")
-      java.util.Arrays.copyOfRange(img, off, off + ss)
+      // long math: a corrupt sector id near Int.MaxValue/ss wraps the
+      // 32-bit offset into range and mis-reads (fuzz find)
+      val off = 512L + id.toLong * ss
+      require(id >= 0 && off + ss <= img.length, s"sector $id out of file bounds")
+      java.util.Arrays.copyOfRange(img, off.toInt, off.toInt + ss)
     }
     // FAT via header DIFAT + DIFAT sector chain
     val nFat = i32(img, 44)
@@ -429,7 +460,12 @@ object XlsTable {
       if (v != FreeSect && difat.size < nFat) difat += v
     }
     var difSec = i32(img, 68)
+    var difGuard = 0
     while (difSec != EndOfChain && difSec != FreeSect) {
+      // a corrupt self-referencing DIFAT chain would spin forever; the
+      // file can't hold more DIFAT sectors than sectors (fuzz find)
+      difGuard += 1
+      require(difGuard <= img.length / 512, "cyclic DIFAT sector chain")
       val s = sector(difSec)
       val per = ss / 4 - 1
       (0 until per).foreach { i =>
@@ -482,7 +518,10 @@ object XlsTable {
       var guard = 0
       while (cur != EndOfChain && cur != FreeSect) {
         require(guard <= miniFat.size, "cyclic miniFAT chain")
-        require(cur >= 0 && (cur + 1) * 64 <= miniStream.length,
+        // long math: a corrupt 0x10000000-class sector id would wrap the
+        // 32-bit (cur+1)*64 bound check and index past miniFat (fuzz find)
+        require(cur >= 0 && cur < miniFat.size &&
+            (cur + 1).toLong * 64 <= miniStream.length,
           s"miniFAT chain leaves the mini stream at $cur")
         out.write(miniStream, cur * 64, 64); cur = miniFat(cur); guard += 1
       }
@@ -490,10 +529,84 @@ object XlsTable {
     }
   }
 
+  /** Cursor over a continued BIFF8 string payload — the SST record's
+    * segment list or a STRING record's. One implementation of the MS-XLS
+    * 2.5.293 continuation rules for both consumers (round-13 verdict item
+    * 2): a string's fixed header (cch/flags/run counts) never splits;
+    * CHARACTER data may split at a character boundary, and the
+    * continuation segment then LEADS with a fresh option-flags byte (the
+    * encoding may switch narrow<->wide mid-string); rich-run/phonetic
+    * bytes spill with NO leading flags byte. */
+  private final class SegCursor(stream: Array[Byte],
+                                segs: IndexedSeq[(Int, Int)], what: String) {
+    private var si = 0
+    private var off = segs(0)._1
+    private def segEnd = segs(si)._2
+    private def hop(): Unit = { // advance past exhausted segments (header/skip path)
+      while (off == segEnd && si < segs.length - 1) { si += 1; off = segs(si)._1 }
+    }
+    def field(n: Int): Int = {
+      hop()
+      require(off + n <= segEnd,
+        s"$what string header split across a CONTINUE boundary — malformed")
+      val v = n match { case 1 => stream(off) & 0xFF
+                        case 2 => u16(stream, off)
+                        case 4 => i32(stream, off) }
+      off += n; v
+    }
+    def skip(n: Int): Unit = {
+      var left = n
+      while (left > 0) {
+        hop()
+        require(off < segEnd, s"$what rich/ext bytes overrun the payload")
+        val take = math.min(left, segEnd - off)
+        off += take; left -= take
+      }
+    }
+    def chars(cch: Int, wide0: Boolean): String = {
+      val sb = new java.lang.StringBuilder(cch)
+      var wide = wide0
+      var left = cch
+      while (left > 0) {
+        if (off == segEnd) {
+          require(si < segs.length - 1,
+            s"$what string character data overruns the record+CONTINUE payload")
+          si += 1; off = segs(si)._1
+          require(off < segEnd, "empty CONTINUE segment mid-string")
+          wide = (stream(off) & 1) != 0 // re-emitted option flags
+          off += 1
+        }
+        val per = if (wide) 2 else 1
+        val avail = (segEnd - off) / per
+        require(avail > 0, "CONTINUE segment too small for one character")
+        val take = math.min(left, avail)
+        sb.append(if (wide) new String(stream, off, take * 2, "UTF-16LE")
+                  else new String(stream, off, take, "ISO-8859-1"))
+        off += take * per; left -= take
+      }
+      sb.toString
+    }
+    /** One XLUnicodeString at the cursor: header fields, characters,
+      * trailing rich/phonetic skip — shared by the SST walk and the
+      * STRING-record decode. */
+    def xlString(): String = {
+      val cch = field(2)
+      val flags = field(1)
+      var skipAfter = 0
+      if ((flags & 0x08) != 0) skipAfter += field(2) * 4
+      if ((flags & 0x04) != 0) skipAfter += field(4)
+      val s = chars(cch, (flags & 1) != 0)
+      skip(skipAfter)
+      s
+    }
+  }
+
   /** The STRING record (0x0207) holding a string-cached FORMULA's value.
     * SHRFMLA/ARRAY/TABLE definition records may sit between the FORMULA
     * and its STRING (MS-XLS 2.4.268) — skipped by id, anything else is a
-    * named error. */
+    * named error. A long cached result spills into DIRECTLY-following
+    * CONTINUE records exactly like the SST (round-13 verdict item 2) —
+    * decoded through the same segment cursor. */
   private def formulaString(stream: Array[Byte], from: Int): String = {
     var p = from
     while (p + 4 <= stream.length) {
@@ -503,13 +616,17 @@ object XlsTable {
       id match {
         case 0x0207 =>
           require(len >= 3, "malformed STRING record")
-          val cch = u16(stream, p + 4)
-          val wide = (stream(p + 6) & 1) != 0
-          val n = cch * (if (wide) 2 else 1)
-          require(3 + n <= len,
-            "STRING record spans CONTINUE — unsupported for formula strings")
-          return if (wide) new String(stream, p + 7, n, "UTF-16LE")
-                 else new String(stream, p + 7, n, "ISO-8859-1")
+          val segs = scala.collection.mutable.ArrayBuffer[(Int, Int)](
+            (p + 4, p + 4 + len))
+          var q = p + 4 + len
+          while (q + 4 <= stream.length && u16(stream, q) == 0x003C) {
+            val cl = u16(stream, q + 2)
+            require(q + 4 + cl <= stream.length,
+              s"malformed CONTINUE record at offset $q")
+            segs += ((q + 4, q + 4 + cl))
+            q += 4 + cl
+          }
+          return new SegCursor(stream, segs.toIndexedSeq, "STRING").xlString()
         case 0x04BC | 0x0221 | 0x0236 => p += 4 + len // SHRFMLA/ARRAY/TABLE
         case other => throw new IllegalArgumentException(
           f"string-cached FORMULA followed by 0x$other%04X, not a STRING record")
@@ -613,68 +730,12 @@ object XlsTable {
     require(sheetStart >= 0, "no worksheet substream (second BOF) found")
     val sst = scala.collection.mutable.ArrayBuffer[String]()
     if (unique > 0) {
-      // cursor over the segment list. MS-XLS continuation rules: a string's
-      // fixed header (cch/flags/run counts) is never split; CHARACTER data
-      // may split at a character boundary, and the continuation segment
-      // then LEADS with a fresh option-flags byte (the encoding may switch
-      // narrow<->wide mid-string); rich-run/phonetic bytes spill with NO
-      // leading flags byte.
-      var si = 0
-      var off = segs(0)._1
-      def segEnd = segs(si)._2
-      def hop(): Unit = { // advance past exhausted segments (header/skip path)
-        while (off == segEnd && si < segs.length - 1) { si += 1; off = segs(si)._1 }
-      }
-      def field(n: Int): Int = {
-        hop()
-        require(off + n <= segEnd,
-          "SST string header split across a CONTINUE boundary — malformed")
-        val v = n match { case 1 => stream(off) & 0xFF
-                          case 2 => u16(stream, off)
-                          case 4 => i32(stream, off) }
-        off += n; v
-      }
-      def skip(n: Int): Unit = {
-        var left = n
-        while (left > 0) {
-          hop()
-          require(off < segEnd, "SST rich/ext bytes overrun the SST payload")
-          val take = math.min(left, segEnd - off)
-          off += take; left -= take
-        }
-      }
-      def chars(cch: Int, wide0: Boolean): String = {
-        val sb = new java.lang.StringBuilder(cch)
-        var wide = wide0
-        var left = cch
-        while (left > 0) {
-          if (off == segEnd) {
-            require(si < segs.length - 1,
-              "SST string character data overruns the SST+CONTINUE payload")
-            si += 1; off = segs(si)._1
-            require(off < segEnd, "empty CONTINUE segment mid-string")
-            wide = (stream(off) & 1) != 0 // re-emitted option flags
-            off += 1
-          }
-          val per = if (wide) 2 else 1
-          val avail = (segEnd - off) / per
-          require(avail > 0, "CONTINUE segment too small for one character")
-          val take = math.min(left, avail)
-          sb.append(if (wide) new String(stream, off, take * 2, "UTF-16LE")
-                    else new String(stream, off, take, "ISO-8859-1"))
-          off += take * per; left -= take
-        }
-        sb.toString
-      }
+      // the continuation rules live in SegCursor, shared with the
+      // FORMULA→STRING decode
+      val cur = new SegCursor(stream, segs.toIndexedSeq, "SST")
       var k = 0
       while (k < unique) {
-        val cch = field(2)
-        val flags = field(1)
-        var skipAfter = 0
-        if ((flags & 0x08) != 0) skipAfter += field(2) * 4
-        if ((flags & 0x04) != 0) skipAfter += field(4)
-        sst += chars(cch, (flags & 1) != 0)
-        skip(skipAfter)
+        sst += cur.xlString()
         k += 1
       }
     }

@@ -206,6 +206,38 @@ class XlsSourceSpec extends AnyFunSuite {
     assert(back == rows)
   }
 
+  test("STRING record CONTINUE spill round-trips (narrow, wide, boundary)") {
+    import spark.implicits._
+    // the round-13 honest-reject is now a decode path: cached formula
+    // strings longer than one record spill into CONTINUE and come back
+    // exact. Tiny budget forces many mid-string splits on small data —
+    // including encoding-preserving splits in wide strings.
+    val fSchema = StructType(Seq(
+      StructField("k", LongType), StructField("fs", StringType)))
+    val strs = Seq(
+      "n" * 97 + "#end",              // narrow, several CONTINUEs
+      "→" + ("☃" * 61) + "#end",      // wide: flags byte re-emitted per split
+      "exact" + "x" * 32,             // lands near a record boundary
+      "tiny")                         // no spill at all
+    val rows = strs.zipWithIndex.map { case (s, i) => Row(i.toLong, s) }
+    val img = XlsTable.encode(fSchema, rows.iterator,
+      formulaCols = Set("fs"), boolCols = Set.empty, sstBudget = 40)
+    val got = XlsTable.sheetRows(XlsTable.workbookStream(img), 2,
+      fSchema.fields.map(_.dataType)).toSeq
+    assert(got == rows, s"spilled STRING did not round-trip:\n$got")
+    // production budget end-to-end: a >8,221-byte narrow and a >4,110-char
+    // wide string both exceed one 8,224-byte record
+    val longRows = Seq(
+      (1L, "a" * 9000 + "#end"),
+      (2L, "→" * 5000 + "#end"))
+    val df = longRows.toDF("k", "fs")
+    val dir = graft.Scratch.dir("xls_bigstr").toString
+    XlsTable.writeFixture(df.coalesce(1), dir, Set("fs"), Set.empty, 8224)
+    val back = XlsTable.read(spark, dir, df.schema).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(back == longRows)
+  }
+
   test("FORMULA's STRING record is found past SHRFMLA; errors reject by name") {
     import java.nio.{ByteBuffer, ByteOrder}
     def le(n: Int) = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
