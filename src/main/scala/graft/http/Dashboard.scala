@@ -293,7 +293,7 @@ final class Dashboard(spark: SparkSession, configDir: String,
           case None => deleteFile(ex, fileType, rest.mkString("/"))
         }
       case "api" :: "preview" :: sourceId :: filename :: Nil if !post =>
-        preview(ex, sourceId, filename)
+        preview(ex, sourceId, filename, user)
       case "api" :: "preview" :: sourceId :: filename :: "update" :: Nil if post =>
         update(ex, sourceId, filename, user)
       case "api" :: "preview" :: sourceId :: filename :: "convert" :: Nil if post =>
@@ -425,13 +425,18 @@ final class Dashboard(spark: SparkSession, configDir: String,
       case "mappings" :: id :: "visual" :: Nil if !post =>
         SpecStore.loadMappings(mappingsPath).get(id) match {
           case None => err(ex, 404, "Mapping not found")
+          // the source panel (column names) is itself ACL'd — a viewer of
+          // the mapping must not read a PRIVATE source's schema through
+          // this page when /api/sources/:id/columns would 404 it
+          // (round-14 self-review)
           case Some(m) => html(ex, Pages.visualEditor(m,
-            SpecStore.loadFileSpecs(sourcesPath).get(m.sourceId)))
+            visibleKeys(SpecStore.loadFileSpecs(sourcesPath), user)
+              .get(m.sourceId)))
         }
       case "preview" :: sourceId :: filename :: Nil if !post =>
         withSourceFile(ex, sourceId, filename) { (source, path) =>
-          val mapping = queryParams(ex).get("mapping_id")
-            .flatMap(SpecStore.loadMappings(mappingsPath).get)
+          val mapping = visibleMapping(
+            queryParams(ex).get("mapping_id"), user)
           val p = Api.preview(spark, path, source, mapping, n = 100)
           html(ex, Pages.previewGrid(sourceId, filename,
             source.columns.map(_.name),
@@ -789,10 +794,21 @@ final class Dashboard(spark: SparkSession, configDir: String,
       "field" -> e.field, "message" -> e.error_message,
       "value" -> e.source_value)).toList
 
-  private def preview(ex: HttpExchange, sourceId: String, filename: String): Unit =
+  /** Resolve a `?mapping_id=` the way the listing would: a mapping the
+    * caller cannot view does not exist for them — applying it would leak
+    * a private mapping's transforms/filters through the preview's
+    * validation output (round-14 self-review). */
+  private def visibleMapping(id: Option[String],
+                             user: Option[String]): Option[ETLMapping] =
+    id.flatMap(SpecStore.loadMappings(mappingsPath).get).filter { m =>
+      !authOn ||
+        Accounts.canView(Accounts.loadAcls(aclPath), loadTeams(), m.id, user)
+    }
+
+  private def preview(ex: HttpExchange, sourceId: String, filename: String,
+                      user: Option[String]): Unit =
     withSourceFile(ex, sourceId, filename) { (source, path) =>
-      val mapping = queryParams(ex).get("mapping_id")
-        .flatMap(SpecStore.loadMappings(mappingsPath).get)
+      val mapping = visibleMapping(queryParams(ex).get("mapping_id"), user)
       val p = Api.preview(spark, path, source, mapping, n = Int.MaxValue)
       val columns = source.columns.map(_.name).toList
       val rows = p.rows.map(r => VectorMap[String, Any]("_line" -> r.line) ++
@@ -834,9 +850,14 @@ final class Dashboard(spark: SparkSession, configDir: String,
       }
     }
 
-  private def withMappingDest(ex: HttpExchange, mappingId: Option[String])
+  /** Mapping resolution for convert/process: visibility-gated like the
+    * preview's (a private mapping must not be runnable by id — its
+    * transforms/filters and outputs would leak; round-14 self-review);
+    * an invisible mapping answers the same 404 as a missing one. */
+  private def withMappingDest(ex: HttpExchange, mappingId: Option[String],
+                              user: Option[String])
                              (body: (ETLMapping, FileSpec) => Unit): Unit =
-    mappingId.flatMap(SpecStore.loadMappings(mappingsPath).get) match {
+    visibleMapping(mappingId, user) match {
       case None => err(ex, if (mappingId.isEmpty) 400 else 404,
         if (mappingId.isEmpty) "Missing mapping_id" else "Mapping not found")
       case Some(m) =>
@@ -861,7 +882,7 @@ final class Dashboard(spark: SparkSession, configDir: String,
     withSourceFile(ex, sourceId, filename) { (source, path) =>
       val data = SpecStore.parseAny(readBody(ex)).asInstanceOf[Map[String, Any]]
       val mappingId = data.get("mapping_id").map(String.valueOf)
-      withMappingDest(ex, mappingId) { (mapping, destination) =>
+      withMappingDest(ex, mappingId, user) { (mapping, destination) =>
         val startedAt = clock()
         val (result, outName) = convertOne(source, path, mapping, destination)
         recordRun("convert", mapping, path,
@@ -894,7 +915,7 @@ final class Dashboard(spark: SparkSession, configDir: String,
                       user: Option[String]): Unit = {
     val data = SpecStore.parseAny(readBody(ex)).asInstanceOf[Map[String, Any]]
     val mappingId = data.get("mapping_id").map(String.valueOf)
-    withMappingDest(ex, mappingId) { (mapping, destination) =>
+    withMappingDest(ex, mappingId, user) { (mapping, destination) =>
       SpecStore.loadFileSpecs(sourcesPath).get(mapping.sourceId) match {
         case None => err(ex, 404, "Invalid source or destination in mapping")
         case Some(source) =>

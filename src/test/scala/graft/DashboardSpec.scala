@@ -510,7 +510,10 @@ class DashboardSpec extends AnyFunSuite {
         "description": "", "filter_rules": [], "field_mappings": []}"""
       assert(postH("/api/mappings", mapping, Some(alice)).statusCode() == 200)
       val srcSpec = """{"id": "s_priv", "name": "S", "description": "",
-        "default_directory": "s_priv", "columns": []}"""
+        "default_directory": "s_priv", "columns": [
+          {"name": "SecretCol", "type": "string", "source_name": null,
+           "max_length": null, "required": false, "default": null,
+           "date_format": null}]}"""
       assert(postH("/api/sources", srcSpec, Some(alice)).statusCode() == 200)
       val dstSpec = """{"id": "d_priv", "name": "D", "description": "",
         "default_directory": "d_priv", "columns": []}"""
@@ -590,6 +593,45 @@ class DashboardSpec extends AnyFunSuite {
         .statusCode() == 200)
       assert(!getH("/api/mappings", Some(bob)).body().contains("m_priv"))
       assert(getH("/api/audit", Some(alice)).body().contains("team_members"))
+
+      // ---- a private mapping is not runnable/applicable by id, and a
+      // private source's schema does not leak through the visual page
+      // (round-14 self-review) ----
+      val stocksDir = inH.resolve("revolut_stocks")
+      Files.createDirectories(stocksDir)
+      Files.write(stocksDir.resolve("p.csv"),
+        ("Date,Ticker,Type,Quantity,Price per share,Total Amount,Currency\r\n" +
+         "2024-01-15T10:30:00,AAPL,BUY,10,185.5,1855.0,USD\r\n")
+          .getBytes(StandardCharsets.UTF_8))
+      // preview over a viewable (legacy) source: alice's private mapping
+      // id is treated as absent → validation null, rows still served
+      val pv = asMap(getH(
+        "/api/preview/revolut_stocks/p.csv?mapping_id=m_priv", Some(bob)).body())
+      assert(pv("validation") == null,
+        "a private mapping must not be applicable via ?mapping_id=")
+      assert(asMap(getH(
+        "/api/preview/revolut_stocks/p.csv?mapping_id=m_priv", Some(alice))
+        .body())("validation") != null, "the owner still applies it")
+      // convert/process by a private mapping id answer the missing-mapping
+      // 404 (invisible, not forbidden)
+      assert(postH("/api/preview/revolut_stocks/p.csv/convert",
+        """{"mapping_id": "m_priv"}""", Some(bob)).statusCode() == 404)
+      assert(postH("/api/process/revolut_stocks",
+        """{"mapping_id": "m_priv"}""", Some(bob)).statusCode() == 404)
+      // visual page of a PUBLIC mapping bound to a PRIVATE source: the
+      // source panel (its column names) stays hidden from non-viewers
+      val pubMapping = """{
+        "id": "m_pub", "name": "Public M",
+        "source_id": "s_priv", "destination_id": "ghostfolio",
+        "description": "", "filter_rules": [], "field_mappings": []}"""
+      assert(postH("/api/mappings", pubMapping, Some(alice)).statusCode() == 200)
+      assert(postH("/api/acl/m_pub", """{"visibility":"public"}""", Some(alice))
+        .statusCode() == 200)
+      val visBob = getH("/mappings/m_pub/visual", Some(bob))
+      assert(visBob.statusCode() == 200 && !visBob.body().contains("SecretCol"),
+        "a private source's schema must not leak through the visual page")
+      assert(getH("/mappings/m_pub/visual", Some(alice)).body()
+        .contains("SecretCol"))
 
       // ---- per-user settings ----
       assert(getH("/api/me/settings").statusCode() == 401)

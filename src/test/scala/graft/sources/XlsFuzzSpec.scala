@@ -104,12 +104,12 @@ class XlsFuzzSpec extends AnyFunSuite {
     }
   }
 
-  test("family B: corpus of structural mutations matches the committed manifest") {
-    val base = XlsTable.workbookStream(image(40))
+  /** The shared mutation corpus over the workbook STREAM — deterministic
+    * ids and ordering (the committed manifest is keyed by them). */
+  private def streamMutations(base: Array[Byte]): Seq[(String, Array[Byte])] = {
     val recs = records(base)
-    val results = Seq.newBuilder[(String, String)]
-    def run(id: String, mutated: Array[Byte]): Unit =
-      results += (id -> outcome(mutated, baseRows))
+    val results = Seq.newBuilder[(String, Array[Byte])]
+    def run(id: String, mutated: Array[Byte]): Unit = results += (id -> mutated)
 
     // 1. truncations: every record boundary, plus ±1/±2 around it, plus
     // seeded random cuts — a cut stream must reject by name or (when the
@@ -188,31 +188,41 @@ class XlsFuzzSpec extends AnyFunSuite {
       m(pos) = (m(pos) ^ (1 << r2.next(8))).toByte
       run(s"flip$i@$pos", m)
     }
+    results.result()
+  }
 
-    // 7. container-level: flips + truncations of the CFB image itself
-    val img = image(40)
-    def cfbOutcome(bytes: Array[Byte]): String =
-      try {
-        val got = decode(XlsTable.workbookStream(bytes))
-        if (got == baseRows) "PARSE_EQUAL" else "PARSE_MUTATED"
-      } catch {
-        case e: IllegalArgumentException
-            if e.getMessage != null && e.getMessage.nonEmpty => "REJECT_NAMED"
-        case _: Throwable => "CRASH"
-      }
+  /** Container-level mutations of the CFB image (same determinism rules). */
+  private def imageMutations(img: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val results = Seq.newBuilder[(String, Array[Byte])]
     val r3 = new Lcg(0xcfb)
     (0 until 60).foreach { i =>
       val pos = r3.next(img.length)
       val m = img.clone()
       m(pos) = (m(pos) ^ (1 << r3.next(8))).toByte
-      results += (s"cfb_flip$i@$pos" -> cfbOutcome(m))
+      results += (s"cfb_flip$i@$pos" -> m)
     }
     (0 until 20).foreach { i =>
       val c = 1 + r3.next(img.length - 1)
-      results += (s"cfb_trunc$i@$c" -> cfbOutcome(java.util.Arrays.copyOf(img, c)))
+      results += (s"cfb_trunc$i@$c" -> java.util.Arrays.copyOf(img, c))
     }
+    results.result()
+  }
 
-    val all = results.result()
+  test("family B: corpus of structural mutations matches the committed manifest") {
+    val img = image(40)
+    val base = XlsTable.workbookStream(img)
+    val all =
+      streamMutations(base).map { case (id, m) => id -> outcome(m, baseRows) } ++
+      imageMutations(img).map { case (id, m) =>
+        // container mutants go through the CFB extractor first
+        id -> (try outcome(XlsTable.workbookStream(m), baseRows)
+               catch {
+                 case e: IllegalArgumentException
+                     if e.getMessage != null && e.getMessage.nonEmpty =>
+                   "REJECT_NAMED"
+                 case _: Throwable => "CRASH"
+               })
+      }
     val crashes = all.filter(_._2 == "CRASH")
     assert(crashes.isEmpty,
       s"${crashes.length} mutations crashed with JVM-internal errors " +
@@ -234,5 +244,28 @@ class XlsFuzzSpec extends AnyFunSuite {
           "diff; if the reader change is intentional, regenerate with " +
           "XLS_FUZZ_REGEN=1")
     }
+  }
+
+  test("family C: header inference never crashes on the same corpus") {
+    // the DSv2 surface runs headerNames over USER files for schema
+    // inference — the walk has its own record loop and its own requires,
+    // so it gets the same crash-freedom contract as the row decode
+    val img = image(40)
+    val base = XlsTable.workbookStream(img)
+    val cases = streamMutations(base).map { case (id, m) => (id, () => m) } ++
+      imageMutations(img).map { case (id, m) =>
+        (id, () => XlsTable.workbookStream(m))
+      }
+    val crashes = cases.flatMap { case (id, mk) =>
+      try { XlsTable.headerNames(mk()); None }
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.nonEmpty => None
+        case _: Throwable => Some(id)
+      }
+    }
+    assert(crashes.isEmpty,
+      s"${crashes.length} mutations crashed header inference " +
+        s"(first 10): ${crashes.take(10).mkString(", ")}")
   }
 }
