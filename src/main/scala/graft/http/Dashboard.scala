@@ -356,13 +356,16 @@ final class Dashboard(spark: SparkSession, configDir: String,
       // D5 run history: the durable twin of the reference's session-held
       // conversion counters (app.py:215-224)
       case "api" :: "runs" :: Nil if !post =>
-        // auth mode: a run is visible when its mapping is
+        // auth mode: a run is visible when its mapping is (team-expanded —
+        // visibleKeys keyed by the run's mappingId; the matrix spec caught
+        // the team-blind overload lingering here after teams shipped)
         val runs0 = SpecStore.loadRuns(runsPath)
         val runs =
           if (!authOn) runs0
           else {
-            val acls = Accounts.loadAcls(aclPath)
-            runs0.filter { case (_, r) => Accounts.canView(acls, r.mappingId, user) }
+            val visible = visibleKeys(
+              runs0.values.map(r => r.mappingId -> ()).toMap, user).keySet
+            runs0.filter { case (_, r) => visible.contains(r.mappingId) }
           }
         respond(ex, 200, runs.map { case (k, v) => k -> SpecJson.runRecordDict(v) })
       case "runs" :: Nil if !post =>
@@ -372,8 +375,9 @@ final class Dashboard(spark: SparkSession, configDir: String,
         val prs =
           if (!authOn) prs0
           else {
-            val acls = Accounts.loadAcls(aclPath)
-            prs0.filter { case (_, r) => Accounts.canView(acls, r.mappingId, user) }
+            val visible = visibleKeys(
+              prs0.values.map(r => r.mappingId -> ()).toMap, user).keySet
+            prs0.filter { case (_, r) => visible.contains(r.mappingId) }
           }
         html(ex, Pages.runList(prs,
           visibleKeys(SpecStore.loadMappings(mappingsPath), user)))
@@ -486,8 +490,11 @@ final class Dashboard(spark: SparkSession, configDir: String,
         acls0.get(id) match {
           case None => err(ex, 404, "No ACL for resource")
           // ACL metadata is only as visible as the resource itself — a
-          // private mapping must not leak its owner/share list
-          case Some(_) if authOn && !Accounts.canView(acls0, id, user) =>
+          // private mapping must not leak its owner/share list. Team
+          // expansion included (the matrix spec caught this branch still
+          // using the team-blind overload after teams shipped)
+          case Some(_) if authOn &&
+              !Accounts.canView(acls0, loadTeams(), id, user) =>
             err(ex, 404, "Not found")
           case Some(a) => respond(ex, 200, VectorMap[String, Any](
             "owner" -> a.owner, "visibility" -> a.visibility,
