@@ -148,6 +148,66 @@ class AccountsSpec extends AnyFunSuite {
     } finally pool.shutdown()
   }
 
+  test("lattice property: edit implies view, owner implies all, team " +
+      "shares are exactly their member expansion, shares are monotone") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.propBoolean
+    import graft.spec.Team
+    val users = Vector("u1", "u2", "u3", "u4", "u5")
+    val genTeams: Gen[Map[String, Team]] = Gen.mapOf(for {
+      id <- Gen.oneOf("t1", "t2", "t3")
+      owner <- Gen.oneOf(users)
+      members <- Gen.someOf(users)
+    } yield id -> Team(id, s"name-$id", owner, members.toVector))
+    def genAcl(teams: Map[String, Team]): Gen[Acl] = for {
+      owner <- Gen.oneOf(users)
+      vis <- Gen.oneOf("private", "public")
+      principals = users ++ teams.keys.map(id => s"team:$id") :+ "team:ghost"
+      shares <- Gen.mapOf(Gen.zip(Gen.oneOf(principals),
+        Gen.oneOf("view", "edit")))
+    } yield Acl(owner, vis, VectorMap.from(shares))
+    val gen = for {
+      teams <- genTeams
+      acl <- genAcl(teams)
+      user <- Gen.oneOf(users.map(Option(_)) :+ None)
+    } yield (teams, acl, user)
+    val prop = Prop.forAll(gen) { case (teams, acl, user) =>
+      val acls = Map("r" -> acl)
+      val view = Accounts.canView(acls, teams, "r", user)
+      val edit = Accounts.canEdit(acls, teams, "r", user)
+      val owner = Accounts.isOwner(acls, "r", user)
+      // a team share behaves exactly like direct shares to each member
+      // (and the team owner); expansion keeps the FIRST level a user
+      // gains, mirroring shareLevels' union semantics
+      val expanded = VectorMap.from(acl.shares.toSeq.flatMap {
+        case (p, lvl) if p.startsWith("team:") =>
+          teams.get(p.stripPrefix("team:")).toSeq
+            .flatMap(t => (t.members :+ t.owner).map(_ -> lvl))
+        case (p, lvl) => Seq(p -> lvl)
+      }.groupBy(_._1).view.mapValues(ls =>
+        if (ls.exists(_._2 == "edit")) "edit" else "view").toSeq.sortBy(_._1))
+      val flat = Map("r" -> acl.copy(shares = expanded))
+      (if (edit) view else true) :| "edit must imply view" &&
+      (if (user.contains(acl.owner)) view && edit && owner else true) :|
+        "the owner holds every right" &&
+      (Accounts.canView(flat, Map.empty, "r", user) == view) :|
+        s"team-view expansion parity ($expanded)" &&
+      (Accounts.canEdit(flat, Map.empty, "r", user) == edit) :|
+        s"team-edit expansion parity ($expanded)" &&
+      // monotonicity: granting one more direct share never revokes
+      {
+        val wider = Map("r" -> acl.copy(shares =
+          acl.shares.updated(user.getOrElse("u1"), "edit")))
+        (!view || Accounts.canView(wider, teams, "r", user)) &&
+          (!edit || Accounts.canEdit(wider, teams, "r", user))
+      } :| "adding a share never revokes one"
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default
+        .withMinSuccessfulTests(300).withInitialSeed(14L), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("audit ids allocate atomically under concurrent appends") {
     val path = Files.createTempDirectory("audit").resolve("audit.json").toString
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)

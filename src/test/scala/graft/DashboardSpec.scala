@@ -633,6 +633,28 @@ class DashboardSpec extends AnyFunSuite {
       assert(getH("/mappings/m_pub/visual", Some(alice)).body()
         .contains("SecretCol"))
 
+      // ---- audit records actions that RAN, with named outcomes ----
+      // a convert against a missing mapping leaves no event; an
+      // error-gated convert leaves a convert_failed event (round-13
+      // advice: the log was written before the handler ran)
+      assert(postH("/api/preview/revolut_stocks/p.csv/convert",
+        """{"mapping_id": "nope"}""", Some(alice)).statusCode() == 404)
+      assert(!getH("/api/audit", Some(alice)).body().contains("nope"),
+        "a 404'd convert must leave no audit event")
+      val gateMapping = """{
+        "id": "m_gate", "name": "Gate M",
+        "source_id": "revolut_stocks", "destination_id": "ghostfolio",
+        "description": "", "filter_rules": [],
+        "field_mappings": [
+          {"destination_field": "type", "source_field": "Type",
+           "transform_type": "lookup", "transform_config":
+             {"NEVER": "x"}}]}"""
+      assert(postH("/api/mappings", gateMapping, Some(alice)).statusCode() == 200)
+      assert(postH("/api/preview/revolut_stocks/p.csv/convert",
+        """{"mapping_id": "m_gate"}""", Some(alice)).statusCode() == 400)
+      assert(getH("/api/audit", Some(alice)).body().contains("convert_failed"),
+        "an error-gated convert must log its named outcome")
+
       // ---- per-user settings ----
       assert(getH("/api/me/settings").statusCode() == 401)
       assert(postH("/api/me/settings", """{"theme":"dark","page_size":"50"}""",
