@@ -94,8 +94,19 @@ class PermissionMatrixSpec extends AnyFunSuite {
       assert(post("/api/teams", """{"name":"editors"}""", Some(alice)) == 200)
       assert(post("/api/teams/team_1/members", """{"add":"tv"}""", Some(alice)) == 200)
       assert(post("/api/teams/team_2/members", """{"add":"te"}""", Some(alice)) == 200)
+      // file-route fixtures: a downloadable output under dd1, one
+      // sacrificial input/output per principal for the delete rows
+      Files.createDirectories(Paths.get(out.toString, "dd1"))
+      Files.write(Paths.get(out.toString, "dd1", "o.csv"),
+        "a\r\nv1\r\n".getBytes(StandardCharsets.UTF_8))
+      Seq("anon", "rando", "vic", "tv", "ed", "te", "owner").foreach { p =>
+        Files.write(Paths.get(in.toString, "s1", s"del_$p.csv"),
+          "A\r\nx\r\n".getBytes(StandardCharsets.UTF_8))
+        Files.write(Paths.get(out.toString, "dd1", s"del_$p.csv"),
+          "a\r\nx\r\n".getBytes(StandardCharsets.UTF_8))
+      }
       // the same share set on every matrix resource
-      Seq("s1", "m1", "tp1").foreach { id =>
+      Seq("s1", "m1", "tp1", "dd1").foreach { id =>
         Seq("""{"share":{"user":"vic","level":"view"}}""",
             """{"share":{"user":"ed","level":"edit"}}""",
             """{"share":{"user":"team:team_1","level":"view"}}""",
@@ -107,7 +118,8 @@ class PermissionMatrixSpec extends AnyFunSuite {
       // the matrix — expected codes in principal order
       // [anon, rando, vic, tv, ed, te, owner]
       final case class Cell(method: String, path: String, body: String,
-                            expect: Seq[Int], perPrincipalId: Boolean = false)
+                            expect: Seq[Int], perPrincipalId: Boolean = false,
+                            perPrincipalPath: Boolean = false)
       val V = Seq(404, 404, 200, 200, 200, 200, 200)  // view-gated read
       val E = Seq(401, 403, 403, 403, 200, 200, 200)  // edit-gated write
       val O = Seq(401, 403, 403, 403, 403, 403, 200)  // owner-only
@@ -132,6 +144,20 @@ class PermissionMatrixSpec extends AnyFunSuite {
           """{"template_id": "tb_PRINCIPAL"}""", LV, perPrincipalId = true),
         Cell("POST", "/api/acl/m1", "{}", O),
         Cell("POST", "/api/teams/team_1/members", """{"add":"x"}""", O),
+        // ---- HTML pages/forms + file routes: the round-13 advice's two
+        // HIGH side doors, pinned in the same lattice as their /api twins
+        Cell("GET", "/mappings/m1/visual", "", V),
+        Cell("GET", "/mappings/m1/edit", "", E),
+        Cell("POST", "/mappings/m1/edit",
+          "mapping=" + java.net.URLEncoder.encode(m1, StandardCharsets.UTF_8),
+          Seq(401, 403, 403, 403, 302, 302, 302)), // editors get the redirect
+        Cell("POST", "/upload/s1?filename=up_PRINCIPAL.csv", "A\r\nx\r\n", E,
+          perPrincipalPath = true),
+        Cell("GET", "/download/dd1/o.csv", "", V),
+        Cell("POST", "/delete/input/s1/del_PRINCIPAL.csv", "", E,
+          perPrincipalPath = true),
+        Cell("POST", "/delete/output/dd1/del_PRINCIPAL.csv", "", E,
+          perPrincipalPath = true),
         // delete LAST — the owner's 200 tombstones m1
         Cell("POST", "/api/mappings/m1/delete", "", O))
 
@@ -139,7 +165,9 @@ class PermissionMatrixSpec extends AnyFunSuite {
         principals.zip(cell.expect).foreach { case ((pname, cookie), want) =>
           val body = if (cell.perPrincipalId)
             cell.body.replace("PRINCIPAL", pname) else cell.body
-          val got = req(cell.method, cell.path, body, cookie).statusCode()
+          val path = if (cell.perPrincipalPath)
+            cell.path.replace("PRINCIPAL", pname) else cell.path
+          val got = req(cell.method, path, body, cookie).statusCode()
           assert(got == want,
             s"${cell.method} ${cell.path} as $pname: expected $want, got $got")
         }
