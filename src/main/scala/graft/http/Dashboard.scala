@@ -121,7 +121,8 @@ final class Dashboard(spark: SparkSession, configDir: String,
       login.orElse(if (Accounts.isOwner(acls, id, user)) None
                    else Some(403 -> "Owner only"))
     segs match {
-      case "api" :: "me" :: "settings" :: Nil => login
+      case "api" :: "me" :: ("settings" | "resources") :: Nil => login
+      case "me" :: Nil => login
       case "api" :: ("login" | "logout" | "users" | "me" | "acl") :: _ => None
       case "api" :: "teams" :: _ => login
       case "api" :: ("sources" | "destinations" | "mappings" | "templates") ::
@@ -225,7 +226,39 @@ final class Dashboard(spark: SparkSession, configDir: String,
   private def err(ex: HttpExchange, status: Int, message: String): Unit =
     respond(ex, status, VectorMap("error" -> message))
 
-  private def html(ex: HttpExchange, markup: String, status: Int = 200): Unit = {
+  /** Store ids grouped by the requester's relationship (Accounts
+    * .relationship); "hidden" ids are dropped — the dashboard must not
+    * enumerate what the listings would not show. Delete tombstones never
+    * appear (they have an ACL but no store row). */
+  private def meResources(user: Option[String]): VectorMap[String, Any] = {
+    val acls = Accounts.loadAcls(aclPath)
+    val teams = loadTeams()
+    def part(ids: Iterable[String]): VectorMap[String, Any] = {
+      val rel = ids.toSeq.sorted
+        .groupBy(id => Accounts.relationship(acls, teams, id, user))
+      VectorMap[String, Any](
+        "owned" -> rel.getOrElse("owned", Nil).toList,
+        "shared" -> rel.getOrElse("shared", Nil).toList,
+        "public" -> rel.getOrElse("public", Nil).toList)
+    }
+    VectorMap[String, Any](
+      "sources" -> part(SpecStore.loadFileSpecs(sourcesPath).keys),
+      "destinations" -> part(SpecStore.loadFileSpecs(destinationsPath).keys),
+      "mappings" -> part(SpecStore.loadMappings(mappingsPath).keys),
+      "templates" -> part(SpecStore.loadTemplates(templatesPath).keys))
+  }
+
+  /** ROADMAP.md:71 "Dark mode": a logged-in user whose settings carry
+    * `theme=dark` gets the page shell's dark class; the stylesheet ships
+    * both palettes so the toggle is one attribute. */
+  private def darkFor(user: Option[String]): Boolean =
+    user.exists(u => Accounts.loadProfiles(profilesPath)
+      .getOrElse(u, VectorMap.empty).get("theme").contains("dark"))
+
+  private def html(ex: HttpExchange, markup0: String, status: Int = 200,
+                   user: Option[String] = None): Unit = {
+    val markup = if (darkFor(user))
+      markup0.replaceFirst("<body>", "<body class=\"dark\">") else markup0
     val body = markup.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
     ex.sendResponseHeaders(status, body.length)
@@ -352,7 +385,7 @@ final class Dashboard(spark: SparkSession, configDir: String,
         }
       case "templates" :: Nil if !post =>
         html(ex, Pages.templateList(
-          visibleKeys(SpecStore.loadTemplates(templatesPath), user)))
+          visibleKeys(SpecStore.loadTemplates(templatesPath), user)), user = user)
       // D5 run history: the durable twin of the reference's session-held
       // conversion counters (app.py:215-224)
       case "api" :: "runs" :: Nil if !post =>
@@ -380,7 +413,7 @@ final class Dashboard(spark: SparkSession, configDir: String,
             prs0.filter { case (_, r) => visible.contains(r.mappingId) }
           }
         html(ex, Pages.runList(prs,
-          visibleKeys(SpecStore.loadMappings(mappingsPath), user)))
+          visibleKeys(SpecStore.loadMappings(mappingsPath), user)), user = user)
       // ---- server-rendered pages (reference app.py:53-101, :237-448,
       // :492-513; original markup in Pages.scala, state from SpecStore) ----
       case ("" :: Nil | Nil) if !post =>
@@ -400,16 +433,16 @@ final class Dashboard(spark: SparkSession, configDir: String,
           }.toMap
         html(ex, Pages.index(sources, dests,
           visibleKeys(SpecStore.loadMappings(mappingsPath), user),
-          csvs(inputDir, sources), csvs(outputDir, dests)))
+          csvs(inputDir, sources), csvs(outputDir, dests)), user = user)
       case "sources" :: Nil if !post =>
         html(ex, Pages.specList("source",
-          visibleKeys(SpecStore.loadFileSpecs(sourcesPath), user)))
+          visibleKeys(SpecStore.loadFileSpecs(sourcesPath), user)), user = user)
       case "destinations" :: Nil if !post =>
         html(ex, Pages.specList("destination",
-          visibleKeys(SpecStore.loadFileSpecs(destinationsPath), user)))
+          visibleKeys(SpecStore.loadFileSpecs(destinationsPath), user)), user = user)
       case "mappings" :: Nil if !post =>
         html(ex, Pages.mappingList(
-          visibleKeys(SpecStore.loadMappings(mappingsPath), user)))
+          visibleKeys(SpecStore.loadMappings(mappingsPath), user)), user = user)
       // new/edit forms (reference app.py:243-270, :291-318, :346-390);
       // GET gated by authGate (edit level), POSTs re-check the BODY's id
       case "sources" :: "new" :: Nil =>
@@ -435,7 +468,7 @@ final class Dashboard(spark: SparkSession, configDir: String,
           // (round-14 self-review)
           case Some(m) => html(ex, Pages.visualEditor(m,
             visibleKeys(SpecStore.loadFileSpecs(sourcesPath), user)
-              .get(m.sourceId)))
+              .get(m.sourceId)), user = user)
         }
       case "preview" :: sourceId :: filename :: Nil if !post =>
         withSourceFile(ex, sourceId, filename) { (source, path) =>
@@ -447,7 +480,7 @@ final class Dashboard(spark: SparkSession, configDir: String,
             p.rows.map(r => r.line -> r.cells),
             p.errorsByLine.keySet,
             p.result.map(r => (r.successCount, r.skippedCount, r.errorCount)),
-            p.rows.length.toLong))
+            p.rows.length.toLong), user = user)
         }
       // ---- auth / sharing / audit (ROADMAP.md:31-37, :55-59; see the
       // overlay notes above authGate). Registration is open (self-serve,
@@ -594,8 +627,22 @@ final class Dashboard(spark: SparkSession, configDir: String,
         }
       // ---- per-user settings (ROADMAP.md:58 "User profiles"): a small
       // keyed store, ACL'd to the user themselves (login-gated). ----
-      case "api" :: "me" :: "settings" :: Nil if user.isEmpty =>
+      case "api" :: "me" :: ("settings" | "resources") :: Nil if user.isEmpty =>
         err(ex, 401, "Login required") // open mode has no user to key by
+      // ROADMAP.md:76 "User dashboard with owned and shared resources":
+      // each store's ids grouped by the requester's relationship. Hidden
+      // ids never appear (same invisibility contract as the listings).
+      case "api" :: "me" :: "resources" :: Nil if !post =>
+        respond(ex, 200, meResources(user))
+      case "me" :: Nil if user.isEmpty =>
+        err(ex, 401, "Login required") // open mode has no user to key by
+      case "me" :: Nil if !post =>
+        val r = meResources(user)
+        html(ex, Pages.meDashboard(user.get,
+          Seq("sources", "destinations", "mappings", "templates").map { k =>
+            val m = r(k).asInstanceOf[VectorMap[String, List[String]]]
+            (k, m("owned"), m("shared"), m("public"))
+          }), user = user)
       case "api" :: "me" :: "settings" :: Nil if !post =>
         respond(ex, 200,
           Accounts.loadProfiles(profilesPath).getOrElse(user.get, VectorMap.empty))
@@ -645,7 +692,7 @@ final class Dashboard(spark: SparkSession, configDir: String,
             .getOrElse(specSkeleton)
           html(ex, Pages.editorForm(
             idOpt.map(i => s"Edit $specType $i").getOrElse(s"New $specType"),
-            "spec", json))
+            "spec", json), user = user)
       }
     } else {
       val spec = SpecStore.parseFileSpec(
@@ -680,7 +727,7 @@ final class Dashboard(spark: SparkSession, configDir: String,
               |}""".stripMargin)
           html(ex, Pages.editorForm(
             idOpt.map(i => s"Edit mapping $i").getOrElse("New mapping"),
-            "mapping", json))
+            "mapping", json), user = user)
       }
     } else {
       val m = SpecStore.parseMapping(

@@ -23,12 +23,32 @@ object Pages {
        |body{font-family:sans-serif;margin:2rem;max-width:60rem}
        |table{border-collapse:collapse}td,th{border:1px solid #999;padding:.3rem .6rem}
        |nav a{margin-right:1rem}
+       |body.dark{background:#121212;color:#ddd}
+       |body.dark a{color:#8ab4f8}
+       |body.dark td,body.dark th{border-color:#555}
        |</style></head><body>
        |<nav><a href="/">Home</a><a href="/sources">Sources</a>
        |<a href="/destinations">Destinations</a><a href="/mappings">Mappings</a></nav>
        |<h1>${esc(title)}</h1>
        |$body
        |</body></html>""".stripMargin
+
+  /** Per-user dashboard (ROADMAP.md:76 "User dashboard with owned and
+    * shared resources"): each store's ids grouped by the requester's
+    * relationship — owned, shared-with-me, public/discoverable. */
+  def meDashboard(name: String,
+                  kinds: Seq[(String, Seq[String], Seq[String], Seq[String])])
+      : String = {
+    def cell(ids: Seq[String]) =
+      if (ids.isEmpty) "<em>none</em>" else esc(ids.mkString(", "))
+    val rows = kinds.map { case (kind, owned, shared, pub) =>
+      s"""<tr><th>${esc(kind)}</th><td>${cell(owned)}</td>
+         |<td>${cell(shared)}</td><td>${cell(pub)}</td></tr>""".stripMargin
+    }.mkString
+    page(s"$name's resources",
+      s"""<table><tr><th></th><th>Owned</th><th>Shared with me</th>
+         |<th>Public</th></tr>$rows</table>""".stripMargin)
+  }
 
   /** Dashboard home: every source with its input files and applicable
     * mappings, every destination with its output files. */

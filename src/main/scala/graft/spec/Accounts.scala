@@ -323,4 +323,20 @@ object Accounts {
       case None    => user.isDefined
       case Some(a) => user.contains(a.owner)
     }
+
+  /** The requester's relationship to a resource, for the ROADMAP.md:76
+    * user dashboard: "owned" | "shared" (a direct or team share grants a
+    * level) | "public" (discoverable — public visibility, or an unclaimed
+    * legacy id) | "hidden". Consistent with canView: everything but
+    * "hidden" is viewable. */
+  def relationship(acls: Map[String, Acl], teams: Map[String, Team],
+                   id: String, user: Option[String]): String =
+    acls.get(id) match {
+      case None => "public"
+      case Some(a) =>
+        if (user.contains(a.owner)) "owned"
+        else if (user.exists(u => shareLevels(a, teams, u).nonEmpty)) "shared"
+        else if (a.visibility == "public") "public"
+        else "hidden"
+    }
 }

@@ -662,6 +662,29 @@ class DashboardSpec extends AnyFunSuite {
       val bobSettings = asMap(getH("/api/me/settings", Some(bob)).body())
       assert(bobSettings("theme") == "dark" && bobSettings("page_size") == "50")
       assert(asMap(getH("/api/me/settings", Some(alice)).body()).isEmpty)
+
+      // ---- dark mode (ROADMAP:71): bob's theme=dark flips the page
+      // shell's class; alice (no setting) and anonymous stay light ----
+      assert(getH("/", Some(bob)).body().contains("<body class=\"dark\">"))
+      assert(!getH("/", Some(alice)).body().contains("class=\"dark\""))
+      assert(!getH("/").body().contains("class=\"dark\""))
+
+      // ---- user dashboard (ROADMAP:76): owned / shared-with-me /
+      // public, hidden ids never enumerated ----
+      assert(getH("/api/me/resources").statusCode() == 401)
+      assert(getH("/me").statusCode() == 401)
+      val aliceRes = getH("/api/me/resources", Some(alice)).body()
+      val aliceMaps = asMap(aliceRes)("mappings").asInstanceOf[Map[String, Any]]
+      assert(Set[Any]("m_priv", "m_pub", "m_gate")
+        .subsetOf(aliceMaps("owned").asInstanceOf[Seq[Any]].toSet),
+        s"alice owns her mappings: $aliceRes")
+      val bobRes = getH("/api/me/resources", Some(bob)).body()
+      assert(!bobRes.contains("m_priv") && !bobRes.contains("s_priv"),
+        s"hidden ids must not be enumerated: $bobRes")
+      assert(asMap(bobRes)("mappings").asInstanceOf[Map[String, Any]]("public")
+        .asInstanceOf[Seq[_]].contains("m_pub"), s"m_pub is discoverable: $bobRes")
+      val mePage = getH("/me", Some(alice))
+      assert(mePage.statusCode() == 200 && mePage.body().contains("m_pub"))
     } finally dash.stop()
   }
 
