@@ -578,10 +578,19 @@ final class Dashboard(spark: SparkSession, configDir: String,
       case "api" :: "audit" :: Nil if !post =>
         val acls = Accounts.loadAcls(aclPath)
         val tms = loadTeams()
+        // a TEAM id in an event resolves against the team store, not the
+        // ACL store: its events are member/owner-visible, matching the
+        // /api/teams listing filter (round-14 self-review — the no-ACL
+        // default otherwise showed team activity to every login)
+        def resourceVisible(r: String): Boolean = {
+          val id = r.split("/")(0).split(" ")(0)
+          tms.get(id) match {
+            case Some(t) => user.contains(t.owner) || user.exists(t.members.contains)
+            case None => Accounts.canView(acls, tms, id, user)
+          }
+        }
         val es = Accounts.loadAudit(auditPath).filter { case (_, e) =>
-          user.contains(e.user) ||
-            e.resource.split(" -> ").forall(r =>
-              Accounts.canView(acls, tms, r.split("/")(0), user))
+          user.contains(e.user) || e.resource.split(" -> ").forall(resourceVisible)
         }
         respond(ex, 200, es.map { case (k, v) => k -> Accounts.auditDict(v) })
       // ---- teams (ROADMAP.md:36 "Organization/team support"): groups as

@@ -593,6 +593,11 @@ class DashboardSpec extends AnyFunSuite {
         .statusCode() == 200)
       assert(!getH("/api/mappings", Some(bob)).body().contains("m_priv"))
       assert(getH("/api/audit", Some(alice)).body().contains("team_members"))
+      // team events are member/owner-visible only, like the /api/teams
+      // listing — bob, now removed, no longer reads the team's trail
+      val bobAudit2 = getH("/api/audit", Some(bob)).body()
+      assert(!bobAudit2.contains("team_members") && !bobAudit2.contains("create_team"),
+        s"a non-member must not see team audit events:\n$bobAudit2")
 
       // ---- a private mapping is not runnable/applicable by id, and a
       // private source's schema does not leak through the visual page
