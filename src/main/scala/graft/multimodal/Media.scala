@@ -113,15 +113,37 @@ object Media {
 
   /** Deterministic PNG payload for image `id` (dims from the same doc_id
     * formulas as MediaMeta; both divisible by 16, so every tile repeats a
-    * whole number of times). */
+    * whole number of times).
+    *
+    * Round-14 optimization (guide §1.2 step 2 — per-task work): the tile
+    * pattern repeats every 16×16, so the closed form is evaluated once per
+    * tile cell (256 evals) and the packed ints are copied into the raster's
+    * backing array row by row. `setRGB` per pixel paid a color-model
+    * conversion per call; writing the TYPE_INT_RGB DataBufferInt directly
+    * stores the identical 24-bit value, so the encoded PNG bytes are
+    * unchanged (MultimodalSpec + the m-pack oracles pin this). */
   def synthPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val tile = new Array[Int](256)
+    var ty = 0
+    while (ty < 16) {
+      var tx = 0
+      while (tx < 16) {
+        val (r, g, b) = tileRgb(id, tx, ty)
+        tile(ty * 16 + tx) = (r << 16) | (g << 8) | b
+        tx += 1
+      }
+      ty += 1
+    }
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
     var y = 0
     while (y < h) {
+      val trow = (y & 15) * 16
+      val orow = y * w
       var x = 0
       while (x < w) {
-        val (r, g, b) = tileRgb(id, x & 15, y & 15)
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        data(orow + x) = tile(trow + (x & 15))
         x += 1
       }
       y += 1
@@ -129,21 +151,69 @@ object Media {
     encodePng(img)
   }
 
+  // Per-thread cached PNG reader/writer: ImageIO.read/write scan the
+  // service-provider registry and build a fresh reader/writer PER CALL —
+  // measurable overhead at tiny-image sizes. The cached instances are the
+  // same in-JDK codec classes with default parameters, so decoded pixels
+  // and encoded bytes are identical. Thread-confined via ThreadLocal
+  // (ImageReader/Writer are not thread-safe).
+  private val pngWriter =
+    ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+      ImageIO.getImageWritersByFormatName("png").next())
+  private val pngReader =
+    ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+      ImageIO.getImageReadersByFormatName("png").next())
+
   private def encodePng(img: BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream(1 << 14)
-    ImageIO.write(img, "png", bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val w = pngWriter.get
+    w.setOutput(ios)
+    try w.write(img)
+    finally { w.setOutput(null); ios.close() }
     bos.toByteArray
   }
 
-  /** REAL decode — in-JDK PNG codec. */
-  def decodeImage(payload: Array[Byte]): BufferedImage =
-    ImageIO.read(new ByteArrayInputStream(payload))
+  /** REAL decode — in-JDK PNG codec (cached reader instance). */
+  def decodeImage(payload: Array[Byte]): BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(payload))
+    val r = pngReader.get
+    r.setInput(iis)
+    try r.read(0)
+    finally { r.setInput(null); iis.close() }
+  }
+
+  /** The decoded image's byte raster in B,G,R scanline order when the
+    * codec produced the standard TYPE_3BYTE_BGR layout (the in-JDK PNG
+    * reader's output for 8-bit RGB), else null → callers fall back to the
+    * per-pixel color-model path. Reading the backing array skips a
+    * color-model conversion per pixel; channel VALUES are identical. */
+  private def bgrData(img: BufferedImage): Array[Byte] =
+    if (img.getType == BufferedImage.TYPE_3BYTE_BGR)
+      img.getRaster.getDataBuffer match {
+        case b: java.awt.image.DataBufferByte
+            if b.getData.length == img.getWidth * img.getHeight * 3 =>
+          b.getData
+        case _ => null
+      }
+    else null
 
   /** Raw RGB triplets of a decoded image (PNG is lossless 8-bit RGB, so
-    * `getRGB` recovers the exact generated channels). */
+    * the raster recovers the exact generated channels). */
   private def rgbOf(img: BufferedImage): Array[Byte] = {
     val w = img.getWidth; val h = img.getHeight
     val out = new Array[Byte](w * h * 3)
+    val bgr = bgrData(img)
+    if (bgr != null) {
+      // same triplets, read straight from the raster (B,G,R → R,G,B)
+      var i = 0
+      while (i < out.length) {
+        out(i) = bgr(i + 2); out(i + 1) = bgr(i + 1); out(i + 2) = bgr(i)
+        i += 3
+      }
+      return out
+    }
     var i = 0; var y = 0
     while (y < h) {
       var x = 0
@@ -169,6 +239,14 @@ object Media {
   /** Σ(r+g+b) over all decoded pixels — the integer fingerprint the SQL
     * twin recomputes from the tile formula. */
   def imageChecksum(img: BufferedImage): Long = {
+    val bgr = bgrData(img)
+    if (bgr != null) {
+      // Σ(r+g+b) = Σ over all channel bytes — order-free, so the BGR
+      // raster sums directly to the identical value
+      var sum = 0L; var i = 0
+      while (i < bgr.length) { sum += bgr(i) & 0xff; i += 1 }
+      return sum
+    }
     var sum = 0L; var y = 0
     while (y < img.getHeight) {
       var x = 0
@@ -182,12 +260,68 @@ object Media {
     sum
   }
 
+  /** Adds each decoded channel value's 16-bin histogram count to `hist`
+    * and returns Σ(r+g+b) — the fused m15 kernel. Channel-order-free
+    * (bins and sum ignore which channel a byte came from), so the BGR
+    * raster fast path is value-identical to the per-pixel RGB loop. */
+  private def addHistChk(img: BufferedImage, hist: Array[Long]): Long = {
+    val bgr = bgrData(img)
+    var chk = 0L
+    if (bgr != null) {
+      var i = 0
+      while (i < bgr.length) {
+        val v = bgr(i) & 0xff
+        hist(v >> 4) += 1; chk += v
+        i += 1
+      }
+      return chk
+    }
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        val rr = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+        hist(rr >> 4) += 1; hist(g >> 4) += 1; hist(b >> 4) += 1
+        chk += rr + g + b
+        x += 1
+      }
+      y += 1
+    }
+    chk
+  }
+
   /** REAL pixel resample: nearest-neighbor (src = x·W/tw, y·H/th in integer
     * arithmetic — the mapping the oracle mirrors), re-encoded as PNG. */
   def resizeImage(payload: Array[Byte], tw: Int, th: Int): Array[Byte] = {
     val src = decodeImage(payload)
     val w = src.getWidth; val h = src.getHeight
     val out = new BufferedImage(tw, th, BufferedImage.TYPE_INT_RGB)
+    val bgr = bgrData(src)
+    if (bgr != null) {
+      // identical integer NN map, reading the BGR raster and writing the
+      // INT_RGB raster directly (same packed value setRGB would store)
+      val data = out.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferInt].getData
+      // column source offsets precomputed once (same x·W/tw map per row)
+      val sx = new Array[Int](tw)
+      var x = 0
+      while (x < tw) { sx(x) = (x * w / tw) * 3; x += 1 }
+      var y = 0
+      while (y < th) {
+        val srow = (y * h / th) * w * 3
+        val orow = y * tw
+        x = 0
+        while (x < tw) {
+          val o = srow + sx(x)
+          data(orow + x) = ((bgr(o + 2) & 0xff) << 16) |
+            ((bgr(o + 1) & 0xff) << 8) | (bgr(o) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      return encodePng(out)
+    }
     var y = 0
     while (y < th) {
       val sy = y * h / th
@@ -506,13 +640,21 @@ object Media {
     val w = img.getWidth; val h = img.getHeight
     val g = new Array[Long](64)
     var total = 0L
+    val bgr = bgrData(img)
     var y = 0
     while (y < 8) {
       var x = 0
       while (x < 8) {
-        val p = img.getRGB(x * w / 8, y * h / 8)
-        g(y * 8 + x) = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong
-        total += g(y * 8 + x)
+        val gray =
+          if (bgr != null) {
+            val o = ((y * h / 8) * w + (x * w / 8)) * 3
+            ((bgr(o) & 0xff) + (bgr(o + 1) & 0xff) + (bgr(o + 2) & 0xff)).toLong
+          } else {
+            val p = img.getRGB(x * w / 8, y * h / 8)
+            (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong
+          }
+        g(y * 8 + x) = gray
+        total += gray
         x += 1
       }
       y += 1
@@ -685,19 +827,7 @@ object Media {
             case "image" =>
               val img = decodeImage(r.payload)
               val hist = new Array[Long](16)
-              var chk = 0L
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  val p = img.getRGB(x, y)
-                  val rr = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
-                  hist(rr >> 4) += 1; hist(g >> 4) += 1; hist(b >> 4) += 1
-                  chk += rr + g + b
-                  x += 1
-                }
-                y += 1
-              }
+              val chk = addHistChk(img, hist)
               MediaFused(r.media_id, r.kind, hist.mkString(","), aHash(img),
                 chk.toString)
             case "audio" =>
@@ -713,19 +843,7 @@ object Media {
               val chks = new scala.collection.mutable.ArrayBuffer[Long]
               videoFrameSlices(r.payload, every = 1).foreach { case (f, png) =>
                 val img = decodeImage(png) // ONE decode serves all 3 families
-                var chk = 0L
-                var y = 0
-                while (y < img.getHeight) {
-                  var x = 0
-                  while (x < img.getWidth) {
-                    val p = img.getRGB(x, y)
-                    val rr = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
-                    hist(rr >> 4) += 1; hist(g >> 4) += 1; hist(b >> 4) += 1
-                    chk += rr + g + b
-                    x += 1
-                  }
-                  y += 1
-                }
+                val chk = addHistChk(img, hist)
                 chks += chk
                 if (f % every == 0) fps.append(aHash(img))
               }
