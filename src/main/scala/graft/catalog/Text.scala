@@ -394,14 +394,15 @@ object Text extends QueryPack {
     // production min/max chunk bounds are a post-filter on the same plan.
     "x17_cdc_chunk" -> { (s, dir) =>
       import s.implicits._
+      // boundary scan = the native CdcStarts kernel (round-14: the
+      // interpreted transform/filter chain re-rendered a 32-char md5 hex
+      // string per CHARACTER POSITION — the kernel hashes the same window
+      // bytes and compares the first digest byte; CdcStartsSpec pins
+      // kernel == SQL, the oracle below still runs the original SQL form)
       Tables(s, dir).documents
         .withColumn("nt",
           expr("trim(regexp_replace(lower(text), '[^a-z ]', ''))"))
-        .withColumn("starts", expr(
-          "concat(array(1), if(length(nt) < 9, array(), " +
-            "filter(transform(sequence(2, length(nt) - 7), " +
-            "p -> if(substring(md5(substring(nt, p, 8)), 1, 2) < '04', p, -1)), " +
-            "x -> x > 0)))"))
+        .withColumn("starts", graft.functions.CdcStarts.of($"nt"))
         .select($"doc_id", $"nt", posexplode(expr(
           "transform(sequence(0, size(starts) - 1), i -> struct(" +
             "element_at(starts, i + 1) as st, " +
