@@ -37,6 +37,14 @@ object ProfileBench {
         stages.incrementAndGet()
         shufR.addAndGet(s.stageInfo.taskMetrics.shuffleReadMetrics.totalBytesRead)
         shufW.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        if (sys.env.contains("PROF_STAGES")) {
+          val tm = s.stageInfo.taskMetrics
+          println(f"STAGE ${s.stageInfo.stageId}%4d tasks=${s.stageInfo.numTasks}%4d " +
+            f"run=${tm.executorRunTime / 1e3}%7.2fs cpu=${tm.executorCpuTime / 1e9}%7.2fs " +
+            f"gc=${tm.jvmGCTime / 1e3}%5.2fs in=${tm.inputMetrics.bytesRead / 1e6}%8.1fMB " +
+            f"sr=${tm.shuffleReadMetrics.totalBytesRead / 1e6}%7.1fMB " +
+            f"sw=${tm.shuffleWriteMetrics.bytesWritten / 1e6}%7.1fMB  ${s.stageInfo.name.take(90)}")
+        }
       }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()

@@ -23,7 +23,8 @@ object CorpusGate extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_corpus_curate" -> { (s, dir) =>
       import s.implicits._
-      val (curated, _) = graft.pipelines.Corpus.curate(Tables(s, dir).documents)
+      val (curated, _) =
+        graft.pipelines.Corpus.curate(Tables(s, dir).documents, withStats = false)
       curated.select($"doc_id", $"lang_pred",
                      $"n_tokens".cast("long").as("n_tokens"), $"quality_score")
         .orderBy($"doc_id")

@@ -687,10 +687,14 @@ object Dedup extends QueryPack {
       // cache the regex tokenize + hash kernel re-runs per consumer (the
       // Quantizer's eq persist precedent; ContextCleaner reclaims it once
       // the returned plan is released)
+      // round-14: the tokenize→shingle→hash pass runs as the compiled
+      // kernel (shingleHashesAllUdf) — the expr() form interpreted a
+      // per-character aggregate() fold PER SHINGLE (d16's hot loop, ~20
+      // task-seconds at sf0.1); same multiset of hashes, same tf counts
+      // (TextSpec pins kernel == SQL; the d16 oracle SQL is unchanged)
       val tf = Tables(s, dir).documents
-        .select($"doc_id", expr(Tx.wsExpr).as("ws"))
-        .select($"doc_id", explode(expr(Tx.shinglesAllExpr(4))).as("sg"))
-        .select($"doc_id", expr(Tx.polyHash("sg")).as("h"))
+        .select($"doc_id",
+          explode(TextKernels.shingleHashesAllUdf($"text")).as("h"))
         .groupBy($"doc_id", $"h").agg(count(lit(1)).as("tf"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ex = tf.join(

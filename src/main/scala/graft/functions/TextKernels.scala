@@ -44,10 +44,17 @@ object TextKernels extends Serializable {
   final val NBands = 4
   final val RowsPerBand = 4
 
+  // precompiled patterns (round-14): String.replaceAll / String.split
+  // re-compile their regex on EVERY call — per row, per call site. The
+  // compiled Pattern paths below are the exact same JDK regex semantics.
+  private val NonAzSpace = java.util.regex.Pattern.compile("[^a-z ]")
+  private val SpaceRuns = java.util.regex.Pattern.compile(" +")
+
   /** == split(trim(regexp_replace(lower(text), '[^a-z ]', '')), ' +')
     * (split with limit -1, matching Spark/DuckDB regex split semantics). */
   def tokenize(text: String): Array[String] =
-    text.toLowerCase.replaceAll("[^a-z ]", "").trim.split(" +", -1)
+    SpaceRuns.split(
+      NonAzSpace.matcher(text.toLowerCase).replaceAll("").trim, -1)
 
   /** serial polynomial hash: fold(chars, 0, (a, c) => (a*31 + c) mod P). */
   def polyHash(s: String): Long = {
@@ -85,12 +92,18 @@ object TextKernels extends Serializable {
     out
   }
 
-  /** distinct word 4-gram shingles of the token array. */
-  def shingles4(ws: Array[String]): Array[String] =
+  /** ALL (non-distinct) word 4-gram shingles of the token array — the
+    * multiset Tx.shinglesAllExpr(4) generates (occurrence counts matter
+    * where shingles become tf weights, d16). */
+  def shingles4All(ws: Array[String]): Array[String] =
     if (ws.length < 4) Array.empty
     else Array.tabulate(ws.length - 3) { p =>
       s"${ws(p)} ${ws(p + 1)} ${ws(p + 2)} ${ws(p + 3)}"
-    }.distinct
+    }
+
+  /** distinct word 4-gram shingles of the token array. */
+  def shingles4(ws: Array[String]): Array[String] =
+    shingles4All(ws).distinct
 
   /** 16-slot minhash signature over base hashes (empty → P per slot). */
   def minhash16(hs: Array[Long]): Array[Long] =
@@ -171,6 +184,13 @@ object TextKernels extends Serializable {
   val shingleHashesUdf: Column => Column =
     { val f = udf((t: String) => shingles4(tokenize(t)).map(polyHash)); c: Column => f(c) }
 
+  /** text → polyhashes of ALL (non-distinct) 4-token shingles — the
+    * compiled twin of explode(Tx.shinglesAllExpr(4)) + Tx.polyHash, whose
+    * interpreted per-char fold was d16's hot loop (round-14). */
+  val shingleHashesAllUdf: Column => Column =
+    { val f = udf((t: String) => shingles4All(tokenize(t)).map(polyHash))
+      c: Column => f(c) }
+
   /** text → 16-slot minhash signature. */
   val minhashUdf: Column => Column =
     { val f = udf((t: String) => minhash16(shingles4(tokenize(t)).map(polyHash)))
@@ -210,7 +230,7 @@ object TextKernels extends Serializable {
     * substring(p, 8) truncating at the end like SQL substring. */
   val minFingerprintUdf: Column => Column =
     { val f = udf { (t: String) =>
-        val nt = t.toLowerCase.replaceAll("[^a-z ]", "").trim
+        val nt = NonAzSpace.matcher(t.toLowerCase).replaceAll("").trim
         val n = math.max(nt.length - 7, 1)
         var m = Long.MaxValue
         var p = 1

@@ -27,15 +27,24 @@ object Corpus {
   final case class Stage(name: String, rows: Long)
 
   /** Curate `documents(doc_id, text, …)`; returns the survivors enriched
-    * with prediction/quality/token columns, plus per-stage row counts. */
+    * with prediction/quality/token columns, plus per-stage row counts.
+    *
+    * `withStats = false` (round-14) builds the IDENTICAL survivor plan but
+    * skips the five per-stage count() actions and the three intermediate
+    * stage caches they exist to serve — a caller that only consumes the
+    * survivors (c1's oracle entry) was paying five extra jobs plus cache
+    * materialization per run. The one genuinely multi-consumer frame
+    * (keepers: feeds the signature pass AND the anti-join) stays
+    * persisted either way, so no subtree ever executes twice. */
   def curate(docs: DataFrame,
              keepLangs: Set[String] = Set("en", "de"),
              minQuality: Double = 0.8,
-             estJaccard: Double = 0.5): (DataFrame, Seq[Stage]) = {
+             estJaccard: Double = 0.5,
+             withStats: Boolean = true): (DataFrame, Seq[Stage]) = {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val n0 = docs.count()
+    val n0 = if (withStats) docs.count() else -1L
 
     // 1-2: per-row scoring, one pass
     val scored = docs
@@ -46,18 +55,21 @@ object Corpus {
         lit(1.0) - ($"qc.punct_cnt".cast("double") / $"tl") * 2.0 -
           ($"qc.digit_cnt".cast("double") / $"tl"))
       .drop("qc", "tl")
-    val langKept = scored.filter($"lang_pred".isin(keepLangs.toSeq: _*)).cache()
-    val n1 = langKept.count()
-    val qualKept = langKept.filter($"quality_score" >= minQuality).cache()
-    val n2 = qualKept.count()
+    val langKept0 = scored.filter($"lang_pred".isin(keepLangs.toSeq: _*))
+    val langKept = if (withStats) langKept0.cache() else langKept0
+    val n1 = if (withStats) langKept.count() else -1L
+    val qualKept0 = langKept.filter($"quality_score" >= minQuality)
+    val qualKept = if (withStats) qualKept0.cache() else qualKept0
+    val n2 = if (withStats) qualKept.count() else -1L
 
-    // 3: exact dedup on content digest (deterministic keeper)
+    // 3: exact dedup on content digest (deterministic keeper) —
+    // multi-consumer below (signatures + anti-join), so always persisted
     val keepers = qualKept
       .withColumn("digest", md5(expr("trim(regexp_replace(lower(text), '[^a-z ]', ''))")))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy($"digest").orderBy($"doc_id")))
       .filter($"rn" === 1).drop("digest", "rn").cache()
-    val n3 = keepers.count()
+    val n3 = if (withStats) keepers.count() else -1L
 
     // 4: MinHash+LSH near-dedup — drop the higher doc_id of each candidate
     // pair whose estimated Jaccard clears the threshold
@@ -75,10 +87,11 @@ object Corpus {
         expr("cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) as double)") / 16.0)
       .filter($"est" >= estJaccard)
       .select($"d2".as("doc_id")).distinct()
-    val curated = keepers.join(dropIds, Seq("doc_id"), "left_anti")
+    val curated0 = keepers.join(dropIds, Seq("doc_id"), "left_anti")
       .withColumn("st", TextKernels.tokenStatsUdf($"text"))
       .withColumn("n_tokens", $"st.n_tokens").drop("st")
-      .cache()
+    if (!withStats) return (curated0, Seq.empty)
+    val curated = curated0.cache()
     val n4 = curated.count()
     // curated is materialized above; release the intermediate stage caches
     langKept.unpersist(blocking = false)

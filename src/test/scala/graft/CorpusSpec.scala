@@ -28,4 +28,18 @@ class CorpusSpec extends AnyFunSuite {
     assert(out2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
       out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("curate withStats=false: identical survivors, no stage counts") {
+    // round-14: the lazy path must produce the SAME survivor rows as the
+    // counted path (it is the same plan minus the count() actions/caches)
+    val docs = Tables(spark, "/root/testdata/sf0.01").documents
+    val (counted, stages) = Corpus.curate(docs)
+    val (lazyOut, noStages) = Corpus.curate(docs, withStats = false)
+    assert(noStages.isEmpty)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "lang_pred", "n_tokens", "quality_score")
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    assert(key(lazyOut) == key(counted))
+    assert(stages.nonEmpty)
+  }
 }

@@ -58,6 +58,23 @@ class TextKernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("non-distinct shingle hashes == explode(shinglesAllExpr) + polyHash") {
+    // d16's tf path (round-14): the compiled kernel must yield the same
+    // MULTISET of hashes (order included — both walk positions ascending)
+    val rows = df
+      .withColumn("ws", expr(Tx.wsExpr))
+      .withColumn("sql_h",
+        expr(s"transform(${Tx.shinglesAllExpr(4)}, sg -> ${Tx.polyHash("sg")})"))
+      .withColumn("kern_h", TextKernels.shingleHashesAllUdf($"text"))
+      .collect()
+    rows.foreach { r =>
+      val t = r.getAs[String]("text")
+      assert(r.getSeq[Long](r.fieldIndex("kern_h")).toSeq ==
+        r.getSeq[Long](r.fieldIndex("sql_h")).toSeq,
+        s"shingleHashesAll mismatch for ${t.take(30)}")
+    }
+  }
+
   test("minhash signature: containment monotonicity sanity") {
     // a superset document can only lower or keep each minhash slot
     val base = "the quick brown fox jumps over the lazy dog again and again"
