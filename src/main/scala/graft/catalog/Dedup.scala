@@ -728,7 +728,7 @@ object Dedup extends QueryPack {
     // — no shuffle in the assign pass). Norms precomputed before the join.
     "d5_embedding_neardup" -> { (s, dir) =>
       import s.implicits._
-      val e = Tables(s, dir).embeddings
+      val e = Tables(s, dir).embeddingsSpread
         .withColumn("v", $"embedding".cast("array<double>"))
         .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
         .select($"vec_id", $"v", $"norm2")
@@ -756,7 +756,7 @@ object Dedup extends QueryPack {
     // vectors cross either shuffle.
     "d17_semantic_dedup" -> { (s, dir) =>
       import s.implicits._
-      val e = Tables(s, dir).embeddings
+      val e = Tables(s, dir).embeddingsSpread
         .withColumn("v", $"embedding".cast("array<double>"))
         .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
         .select($"vec_id", $"v", $"norm2")
@@ -787,7 +787,7 @@ object Dedup extends QueryPack {
     // re-score, so the nightly cost tracks the BATCH, not the corpus.
     "d18_incremental_semantic" -> { (s, dir) =>
       import s.implicits._
-      val all = Tables(s, dir).embeddings
+      val all = Tables(s, dir).embeddingsSpread
         .withColumn("v", $"embedding".cast("array<double>"))
         .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
         .select($"vec_id", $"v", $"norm2")

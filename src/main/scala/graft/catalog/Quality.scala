@@ -284,7 +284,11 @@ object Quality extends QueryPack {
         .select(lit("anomaly").as("stage"),
                 date_format($"o_orderdate", "yyyy-MM-dd").as("item"),
                 (!$"is_anomaly").as("pass"))
+      // persisted: the summary rows feed BOTH the report and the verdict
+      // aggregate — without it the dq16+dq12+dq10 subtree executes twice
+      // (d16's multi-consumer discipline; round-14)
       val u = fresh.unionByName(drift).unionByName(anom)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val verdict = u.agg(min($"pass".cast("int")).as("mn"))
         .select(lit("verdict").as("stage"), lit("all").as("item"),
                 ($"mn" === 1).as("pass"))
@@ -553,7 +557,11 @@ object Quality extends QueryPack {
         .select(lit("inferred").as("stage"), $"col_name".as("item"), $"pass")
       val fds = queries("dq6_fd_audit")(s, dir)
         .select(lit("fd").as("stage"), $"fd".as("item"), $"holds".as("pass"))
+      // persisted: 13 summary rows consumed by BOTH the report and the
+      // verdict aggregate — without it the whole dq1+dq13+dq6 subtree
+      // executes twice (d16's multi-consumer discipline; round-14)
       val u = audit.unionByName(inferred).unionByName(fds)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val verdict = u.agg(min($"pass".cast("int")).as("mn"))
         .select(lit("verdict").as("stage"), lit("all").as("item"),
                 ($"mn" === 1).as("pass"))
@@ -602,12 +610,17 @@ object Quality extends QueryPack {
         .withColumn("majority",
           when($"c_a" === $"c_b", $"c_a")
             .when($"c_a" === $"c_c", $"c_a").otherwise($"c_b"))
-      Seq("a", "b", "c").map { n =>
-        wide.filter(col(s"c_$n") =!= $"majority")
-          .select($"bucket", $"o_orderkey", lit(n).as("bad_replica"),
-                  col(s"c_$n").as("wrong_cents"),
-                  $"majority".as("majority_cents"))
-      }.reduce(_ unionByName _).orderBy($"o_orderkey", $"bad_replica")
+      // round-14: one unpivot pass instead of a 3-way union of filters —
+      // the union form re-executed the whole 3-replica join subtree once
+      // per replica (122-Exchange plan); stack() emits the identical
+      // (replica, cents) rows from ONE execution, and the final total
+      // ORDER BY fixes the same output order
+      wide.selectExpr("bucket", "o_orderkey", "majority",
+          "stack(3, 'a', c_a, 'b', c_b, 'c', c_c) as (bad_replica, wrong_cents)")
+        .filter($"wrong_cents" =!= $"majority")
+        .select($"bucket", $"o_orderkey", $"bad_replica",
+                $"wrong_cents", $"majority".as("majority_cents"))
+        .orderBy($"o_orderkey", $"bad_replica")
     },
     // dq9: UNKNOWN-MEMBER REPAIR — the late-arriving-dimension pattern:
     // when facts reference dim members that don't exist yet (here a dim

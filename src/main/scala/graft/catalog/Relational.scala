@@ -142,11 +142,15 @@ object Relational extends QueryPack {
     // behavior (exactly half) is engine-identical by construction.
     "a15_weighted_median" -> { (s, dir) =>
       import s.implicits._
+      // persisted: the ~150-row (flag, qty) weight table feeds BOTH the
+      // per-flag total and the cumulative join — without it the lineitem
+      // scan+aggregate runs twice (d16's multi-consumer discipline; r14)
       val c = Tables(s, dir).lineitem
         .select($"l_returnflag",
                 expr("cast(round(l_quantity) as bigint)").as("qty"),
                 expr("cast(round(l_extendedprice * 100) as bigint)").as("w0"))
         .groupBy($"l_returnflag", $"qty").agg(sum($"w0").as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val t = c.groupBy($"l_returnflag").agg(sum($"w").as("tw"))
       val wC = Window.partitionBy($"l_returnflag").orderBy($"qty")
       c.join(t, Seq("l_returnflag"))
