@@ -80,22 +80,20 @@ final case class Tables(spark: SparkSession, dir: String) {
       case _ => df
     }
   }
-  /** documents feeds the kernel-heavy text packs (tokenize/shingle/hash
-    * UDFs, CDC md5 windows) — the table where a single-task scan
-    * serializes the most CPU (measured: x17 1.4→0.37 s, d5-family and
-    * c1/c5/c7 similar). The relational tables stay unspread (cheap column
-    * scans; many of their queries are overhead-bound already). */
-  def documents: DataFrame  = spread("documents")
-
-  /** embeddings stays UNSPREAD by default: the beam-walk family consumes
-    * tiny id-filtered slices of it on a SEQUENTIAL per-hop critical path,
-    * and the extra exchange regressed v17/v24 ~2× (measured). Quadratic
-    * in-cell consumers opt in via embeddingsSpread. */
+  def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 
-  /** The spread view for consumers that run real per-row/quadratic vector
-    * math over the WHOLE table (d5/d17/d18's cell-blocked cosine joins):
-    * same rows, scan parallelism floored at the session's slot count. */
+  /** Spread views are OPT-IN per consumer, chosen by measurement (full
+    * sf0.1 bench A/B, round 14): spreading pays one exchange and turns
+    * every pre-exchange stage into `slots` tasks, which WINS where the
+    * scan feeds serialized per-row kernel CPU (x17 2.5→0.16 s, d5
+    * 2.4→0.44, c1 4.0→1.4, c6 6.4→2.1, d21 2.6→1.4, c5/c7/c9 ~2×) and
+    * LOSES where the consumer is a light projection/aggregate whose
+    * stage-scheduling cost then dominates (g26 0.6→2.2, x24 0.5→0.9,
+    * g16/x19/x7/c3/d10-d12 +0.2-0.5 — those stay on the plain accessors;
+    * the beam-walk family's tiny per-hop id slices regressed ~2× the same
+    * way). */
+  def documentsSpread: DataFrame  = spread("documents")
   def embeddingsSpread: DataFrame = spread("embeddings")
 }
 

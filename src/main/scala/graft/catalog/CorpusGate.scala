@@ -24,7 +24,8 @@ object CorpusGate extends QueryPack {
     "c1_corpus_curate" -> { (s, dir) =>
       import s.implicits._
       val (curated, _) =
-        graft.pipelines.Corpus.curate(Tables(s, dir).documents, withStats = false)
+        graft.pipelines.Corpus.curate(Tables(s, dir).documentsSpread,
+          withStats = false)
       curated.select($"doc_id", $"lang_pred",
                      $"n_tokens".cast("long").as("n_tokens"), $"quality_score")
         .orderBy($"doc_id")
@@ -233,7 +234,7 @@ object CorpusGate extends QueryPack {
     "c6_rag_retrieval" -> { (s, dir) =>
       import s.implicits._
       import graft.functions.TextKernels
-      val chunks = Text.chunked(Tables(s, dir).documents)
+      val chunks = Text.chunked(Tables(s, dir).documentsSpread)
       // persisted: feeds the df count AND the capped join — the chunk +
       // shingle-hash UDF pass would otherwise run twice (d16's precedent)
       val csh = chunks
@@ -303,7 +304,7 @@ object CorpusGate extends QueryPack {
       import graft.functions.TextKernels
       val truthE = Similarity.queries("v1_brute_topk")(s, dir)
         .select($"q_id", $"neighbor_id".as("doc_id"))
-      val sh = Tables(s, dir).documents
+      val sh = Tables(s, dir).documentsSpread
         .select($"doc_id", TextKernels.shingleHashesUdf($"text").as("hs"))
         .select($"doc_id", size($"hs").cast("long").as("n_sh"),
                 explode($"hs").as("h"))

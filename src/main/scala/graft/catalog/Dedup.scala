@@ -478,7 +478,7 @@ object Dedup extends QueryPack {
     // <3 shingles carry no signal and are dropped (documented contract).
     "d21_fuzzy_join" -> { (s, dir) =>
       import s.implicits._
-      val docs = Tables(s, dir).documents
+      val docs = Tables(s, dir).documentsSpread
       val a0 = docs.select($"doc_id".as("a_id"),
           array_distinct(TextKernels.shingleHashesUdf($"text")).as("hs"))
         .select($"a_id", size($"hs").cast("long").as("n_a"),
@@ -518,7 +518,7 @@ object Dedup extends QueryPack {
     // reads before trusting the cap.
     "d22_linkage_eval" -> { (s, dir) =>
       import s.implicits._
-      val docs = Tables(s, dir).documents
+      val docs = Tables(s, dir).documentsSpread
       val ea = docs.select($"doc_id".as("a_id"),
           array_distinct(TextKernels.shingleHashesUdf($"text")).as("hs"))
         .select($"a_id", explode($"hs").as("h"))
@@ -692,7 +692,7 @@ object Dedup extends QueryPack {
       // per-character aggregate() fold PER SHINGLE (d16's hot loop, ~20
       // task-seconds at sf0.1); same multiset of hashes, same tf counts
       // (TextSpec pins kernel == SQL; the d16 oracle SQL is unchanged)
-      val tf = Tables(s, dir).documents
+      val tf = Tables(s, dir).documentsSpread
         .select($"doc_id",
           explode(TextKernels.shingleHashesAllUdf($"text")).as("h"))
         .groupBy($"doc_id", $"h").agg(count(lit(1)).as("tf"))

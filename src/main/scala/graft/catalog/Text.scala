@@ -206,7 +206,7 @@ object Text extends QueryPack {
     // fixed-order double expression → engine-identical)
     "x2_quality_score" -> { (s, dir) =>
       import s.implicits._
-      Tables(s, dir).documents
+      Tables(s, dir).documentsSpread
         .withColumn("qc", graft.functions.TextKernels.qualityCountsUdf(stopwords.toSet)($"text"))
         .withColumn("tl", greatest(length($"text"), lit(1)))
         .select(
@@ -399,7 +399,7 @@ object Text extends QueryPack {
       // string per CHARACTER POSITION — the kernel hashes the same window
       // bytes and compares the first digest byte; CdcStartsSpec pins
       // kernel == SQL, the oracle below still runs the original SQL form)
-      Tables(s, dir).documents
+      Tables(s, dir).documentsSpread
         .withColumn("nt",
           expr("trim(regexp_replace(lower(text), '[^a-z ]', ''))"))
         .withColumn("starts", graft.functions.CdcStarts.of($"nt"))
