@@ -367,8 +367,11 @@ object CorpusGate extends QueryPack {
         .select($"vec_id".as("doc_id"), $"cell", $"pick")
       // persisted: feeds binPack AND the join back — without the cache the
       // whole decontam∩dedup∩balance chain runs twice (d16's precedent)
+      // documentsSpread: the n_tok projection tokenizes EVERY document —
+      // kernel CPU that serializes on the single-split local scan (the
+      // round-14 A/B that made spread opt-in missed this site: c7 1.2→4.1 s)
       val released = balanced.join(
-        Tables(s, dir).documents.select($"doc_id",
+        Tables(s, dir).documentsSpread.select($"doc_id",
           expr(s"size(${Tx.wsExpr})").cast("long").as("n_tok")), Seq("doc_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Analytics.binPack(released.select($"doc_id", $"n_tok"))
