@@ -639,7 +639,7 @@ object Analytics extends QueryPack {
           .repartitionByRange(8, $"o_orderdate")
           .write.mode("overwrite").parquet(path)
       }
-      val perFile = s.read.parquet(p)
+      val perFile = graft.Scratch.parquet(s, p)
         .groupBy(input_file_name().as("f"))
         .agg(count(lit(1)).as("n"),
              min($"o_orderdate").as("lo"), max($"o_orderdate").as("hi"))
@@ -722,7 +722,7 @@ object Analytics extends QueryPack {
       }
       val delta = shardStats(Tables(s, dir).events
         .filter(pmod($"event_id", lit(10)) === 7))
-      s.read.parquet(basePath).unionByName(delta)
+      graft.Scratch.parquet(s, basePath).unionByName(delta)
         .groupBy($"shard")
         .agg(sum($"n").as("n"),
              min($"min_x").as("min_x"), max($"max_x").as("max_x"),

@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.{QueryPack, Tables}
+import graft.{QueryPack, Scratch, Tables}
 import graft.functions.TextKernels.NBands
 import Tx.wsSql
 
@@ -411,8 +411,8 @@ object CorpusGate extends QueryPack {
         .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
         .select($"vec_id", $"v", $"norm2")
       val cents = Quantizer.centroidsFor(e, dir, iters = 2, dim = 64)
-      val post = s.read.parquet(Similarity.v21Postings(s, dir, e, cents))
-      val comp = s.read.parquet(Similarity.compactedPostings(s, dir, e, cents))
+      val post = Scratch.parquet(s, Similarity.v21Postings(s, dir, e, cents))
+      val comp = Scratch.parquet(s, Similarity.compactedPostings(s, dir, e, cents))
       val aud2 = comp
         .agg(count(lit(1)).as("n_after"),
              sum(when($"vec_id" % 181 === 3, 1L).otherwise(0L)).as("n_residual"))

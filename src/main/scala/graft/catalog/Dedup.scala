@@ -107,7 +107,7 @@ object Dedup extends QueryPack {
     val path = graft.Scratch.staged(s"mh_pairs#$dir", "mh_pairs") { p =>
       minhashPairs(s, dir).write.mode("overwrite").parquet(p)
     }
-    s.read.parquet(path)
+    graft.Scratch.parquet(s, path)
   }
 
   /** d7's (doc_id, cluster) label table staged to scratch parquet once per
@@ -130,7 +130,7 @@ object Dedup extends QueryPack {
         .select($"doc_id", $"cluster")
         .write.mode("overwrite").parquet(p)
     }
-    s.read.parquet(path)
+    graft.Scratch.parquet(s, path)
   }
 
   /** d2's pair pipeline, reused by d7's cluster builder:

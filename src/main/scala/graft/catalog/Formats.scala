@@ -241,7 +241,7 @@ object Formats extends QueryPack {
           .withColumn("event_date", to_date($"ts"))
           .write.partitionBy("event_date").mode("overwrite").parquet(p)
       }
-      s.read.parquet(tmp)
+      Scratch.parquet(s, tmp)
         .filter($"event_date" === lit(java.sql.Date.valueOf("2024-01-02")))
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"),
@@ -317,26 +317,38 @@ object Formats extends QueryPack {
           .repartition($"event_date")
           .write.partitionBy("event_date").mode("overwrite").parquet(p)
       }
+      // listStatus recursion instead of listFiles (round-14, guide §5 "the
+      // driver should do almost no data work"): listFiles materializes a
+      // LocatedFileStatus per entry, and on RawLocalFileSystem that loads
+      // owner/permissions by FORKING `ls -ld` once per file — ~3,300
+      // process forks per rep across the two roots, k10's dominant cost.
+      // Plain FileStatus never touches permissions, so the same walk is
+      // pure readdir syscalls. (On a cluster store listFiles is the right
+      // call — it batches block locations; the fork is a local-FS
+      // pathology.) Day set and per-day counts are unchanged.
       def filesPerDate(root: String): Map[java.sql.Date, Long] = {
         val path = new org.apache.hadoop.fs.Path(root)
         val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.listStatus(path).toSeq
-          .filter(st => st.isDirectory && st.getPath.getName.startsWith("event_date="))
-          .map { st =>
-            val d = java.sql.Date.valueOf(st.getPath.getName.stripPrefix("event_date="))
-            val it = fs.listFiles(st.getPath, true)
-            var n = 0L
-            while (it.hasNext)
-              if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-            d -> n
-          }.toMap
+        val m = scala.collection.mutable.Map.empty[java.sql.Date, Long]
+        def walk(p: org.apache.hadoop.fs.Path, day: java.sql.Date): Unit =
+          fs.listStatus(p).foreach { st =>
+            val name = st.getPath.getName
+            if (st.isDirectory) {
+              val d = if (name.startsWith("event_date="))
+                java.sql.Date.valueOf(name.stripPrefix("event_date=")) else day
+              walk(st.getPath, d)
+            } else if (day != null && name.endsWith(".parquet"))
+              m.update(day, m.getOrElse(day, 0L) + 1L)
+          }
+        walk(path, null)
+        m.toMap
       }
       val before = filesPerDate(frag)
       val after = filesPerDate(compacted)
       val layout = before.keys.toSeq
         .map(d => (d, before(d), after.getOrElse(d, 0L)))
         .toDF("event_date", "n_files_before", "n_files_after")
-      s.read.parquet(compacted)
+      Scratch.parquet(s, compacted)
         .groupBy($"event_date")
         .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("sum_ids"))
         .join(layout, Seq("event_date"))
@@ -390,7 +402,7 @@ object Formats extends QueryPack {
         val dirs = java.nio.file.Files
           .readString(java.nio.file.Paths.get(s"$root/manifest_$v.txt"))
           .split("\n").toSeq
-        s.read.parquet(dirs: _*)
+        Scratch.parquet(s, dirs: _*)
       }
       def snap(v: Int): DataFrame = readVersion(v)
         .agg(count(lit(1)).as("n_rows"),
@@ -450,13 +462,13 @@ object Formats extends QueryPack {
           val Array(op, d) = l.split("\\|", 2); (op, d)
         }
       val cents = expr("cast(round(o_totalprice * 100) as bigint)")
-      val inc = s.read
-        .parquet(entries(2).filter(_._1 == "append").map(_._2): _*)
+      val inc = Scratch
+        .parquet(s, entries(2).filter(_._1 == "append").map(_._2): _*)
         .agg(count(lit(1)).as("n_rows"), sum(cents).as("cents"))
         .select(lit("incremental").as("src"), $"n_rows", $"cents")
-      val a1 = s.read.parquet(entries(1).map(_._2): _*)
+      val a1 = Scratch.parquet(s, entries(1).map(_._2): _*)
         .agg(count(lit(1)).as("n1"), sum(cents).as("c1"))
-      val a2 = s.read.parquet(entries(2).map(_._2): _*)
+      val a2 = Scratch.parquet(s, entries(2).map(_._2): _*)
         .agg(count(lit(1)).as("n2"), sum(cents).as("c2"))
       val diff = a2.crossJoin(broadcast(a1))
         .select(lit("diff").as("src"),
@@ -628,7 +640,7 @@ object Formats extends QueryPack {
     "k34_hidden_partitioning" -> { (s, dir) =>
       import s.implicits._
       val root = hiddenPartStore(s, dir)
-      val t = s.read.parquet(root)
+      val t = Scratch.parquet(s, root)
       val (d1, d2) = (HpLo, HpHi)
       val k = hiddenPartPick(s, dir)
       val months = HpMonths
@@ -703,9 +715,9 @@ object Formats extends QueryPack {
           .agg(count(lit(1)).as("n_rows"), sum(cents).as("sum_cents"))
           .select(lit(src).as("src"), $"n_rows", $"sum_cents",
                   lit(filesRead.toLong).as("files_read"))
-      agg(s.read.parquet(overlap.map(_._3): _*), "pruned", overlap.size)
+      agg(Scratch.parquet(s, overlap.map(_._3): _*), "pruned", overlap.size)
         .unionByName(
-          agg(s.read.parquet(entries.map(_._3): _*), "full", entries.size))
+          agg(Scratch.parquet(s, entries.map(_._3): _*), "full", entries.size))
         .orderBy($"src")
     },
     // k36: HIDDEN PARTITIONING AS A CATALYST OPTIMIZER RULE — k34's
@@ -818,8 +830,8 @@ object Formats extends QueryPack {
                coalesce(sum(cents), lit(0L)).as("sum_cents"))
           .select(lit(src).as("src"), $"n_rows", $"sum_cents",
                   lit(filesRead.toLong).as("files_read"))
-      leg(s.read.parquet(manifest.map(_._1): _*), "full", manifest.size)
-        .unionByName(leg(s.read.parquet(hit.map(_._1): _*), "pruned", hit.size))
+      leg(Scratch.parquet(s, manifest.map(_._1): _*), "full", manifest.size)
+        .unionByName(leg(Scratch.parquet(s, hit.map(_._1): _*), "pruned", hit.size))
         .orderBy($"src")
     },
     // k30: SPEC-DRIVEN DATASOURCE V2 SINK — k22's connector closing the
@@ -1168,7 +1180,7 @@ object Formats extends QueryPack {
         val mf = java.nio.file.Paths.get(s"$root/manifest_$v.txt")
         if (java.nio.file.Files.exists(mf)) {
           val dirs = java.nio.file.Files.readString(mf).split("\n").toSeq
-          s.read.parquet(dirs: _*)
+          Scratch.parquet(s, dirs: _*)
             .agg(count(lit(1)).as("n_rows"),
                  sum(expr("cast(round(o_totalprice * 100) as bigint)"))
                    .as("sum_cents"))
@@ -1214,7 +1226,7 @@ object Formats extends QueryPack {
         if (java.nio.file.Files.exists(mf)) {
           val dirs = java.nio.file.Files.readString(mf)
             .split("\n").toSeq.map(_.split("\t")(1))
-          s.read.parquet(dirs: _*)
+          Scratch.parquet(s, dirs: _*)
             .agg(count(lit(1)).as("n_rows"),
                  sum(expr("cast(round(o_totalprice * 100) as bigint)"))
                    .as("sum_cents"))
@@ -1317,7 +1329,7 @@ object Formats extends QueryPack {
       def snap(v: Int): Long = {
         val dirs = F.readString(Paths.get(s"$root/manifest_$v.txt"))
           .split("\n").toSeq.map(_.split("\t")(1))
-        s.read.parquet(dirs: _*)
+        Scratch.parquet(s, dirs: _*)
           .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)")))
           .head().getLong(0)
       }
@@ -1386,9 +1398,9 @@ object Formats extends QueryPack {
             val a = l.split("\t"); (a(1), a(2))
           }
         lines.map { case (d, dl) =>
-          val base = s.read.parquet(d)
+          val base = Scratch.parquet(s, d)
           if (dl == "-") base
-          else base.join(broadcast(s.read.parquet(dl).select($"o_orderkey")),
+          else base.join(broadcast(Scratch.parquet(s, dl).select($"o_orderkey")),
                          Seq("o_orderkey"), "left_anti")
         }.reduce(_ unionByName _)
       }
@@ -1443,7 +1455,7 @@ object Formats extends QueryPack {
           .split("\n").toSeq.map { l =>
             val a = l.split("\t"); (a(0), a(1), a(2)) }
       def agg(dirs: Seq[String]): (Long, Long) = {
-        val r = s.read.parquet(dirs: _*)
+        val r = Scratch.parquet(s, dirs: _*)
           .agg(count(lit(1)),
             sum(expr("cast(round(o_totalprice * 100) as bigint)"))).head()
         (r.getLong(0), r.getLong(1))
@@ -1462,7 +1474,7 @@ object Formats extends QueryPack {
           case _               => false
         }
         val scanned = agg(sel.map(_._3))
-        val r = s.read.parquet(sel.map(_._3): _*)
+        val r = Scratch.parquet(s, sel.map(_._3): _*)
           .filter(year($"o_orderdate") === maxYr &&
                   month($"o_orderdate") === 1)
           .agg(sum(expr("cast(round(o_totalprice * 100) as bigint)"))).head()
@@ -1502,7 +1514,7 @@ object Formats extends QueryPack {
         try fixed.write.partitionBy("day").mode("overwrite").parquet(path)
         finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
       }
-      s.read.parquet(p)
+      Scratch.parquet(s, p)
         .groupBy($"day")
         .agg(count(lit(1)).as("n"),
              Q.asDbl(sum(Q.dec2($"value")), 2).as("sum_value"))
@@ -1558,7 +1570,7 @@ object Formats extends QueryPack {
           .withColumn("event_date", to_date($"ts"))
           .write.partitionBy("event_date").mode("overwrite").parquet(p)
       }
-      val part = s.read.parquet(facts)
+      val part = Scratch.parquet(s, facts)
       val dimPath = Scratch.staged(s"dates_dim#$dir", "dates_dim") { p =>
         s.read.parquet(facts).select($"event_date").distinct()
           .withColumn("tag",
@@ -1566,7 +1578,7 @@ object Formats extends QueryPack {
               "keep").otherwise("skip"))
           .write.mode("overwrite").parquet(p)
       }
-      val dim = s.read.parquet(dimPath).filter($"tag" === "keep")
+      val dim = Scratch.parquet(s, dimPath).filter($"tag" === "keep")
       part.join(broadcast(dim), Seq("event_date"))
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"),

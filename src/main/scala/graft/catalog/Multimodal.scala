@@ -45,7 +45,7 @@ object Multimodal extends QueryPack {
       Media.mediaFromDocuments(Tables(s, dir).documents)
         .write.mode("overwrite").parquet(p)
     }
-    s.read.parquet(path).as[MediaRecord]
+    Scratch.parquet(s, path).as[MediaRecord]
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

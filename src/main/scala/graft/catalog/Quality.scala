@@ -429,7 +429,7 @@ object Quality extends QueryPack {
           .withColumn("dev2", abs($"cents" * 2 - $"med2"))
           .write.mode("overwrite").parquet(p)
       }
-      val dev = s.read.parquet(devPath)
+      val dev = Scratch.parquet(s, devPath)
       val mad = med2(dev.select($"grp", $"dev2"), "grp", "dev2", "mad4")
       dev.join(broadcast(mad), Seq("grp"))
         .groupBy($"grp")

@@ -312,7 +312,7 @@ object Similarity extends QueryPack {
         .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
         .select($"vec_id", $"v", $"norm2")
       val cents = Quantizer.centroidsFor(e, dir, iters = 2, dim = 64)
-      val compacted = s.read.parquet(compactedPostings(s, dir, e, cents))
+      val compacted = Scratch.parquet(s, compactedPostings(s, dir, e, cents))
       val probes = Quantizer.probe(e.filter($"vec_id" < 10), cents, nProbe = 2)
         .select($"cell", $"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
       val wTop = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
@@ -1072,7 +1072,7 @@ object Similarity extends QueryPack {
           .select($"s_id", $"vec_id".as("nb_id"), $"cos"), "s_id")
         .write.mode("overwrite").parquet(p)
     }
-    s.read.parquet(path)
+    graft.Scratch.parquet(s, path)
   }
 
   private[catalog] def graphBeamSearch(s: SparkSession, dir: String,
@@ -1296,7 +1296,7 @@ object Similarity extends QueryPack {
     val path = graft.Scratch.staged(s"knn_full#$dir", "knn_full") { p =>
       knnGraph(s, dir).write.mode("overwrite").parquet(p)
     }
-    s.read.parquet(path)
+    graft.Scratch.parquet(s, path)
   }
 
   /** v5's kNN graph: every vector's top-3 in-cell neighbors (see the v5

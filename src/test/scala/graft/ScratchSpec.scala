@@ -126,6 +126,27 @@ class ScratchSpec extends AnyFunSuite {
     } finally pool.shutdownNow()
   }
 
+  test("parquet memoizes the resolved relation per (session, path-set), not the rows") {
+    // round-14 optimization: manifest-reading queries (k19 builds 21
+    // relations PER REP) re-listed staged dirs and re-read footers on the
+    // driver every rep. The memo must return plan state (same DataFrame
+    // instance for the same path set), key distinct path sets apart, and
+    // keep reading rows from disk — it is a listing cache, never a result
+    // cache.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d1 = Scratch.dir("pqmemo").resolve("a").toString
+    val d2 = Scratch.dir("pqmemo").resolve("b").toString
+    Seq((1L, "x"), (2L, "y")).toDF("id", "s").write.parquet(d1)
+    Seq((3L, "z")).toDF("id", "s").write.parquet(d2)
+    val r1 = Scratch.parquet(spark, d1)
+    assert(Scratch.parquet(spark, d1) eq r1, "same path set must memo-hit")
+    assert(!(Scratch.parquet(spark, d2) eq r1), "distinct paths must not share")
+    assert(!(Scratch.parquet(spark, d1, d2) eq r1), "multi-path set is its own key")
+    assert(r1.orderBy($"id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(Scratch.parquet(spark, d1, d2).count() == 3)
+  }
+
   test("a write that keeps failing propagates and leaves the memo empty") {
     val attempts = new AtomicInteger(0)
     val key = s"spec_fail_${System.nanoTime()}"
