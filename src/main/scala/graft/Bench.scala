@@ -46,18 +46,20 @@ object Bench {
     def timeOnce(fn: (SparkSession, String) => DataFrame): Double = {
       val s0 = Scratch.stagingSeconds
       val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        val raw = (System.nanoTime() - t0) / 1e9
-        (raw - (Scratch.stagingSeconds - s0)).max(0.0)
-      }
-      catch { case _: Throwable =>
-        // failure sentinel nets staging too (round-12 advice): a query that
-        // staged a fixture and THEN failed would otherwise report a
-        // magnitude inconsistent with its successful neighbors
-        val raw = (System.nanoTime() - t0) / 1e9
-        -(raw - (Scratch.stagingSeconds - s0)).max(1e-3)
-      }
+      val out =
+        try {
+          fn(spark, sfDir).count()
+          val raw = (System.nanoTime() - t0) / 1e9
+          (raw - (Scratch.stagingSeconds - s0)).max(0.0)
+        }
+        catch { case _: Throwable =>
+          // failure sentinel nets staging too (round-12 advice): a query that
+          // staged a fixture and THEN failed would otherwise report a
+          // magnitude inconsistent with its successful neighbors
+          val raw = (System.nanoTime() - t0) / 1e9
+          -(raw - (Scratch.stagingSeconds - s0)).max(1e-3)
+        }
+      out
     }
     // Optional comma-separated query filter (dev iterations on one plan);
     // the driver invokes with no args → full suite, contract unchanged.
@@ -82,6 +84,20 @@ object Bench {
             reps0.max > 1.5 * reps0.min) reps0 :+ timeOnce(fn)
         else reps0
       val ok = reps.filter(_ >= 0)
+      // Measurement-trust fix (round 14, guide §1.4 / §5 "unpersist when
+      // done"): ~28 query paths persist multi-consumer intermediates that
+      // structurally cannot be unpersisted before the caller's action runs,
+      // so CacheManager entries accumulated across the whole 356-query run —
+      // storage memory grew monotonically, execution memory shrank, and GC
+      // climbed from ~10 s to 40+ s on bad runs, inflating arbitrary late
+      // queries (round-13 verdict item 6's v16/x24 "movers" reproduce as
+      // exactly this). Dropping the cache BETWEEN QUERIES bounds live cache
+      // state to one query's own persists while leaving the per-query
+      // methodology bit-identical to every earlier round: reps of one query
+      // still share its persisted intermediates (CacheManager matches by
+      // sameResult, so they always did), and every query still computes from
+      // the parquet inputs — nothing survives into the next query's window.
+      spark.catalog.clearCache()
       name -> (if (ok.nonEmpty) ok.min else reps.min)
     }
     val failed = results.collect { case (n, v) if v < 0 => n }

@@ -72,6 +72,7 @@ object ProfileBench {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
+      spark.catalog.clearCache() // between-queries cache drop, as in Bench
       // listener events are async; give the bus a moment to drain
       Thread.sleep(60)
       val sec = (System.nanoTime() - t0) / 1e9

@@ -1099,9 +1099,17 @@ object Similarity extends QueryPack {
       .select($"vec_id", $"v", $"norm2")
     val q = e.filter($"vec_id" < 10)
       .select($"vec_id".as("q_id"), $"v".as("qv"), $"norm2".as("qn"))
+    // persisted (round-14, guide §2.4/§3.3): the fold below references the
+    // undirected working set once PER HOP, and because each hop's `vis` is
+    // itself consumed twice (next hop's union AND the beam's rerank), the
+    // unpersisted plan re-executed this distinct — a full shuffle of the
+    // edge table — 2^hops-1 ≈ 7 times per walk. One materialization is the
+    // index's own undirected view; at scale that is build-time state a
+    // deployment stores next to the graph, never per-query work.
     val und = edges.unionByName(
         edges.select($"neighbor_id".as("src_id"), $"src_id".as("neighbor_id")))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def score(rel: DataFrame)(ids: DataFrame): DataFrame =
       ids.join(rel, Seq("vec_id")).join(broadcast(q), Seq("q_id"))
         .withColumn("cos",
@@ -1118,7 +1126,13 @@ object Similarity extends QueryPack {
                 Seq("src_id"))
           .select($"q_id", $"neighbor_id".as("vec_id"))
         if (countTouched) touched += cand.count()
+        // persisted: vis2 feeds BOTH the next hop's union and this hop's
+        // beam rerank — unpersisted, hop i re-ran every hop < i's subtree
+        // (visited-set recomputation doubled per hop). The visited set is
+        // corpus-size-independent (≤ queries × Σ frontier expansions), so
+        // this is bounded small state at any scale.
         val vis2 = vis.unionByName(cand).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val beam2 = hopScore(vis2)
           .withColumn("rk", row_number().over(wB)).filter($"rk" <= BeamW)
           .select($"q_id", $"vec_id")
