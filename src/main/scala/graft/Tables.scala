@@ -37,8 +37,9 @@ final case class Tables(spark: SparkSession, dir: String) {
     * cluster would run. Deterministic (sortBeforeRepartition is on), and
     * every consumer is partition-order independent (the oracle-match
     * discipline — total ORDER BY, exact integer/decimal aggregation). */
-  private def spread(name: String): DataFrame = {
-    val df = t(name)
+  private def spread(name: String): DataFrame = spreadDf(name, t(name))
+
+  private def spreadDf(name: String, df: DataFrame): DataFrame = {
     val slots = spark.sparkContext.defaultParallelism
     val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
@@ -95,6 +96,15 @@ final case class Tables(spark: SparkSession, dir: String) {
     * way). */
   def documentsSpread: DataFrame  = spread("documents")
   def embeddingsSpread: DataFrame = spread("embeddings")
+  /** Round-14: the same opt-in kernel-spread for the relational tables —
+    * profiled single-task scan stages burning ≥1 s of one-core CPU (md5
+    * digest passes over orders, the Hilbert bit chain over events,
+    * dialect/codec encode passes over lineitem) while 31 cores idle.
+    * Applied per consumer at measured-win sites only, like the
+    * documents/embeddings spreads above. */
+  def ordersSpread: DataFrame   = spread("orders")
+  def lineitemSpread: DataFrame = spread("lineitem")
+  def eventsSpread: DataFrame   = spreadDf("events", events)
 }
 
 object Tables {

@@ -601,6 +601,9 @@ object Analytics extends QueryPack {
       // result instead of running the chain twice (d16's precedent;
       // ContextCleaner reclaims it)
       val pts = hilbertIndex(
+        // round-14: eventsSpread A/B'd here and LOST (1.01 → 1.47 s): the
+        // bit chain is cheap enough that the extra exchange + 32-task
+        // stage scheduling dominates — stays on the plain accessor
         Tables(s, dir).events.select(
           expr("user_id % 256").as("x"),
           expr("(hour(ts) * 60 + minute(ts)) div 6").as("y"),

@@ -44,7 +44,9 @@ object CorpusGate extends QueryPack {
     "c3_incremental_refresh" -> { (s, dir) =>
       import s.implicits._
       import graft.functions.TextKernels
-      val docs = Tables(s, dir).documents
+      // round-14: spread — the regexp+md5 digest pass and the minhash/bands
+      // kernels below serialized on the single-split local scan
+      val docs = Tables(s, dir).documentsSpread
       val withDigest = docs.withColumn("digest",
         md5(expr("trim(regexp_replace(lower(text), '[^a-z ]', ''))")))
       val idxDig = withDigest.filter(pmod($"doc_id", lit(10)) === 0)
@@ -61,6 +63,10 @@ object CorpusGate extends QueryPack {
       val sig = universe.withColumn("sig", TextKernels.minhashUdf($"text"))
         .withColumn("bands", TextKernels.bandsUdf($"sig"))
         .select($"doc_id", $"sig", $"bands")
+        // consumed by the band explode AND both signature re-joins —
+        // unpersisted, the minhash kernel ran three times (round-14,
+        // the d16 multi-consumer discipline; rows are id + 16 ints)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val buckets = sig.select($"doc_id",
         posexplode($"bands").as(Seq("band_idx", "band_hash")))
       val wB = Window.partitionBy($"band_idx", $"band_hash")
@@ -93,7 +99,11 @@ object CorpusGate extends QueryPack {
     // the sequential single-window greedy, pinning the decomposition.
     "c4_budget_select" -> { (s, dir) =>
       import s.implicits._
-      val scored = Tables(s, dir).documents
+      // round-14: spread (kernel pass serialized on the single-split scan)
+      // + persist — the scored frame feeds BOTH the bucket offsets and the
+      // final prefix join, so the quality kernel ran twice; persisted rows
+      // are id + numerics, never the text
+      val scored = Tables(s, dir).documentsSpread
         .withColumn("qc", graft.functions.TextKernels
           .qualityCountsUdf(Text.stopwords.toSet)($"text"))
         .withColumn("tl", greatest(length($"text"), lit(1)))
@@ -101,6 +111,7 @@ object CorpusGate extends QueryPack {
           (lit(1.0) - ($"qc.punct_cnt".cast("double") / $"tl") * 2.0 -
             ($"qc.digit_cnt".cast("double") / $"tl")).as("q"))
         .withColumn("_bkt", floor((lit(1.0) - $"q") * 8).cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val wOff = Window.partitionBy($"lang").orderBy($"_bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = scored.groupBy($"lang", $"_bkt")

@@ -148,13 +148,18 @@ object Multimodal extends QueryPack {
       import s.implicits._
       val img = Media.perceptualHash(stagedMedia(s, dir)).toDF()
         .select($"media_id", $"ahash")
-      val txt = Tables(s, dir).documents
-        .select($"doc_id",
-          graft.functions.TextKernels.simhashUdf($"text").as("simhash"))
-        .select($"doc_id", expr(
-          "concat_ws('', transform(sequence(31, 0, -1)," +
-            " j -> cast((shiftright(simhash, j) & 1) as string)))").as("tbits"))
+      // round-14 (guide §2.3): join on the id FIRST, hash after — the text
+      // simhash kernel ran over every document, but only the rows paired
+      // with an image row survive the join (1/3 of the corpus); computing
+      // the projection on the joined rows emits identical signatures for
+      // identical inputs, 3× less kernel work
+      val txt = Tables(s, dir).documents.select($"doc_id", $"text")
       img.join(txt, img("media_id") === txt("doc_id"))
+        .withColumn("simhash",
+          graft.functions.TextKernels.simhashUdf($"text"))
+        .withColumn("tbits", expr(
+          "concat_ws('', transform(sequence(31, 0, -1)," +
+            " j -> cast((shiftright(simhash, j) & 1) as string)))"))
         .withColumn("align_score", expr(
           "32 - cast(size(filter(sequence(1, 32)," +
             " i -> substring(ahash, i, 1) <> substring(tbits, i, 1))) as bigint)"))

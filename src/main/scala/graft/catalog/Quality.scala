@@ -511,31 +511,35 @@ object Quality extends QueryPack {
     // row-loss.
     "dq14_replica_reconcile" -> { (s, dir) =>
       import s.implicits._
-      val cols = Seq("o_orderkey", "o_orderstatus", "cents")
-      val base = Tables(s, dir).orders
+      // Round-14 (guide §2.3/§2.4): the replica IS base with a per-row
+      // cents rule, so one scan carries BOTH sides — per-row digests for
+      // base and replica side by side, the level-1 Merkle pass ONE groupBy
+      // (was: two scans + two md5 passes + two agg shuffles + a checksum
+      // join), and the leaf compare a per-row filter instead of a
+      // bucket-pruned self-join (o_orderkey is the generator's primary
+      // key, so the old o_orderkey equi-join paired each row with its own
+      // replica). Canonical strings embed VALUES, not column names, so
+      // every digest — and therefore every checksum sum and the mismatch
+      // bucket set — is bit-identical to the two-sided plan's.
+      val rows = Tables(s, dir).ordersSpread
         .select($"o_orderkey", $"o_orderstatus",
                 expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
-      val replica = base.withColumn("cents",
-        when($"o_orderkey" % 9973 === 7, $"cents" + 1).otherwise($"cents"))
-      def level1(df: DataFrame, side: String): DataFrame =
-        df.withColumn("bucket", pmod($"o_orderkey", lit(256)))
-          .withColumn("m", md5(expr(canonExpr(cols, spark = true))))
-          .withColumn("h1", expr(hexToLong("m", 8, spark = true)))
-          .withColumn("h2", expr(hexToLong("substr(m, 9, 8)", 8, spark = true)))
-          .groupBy($"bucket")
-          .agg(sum($"h1").as(s"c1_$side"), sum($"h2").as(s"c2_$side"),
-               count(lit(1)).as(s"n_$side"))
-      val mismatch = level1(base, "a").join(level1(replica, "b"), Seq("bucket"))
-        .filter($"c1_a" =!= $"c1_b" || $"c2_a" =!= $"c2_b" ||
-                $"n_a" =!= $"n_b")
-        .select($"bucket")
-      val bb = base.withColumn("bucket", pmod($"o_orderkey", lit(256)))
-        .join(broadcast(mismatch), Seq("bucket"), "left_semi")
-      val rb = replica
+        .withColumn("cents_replica",
+          when($"o_orderkey" % 9973 === 7, $"cents" + 1).otherwise($"cents"))
         .withColumn("bucket", pmod($"o_orderkey", lit(256)))
-        .join(broadcast(mismatch), Seq("bucket"), "left_semi")
-      bb.join(rb.select($"o_orderkey", $"cents".as("cents_replica")),
-              Seq("o_orderkey"))
+      val digests = rows
+        .withColumn("ma", md5(expr(canonExpr(
+          Seq("o_orderkey", "o_orderstatus", "cents"), spark = true))))
+        .withColumn("mb", md5(expr(canonExpr(
+          Seq("o_orderkey", "o_orderstatus", "cents_replica"), spark = true))))
+      val mismatch = digests.groupBy($"bucket")
+        .agg(sum(expr(hexToLong("ma", 8, spark = true))).as("c1_a"),
+             sum(expr(hexToLong("substr(ma, 9, 8)", 8, spark = true))).as("c2_a"),
+             sum(expr(hexToLong("mb", 8, spark = true))).as("c1_b"),
+             sum(expr(hexToLong("substr(mb, 9, 8)", 8, spark = true))).as("c2_b"))
+        .filter($"c1_a" =!= $"c1_b" || $"c2_a" =!= $"c2_b")
+        .select($"bucket")
+      rows.join(broadcast(mismatch), Seq("bucket"), "left_semi")
         .filter($"cents" =!= $"cents_replica")
         .select($"bucket", $"o_orderkey", $"cents".as("cents_base"),
                 $"cents_replica")
@@ -581,40 +585,45 @@ object Quality extends QueryPack {
     // the key inside dirty buckets only — repair cost tracks drift.
     "dq15_quorum_repair" -> { (s, dir) =>
       import s.implicits._
-      val base = Tables(s, dir).orders
+      // Round-14 (guide §2.3/§2.4, the dq14 restructure applied to the
+      // 3-replica vote): every replica derives from base by a per-row
+      // cents rule, so ONE scan carries all three sides — the level-1
+      // checksum pass is a single groupBy with three sums (was: three
+      // scans + three md5 passes + three agg shuffles + a checksum join
+      // chain), and the vote is a per-row expression instead of a 3-way
+      // o_orderkey self-join (the generator's primary key, so the join
+      // paired each row with its own replicas). Canonical strings embed
+      // VALUES, not column names — every digest, checksum and majority
+      // is bit-identical to the three-sided plan's.
+      val rows = Tables(s, dir).ordersSpread
         .select($"o_orderkey",
                 expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
-      def drift(plus: Int, rem: Int) = base.withColumn("cents",
-        when($"o_orderkey" % 9973 === rem, $"cents" + plus)
-          .otherwise($"cents"))
-      val reps = Seq("a" -> drift(1, 7), "b" -> drift(2, 13),
-                     "c" -> drift(3, 21))
-      def level1(df: DataFrame, side: String): DataFrame =
-        df.withColumn("bucket", pmod($"o_orderkey", lit(256)))
-          .withColumn("m", md5(expr(
-            canonExpr(Seq("o_orderkey", "cents"), spark = true))))
-          .withColumn("h", expr(hexToLong("m", 8, spark = true)))
-          .groupBy($"bucket").agg(sum($"h").as(s"chk_$side"))
-      val mism = reps.map { case (n, df) => level1(df, n) }
-        .reduce(_.join(_, Seq("bucket")))
+        .withColumn("c_a",
+          when($"o_orderkey" % 9973 === 7, $"cents" + 1).otherwise($"cents"))
+        .withColumn("c_b",
+          when($"o_orderkey" % 9973 === 13, $"cents" + 2).otherwise($"cents"))
+        .withColumn("c_c",
+          when($"o_orderkey" % 9973 === 21, $"cents" + 3).otherwise($"cents"))
+        .withColumn("bucket", pmod($"o_orderkey", lit(256)))
+      val digests = Seq("a", "b", "c").foldLeft(rows) { (df, side) =>
+        df.withColumn(s"m_$side", md5(expr(
+          canonExpr(Seq("o_orderkey", s"c_$side"), spark = true))))
+      }
+      val mism = digests.groupBy($"bucket")
+        .agg(sum(expr(hexToLong("m_a", 8, spark = true))).as("chk_a"),
+             sum(expr(hexToLong("m_b", 8, spark = true))).as("chk_b"),
+             sum(expr(hexToLong("m_c", 8, spark = true))).as("chk_c"))
         .filter($"chk_a" =!= $"chk_b" || $"chk_b" =!= $"chk_c" ||
                 $"chk_a" =!= $"chk_c")
         .select($"bucket")
-      def inDirty(df: DataFrame, n: String) = df
-        .withColumn("bucket", pmod($"o_orderkey", lit(256)))
-        .join(broadcast(mism), Seq("bucket"), "left_semi")
-        .select($"bucket", $"o_orderkey", $"cents".as(s"c_$n"))
-      val wide = inDirty(reps(0)._2, "a")
-        .join(inDirty(reps(1)._2, "b").drop("bucket"), Seq("o_orderkey"))
-        .join(inDirty(reps(2)._2, "c").drop("bucket"), Seq("o_orderkey"))
+      val wide = rows.join(broadcast(mism), Seq("bucket"), "left_semi")
         .withColumn("majority",
           when($"c_a" === $"c_b", $"c_a")
             .when($"c_a" === $"c_c", $"c_a").otherwise($"c_b"))
-      // round-14: one unpivot pass instead of a 3-way union of filters —
-      // the union form re-executed the whole 3-replica join subtree once
-      // per replica (122-Exchange plan); stack() emits the identical
-      // (replica, cents) rows from ONE execution, and the final total
-      // ORDER BY fixes the same output order
+      // one unpivot pass instead of a 3-way union of filters — the union
+      // form re-executed the whole subtree once per replica; stack() emits
+      // the identical (replica, cents) rows from ONE execution, and the
+      // final total ORDER BY fixes the same output order
       wide.selectExpr("bucket", "o_orderkey", "majority",
           "stack(3, 'a', c_a, 'b', c_b, 'c', c_c) as (bad_replica, wrong_cents)")
         .filter($"wrong_cents" =!= $"majority")

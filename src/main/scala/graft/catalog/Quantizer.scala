@@ -125,13 +125,29 @@ object Quantizer {
     cents.map(c => (c.cell, c.cv.toSeq, c.cn2)).toDF("cell", "cv", "cnorm2")
   }
 
+  /** The native-kernel twin of `sortedCells` (round 14): centroid matrix
+    * as ONE reference object instead of k×dim literals — tiny plan, tight
+    * codegen'd argmin, and `nullable` no longer baits constraint
+    * propagation into duplicating the whole expression into a Filter
+    * (QuantizerKernelSpec pins kernel == literal form bitwise). */
+  private def kernelCol(cents: Seq[Centroid], nProbe: Int): Column =
+    graft.functions.QuantizerKernels.nearestCells(
+      col("v"), col("norm2"),
+      cents.map(_.cell), cents.map(_.cv),
+      cents.map(c => java.lang.Math.sqrt(c.cn2)), nProbe)
+
+  private def kernelColArray(cents: Seq[Centroid], nProbe: Int): Column =
+    graft.functions.QuantizerKernels.nearestCellsArray(
+      col("v"), col("norm2"),
+      cents.map(_.cell), cents.map(_.cv),
+      cents.map(c => java.lang.Math.sqrt(c.cn2)), nProbe)
+
   /** `nProbe` nearest cells per row (cos desc, cell asc): input columns +
     * `cell`, one row per probed cell. */
   def probe(e: DataFrame, cents: Seq[Centroid], nProbe: Int): DataFrame = {
     val keep = e.columns.map(col) :+ col("cell")
     if (cents.size <= LiteralMax)
-      e.withColumn("_pr", explode(slice(sortedCells(cents), 1, nProbe)))
-        .withColumn("cell", col("_pr.cell"))
+      e.withColumn("cell", explode(kernelColArray(cents, nProbe)))
         .select(keep: _*)
     else {
       val w = org.apache.spark.sql.expressions.Window
@@ -149,11 +165,13 @@ object Quantizer {
     * (array_min of (-cos, cell) structs, zero shuffle), broadcast-join +
     * window argmin for large k. */
   def assign(e: DataFrame, cents: Seq[Centroid]): DataFrame =
-    if (cents.size <= LiteralMax) {
-      val scored = array(cents.map(c =>
-        struct((-cosTo(c)).as("neg"), lit(c.cell).as("cell"))): _*)
-      e.withColumn("cell", array_min(scored).getField("cell"))
-    } else probe(e, cents, 1)
+    if (cents.size <= LiteralMax)
+      // coalesce makes `cell` provably non-nullable (the kernel only yields
+      // null for a null vector, which the precondition excludes), so the
+      // downstream cell equi-joins infer no isnotnull filter — the literal
+      // form paid a full duplicate assignment evaluation there
+      e.withColumn("cell", coalesce(kernelCol(cents, 1), lit(-1)))
+    else probe(e, cents, 1)
 
   /** Final centroids after `iters` Lloyd updates from the first-k init
     * (init centroid = its seed's quantized vector, mean of a 1-row cell).

@@ -759,6 +759,10 @@ object Similarity extends QueryPack {
         .withColumn("df", count(lit(1)).over(wH))
         .filter($"df" <= Dedup.MaxDf)
         .drop("df")
+        // consumed by the query-side filter AND the corpus-side join —
+        // unpersisted, the shingle-hash UDF + explode + df-cap window ran
+        // twice (round-14, the d16 multi-consumer discipline)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val q = ex.filter($"doc_id" < 10)
         .select($"doc_id".as("q_id"), $"n_sh".as("qn"), $"h")
       val wKw = Window.partitionBy($"q_id").orderBy($"jaccard".desc, $"doc_id")

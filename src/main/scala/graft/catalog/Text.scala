@@ -367,6 +367,10 @@ object Text extends QueryPack {
           .as("b"))
         .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
         .filter(length($"w1") > 0 && length($"w2") > 0)
+        // consumed by the bigram counts, the unigram counts AND the scoring
+        // join — unpersisted, the tokenize+explode pass ran three times
+        // (round-14, the d16 multi-consumer discipline)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val big = bi.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
       val uni = bi.groupBy($"w1").agg(count(lit(1)).as("c1"))
       val perDoc = bi.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
@@ -374,6 +378,8 @@ object Text extends QueryPack {
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_bigrams"), sum($"p_ppm").as("sum_ppm"))
         .withColumn("lm_ppm", expr("sum_ppm div n_bigrams"))
+        // consumed by the corpus-mean threshold AND the final projection
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val thr = perDoc.agg(expr("sum(sum_ppm) div sum(n_bigrams)").as("thr"))
       perDoc.crossJoin(broadcast(thr))
         .withColumn("keep", $"lm_ppm" >= expr("thr div 2"))
