@@ -37,5 +37,17 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Round-14: 8g → 24g default (still env-overridable). The 356-query
+  // bench run churns staging writes, per-query caches and thousands of
+  // small broadcasts through one JVM; at 8g the G1 cycles plus the 30s
+  // periodic full GC charged 15-40s of collector time to arbitrary query
+  // windows (run-to-run totals swung 123→168s on identical code). The
+  // sandbox has 128 GiB; sizing the driver heap to the box is the same
+  // call a production deployment makes.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Throughput collector: the bench is a batch workload where pause
+  // latency is irrelevant; Parallel retires the churn (staging writes,
+  // per-query caches, broadcasts) with markedly less total collector CPU
+  // than G1's concurrent cycles on this heap shape.
+  "-XX:+UseParallelGC",
 )

@@ -14,10 +14,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // 83 queries share one JVM: without GC the ContextCleaner never
+      // 356 queries share one JVM: without GC the ContextCleaner never
       // releases finished broadcasts/caches, execution memory shrinks and
-      // later sorts spill — keep the cleaner ticking
-      .config("spark.cleaner.periodicGC.interval", "30s")
+      // later sorts spill — keep the cleaner ticking. Round-14: 30s → 120s;
+      // with the between-query clearCache and the 24g heap, a forced FULL
+      // collection every 30s charged more collector time to query windows
+      // than the broadcast debt it retired.
+      .config("spark.cleaner.periodicGC.interval", "120s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: exercise scan→shuffle→sort→window codegen paths once, untimed

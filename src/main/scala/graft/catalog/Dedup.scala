@@ -357,10 +357,15 @@ object Dedup extends QueryPack {
     // Jaccard confirm as d2. Output: one row per flagged batch doc.
     "d12_incremental_lsh" -> { (s, dir) =>
       import s.implicits._
-      val sig = Tables(s, dir).documents
+      // round-14: spread (the minhash kernel serialized on the single-split
+      // local scan) + persist (sig feeds the band explode AND both
+      // signature re-joins — the kernel ran three times; rows are id +
+      // 16 ints, the c3 shape)
+      val sig = Tables(s, dir).documentsSpread
         .withColumn("sig", TextKernels.minhashUdf($"text"))
         .withColumn("bands", TextKernels.bandsUdf($"sig"))
         .select($"doc_id", $"sig", $"bands")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val buckets = sig
         .select($"doc_id", posexplode($"bands").as(Seq("band_idx", "band_hash")))
       val wB = org.apache.spark.sql.expressions.Window
@@ -483,6 +488,9 @@ object Dedup extends QueryPack {
           array_distinct(TextKernels.shingleHashesUdf($"text")).as("hs"))
         .select($"a_id", size($"hs").cast("long").as("n_a"),
                 explode($"hs").as("h"))
+        // consumed by the df cap AND the capped join — unpersisted, the
+        // corpus-side shingle kernel ran twice (round-14, d16 discipline)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val hot = a0.groupBy($"h").agg(count(lit(1)).as("df"))
         .filter($"df" > MaxDf).select($"h")
       val ea = a0.join(hot, Seq("h"), "left_anti")
