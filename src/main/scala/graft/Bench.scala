@@ -14,13 +14,16 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // 356 queries share one JVM: without GC the ContextCleaner never
-      // releases finished broadcasts/caches, execution memory shrinks and
-      // later sorts spill — keep the cleaner ticking. Round-14: 30s → 120s;
-      // with the between-query clearCache and the 24g heap, a forced FULL
-      // collection every 30s charged more collector time to query windows
-      // than the broadcast debt it retired.
-      .config("spark.cleaner.periodicGC.interval", "120s")
+      // 356 queries share one JVM: the ContextCleaner needs GC activity to
+      // release finished broadcasts/caches. Round-14 A/B series: a 30s/120s
+      // FULL-collection timer landed inside whatever query window it struck
+      // (isolated 4-6× outliers on arbitrary sub-second entries, gc_s up to
+      // 43), and an explicit between-query System.gc() every 16 queries was
+      // worse still (gc_s 48). The staging/cache churn already drives
+      // regular young collections that feed the cleaner's reference queue,
+      // so the timer is parked at 30min as a safety net only — measured
+      // best of the three regimes (105.3s / gc 11.6 vs 123-168s before).
+      .config("spark.cleaner.periodicGC.interval", "30min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: exercise scan→shuffle→sort→window codegen paths once, untimed

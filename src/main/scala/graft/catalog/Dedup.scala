@@ -584,7 +584,9 @@ object Dedup extends QueryPack {
     // and AQE broadcasts the hot list (DedupHotKeySpec pins the plan).
     "d4_ngram_jaccard" -> { (s, dir) =>
       import s.implicits._
-      val sh = Tables(s, dir).documents
+      // round-14: spread — the shingle kernel serialized on the
+      // single-split local scan
+      val sh = Tables(s, dir).documentsSpread
         .select($"doc_id", TextKernels.shingleHashesUdf($"text").as("hs"))
         .select($"doc_id", size($"hs").cast("long").as("n_sh"), $"hs")
       // persists: ex0 feeds the df count and the capped set; ex feeds BOTH
@@ -628,7 +630,8 @@ object Dedup extends QueryPack {
       import s.implicits._
       val wDoc = org.apache.spark.sql.expressions.Window
         .partitionBy($"doc_id").orderBy($"df", $"h")
-      val sh = Tables(s, dir).documents
+      // round-14: spread (same rationale as d4)
+      val sh = Tables(s, dir).documentsSpread
         .select($"doc_id",
           array_distinct(TextKernels.shingleHashesUdf($"text")).as("hs"))
         .select($"doc_id", size($"hs").cast("long").as("n_sh"), $"hs")

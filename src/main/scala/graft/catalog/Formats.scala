@@ -207,7 +207,10 @@ object Formats extends QueryPack {
     "k4_orc_roundtrip" -> { (s, dir) =>
       import s.implicits._
       val tmp = Scratch.dir("orc").toString
-      Tables(s, dir).lineitem
+      // round-14: spread — the single-split input made the ORC encode one
+      // task (and the read-back one split); exact-decimal agg is
+      // partition-order independent, so 32 files aggregate identically
+      Tables(s, dir).lineitemSpread
         .select($"l_orderkey", $"l_returnflag", $"l_quantity")
         .write.mode("overwrite").orc(tmp)
       qtyAgg(s.read.orc(tmp))
@@ -215,7 +218,7 @@ object Formats extends QueryPack {
     "k5_avro_roundtrip" -> { (s, dir) =>
       import s.implicits._
       val tmp = Scratch.dir("avro").toString
-      val proj = Tables(s, dir).lineitem
+      val proj = Tables(s, dir).lineitemSpread
         .select($"l_orderkey".cast("long").as("l_orderkey"), $"l_returnflag",
                 $"l_quantity".cast("double").as("l_quantity"))
       AvroTable.write(proj, tmp)
@@ -1661,7 +1664,7 @@ object Formats extends QueryPack {
     "k6_json_roundtrip" -> { (s, dir) =>
       import s.implicits._
       val tmp = Scratch.dir("json").toString
-      val proj = Tables(s, dir).lineitem
+      val proj = Tables(s, dir).lineitemSpread
         .select($"l_orderkey", $"l_returnflag", $"l_quantity")
       proj.write.mode("overwrite").json(tmp)
       qtyAgg(s.read.schema(proj.schema).json(tmp))

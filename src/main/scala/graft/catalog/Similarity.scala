@@ -124,16 +124,16 @@ object Similarity extends QueryPack {
       val signs = Array.tabulate(8, 64) { (k, d) =>
         1L - 2L * (((1315423911L * k + 2654435761L * d) % 2147483647L) % 2)
       }
-      val projExpr = "array(" + (0 until 8).map { k =>
-        (0 until 64).map { d =>
-          s"${if (signs(k)(d) > 0) "" else "-"}element_at(q, ${d + 1})"
-        }.mkString(" + ")
-      }.mkString(", ") + ")"
+      // round-14: the folded flat form (512 signed element_at terms) moved
+      // into the native SignedProjection kernel — same signed BIGINT sums
+      // (wraparound addition is order-independent), one plan node instead
+      // of a projection too large to codegen well; the oracle still runs
+      // the folded SQL and SignedProjectionSpec pins kernel == SQL
       val e = Tables(s, dir).embeddings
         .withColumn("v", $"embedding".cast("array<double>"))
         .withColumn("norm2", graft.functions.VectorExprs.dot($"v", $"v"))
         .withColumn("q", expr("transform(v, x -> cast(round(x * 4096) as bigint))"))
-        .withColumn("p", expr(projExpr))
+        .withColumn("p", graft.functions.SignedProjection.of($"q", signs))
         .withColumn("pn2", expr((1 to 8)
           .map(i => s"element_at(p, $i) * element_at(p, $i)").mkString(" + ")))
         .select($"vec_id", $"v", $"norm2", $"p", $"pn2")

@@ -285,9 +285,12 @@ object Text extends QueryPack {
     },
     "x12_rare_token_filter" -> { (s, dir) =>
       import s.implicits._
-      val toks = Tables(s, dir).documents
+      // round-14: spread (tokenize serialized on the single-split scan) +
+      // persist (toks feeds the vocab count AND the scoring join)
+      val toks = Tables(s, dir).documentsSpread
         .select($"doc_id", explode(expr(wsExpr)).as("tok"))
         .filter(length($"tok") > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
       val thr = vocab.agg(sum($"cnt").as("_tot"), count(lit(1)).as("_nv"))
         .select(expr("_tot div (_nv * 2)").as("thr"))
@@ -487,11 +490,14 @@ object Text extends QueryPack {
     },
     "x7_tfidf_topk" -> { (s, dir) =>
       import s.implicits._
-      val docs = Tables(s, dir).documents
-      val n = docs.count()
+      val docs = Tables(s, dir).documentsSpread
+      val n = Tables(s, dir).documents.count() // metadata count — no spread
+      // round-14: spread + persist — toks feeds tf AND df (tokenize x2 on
+      // a single-split scan before)
       val toks = docs
         .select($"doc_id", explode(expr(wsExpr)).as("tok"))
         .filter(length($"tok") > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
       val df = toks.select($"doc_id", $"tok").distinct()
         .groupBy($"tok").agg(count(lit(1)).as("df"))
@@ -680,7 +686,7 @@ object Text extends QueryPack {
       // that reads the corpus; dl/df/N/L are aggregates OVER tf (dl =
       // Σ tf per doc, L = Σ tf, N = |dl|) — re-deriving each from the raw
       // token stream would tokenize the corpus four times.
-      val tf = Tables(s, dir).documents
+      val tf = Tables(s, dir).documentsSpread
         .select($"doc_id", explode(expr(wsExpr)).as("tok"))
         .filter(length($"tok") > 0)
         .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
