@@ -85,9 +85,18 @@ object Bench {
       // neighboring teardown) — min-of-2 can't tell which, so buy one more
       // sample. Bounded cost: only disagreeing entries pay, and they are
       // exactly the sub-second entries the round-11 driver run inflated.
+      // Round-14 addition: an ABSOLUTE trigger next to the relative one.
+      // A 2-4s environmental stall (writeback flush, natural full GC) can
+      // span BOTH reps of a sub-second query, leaving them agreeing at an
+      // inflated value the relative rule cannot see (measured: dq3 4.6s /
+      // dq15 3.3s one-off outliers, each normal in the neighboring runs
+      // and in targeted A/Bs). Any query whose fastest rep still exceeds
+      // 1s buys one more sample of the SAME min estimator — min is the
+      // stated plan-cost estimator and extra samples only sharpen it.
       val reps =
         if (reps0.forall(_ >= 0) && reps0.min > 0.15 &&
-            reps0.max > 1.5 * reps0.min) reps0 :+ timeOnce(fn)
+            (reps0.max > 1.5 * reps0.min || reps0.min > 1.0))
+          reps0 :+ timeOnce(fn)
         else reps0
       val ok = reps.filter(_ >= 0)
       // Measurement-trust fix (round 14, guide §1.4 / §5 "unpersist when
